@@ -1,0 +1,1194 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle.
+
+Each entry exercises one operator family from SURVEY §2 (reference
+citations on each query) against the driver's TPC-H-ish synthetic
+tables. The Spark side is the engine under test; the ``oracle`` is
+equivalent ANSI SQL for DuckDB. Column names/aliases match exactly
+on both sides (the driver's compare is name-keyed).
+
+Determinism rules used throughout:
+- float rounding uses ``floor(x * 10^k + 0.5) / 10^k`` on BOTH
+  engines — pure IEEE ops, bit-identical results, immune to the
+  engines' differing ROUND() tie-break behavior on knife-edge
+  doubles;
+- timestamps are cast to DATE, or reduced to epoch-microsecond
+  integers (``events.ts`` is nanosecond-precision parquet, which
+  Spark reads as long via the nanosAsLong legacy conf and DuckDB
+  truncates to micros — integer micros is the common grid);
+- every window/order spec ends in a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_pipeline_4handling_listings_spark.operators.dedup import (
+    exact_dedup,
+    latest_record,
+    superseded_records,
+)
+from etl_pipeline_4handling_listings_spark.operators.enrich import batched_lookup
+from etl_pipeline_4handling_listings_spark.operators.history import (
+    changed_against_previous,
+)
+from etl_pipeline_4handling_listings_spark.operators.merge import (
+    merge_upsert,
+    unchanged_guard,
+)
+from etl_pipeline_4handling_listings_spark.operators.topk import priority_top_k
+from etl_pipeline_4handling_listings_spark.operators.validate import (
+    Rule,
+    apply_rules,
+    dimension_miss_rule,
+    split_valid,
+)
+from etl_pipeline_4handling_listings_spark.functions.text import (
+    document_fingerprint,
+    quality_score,
+    token_count,
+)
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tbl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with ``ts_us`` = epoch microseconds (long).
+
+    The driver's events parquet stores nanosecond INT64 timestamps,
+    which stock Spark rejects; the legacy nanosAsLong conf reads
+    them as raw longs. DuckDB truncates the same column to
+    microseconds, so both engines meet on integer micros.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        return e.withColumn("ts_us", F.expr("ts div 1000"))
+    return e.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
+def r(c: Column | str, k: int) -> Column:
+    """Engine-portable float rounding: floor(x*10^k + 0.5)/10^k."""
+    c = F.col(c) if isinstance(c, str) else c
+    scale = 10**k
+    out = F.floor(c * scale + 0.5) / scale
+    return out
+
+
+def r2(c: Column | str) -> Column:
+    return r(c, 2)
+
+
+def r4(c: Column | str) -> Column:
+    return r(c, 4)
+
+
+def sql_r(expr: str, k: int) -> str:
+    scale = 10**k
+    return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Scans / filters / projections (SURVEY §2.1-2.2)
+# =====================================================================
+
+
+@query(
+    "s1_scan_filter",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           {sql_r('l_extendedprice', 2)} AS ext_price
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+    """,
+    doc="S1: pushdown-friendly range scan (ref curated.py:71-77).",
+)
+def s1_scan_filter(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return li.filter(
+        (d >= F.lit("1996-01-01").cast("date")) & (d <= F.lit("1996-06-30").cast("date"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        d.alias("ship_date"),
+        r2("l_extendedprice").alias("ext_price"),
+    )
+
+
+@query(
+    "s2_union_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, 'returned' AS src
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_returnflag, 'open' AS src
+    FROM lineitem WHERE l_linestatus = 'O' AND l_returnflag <> 'R'
+    """,
+    doc="S2/U1: multi-source union scan via unionByName (ref curated.py:71-77).",
+)
+def s2_union_scan(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", F.lit("returned").alias("src")
+    )
+    b = li.filter((F.col("l_linestatus") == "O") & (F.col("l_returnflag") != "R")).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", F.lit("open").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "p1_prefix_rename",
+    oracle="""
+    SELECT c_custkey AS cust_c_custkey, c_name AS cust_c_name,
+           c_nationkey AS cust_c_nationkey, c_mktsegment AS cust_c_mktsegment
+    FROM customer
+    """,
+    doc="P1: namespace-prefix rename projection (ref transform.py:58-62).",
+)
+def p1_prefix_rename(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    keep = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    return c.select([F.col(x).alias("cust_" + x) for x in keep])
+
+
+@query(
+    "p6_isin_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderstatus
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus <> 'P'
+    """,
+    doc="P6/P9: membership + chained optional filters (ref curated.py:74-75).",
+)
+def p6_isin_filter(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderstatus") != "P")
+    ).select("o_orderkey", "o_orderpriority", "o_orderstatus")
+
+
+# =====================================================================
+# Validation flags (SURVEY §2.5 V1-V12)
+# =====================================================================
+
+_VALIDATION_ORACLE = """
+    WITH joined AS (
+        SELECT l.*, o.o_orderkey AS dim_orderkey, o.o_orderstatus
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), flagged AS (
+        SELECT l_orderkey, l_linenumber,
+            CASE WHEN dim_orderkey IS NULL THEN 1 ELSE 0 END AS _invalid_order_flag,
+            CASE WHEN l_quantity IS NULL OR l_quantity < 1 THEN 1 ELSE 0 END AS _invalid_qty_flag,
+            CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') OR l_returnflag IS NULL THEN 1 ELSE 0 END AS _invalid_returnflag_flag,
+            CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END AS _invalid_discount_flag,
+            CASE WHEN l_extendedprice < 1 THEN 1 ELSE 0 END AS _invalid_price_flag
+        FROM joined
+    )
+    SELECT *,
+        _invalid_order_flag + _invalid_qty_flag + _invalid_returnflag_flag
+          + _invalid_discount_flag + _invalid_price_flag AS _reject_flags,
+        concat_ws('|',
+            CASE WHEN _invalid_order_flag = 1 THEN 'order lookup failed' END,
+            CASE WHEN _invalid_qty_flag = 1 THEN 'invalid quantity' END,
+            CASE WHEN _invalid_returnflag_flag = 1 THEN 'invalid return flag' END,
+            CASE WHEN _invalid_discount_flag = 1 THEN 'invalid discount' END,
+            CASE WHEN _invalid_price_flag = 1 THEN 'invalid price' END
+        ) AS _reject_reasons
+    FROM flagged
+"""
+
+
+def _validated_lineitem(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("dim_orderkey"), "o_orderstatus"
+    )
+    joined = li.join(F.broadcast(o), li["l_orderkey"] == o["dim_orderkey"], "left")
+    rules = [
+        dimension_miss_rule("invalid_order", "dim_orderkey", "order lookup failed"),
+        Rule(
+            "invalid_qty",
+            F.col("l_quantity").isNull() | (F.col("l_quantity") < 1),
+            "invalid quantity",
+        ),
+        Rule(
+            "invalid_returnflag",
+            ~F.col("l_returnflag").isin("A", "N", "R") | F.col("l_returnflag").isNull(),
+            "invalid return flag",
+        ),
+        Rule(
+            "invalid_discount",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+            "invalid discount",
+        ),
+        Rule("invalid_price", F.col("l_extendedprice") < 1, "invalid price"),
+    ]
+    flagged = apply_rules(joined, rules)
+    flag_cols = [rr.flag_col for rr in rules]
+    return flagged.select(
+        "l_orderkey", "l_linenumber", *flag_cols, "_reject_flags", "_reject_reasons"
+    )
+
+
+@query(
+    "v_validation_flags",
+    oracle=_VALIDATION_ORACLE,
+    doc="V1-V12: declarative rule table → flags + reject sum + reasons "
+    "(ref transform.py:85-128).",
+)
+def v_validation_flags(spark, sf_dir):
+    return _validated_lineitem(spark, sf_dir)
+
+
+@query(
+    "p7_reject_split",
+    oracle=f"SELECT * FROM ({_VALIDATION_ORACLE}) WHERE _reject_flags > 0",
+    doc="P7: good/rejected split — rejected side (ref transform.py:126-128).",
+)
+def p7_reject_split(spark, sf_dir):
+    flagged = _validated_lineitem(spark, sf_dir)
+    return split_valid(flagged, cache=False).rejected
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+
+@query(
+    "j1_broadcast_dim_join",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name,
+        CASE WHEN n_name IS NULL THEN 1 ELSE 0 END AS _invalid_nation_flag
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+    doc="J1: broadcast left dimension joins + miss flag (ref transform.py:65,70).",
+)
+def j1_broadcast_dim_join(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    rg = tbl(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(rg), n["n_regionkey"] == rg["r_regionkey"], "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "r_name",
+            F.when(F.col("n_name").isNull(), 1).otherwise(0).alias(
+                "_invalid_nation_flag"
+            ),
+        )
+    )
+
+
+@query(
+    "j2_disjunctive_join",
+    oracle="""
+    SELECT n_nationkey, n_name, r_regionkey, r_name
+    FROM nation LEFT JOIN region
+      ON n_regionkey = r_regionkey OR n_name = r_name
+    """,
+    doc="J2: disjunctive (OR) join — broadcast nested loop "
+    "(ref transform.py:66,71).",
+)
+def j2_disjunctive_join(spark, sf_dir):
+    n = tbl(spark, sf_dir, "nation")
+    rg = tbl(spark, sf_dir, "region")
+    cond = (n["n_regionkey"] == rg["r_regionkey"]) | (n["n_name"] == rg["r_name"])
+    return n.join(F.broadcast(rg), cond, "left").select(
+        "n_nationkey", "n_name", "r_regionkey", "r_name"
+    )
+
+
+@query(
+    "j3_multikey_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_nationkey AS d_nationkey, c_mktsegment AS d_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS seg_count,
+               {sql_r('AVG(c_acctbal)', 2)} AS seg_avg_bal
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c_custkey, c_nationkey, c_mktsegment, seg_count, seg_avg_bal
+    FROM customer LEFT JOIN dim
+      ON c_nationkey = d_nationkey AND c_mktsegment = d_mktsegment
+    """,
+    doc="J3: multi-column conjunctive equi broadcast join "
+    "(ref transform.py:67,72).",
+)
+def j3_multikey_join(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    dim = c.groupBy(
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.col("c_mktsegment").alias("d_mktsegment"),
+    ).agg(
+        F.count("*").alias("seg_count"),
+        r2(F.avg("c_acctbal")).alias("seg_avg_bal"),
+    )
+    cond = (c["c_nationkey"] == dim["d_nationkey"]) & (
+        c["c_mktsegment"] == dim["d_mktsegment"]
+    )
+    return c.join(F.broadcast(dim), cond, "left").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "seg_count", "seg_avg_bal"
+    )
+
+
+@query(
+    "j5_coalesce_fallback_join",
+    oracle=f"""
+    WITH by_brand AS (
+        SELECT p_brand AS b_brand, {sql_r('MIN(p_retailprice)', 2)} AS b_price
+        FROM part WHERE p_size > 25 GROUP BY 1
+    ), by_type AS (
+        SELECT p_type AS t_type, {sql_r('MIN(p_retailprice)', 2)} AS t_price
+        FROM part GROUP BY 1
+    )
+    SELECT p_partkey, p_brand, p_type,
+           COALESCE(b_price, t_price) AS ref_price,
+           CASE WHEN b_price IS NOT NULL THEN 'brand' ELSE 'type' END AS ref_source
+    FROM part
+    LEFT JOIN by_brand ON p_brand = b_brand
+    LEFT JOIN by_type ON p_type = t_type
+    """,
+    doc="J5-J9: alternate-key fallback joins + coalesce chain "
+    "(ref transform.py:372-388).",
+)
+def j5_coalesce_fallback_join(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    by_brand = (
+        p.filter(F.col("p_size") > 25)
+        .groupBy(F.col("p_brand").alias("b_brand"))
+        .agg(r2(F.min("p_retailprice")).alias("b_price"))
+    )
+    by_type = p.groupBy(F.col("p_type").alias("t_type")).agg(
+        r2(F.min("p_retailprice")).alias("t_price")
+    )
+    return (
+        p.join(F.broadcast(by_brand), p["p_brand"] == by_brand["b_brand"], "left")
+        .join(F.broadcast(by_type), p["p_type"] == by_type["t_type"], "left")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            F.coalesce("b_price", "t_price").alias("ref_price"),
+            F.when(F.col("b_price").isNotNull(), "brand")
+            .otherwise("type")
+            .alias("ref_source"),
+        )
+    )
+
+
+# =====================================================================
+# Windows (SURVEY §2.6 W1-W7)
+# =====================================================================
+
+
+@query(
+    "w1_latest_record",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+           {sql_r('o_totalprice', 2)} AS total_price
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_totalprice DESC, o_orderkey DESC
+        ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="W1/W3: latest-record-per-key rank-and-filter window "
+    "(ref curated.py:141-164).",
+)
+def w1_latest_record(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return latest_record(
+        o,
+        ["o_custkey"],
+        [F.desc("o_orderdate"), F.desc("o_totalprice"), F.desc("o_orderkey")],
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_date"),
+        r2("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "w1_superseded_records",
+    oracle="""
+    SELECT o_custkey, o_orderkey
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_totalprice DESC, o_orderkey DESC
+        ) AS rn
+        FROM orders
+    ) WHERE rn > 1
+    """,
+    doc="P10: outdated-rows complement of the dedup window "
+    "(ref curated.py:183-189).",
+)
+def w1_superseded_records(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return superseded_records(
+        o,
+        ["o_custkey"],
+        [F.desc("o_orderdate"), F.desc("o_totalprice"), F.desc("o_orderkey")],
+    ).select("o_custkey", "o_orderkey")
+
+
+@query(
+    "w2_partition_minmax",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           {sql_r('MIN(o_totalprice) OVER w', 2)} AS min_price,
+           {sql_r('MAX(o_totalprice) OVER w', 2)} AS max_price,
+           CAST(MIN(o_orderdate) OVER w AS DATE) AS first_order_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    """,
+    doc="W2/W5: whole-partition min/max carry-forward "
+    "(ref curated.py:144-160).",
+)
+def w2_partition_minmax(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        r2(F.min("o_totalprice").over(w)).alias("min_price"),
+        r2(F.max("o_totalprice").over(w)).alias("max_price"),
+        F.min("o_orderdate").over(w).cast("date").alias("first_order_date"),
+    )
+
+
+@query(
+    "w6_lead_changed",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           {sql_r('o_totalprice', 2)} AS total_price,
+           {sql_r('prev_price', 2)} AS total_price_old,
+           o_totalprice IS DISTINCT FROM prev_price AS price_changed_flag
+    FROM (
+        SELECT *, LEAD(o_totalprice, 1) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS prev_price
+        FROM orders
+    )
+    """,
+    doc="W6: previous-observation lead + null-safe changed flag — the "
+    "history kernel (ref hist_curated.py:139-159).",
+)
+def w6_lead_changed(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    out = changed_against_previous(
+        o,
+        keys=["o_custkey"],
+        order_desc=["o_orderdate", "o_orderkey"],
+        driving_cols=["o_totalprice"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        r2("o_totalprice").alias("total_price"),
+        r2("o_totalprice_old").alias("total_price_old"),
+        F.col("o_totalprice_changed_flag").alias("price_changed_flag"),
+    )
+
+
+@query(
+    "w7_group_representative",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           MAX(o_orderkey) OVER (PARTITION BY o_custkey, o_orderstatus)
+             AS reference_id
+    FROM orders
+    """,
+    doc="W7: max-over-partition representative id (ref transform.py:488-499).",
+)
+def w7_group_representative(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.max("o_orderkey").over(w).alias("reference_id"),
+    )
+
+
+# =====================================================================
+# Top-k / sorts (SURVEY §2.7)
+# =====================================================================
+
+
+@query(
+    "o1_priority_topk",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority, priority_num,
+           {sql_r('o_totalprice', 2)} AS total_price
+    FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+            CASE o_orderpriority
+                WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                ELSE 5 END AS priority_num
+        FROM orders
+    )
+    ORDER BY priority_num ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    doc="O1: CASE-rank priority top-k via TakeOrderedAndProject "
+    "(ref curated.py:217-227).",
+)
+def o1_priority_topk(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    prio = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 4)
+        .otherwise(5)
+    )
+    out = priority_top_k(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        order=[F.asc("priority_num"), F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=100,
+        priority_exprs={"priority_num": prio},
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "priority_num",
+        r2("o_totalprice").alias("total_price"),
+    )
+
+
+# =====================================================================
+# Merge / upsert (SURVEY §2.10 M1-M3)
+# =====================================================================
+
+_M1_ORACLE = f"""
+    WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               {sql_r('o_totalprice', 2)} AS total_price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ), source AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               {sql_r('o_totalprice + 10', 2)} AS total_price
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+    SELECT * FROM source
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+"""
+
+
+@query(
+    "m1_merge_upsert",
+    oracle=_M1_ORACLE,
+    doc="M1: keyed MERGE — update-all-matched + insert-all-unmatched "
+    "(ref curated.py:328-353).",
+)
+def m1_merge_upsert(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    target = (
+        o.filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            r2("o_totalprice").alias("total_price"),
+        )
+    )
+    source = (
+        o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            r2(F.col("o_totalprice") + 10).alias("total_price"),
+        )
+    )
+    return merge_upsert(target, source, ["o_orderkey"])
+
+
+@query(
+    "m3_merge_changed_only",
+    oracle=f"""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, {sql_r('o_totalprice', 2)} AS total_price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ), source AS (
+        SELECT o_orderkey, o_orderstatus,
+               {sql_r("CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 5 ELSE o_totalprice END", 2)} AS total_price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    )
+    SELECT t.o_orderkey, t.o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL
+                     AND (s.total_price IS DISTINCT FROM t.total_price
+                          OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus)
+                THEN s.total_price ELSE t.total_price END AS total_price
+    FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+    doc="M3: MERGE with changed-columns-only update guard (NOT <=> AND) "
+    "(ref backfill.py:193-219).",
+)
+def m3_merge_changed_only(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    target = o.select(
+        "o_orderkey", "o_orderstatus", r2("o_totalprice").alias("total_price")
+    )
+    source = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        r2(
+            F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") + 5).otherwise(
+                F.col("o_totalprice")
+            )
+        ).alias("total_price"),
+    )
+    return merge_upsert(
+        target,
+        source,
+        ["o_orderkey"],
+        update_condition=unchanged_guard(["total_price", "o_orderstatus"]),
+    )
+
+
+# =====================================================================
+# External enrichment (SURVEY §2.11 X1)
+# =====================================================================
+
+
+def _fake_property_master(rows: list[dict]) -> list[dict]:
+    """Deterministic in-process stand-in for the PropertyMaster REST
+    API (ref transform.py:419-481): id = key*1000+7, provisional for
+    every 10th key."""
+    return [
+        {
+            "asg_primary_id": r["c_custkey"] * 1000 + 7,
+            "is_provisional": r["c_custkey"] % 10 == 0,
+        }
+        for r in rows
+    ]
+
+
+@query(
+    "x1_enrich_lookup",
+    oracle="""
+    SELECT DISTINCT c_custkey,
+           c_custkey * 1000 + 7 AS asg_primary_id,
+           c_custkey % 10 = 0 AS is_provisional
+    FROM customer
+    """,
+    doc="X1: Arrow-batched external lookup via mapInPandas with "
+    "batch-sized partitions (ref transform.py:419-567).",
+)
+def x1_enrich_lookup(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    schema = T.StructType(
+        [
+            T.StructField("asg_primary_id", T.LongType()),
+            T.StructField("is_provisional", T.BooleanType()),
+        ]
+    )
+    out = batched_lookup(c, ["c_custkey"], _fake_property_master, schema, batch_size=500)
+    return out.select("c_custkey", "asg_primary_id", "is_provisional")
+
+
+# =====================================================================
+# Scalar suites (SURVEY §2.9)
+# =====================================================================
+
+
+@query(
+    "scalar_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CAST(STRPOS(p_type, 'AND') > 0 AS BOOLEAN) AS has_and,
+           REGEXP_REPLACE(p_brand, '[^0-9]', '', 'g') AS brand_digits,
+           CONCAT_WS('/', p_brand, p_type) AS brand_type,
+           TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed
+    FROM part
+    """,
+    doc="§2.9 strings: trim/upper/lower/substring/length/instr/"
+    "regexp_replace/concat_ws (ref transform.py:141-317).",
+)
+def scalar_string_suite(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        (F.instr(F.col("p_type"), "AND") > 0).alias("has_and"),
+        F.regexp_replace(F.col("p_brand"), "[^0-9]", "").alias("brand_digits"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+    )
+
+
+@query(
+    "scalar_date_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(o_orderdate AS DATE) + 180 AS expiry_date,
+           CASE WHEN YEAR(o_orderdate) >= 1900 THEN CAST(o_orderdate AS DATE) END
+             AS sane_date
+    FROM orders
+    """,
+    doc="§2.9 dates: casts, year/month, date_add, pre-1900 sanity rule "
+    "(ref transform.py:139-151,245,290).",
+)
+def scalar_date_suite(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_add(d, 180).alias("expiry_date"),
+        F.when(F.year("o_orderdate") >= 1900, d).alias("sane_date"),
+    )
+
+
+@query(
+    "scalar_numeric_suite",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_r('l_extendedprice * (1 - l_discount)', 2)} AS discounted,
+           {sql_r('l_quantity * 43560', 0)} AS qty_sqft,
+           CASE WHEN l_extendedprice <= 2147483647
+                THEN CAST({sql_r('l_extendedprice', 0)} AS BIGINT) END AS price_int,
+           CAST(l_quantity BETWEEN 10 AND 40 AS BOOLEAN) AS qty_in_range,
+           COALESCE(NULLIF(l_tax, 0.0), 0.08) AS tax_or_default
+    FROM lineitem
+    """,
+    doc="§2.9 numerics: round, unit conversion, overflow guard, "
+    "between, coalesce (ref transform.py:192-202,245-266).",
+)
+def scalar_numeric_suite(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("discounted"),
+        r(F.col("l_quantity") * 43560, 0).alias("qty_sqft"),
+        F.when(
+            F.col("l_extendedprice") <= 2147483647,
+            r("l_extendedprice", 0).cast("long"),
+        ).alias("price_int"),
+        F.col("l_quantity").between(10, 40).alias("qty_in_range"),
+        F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.08)).alias(
+            "tax_or_default"
+        ),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+    doc="JSON field extraction from a string column "
+    "(ref serializes rows to JSON, curated.py:290-313).",
+)
+def scalar_json_extract(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+# =====================================================================
+# Aggregations / distinct (SURVEY §2.4) + headline analytics
+# =====================================================================
+
+
+@query(
+    "a1_distinct",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    doc="A2: distinct projection (ref transform.py:502).",
+)
+def a1_distinct(spark, sf_dir):
+    return tbl(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_r('SUM(l_quantity)', 2)} AS sum_qty,
+           {sql_r('SUM(l_extendedprice)', 2)} AS sum_base_price,
+           {sql_r('SUM(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+           {sql_r('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+           {sql_r('AVG(l_quantity)', 4)} AS avg_qty,
+           {sql_r('AVG(l_extendedprice)', 4)} AS avg_price,
+           {sql_r('AVG(l_discount)', 4)} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Headline: TPC-H Q1-style pricing summary (partial-agg map-side "
+    "combine; one shuffle).",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc)).alias("sum_disc_price"),
+            r2(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_topk_join_agg",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_r('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Headline: TPC-H Q3-style join+agg+top-k.",
+)
+def q3_topk_join_agg(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# =====================================================================
+# Events: sessionization + rollup (streaming-shaped batch semantics)
+# =====================================================================
+
+
+@query(
+    "events_hourly_rollup",
+    oracle=f"""
+    SELECT epoch_us(ts) // 3600000000 AS hour_id,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_r('SUM(value)', 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming-shaped tumbling-window rollup on integer epoch "
+    "micros (batch twin of streaming/ windowed agg).",
+)
+def events_hourly_rollup(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    return e.groupBy(
+        F.expr("ts_us div 3600000000").alias("hour_id"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_us
+        FROM events
+    ), marked AS (
+        SELECT *, CASE WHEN prev_us IS NULL
+                            OR ts_us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS session_start_us
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (lag + cumulative sum over integer "
+    "micros) — batch twin of stateful streaming session windows.",
+)
+def events_sessionize(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.lag("ts_us").over(w).alias("prev_us"),
+    ).select(
+        "*",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.select("*", F.sum("new_session").over(wsum).alias("session_seq"))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+    )
+
+
+# =====================================================================
+# Document pipeline: text analysis + dedup (BASELINE north star)
+# =====================================================================
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(len(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS INTEGER)
+           END AS n_tokens
+    FROM documents
+    """,
+    doc="Text analysis: whitespace token count, JVM-side split.",
+)
+def text_token_count(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="Text analysis: md5 content fingerprint over normalized text — "
+    "the exact-dedup key.",
+)
+def text_fingerprint(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", document_fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+        {sql_r('''(
+            (CASE WHEN LENGTH(text) > 0
+                  THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                  ELSE 0.0 END)
+          + (CASE WHEN LENGTH(text) > 0
+                  THEN 1.0 - CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                  ELSE 0.0 END)
+          + LEAST(LENGTH(text) / 200.0, 1.0)
+        ) / 3.0''', 6)} AS quality
+    FROM documents
+    """,
+    doc="Text analysis: cheap quality score (alpha ratio, punctuation "
+    "ratio, length factor).",
+)
+def text_quality_score(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+        SELECT *, md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS _fingerprint
+        FROM documents
+    )
+    SELECT doc_id, _fingerprint FROM (
+        SELECT doc_id, _fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY _fingerprint ORDER BY doc_id ASC) AS rn
+        FROM fp
+    ) WHERE rn = 1
+    """,
+    doc="Dedup (exact): one representative per content fingerprint — "
+    "single hash-partition shuffle.",
+)
+def dedup_exact(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    out = exact_dedup(d, document_fingerprint("text"), tiebreak=[F.asc("doc_id")])
+    return out.select("doc_id", "_fingerprint")
+
+
+# =====================================================================
+# Flagship: the full curated-pipeline composition (validate → join →
+# dedup → output), mirroring reference §3.1 steps 3-5 on TPC-H tables.
+# =====================================================================
+
+_FLAGSHIP_ORACLE = f"""
+    WITH joined AS (
+        SELECT o.*, c.c_name, c.c_nationkey
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ), flagged AS (
+        SELECT *,
+            CASE WHEN c_name IS NULL THEN 1 ELSE 0 END
+          + CASE WHEN o_totalprice IS NULL OR o_totalprice < 1 THEN 1 ELSE 0 END
+          + CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL THEN 1 ELSE 0 END
+            AS _reject_flags
+        FROM joined
+    ), valid AS (
+        SELECT * FROM flagged WHERE _reject_flags = 0
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn
+        FROM valid
+    )
+    SELECT r.o_custkey, r.o_orderkey AS latest_orderkey,
+           CAST(r.o_orderdate AS DATE) AS latest_order_date,
+           {sql_r('r.o_totalprice', 2)} AS latest_total_price,
+           r.c_name, n.n_name AS nation_name
+    FROM ranked r LEFT JOIN nation n ON r.c_nationkey = n.n_nationkey
+    WHERE r.rn = 1
+"""
+
+
+@query(
+    "flagship_curated",
+    oracle=_FLAGSHIP_ORACLE,
+    doc="Flagship composition: broadcast-validate → rule flags → good "
+    "split → latest-record dedup → dim enrich (ref SURVEY §3.1 steps 3-5).",
+)
+def flagship_curated(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = tbl(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+    rules = [
+        dimension_miss_rule("invalid_customer", "c_name", "customer lookup failed"),
+        Rule(
+            "invalid_price",
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") < 1),
+            "invalid price",
+        ),
+        Rule(
+            "invalid_status",
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+            | F.col("o_orderstatus").isNull(),
+            "invalid status",
+        ),
+    ]
+    flagged = apply_rules(joined, rules)
+    valid = split_valid(flagged, cache=False).valid
+    latest = latest_record(
+        valid, ["o_custkey"], [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    )
+    return latest.join(
+        F.broadcast(n), latest["c_nationkey"] == n["n_nationkey"], "left"
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderdate").cast("date").alias("latest_order_date"),
+        r2("o_totalprice").alias("latest_total_price"),
+        "c_name",
+        F.col("n_name").alias("nation_name"),
+    )

