@@ -1,0 +1,98 @@
+"""Unit tests for the scalar cleaning + text function library."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.functions import (
+    blank_as_null,
+    clean_phone_number,
+    collapse_whitespace,
+    detect_language,
+    document_fingerprint,
+    instr_any,
+    null_if_before_year,
+    quality_score,
+    token_count,
+)
+from etl_pipeline_4handling_listings_spark.functions.text import (
+    char_shingles,
+    word_shingles,
+)
+
+
+def _one(spark, value, expr):
+    df = spark.createDataFrame([(value,)], ["x"])
+    return df.select(expr.alias("y")).collect()[0]["y"]
+
+
+def test_clean_phone_number(spark):
+    cases = {
+        "(303) 555-1234": "3035551234",
+        "1-303-555-1234": "3035551234",
+        "303.555.1234 x99": "3035551234",
+        "000-555-1234": None,  # implausible prefix
+        "123": None,  # too short
+        "30355512345678": None,  # too long
+    }
+    for raw, want in cases.items():
+        assert _one(spark, raw, clean_phone_number("x")) == want, raw
+
+
+def test_blank_and_whitespace(spark):
+    assert _one(spark, "", blank_as_null("x")) is None
+    assert _one(spark, "v", blank_as_null("x")) == "v"
+    assert _one(spark, "  a   b \t c  ", collapse_whitespace("x")) == "a b c"
+
+
+def test_instr_any(spark):
+    assert _one(spark, "city well water", instr_any("x", ["well", "cistern"])) is True
+    assert _one(spark, "public", instr_any("x", ["well", "cistern"])) is False
+
+
+def test_null_if_before_year(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.date(1875, 1, 1),), (datetime.date(1999, 5, 5),)], ["x"]
+    )
+    out = [r["y"] for r in df.select(null_if_before_year("x").alias("y")).collect()]
+    assert out[0] is None
+    assert out[1] == datetime.date(1999, 5, 5)
+
+
+def test_token_count(spark):
+    assert _one(spark, "one two  three", token_count("x")) == 3
+    assert _one(spark, "   ", token_count("x")) == 0
+    assert _one(spark, "", token_count("x")) == 0
+
+
+def test_detect_language(spark):
+    assert _one(spark, "the cat and the dog sat in the yard", detect_language("x")) == "en"
+    assert _one(spark, "el perro y la casa de los gatos", detect_language("x")) == "es"
+    assert _one(spark, "le chat et les maisons du village est", detect_language("x")) == "fr"
+    assert _one(spark, "der Hund und die Katze ist ein Tier", detect_language("x")) == "de"
+    assert _one(spark, "zzz qqq xxx", detect_language("x")) == "und"
+
+
+def test_fingerprint_normalizes(spark):
+    a = _one(spark, "Hello   World", document_fingerprint("x"))
+    b = _one(spark, "hello world", document_fingerprint("x"))
+    c = _one(spark, "hello worlds", document_fingerprint("x"))
+    assert a == b
+    assert a != c
+
+
+def test_quality_score_range(spark):
+    for text in ["good clean prose here", "!!!???...", "x", "a" * 500]:
+        v = _one(spark, text, quality_score("x"))
+        assert 0.0 <= v <= 1.0, text
+
+
+def test_shingles(spark):
+    ch = _one(spark, "abcdef", char_shingles("x", 3))
+    assert ch == ["abc", "bcd", "cde", "def"]
+    wd = _one(spark, "a b c d", word_shingles("x", 2))
+    assert wd == ["a b", "b c", "c d"]
+    # shorter than n: single truncated shingle, never empty
+    assert _one(spark, "ab", char_shingles("x", 5)) == ["ab"]

@@ -1,0 +1,162 @@
+"""Unit tests for the core operator kernels on hand-built micro-frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.operators import (
+    Rule,
+    apply_rules,
+    latest_record,
+    merge_upsert,
+    priority_top_k,
+    split_valid,
+)
+from etl_pipeline_4handling_listings_spark.operators.dedup import (
+    exact_dedup,
+    superseded_records,
+)
+from etl_pipeline_4handling_listings_spark.operators.history import (
+    changed_against_previous,
+)
+from etl_pipeline_4handling_listings_spark.operators.merge import unchanged_guard
+
+
+def _listings(spark):
+    # (mls, listing_id, as_of, price)
+    return spark.createDataFrame(
+        [
+            ("A", "1", 1, 100.0),
+            ("A", "1", 2, 110.0),
+            ("A", "1", 3, 110.0),
+            ("A", "2", 1, 50.0),
+            ("B", "1", 5, 900.0),
+        ],
+        ["mls", "listing_id", "as_of", "price"],
+    )
+
+
+def test_latest_record_keeps_one_per_key(spark):
+    df = _listings(spark)
+    out = latest_record(df, ["mls", "listing_id"], [F.desc("as_of")])
+    rows = {(r["mls"], r["listing_id"]): r["as_of"] for r in out.collect()}
+    assert rows == {("A", "1"): 3, ("A", "2"): 1, ("B", "1"): 5}
+
+
+def test_latest_record_carry_forward(spark):
+    df = _listings(spark)
+    out = latest_record(
+        df,
+        ["mls", "listing_id"],
+        [F.desc("as_of")],
+        carry_forward={"first_price": F.min("price"), "max_price": F.max("price")},
+    )
+    r = {(x["mls"], x["listing_id"]): x for x in out.collect()}
+    assert r[("A", "1")]["first_price"] == 100.0
+    assert r[("A", "1")]["max_price"] == 110.0
+
+
+def test_superseded_records_complement(spark):
+    df = _listings(spark)
+    latest = latest_record(df, ["mls", "listing_id"], [F.desc("as_of")])
+    outdated = superseded_records(df, ["mls", "listing_id"], [F.desc("as_of")])
+    assert latest.count() + outdated.count() == df.count()
+    assert outdated.count() == 2
+
+
+def test_changed_against_previous_flags(spark):
+    df = _listings(spark)
+    out = changed_against_previous(
+        df, ["mls", "listing_id"], ["as_of"], ["price"]
+    ).collect()
+    by = {(r["mls"], r["listing_id"], r["as_of"]): r for r in out}
+    # first observation: old is NULL, counts as changed
+    assert by[("A", "1", 1)]["price_old"] is None
+    assert by[("A", "1", 1)]["price_changed_flag"] is True
+    # price moved 100 -> 110: changed
+    assert by[("A", "1", 2)]["price_old"] == 100.0
+    assert by[("A", "1", 2)]["price_changed_flag"] is True
+    # unchanged 110 -> 110: not changed, eligible for history DELETE
+    assert by[("A", "1", 3)]["price_old"] == 110.0
+    assert by[("A", "1", 3)]["price_changed_flag"] is False
+    assert by[("A", "1", 3)]["_any_changed"] is False
+
+
+def test_validation_rules_and_split(spark):
+    df = spark.createDataFrame(
+        [("A", 10.0), (None, 5.0), ("B", -1.0), (None, -2.0)], ["mls", "price"]
+    )
+    rules = [
+        Rule("null_mls", F.col("mls").isNull(), "mls is null"),
+        Rule("bad_price", F.col("price") < 0, "negative price"),
+    ]
+    flagged = apply_rules(df, rules)
+    good, bad = split_valid(flagged, cache=False)
+    assert good.count() == 1
+    assert bad.count() == 3
+    worst = bad.filter(F.col("_reject_flags") == 2).collect()
+    assert len(worst) == 1
+    assert worst[0]["_reject_reasons"] == "mls is null|negative price"
+
+
+def test_merge_upsert_basic(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
+    out = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "C"}
+
+
+def test_merge_upsert_idempotent(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
+    once = merge_upsert(target, source, ["k"])
+    twice = merge_upsert(once, source, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_delete_clause(spark):
+    # history semantics: matched + unchanged -> delete (ref M2)
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame([(1, "a"), (2, "X")], ["k", "v"])
+    out = merge_upsert(
+        target,
+        source,
+        ["k"],
+        update_condition=unchanged_guard(["v"]),
+        delete_condition=lambda t, s: t["v"].eqNullSafe(s["v"]),
+    )
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {2: "X"}  # key 1 deleted (unchanged), key 2 updated
+
+
+def test_merge_insert_condition(spark):
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    source = spark.createDataFrame([(2, "ok"), (3, "skip")], ["k", "v"])
+    out = merge_upsert(
+        target,
+        source,
+        ["k"],
+        insert_condition=lambda t, s: s["v"] != "skip",
+    )
+    assert {r["k"] for r in out.collect()} == {1, 2}
+
+
+def test_priority_top_k(spark):
+    df = spark.createDataFrame(
+        [(i, "HIGH" if i % 3 == 0 else "LOW") for i in range(30)], ["id", "prio"]
+    )
+    out = priority_top_k(
+        df,
+        order=[F.asc("p_num"), F.asc("id")],
+        k=5,
+        priority_exprs={"p_num": F.when(F.col("prio") == "HIGH", 0).otherwise(1)},
+    ).collect()
+    assert [r["id"] for r in out] == [0, 3, 6, 9, 12]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["id", "text"]
+    )
+    out = exact_dedup(df, F.md5("text"), [F.asc("id")])
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]

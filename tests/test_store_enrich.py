@@ -1,0 +1,87 @@
+"""E2E tests: MergeStore lifecycle, enrichment degradation, sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_pipeline_4handling_listings_spark.operators.enrich import batched_lookup
+from etl_pipeline_4handling_listings_spark.operators.merge import unchanged_guard
+from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+from etl_pipeline_4handling_listings_spark.sources.writers import write_json_lines
+
+
+def test_merge_store_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "store")
+    store = MergeStore(spark, path, keys=["k"])
+    template = spark.createDataFrame([(1, "a")], ["k", "v"])
+    assert not store.exists()
+    store.create_if_absent(template)
+    assert store.exists()
+    assert store.read().count() == 0
+
+    store.merge(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    assert {r["k"]: r["v"] for r in store.read().collect()} == {1: "a", 2: "b"}
+
+    # second merge: update 2, insert 3
+    store.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    assert {r["k"]: r["v"] for r in store.read().collect()} == {1: "a", 2: "B", 3: "c"}
+
+    # idempotency: merging the same source again changes nothing
+    before = sorted(map(tuple, store.read().collect()))
+    store.merge(
+        spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+        update_condition=unchanged_guard(["v"]),
+    )
+    assert sorted(map(tuple, store.read().collect())) == before
+
+    doomed = store.vacuum(keep=1)
+    assert doomed  # old snapshots removed
+    assert {r["k"] for r in store.read().collect()} == {1, 2, 3}
+
+
+def test_batched_lookup_success_and_degradation(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    schema = T.StructType([T.StructField("pid", T.LongType())])
+
+    def good(rows):
+        return [{"pid": r["k"] * 10} for r in rows]
+
+    out = batched_lookup(df, ["k"], good, schema, batch_size=3)
+    got = {r["k"]: r["pid"] for r in out.collect()}
+    assert got == {i: i * 10 for i in range(10)}
+
+    def broken(rows):
+        raise ConnectionError("api down")
+
+    out2 = batched_lookup(df, ["k"], broken, schema, batch_size=3).collect()
+    assert len(out2) == 10
+    assert all(r["pid"] is None for r in out2)
+    assert all("api down" in r["_issue_text"] for r in out2)
+
+
+def test_batched_lookup_empty_input(spark):
+    df = spark.createDataFrame([], "k INT")
+    schema = T.StructType([T.StructField("pid", T.LongType())])
+    out = batched_lookup(df, ["k"], lambda rows: [], schema)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "pid", "_issue_text"}
+
+
+def test_json_lines_reject_sink(spark, tmp_path):
+    df = spark.createDataFrame([(1, "bad mls"), (2, None)], ["id", "reason"])
+    path = str(tmp_path / "rejects")
+    write_json_lines(df, path)
+    lines = []
+    for fname in os.listdir(path):
+        if fname.startswith("part-"):
+            with open(os.path.join(path, fname)) as f:
+                lines += [json.loads(line) for line in f if line.strip()]
+    assert sorted(lines, key=lambda d: d["id"]) == [
+        {"id": 1, "reason": "bad mls"},
+        {"id": 2},  # Spark to_json drops null fields
+    ]
