@@ -1,0 +1,211 @@
+"""Approximate near-duplicate detection at scale: MinHash-LSH, SimHash.
+
+Beyond-reference operators for training-data pipelines (BASELINE
+north star). All signature computation is built-in higher-order
+expressions (``transform``/``aggregate``/``zip_with`` over arrays) —
+JVM-side, codegen'd, no Python. The quadratic step is confined to
+LSH buckets: candidate generation is an equi-join on band hashes
+(one shuffle), never a cross join.
+
+Scale sketch (100 TB documents):
+  shingle+sign: map-only ........................ no shuffle
+  band explode + self-join on (band, hash) ...... 1 shuffle, skew
+      bounded by bucket size (cap via band bits)
+  exact-verify join back to shingles ............ 1 shuffle
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 128, seed: int = 42
+) -> Column:
+    """MinHash signature: array of ``num_hashes`` 64-bit minima.
+
+    Hash family: ``xxhash64(i, shingle, seed)`` — i is the hash
+    index, giving num_hashes independent permutation approximations.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(i, s, F.lit(seed)))
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str,
+    num_hashes: int = 128,
+    bands: int = 64,
+) -> DataFrame:
+    """Banded-LSH candidate pairs ``(id_a, id_b)`` with id_a < id_b.
+
+    Splits each signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash become a
+    candidate pair. P(candidate | jaccard=j) = 1-(1-j^r)^b.
+    """
+    r = num_hashes // bands
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.concat_ws(",", F.slice(F.col(signature_col), b * r + 1, r))
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("_id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b)).cast(
+        "double"
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    shingles: Column,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 64,
+) -> DataFrame:
+    """Near-dup pairs above ``threshold`` true Jaccard: MinHash-LSH
+    candidates, then exact verification on the shingle sets.
+
+    Returns (id_a, id_b, jaccard). Output is exact-verified, so false
+    positives are impossible; recall is 1-(1-t^r)^b at the threshold
+    (≈1-1e-8 for t=.5, r=2, b=64).
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"), shingles.alias("_shingles")
+    ).persist()
+    signed = base.select(
+        "_id", minhash_signature(F.col("_shingles"), num_hashes).alias("_sig")
+    )
+    cands = lsh_candidate_pairs(signed, "_id", "_sig", num_hashes, bands)
+    a = base.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(tokens: Column, bits: int = 64, seed: int = 42) -> Column:
+    """SimHash fingerprint (long) of a token array.
+
+    Per token, xxhash64 gives 64 bits; each bit votes ±1 into a
+    counter vector; fingerprint bit b is 1 iff counter[b] > 0.
+    Entirely ``aggregate``/``zip_with`` — no UDF.
+    """
+    # bit positions are unrolled at plan-build time (shift amounts
+    # must be literals for the JVM shift functions)
+    def bit_votes(tok: Column) -> Column:
+        h = F.xxhash64(tok, F.lit(seed))
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(bits)
+            ]
+        )
+
+    counters = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, tok: F.zip_with(acc, bit_votes(tok), lambda a, v: a + v),
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        # bit 63 as two's-complement long value
+        val = (1 << b) if b < 63 else -(1 << 63)
+        fp = fp + F.when(
+            F.element_at(counters, b + 1) > 0, F.lit(val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return fp
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    simhash_col: str,
+    max_distance: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Pairs within ``max_distance`` Hamming bits, via block-LSH.
+
+    Pigeonhole: distance ≤ blocks-1 guarantees at least one of
+    ``blocks`` equal 16-bit blocks, so recall is exact for
+    max_distance < blocks. Block equi-join = one shuffle.
+    """
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    # block index unrolled at plan-build time (literal shift amounts)
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(simhash_col).alias("_sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bl).alias("block"),
+                        F.shiftrightunsigned(F.col(simhash_col), bl * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for bl in range(blocks)
+                ]
+            )
+        ).alias("bv"),
+    ).select("_id", "_sh", F.col("bv.block").alias("block"), F.col("bv.bkey").alias("bkey"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -66,7 +66,10 @@ def merge_upsert(
     precondition Delta MERGE enforces).
 
     ``*_condition`` callables receive the (target, source) row
-    structs, e.g. ``lambda t, s: s["ts"] > t["ts"]``.
+    structs, e.g. ``lambda t, s: s["ts"] > t["ts"]``. The source must
+    contain every target column; it may carry extra columns (e.g. a
+    changed-flag) usable in conditions — they are dropped from the
+    merged output.
     """
     t_cols = target.columns
     t = target.select(
@@ -76,6 +79,10 @@ def merge_upsert(
     )
     s = source.select(
         F.struct(*source.columns).alias("_s"),
+        # projection of the source onto the target schema, used for
+        # the update/insert result so both CASE branches are the
+        # same struct type even when the source has extra columns
+        F.struct(*t_cols).alias("_s_out"),
         F.lit(True).alias("_s_present"),
         *[F.col(k).alias(f"_sk_{k}") for k in keys],
     )
@@ -85,7 +92,7 @@ def merge_upsert(
         cond = eq if cond is None else (cond & eq)
     j = t.join(s, cond, "full_outer")
 
-    t_row, s_row = F.col("_t"), F.col("_s")
+    t_row, s_row, s_out = F.col("_t"), F.col("_s"), F.col("_s_out")
     matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
     t_only = F.col("_t_present").isNotNull() & F.col("_s_present").isNull()
     s_only = F.col("_t_present").isNull() & F.col("_s_present").isNotNull()
@@ -99,11 +106,11 @@ def merge_upsert(
 
     # pick the surviving row struct; NULL struct = row deleted/dropped
     result = (
-        F.when(matched & upd, s_row)
+        F.when(matched & upd, s_out)
         .when(matched & dele, F.lit(None).cast(t.schema["_t"].dataType))
         .when(matched, t_row)
         .when(t_only, t_row)
-        .when(s_only & ins, s_row)
+        .when(s_only & ins, s_out)
     )
     out = j.select(result.alias("_r")).filter(F.col("_r").isNotNull())
     return out.select(*[F.col("_r")[c].alias(c) for c in t_cols])

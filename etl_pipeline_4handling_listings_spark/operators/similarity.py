@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference operators (BASELINE north star):
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the query
+  set, map-side dot products (JVM higher-order functions, no UDF),
+  per-query top-k via window. The per-row cost is O(|queries|·d);
+  the only shuffle is the final rank by query.
+- :func:`rp_lsh_topk` — the scale path: random-hyperplane LSH
+  bucketing; each vector lands in one bucket, queries probe their
+  own bucket (+ optional multi-probe neighbors), so the candidate
+  set shrinks by ~2^planes. Recall < 1 by construction — it's an
+  ANN operator; pair with :func:`cosine_topk` on the candidate set.
+
+Determinism: hyperplanes derive from a fixed seed; all float math
+is double-precision sequential folds.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank). ``queries``
+    is broadcast — the candidate scoring is a map-only stage over
+    the (arbitrarily large) vector table; the single shuffle is the
+    per-query rank window.
+    """
+    from pyspark.sql import Window
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_vnorm", l2_norm(F.col("_v")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("_q"),
+    ).withColumn("_qnorm", l2_norm(F.col("_q")))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("_q"), F.col("_v")) / (F.col("_qnorm") * F.col("_vnorm"))).alias(
+            "cosine_sim"
+        ),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (stdlib RNG, fixed seed)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def rp_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """Random-projection bucket id: sign bits of plane dot products."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(hyperplanes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def rp_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    planes: int = 8,
+    seed: int = 42,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket(s).
+
+    Bucketing cuts candidates by ~2^planes; recall is approximate.
+    ``probe_radius=1`` is multi-probe LSH: each query additionally
+    probes the ``planes`` buckets one sign-flip away (the most likely
+    homes of near neighbors), multiplying recall at the cost of
+    planes+1 probes — still exponentially cheaper than a cross join.
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    from pyspark.sql import Window
+
+    hp = random_hyperplanes(dim, planes, seed)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_bucket", rp_bucket(F.col("_v"), hp))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("_q"),
+    ).withColumn("_home", rp_bucket(F.col("_q"), hp))
+    probe_buckets = [F.col("_home")]
+    if probe_radius >= 1:
+        probe_buckets += [
+            F.col("_home").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(planes)
+        ]
+    q = q.select(
+        "query_id",
+        "_q",
+        F.explode(F.array(*probe_buckets)).alias("_bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_q"), F.col("_v")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

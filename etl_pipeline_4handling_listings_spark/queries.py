@@ -1192,3 +1192,299 @@ def flagship_curated(spark, sf_dir):
         "c_name",
         F.col("n_name").alias("nation_name"),
     )
+
+
+# =====================================================================
+# Approximate dedup + similarity search (BASELINE north star)
+# =====================================================================
+
+from etl_pipeline_4handling_listings_spark.functions.text import (  # noqa: E402
+    LANG_ORDER,
+    LANG_STOPWORDS,
+    detect_language,
+    word_shingles,
+)
+from etl_pipeline_4handling_listings_spark.operators.dedup_approx import (  # noqa: E402
+    jaccard,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_candidate_pairs,
+)
+from etl_pipeline_4handling_listings_spark.operators.similarity import (  # noqa: E402
+    _as_double,
+    dot,
+    l2_norm,
+    rp_lsh_topk,
+)
+
+# DuckDB twin of functions.text.word_shingles(text, 3)
+_DUCK_WORD_SHINGLES = r"""
+    list_distinct(list_transform(
+        range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 1) + 1),
+        i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+2], ' ')
+    ))
+"""
+
+_NGRAM_PAIRS_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_WORD_SHINGLES} AS shingles FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               {sql_r('CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)'
+                      ' / len(list_distinct(list_concat(a.shingles, b.shingles)))', 6)}
+                 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_PAIRS_ORACLE,
+    doc="Dedup: exact all-pairs word-3-gram Jaccard >= 0.5. Quadratic "
+    "oracle path — the LSH variant is the 100TB plan.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            r(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_NGRAM_PAIRS_ORACLE,
+    doc="Dedup: MinHash(128) + banded LSH (64x2) candidates, "
+    "exact-verified at Jaccard >= 0.5. Same oracle as the exact "
+    "all-pairs query: recall at j>=0.9 (the planted dups) is "
+    "1-(1-j^2)^64 ~ 1-1e-46, so outputs coincide. One shuffle on "
+    "band hashes instead of an O(n^2) cross join — the scale path.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    out = minhash_dedup_pairs(
+        d,
+        "doc_id",
+        word_shingles("text", 3),
+        threshold=0.5,
+        num_hashes=128,
+        bands=64,
+    )
+    return out.select("id_a", "id_b", r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # hash-function-specific; verified by unit tests + rows-only
+    doc="Dedup: 64-bit SimHash fingerprints + 4-block Hamming<=3 "
+    "candidate pairs (pigeonhole-exact recall), all JVM-side.",
+)
+def dedup_simhash(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    fps = d.select("doc_id", simhash(toks).alias("simhash64"))
+    return simhash_candidate_pairs(fps, "doc_id", "simhash64", max_distance=3)
+
+
+_COSINE_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5
+    ), scored AS (
+        SELECT query_id, v.vec_id AS neighbor_id,
+               {sql_r('list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))', 6)}
+                 AS cosine_sim
+        FROM v, q WHERE v.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(nn_rank AS INTEGER) AS nn_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS nn_rank
+        FROM scored
+    ) WHERE nn_rank <= 10
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=_COSINE_ORACLE,
+    doc="Similarity search: exact brute-force cosine top-10 for 5 "
+    "query vectors — broadcast queries, map-side JVM dot products, "
+    "one rank shuffle. Ranks on the rounded sim for cross-engine "
+    "tie determinism.",
+)
+def ann_cosine_topk(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    v = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("_v"),
+    ).withColumn("_vnorm", l2_norm(F.col("_v")))
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("_q"))
+        .withColumn("_qnorm", l2_norm(F.col("_q")))
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            r(
+                dot(F.col("_q"), F.col("_v")) / (F.col("_qnorm") * F.col("_vnorm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("nn_rank"))
+        .filter(F.col("nn_rank") <= 10)
+    )
+
+
+@query(
+    "ann_rp_lsh",
+    oracle=None,  # approximate by construction; recall vs exact tested in pytest
+    doc="Similarity search (scale path): random-hyperplane LSH "
+    "bucketing — candidates shrink ~2^planes; bucket equi-join "
+    "replaces the cross join.",
+)
+def ann_rp_lsh(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return rp_lsh_topk(e, q, k=10, dim=64, planes=6)
+
+
+def _duck_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        "len(list_filter(list_transform("
+        r"regexp_split_to_array(trim(lower(text)), '\s+'), "
+        "t -> regexp_replace(t, '[^a-z]', '', 'g')), "
+        f"t -> list_contains([{words}], t)))"
+    )
+
+
+_LANGID_ORACLE = f"""
+    WITH hits AS (
+        SELECT doc_id, lang,
+               {_duck_stopword_hits('en')} AS h_en,
+               {_duck_stopword_hits('es')} AS h_es,
+               {_duck_stopword_hits('fr')} AS h_fr,
+               {_duck_stopword_hits('de')} AS h_de
+        FROM documents
+    )
+    SELECT doc_id, lang,
+        CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+             WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+             WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+             WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+             ELSE 'de' END AS lang_pred
+    FROM hits
+"""
+
+
+@query(
+    "text_langid",
+    oracle=_LANGID_ORACLE,
+    doc="Text analysis: heuristic stopword-argmax language ID "
+    "(JVM higher-order filter, deterministic tie order).",
+)
+def text_langid(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", detect_language("text").alias("lang_pred"))
+
+
+# =====================================================================
+# M2: the three-clause history merge (update / delete / insert)
+# =====================================================================
+
+_M2_ORACLE = f"""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, {sql_r('o_totalprice', 2)} AS total_price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ), source AS (
+        SELECT o_orderkey, o_orderstatus,
+               {sql_r('CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 7 ELSE o_totalprice END', 2)}
+                 AS total_price,
+               (o_orderkey % 3 <> 0) AS any_changed
+        FROM orders
+    )
+    SELECT t.o_orderkey, t.o_orderstatus, t.total_price
+    FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+    WHERE s.o_orderkey IS NOT NULL AND s.any_changed
+      AND NOT (s.total_price IS DISTINCT FROM t.total_price
+               OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus)
+    UNION ALL
+    SELECT t.o_orderkey, t.o_orderstatus, s.total_price
+    FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+    WHERE s.any_changed
+      AND (s.total_price IS DISTINCT FROM t.total_price
+           OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus)
+    UNION ALL
+    SELECT s.o_orderkey, s.o_orderstatus, s.total_price
+    FROM source s LEFT JOIN target t ON t.o_orderkey = s.o_orderkey
+    WHERE t.o_orderkey IS NULL AND s.any_changed
+"""
+
+
+@query(
+    "m2_history_merge",
+    oracle=_M2_ORACLE,
+    doc="M2: three-clause history MERGE — matched+changed -> update, "
+    "matched+unchanged -> DELETE, unmatched+changed -> insert "
+    "(ref hist_curated.py:183-210).",
+)
+def m2_history_merge(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    target = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_orderstatus", r2("o_totalprice").alias("total_price"))
+    source = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        r2(
+            F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") + 7).otherwise(
+                F.col("o_totalprice")
+            )
+        ).alias("total_price"),
+        (F.col("o_orderkey") % 3 != 0).alias("any_changed"),
+    )
+    differs = unchanged_guard(["total_price", "o_orderstatus"])
+    return merge_upsert(
+        target,
+        source,
+        ["o_orderkey"],
+        update_condition=lambda t, s: s["any_changed"] & differs(t, s),
+        delete_condition=lambda t, s: ~s["any_changed"],
+        insert_condition=lambda t, s: s["any_changed"],
+    )
+
+
+@query(
+    "s8_reject_json",
+    oracle=None,  # JSON text formatting is engine-specific; rows-only
+    doc="S8: whole-row JSON-lines serialization for the reject side "
+    "channel (ref curated.py:290-313).",
+)
+def s8_reject_json(spark, sf_dir):
+    flagged = _validated_lineitem(spark, sf_dir)
+    rejected = split_valid(flagged, cache=False).rejected
+    return rejected.select(
+        F.to_json(F.struct(*rejected.columns)).alias("value")
+    )
