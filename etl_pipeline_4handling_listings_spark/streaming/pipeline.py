@@ -1,0 +1,88 @@
+"""Structured Streaming counterparts of the batch kernels.
+
+The reference is incremental-batch: re-read a ``load_date`` range,
+window-dedup, MERGE (SURVEY §2.12 — no streaming anywhere). On
+Spark the same contract maps naturally onto Structured Streaming:
+
+- latest-record semantics  → ``dropDuplicates`` within a watermark
+  (exactly-once per key per watermark window), or full W1 semantics
+  per micro-batch inside ``foreachBatch``;
+- MERGE into the curated store → ``foreachBatch`` + MergeStore
+  (micro-batch = the reference's daily increment, minutes instead
+  of a day);
+- the hourly rollup → windowed aggregation with watermark-bounded
+  state.
+
+State stays bounded by the watermark; the shuffle keys match the
+batch kernels so a migration between the two is a config change,
+not a rewrite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.operators.dedup import latest_record
+from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+
+def stream_latest_record_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-observation-wins dedup within the watermark horizon.
+
+    ``dropDuplicates`` keyed on the business key: one row per key
+    per watermark window, state evicted after the horizon. For
+    newest-record-wins (the reference's W1 ordering), use
+    :func:`foreach_batch_upsert` — ordering across micro-batches
+    requires a store, not stream state.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
+
+
+def stream_hourly_rollup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    group_extra: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate with late-data watermark —
+    the streaming twin of the ``events_hourly_rollup`` batch query."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour"), *group_extra)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+    )
+
+
+def foreach_batch_upsert(
+    store: MergeStore,
+    keys: Sequence[str],
+    order: Sequence[Column] | Callable[[], Sequence[Column]],
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink: W1-dedup each micro-batch, MERGE into
+    the store — the reference's daily curated load as a streaming
+    sink (idempotent per key thanks to MERGE semantics).
+
+    ``order`` may be a thunk because Column objects are bound to a
+    session; a thunk lets the caller defer construction to the
+    executor-side invocation.
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        cols = order() if callable(order) else list(order)
+        deduped = latest_record(batch, keys, cols)
+        store.create_if_absent(deduped)
+        store.merge(deduped)
+
+    return sink

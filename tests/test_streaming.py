@@ -1,0 +1,118 @@
+"""Structured Streaming tests: file-source micro-batches → memory /
+foreachBatch sinks, compared against the batch kernels."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+from etl_pipeline_4handling_listings_spark.streaming import (
+    foreach_batch_upsert,
+    stream_hourly_rollup,
+    stream_latest_record_dedup,
+)
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, "k STRING, ts TIMESTAMP, v DOUBLE, event_type STRING, value DOUBLE"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = [
+        ("a", _ts(1, 5), 1.0, "click", 2.0),
+        ("b", _ts(1, 30), 1.0, "click", 3.0),
+        ("c", _ts(2, 10), 1.0, "view", 5.0),
+    ]
+    _write_batch(spark, src, rows)
+    df = spark.read.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"].hour, r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM rollup").collect()
+    }
+    assert got == {(1, "click"): (2, 5.0), (2, "view"): (1, 5.0)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = [
+        ("k1", _ts(1, 0), 1.0, "e", 0.0),
+        ("k1", _ts(1, 10), 2.0, "e", 0.0),  # duplicate key in window
+        ("k2", _ts(1, 20), 3.0, "e", 0.0),
+    ]
+    _write_batch(spark, src, rows)
+    df = spark.read.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_latest_record_dedup(stream, ["k"], "ts")
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT k FROM dedup").collect()
+    assert sorted(r["k"] for r in out) == ["k1", "k2"]
+
+
+def test_foreach_batch_upsert_into_store(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store_path = str(tmp_path / "store")
+    store = MergeStore(spark, store_path, keys=["k"])
+
+    _write_batch(
+        spark,
+        src,
+        [
+            ("k1", _ts(1, 0), 10.0, "e", 0.0),
+            ("k1", _ts(2, 0), 20.0, "e", 0.0),  # newer wins in-batch
+            ("k2", _ts(1, 0), 5.0, "e", 0.0),
+        ],
+    )
+    df = spark.read.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sink = foreach_batch_upsert(store, ["k"], lambda: [F.desc("ts")])
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in store.read().collect()}
+    assert got == {"k1": 20.0, "k2": 5.0}
+
+    # second increment arrives: k1 newer again, k3 new
+    _write_batch(
+        spark, src, [("k1", _ts(3, 0), 30.0, "e", 0.0), ("k3", _ts(1, 0), 7.0, "e", 0.0)]
+    )
+    q = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in store.read().collect()}
+    assert got == {"k1": 30.0, "k2": 5.0, "k3": 7.0}
