@@ -53,8 +53,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up JVM/codegen with a tiny action
+    # warm-up pass at the smallest sf: triggers JVM class loading,
+    # codegen compilation, and parquet footer caching for the same
+    # plan shapes, so the timed pass measures steady-state execution
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     spark.range(1000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        try:
+            REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:

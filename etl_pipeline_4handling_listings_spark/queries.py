@@ -1488,3 +1488,126 @@ def s8_reject_json(spark, sf_dir):
     return rejected.select(
         F.to_json(F.struct(*rejected.columns)).alias("value")
     )
+
+
+# =====================================================================
+# Remaining §2 coverage: P2 strip, A3 counts, U3 source-priority rerank
+# =====================================================================
+
+
+@query(
+    "p2_prefix_strip",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS mktsegment
+    FROM customer
+    """,
+    doc="P2: prefix-strip rename via toDF (ref transform.py:122-124).",
+)
+def p2_prefix_strip(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return c.toDF(*[x.replace("c_", "", 1) for x in c.columns])
+
+
+@query(
+    "a3_distinct_count",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="A3/A4: cardinality probes — exact count + count-distinct "
+    "(ref uses rdd.countApprox/isEmpty, transform.py:505,516; "
+    "approx_count_distinct is engine-specific so the oracle checks "
+    "the exact forms).",
+)
+def a3_distinct_count(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "u3_priority_source_rerank",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_orderkey, o_custkey, 'propertyid_new' AS _from,
+               o_totalprice + 1000 AS price
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'new' AS _from, o_totalprice AS price
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, _from, FLOOR(price * 100 + 0.5) / 100 AS price
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY _from DESC
+        ) AS rn
+        FROM tagged
+    ) WHERE rn = 1
+    """,
+    doc="U3+W3: union of enriched and base rows, source-priority "
+    "re-rank ('propertyid_new' > 'new' lexically — exactly the "
+    "reference's trick, curated.py:258-271).",
+)
+def u3_priority_source_rerank(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    enriched = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("propertyid_new").alias("_from"),
+        (F.col("o_totalprice") + 1000).alias("price"),
+    )
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("new").alias("_from"),
+        F.col("o_totalprice").alias("price"),
+    )
+    unioned = enriched.unionByName(base)
+    latest = latest_record(unioned, ["o_orderkey"], [F.desc("_from")])
+    return latest.select("o_orderkey", "o_custkey", "_from", r2("price").alias("price"))
+
+
+@query(
+    "q5_multi_join_agg",
+    oracle=f"""
+    SELECT n_name,
+           {sql_r('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="Headline: TPC-H Q5-style six-table join + agg — exercises "
+    "Catalyst join ordering, broadcast selection, partial agg.",
+)
+def q5_multi_join_agg(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    rg = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(rg), n["n_regionkey"] == rg["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
