@@ -1611,3 +1611,43 @@ def q5_multi_join_agg(spark, sf_dir):
             )
         )
     )
+
+
+# =====================================================================
+# S10: declared-schema enforcement (ordered projection + cast)
+# =====================================================================
+
+from etl_pipeline_4handling_listings_spark.schema import enforce_schema  # noqa: E402
+
+
+@query(
+    "s10_schema_enforce",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey AS INTEGER) AS custkey_int,
+           c_name,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal_dec,
+           CAST(NULL AS VARCHAR) AS region_name
+    FROM customer
+    """,
+    doc="S10: JSON-declared target schema enforced by ordered "
+    "projection + cast, missing columns become typed nulls "
+    "(ref get_schema + select(*fieldNames), transform.py:412).",
+)
+def s10_schema_enforce(spark, sf_dir):
+    target = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("custkey_int", T.IntegerType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("acctbal_dec", T.DecimalType(12, 2)),
+            T.StructField("region_name", T.StringType()),
+        ]
+    )
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_custkey").alias("custkey_int"),
+        "c_name",
+        F.col("c_acctbal").alias("acctbal_dec"),
+    )
+    return enforce_schema(c, target)
