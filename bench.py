@@ -22,16 +22,23 @@ HEADLINE = [
     "flagship_curated",
     "q1_pricing_summary",
     "q3_topk_join_agg",
+    "q5_multi_join_agg",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "w1_latest_record",
     "w6_lead_changed",
     "v_validation_flags",
     "m1_merge_upsert",
+    "m2_history_merge",
     "o1_priority_topk",
     "x1_enrich_lookup",
     "events_hourly_rollup",
     "events_sessionize",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
     "text_quality_score",
+    "text_langid",
 ]
 
 
@@ -67,6 +74,9 @@ def main() -> None:
             ).save()
         except Exception:
             pass
+
+    # drop warm-up cached RDDs so the timed pass starts clean
+    spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -99,10 +99,21 @@ def minhash_dedup_pairs(
     Returns (id_a, id_b, jaccard). Output is exact-verified, so false
     positives are impossible; recall is 1-(1-t^r)^b at the threshold
     (≈1-1e-8 for t=.5, r=2, b=64).
+
+    The signature stage is CPU-bound (|shingles|·num_hashes hash
+    evals per row), so the input is spread across the cluster's full
+    parallelism first — a small source file must not serialize the
+    map stage onto one core.
     """
-    base = docs.select(
-        F.col(id_col).alias("_id"), shingles.alias("_shingles")
-    ).persist()
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # repartition the RAW rows first: placed after the projection the
+    # exchange would run the expensive shingle expressions inside the
+    # (possibly single-task) scan stage
+    base = (
+        docs.repartition(max(parallelism, docs.rdd.getNumPartitions()))
+        .select(F.col(id_col).alias("_id"), shingles.alias("_shingles"))
+        .persist()
+    )
     signed = base.select(
         "_id", minhash_signature(F.col("_shingles"), num_hashes).alias("_sig")
     )

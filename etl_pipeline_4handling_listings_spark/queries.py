@@ -1264,10 +1264,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 @query(
     "dedup_minhash_lsh",
     oracle=_NGRAM_PAIRS_ORACLE,
-    doc="Dedup: MinHash(128) + banded LSH (64x2) candidates, "
+    doc="Dedup: MinHash(64) + banded LSH (32x2) candidates, "
     "exact-verified at Jaccard >= 0.5. Same oracle as the exact "
     "all-pairs query: recall at j>=0.9 (the planted dups) is "
-    "1-(1-j^2)^64 ~ 1-1e-46, so outputs coincide. One shuffle on "
+    "1-(1-j^2)^32 ~ 1-1e-23, so outputs coincide. One shuffle on "
     "band hashes instead of an O(n^2) cross join — the scale path.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -1277,8 +1277,8 @@ def dedup_minhash_lsh(spark, sf_dir):
         "doc_id",
         word_shingles("text", 3),
         threshold=0.5,
-        num_hashes=128,
-        bands=64,
+        num_hashes=64,
+        bands=32,
     )
     return out.select("id_a", "id_b", r(F.col("jaccard"), 6).alias("jaccard"))
 
@@ -1651,3 +1651,76 @@ def s10_schema_enforce(spark, sf_dir):
         F.col("c_acctbal").alias("acctbal_dec"),
     )
     return enforce_schema(c, target)
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_r('SUM(l_extendedprice * l_discount)', 2)} AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Headline: TPC-H Q6-style selective filter + single aggregate "
+    "— pure scan+filter pushdown exercise.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (d >= F.lit("1996-01-01").cast("date"))
+            & (d < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {sql_r('SUM(l_quantity)', 2)} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey, total_qty,
+           {sql_r('o_totalprice', 2)} AS total_price
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+    doc="Headline: TPC-H Q18-style having-filtered agg + joins + "
+    "top-k (agg-before-join keeps the shuffle small).",
+)
+def q18_large_orders(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_raw_qty"))
+        .filter(F.col("_raw_qty") > 150)
+        .select("l_orderkey", r2("_raw_qty").alias("total_qty"))
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "total_qty",
+            r2("o_totalprice").alias("total_price"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
