@@ -66,7 +66,10 @@ def tbl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     them as raw longs. DuckDB truncates the same column to
     microseconds, so both engines meet on integer micros.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static-conf session: fall through to the read attempt
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(e.dtypes).get("ts") == "bigint":
         return e.withColumn("ts_us", F.expr("ts div 1000"))
@@ -1723,4 +1726,129 @@ def q18_large_orders(spark, sf_dir):
         )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(50)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {sql_r('list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))', 6)}
+                 AS cosine_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT * FROM pairs WHERE cosine_sim >= 0.45
+    """,
+    doc="Dedup: embedding-cosine near-duplicate pairs (brute force "
+    "all-pairs; the RP-LSH bucketing in operators/similarity.py is "
+    "the 100TB candidate-generation path).",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    v = e.select(
+        F.col("vec_id").alias("_id"), _as_double(F.col("embedding")).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    a = v.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = v.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            r(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.45)
+    )
+
+
+# =====================================================================
+# §2.9 listings cleaning rules under the oracle gate (synthetic inputs
+# derived deterministically from customer columns)
+# =====================================================================
+
+from etl_pipeline_4handling_listings_spark.functions.cleaning import (  # noqa: E402
+    clean_phone_number,
+    collapse_whitespace,
+)
+from etl_pipeline_4handling_listings_spark.functions.listings_rules import (  # noqa: E402
+    extract_unit_from_address,
+    normalize_township,
+    normalize_yn,
+)
+
+
+@query(
+    "scalar_cleaning_suite",
+    oracle="""
+    WITH synth AS (
+        SELECT c_custkey,
+            CASE WHEN c_custkey % 7 = 0
+                 THEN '(000) 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                 ELSE '1 (303) 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+            END AS phone_raw,
+            replace(c_name, '#', '-') || CASE WHEN c_custkey % 3 = 0
+                           THEN ' #' || CAST(c_custkey % 100 AS VARCHAR)
+                           ELSE '' END AS addr_raw,
+            CASE c_custkey % 4 WHEN 0 THEN 'T12N' WHEN 1 THEN '12-N'
+                               WHEN 2 THEN '12N' ELSE 'north' END AS township_raw,
+            CASE c_custkey % 3 WHEN 0 THEN 'yes' WHEN 1 THEN 'NO' ELSE 'maybe' END AS hoa_raw,
+            '  a   b  ' AS spaced
+        FROM customer
+    )
+    SELECT c_custkey,
+        CASE WHEN c_custkey % 7 = 0 THEN NULL
+             ELSE '303555' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        END AS phone,
+        CASE WHEN c_custkey % 3 = 0 THEN CAST(c_custkey % 100 AS VARCHAR) END AS unit,
+        CASE WHEN c_custkey % 4 IN (0, 1, 2) THEN '12N' END AS township,
+        CASE c_custkey % 3 WHEN 0 THEN 'Y' WHEN 1 THEN 'N' ELSE NULL END AS hoa,
+        'a b' AS collapsed
+    FROM synth
+    """,
+    doc="§2.9 cleaning rules under the oracle gate: phone "
+    "normalization (ext/country/prefix rules), unit-from-address "
+    "regexp_extract, township canonicalization, Y/N normalization, "
+    "whitespace collapse. The oracle states the EXPECTED results "
+    "(closed form), so this checks rule semantics, not just "
+    "engine-vs-engine expression parity.",
+)
+def scalar_cleaning_suite(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    four = F.lpad((key % 10000).cast("string"), 4, "0")
+    phone_raw = F.when(
+        key % 7 == 0, F.concat(F.lit("(000) 555-"), four)
+    ).otherwise(F.concat(F.lit("1 (303) 555-"), four))
+    addr_raw = F.concat(
+        F.regexp_replace(F.col("c_name"), "#", "-"),
+        F.when(
+            key % 3 == 0,
+            F.concat(F.lit(" #"), (key % 100).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    township_raw = (
+        F.when(key % 4 == 0, "T12N")
+        .when(key % 4 == 1, "12-N")
+        .when(key % 4 == 2, "12N")
+        .otherwise("north")
+    )
+    hoa_raw = (
+        F.when(key % 3 == 0, "yes").when(key % 3 == 1, "NO").otherwise("maybe")
+    )
+    return c.select(
+        "c_custkey",
+        clean_phone_number(phone_raw).alias("phone"),
+        extract_unit_from_address(addr_raw).alias("unit"),
+        normalize_township(township_raw).alias("township"),
+        normalize_yn(hoa_raw).alias("hoa"),
+        collapse_whitespace(F.lit("  a   b  ")).alias("collapsed"),
     )
