@@ -210,9 +210,9 @@ _VALIDATION_ORACLE = """
     ), flagged AS (
         SELECT l_orderkey, l_linenumber,
             CASE WHEN dim_orderkey IS NULL THEN 1 ELSE 0 END AS _invalid_order_flag,
-            CASE WHEN l_quantity IS NULL OR l_quantity < 1 THEN 1 ELSE 0 END AS _invalid_qty_flag,
+            CASE WHEN l_quantity IS NULL OR l_quantity < 3 THEN 1 ELSE 0 END AS _invalid_qty_flag,
             CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') OR l_returnflag IS NULL THEN 1 ELSE 0 END AS _invalid_returnflag_flag,
-            CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END AS _invalid_discount_flag,
+            CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END AS _invalid_discount_flag,
             CASE WHEN l_extendedprice < 1 THEN 1 ELSE 0 END AS _invalid_price_flag
         FROM joined
     )
@@ -240,7 +240,7 @@ def _validated_lineitem(spark, sf_dir):
         dimension_miss_rule("invalid_order", "dim_orderkey", "order lookup failed"),
         Rule(
             "invalid_qty",
-            F.col("l_quantity").isNull() | (F.col("l_quantity") < 1),
+            F.col("l_quantity").isNull() | (F.col("l_quantity") < 3),
             "invalid quantity",
         ),
         Rule(
@@ -250,7 +250,7 @@ def _validated_lineitem(spark, sf_dir):
         ),
         Rule(
             "invalid_discount",
-            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.08),
             "invalid discount",
         ),
         Rule("invalid_price", F.col("l_extendedprice") < 1, "invalid price"),
