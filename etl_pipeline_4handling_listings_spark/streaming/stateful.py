@@ -1,0 +1,116 @@
+"""Custom stateful streaming: gap-based session windows with
+``applyInPandasWithState``.
+
+The batch twin is the ``events_sessionize`` registry query (lag +
+cumulative sum). In streaming, sessions must close when no event
+arrives for ``gap`` — that requires per-key state and event-time
+timeouts, which is exactly the ``applyInPandasWithState`` surface:
+
+- state per user: (session_start_us, last_seen_us, n_events);
+- each micro-batch folds its events into the open session or closes
+  it and opens a new one (emitting the closed row);
+- when the watermark passes last_seen + gap with no new events, the
+  timeout path closes and emits the dangling session.
+
+State is bounded: one tuple per active user; the watermark evicts
+idle keys. This is the operator shape for any custom streaming
+aggregation Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming session windows: emits one row per CLOSED session."""
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        closed: list[tuple[int, int, int]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start_ms, last_ms, n = state.get
+                closed.append((start_ms, last_ms, n))
+                state.remove()
+        else:
+            ts_ms: list[int] = []
+            for pdf in pdfs:
+                ts_ms.extend(
+                    int(v.value // 1_000_000) for v in pd.to_datetime(pdf[ts_col])
+                )
+            ts_ms.sort()
+            if state.exists:
+                start_ms, last_ms, n = state.get
+            else:
+                start_ms = last_ms = ts_ms[0]
+                n = 0
+                # brand-new state: first event opens the session
+            for t_ms in ts_ms:
+                if t_ms - last_ms > gap_ms:
+                    closed.append((start_ms, last_ms, n))
+                    start_ms, n = t_ms, 0
+                last_ms = t_ms
+                n += 1
+            state.update((start_ms, last_ms, n))
+            # close the session if no event arrives within the gap
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="ms") for s, _, _ in closed
+                    ],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -116,3 +116,44 @@ def test_foreach_batch_upsert_into_store(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["k"]: r["v"] for r in store.read().collect()}
     assert got == {"k1": 30.0, "k2": 5.0, "k3": 7.0}
+
+
+def test_stateful_sessionize_closes_on_gap(spark, tmp_path):
+    from etl_pipeline_4handling_listings_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+
+    src = str(tmp_path / "ss_src")
+    # user 7: two events 5 min apart (one session), then a third event
+    # 3 hours later -> the first session must close and emit once the
+    # watermark (driven by the later event) passes start+gap
+    spark.createDataFrame(
+        [
+            (7, _ts(1, 0)),
+            (7, _ts(1, 5)),
+            (7, _ts(4, 0)),
+            (9, _ts(1, 0)),
+            (9, _ts(4, 30)),
+        ],
+        "user_id LONG, ts TIMESTAMP",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+    q = (
+        stateful_sessionize(stream, gap_minutes=30, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sessions_out"
+    ).collect()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in rows
+    }
+    # in-batch gap splitting must emit the first sessions of both users
+    assert (7, _ts(1, 0), _ts(1, 5), 2) in got
+    assert (9, _ts(1, 0), _ts(1, 0), 1) in got
