@@ -168,3 +168,85 @@ def rp_lsh_topk(
         scored.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer + probe-nearest cells.
+
+    Train: distributed MLlib KMeans (seeded) over the vector table —
+    the standard IVF coarse quantizer. Search: each query scores only
+    the vectors in its ``n_probe`` nearest cells, so the candidate
+    set shrinks ~n_centroids/n_probe-fold. Cell centroids live on
+    the driver (n_centroids × dim floats — tiny); every data-sized
+    step stays distributed.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    from pyspark.sql import Window
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_feat", array_to_vector(F.col("_v")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_feat").fit(v)
+    assigned = model.transform(v).withColumnRenamed("prediction", "_cell")
+
+    centroids = [c.tolist() for c in model.clusterCenters()]
+
+    def _nearest_cells(q: Column) -> Column:
+        # distances to each centroid, unrolled at plan build; returns
+        # the n_probe cell ids with the smallest L2 distance
+        dists = F.array(
+            *[
+                F.struct(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                q,
+                                F.array(*[F.lit(x) for x in c]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n_probe).cell
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("_q"),
+    ).withColumn("_cell", F.explode(_nearest_cells(F.col("_q"))))
+    scored = (
+        assigned.join(F.broadcast(q), "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_q"), F.col("_v")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

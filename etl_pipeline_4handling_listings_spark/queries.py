@@ -1852,3 +1852,19 @@ def scalar_cleaning_suite(spark, sf_dir):
         normalize_yn(hoa_raw).alias("hoa"),
         collapse_whitespace(F.lit("  a   b  ")).alias("collapsed"),
     )
+
+
+@query(
+    "ann_ivf",
+    oracle=None,  # approximate by construction; recall tested vs exact in pytest
+    doc="Similarity search (scale path 2): IVF — seeded MLlib k-means "
+    "coarse quantizer, queries probe their 3 nearest cells.",
+)
+def ann_ivf(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.similarity import ivf_topk
+
+    e = tbl(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(e, q, k=10, n_centroids=16, n_probe=3)

@@ -130,3 +130,24 @@ def test_cosine_topk_self_similarity(spark, sf_dir):
     out = cosine_topk(emb, q, k=1, exclude_self=False).collect()
     assert out[0]["neighbor_id"] == 0
     assert abs(out[0]["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, q, k=5)
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall {recall}"
+    # determinism: same seed, same result
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    assert a == again
