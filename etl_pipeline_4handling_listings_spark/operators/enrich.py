@@ -49,7 +49,10 @@ def batched_lookup(
     partition is one transport batch. The count here is exact —
     cheap at this cardinality since only key columns are scanned.
     """
-    keys = df.select(*key_cols).distinct()
+    # persist the distinct key set: it feeds both the sizing count
+    # and the repartition — without the cache the distinct shuffle
+    # runs twice
+    keys = df.select(*key_cols).distinct().persist()
     n = keys.count()
     if n == 0:
         empty = keys
