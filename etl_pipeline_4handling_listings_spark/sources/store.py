@@ -27,12 +27,14 @@ the partition column when one is declared.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from etl_pipeline_4handling_listings_spark.operators.merge import Cond, merge_upsert
 
@@ -44,6 +46,20 @@ except Exception:  # ImportError or missing JVM jars
     _HAS_DELTA = False
 
 _POINTER = "_CURRENT"
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink a directory tree: O(1) data movement per file.
+
+    Snapshots stay immutable (links share inodes, never content
+    mutation) and vacuum of an old version only unlinks names."""
+    os.makedirs(dst, exist_ok=True)
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        target_root = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(target_root, exist_ok=True)
+        for fname in files:
+            os.link(os.path.join(root, fname), os.path.join(target_root, fname))
 
 
 class MergeStore:
@@ -87,20 +103,33 @@ class MergeStore:
     def exists(self) -> bool:
         return self.current_version() is not None
 
+    def _schema_path(self) -> str:
+        return os.path.join(self.path, "_SCHEMA.json")
+
     def create_if_absent(self, template: DataFrame) -> None:
         """Create an empty table with ``template``'s schema — the
         reference's probe-then-``limit(0)``-write pattern
-        (curated.py:319-325, S5)."""
+        (curated.py:319-325, S5). The schema is persisted alongside
+        so empty/partitioned snapshots stay readable without
+        inference."""
         if self.exists():
             return
         os.makedirs(self.path, exist_ok=True)
+        with open(self._schema_path(), "w") as f:
+            json.dump(template.schema.jsonValue(), f)
         self._write_snapshot(template.limit(0), "v00000")
 
     def read(self) -> DataFrame:
         version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"MergeStore at {self.path} does not exist")
-        return self.spark.read.format(self.fmt).load(self._version_dir(version))
+        reader = self.spark.read.format(self.fmt)
+        try:
+            with open(self._schema_path()) as f:
+                reader = reader.schema(StructType.fromJson(json.load(f)))
+        except FileNotFoundError:
+            pass
+        return reader.load(self._version_dir(version))
 
     def _write_snapshot(self, df: DataFrame, version: str) -> None:
         writer = df.write.mode("overwrite").format(self.fmt)
@@ -108,6 +137,16 @@ class MergeStore:
             writer = writer.partitionBy(self.partition_by)
         writer.save(self._version_dir(version))
         self._set_current(version)
+
+    @staticmethod
+    def hash_bucket(key_cols: Sequence[str], n_buckets: int):
+        """Stable partition column for partition-pruned merges:
+        ``pmod(xxhash64(keys), n)``. Derived from the merge keys, so
+        a row can never change partitions across updates — the
+        precondition for pruning."""
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+        )
 
     def merge(
         self,
@@ -121,9 +160,55 @@ class MergeStore:
 
         ``broadcast_source=True`` hints the merge join when the
         source batch is small relative to the table.
+
+        With ``partition_by`` declared, the merge is PRUNED: only
+        partitions containing source rows are joined and rewritten;
+        untouched partitions are hardlinked from the previous
+        snapshot (O(1) per file). Requires the partition column to
+        be a pure function of the merge keys (use
+        :meth:`hash_bucket`) so updates cannot move rows across
+        partitions.
         """
         target = self.read()
         src = F.broadcast(source) if broadcast_source else source
+        current = self.current_version() or "v00000"
+        nxt = f"v{int(current[1:]) + 1:05d}"
+
+        if self.partition_by:
+            pcol = self.partition_by
+            touched = [
+                row[0]
+                for row in source.select(pcol).distinct().collect()
+            ]
+            merged = merge_upsert(
+                target.filter(F.col(pcol).isin(touched)),
+                src,
+                self.keys,
+                update_condition=update_condition,
+                delete_condition=delete_condition,
+                insert_condition=insert_condition,
+            )
+            nxt_dir = self._version_dir(nxt)
+            (
+                merged.write.mode("overwrite")
+                .format(self.fmt)
+                .partitionBy(pcol)
+                .save(nxt_dir)
+            )
+            touched_dirs = {f"{pcol}={v}" for v in touched}
+            prev_dir = self._version_dir(current)
+            for entry in os.listdir(prev_dir):
+                if (
+                    entry.startswith(f"{pcol}=")
+                    and entry not in touched_dirs
+                ):
+                    _link_tree(
+                        os.path.join(prev_dir, entry),
+                        os.path.join(nxt_dir, entry),
+                    )
+            self._set_current(nxt)
+            return
+
         merged = merge_upsert(
             target,
             src,
@@ -132,8 +217,6 @@ class MergeStore:
             delete_condition=delete_condition,
             insert_condition=insert_condition,
         )
-        current = self.current_version() or "v00000"
-        nxt = f"v{int(current[1:]) + 1:05d}"
         self._write_snapshot(merged, nxt)
 
     def vacuum(self, keep: int = 2) -> list[str]:

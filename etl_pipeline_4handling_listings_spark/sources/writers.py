@@ -47,3 +47,25 @@ def write_json_lines(
     """
     out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
     out.write.mode(mode).text(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed table: pre-shuffled storage for co-located joins.
+
+    Two tables bucketed the same way on the join key join WITHOUT a
+    shuffle (no Exchange in the plan) — at 100 TB this converts the
+    recurring join shuffle of every daily run into a one-time
+    bucketing cost at write. Sorting within buckets additionally
+    enables shuffle-AND-sort-free sort-merge joins.
+    """
+    writer = df.write.format(fmt).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode("overwrite").saveAsTable(name)

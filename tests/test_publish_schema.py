@@ -62,3 +62,29 @@ def test_write_export_sizing(spark, tmp_path):
     parts = [f for f in os.listdir(path) if f.startswith("part-")]
     assert len(parts) == 2
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from etl_pipeline_4handling_listings_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    right = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "w", F.col("k") + 1
+    )
+    write_bucketed_table(left, "bkt_left", 4, ["k"], sort_cols=["k"])
+    write_bucketed_table(right, "bkt_right", 4, ["k"], sort_cols=["k"])
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

@@ -85,3 +85,60 @@ def test_json_lines_reject_sink(spark, tmp_path):
         {"id": 1, "reason": "bad mls"},
         {"id": 2},  # Spark to_json drops null fields
     ]
+
+
+def test_partition_pruned_merge_hardlinks_untouched(spark, tmp_path):
+    path = str(tmp_path / "pstore")
+    store = MergeStore(spark, path, keys=["k"], partition_by="bucket")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k % 3) for k in range(30)], "k INT, v STRING, bucket INT"
+    )
+    store.create_if_absent(base)
+    store.merge(base)
+    v1 = store.current_version()
+
+    # source touches only bucket 1
+    src = spark.createDataFrame(
+        [(1, "UPDATED", 1), (100, "NEW", 1)], "k INT, v STRING, bucket INT"
+    )
+    store.merge(src)
+    v2 = store.current_version()
+    assert v2 != v1
+
+    got = {r["k"]: r["v"] for r in store.read().collect()}
+    assert got[1] == "UPDATED"
+    assert got[100] == "NEW"
+    assert got[0] == "v0" and got[2] == "v2"
+    assert len(got) == 31
+
+    # untouched partitions must be hardlinks of the previous snapshot
+    for bucket in (0, 2):
+        prev = os.path.join(path, v1, f"bucket={bucket}")
+        cur = os.path.join(path, v2, f"bucket={bucket}")
+        prev_inodes = {
+            f: os.stat(os.path.join(prev, f)).st_ino
+            for f in os.listdir(prev)
+            if f.startswith("part-")
+        }
+        cur_inodes = {
+            f: os.stat(os.path.join(cur, f)).st_ino
+            for f in os.listdir(cur)
+            if f.startswith("part-")
+        }
+        assert prev_inodes == cur_inodes and prev_inodes
+    # touched partition was rewritten (no shared inodes expected)
+    prev1 = {
+        os.stat(os.path.join(path, v1, "bucket=1", f)).st_ino
+        for f in os.listdir(os.path.join(path, v1, "bucket=1"))
+        if f.startswith("part-")
+    }
+    cur1 = {
+        os.stat(os.path.join(path, v2, "bucket=1", f)).st_ino
+        for f in os.listdir(os.path.join(path, v2, "bucket=1"))
+        if f.startswith("part-")
+    }
+    assert not (prev1 & cur1)
+
+    # vacuum old snapshot: hardlinked data must survive
+    store.vacuum(keep=1)
+    assert store.read().count() == 31
