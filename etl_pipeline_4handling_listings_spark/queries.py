@@ -1868,3 +1868,88 @@ def ann_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(e, q, k=10, n_centroids=16, n_probe=3)
+
+
+# =====================================================================
+# SQL surface + additional document analytics
+# =====================================================================
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view — the spark.sql
+    surface (S13-adjacent): any registry query could be phrased as
+    SQL against these."""
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ]:
+        tbl(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@query(
+    "sql_interface",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="spark.sql() surface: identical SQL text runs on registered "
+    "temp views — proves the engine answers the SQL dialect, not "
+    "just the DataFrame API.",
+)
+def sql_interface(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS total
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Text analysis: BPE-ish pre-tokenization count — word/number/"
+    "punctuation splits via regexp_extract_all (the GPT-style "
+    "pre-tokenizer shape), JVM-side.",
+)
+def text_token_count_bpe(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+@query(
+    "doc_corpus_rollup",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {sql_r('AVG(n_chars)', 4)} AS avg_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Document-pipeline rollup: per (lang, source) corpus stats — "
+    "the partition-planning query a 100TB ingest runs first.",
+)
+def doc_corpus_rollup(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
