@@ -10,11 +10,19 @@ SQL-expressible query. Implementations live in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_pipeline_4handling_listings_spark.queries import REGISTRY
+# the driver may import this file by path; make the sibling package
+# importable regardless of the caller's sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from etl_pipeline_4handling_listings_spark.queries import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
