@@ -86,6 +86,7 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    pipeline = _pipeline_throughput(spark)
     print(
         json.dumps(
             {
@@ -94,10 +95,92 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "pipeline_rows_per_sec": pipeline,
             }
         )
     )
     spark.stop()
+
+
+def _pipeline_throughput(spark, n_rows: int = 200_000) -> float | None:
+    """End-to-end curated-load throughput (rows/sec): generate
+    listings-shaped rows, run validate→transform→dedup→MERGE into a
+    fresh store — the reference's daily-load workload."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_4handling_listings_spark.plans import (
+        ListingsDims,
+        run_curated_load,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+    try:
+        raw = (
+            spark.range(n_rows)
+            .select(
+                F.concat(F.lit("MLS"), (F.col("id") % 5).cast("string")).alias("mls"),
+                F.concat(F.lit("L"), (F.col("id") % (n_rows // 2)).cast("string")).alias(
+                    "mls_listing_id"
+                ),
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias(
+                    "source_as_of_date"
+                ),
+                F.lit("20240101").alias("load_date"),
+                F.lit("2024-01-01").cast("date").alias("listing_date"),
+                F.lit("2024-01-01").cast("date").alias("entry_date"),
+                F.when(F.col("id") % 17 == 0, "Z").otherwise("A").alias(
+                    "listing_status"
+                ),
+                (F.col("id") % 900000 + 1000).cast("decimal(16,4)").alias(
+                    "current_price"
+                ),
+                F.lit(None).cast("decimal(16,4)").alias("closed_price"),
+                F.lit("Sale").alias("rent_sale"),
+                F.lit("SF").alias("property_type"),
+                F.lit("House").alias("property_sub_type"),
+                F.lit("CO").alias("state_raw"),
+                F.lit("80001").alias("zip_raw"),
+                F.concat((F.col("id") % 999).cast("string"), F.lit(" Main St")).alias(
+                    "street_address_raw"
+                ),
+                F.col("id").cast("string").alias("source_listing_id"),
+                F.lit("(303) 555-1234").alias("owner_phone"),
+                F.timestamp_seconds(F.lit(1700000000)).alias("create_timestamp"),
+                F.lit(None).cast("long").alias("asg_primary_id"),
+                F.lit(None).cast("timestamp").alias("asg_primary_id_queried_ts"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        dims = ListingsDims(
+            boards=spark.createDataFrame(
+                [(f"MLS{i}", None) for i in range(5)], "mls STRING, movedto STRING"
+            ),
+            states=spark.createDataFrame(
+                [("CO", "Colorado")], "state STRING, name STRING"
+            ),
+            zipcodes=spark.createDataFrame(
+                [("80001", "CO")], "zipcode STRING, state STRING"
+            ),
+            property_sub_types=spark.createDataFrame(
+                [("House",)], "property_sub_type STRING"
+            ),
+        )
+        tmp = tempfile.mkdtemp(prefix="bench_store_")
+        try:
+            store = MergeStore(
+                spark, os.path.join(tmp, "store"), keys=["mls", "mls_listing_id"]
+            )
+            t0 = time.perf_counter()
+            run_curated_load(raw, dims, store)
+            elapsed = time.perf_counter() - t0
+            return round(n_rows / elapsed, 1)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":
