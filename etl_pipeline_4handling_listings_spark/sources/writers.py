@@ -69,3 +69,44 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.mode("overwrite").saveAsTable(name)
+
+
+def compact(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    fmt: str = "parquet",
+    compression: str = "zstd",
+) -> int:
+    """Small-files compaction: rewrite a directory into files of
+    ~``target_file_mb`` based on the current on-disk size.
+
+    The small-files problem is the silent killer of 100TB tables —
+    a day of streaming micro-batches leaves thousands of KB-files
+    whose open/footer cost dominates scans. Returns the new file
+    count. Rewrite is staged through a sibling temp dir + atomic
+    rename, so readers never see a half-compacted directory.
+    """
+    import math
+    import os
+    import shutil
+
+    size_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            size_bytes += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    (
+        df.coalesce(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .format(fmt)
+        .save(tmp)
+    )
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

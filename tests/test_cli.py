@@ -102,3 +102,38 @@ def test_cli_backfill(spark, tmp_path):
     store = MergeStore(spark, store_dir, keys=["mls", "mls_listing_id"])
     rows = store.read().collect()
     assert all(r["asg_primary_id"] is not None for r in rows)
+
+
+def test_cli_history(spark, tmp_path):
+    raw_dir = str(tmp_path / "raw")
+    dims_dir = str(tmp_path / "dims")
+    store_dir = str(tmp_path / "hist_store")
+    out_dir = str(tmp_path / "hist_export")
+    spark.createDataFrame(
+        [
+            _row(as_of=TS(2024, 1, 1), price=100.0),
+            _row(as_of=TS(2024, 1, 2), price=200.0),
+            _row(lid="L2", as_of=TS(2024, 1, 1)),
+        ],
+        RAW_SCHEMA,
+    ).write.parquet(raw_dir)
+    _write_dims(spark, dims_dir)
+    rc = main(
+        [
+            "history",
+            "--raw-dirs", raw_dir,
+            "--dims-dir", dims_dir,
+            "--store", store_dir,
+            "--output", out_dir,
+            "--num-output-files", "1",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    hist = spark.read.parquet(out_dir)
+    keys = {(r["mls_listing_id"], r["source_as_of_date"]) for r in hist.collect()}
+    assert keys == {
+        ("L1", TS(2024, 1, 1)),
+        ("L1", TS(2024, 1, 2)),
+        ("L2", TS(2024, 1, 1)),
+    }

@@ -160,3 +160,12 @@ def test_exact_dedup(spark):
     )
     out = exact_dedup(df, F.md5("text"), [F.asc("id")])
     assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_merge_upsert_null_keys_match_nullsafe(spark):
+    # MERGE keys join null-safely: a NULL key in source matches a
+    # NULL key in target (update), not an insert of a duplicate
+    target = spark.createDataFrame([(None, "old"), (1, "a")], "k INT, v STRING")
+    source = spark.createDataFrame([(None, "NEW")], "k INT, v STRING")
+    out = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {None: "NEW", 1: "a"}

@@ -88,3 +88,16 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from etl_pipeline_4handling_listings_spark.sources.writers import compact
+
+    path = str(tmp_path / "many")
+    spark.range(10_000).repartition(50).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert before == 50
+    compact(spark, path, target_file_mb=256)
+    after = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert after == 1
+    assert spark.read.parquet(path).count() == 10_000

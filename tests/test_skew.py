@@ -53,3 +53,39 @@ def test_salted_agg_matches_plain_agg(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_hash_split_stable_and_proportional(spark):
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+        per_key_top_n,
+    )
+
+    df = spark.range(10_000).select(F.col("id").cast("string").alias("doc"))
+    split = hash_split(df, ["doc"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] - 8000) < 300
+    assert abs(counts["val"] - 1000) < 150
+    assert abs(counts["test"] - 1000) < 150
+    # stability: repartitioned input yields identical assignment
+    again = hash_split(df.repartition(13), ["doc"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["doc"]: r["split"] for r in split.collect()}
+    b = {r["doc"]: r["split"] for r in again.collect()}
+    assert a == b
+    # monotone growth: a subset's assignments never change
+    sub = hash_split(df.filter(F.col("doc") < "5"), ["doc"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    for r in sub.collect():
+        assert a[r["doc"]] == r["split"]
+
+    samp = hash_sample(df, ["doc"], 0.25)
+    assert abs(samp.count() - 2500) < 200
+
+    capped = per_key_top_n(
+        df.withColumn("k", F.substring("doc", 1, 1)),
+        ["k"],
+        [F.asc("doc")],
+        n=5,
+    )
+    per_key = {r["k"]: r["n"] for r in capped.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 5 for v in per_key.values())
