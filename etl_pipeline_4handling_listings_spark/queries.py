@@ -1953,3 +1953,43 @@ def doc_corpus_rollup(spark, sf_dir):
         r4(F.avg("n_chars")).alias("avg_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "sample_per_key_quota",
+    oracle="""
+    SELECT lang, source, doc_id FROM (
+        SELECT lang, source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 3
+    """,
+    doc="Sampling: exact per-key quota — keep the 3 longest documents "
+    "per (lang, source); corpus cap-per-domain operator.",
+)
+def sample_per_key_quota(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        per_key_top_n,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    return per_key_top_n(
+        d, ["lang", "source"], [F.desc("n_chars"), F.asc("doc_id")], n=3
+    ).select("lang", "source", "doc_id")
+
+
+@query(
+    "sample_hash_split",
+    oracle=None,  # xxhash64 has no DuckDB twin; stability tested in pytest
+    doc="Sampling: content-hash train/val/test split — stable under "
+    "repartitioning and incremental corpus growth.",
+)
+def sample_hash_split(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.sampling import hash_split
+
+    d = tbl(spark, sf_dir, "documents")
+    return hash_split(
+        d.select("doc_id"), ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
