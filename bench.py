@@ -86,6 +86,7 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    _pipeline_throughput(spark, 5_000)  # warm the pipeline plan shapes
     pipeline = _pipeline_throughput(spark)
     print(
         json.dumps(

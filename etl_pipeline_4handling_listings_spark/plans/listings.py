@@ -232,13 +232,23 @@ def run_curated_load(
     curated = store.read().withColumn("_from", F.lit("curated"))
     unioned = new.unionByName(curated, allowMissingColumns=True)
     order = LATEST_ORDER() + [F.desc("_from")]  # 'new' > 'curated'
-    latest = latest_record(
-        unioned,
-        KEYS,
-        order,
-        carry_forward={"create_timestamp": F.min("create_timestamp")},
-    )
-    outdated = superseded_records(new, KEYS, order)
+    # ONE window pass computes both outputs: rownum=1 is the
+    # latest-record pick, rownum>1 of the 'new' side is the outdated
+    # side channel — the reference (and our earlier version) paid a
+    # second shuffle for the complement
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*KEYS).orderBy(*order)
+    whole = Window.partitionBy(*KEYS)
+    ranked = unioned.select(
+        *[c for c in unioned.columns if c != "create_timestamp"],
+        F.row_number().over(w).alias("_rownum"),
+        F.min("create_timestamp").over(whole).alias("create_timestamp"),
+    ).persist()
+    latest = ranked.filter(F.col("_rownum") == 1).drop("_rownum")
+    outdated = ranked.filter(
+        (F.col("_rownum") > 1) & (F.col("_from") == "new")
+    ).drop("_rownum")
     final = latest.filter(F.col("_from") == "new").drop("_from")
     store.merge(final)
     return CuratedResult(store.read(), rejected, outdated.drop("_from"))
@@ -255,7 +265,13 @@ def run_history_load(
     new = transform_listings(good).withColumn("_from", F.lit("new"))
     hist_store.create_if_absent(new.drop("_from"))
     current = hist_store.read().withColumn("_from", F.lit("curated"))
-    unioned = new.unionByName(current, allowMissingColumns=True)
+    # pre-partition on the business key: HashPartitioning(mls, lid)
+    # satisfies the clustered distribution of BOTH windows below
+    # (W4 on (mls, lid, as_of) and W6 on (mls, lid)), so the whole
+    # dedup+lead stage runs on a single exchange
+    unioned = new.unionByName(current, allowMissingColumns=True).repartition(
+        *[F.col(k) for k in KEYS]
+    )
     deduped = latest_record(
         unioned,
         HIST_KEYS,
