@@ -51,6 +51,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--output", default=None, help="columnar export dir")
     p.add_argument("--num-output-files", type=int, default=None)
     p.add_argument("--vacuum-keep", type=int, default=None)
+    p.add_argument(
+        "--partition-buckets",
+        type=int,
+        default=None,
+        help="hash-bucket the store on the business key for "
+        "partition-pruned merges",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -120,7 +127,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             raw = _load_raw(spark, args)
             dims = _load_dims(spark, args.dims_dir)
             keys = KEYS if args.cmd == "curated" else KEYS + ["source_as_of_date"]
-            store = MergeStore(spark, args.store, keys=keys)
+            pb = "_bucket" if (args.cmd == "curated" and args.partition_buckets) else None
+            store = MergeStore(spark, args.store, keys=keys, partition_by=pb)
             if args.cmd == "curated":
                 res = run_curated_load(raw, dims, store)
                 if args.rejects_dir:

@@ -223,11 +223,19 @@ def run_curated_load(
 
     Returns the post-merge table plus the reject/outdated side
     channels (callers write them via sources.writers).
+
+    If ``store`` was constructed with ``partition_by``, the bucket
+    column (``MergeStore.hash_bucket`` of the business key) is added
+    automatically and merges prune untouched buckets.
     """
     good, rejected = validate_listings(raw, dims)
     # final-schema projection drops the validation bookkeeping (ref P5)
     good = good.drop(*[c for c in good.columns if c.startswith("_")])
     new = transform_listings(good).withColumn("_from", F.lit("new"))
+    if store.partition_by and store.partition_by not in new.columns:
+        new = new.withColumn(
+            store.partition_by, MergeStore.hash_bucket(KEYS, 64)
+        )
     store.create_if_absent(new.drop("_from"))
     curated = store.read().withColumn("_from", F.lit("curated"))
     unioned = new.unionByName(curated, allowMissingColumns=True)

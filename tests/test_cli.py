@@ -137,3 +137,34 @@ def test_cli_history(spark, tmp_path):
         ("L1", TS(2024, 1, 2)),
         ("L2", TS(2024, 1, 1)),
     }
+
+
+def test_cli_curated_partitioned_store(spark, tmp_path):
+    raw_dir = str(tmp_path / "raw")
+    dims_dir = str(tmp_path / "dims")
+    store_dir = str(tmp_path / "bstore")
+    spark.createDataFrame(
+        [_row(), _row(lid="L2"), _row(lid="L3")], RAW_SCHEMA
+    ).write.parquet(raw_dir)
+    _write_dims(spark, dims_dir)
+    rc = main(
+        [
+            "curated",
+            "--raw-dirs", raw_dir,
+            "--dims-dir", dims_dir,
+            "--store", store_dir,
+            "--partition-buckets", "64",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+    store = MergeStore(
+        spark, store_dir, keys=["mls", "mls_listing_id"], partition_by="_bucket"
+    )
+    rows = store.read().collect()
+    assert {r["mls_listing_id"] for r in rows} == {"L1", "L2", "L3"}
+    # bucket dirs exist on disk
+    vdir = os.path.join(store_dir, store.current_version())
+    assert any(d.startswith("_bucket=") for d in os.listdir(vdir))
