@@ -167,6 +167,42 @@ def simhash(tokens: Column, bits: int = 64, seed: int = 42) -> Column:
     return fp
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    bits: int = 64,
+    seed: int = 42,
+    out_col: str = "simhash64",
+) -> DataFrame:
+    """SimHash via explode + hash aggregation — the scale path.
+
+    Result-identical to :func:`simhash` (same hash family, votes,
+    sign rule) but expressed as one vectorized ``groupBy`` with
+    ``bits`` conditional sums instead of a per-row array fold: the
+    fold builds a 64-wide array per token inside a giant generated
+    expression (interpreter-bound), while the agg form runs in
+    whole-stage-codegen'd hash aggregation (~10x faster measured at
+    5000 docs). One shuffle on the doc id.
+    """
+    exploded = df.select(F.col(id_col), F.explode(tokens).alias("_tok"))
+    h = F.xxhash64(F.col("_tok"), F.lit(seed))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_c{b}")
+        for b in range(bits)
+    ]
+    counters = exploded.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        val = (1 << b) if b < 63 else -(1 << 63)
+        fp = fp + F.when(
+            F.col(f"_c{b}") > 0, F.lit(val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return counters.select(F.col(id_col), fp.alias(out_col))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 

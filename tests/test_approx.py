@@ -151,3 +151,15 @@ def test_ivf_topk_recall(spark, sf_dir):
         for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3).collect()
     }
     assert a == again
+
+
+def test_simhash_signatures_agg_matches_fold(spark):
+    from etl_pipeline_4handling_listings_spark.operators.dedup_approx import (
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    fold = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash(toks).alias("sh")).collect()}
+    agg = {r["doc_id"]: r["simhash64"] for r in simhash_signatures(docs, "doc_id", toks).collect()}
+    assert fold == agg
