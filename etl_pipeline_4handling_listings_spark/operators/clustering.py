@@ -1,0 +1,94 @@
+"""Connected components for near-duplicate clustering.
+
+The step after candidate generation in a dedup pipeline: LSH gives
+PAIRS; keeping one document per duplicate *group* requires the
+transitive closure of those pairs. This is iterative min-label
+propagation over the edge list — the standard large-graph CC
+algorithm (each iteration: every vertex adopts the smallest label
+in its neighborhood; converges in O(component diameter) rounds).
+
+Scale: each iteration is one join + one aggregate on the edge list
+(shuffle on vertex id). Near-dup graphs are overwhelmingly tiny
+disjoint cliques, so diameters are small; ``max_iter`` bounds the
+driver loop and convergence is detected with an exact changed-count
+(cheap: it aggregates the label frame, not the data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Label every vertex with the smallest vertex id reachable from
+    it. Returns (id, component).
+
+    ``vertices``: one column ``id_col``; ``edges``: undirected pairs
+    (each edge listed once is fine).
+    """
+    # symmetric edge list
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    sym = e.unionByName(
+        e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+    ).persist()
+
+    labels = vertices.select(
+        F.col(id_col).alias("_id"), F.col(id_col).alias("_label")
+    ).persist()
+
+    for _ in range(max_iter):
+        # smallest neighbor label per vertex
+        neighbor_min = (
+            sym.join(labels, sym["_dst"] == labels["_id"])
+            .groupBy("_src")
+            .agg(F.min("_label").alias("_nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["_id"] == neighbor_min["_src"], "left")
+            .select(
+                "_id",
+                F.least(
+                    F.col("_label"), F.coalesce("_nbr_label", F.col("_label"))
+                ).alias("_label"),
+                (
+                    F.coalesce("_nbr_label", F.col("_label")) < F.col("_label")
+                ).alias("_changed"),
+            )
+        ).persist()
+        changed = updated.filter(F.col("_changed")).count()
+        labels.unpersist()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("_id").alias(id_col), F.col("_label").alias("component"))
+
+
+def dedup_representatives(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """(id, cluster_rep): the canonical (minimum-id) member of each
+    near-duplicate cluster; singletons represent themselves. Filter
+    ``id != cluster_rep`` to drop duplicates, keep one per group."""
+    cc = connected_components(
+        vertices.select(F.col(id_col).alias("id")),
+        pairs,
+        id_col="id",
+        src_col=src_col,
+        dst_col=dst_col,
+    )
+    return cc.select(F.col("id").alias(id_col), F.col("component").alias("cluster_rep"))

@@ -2106,3 +2106,123 @@ def profile_table(spark, sf_dir):
         )
 
     return stats("c_acctbal").unionByName(stats("c_nationkey"))
+
+
+# =====================================================================
+# Near-dup clustering + the corpus-curation flagship composition
+# =====================================================================
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {_DUCK_WORD_SHINGLES} AS shingles FROM documents
+        WHERE doc_id < 1000
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {sql_r('CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)'
+                     ' / len(list_distinct(list_concat(a.shingles, b.shingles)))', 6)} >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), tc(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT tc.a, e.b FROM tc JOIN edges e ON tc.b = e.a
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(tc.b), d.doc_id)) AS cluster_rep
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+    LEFT JOIN tc ON tc.a = d.doc_id
+    GROUP BY d.doc_id
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CLUSTER_ORACLE,
+    doc="Near-dup clustering: MinHash-LSH pairs -> connected "
+    "components (iterative min-label propagation) -> canonical "
+    "minimum-id representative per cluster. Oracle = transitive "
+    "closure via DuckDB recursive CTE over the same bounded pair "
+    "set.",
+)
+def dedup_clusters(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.clustering import (
+        dedup_representatives,
+    )
+
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", word_shingles("text", 3), threshold=0.5,
+        num_hashes=64, bands=32,
+    )
+    return dedup_representatives(d, pairs)
+
+
+_CURATION_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source, n_chars,
+            {sql_r('''(
+                (CASE WHEN LENGTH(text) > 0
+                      THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                      ELSE 0.0 END)
+              + (CASE WHEN LENGTH(text) > 0
+                      THEN 1.0 - CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                      ELSE 0.0 END)
+              + LEAST(LENGTH(text) / 200.0, 1.0)
+            ) / 3.0''', 6)} AS quality,
+            md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM scored WHERE quality >= 0.5 AND n_chars >= 120
+    ), exact_dedup AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, source, quality FROM (
+        SELECT doc_id, lang, source, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY quality DESC, doc_id ASC
+               ) AS cap_rn
+        FROM exact_dedup
+    ) WHERE cap_rn <= 5
+"""
+
+
+@query(
+    "corpus_curation",
+    oracle=_CURATION_ORACLE,
+    doc="Flagship corpus curation: quality+length filter -> exact "
+    "dedup by content fingerprint -> per-(lang,source) quota of the "
+    "5 best — the end-to-end selection pass of a training-data "
+    "pipeline, fully oracle-checked.",
+)
+def corpus_curation(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        per_key_top_n,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        quality_score("text").alias("quality"),
+        document_fingerprint("text").alias("fp"),
+    )
+    filtered = scored.filter((F.col("quality") >= 0.5) & (F.col("n_chars") >= 120))
+    # exact dedup on the precomputed fingerprint column
+    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    deduped = (
+        filtered.select("*", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp", "n_chars")
+    )
+    return per_key_top_n(
+        deduped, ["lang", "source"], [F.desc("quality"), F.asc("doc_id")], n=5
+    ).select("doc_id", "lang", "source", "quality")

@@ -163,3 +163,17 @@ def test_simhash_signatures_agg_matches_fold(spark):
     fold = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash(toks).alias("sh")).collect()}
     agg = {r["doc_id"]: r["simhash64"] for r in simhash_signatures(docs, "doc_id", toks).collect()}
     assert fold == agg
+
+
+def test_connected_components_clusters(spark):
+    from etl_pipeline_4handling_listings_spark.operators.clustering import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    # components: {0,1,2,3} (chain), {4,5}, {6}, {7}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["component"] for r in connected_components(vertices, edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
