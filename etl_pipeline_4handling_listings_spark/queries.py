@@ -1231,7 +1231,7 @@ _DUCK_WORD_SHINGLES = r"""
 _NGRAM_PAIRS_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, {_DUCK_WORD_SHINGLES} AS shingles FROM documents
-        WHERE doc_id < 1000
+        WHERE doc_id < 600
     ), pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                {sql_r('CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)'
@@ -1253,7 +1253,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # quadratic oracle path: bounded to the first 1000 docs so the
     # all-pairs cost stays fixed at any sf (the LSH variant below is
     # unbounded — that's the production path)
-    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
     sh = d.select("doc_id", word_shingles("text", 3).alias("shingles"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -1281,7 +1281,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # same doc_id bound as the shared exact oracle; the operator
     # itself is unbounded (used at full width in bench via this same
     # query at sf0.1 = 1000 docs; test_approx runs it uncapped)
-    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
     out = minhash_dedup_pairs(
         d,
         "doc_id",
@@ -2115,7 +2115,7 @@ def profile_table(spark, sf_dir):
 _CLUSTER_ORACLE = f"""
     WITH RECURSIVE sh AS (
         SELECT doc_id, {_DUCK_WORD_SHINGLES} AS shingles FROM documents
-        WHERE doc_id < 1000
+        WHERE doc_id < 600
     ), pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -2132,7 +2132,7 @@ _CLUSTER_ORACLE = f"""
     )
     SELECT d.doc_id,
            LEAST(d.doc_id, COALESCE(MIN(tc.b), d.doc_id)) AS cluster_rep
-    FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 600) d
     LEFT JOIN tc ON tc.a = d.doc_id
     GROUP BY d.doc_id
 """
@@ -2152,7 +2152,7 @@ def dedup_clusters(spark, sf_dir):
         dedup_representatives,
     )
 
-    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
     pairs = minhash_dedup_pairs(
         d, "doc_id", word_shingles("text", 3), threshold=0.5,
         num_hashes=64, bands=32,
@@ -2226,3 +2226,76 @@ def corpus_curation(spark, sf_dir):
     return per_key_top_n(
         deduped, ["lang", "source"], [F.desc("quality"), F.asc("doc_id")], n=5
     ).select("doc_id", "lang", "source", "quality")
+
+
+@query(
+    "events_top_users",
+    oracle=f"""
+    SELECT event_type, user_id, total_value, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT event_type, user_id,
+               {sql_r('SUM(value)', 2)} AS total_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY {sql_r('SUM(value)', 2)} DESC, user_id ASC
+               ) AS rnk
+        FROM events
+        GROUP BY event_type, user_id
+    ) WHERE rnk <= 5
+    """,
+    doc="Events: top-5 users by total value per event type — "
+    "agg + per-group rank (two shuffles, both on small agg output).",
+)
+def events_top_users(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    agg = e.groupBy("event_type", "user_id").agg(
+        r2(F.sum("value")).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        agg.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH stage AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, first_view, first_click, first_purchase
+    FROM stage
+    WHERE first_view IS NOT NULL
+      AND first_click IS NOT NULL AND first_click > first_view
+      AND first_purchase IS NOT NULL AND first_purchase > first_click
+    """,
+    doc="Events: ordered view->click->purchase funnel via conditional "
+    "first-occurrence aggregation on integer micros — one shuffle.",
+)
+def events_funnel(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_us"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias(
+            "first_purchase"
+        ),
+    )
+    return stage.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_click").isNotNull()
+        & (F.col("first_click") > F.col("first_view"))
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_click"))
+    )
