@@ -2299,3 +2299,81 @@ def events_funnel(spark, sf_dir):
         & F.col("first_purchase").isNotNull()
         & (F.col("first_purchase") > F.col("first_click"))
     )
+
+
+# =====================================================================
+# Aggregate surface: rollup, pivot, exact percentiles
+# =====================================================================
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_r('SUM(l_quantity)', 2)} AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Aggregates: ROLLUP hierarchy with GROUPING() markers — "
+    "subtotals + grand total in one pass.",
+)
+def agg_rollup(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        r2(F.sum("l_quantity")).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {sql_r("SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END)", 2)} AS view,
+           {sql_r("SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END)", 2)} AS click,
+           {sql_r("SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)", 2)} AS purchase
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Aggregates: pivot event types to columns (bounded pivot "
+    "values declared up front — the scalable form; open-ended pivot "
+    "needs a values scan first).",
+)
+def agg_pivot(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_id",
+        r2(F.coalesce("view", F.lit(0.0))).alias("view"),
+        r2(F.coalesce("click", F.lit(0.0))).alias("click"),
+        r2(F.coalesce("purchase", F.lit(0.0))).alias("purchase"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {sql_r('quantile_cont(o_totalprice, 0.5)', 2)} AS median_price,
+           {sql_r('quantile_cont(o_totalprice, 0.9)', 2)} AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Aggregates: exact interpolated percentiles (Spark "
+    "percentile() == DuckDB quantile_cont — same linear "
+    "interpolation; approx_percentile is the 100TB path).",
+)
+def agg_percentiles(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        r2(F.percentile("o_totalprice", 0.5)).alias("median_price"),
+        r2(F.percentile("o_totalprice", 0.9)).alias("p90_price"),
+    )
