@@ -110,6 +110,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn):
+        assert name not in REGISTRY, f"duplicate query name: {name}"
         REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
         return fn
 

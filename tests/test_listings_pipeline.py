@@ -212,3 +212,17 @@ def test_backfill_property_ids(spark, dims, tmp_path):
     assert got == {"L1": 100, "L2": 200, "L3": 300}
     stamped = {r["mls_listing_id"]: r["asg_primary_id_queried_ts"] for r in out.collect()}
     assert all(v == TS(2024, 2, 1) for v in stamped.values())
+
+
+def test_curated_load_empty_input(spark, dims, tmp_path):
+    store = MergeStore(spark, str(tmp_path / "empty"), keys=["mls", "mls_listing_id"])
+    empty = spark.createDataFrame([], RAW_SCHEMA)
+    res = run_curated_load(empty, dims, store)
+    assert res.curated.count() == 0
+    assert res.rejected.count() == 0
+    assert res.outdated.count() == 0
+    # a later real load still works against the empty-initialized store
+    res2 = run_curated_load(
+        spark.createDataFrame([_row()], RAW_SCHEMA), dims, store
+    )
+    assert res2.curated.count() == 1
