@@ -2536,3 +2536,134 @@ def q19_disjunctive_predicates(spark, sf_dir):
             "revenue"
         )
     )
+
+
+# =====================================================================
+# Window frames, rank family, explode word count, scalar-subquery anti
+# =====================================================================
+
+
+@query(
+    "w_moving_average",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {sql_r('''AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''', 2)} AS moving_avg_price
+    FROM orders
+    """,
+    doc="Window frames: explicit ROWS BETWEEN moving average "
+    "(the reference only uses default frames — engine breadth).",
+)
+def w_moving_average(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.avg("o_totalprice").over(w)).alias("moving_avg_price"),
+    )
+
+
+@query(
+    "w_rank_family",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           {sql_r('PERCENT_RANK() OVER w', 6)} AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    doc="Ranking family: rank/dense_rank/ntile/percent_rank in one "
+    "window pass.",
+)
+def w_rank_family(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        r(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "text_word_count_top20",
+    oracle=r"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+    doc="Explode + aggregate: corpus word frequencies, top 20 — the "
+    "canonical lateral-view workload (map-side explode, partial agg).",
+)
+def text_word_count_top20(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_r('SUM(c_acctbal)', 2)} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c_custkey
+            AND CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+    doc="Q22 shape: scalar-subquery threshold + anti-join — "
+    "well-funded customers with no recent orders.",
+)
+def q22_dormant_customers(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    recent = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1999-01-01").cast("date")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            r2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
