@@ -2667,3 +2667,35 @@ def q22_dormant_customers(spark, sf_dir):
             r2(F.sum("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_size,
+           'unknown' AS content_format,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+    doc="Multimodal: opaque binary column + JVM-side metadata "
+    "(size / magic-byte format sniff / content hash) — the pruning "
+    "pass that runs before any byte crosses to a Python decoder. "
+    "Binary synthesized from text here; real pipelines read "
+    "image/audio bytes the same way (multimodal/binaryops.py).",
+)
+def mm_binary_metadata(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.multimodal import (
+        attach_binary_metadata,
+    )
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    out = attach_binary_metadata(d)
+    return out.select(
+        "doc_id",
+        F.col("content_size").cast("long").alias("content_size"),
+        "content_format",
+        "content_sha256",
+    )
