@@ -82,8 +82,13 @@ def main() -> None:
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            # one broken query must not kill the whole bench line;
+            # a sentinel makes the failure visible in BENCH_r{N}.json
+            times[name] = -1.0
 
     total = round(sum(times.values()), 3)
     _pipeline_throughput(spark, 5_000)  # warm the pipeline plan shapes
