@@ -1639,11 +1639,11 @@ from etl_pipeline_4handling_listings_spark.schema import enforce_schema  # noqa:
 
 @query(
     "s10_schema_enforce",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey,
            CAST(c_custkey AS INTEGER) AS custkey_int,
            c_name,
-           CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal_dec,
+           CAST({sql_r('c_acctbal', 2)} AS DECIMAL(12,2)) AS acctbal_dec,
            CAST(NULL AS VARCHAR) AS region_name
     FROM customer
     """,
@@ -1665,7 +1665,10 @@ def s10_schema_enforce(spark, sf_dir):
         "c_custkey",
         F.col("c_custkey").alias("custkey_int"),
         "c_name",
-        F.col("c_acctbal").alias("acctbal_dec"),
+        # Pre-round with the engine-portable floor helper so the
+        # double->DECIMAL(12,2) cast never sits on a half-up knife
+        # edge (Spark and DuckDB tie-break differently there).
+        r2(F.col("c_acctbal")).alias("acctbal_dec"),
     )
     return enforce_schema(c, target)
 

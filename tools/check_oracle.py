@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import traceback
@@ -26,10 +27,16 @@ TABLES = [
 
 
 def normalize(v):
+    # Stricter than round(x, 6): the driver hashes raw values, so the
+    # local gate must not paper over sub-1e-6 divergence. Queries are
+    # expected to quantize floats themselves (r/sql_r helpers); 9 dp
+    # only absorbs half-ulp noise on the already-quantized grid.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return round(v, 9)
+    if isinstance(v, decimal.Decimal):
+        return v.normalize()
     if isinstance(v, (list, tuple)):
         return tuple(normalize(x) for x in v)
     return v
