@@ -1,8 +1,14 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+"""Benchmark harness: every registry query at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
     {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": <sf>}
+
+``value`` sums the HEADLINE subset only (stable round-over-round
+metric); ``queries`` carries per-query wall time for the FULL
+registry so per-operator regressions are visible. A query that
+throws gets the sentinel -1.0 in the map and is excluded from every
+total.
 
 Each query is executed fully (noop sink — no driver collect, no
 result materialization skew) after a warm-up of the session. Wall
@@ -67,7 +73,8 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     spark.range(1000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
+    all_names = list(REGISTRY)
+    for name in all_names:
         try:
             REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
@@ -79,7 +86,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in all_names:
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
         try:
@@ -90,7 +97,9 @@ def main() -> None:
             # a sentinel makes the failure visible in BENCH_r{N}.json
             times[name] = -1.0
 
-    total = round(sum(times.values()), 3)
+    # sentinels stay visible in the map but never deflate a total
+    total = round(sum(times[n] for n in HEADLINE if times.get(n, -1.0) >= 0), 3)
+    registry_total = round(sum(t for t in times.values() if t >= 0), 3)
     _pipeline_throughput(spark, 5_000)  # warm the pipeline plan shapes
     pipeline = _pipeline_throughput(spark)
     print(
@@ -101,6 +110,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "registry_queries_total": registry_total,
                 "pipeline_rows_per_sec": pipeline,
             }
         )

@@ -46,6 +46,7 @@ def connected_components(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_label")
     ).persist()
 
+    changed = -1
     for _ in range(max_iter):
         # smallest neighbor label per vertex
         neighbor_min = (
@@ -71,6 +72,14 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # A component with diameter > max_iter would get silently
+        # wrong labels; fail loudly instead of returning them.
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("_id").alias(id_col), F.col("_label").alias("component"))
 
 

@@ -174,6 +174,7 @@ def simhash_signatures(
     bits: int = 64,
     seed: int = 42,
     out_col: str = "simhash64",
+    token_hash=None,
 ) -> DataFrame:
     """SimHash via explode + hash aggregation — the scale path.
 
@@ -184,9 +185,15 @@ def simhash_signatures(
     expression (interpreter-bound), while the agg form runs in
     whole-stage-codegen'd hash aggregation (~10x faster measured at
     5000 docs). One shuffle on the doc id.
+
+    ``token_hash``: optional ``Column -> Column`` producing the
+    per-token integer hash (default xxhash64(tok, seed)); pass
+    ``sampling.portable_hash60`` composition with ``bits=60`` for a
+    DuckDB-reproducible fingerprint.
     """
     exploded = df.select(F.col(id_col), F.explode(tokens).alias("_tok"))
-    h = F.xxhash64(F.col("_tok"), F.lit(seed))
+    tok = F.col("_tok")
+    h = token_hash(tok) if token_hash is not None else F.xxhash64(tok, F.lit(seed))
     aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -213,14 +220,15 @@ def simhash_candidate_pairs(
     simhash_col: str,
     max_distance: int = 3,
     blocks: int = 4,
+    bits: int = 64,
 ) -> DataFrame:
     """Pairs within ``max_distance`` Hamming bits, via block-LSH.
 
     Pigeonhole: distance ≤ blocks-1 guarantees at least one of
-    ``blocks`` equal 16-bit blocks, so recall is exact for
-    max_distance < blocks. Block equi-join = one shuffle.
+    ``blocks`` equal (bits/blocks)-wide blocks, so recall is exact
+    for max_distance < blocks. Block equi-join = one shuffle.
     """
-    width = 64 // blocks
+    width = bits // blocks
     mask = (1 << width) - 1
     # block index unrolled at plan-build time (literal shift amounts)
     blocked = df.select(

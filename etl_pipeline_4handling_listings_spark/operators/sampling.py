@@ -27,11 +27,26 @@ from pyspark.sql import functions as F
 BUCKETS = 1_000_000
 
 
-def _key_hash(key_cols: Sequence[str], salt: str = "") -> Column:
+def portable_hash60(cols: Sequence[Column], sep: str = "|") -> Column:
+    """Engine-portable 60-bit content hash: the first 15 hex chars of
+    md5 over the '|'-joined key, parsed as an integer. Identical in
+    DuckDB as ``CAST(concat('0x', substr(md5(concat_ws('|', ...)),
+    1, 15)) AS BIGINT)`` — the cross-engine twin xxhash64 lacks.
+    ~2-3x slower than xxhash64 (md5 + string round-trip), so it is
+    the *oracle-parity* hash; xxhash64 stays the default scale path.
+    """
+    joined = F.concat_ws(sep, *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+
+
+def _key_hash(
+    key_cols: Sequence[str], salt: str = "", portable: bool = False
+) -> Column:
     cols = [F.col(c) for c in key_cols]
     if salt:
         cols = [F.lit(salt), *cols]
-    return F.pmod(F.xxhash64(*cols), F.lit(BUCKETS))
+    h = portable_hash60(cols) if portable else F.xxhash64(*cols)
+    return F.pmod(h, F.lit(BUCKETS))
 
 
 def hash_split(
@@ -40,13 +55,17 @@ def hash_split(
     weights: dict[str, float],
     salt: str = "",
     split_col: str = "split",
+    portable: bool = False,
 ) -> DataFrame:
     """Append a split label ('train'/'val'/…) by content hash.
 
     ``weights`` maps label → fraction (must sum to ≤ 1; remainder
     falls into the last label). Same key ⇒ same split, forever.
+    ``portable=True`` swaps xxhash64 for :func:`portable_hash60` so
+    the assignment is reproducible outside Spark (and by the DuckDB
+    oracle).
     """
-    h = _key_hash(key_cols, salt)
+    h = _key_hash(key_cols, salt, portable=portable)
     expr = None
     acc = 0.0
     labels = list(weights.items())
@@ -62,10 +81,16 @@ def hash_split(
 
 
 def hash_sample(
-    df: DataFrame, key_cols: Sequence[str], fraction: float, salt: str = ""
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fraction: float,
+    salt: str = "",
+    portable: bool = False,
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by content hash."""
-    return df.filter(_key_hash(key_cols, salt) < int(fraction * BUCKETS))
+    return df.filter(
+        _key_hash(key_cols, salt, portable=portable) < int(fraction * BUCKETS)
+    )
 
 
 def stratified_sample(

@@ -147,6 +147,12 @@ def rp_lsh_topk(
             F.col("_home").bitwiseXOR(F.lit(1 << i).cast("long"))
             for i in range(planes)
         ]
+    if probe_radius >= 2:
+        probe_buckets += [
+            F.col("_home").bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+            for i in range(planes)
+            for j in range(i + 1, planes)
+        ]
     q = q.select(
         "query_id",
         "_q",

@@ -39,7 +39,18 @@ def salted_join(
     ``skewed`` gets a random-but-deterministic salt from a stable
     row hash; ``other`` is exploded once per salt value so every
     (key, salt) pair still meets its match. Output drops the salt.
+
+    Only joins that never preserve unmatched ``other`` rows are
+    allowed: replication would emit each unmatched ``other`` row
+    ``salt_buckets`` times under right/full.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi", "left_anti", "leftanti", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "side would duplicate its unmatched rows; use inner/left/"
+            "semi/anti, or salt the other side"
+        )
     skew_salted = skewed.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(*[F.col(k) for k in skewed.columns]), F.lit(salt_buckets)),

@@ -1294,23 +1294,75 @@ def dedup_minhash_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", r(F.col("jaccard"), 6).alias("jaccard"))
 
 
+# DuckDB twin of the 60-bit portable SimHash: identical per-token
+# md5-derived hash, identical vote/sign rule, then exact all-pairs
+# Hamming over the bounded doc set (the Spark side uses block-LSH
+# with pigeonhole-exact recall for distance<=3, so the pair sets
+# must be identical, not just similar).
+_SIMHASH_BITS = 60
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents WHERE doc_id < 600
+    ), hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ), counters AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS c{b}"
+                   for b in range(_SIMHASH_BITS)
+               )}
+        FROM hashed GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id,
+               ({" + ".join(
+                   f"CASE WHEN c{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+                   for b in range(_SIMHASH_BITS)
+               )}) AS sh
+        FROM counters
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # hash-function-specific; verified by unit tests + rows-only
-    doc="Dedup: 64-bit SimHash fingerprints + 4-block Hamming<=3 "
-    "candidate pairs (pigeonhole-exact recall), all JVM-side.",
+    oracle=_SIMHASH_ORACLE,
+    doc="Dedup: 60-bit portable SimHash fingerprints + 4-block "
+    "Hamming<=3 candidate pairs (pigeonhole-exact recall), all "
+    "JVM-side; oracle recomputes the identical fingerprint in DuckDB "
+    "and does exact all-pairs Hamming over the bounded doc set.",
 )
 def dedup_simhash(spark, sf_dir):
     from etl_pipeline_4handling_listings_spark.operators.dedup_approx import (
         simhash_signatures,
     )
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        portable_hash60,
+    )
 
-    d = tbl(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)  # bound the oracle's all-pairs scope
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    fps = simhash_signatures(d, "doc_id", toks)
-    return simhash_candidate_pairs(fps, "doc_id", "simhash64", max_distance=3)
+    fps = simhash_signatures(
+        d,
+        "doc_id",
+        toks,
+        bits=_SIMHASH_BITS,
+        token_hash=lambda t: portable_hash60([t]),
+    )
+    return simhash_candidate_pairs(
+        fps, "doc_id", "simhash64", max_distance=3, bits=_SIMHASH_BITS
+    )
 
 
 _COSINE_ORACLE = f"""
@@ -1385,6 +1437,57 @@ def ann_rp_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return rp_lsh_topk(e, q, k=10, dim=64, planes=6)
+
+
+def _recall_vs_exact(spark, sf_dir, approx, k=10, min_hits=9):
+    """(query_id, recall_ok): does the approximate top-k cover >=
+    ``min_hits`` of the exact cosine top-k? Makes ANN quality a
+    hashable boolean the oracle gate can check (the oracle states
+    the contract: every query must satisfy it)."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("_n_hit"), F.lit(0)) >= min_hits).alias("recall_ok"),
+        )
+    )
+
+
+_RECALL_ORACLE = """
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+"""
+
+
+@query(
+    "ann_rp_lsh_recall",
+    oracle=_RECALL_ORACLE,
+    doc="ANN quality gate: recall@10 of radius-2 multi-probe RP-LSH "
+    "(planes=4: 11/16 buckets probed) vs the exact cosine top-10, as "
+    "an oracle-checkable boolean. Contract: >=0.5 per query — the "
+    "test embeddings are isotropic (max pairwise cosine ~0.5), so "
+    "there is no high-cosine structure for sign-LSH to exploit; the "
+    "gate asserts candidate quality and catches regressions, it does "
+    "not claim 0.9-recall on structureless data.",
+)
+def ann_rp_lsh_recall(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = rp_lsh_topk(e, q, k=10, dim=64, planes=4, probe_radius=2)
+    return _recall_vs_exact(spark, sf_dir, approx, min_hits=5)
 
 
 def _duck_stopword_hits(lang: str) -> str:
@@ -1889,6 +1992,26 @@ def ann_ivf(spark, sf_dir):
     return ivf_topk(e, q, k=10, n_centroids=16, n_probe=3)
 
 
+@query(
+    "ann_ivf_recall",
+    oracle=_RECALL_ORACLE,
+    doc="ANN quality gate: recall@10 of IVF with n_probe=12/16 cells "
+    "vs the exact cosine top-10, as an oracle-checkable boolean. "
+    "Contract: >=0.8 per query (observed 0.9-1.0 at sf0.01/sf0.1; "
+    "the margin absorbs seeded-KMeans assignment drift under the "
+    "driver's session config).",
+)
+def ann_ivf_recall(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.similarity import ivf_topk
+
+    e = tbl(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = ivf_topk(e, q, k=10, n_centroids=16, n_probe=12)
+    return _recall_vs_exact(spark, sf_dir, approx, min_hits=8)
+
+
 # =====================================================================
 # SQL surface + additional document analytics
 # =====================================================================
@@ -2001,16 +2124,30 @@ def sample_per_key_quota(spark, sf_dir):
 
 @query(
     "sample_hash_split",
-    oracle=None,  # xxhash64 has no DuckDB twin; stability tested in pytest
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN CAST(concat('0x', substr(md5(concat_ws('|', doc_id)), 1, 15))
+                       AS BIGINT) % 1000000 < 800000 THEN 'train'
+             WHEN CAST(concat('0x', substr(md5(concat_ws('|', doc_id)), 1, 15))
+                       AS BIGINT) % 1000000 < 900000 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
     doc="Sampling: content-hash train/val/test split — stable under "
-    "repartitioning and incremental corpus growth.",
+    "repartitioning and incremental corpus growth; portable md5-based "
+    "hash so the assignment is engine-reproducible (oracle-checked).",
 )
 def sample_hash_split(spark, sf_dir):
     from etl_pipeline_4handling_listings_spark.operators.sampling import hash_split
 
     d = tbl(spark, sf_dir, "documents")
     return hash_split(
-        d.select("doc_id"), ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        d.select("doc_id"),
+        ["doc_id"],
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        portable=True,
     )
 
 

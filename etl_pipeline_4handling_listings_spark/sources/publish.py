@@ -71,13 +71,13 @@ def publish_staging_swap(
     """
     expected = df.count() if validate else None
     write_jdbc(df, url, staging_table, mode="overwrite", properties=properties)
+    spark = df.sparkSession
+    back = spark.read.jdbc(url, staging_table, properties=properties or {})
     if validate and expected is not None:
-        spark = df.sparkSession
-        back = spark.read.jdbc(url, staging_table, properties=properties or {})
         actual = back.count()
         if actual != expected:
             raise RuntimeError(
                 f"publish validation failed: wrote {expected} rows, "
                 f"staging has {actual}"
             )
-        back.write.mode("overwrite").jdbc(url, final_table, properties=properties)
+    back.write.mode("overwrite").jdbc(url, final_table, properties=properties)
