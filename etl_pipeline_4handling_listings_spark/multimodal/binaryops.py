@@ -10,23 +10,29 @@ Design for a 100 TB multimodal pipeline:
 - decode / feature-extract runs as Arrow-batched ``mapInPandas``
   so bytes cross to Python once per batch, partitions bound memory.
 
-The actual pixel/sample decode is STUBBED: codec libraries (PIL,
-ffmpeg, torchaudio) are not in this container. The stub is
-deterministic (dimensions derived from a stable content hash) so
-the Spark-side plumbing — schemas, batching, partition sizing,
-UDF signatures — is real and testable; swap ``_decode_stub`` for a
-real decoder in production (marked below).
+Pixel decode is an optional dependency: when Pillow imports, image
+bytes are decoded for real (``_decode_pil``); otherwise a
+deterministic stub (dimensions derived from a stable content hash)
+keeps the Spark-side plumbing — schemas, batching, partition
+sizing, UDF signatures — real and testable without codec
+libraries. ffmpeg/torchaudio (video/audio) stay stub-only.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional codec dependency — absent in this container
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
 
 # magic-byte prefixes → format label (hex, uppercase)
 _MAGIC = {
@@ -73,12 +79,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_stub(content: bytes) -> tuple[int, int, int, float]:
-    """Deterministic stand-in for a real image decode.
+    """Deterministic stand-in for a real image decode (no Pillow).
 
-    PRODUCTION: replace with e.g.
-        from PIL import Image; img = Image.open(io.BytesIO(content))
-    Dimensions/luma here derive from a stable content hash so tests
-    are reproducible without codec libraries.
+    Dimensions/luma derive from a stable content hash so tests are
+    reproducible without codec libraries.
     """
     h = hashlib.sha256(content or b"").digest()
     width = 64 + h[0] % 192
@@ -88,20 +92,41 @@ def _decode_stub(content: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, mean_luma
 
 
+def _decode_pil(content: bytes) -> tuple[int, int, int, float]:
+    """Real decode via Pillow: dimensions + mean luminance."""
+    img = _PILImage.open(io.BytesIO(content))
+    channels = len(img.getbands())
+    luma = img.convert("L")
+    hist = luma.histogram()
+    total = sum(hist)
+    mean = sum(i * c for i, c in enumerate(hist)) / total / 255.0 if total else 0.0
+    return img.width, img.height, channels, round(mean, 6)
+
+
+#: active decoder — Pillow when importable, deterministic stub otherwise
+default_decoder = _decode_pil if _PILImage is not None else _decode_stub
+
+
 def decode_images(
     df: DataFrame,
     id_col: str = "item_id",
     content_col: str = "content",
     batch_partitions: int | None = None,
+    decoder=None,
 ) -> DataFrame:
     """Decode image bytes → feature columns via Arrow-batched
     ``mapInPandas``. Output: (id, width, height, channels, mean_luma).
+
+    ``decoder``: ``bytes -> (w, h, channels, mean_luma)``; defaults
+    to :data:`default_decoder` (Pillow when installed, else the
+    deterministic stub).
 
     ``batch_partitions`` bounds per-task memory the same way the
     reference sizes its API batches (transform.py:504-520) — at
     100 TB you size it so each partition's binary payload fits the
     executor's Arrow buffer budget.
     """
+    decode = decoder if decoder is not None else default_decoder
     src = df.select(id_col, content_col)
     if batch_partitions:
         src = src.repartition(batch_partitions)
@@ -114,7 +139,7 @@ def decode_images(
             if pdf.empty:
                 continue
             feats = [
-                _decode_stub(bytes(b) if b is not None else b"")
+                decode(bytes(b) if b is not None else b"")
                 for b in pdf[content_col]
             ]
             fdf = pd.DataFrame(

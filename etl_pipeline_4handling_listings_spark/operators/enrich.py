@@ -44,10 +44,13 @@ def batched_lookup(
     batch degraded — reference :458-481 yields null ids with
     IssueText instead of failing the job).
 
-    Partitioning mirrors the reference's quota logic
-    (:504-520): ``repartition(ceil(n / batch_size))`` so each
-    partition is one transport batch. The count here is exact —
-    cheap at this cardinality since only key columns are scanned.
+    Partitioning mirrors the reference's quota logic (:504-520) —
+    one transport call per ``batch_size`` keys — but the partition
+    count is capped at 4x cluster parallelism: batching happens by
+    slicing the Arrow frame *inside* the task, so 10^9 distinct keys
+    cannot create millions of tiny shuffle partitions. The count
+    here is exact — cheap at this cardinality since only key columns
+    are scanned.
     """
     # persist the distinct key set: it feeds both the sizing count
     # and the repartition — without the cache the distinct shuffle
@@ -59,7 +62,8 @@ def batched_lookup(
         for field in result_schema.fields:
             empty = empty.withColumn(field.name, F.lit(None).cast(field.dataType))
         return empty.withColumn(ISSUE_COL, F.lit(None).cast("string"))
-    num_batches = max(1, math.ceil(n / batch_size))
+    max_parts = max(1, df.sparkSession.sparkContext.defaultParallelism * 4)
+    num_batches = min(max(1, math.ceil(n / batch_size)), max_parts)
     keys = keys.repartition(num_batches)
 
     out_schema = StructType(
@@ -71,24 +75,27 @@ def batched_lookup(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if pdf.empty:
-                continue
-            rows = pdf[key_names].to_dict("records")
-            try:
-                results = transport(rows)
-                issue = None
-            except Exception as exc:  # degrade, don't fail the stage
-                results = [{} for _ in rows]
-                issue = str(exc)[:500]
-            rdf = pd.DataFrame.from_records(results)
-            for col in result_names:
-                if col not in rdf.columns:
-                    rdf[col] = None
-            out = pd.concat(
-                [pdf[key_names].reset_index(drop=True), rdf[result_names]], axis=1
-            )
-            out[ISSUE_COL] = issue
-            yield out
+            # a partition may hold many transport batches; slice the
+            # Arrow frame so each call still sees <= batch_size rows
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows = chunk[key_names].to_dict("records")
+                try:
+                    results = transport(rows)
+                    issue = None
+                except Exception as exc:  # degrade, don't fail the stage
+                    results = [{} for _ in rows]
+                    issue = str(exc)[:500]
+                rdf = pd.DataFrame.from_records(results)
+                for col in result_names:
+                    if col not in rdf.columns:
+                        rdf[col] = None
+                out = pd.concat(
+                    [chunk[key_names].reset_index(drop=True), rdf[result_names]],
+                    axis=1,
+                )
+                out[ISSUE_COL] = issue
+                yield out
 
     return keys.mapInPandas(run, schema=out_schema)
 

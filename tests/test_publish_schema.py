@@ -64,6 +64,19 @@ def test_write_export_sizing(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1000
 
 
+def test_write_export_orc_zlib_roundtrip(spark, tmp_path):
+    # format parity with the reference's ORC+zlib curated export
+    # (ref listings/mls_listings_curated.py:363, ddl/listings.sql:129-131)
+    df = spark.range(500).withColumn("v", F.col("id").cast("string"))
+    path = str(tmp_path / "orc_export")
+    write_export(df, path, fmt="orc", compression="zlib", num_files=1)
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(files) == 1 and files[0].endswith(".zlib.orc")
+    back = spark.read.orc(path)
+    assert back.count() == 500
+    assert dict(back.dtypes) == dict(df.dtypes)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     from etl_pipeline_4handling_listings_spark.sources.writers import (
         write_bucketed_table,

@@ -64,6 +64,26 @@ def test_batched_lookup_success_and_degradation(spark):
     assert all("api down" in r["_issue_text"] for r in out2)
 
 
+def test_batched_lookup_partition_cap(spark):
+    # n >> batch_size * parallelism must NOT create one partition per
+    # batch (the 10^9-key cliff): partitions are capped at 4x
+    # parallelism and batching happens inside the task instead.
+    n, batch_size = 2000, 3
+    df = spark.createDataFrame([(i,) for i in range(n)], ["k"])
+    schema = T.StructType([T.StructField("pid", T.LongType())])
+
+    def sized(rows):
+        # report the transport call's batch size through the result
+        return [{"pid": len(rows)} for _ in rows]
+
+    out = batched_lookup(df, ["k"], sized, schema, batch_size=batch_size)
+    cap = spark.sparkContext.defaultParallelism * 4
+    assert out.rdd.getNumPartitions() <= cap
+    rows = out.collect()
+    assert len(rows) == n
+    assert max(r["pid"] for r in rows) <= batch_size
+
+
 def test_batched_lookup_empty_input(spark):
     df = spark.createDataFrame([], "k INT")
     schema = T.StructType([T.StructField("pid", T.LongType())])
