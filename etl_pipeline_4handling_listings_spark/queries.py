@@ -2839,3 +2839,114 @@ def mm_binary_metadata(spark, sf_dir):
         "content_format",
         "content_sha256",
     )
+
+
+# =====================================================================
+# Time-series joins: as-of (point-in-time) — beyond-reference surface
+# =====================================================================
+
+
+@query(
+    "asof_backward_join",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        FROM events WHERE event_type = 'purchase'
+    ), r AS (
+        SELECT user_id, event_id AS r_event_id, epoch_us(ts) AS r_ts_us,
+               value AS r_value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT l.user_id, l.event_id, l.ts_us, l.value,
+           m.r_ts_us AS click_ts_us, m.r_value AS click_value
+    FROM l LEFT JOIN LATERAL (
+        SELECT r_ts_us, r_value FROM r
+        WHERE r.user_id = l.user_id
+          AND r.r_ts_us <= l.ts_us
+          AND l.ts_us - r.r_ts_us <= 86400000000
+        ORDER BY r.r_ts_us DESC, r.r_event_id DESC LIMIT 1
+    ) m ON TRUE
+    """,
+    doc="As-of backward join: for each purchase, the latest click by "
+    "the same user at-or-before it, within a 24h tolerance. "
+    "Implemented as union + running last(ignorenulls) window — one "
+    "shuffle, no range-join fanout (operators/asof.py). The "
+    "reference has no as-of join; this is beyond-reference "
+    "time-series surface. Oracle = DuckDB LATERAL top-1 with "
+    "identical (ts DESC, event_id DESC) tie-break.",
+)
+def asof_backward_join(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.asof import asof_join
+
+    e = tbl_events(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us", "value"
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("r_ts_us"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="r_ts_us",
+        value_cols=["click_value"],
+        tolerance=86_400_000_000,
+        tiebreak="event_id",
+        matched_ts_col="click_ts_us",
+    ).select("user_id", "event_id", "ts_us", "value", "click_ts_us", "click_value")
+
+
+@query(
+    "asof_forward_join",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'signup'
+    ), r AS (
+        SELECT user_id, event_id AS r_event_id, epoch_us(ts) AS r_ts_us,
+               value AS r_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, l.event_id, l.ts_us,
+           m.r_ts_us AS first_purchase_ts_us, m.r_value AS first_purchase_value
+    FROM l LEFT JOIN LATERAL (
+        SELECT r_ts_us, r_value FROM r
+        WHERE r.user_id = l.user_id AND r.r_ts_us >= l.ts_us
+        ORDER BY r.r_ts_us ASC, r.r_event_id ASC LIMIT 1
+    ) m ON TRUE
+    """,
+    doc="As-of forward join: each signup matched to the same user's "
+    "next purchase at-or-after it (time-to-convert analysis). Same "
+    "union+window plan, first(ignorenulls) over the following frame.",
+)
+def asof_forward_join(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.asof import asof_join
+
+    e = tbl_events(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts_us"
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("r_ts_us"),
+        F.col("value").alias("first_purchase_value"),
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="r_ts_us",
+        value_cols=["first_purchase_value"],
+        direction="forward",
+        tiebreak="event_id",
+        matched_ts_col="first_purchase_ts_us",
+    ).select(
+        "user_id", "event_id", "ts_us", "first_purchase_ts_us", "first_purchase_value"
+    )
