@@ -2950,3 +2950,55 @@ def asof_forward_join(spark, sf_dir):
     ).select(
         "user_id", "event_id", "ts_us", "first_purchase_ts_us", "first_purchase_value"
     )
+
+
+@query(
+    "range_interval_join",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts_us
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, event_id AS click_id,
+               epoch_us(ts) AS w_start_us,
+               epoch_us(ts) + 7200000000 AS w_end_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.purchase_id, p.p_ts_us, c.click_id
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.w_start_us <= p.p_ts_us AND p.p_ts_us <= c.w_end_us
+    """,
+    doc="Range join: purchases attributed to every click whose 2h "
+    "window contains them. Binned equi-join rewrite "
+    "(operators/rangejoin.py) — intervals replicate onto 2h bins, "
+    "points hash-join on (user, bin), exact predicate re-checked; "
+    "no BroadcastNestedLoopJoin, no CartesianProduct at any scale. "
+    "Oracle = plain inequality join (fine at sf0.01).",
+)
+def range_interval_join(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    e = tbl_events(spark, sf_dir)
+    points = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    intervals = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("w_start_us"),
+        (F.col("ts_us") + F.lit(7_200_000_000)).alias("w_end_us"),
+    )
+    return point_in_interval_join(
+        points,
+        intervals,
+        on=["user_id"],
+        point_col="p_ts_us",
+        start_col="w_start_us",
+        end_col="w_end_us",
+        bin_width=7_200_000_000,
+    ).select("user_id", "purchase_id", "p_ts_us", "click_id")
