@@ -3002,3 +3002,585 @@ def range_interval_join(spark, sf_dir):
         end_col="w_end_us",
         bin_width=7_200_000_000,
     ).select("user_id", "purchase_id", "p_ts_us", "click_id")
+
+
+# =====================================================================
+# TPC-H fill-ins: remaining analytics shapes (correlated subqueries,
+# exists/anti semi-joins, global-scalar HAVING, distributions).
+# Adapted to the synthetic schema (no partsupp/commitdate columns);
+# the operator and plan shapes are the point, not literal TPC-H.
+# =====================================================================
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 10
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="Q4 shape: EXISTS correlated subquery -> left-semi hash join "
+    "('order shipped late' proxy: any line shipped >10 days after "
+    "order date). Plan: semi join with equi key + residual range "
+    "predicate, then partial/final hash agg.",
+)
+def q4_order_priority(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders").withColumn(
+        "o_date", F.col("o_orderdate").cast("date")
+    )
+    o = o.filter(
+        (F.col("o_date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_date") < F.lit("1996-04-01").cast("date"))
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("l_sdate")
+    )
+    hit = o.join(
+        li,
+        on=(F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_sdate") > F.date_add(F.col("o_date"), 10)),
+        how="left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_r('SUM(volume)', 2)} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="Q7 shape: nation-pair volume by year. Five-way join with "
+    "both nation legs broadcast; disjunctive pair filter applied "
+    "after the joins; partial/final agg on (nation, nation, year).",
+)
+def q7_volume_shipping(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    return df.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        r2(F.sum("volume")).alias("revenue")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {sql_r("SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume)", 4)} AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part      ON p_partkey = l_partkey
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) all_sales
+    GROUP BY o_year
+    """,
+    doc="Q8 shape: market share = conditional-sum ratio per year "
+    "within one customer region and part type. Seven-way join; "
+    "region/nation broadcast; single agg computes both numerator "
+    "and denominator (no second scan).",
+)
+def q8_market_share(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    rg = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    df = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(rg), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return df.groupBy("o_year").agg(
+        r4(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            / F.sum("volume")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_r('SUM(amount)', 2)} AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="Q9 shape: profit by supplier nation and year over a part-"
+    "name pattern. Cost term adapted to 0.6*p_retailprice*l_quantity "
+    "(no partsupp table in the synthetic schema). LIKE filter "
+    "reaches the part scan; nation broadcast.",
+)
+def q9_product_profit(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    o = tbl(spark, sf_dir, "orders")
+    df = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return df.groupBy("nation", "o_year").agg(r2(F.sum("amount")).alias("sum_profit"))
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="Q13 shape: order-count distribution. Left outer join with a "
+    "residual predicate INSIDE the join condition (not a post-"
+    "filter, which would drop zero-order customers), double agg.",
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            on=(F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            how="left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_r('SUM(l_extendedprice * (1 - l_discount))', 2)} AS total_revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="Q15 shape: supplier(s) achieving max 3-month revenue — "
+    "view + global-scalar equality. Spark: agg once, broadcast the "
+    "1-row max, equality filter; revenue quantized (r2) on both "
+    "engines BEFORE the max comparison so the argmax is portable.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    rev = (
+        li.filter(
+            (d >= F.lit("1996-01-01").cast("date"))
+            & (d < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = tbl(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+        SELECT o.l_partkey, o.l_suppkey, o.unit_price,
+               s_acctbal, s_name, n_name
+        FROM offers o
+        JOIN supplier ON o.l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT {sql_r('s_acctbal', 2)} AS acctbal, s_name, n_name,
+           p_partkey, {sql_r('unit_price', 4)} AS min_unit_price
+    FROM eu
+    JOIN part ON p_partkey = eu.l_partkey
+    WHERE p_size = 15 AND p_type = 'SMALL'
+      AND unit_price = (
+          SELECT MIN(unit_price) FROM eu e2 WHERE e2.l_partkey = eu.l_partkey
+      )
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="Q2 shape: correlated min — cheapest regional supplier per "
+    "part (unit price derived from lineitem; no partsupp table). "
+    "Spark: de-correlate into groupBy-min + equality self-join on "
+    "the RAW double (identical IEEE ops both engines; output "
+    "rounded). Total-order tiebreaks make LIMIT portable.",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    rg = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        offers.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(rg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "l_suppkey", "unit_price", "s_acctbal", "s_name", "n_name")
+    )
+    best = eu.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_price").alias("b_min")
+    )
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    return (
+        eu.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("b_min")),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            r2("s_acctbal").alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            r4("unit_price").alias("min_unit_price"),
+        )
+        .orderBy(F.col("acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_cents
+    FROM v
+    WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM v)
+    """,
+    doc="Q11 shape: HAVING against a global scalar (groups holding "
+    ">0.1% of one nation's line value). Values summed as integer "
+    "cents — bit-exact across engines, no float threshold knife-"
+    "edge. Spark: agg once, broadcast the 1-row total, filter.",
+)
+def q11_important_stock(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)).alias("value_cents")
+        )
+    )
+    total = v.agg(F.sum("value_cents").alias("_total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("_total"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="Q16 shape: NOT IN anti-join (complaint suppliers ≙ negative "
+    "balance) + COUNT(DISTINCT) per part attribute triple. Spark: "
+    "left_anti against the (tiny, broadcast) excluded set, then "
+    "distinct-count agg.",
+)
+def q16_supplier_cnt(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49))
+    )
+    bad = tbl(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            how="left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle=f"""
+    WITH perpart AS (
+        SELECT l_partkey AS a_partkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_r('SUM(l_extendedprice) / 7.0', 2)} AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN perpart ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(l_quantity AS BIGINT) * 5 * n < sum_qty
+    """,
+    doc="Q17 shape: correlated scalar subquery (below 20% of the "
+    "part's average quantity) de-correlated into a per-part agg + "
+    "re-join. The threshold compare is pure integer arithmetic "
+    "(quantities are integral): qty*5*n < sum_qty — bit-exact on "
+    "both engines, no float average involved.",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    perpart = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(perpart, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity").cast("long") * 5 * F.col("n") < F.col("sum_qty"))
+        .agg(r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ), tot AS (
+        SELECT l_partkey AS t_partkey, SUM(qty) AS total_qty
+        FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM shipped JOIN tot ON t_partkey = l_partkey
+        WHERE qty * 6 > total_qty
+    )
+    """,
+    doc="Q20 shape: nested IN subqueries -> semi-join pipeline "
+    "(suppliers with an outsized >1/6 share of some bolt part since "
+    "1996). Integer quantity sums; Spark: agg, self-join on part, "
+    "share filter, left_semi into supplier.",
+)
+def q20_excess_suppliers(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    shipped = (
+        li.filter(F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    excess = (
+        shipped.join(tot, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("qty") * 6 > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    return s.join(
+        excess, F.col("s_suppkey") == F.col("l_suppkey"), how="left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH per AS (
+        SELECT l_orderkey, l_suppkey, MAX(CAST(l_shipdate AS DATE)) AS m_ship
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ), ord AS (
+        SELECT l_orderkey AS o_key, MAX(m_ship) AS order_max,
+               COUNT(*) AS n_supp
+        FROM per GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per
+    JOIN ord ON o_key = per.l_orderkey
+    JOIN orders ON o_orderkey = per.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = per.l_suppkey
+    WHERE per.m_ship = ord.order_max AND ord.n_supp >= 2
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="Q21 shape: the exists/not-exists pair de-correlated into "
+    "two aggregates — supplier was the LAST shipper (its per-order "
+    "max shipdate equals the order max; ties both qualify, exactly "
+    "the not-exists-strictly-later semantics) on multi-supplier "
+    "finished orders. Unique s_name makes the LIMIT portable.",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("m_ship")
+    )
+    ordagg = per.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.max("m_ship").alias("order_max"), F.count("*").alias("n_supp")
+    )
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = tbl(spark, sf_dir, "supplier")
+    return (
+        per.join(ordagg, F.col("o_key") == F.col("l_orderkey"))
+        .filter((F.col("m_ship") == F.col("order_max")) & (F.col("n_supp") >= 2))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
