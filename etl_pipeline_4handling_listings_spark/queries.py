@@ -3584,3 +3584,78 @@ def q21_waiting_supplier(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# =====================================================================
+# Sketches: approximate aggregates with error-bound gates. The
+# approximate value itself is engine-specific, so the CORRECTNESS
+# contract is (exact value, within-bound boolean) — same pattern as
+# the ANN recall gates.
+# =====================================================================
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS hll_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="HyperLogLog++ distinct-count sketch vs exact: per priority "
+    "class, approx_count_distinct must land within 5% of the exact "
+    "count. At 100 TB the sketch is the only sane plan — fixed "
+    "~1.5 KB state per group, mergeable partials, no distinct "
+    "shuffle of the full key set; the exact count here is the "
+    "small-SF witness that the sketch is wired correctly.",
+)
+def sketch_hll_distinct(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            (
+                F.abs(F.col("_hll") - F.col("exact_custs"))
+                <= 0.05 * F.col("exact_custs")
+            ).alias("hll_ok"),
+        )
+    )
+
+
+@query(
+    "sketch_approx_percentile",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_r('quantile_cont(l_extendedprice, 0.5)', 2)} AS exact_p50,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Quantile sketch vs exact: per return flag, "
+    "percentile_approx (GK/KLL-style sketch, mergeable, bounded "
+    "memory) must land within 2% of the exact interpolated median. "
+    "Exact percentile requires a full sort per group — the sketch "
+    "is the 100 TB path, the exact value is the witness.",
+)
+def sketch_approx_percentile(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("_exact"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            r2("_exact").alias("exact_p50"),
+            (
+                F.abs(F.col("_approx") - F.col("_exact"))
+                <= 0.02 * F.abs(F.col("_exact"))
+            ).alias("approx_ok"),
+        )
+    )
