@@ -112,3 +112,33 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+
+
+# PII patterns chosen for regex-dialect portability: the same
+# pattern string compiles identically under Java regex (Spark) and
+# RE2 (DuckDB/Go) — no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Mask emails then phone numbers with <EMAIL>/<PHONE> tokens.
+
+    Email first: its replacement token contains no digit runs, so
+    the phone pass cannot re-match inside an already-redacted span.
+    Pure ``regexp_replace`` — codegen'd, zero Python, safe on a
+    100 TB documents table.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: str | Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text — audit companion to
+    :func:`redact_pii` so a pipeline can log what it masked."""
+    c = F.col(col) if isinstance(col, str) else col
+    emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    phones = F.size(F.regexp_extract_all(no_email, F.lit(PII_PHONE_RE), F.lit(0)))
+    return emails, phones

