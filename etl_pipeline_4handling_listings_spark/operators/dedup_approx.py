@@ -264,3 +264,54 @@ def simhash_candidate_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    shingles: Column,
+    threshold: float,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= threshold via an inverted index —
+    no quadratic cross join, no approximation.
+
+    Explode each document's (distinct) shingles, self-join on the
+    shingle, count co-occurrences per pair: pairs sharing zero
+    shingles (Jaccard 0) never materialize at all, and
+    ``|A ∪ B| = |A| + |B| - |A ∩ B|`` closes the formula from
+    integer counts only — bit-exact in any engine.
+
+    Scale: cost is Σ_shingle df·(df-1)/2 over document frequencies,
+    not |docs|² — near-linear on real corpora where shingles are
+    rare. A shingle appearing in a large fraction of the corpus
+    (df ~ |docs|) degrades toward quadratic; de-noise inputs (or
+    cap df) before calling if that is a real risk.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"), shingles.alias("_shingles")
+    ).withColumn("_sz", F.size("_shingles"))
+    ex = base.select("_id", "_sz", F.explode("_shingles").alias("_sh"))
+    a = ex.select(
+        F.col("_sh"), F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")
+    )
+    b = ex.select(
+        F.col("_sh"), F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")
+    )
+    inter = (
+        a.join(b, ["_sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("_inter"),
+            F.first("_sza").alias("_sa"),
+            F.first("_szb").alias("_sb"),
+        )
+    )
+    jac = F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast(
+        "double"
+    )
+    return inter.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

@@ -207,7 +207,18 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_v"),
     ).withColumn("_feat", array_to_vector(F.col("_v")))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="_feat").fit(v)
+    # a coarse quantizer does not need converged k-means: seeded
+    # random init + few iterations gives equally-usable cells at a
+    # fraction of the cost (k-means|| init alone runs several passes
+    # over the data); recall is governed by n_probe, and the recall
+    # gate (ann_ivf_recall) holds the quality bar
+    model = KMeans(
+        k=n_centroids,
+        seed=seed,
+        featuresCol="_feat",
+        initMode="random",
+        maxIter=8,
+    ).fit(v)
     assigned = model.transform(v).withColumnRenamed("prediction", "_cell")
 
     centroids = [c.tolist() for c in model.clusterCenters()]

@@ -1247,26 +1247,25 @@ _NGRAM_PAIRS_ORACLE = f"""
 @query(
     "dedup_ngram_jaccard",
     oracle=_NGRAM_PAIRS_ORACLE,
-    doc="Dedup: exact all-pairs word-3-gram Jaccard >= 0.5. Quadratic "
-    "oracle path — the LSH variant is the 100TB plan.",
+    doc="Dedup: EXACT word-3-gram Jaccard >= 0.5 via inverted-index "
+    "co-occurrence counting (explode on shingle, pair-join only "
+    "docs that share one, integer-count closure) — no quadratic "
+    "cross join; cost follows shingle document frequencies, not "
+    "|docs|^2. The doc_id bound exists only to keep the DuckDB "
+    "oracle's all-pairs check cheap.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    # quadratic oracle path: bounded to the first 1000 docs so the
-    # all-pairs cost stays fixed at any sf (the LSH variant below is
-    # unbounded — that's the production path)
-    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
-    sh = d.select("doc_id", word_shingles("text", 3).alias("shingles"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            r(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+    from etl_pipeline_4handling_listings_spark.operators.dedup_approx import (
+        exact_jaccard_pairs,
     )
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    pairs = exact_jaccard_pairs(d, "doc_id", word_shingles("text", 3), threshold=0.5)
+    return pairs.select("id_a", "id_b", r(F.col("jaccard"), 6).alias("jaccard"))
 
 
 @query(
@@ -1868,7 +1867,10 @@ def q18_large_orders(spark, sf_dir):
     "the 100TB candidate-generation path).",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    # quadratic oracle path, bounded like dedup_ngram_jaccard
+    # bounded all-pairs path (dense vectors have no inverted index).
+    # NOTE: an unrolled 64-term dot was tried and is 2.5x SLOWER than
+    # the zip_with/aggregate fold here — the giant expression falls
+    # out of codegen (same trap as the simhash fold); keep the fold.
     e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     v = e.select(
         F.col("vec_id").alias("_id"), _as_double(F.col("embedding")).alias("_v")
