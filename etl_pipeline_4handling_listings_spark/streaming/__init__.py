@@ -1,5 +1,6 @@
 from etl_pipeline_4handling_listings_spark.streaming.pipeline import (  # noqa: F401
     foreach_batch_upsert,
     stream_hourly_rollup,
+    stream_interval_join,
     stream_latest_record_dedup,
 )

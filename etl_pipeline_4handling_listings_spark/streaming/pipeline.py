@@ -86,3 +86,37 @@ def foreach_batch_upsert(
         store.merge(deduped)
 
     return sink
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    right rows match left rows with ``right_ts`` in
+    ``[left_ts - max_lag, left_ts]`` on the same key — the streaming
+    twin of the batch range join (operators/rangejoin.py), e.g.
+    purchases attributed to the click window preceding them.
+
+    Both sides carry watermarks, and the time bound appears in the
+    join condition — together they let Spark evict join state once
+    an event can no longer match anything (state is O(events within
+    watermark+lag), not unbounded). Without the time bound a
+    stream-stream inner join must buffer each side forever.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    return l.join(r, cond, "inner")

@@ -157,3 +157,49 @@ def test_stateful_sessionize_closes_on_gap(spark, tmp_path):
     # in-batch gap splitting must emit the first sessions of both users
     assert (7, _ts(1, 0), _ts(1, 5), 2) in got
     assert (9, _ts(1, 0), _ts(1, 0), 1) in got
+
+
+def test_stream_interval_join_attributes_within_lag(spark, tmp_path):
+    from etl_pipeline_4handling_listings_spark.streaming import (
+        stream_interval_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "purch"), str(tmp_path / "click")
+    spark.createDataFrame(
+        [(1, "u1", _ts(3, 0)), (2, "u1", _ts(9, 0)), (3, "u2", _ts(3, 0))],
+        "pid LONG, user STRING, pts TIMESTAMP",
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [
+            (10, "u1", _ts(2, 30)),  # within 2h of purchase 1
+            (11, "u1", _ts(4, 0)),   # AFTER purchase 1, before 2 but lag > 2h
+            (12, "u3", _ts(3, 0)),   # wrong user
+        ],
+        "cid LONG, user STRING, cts TIMESTAMP",
+    ).coalesce(1).write.mode("append").parquet(rsrc)
+
+    lstream = spark.readStream.schema(
+        spark.read.parquet(lsrc).schema
+    ).parquet(lsrc)
+    rstream = spark.readStream.schema(
+        spark.read.parquet(rsrc).schema
+    ).parquet(rsrc)
+    q = (
+        stream_interval_join(
+            lstream, rstream, on="user", left_ts="pts", right_ts="cts",
+            max_lag="2 hours",
+        )
+        .selectExpr("pid", "cid")
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["pid"], r["cid"]) for r in spark.sql("SELECT * FROM attrib").collect()
+    )
+    # purchase 1 matches only click 10; purchase 2 is >2h past both
+    # clicks; purchase 3 has no same-user click
+    assert got == [(1, 10)]
