@@ -42,6 +42,16 @@ AUDIT = {
     "j_semi_join": {"expect": ["LeftSemi"], "forbid": []},
     "j_anti_join": {"expect": ["LeftAnti"], "forbid": []},
     "x1_enrich_lookup": {"expect": ["MapInPandas"], "forbid": []},
+    # as-of join must compile to a window over one exchange — a Join
+    # node would mean the range-fanout plan snuck back in
+    "asof_backward_join": {"expect": ["Window"], "forbid": ["Join"]},
+    "asof_forward_join": {"expect": ["Window"], "forbid": ["Join"]},
+    # range join must be the binned hash join, not a nested loop
+    "range_interval_join": {"expect": ["HashJoin"], "forbid": ["BroadcastNestedLoopJoin"]},
+    "q4_order_priority": {"expect": ["LeftSemi"], "forbid": []},
+    "q16_supplier_cnt": {"expect": ["LeftAnti"], "forbid": []},
+    "q2_min_cost_supplier": {"expect": ["TakeOrderedAndProject"], "forbid": []},
+    "q21_waiting_supplier": {"expect": ["TakeOrderedAndProject"], "forbid": []},
     "dedup_minhash_lsh": {"expect": [], "forbid": []},
     "dedup_simhash": {"expect": ["HashAggregate"], "forbid": []},
     "ann_cosine_topk": {"expect": [], "forbid": []},
