@@ -3758,3 +3758,132 @@ def scalar_array_suite(spark, sf_dir):
         r4(F.sqrt(sumsq)).alias("l2_norm"),
         r4(sumabs).alias("sum_abs"),
     )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_r('SUM(o_totalprice)', 2)} AS sum_price,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Aggregates: CUBE — all 2^2 grouping combinations in one "
+    "pass with GROUPING() disambiguation (the companion to "
+    "agg_rollup's hierarchy).",
+)
+def agg_cube(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            r2(F.sum("o_totalprice")).alias("sum_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "n", "sum_price",
+            "g_status", "g_pri",
+        )
+    )
+
+
+@query(
+    "fuzzy_source_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, substr(lower(text), 1, 24) AS head
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 12
+    """,
+    doc="Fuzzy matching: Levenshtein edit distance <= 12 on "
+    "normalized 24-char prefixes, blocked by source — the classic "
+    "blocked fuzzy-join shape (equi-join on the blocking key keeps "
+    "the plan a hash join; edit distance runs only within blocks, "
+    "never all-pairs). Integer distance — exact in any engine.",
+)
+def fuzzy_source_pairs(spark, sf_dir):
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            "source",
+            F.substring(F.lower(F.col("text")), 1, 24).alias("head"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("_src"),
+        F.col("head").alias("_ha"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("_src"),
+        F.col("head").alias("_hb"),
+    )
+    return (
+        a.join(b, on="_src")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_ha"), F.col("_hb")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+    )
+
+
+@query(
+    "events_user_trend",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id,
+               epoch_us(ts) / 3600000000.0 AS hours,
+               value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {sql_r('covar_pop(value, hours) / var_pop(hours)', 6)} AS slope
+    FROM pts
+    GROUP BY user_id
+    HAVING COUNT(*) >= 5 AND var_pop(hours) > 0
+    """,
+    doc="Per-group OLS trend (purchase value over time) from "
+    "covar_pop/var_pop — regression as a pure built-in aggregate, "
+    "one shuffle, no Python. The applyInPandas grouped-map twin "
+    "(operators/groupmap.py) exists for per-group logic that "
+    "genuinely needs Python (sklearn-style fits) and is tested "
+    "equal to this built-in path.",
+)
+def events_user_trend(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    pts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts_us") / 3_600_000_000.0).alias("hours"),
+        "value",
+    )
+    return (
+        pts.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.covar_pop("value", "hours").alias("_cov"),
+            F.var_pop("hours").alias("_var"),
+        )
+        .filter((F.col("n_purchases") >= 5) & (F.col("_var") > 0))
+        .select(
+            "user_id",
+            "n_purchases",
+            r(F.col("_cov") / F.col("_var"), 6).alias("slope"),
+        )
+    )
