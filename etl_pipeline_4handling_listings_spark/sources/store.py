@@ -219,6 +219,88 @@ class MergeStore:
         )
         self._write_snapshot(merged, nxt)
 
+    def list_versions(self) -> list[str]:
+        """All snapshot versions on disk, oldest first."""
+        return sorted(
+            d
+            for d in os.listdir(self.path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def read_version(self, version: str) -> DataFrame:
+        """Time travel: read a specific retained snapshot (the Delta
+        ``versionAsOf`` analogue; snapshots are immutable so this is
+        just a scan of that version's directory)."""
+        if version not in self.list_versions():
+            raise FileNotFoundError(
+                f"version {version!r} not present at {self.path} "
+                f"(have {self.list_versions()})"
+            )
+        reader = self.spark.read.format(self.fmt)
+        try:
+            with open(self._schema_path()) as f:
+                reader = reader.schema(StructType.fromJson(json.load(f)))
+        except FileNotFoundError:
+            pass
+        return reader.load(self._version_dir(version))
+
+    def read_changes(self, v_from: str, v_to: str | None = None) -> DataFrame:
+        """Change-data-feed between two snapshots (Delta CDF
+        analogue): every key whose row was inserted, updated, or
+        deleted between ``v_from`` and ``v_to`` (default: current),
+        tagged ``_change_type`` ∈ insert|update_postimage|delete.
+
+        Implemented as ONE full-outer join on the store keys plus a
+        null-safe any-column comparison — the same shuffle shape as
+        the merge itself, so a CDC read costs no more than the merge
+        that produced it. Unchanged rows are filtered before the
+        join output materializes.
+        """
+        v_to = v_to or self.current_version()
+        if v_to is None:
+            raise FileNotFoundError(f"MergeStore at {self.path} does not exist")
+        old = self.read_version(v_from)
+        new = self.read_version(v_to)
+        val_cols = [c for c in new.columns if c not in self.keys]
+        o = old.select(
+            *[F.col(k).alias(f"_o_{k}") for k in self.keys],
+            *[F.col(c).alias(f"_o_{c}") for c in val_cols],
+            F.lit(True).alias("_in_old"),
+        )
+        n = new.select(
+            *self.keys, *val_cols, F.lit(True).alias("_in_new")
+        )
+        cond = F.lit(True)
+        for k in self.keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"_o_{k}"))
+        joined = n.join(o, on=cond, how="full_outer")
+        changed_vals = F.lit(False)
+        for c in val_cols:
+            changed_vals = changed_vals | ~F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+        change = (
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_in_new").isNull(), F.lit("delete"))
+            .when(changed_vals, F.lit("update_postimage"))
+        )
+        # keys: either side (equal when both present). values: the
+        # post-image for insert/update, the pre-image for delete —
+        # selected on row presence, NOT coalesce, so an update that
+        # legitimately sets a column to NULL keeps NULL.
+        out_keys = [
+            F.coalesce(F.col(k), F.col(f"_o_{k}")).alias(k) for k in self.keys
+        ]
+        out_vals = [
+            F.when(F.col("_in_new").isNotNull(), F.col(c))
+            .otherwise(F.col(f"_o_{c}"))
+            .alias(c)
+            for c in val_cols
+        ]
+        return (
+            joined.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_keys, *out_vals, "_change_type")
+        )
+
     def vacuum(self, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` snapshots (S9 analogue)."""
         current = self.current_version()

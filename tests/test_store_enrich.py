@@ -162,3 +162,47 @@ def test_partition_pruned_merge_hardlinks_untouched(spark, tmp_path):
     # vacuum old snapshot: hardlinked data must survive
     store.vacuum(keep=1)
     assert store.read().count() == 31
+
+
+def test_store_time_travel_and_cdc(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "cdc_store")
+    store = MergeStore(spark, path, keys=["k"])
+    v0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)], "k LONG, v STRING, x DOUBLE"
+    )
+    store.create_if_absent(v0)
+    store.merge(v0)  # v00001 = initial load
+    batch = spark.createDataFrame(
+        [(2, "B", None), (4, "d", 4.0), (3, "DELETE", None)],
+        "k LONG, v STRING, x DOUBLE",
+    )
+    # update k=2 (x set to NULL — post-image must keep NULL), insert
+    # k=4, delete k=3 via a source-side tombstone marker (delete is a
+    # WHEN MATCHED clause; update must not swallow the marker row)
+    store.merge(
+        batch,
+        update_condition=lambda t, s: s["v"] != "DELETE",
+        delete_condition=lambda t, s: s["v"] == "DELETE",
+        insert_condition=lambda t, s: s["v"] != "DELETE",
+    )
+
+    # time travel: v00001 still readable and unchanged
+    assert sorted(
+        (r["k"], r["v"]) for r in store.read_version("v00001").collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+    with pytest.raises(FileNotFoundError, match="not present"):
+        store.read_version("v99999")
+
+    changes = {
+        r["k"]: (r["_change_type"], r["v"], r["x"])
+        for r in store.read_changes("v00001").collect()
+    }
+    assert changes == {
+        2: ("update_postimage", "B", None),
+        3: ("delete", "c", None),
+        4: ("insert", "d", 4.0),
+    }
+    # unchanged key 1 must not appear
+    assert 1 not in changes

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import decimal
 import math
+import os
 import sys
 import traceback
 
@@ -57,6 +58,12 @@ def main() -> int:
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    # hostile-driver probe: the real driver builds its own session,
+    # possibly in a non-UTC zone — SPARK_GRAFT_TZ=America/New_York
+    # re-runs the whole gate under that assumption
+    tz = os.environ.get("SPARK_GRAFT_TZ")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
 
     con = duckdb.connect()
     for t in TABLES:
