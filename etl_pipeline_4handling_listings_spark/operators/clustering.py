@@ -54,18 +54,22 @@ def connected_components(
             .groupBy("_src")
             .agg(F.min("_label").alias("_nbr_label"))
         )
-        updated = (
-            labels.join(neighbor_min, labels["_id"] == neighbor_min["_src"], "left")
-            .select(
-                "_id",
-                F.least(
-                    F.col("_label"), F.coalesce("_nbr_label", F.col("_label"))
-                ).alias("_label"),
-                (
-                    F.coalesce("_nbr_label", F.col("_label")) < F.col("_label")
-                ).alias("_changed"),
-            )
-        ).persist()
+        updated = labels.join(
+            neighbor_min, labels["_id"] == neighbor_min["_src"], "left"
+        ).select(
+            "_id",
+            F.least(
+                F.col("_label"), F.coalesce("_nbr_label", F.col("_label"))
+            ).alias("_label"),
+            (
+                F.coalesce("_nbr_label", F.col("_label")) < F.col("_label")
+            ).alias("_changed"),
+        )
+        # localCheckpoint (eager) BOTH materializes the round (like
+        # persist+count did) AND truncates plan lineage — without it
+        # the logical plan nests one join deeper per round and
+        # analyzer/optimizer time grows quadratically with rounds
+        updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("_changed")).count()
         labels.unpersist()
         labels = updated.drop("_changed")
