@@ -3887,3 +3887,90 @@ def events_user_trend(spark, sf_dir):
             r(F.col("_cov") / F.col("_var"), 6).alias("slope"),
         )
     )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew path under the gate: two-stage salted aggregation "
+    "(operators/skew.salted_agg — partials over (key, salt), merge "
+    "over key) must equal the plain GROUP BY. events has 5 hot "
+    "keys — exactly the shape where one reducer would take the "
+    "whole table; integer-cents sums make the equality bit-exact.",
+)
+def skew_salted_agg(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.skew import salted_agg
+
+    e = tbl_events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).alias("_cents"),
+    )
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        partial_aggs={
+            "_n": F.count("*"),
+            "_cents_sum": F.sum("_cents"),
+        },
+        final_aggs={
+            "n": F.sum("_n"),
+            "value_cents": F.sum("_cents_sum"),
+        },
+        salt_buckets=8,
+    ).select("event_type", "n", "value_cents")
+
+
+@query(
+    "events_daily_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT MIN(day_id) AS d0, MAX(day_id) AS d1 FROM daily
+    ), spine AS (
+        SELECT b.day_id, t.event_type
+        FROM (SELECT unnest(generate_series(d0, d1)) AS day_id FROM bounds) b
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT s.day_id, s.event_type, COALESCE(d.n, 0) AS n
+    FROM spine s LEFT JOIN daily d
+      ON s.day_id = d.day_id AND s.event_type = d.event_type
+    """,
+    doc="Time-series gap filling: dynamic date spine (min..max day "
+    "derived from the data, sequence+explode) x event types, "
+    "left-joined onto daily counts, absent days filled with 0 — "
+    "the densification step before any rolling-window model "
+    "feature. Day ids are pure integer epoch-day arithmetic "
+    "(timezone-free on both engines).",
+)
+def events_daily_gapfill(spark, sf_dir):
+    e = tbl_events(spark, sf_dir).select(
+        F.expr("ts_us div 86400000000").alias("day_id"), "event_type"
+    )
+    daily = e.groupBy("day_id", "event_type").agg(F.count("*").alias("n"))
+    bounds = daily.agg(
+        F.min("day_id").alias("_d0"), F.max("day_id").alias("_d1")
+    )
+    types = e.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("day_id"),
+        )
+    )
+    return (
+        spine.join(daily, ["day_id", "event_type"], "left")
+        .select(
+            "day_id",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
