@@ -81,3 +81,95 @@ import pytest
 @pytest.fixture(scope="module")
 def spark_sess(spark):
     return spark
+
+
+# ---------------------------------------------------------------------
+# Differential tests: as-of join vs a brute-force reference, range
+# join vs a brute-force reference — random data, independent model.
+# ---------------------------------------------------------------------
+
+asof_left = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=10,
+)
+asof_right = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-9, max_value=9),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(left=asof_left, right=asof_right)
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_asof_join_matches_bruteforce(spark_sess, left, right):
+    from etl_pipeline_4handling_listings_spark.operators.asof import asof_join
+
+    lrows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    rrows = [(k, t, v, 1000 + i) for i, (k, t, v) in enumerate(right)]
+    ldf = spark_sess.createDataFrame(lrows, "k STRING, ts LONG, lid LONG")
+    rdf = spark_sess.createDataFrame(rrows, "k STRING, rts LONG, rv LONG, rid LONG")
+    out = {
+        r["lid"]: (r["mts"], r["rv"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            value_cols=["rv"], tiebreak="rid", matched_ts_col="mts",
+        ).collect()
+    }
+    for k, t, lid in lrows:
+        # brute-force reference: greatest (rts, rid) with rts <= t
+        cands = [(rt, rid, rv) for rk, rt, rv, rid in rrows if rk == k and rt <= t]
+        if cands:
+            brt, brid, brv = max((rt, rid, rv) for rt, rid, rv in cands)
+            assert out[lid] == (brt, brv)
+        else:
+            assert out[lid] == (None, None)
+
+
+ivals = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=15),  # width
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(points=asof_left, intervals=ivals, bin_width=st.sampled_from([1, 4, 9, 64]))
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_range_join_matches_bruteforce(spark_sess, points, intervals, bin_width):
+    from etl_pipeline_4handling_listings_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    prows = [(k, t, i) for i, (k, t) in enumerate(points)]
+    irows = [(k, s, s + w, 100 + i) for i, (k, s, w) in enumerate(intervals)]
+    pdf = spark_sess.createDataFrame(prows, "k STRING, t LONG, pid LONG")
+    idf = spark_sess.createDataFrame(irows, "k STRING, s LONG, e LONG, iid LONG")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            pdf, idf, on=["k"], point_col="t", start_col="s",
+            end_col="e", bin_width=bin_width,
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for k, t, pid in prows
+        for ik, s, e, iid in irows
+        if ik == k and s <= t <= e
+    )
+    assert got == want
