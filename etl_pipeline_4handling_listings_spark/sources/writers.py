@@ -110,3 +110,29 @@ def compact(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return n_files
+
+
+def write_incremental_partition(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    fmt: str = "parquet",
+    compression: str = "zstd",
+) -> None:
+    """Overwrite ONLY the partitions present in ``df`` — the daily
+    incremental-load write (today's ``load_date`` replaces itself;
+    every other day's data is untouched).
+
+    Uses dynamic partition overwrite as a per-write option, so the
+    session default (static overwrite = truncate the whole table)
+    stays safe for everything else. At 100 TB this is the difference
+    between rewriting one day and rewriting the table.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .format(fmt)
+        .save(path)
+    )

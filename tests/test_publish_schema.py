@@ -114,3 +114,27 @@ def test_compact_small_files(spark, tmp_path):
     after = len([f for f in os.listdir(path) if f.startswith("part-")])
     assert after == 1
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_write_incremental_partition_overwrites_only_loaded_day(spark, tmp_path):
+    from etl_pipeline_4handling_listings_spark.sources.writers import (
+        write_incremental_partition,
+    )
+
+    path = str(tmp_path / "daily")
+    day1 = spark.createDataFrame(
+        [("20240101", 1, "a"), ("20240102", 2, "b")], "load_date STRING, k INT, v STRING"
+    )
+    write_incremental_partition(day1, path, partition_by=["load_date"])
+    # re-load day 2 with corrected data; day 1 must survive untouched
+    fix2 = spark.createDataFrame(
+        [("20240102", 2, "B"), ("20240102", 3, "c")], "load_date STRING, k INT, v STRING"
+    )
+    write_incremental_partition(fix2, path, partition_by=["load_date"])
+    # partition values come back type-inferred (int) unless a schema
+    # is supplied — normalize for the comparison
+    got = sorted(
+        (str(r["load_date"]), r["k"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [("20240101", 1, "a"), ("20240102", 2, "B"), ("20240102", 3, "c")]
