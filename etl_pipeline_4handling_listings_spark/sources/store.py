@@ -13,9 +13,18 @@ as **versioned immutable parquet snapshots with an atomic pointer**:
 
 Each merge materializes a new snapshot via the relational
 :func:`merge_upsert` and flips the pointer; ``vacuum`` drops
-superseded snapshots. Readers always see a consistent version.
-If ``delta-spark`` is importable the store transparently uses Delta
-``MERGE INTO`` instead (same public API).
+superseded snapshots. Readers always see a consistent version;
+``read_version``/``read_changes`` give time travel and a change
+feed over retained snapshots (Delta ``versionAsOf``/CDF analogues).
+
+Delta swap-in path (NOT auto-enabled — no delta-spark in this
+container, so a Delta branch would be untestable dead code): the
+public API maps 1:1 onto Delta — ``merge`` ≙ ``MERGE INTO`` with
+the same clause conditions (see ``operators/merge.py`` docstring),
+``vacuum`` ≙ ``VACUUM``, ``read_version`` ≙ ``versionAsOf``,
+``read_changes`` ≙ change data feed. ``HAS_DELTA`` below reports
+whether delta-spark is importable so a deployment can choose the
+backend explicitly at store-construction time.
 
 Scale note: a full-snapshot rewrite per merge is O(table), which is
 the same asymptotic cost as Delta MERGE's worst case (every file
@@ -41,9 +50,9 @@ from etl_pipeline_4handling_listings_spark.operators.merge import Cond, merge_up
 try:  # pragma: no cover - delta not shipped in this container
     from delta.tables import DeltaTable  # noqa: F401
 
-    _HAS_DELTA = True
+    HAS_DELTA = True
 except Exception:  # ImportError or missing JVM jars
-    _HAS_DELTA = False
+    HAS_DELTA = False
 
 _POINTER = "_CURRENT"
 
