@@ -1597,9 +1597,21 @@ def m2_history_merge(spark, sf_dir):
 
 @query(
     "s8_reject_json",
-    oracle=None,  # JSON text formatting is engine-specific; rows-only
+    oracle="SELECT to_json(struct_pack("
+    "l_orderkey := l_orderkey, l_linenumber := l_linenumber, "
+    "_invalid_order_flag := _invalid_order_flag, "
+    "_invalid_qty_flag := _invalid_qty_flag, "
+    "_invalid_returnflag_flag := _invalid_returnflag_flag, "
+    "_invalid_discount_flag := _invalid_discount_flag, "
+    "_invalid_price_flag := _invalid_price_flag, "
+    "_reject_flags := _reject_flags, "
+    "_reject_reasons := _reject_reasons"
+    ")) AS value FROM (" + _VALIDATION_ORACLE + ") v WHERE _reject_flags > 0",
     doc="S8: whole-row JSON-lines serialization for the reject side "
-    "channel (ref curated.py:290-313).",
+    "channel (ref curated.py:290-313). All payload columns are "
+    "int/string, where Spark to_json and DuckDB to_json/struct_pack "
+    "produce byte-identical text — so even the serialized sink "
+    "payload sits under the oracle gate.",
 )
 def s8_reject_json(spark, sf_dir):
     flagged = _validated_lineitem(spark, sf_dir)
