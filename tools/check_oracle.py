@@ -56,7 +56,19 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from etl_pipeline_4handling_listings_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        # hostile-driver probe 2: a COMPLETELY stock SparkSession —
+        # default 200 shuffle partitions, no AQE/Arrow/timezone conf
+        # from session.py — exactly what an unknown driver builds
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("plain-probe")
+            .master("local[8]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     # hostile-driver probe: the real driver builds its own session,
     # possibly in a non-UTC zone — SPARK_GRAFT_TZ=America/New_York
