@@ -3986,3 +3986,56 @@ def events_daily_gapfill(spark, sf_dir):
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+@query(
+    "text_chunking",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id, n_chars,
+               unnest(generate_series(0,
+                   greatest(CAST(ceil((n_chars - 100) / 400.0) AS BIGINT) - 1, 0)
+               )) AS chunk_idx
+        FROM documents
+    )
+    SELECT doc_id, chunk_idx,
+           substr(
+               (SELECT text FROM documents d WHERE d.doc_id = chunks.doc_id),
+               CAST(chunk_idx * 400 + 1 AS BIGINT), 500
+           ) AS chunk_text,
+           length(substr(
+               (SELECT text FROM documents d WHERE d.doc_id = chunks.doc_id),
+               CAST(chunk_idx * 400 + 1 AS BIGINT), 500
+           )) AS chunk_len
+    FROM chunks
+    """,
+    doc="Document chunking for context-window training data: "
+    "500-char windows with 100-char overlap (stride 400), all via "
+    "sequence+explode+substring — JVM built-ins, no Python, linear "
+    "fan-out bounded by ceil(len/stride) chunks per doc. The last "
+    "chunk is the remainder (shorter than 500).",
+)
+def text_chunking(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    size, stride = 500, 400
+    n_chunks = F.greatest(
+        F.ceil((F.col("n_chars") - (size - stride)) / stride).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(
+                F.col("text"), (F.col("chunk_idx") * stride + 1).cast("int"), size
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
