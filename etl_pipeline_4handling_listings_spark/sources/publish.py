@@ -15,9 +15,12 @@ as Spark-native equivalents:
   idempotent two-step (staging write + validated swap), with the
   row-count check that Sqoop's ``--validate`` performed.
 
-No RDBMS ships in this container: ``write_jdbc`` and the swap are
-exercised only when a JDBC URL + driver are available (import-try
-guarded tests); the metastore path is fully tested locally.
+Tested end-to-end against embedded Apache Derby (the JDBC driver
+Spark ships for its Hive metastore): write, read-back, validated
+staging→final swap — see
+``tests/test_publish_schema.py::test_jdbc_roundtrip_and_staging_swap_derby``.
+Point ``url``/``properties`` at SQL Server for the reference's
+actual target.
 """
 
 from __future__ import annotations

@@ -138,3 +138,58 @@ def test_write_incremental_partition_overwrites_only_loaded_day(spark, tmp_path)
         for r in spark.read.parquet(path).collect()
     )
     assert got == [("20240101", 1, "a"), ("20240102", 2, "B"), ("20240102", 3, "c")]
+
+
+def test_jdbc_roundtrip_and_staging_swap_derby(spark, tmp_path):
+    # S11/S12 against a REAL RDBMS: Spark ships embedded Derby jars,
+    # so the Sqoop-replacement path is testable end-to-end in-process
+    from etl_pipeline_4handling_listings_spark.sources.publish import (
+        publish_staging_swap,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(100).selectExpr(
+        "id", "cast(id % 7 as string) as grp", "cast(id * 1.5 as double) as x"
+    )
+
+    write_jdbc(df, url, "plain_export", mode="overwrite", properties=props)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "plain_export")
+        .option("driver", props["driver"])
+        .load()
+    )
+    assert back.count() == 100
+    assert dict(back.dtypes) == dict(df.dtypes)
+
+    publish_staging_swap(
+        df, url, staging_table="stg_t", final_table="final_t", properties=props
+    )
+    final = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "final_t")
+        .option("driver", props["driver"])
+        .load()
+    )
+    assert final.count() == 100
+    assert sorted(r["id"] for r in final.collect()) == list(range(100))
+
+    # validate=False must still publish the final table (regression
+    # for the advisor's round-1 finding)
+    df2 = spark.range(7).selectExpr("id", "'z' as grp", "cast(0.0 as double) as x")
+    publish_staging_swap(
+        df2, url, staging_table="stg_t", final_table="final_t",
+        properties=props, validate=False,
+    )
+    final2 = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "final_t")
+        .option("driver", props["driver"])
+        .load()
+    )
+    assert final2.count() == 7
