@@ -58,3 +58,40 @@ def read_dims(
     """Load named dimension tables (S3). Callers broadcast at join
     time — broadcast is a join-site decision, not a read-site one."""
     return {name: read_table(spark, p, fmt=fmt) for name, p in paths.items()}
+
+
+def read_json_lenient(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+):
+    """JSON-lines ingestion that captures malformed rows instead of
+    failing the job (S10's source side, hardened).
+
+    PERMISSIVE mode parses what it can; a row that does not parse
+    lands whole in ``corrupt_col`` with nulls elsewhere. Returns
+    (good, bad): ``bad`` carries the raw offending line — route it
+    to the reject sink (S8) so ingestion quality is observable, the
+    same degrade-don't-fail posture as the enrichment transport.
+
+    ``schema`` must NOT contain ``corrupt_col``; it is added here.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        [*schema.fields, T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # Spark requires materializing before filtering on the corrupt
+    # column (it is populated at parse time, not re-derivable)
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad

@@ -168,3 +168,30 @@ def test_cli_curated_partitioned_store(spark, tmp_path):
     # bucket dirs exist on disk
     vdir = os.path.join(store_dir, store.current_version())
     assert any(d.startswith("_bucket=") for d in os.listdir(vdir))
+
+
+def test_read_json_lenient_splits_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl_pipeline_4handling_listings_spark.sources.readers import (
+        read_json_lenient,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"k": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"k": 2, "v": "b"}\n'
+        '{"k": "not-an-int", "v": "c"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    good, bad = read_json_lenient(spark, str(p), schema)
+    assert sorted((r["k"], r["v"]) for r in good.collect()) == [(1, "a"), (2, "b")]
+    bad_rows = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert "this is not json" in bad_rows[0] or "this is not json" in bad_rows[1]

@@ -130,3 +130,32 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[3]["ne"] == 2 and out[3]["np"] == 1
     assert "<EMAIL>" in out[3]["red"] and "<PHONE>" in out[3]["red"]
     assert out[4]["red"] == ""
+
+
+def test_split_sentences_udtf(spark):
+    from etl_pipeline_4handling_listings_spark.operators.udtfs import (
+        split_sentences,
+    )
+
+    spark.udtf.register("split_sentences", split_sentences)
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second here! Third? done lower."),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT doc_id, s.* FROM udtf_docs, "
+        "LATERAL split_sentences(text) s ORDER BY doc_id, sent_idx"
+    ).collect()
+    got = [(r["doc_id"], r["sent_idx"], r["sentence"], r["n_words"]) for r in rows]
+    # 'Third? done lower.' stays one sentence: boundary needs a
+    # following upper-case letter
+    assert got == [
+        (1, 0, "First one.", 2),
+        (1, 1, "Second here!", 2),
+        (1, 2, "Third? done lower.", 3),
+    ]
