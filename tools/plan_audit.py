@@ -52,6 +52,18 @@ AUDIT = {
     "q16_supplier_cnt": {"expect": ["LeftAnti"], "forbid": []},
     "q2_min_cost_supplier": {"expect": ["TakeOrderedAndProject"], "forbid": []},
     "q21_waiting_supplier": {"expect": ["TakeOrderedAndProject"], "forbid": []},
+    # multi-join analytics: every dimension leg must broadcast, and
+    # the selective filters must reach the parquet scans
+    "q7_volume_shipping": {"expect": ["BroadcastHashJoin"], "forbid": []},
+    "q8_market_share": {"expect": ["BroadcastHashJoin", "PushedFilters: \\[.*p_type"], "forbid": []},
+    "q9_product_profit": {"expect": ["PushedFilters: \\[.*StringContains\\(p_name,bolt"], "forbid": []},
+    "q13_customer_distribution": {"expect": ["HashAggregate"], "forbid": []},
+    "q20_excess_suppliers": {"expect": ["LeftSemi"], "forbid": []},
+    "skew_salted_agg": {"expect": ["HashAggregate"], "forbid": []},
+    "events_daily_gapfill": {"expect": [], "forbid": []},
+    "text_chunking": {"expect": ["Generate"], "forbid": []},
+    "fuzzy_source_pairs": {"expect": ["HashJoin|SortMergeJoin"], "forbid": ["BroadcastNestedLoopJoin"]},
+    "sketch_hll_distinct": {"expect": ["HashAggregate"], "forbid": []},
     "dedup_minhash_lsh": {"expect": [], "forbid": []},
     "dedup_simhash": {"expect": ["HashAggregate"], "forbid": []},
     "ann_cosine_topk": {"expect": [], "forbid": []},
