@@ -4039,3 +4039,53 @@ def text_chunking(spark, sf_dir):
         )
         .withColumn("chunk_len", F.length("chunk_text"))
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label, i.pos, CAST(embedding[i.pos] AS DOUBLE) AS val
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, 64)) AS pos) i
+    ), m AS (
+        SELECT label, pos,
+               FLOOR(AVG(val) * 1000000 + 0.5) / 1000000 AS mval
+        FROM ex GROUP BY label, pos
+    )
+    SELECT label, list(mval ORDER BY pos) AS centroid,
+           CAST((SELECT COUNT(*) FROM embeddings e WHERE e.label = m.label)
+                AS BIGINT) AS n_members
+    FROM m GROUP BY label
+    """,
+    doc="Per-label embedding centroids (class prototypes): "
+    "posexplode to (label, position, value), mean per cell, "
+    "re-assemble ordered arrays — the fully-distributed elementwise "
+    "vector mean (never collects a vector to the driver; shuffle "
+    "keys are (label, pos), cardinality labels x dim). The "
+    "prototype table this emits is what a classifier-by-nearest-"
+    "centroid or IVF warm start consumes.",
+)
+def embedding_label_centroids(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    m = ex.groupBy("label", "pos").agg(r(F.avg("val"), 6).alias("mval"))
+    counts = e.groupBy("label").agg(F.count("*").alias("n_members"))
+    cent = (
+        m.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s["mval"],
+            ).alias("centroid")
+        )
+        .join(counts, "label")
+        .select("label", "centroid", "n_members")
+    )
+    return cent
