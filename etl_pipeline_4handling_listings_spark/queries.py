@@ -4089,3 +4089,76 @@ def embedding_label_centroids(spark, sf_dir):
         .select("label", "centroid", "n_members")
     )
     return cent
+
+
+@query(
+    "centroid_assignment",
+    oracle="""
+    WITH ex AS (
+        SELECT label, i.pos, CAST(embedding[i.pos] AS DOUBLE) AS val
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, 64)) AS pos) i
+    ), m AS (
+        SELECT label, pos,
+               FLOOR(AVG(val) * 1000000 + 0.5) / 1000000 AS mval
+        FROM ex GROUP BY label, pos
+    ), cent AS (
+        SELECT label AS c_label, list(mval ORDER BY pos) AS centroid
+        FROM m GROUP BY label
+    ), dists AS (
+        SELECT e.vec_id, e.label AS true_label, c.c_label,
+               FLOOR(list_sum(list_transform(
+                   list_zip(CAST(e.embedding AS DOUBLE[]), c.centroid),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])
+               )) * 1000000 + 0.5) / 1000000 AS d2
+        FROM embeddings e CROSS JOIN cent c
+    ), ranked AS (
+        SELECT vec_id, true_label, c_label, d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY d2, c_label
+               ) AS rn
+        FROM dists
+    )
+    SELECT vec_id, true_label, c_label AS assigned_label,
+           (c_label = true_label) AS correct
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Nearest-centroid classification: assign each vector to its "
+    "closest label prototype (composition of "
+    "embedding_label_centroids + broadcast distance scoring + "
+    "per-vector argmin). Distances quantized to the 1e-6 grid "
+    "before the argmin with a label tie-break, so the winner is "
+    "engine-portable. The eval loop of a prototype classifier — "
+    "and the assignment step of Lloyd's k-means — as one plan.",
+)
+def centroid_assignment(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "embeddings")
+    cent = embedding_label_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    v = e.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        _as_double(F.col("embedding")).alias("_v"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "true_label", "c_label", r(d2, 6).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("c_label").alias("assigned_label"),
+            (F.col("c_label") == F.col("true_label")).alias("correct"),
+        )
+    )
