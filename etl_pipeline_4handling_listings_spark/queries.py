@@ -4162,3 +4162,42 @@ def centroid_assignment(spark, sf_dir):
             (F.col("c_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+@query(
+    "events_locf_fill",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type <> 'error' THEN value END AS v
+        FROM events
+    )
+    SELECT user_id, event_id, ts_us, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM base
+    """,
+    doc="LOCF forward-fill: error events null their reading; each "
+    "null takes the user's last non-null value at-or-before it "
+    "(last(ignorenulls) over a running frame — one shuffle, the "
+    "same kernel the as-of join builds on). The standard sensor/"
+    "feature densification step; leading nulls stay null.",
+)
+def events_locf_fill(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = tbl_events(spark, sf_dir)
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
