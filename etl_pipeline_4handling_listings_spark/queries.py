@@ -4201,3 +4201,210 @@ def events_locf_fill(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return base.withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+
+
+# =====================================================================
+# Round-2 widening: set operators, grouping sets, event analytics
+# =====================================================================
+
+
+@query(
+    "u_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 3000
+    ORDER BY custkey
+    """,
+    doc="INTERSECT set semantics (reference union family, SURVEY "
+    "§2.8 U1-U3 counterpart): recent buyers who are also "
+    "high-balance customers. Spark plans this as a left-semi "
+    "hash aggregate join — one shuffle per side, distinct fused.",
+)
+def u_intersect(spark, sf_dir):
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").cast("date") >= F.lit("1997-01-01"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    c = (
+        tbl(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 3000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.intersect(c).orderBy("custkey")
+
+
+@query(
+    "u_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer
+    WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY custkey
+    """,
+    doc="EXCEPT ALL multiset semantics: order-rows by non-AUTOMOBILE "
+    "customers, duplicates preserved (each order counted). Spark "
+    "exceptAll = anti-join with multiplicity bookkeeping.",
+)
+def u_except_all(spark, sf_dir):
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").cast("date") >= F.lit("1997-01-01"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    c = (
+        tbl(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.exceptAll(c).orderBy("custkey")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST,
+             o_orderstatus NULLS FIRST
+    """,
+    doc="Explicit GROUPING SETS (beyond ROLLUP/CUBE): the exact "
+    "grain list a reporting load asks for, one pass. GROUPING() "
+    "markers disambiguate real NULLs from subtotal rows; money "
+    "summed as integer cents for cross-engine bit-parity.",
+)
+def agg_grouping_sets(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               SUM(cents) AS total_cents
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST,
+                 o_orderstatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH days AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    cohorted AS (
+        SELECT user_id, day,
+               MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM days
+    )
+    SELECT cohort_day, day - cohort_day AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM cohorted
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix: each user joins the cohort of "
+    "their first active day; count distinct users per (cohort, "
+    "day-offset). One shuffle by user for the cohort window, one "
+    "for the final agg — the standard product-analytics rollup, "
+    "all-integer (epoch-microsecond day grid) for hash parity.",
+)
+def events_retention_cohorts(spark, sf_dir):
+    e = tbl_events(spark, sf_dir).select(
+        "user_id", (F.col("ts_us") / F.lit(86400000000)).cast("bigint").alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = e.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        cohorted.groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+    doc="First-order Markov transition counts over per-user event "
+    "sequences (lead window + agg): the session-model / "
+    "next-action feature builder. Single shuffle by user_id for "
+    "the ordering window; the type-pair agg is tiny.",
+)
+def events_transition_matrix(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@query(
+    "w_range_frame",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+    doc="RANGE window frame (value-based, not row-based): per event, "
+    "how many events the same user produced in the trailing hour — "
+    "the rate-limit / burst-detection primitive. RANGE frames "
+    "include ts peers on both engines; integer microsecond bounds.",
+)
+def w_range_frame(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3600000000, 0)
+    )
+    return e.select(
+        "event_id", "user_id", "ts_us", F.count("*").over(w).alias("n_last_hour")
+    )
