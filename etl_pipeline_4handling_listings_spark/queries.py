@@ -4408,3 +4408,331 @@ def w_range_frame(spark, sf_dir):
     return e.select(
         "event_id", "user_id", "ts_us", F.count("*").over(w).alias("n_last_hour")
     )
+
+
+# =====================================================================
+# Text ranking / retrieval suite: inverted-index search, TF-IDF,
+# BM25, PMI collocations, token entropy. All counts are exact
+# integers; transcendentals (ln) applied to identical doubles on
+# both engines, with floor-quantization before any ordering.
+# =====================================================================
+
+_TOKENIZE_SQL = r"unnest(regexp_split_to_array(trim(lower(text)), '\s+'))"
+
+
+def _tokens(spark, sf_dir):
+    """(doc_id, word) token stream — one map-side explode."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    )
+
+
+@query(
+    "text_keyword_search",
+    oracle=f"""
+    SELECT doc_id FROM (
+        SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, {_TOKENIZE_SQL} AS word FROM documents
+        ) WHERE word IN ('spark', 'join', 'window')
+    )
+    GROUP BY doc_id
+    HAVING COUNT(*) = 3
+    ORDER BY doc_id
+    """,
+    doc="Conjunctive (AND) keyword search via inverted-index "
+    "semantics: explode to postings, keep query terms, count "
+    "distinct matched terms per doc == |query|. At scale the "
+    "postings explode is map-side and the filter prunes before "
+    "the single doc_id shuffle.",
+)
+def text_keyword_search(spark, sf_dir):
+    t = _tokens(spark, sf_dir)
+    return (
+        t.filter(F.col("word").isin("spark", "join", "window"))
+        .select("doc_id", "word")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_k"))
+        .filter(F.col("_k") == 3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENIZE_SQL} AS word FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ),
+    n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               {sql_r('CAST(tf.tf AS DOUBLE) * LN(1.0 + CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))', 6)} AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, word ASC
+        ) AS rn FROM scored
+    ) WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, word
+    """,
+    doc="Per-document top-3 TF-IDF terms: term frequencies and "
+    "document frequencies are two hash aggregates off one explode; "
+    "the df table and the N scalar broadcast; one window per doc "
+    "ranks. The feature extractor behind keyword summarization.",
+)
+def tfidf_top_terms(spark, sf_dir):
+    t = _tokens(spark, sf_dir)
+    tf = t.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = t.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            r(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.lit(1.0)
+                    + F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "word")
+    )
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENIZE_SQL} AS word FROM documents
+    ),
+    doclen AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_dl
+        FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM toks
+        WHERE word IN ('spark', 'merge', 'vector')
+        GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               LN(1.0 + (stats.n_docs - CAST(df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(doclen.dl AS DOUBLE)
+                                                    / stats.avg_dl))))
+                   AS c
+        FROM tf
+        JOIN df USING (word)
+        JOIN doclen USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT doc_id, {sql_r('SUM(c)', 6)} AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 document ranking for a 3-term query (k1=1.2, b=0.75): "
+    "doc lengths and dfs are cheap aggregates, the per-(doc,term) "
+    "contribution is pure arithmetic on broadcast scalars, one "
+    "final per-doc sum + top-10. The classic retrieval scorer, "
+    "fully shuffled-once at scale.",
+)
+def bm25_search(spark, sf_dir):
+    t = _tokens(spark, sf_dir)
+    doclen = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.select(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avg_dl"),
+    )
+    tf = (
+        t.filter(F.col("word").isin("spark", "merge", "vector"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    contrib = (
+        tf.join(F.broadcast(df_), "word")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+                )
+                * (
+                    tfd
+                    / (
+                        tfd
+                        + F.lit(1.2)
+                        * (
+                            F.lit(1.0)
+                            - F.lit(0.75)
+                            + F.lit(0.75) * (dld / F.col("avg_dl"))
+                        )
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(r(F.sum("c"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "pmi_bigrams",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM arrs, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    cxy AS (
+        SELECT w1, w2, COUNT(*) AS c FROM bigrams GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT word, COUNT(*) AS c FROM (
+            SELECT {_TOKENIZE_SQL} AS word FROM documents
+        ) GROUP BY word
+    ),
+    tot AS (
+        SELECT CAST((SELECT SUM(c) FROM cxy) AS DOUBLE) AS t_big,
+               CAST((SELECT SUM(c) FROM uni) AS DOUBLE) AS t_uni
+    )
+    SELECT w1, w2, CAST(cxy.c AS BIGINT) AS n,
+           {sql_r('LN((CAST(cxy.c AS DOUBLE) * tot.t_uni * tot.t_uni) / (tot.t_big * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))', 6)} AS pmi
+    FROM cxy
+    JOIN uni u1 ON u1.word = cxy.w1
+    JOIN uni u2 ON u2.word = cxy.w2
+    CROSS JOIN tot
+    WHERE cxy.c >= 20
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Pointwise-mutual-information collocations: adjacent-pair "
+    "counts via an index-sequence transform (no self-join), "
+    "unigram marginals broadcast, PMI on exact integer counts. "
+    "Surfaces multi-word expressions for tokenizer vocab curation.",
+)
+def pmi_bigrams(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws")
+    )
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    cxy = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    uni = _tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("c"))
+    tot = cxy.select(F.sum("c").cast("double").alias("t_big")).crossJoin(
+        uni.select(F.sum("c").cast("double").alias("t_uni"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        F.col("c").cast("double") * F.col("t_uni") * F.col("t_uni")
+    ) / (F.col("t_big") * F.col("c1").cast("double") * F.col("c2").cast("double"))
+    return (
+        cxy.filter(F.col("c") >= 20)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n"),
+            r(F.log(pmi), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "text_token_entropy",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id, word, COUNT(*) AS c FROM (
+            SELECT doc_id, {_TOKENIZE_SQL} AS word FROM documents
+        ) GROUP BY doc_id, word
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sclnc
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {sql_r('LN(CAST(n_tokens AS DOUBLE)) - sclnc / CAST(n_tokens AS DOUBLE)', 6)} AS entropy
+    FROM agg
+    ORDER BY doc_id
+    """,
+    doc="Per-document token (unigram) Shannon entropy in nats via "
+    "the sort-stable identity H = ln(n) - (sum c*ln c)/n — a "
+    "vocabulary-diversity quality signal (low entropy = repetitive "
+    "boilerplate). Two hash aggregates off one explode.",
+)
+def text_token_entropy(spark, sf_dir):
+    counts = _tokens(spark, sf_dir).groupBy("doc_id", "word").agg(
+        F.count("*").alias("c")
+    )
+    cd = F.col("c").cast("double")
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(cd * F.log(cd)).alias("sclnc"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        r(F.log(nd) - F.col("sclnc") / nd, 6).alias("entropy"),
+    ).orderBy("doc_id")
