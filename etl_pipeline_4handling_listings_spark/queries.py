@@ -4736,3 +4736,104 @@ def text_token_entropy(spark, sf_dir):
         "n_tokens",
         r(F.log(nd) - F.col("sclnc") / nd, 6).alias("entropy"),
     ).orderBy("doc_id")
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    )
+    SELECT c // 2500000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS total_cents
+    FROM cents
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Fixed-width histogram ($25k buckets) over order totals — "
+    "the profiling / data-quality primitive. Quantized to integer "
+    "cents before bucketing so bucket edges are exact on every "
+    "engine; a single map-side-combinable aggregate at scale.",
+)
+def agg_histogram(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c")
+    )
+    return (
+        o.groupBy(F.expr("c div 2500000").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("c").alias("total_cents"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "outlier_zscore",
+    oracle="""
+    WITH cents AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+        FROM customer
+    ),
+    stats AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM cents GROUP BY c_mktsegment
+    ),
+    z AS (
+        SELECT cents.c_custkey, cents.c_mktsegment,
+               (CAST(cents.c AS DOUBLE)
+                - CAST(stats.s AS DOUBLE) / CAST(stats.n AS DOUBLE))
+               / SQRT(CAST(stats.q AS DOUBLE) / CAST(stats.n AS DOUBLE)
+                      - (CAST(stats.s AS DOUBLE) / CAST(stats.n AS DOUBLE))
+                        * (CAST(stats.s AS DOUBLE) / CAST(stats.n AS DOUBLE)))
+                   AS zval
+        FROM cents JOIN stats USING (c_mktsegment)
+    )
+    SELECT c_custkey, c_mktsegment,
+           FLOOR(zval * 10000 + 0.5) / 10000 AS z
+    FROM z
+    WHERE zval > 1.6 OR zval < -1.6
+    ORDER BY c_custkey
+    """,
+    doc="Per-segment z-score outlier flagging. Balances are "
+    "quantized to integer cents, so the per-group sum and "
+    "sum-of-squares are EXACT integers; mean/variance/z are then "
+    "identical IEEE doubles on every engine — the threshold "
+    "compare is bit-deterministic, not knife-edge. Stats side is "
+    "5 rows (broadcast); one scan + one tiny agg at scale.",
+)
+def outlier_zscore(spark, sf_dir):
+    cents = tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    stats = cents.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    qd = F.col("q").cast("double")
+    mean = sd / nd
+    zval = (F.col("c").cast("double") - mean) / F.sqrt(qd / nd - mean * mean)
+    return (
+        cents.join(F.broadcast(stats), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            zval.alias("zval"),
+        )
+        .filter((F.col("zval") > 1.6) | (F.col("zval") < -1.6))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.floor(F.col("zval") * 10000 + 0.5) / 10000).alias("z"),
+        )
+        .orderBy("c_custkey")
+    )
