@@ -68,6 +68,22 @@ AUDIT = {
     "dedup_simhash": {"expect": ["HashAggregate"], "forbid": []},
     "ann_cosine_topk": {"expect": [], "forbid": []},
     "events_sessionize": {"expect": ["Window"], "forbid": []},
+    # round-2 widening: set ops compile to aggregate+join, never loops
+    "u_intersect": {"expect": ["HashAggregate"], "forbid": []},
+    "u_except_all": {"expect": ["HashAggregate"], "forbid": []},
+    "agg_grouping_sets": {"expect": ["Expand"], "forbid": []},
+    "events_retention_cohorts": {"expect": ["Window", "HashAggregate"], "forbid": []},
+    "events_transition_matrix": {"expect": ["Window", "HashAggregate"], "forbid": []},
+    "w_range_frame": {"expect": ["Window"], "forbid": ["Join"]},
+    # retrieval suite: tiny stat sides must broadcast; rankings end
+    # in TakeOrderedAndProject, not a global sort
+    "text_keyword_search": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
+    "tfidf_top_terms": {"expect": ["BroadcastHashJoin"], "forbid": []},
+    "bm25_search": {"expect": ["BroadcastHashJoin", "TakeOrderedAndProject"], "forbid": []},
+    "pmi_bigrams": {"expect": ["BroadcastHashJoin", "TakeOrderedAndProject"], "forbid": []},
+    "text_token_entropy": {"expect": ["HashAggregate"], "forbid": ["Join"]},
+    "agg_histogram": {"expect": ["HashAggregate"], "forbid": ["Join"]},
+    "outlier_zscore": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
 }
 
 
