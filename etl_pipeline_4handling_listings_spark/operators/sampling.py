@@ -118,3 +118,73 @@ def per_key_top_n(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    order: Sequence[Column],
+    weight_col: str,
+    budget: int,
+    bucket: Column,
+) -> DataFrame:
+    """Greedy prefix selection under a global weight budget, without
+    a global single-partition window.
+
+    Semantically: sort ``df`` by ``order``, take rows while the
+    running sum of ``weight_col`` stays ``<= budget`` (the
+    token-budget corpus-assembly rule). A naive
+    ``Window.orderBy(...)`` cumulative sum funnels the whole table
+    through ONE partition; this implementation is the scale-correct
+    two-phase equivalent:
+
+    1. aggregate weights per ``bucket`` (a coarse integer grid over
+       the leading ``order`` key — higher bucket must sort earlier),
+       cumulative-sum over that TINY frame (cardinality = number of
+       buckets, bounded by the grid), and classify each bucket as
+       fully-in, partial (straddles the budget), or dropped;
+    2. rows of fully-in buckets pass through with no window at all;
+       only the single partial bucket runs an ordered cumulative sum,
+       partitioned by the bucket — bounded work, not a global sort.
+
+    Requirements: ``weight_col`` is a non-negative integer;
+    ``bucket`` is monotone non-increasing along ``order`` (i.e.
+    sorting by ``bucket DESC`` is a coarsening of ``order``).
+    Reference analogue: quota/top-k family (SURVEY §2.7 O1), lifted
+    from per-key caps to a global additive budget.
+    """
+    tagged = df.withColumn("_qb", bucket.cast("bigint")).withColumn(
+        "_w", F.col(weight_col).cast("bigint")
+    )
+    per_bucket = tagged.groupBy("_qb").agg(F.sum("_w").alias("_bw"))
+    # tiny frame: one row per bucket — the unpartitioned window is
+    # bounded by the bucket-grid cardinality, not the data size
+    wb = Window.orderBy(F.desc("_qb")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classified = (
+        per_bucket.withColumn("_cum", F.sum("_bw").over(wb))
+        .withColumn("_prev", F.col("_cum") - F.col("_bw"))
+        .select(
+            "_qb",
+            "_prev",
+            F.when(F.col("_cum") <= budget, F.lit("full"))
+            # <= (not <): a bucket whose predecessors exactly spend
+            # the budget may still admit zero-weight prefix rows
+            .when(F.col("_prev") <= budget, F.lit("partial"))
+            .otherwise(F.lit("drop"))
+            .alias("_status"),
+        )
+    )
+    joined = tagged.join(F.broadcast(classified), "_qb")
+    helper = ["_qb", "_w", "_prev", "_status"]
+    full = joined.filter(F.col("_status") == "full").drop(*helper)
+    wp = Window.partitionBy("_qb").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    partial = (
+        joined.filter(F.col("_status") == "partial")
+        .withColumn("_lc", F.sum("_w").over(wp))
+        .filter(F.col("_prev") + F.col("_lc") <= budget)
+        .drop("_lc", *helper)
+    )
+    return full.unionByName(partial)

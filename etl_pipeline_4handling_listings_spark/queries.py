@@ -4837,3 +4837,62 @@ def outlier_zscore(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+            {sql_r('''(
+                (CASE WHEN LENGTH(text) > 0
+                      THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                      ELSE 0.0 END)
+              + (CASE WHEN LENGTH(text) > 0
+                      THEN 1.0 - CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                      ELSE 0.0 END)
+              + LEAST(LENGTH(text) / 200.0, 1.0)
+            ) / 3.0''', 6)} AS quality,
+            CASE WHEN TRIM(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+            END AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT *, SUM(n_tokens) OVER (
+            ORDER BY quality DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM cum WHERE cum_tokens <= 15000
+    ORDER BY doc_id
+    """,
+    doc="Token-budget corpus assembly: greedily admit the "
+    "highest-quality documents until a global 15k-token budget is "
+    "spent — the final step of training-set construction. The "
+    "oracle states the naive global-prefix rule; the engine runs "
+    "operators/sampling.budget_select, a two-phase equivalent "
+    "whose only unpartitioned window is over the per-bucket "
+    "aggregate (bounded by the quality grid), so no full-data "
+    "single-partition sort exists at any scale.",
+)
+def corpus_token_budget(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        budget_select,
+    )
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    picked = budget_select(
+        d,
+        order=[F.desc("quality"), F.asc("doc_id")],
+        weight_col="n_tokens",
+        budget=15000,
+        bucket=F.floor(F.col("quality") * 1000),
+    )
+    return picked.select("doc_id", "quality", "n_tokens").orderBy("doc_id")

@@ -169,3 +169,42 @@ def test_merge_upsert_null_keys_match_nullsafe(spark):
     source = spark.createDataFrame([(None, "NEW")], "k INT, v STRING")
     out = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"]).collect()}
     assert out == {None: "NEW", 1: "a"}
+
+
+def test_budget_select_matches_naive_prefix(spark):
+    """budget_select == the naive global-cumsum prefix rule, across
+    budgets that land inside full buckets, mid-bucket, and past the
+    total; weights include zeros and bucket-straddling order keys."""
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        budget_select,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.random(), 4), rng.choice([0, 1, 3, 10, 25]))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id INT, q DOUBLE, w INT")
+    order = [F.desc("q"), F.asc("id")]
+    naive_w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for budget in (0, 37, 250, 999, 10**6):
+        got = sorted(
+            r.id
+            for r in budget_select(
+                df, order, "w", budget, bucket=F.floor(F.col("q") * 10)
+            ).collect()
+        )
+        want = sorted(
+            r.id
+            for r in df.withColumn("_c", F.sum("w").over(naive_w))
+            .filter(F.col("_c") <= budget)
+            .collect()
+        )
+        assert got == want, f"budget={budget}"
