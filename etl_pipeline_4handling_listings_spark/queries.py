@@ -4896,3 +4896,50 @@ def corpus_token_budget(spark, sf_dir):
         bucket=F.floor(F.col("quality") * 1000),
     )
     return picked.select("doc_id", "quality", "n_tokens").orderBy("doc_id")
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    WITH cents AS (
+        SELECT c_mktsegment, c_custkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(arg_max(c_custkey, c * 10000000 + c_custkey) AS BIGINT)
+               AS richest_custkey,
+           CAST(MAX(c) AS BIGINT) AS max_cents,
+           CAST(arg_min(c_custkey, c * 10000000 + c_custkey) AS BIGINT)
+               AS poorest_custkey,
+           CAST(MIN(c) AS BIGINT) AS min_cents
+    FROM cents
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="arg-max/arg-min aggregates (max_by/min_by): richest and "
+    "poorest customer per segment in ONE aggregate pass — no "
+    "window, no self-join. The composite order key is packed into "
+    "a single integer (cents*1e7 + custkey) so ties are broken "
+    "identically on every engine; map-side combinable at scale.",
+)
+def agg_argmax(spark, sf_dir):
+    cents = tbl(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    return (
+        cents.groupBy("c_mktsegment")
+        .agg(
+            F.expr("max_by(c_custkey, c * 10000000 + c_custkey)").alias(
+                "richest_custkey"
+            ),
+            F.max("c").alias("max_cents"),
+            F.expr("min_by(c_custkey, c * 10000000 + c_custkey)").alias(
+                "poorest_custkey"
+            ),
+            F.min("c").alias("min_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
