@@ -4943,3 +4943,120 @@ def agg_argmax(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _textrank_oracle(iters: int = 10, d: float = 0.85) -> str:
+    """Build the unrolled TextRank oracle: pr0 .. pr{iters} as chained
+    CTEs (no recursive aggregation needed), each iteration quantized
+    to the 1e-9 grid so both engines stay bit-identical."""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""pr{i + 1} AS (
+        SELECT e.w2 AS w,
+               FLOOR((({1 - d:.2f} / n.n) + {d:.2f} * SUM(
+                   e.c / wdeg.wd * pr{i}.r
+               )) * 1e9 + 0.5) / 1e9 AS r
+        FROM edges e
+        JOIN wdeg ON wdeg.w = e.w1
+        JOIN pr{i} ON pr{i}.w = e.w1
+        CROSS JOIN n
+        GROUP BY e.w2, n.n
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH arrs AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT LEAST(ws[i], ws[i + 1]) AS wa,
+               GREATEST(ws[i], ws[i + 1]) AS wb
+        FROM arrs, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE ws[i] <> ws[i + 1]
+    ),
+    und AS (
+        SELECT wa, wb, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM bigrams GROUP BY wa, wb
+    ),
+    edges AS (
+        SELECT wa AS w1, wb AS w2, c FROM und
+        UNION ALL
+        SELECT wb AS w1, wa AS w2, c FROM und
+    ),
+    wdeg AS (
+        SELECT w1 AS w, SUM(c) AS wd FROM edges GROUP BY w1
+    ),
+    n AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wdeg
+    ),
+    pr0 AS (
+        SELECT w, FLOOR(1.0 / n.n * 1e9 + 0.5) / 1e9 AS r
+        FROM wdeg CROSS JOIN n
+    ),
+    {chain}
+    SELECT w AS word, r AS textrank FROM pr{iters}
+    ORDER BY textrank DESC, word
+    LIMIT 15
+    """
+
+
+@query(
+    "textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc="TextRank keyword extraction: damped PageRank (d=0.85, 10 "
+    "iterations) over the undirected word co-occurrence graph, "
+    "edge-weighted by adjacent-pair counts. Each iteration is one "
+    "join + one aggregate over the edge list — the canonical "
+    "distributed power iteration (edges partition by source; at "
+    "scale this is vocabulary-sized, not corpus-sized). Ranks are "
+    "floor-quantized to 1e-9 every iteration so the fixpoint "
+    "trajectory is bit-identical on every engine; oracle unrolls "
+    "the same 10 steps as chained CTEs.",
+)
+def textrank_keywords(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents").select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws")
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS a, ws[i + 1] AS b)),"
+                " p -> p.a <> p.b)"
+            )
+        ).alias("p")
+    ).select(
+        F.least("p.a", "p.b").alias("wa"), F.greatest("p.a", "p.b").alias("wb")
+    )
+    und = pairs.groupBy("wa", "wb").agg(F.count("*").cast("double").alias("c"))
+    edges = und.select(
+        F.col("wa").alias("w1"), F.col("wb").alias("w2"), "c"
+    ).unionByName(und.select(F.col("wb").alias("w1"), F.col("wa").alias("w2"), "c"))
+    wdeg = edges.groupBy(F.col("w1").alias("w")).agg(F.sum("c").alias("wd"))
+    n_nodes = float(wdeg.count())
+    damping = 0.85
+    q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+    pr = wdeg.select("w", q9(F.lit(1.0) / F.lit(n_nodes)).alias("r"))
+    # out-weight attached to the source side once; 10 power steps
+    src = edges.join(wdeg.withColumnRenamed("w", "w1"), "w1").select(
+        "w1", "w2", (F.col("c") / F.col("wd")).alias("share")
+    )
+    src = src.localCheckpoint(eager=True)  # freeze the small edge frame
+    for _ in range(10):
+        pr = (
+            src.join(pr.withColumnRenamed("w", "w1"), "w1")
+            .groupBy(F.col("w2").alias("w"))
+            .agg(
+                q9(
+                    F.lit((1 - damping) / n_nodes)
+                    + F.lit(damping) * F.sum(F.col("share") * F.col("r"))
+                ).alias("r")
+            )
+        )
+    return (
+        pr.select(F.col("w").alias("word"), F.col("r").alias("textrank"))
+        .orderBy(F.desc("textrank"), "word")
+        .limit(15)
+    )
