@@ -188,3 +188,37 @@ def budget_select(
         .drop("_lc", *helper)
     )
     return full.unionByName(partial)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight: Column,
+    n: int,
+    tiebreak: Sequence[Column] = (),
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows (A-ES / Efraimidis-
+    Spirakis): each row draws u ~ U(0,1) from the portable content
+    hash and gets priority u^(1/w); the top-n priorities are a
+    weighted sample WITHOUT replacement. Hash-derived u means the
+    draw is reproducible across engines, runs, and partitionings —
+    the corpus-sampling analogue of :func:`hash_split`. One TopK
+    (TakeOrderedAndProject), no shuffle of the full data.
+
+    The priority is floor-quantized to 1e-9 before ranking so
+    engines whose ``pow`` differs in the last ulp still agree;
+    pass unique ``tiebreak`` columns for a total order.
+    """
+    cols = [F.col(c) for c in key_cols]
+    if salt:
+        cols = [F.lit(salt), *cols]
+    h = F.pmod(portable_hash60(cols), F.lit(BUCKETS))
+    u = (h.cast("double") + 0.5) / float(BUCKETS)
+    prio = F.floor(
+        F.pow(u, F.lit(1.0) / weight.cast("double")) * 1e9 + 0.5
+    ) / 1e9
+    out = df.withColumn("_prio", prio)
+    return (
+        out.orderBy(F.desc("_prio"), *tiebreak).limit(n).drop("_prio")
+    )

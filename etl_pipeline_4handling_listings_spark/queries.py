@@ -5060,3 +5060,41 @@ def textrank_keywords(spark, sf_dir):
         .orderBy(F.desc("textrank"), "word")
         .limit(15)
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH prio AS (
+        SELECT doc_id, n_chars,
+               FLOOR(POWER(
+                   (CAST(concat('0x', substr(md5(concat_ws('|', doc_id)), 1, 15))
+                         AS BIGINT) % 1000000 + 0.5) / 1000000.0,
+                   1.0 / CAST(n_chars AS DOUBLE)
+               ) * 1e9 + 0.5) / 1e9 AS p
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM prio
+    ORDER BY p DESC, doc_id
+    LIMIT 25
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+    "A-ES): priority = u^(1/weight) with u drawn from the portable "
+    "content hash, weight = document length — longer docs "
+    "proportionally likelier, yet the draw is fully deterministic "
+    "and engine-reproducible. Executes as one TopK, no shuffle.",
+)
+def sample_weighted(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    return weighted_hash_sample(
+        d.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars")),
+        key_cols=["doc_id"],
+        weight=F.col("n_chars"),
+        n=25,
+        tiebreak=[F.asc("doc_id")],
+    )
