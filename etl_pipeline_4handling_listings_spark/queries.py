@@ -5098,3 +5098,179 @@ def sample_weighted(spark, sf_dir):
         n=25,
         tiebreak=[F.asc("doc_id")],
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH stats AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               CAST(MAX(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS max_cents
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, metric, value
+    FROM stats UNPIVOT (value FOR metric IN (n_customers, total_cents, max_cents))
+    ORDER BY c_mktsegment, metric
+    """,
+    doc="UNPIVOT/melt: wide per-segment stats to long (metric, value) "
+    "rows — the report-feed reshape dual of the bounded pivot. "
+    "Spark's unpivot is a zero-shuffle Expand over the aggregate.",
+)
+def agg_unpivot(spark, sf_dir):
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+    stats = (
+        tbl(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(cents).alias("total_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+    )
+    return stats.unpivot(
+        ids=["c_mktsegment"],
+        values=["n_customers", "total_cents", "max_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("c_mktsegment", "metric")
+
+
+@query(
+    "j_nullsafe_join",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey, NULLIF(c_custkey % 5, 2) AS k FROM customer
+    ),
+    b AS (
+        SELECT s_suppkey, NULLIF(s_suppkey % 5, 2) AS k FROM supplier
+    )
+    SELECT COALESCE(CAST(a.k AS VARCHAR), 'NULL') AS key_repr,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY key_repr
+    ORDER BY key_repr
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "keys MATCH each other instead of dropping — the semantics "
+    "MERGE-on-nullable-key pipelines need. Spark plans it as a "
+    "regular hash join (null-safe keys hash like values), not a "
+    "nested loop.",
+)
+def j_nullsafe_join(spark, sf_dir):
+    a = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_custkey") % 5, F.lit(2)).alias("k")
+    )
+    b = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_suppkey") % 5, F.lit(2)).alias("k")
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .groupBy(
+            F.coalesce(a["k"].cast("string"), F.lit("NULL")).alias("key_repr")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("key_repr")
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS k_and,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS k_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS k_xor
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Bitwise aggregates (bit_and/bit_or/bit_xor): flag-mask "
+    "folding in one map-side-combinable pass — xor doubles as a "
+    "cheap orderless content checksum for partition equality checks.",
+)
+def agg_bitwise(spark, sf_dir):
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bit_and(F.col("o_orderkey")).alias("k_and"),
+            F.bit_or(F.col("o_orderkey")).alias("k_or"),
+            F.bit_xor(F.col("o_orderkey")).alias("k_xor"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="Ordered string aggregation: per nation, the sorted distinct "
+    "segment list as one delimited string (collect_set -> "
+    "array_sort -> concat_ws; DuckDB string_agg DISTINCT ... ORDER "
+    "BY). Deterministic because the order spec is total — the "
+    "LISTAGG-style denormalization feed.",
+)
+def agg_collect_sorted(spark, sf_dir):
+    return (
+        tbl(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("c_mktsegment"))
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "scalar_map_suite",
+    oracle="""
+    SELECT c_custkey,
+           LIST_VALUE('balance', 'segment') AS m_keys,
+           c_mktsegment AS seg_val,
+           CAST(2 AS INTEGER) AS m_size,
+           (c_acctbal > 0) AS has_pos_balance
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="Map-type scalar suite: build a map per row "
+    "(map_from_entries), then map_keys (sorted), element_at, size, "
+    "and a value predicate — the typed property-bag pattern for "
+    "semi-structured columns. Oracle states the expected values "
+    "directly; all map semantics execute Spark-side.",
+)
+def scalar_map_suite(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(
+                F.lit("segment").alias("k"), F.col("c_mktsegment").alias("v")
+            ),
+            F.struct(F.lit("balance").alias("k"), F.col("c_acctbal").cast("string").alias("v")),
+        )
+    )
+    return (
+        c.select("c_custkey", m.alias("_m"), "c_acctbal")
+        .select(
+            "c_custkey",
+            F.array_sort(F.map_keys(F.col("_m"))).alias("m_keys"),
+            F.element_at(F.col("_m"), "segment").alias("seg_val"),
+            F.size(F.col("_m")).alias("m_size"),
+            (F.col("c_acctbal") > 0).alias("has_pos_balance"),
+        )
+        .orderBy("c_custkey")
+    )
