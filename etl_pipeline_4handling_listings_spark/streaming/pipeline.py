@@ -120,3 +120,20 @@ def stream_interval_join(
         )
     )
     return l.join(r, cond, "inner")
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension.
+
+    The static side is re-read per micro-batch (so a dim refresh is
+    picked up without a restart) and broadcast when small — exactly
+    the batch pipeline's J1 dimension join lifted to streaming.
+    Stateless: unlike stream-stream joins, no watermark or join
+    state is needed, because the static side is always complete.
+
+    Reference analogue: the listings dimension join of the curated
+    load (SURVEY §2.4 J1) running against a live feed.
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)

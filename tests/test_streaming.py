@@ -203,3 +203,39 @@ def test_stream_interval_join_attributes_within_lag(spark, tmp_path):
     # purchase 1 matches only click 10; purchase 2 is >2h past both
     # clicks; purchase 3 has no same-user click
     assert got == [(1, 10)]
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, tmp_path):
+    from etl_pipeline_4handling_listings_spark.streaming.pipeline import (
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        ("a", _ts(1, 5), 1.0, "click", 2.0),
+        ("b", _ts(1, 30), 2.0, "view", 3.0),
+        ("c", _ts(2, 10), 9.0, "click", 5.0),
+    ]
+    _write_batch(spark, src, rows)
+    df = spark.read.parquet(src)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "passive")],
+        "event_type STRING, category STRING",
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_static_enrich(stream, dim, on="event_type")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["category"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == {("click", "engagement"), ("view", "passive")}
+    n = spark.sql("SELECT COUNT(*) AS n FROM enriched").collect()[0]["n"]
+    assert n == 3
