@@ -84,6 +84,15 @@ AUDIT = {
     "text_token_entropy": {"expect": ["HashAggregate"], "forbid": ["Join"]},
     "agg_histogram": {"expect": ["HashAggregate"], "forbid": ["Join"]},
     "outlier_zscore": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
+    "corpus_token_budget": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
+    "sample_weighted": {"expect": ["TakeOrderedAndProject"], "forbid": ["Exchange hashpartitioning"]},
+    "textrank_keywords": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    "agg_argmax": {"expect": ["HashAggregate"], "forbid": ["Window", "Join"]},
+    "agg_unpivot": {"expect": ["Expand"], "forbid": ["Join"]},
+    "j_nullsafe_join": {"expect": ["Join"], "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
+    "agg_bitwise": {"expect": ["HashAggregate"], "forbid": ["Join"]},
+    "agg_collect_sorted": {"expect": ["HashAggregate|ObjectHashAggregate"], "forbid": ["Join"]},
+    "scalar_map_suite": {"expect": [], "forbid": ["Join", "Exchange hashpartitioning"]},
 }
 
 
