@@ -5274,3 +5274,60 @@ def scalar_map_suite(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+               END AS n_tokens
+        FROM documents
+    ),
+    pre AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prefix_excl
+        FROM toks
+        WHERE n_tokens > 0
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(prefix_excl AS BIGINT) AS prefix_excl,
+           CAST(prefix_excl // 512 AS BIGINT) AS start_seq,
+           CAST(prefix_excl % 512 AS BIGINT) AS start_off,
+           CAST((prefix_excl + n_tokens - 1) // 512 AS BIGINT) AS end_seq
+    FROM pre
+    ORDER BY doc_id
+    """,
+    doc="Sequence packing (concat-and-chunk): documents are laid "
+    "end-to-end in doc_id order and cut into fixed 512-token "
+    "training sequences; each doc gets its (sequence, offset) "
+    "placement from an EXCLUSIVE prefix sum of token counts. The "
+    "oracle states the naive global running total; the engine runs "
+    "operators/prefix.keyed_prefix_sum — a two-level parallel scan "
+    "whose only unpartitioned window is one row per id-bucket, so "
+    "no global sort exists at any scale. All-integer, bit-exact.",
+)
+def corpus_pack_sequences(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.prefix import (
+        keyed_prefix_sum,
+    )
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    pre = keyed_prefix_sum(d, key="doc_id", value_col="n_tokens")
+    seq = 512
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        "prefix_excl",
+        F.expr(f"prefix_excl div {seq}").alias("start_seq"),
+        F.pmod(F.col("prefix_excl"), F.lit(seq)).cast("bigint").alias("start_off"),
+        F.expr(f"(prefix_excl + n_tokens - 1) div {seq}").alias("end_seq"),
+    ).orderBy("doc_id")

@@ -208,3 +208,35 @@ def test_budget_select_matches_naive_prefix(spark):
             .collect()
         )
         assert got == want, f"budget={budget}"
+
+
+def test_keyed_prefix_sum_matches_naive(spark):
+    """Two-level scan == naive global window, across sparse keys,
+    bucket-boundary keys, and zero values; small bucket_size forces
+    many buckets."""
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_pipeline_4handling_listings_spark.operators.prefix import (
+        keyed_prefix_sum,
+    )
+
+    rng = random.Random(11)
+    keys = sorted(rng.sample(range(0, 5000), 400)) + [8192, 8193, 16384]
+    rows = [(k, rng.choice([0, 1, 7, 50])) for k in keys]
+    df = spark.createDataFrame(rows, "k LONG, w LONG")
+    got = {
+        r.k: r.prefix_excl
+        for r in keyed_prefix_sum(
+            df, key="k", value_col="w", bucket_size=64
+        ).collect()
+    }
+    naive = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.k: r.p
+        for r in df.select(
+            "k", F.coalesce(F.sum("w").over(naive), F.lit(0)).alias("p")
+        ).collect()
+    }
+    assert got == want
