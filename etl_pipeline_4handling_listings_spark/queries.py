@@ -5331,3 +5331,163 @@ def corpus_pack_sequences(spark, sf_dir):
         F.pmod(F.col("prefix_excl"), F.lit(seq)).cast("bigint").alias("start_off"),
         F.expr(f"(prefix_excl + n_tokens - 1) div {seq}").alias("end_seq"),
     ).orderBy("doc_id")
+
+
+@query(
+    "events_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, grp,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(MIN(day) AS BIGINT) AS start_day
+        FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Gaps-and-islands: longest run of consecutive active days "
+    "per user via the day-minus-row_number group key — engagement "
+    "streaks with one window + two aggregates, all on the integer "
+    "day grid. The island trick needs no self-join at any scale.",
+)
+def events_streaks(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    days = e.select(
+        "user_id", (F.col("ts_us") / F.lit(86400000000)).cast("bigint").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count("*").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_ntile_stats",
+    oracle="""
+    WITH cents AS (
+        SELECT c_custkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+        FROM customer
+    ),
+    tiled AS (
+        SELECT c_custkey, c,
+               NTILE(10) OVER (ORDER BY c, c_custkey) AS decile
+        FROM cents
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c) AS BIGINT) AS min_cents,
+           CAST(MAX(c) AS BIGINT) AS max_cents
+    FROM tiled
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    doc="NTILE decile binning + per-decile stats: equal-count "
+    "buckets over a total order (cents, custkey) — the quantile "
+    "report / feature-binning primitive. NOTE: a global NTILE is a "
+    "single-partition sort; at 100 TB swap in approx-percentile "
+    "cut points (sketch_approx_percentile) and bucket by range — "
+    "this query is the exact-semantics twin the sketch is "
+    "validated against.",
+)
+def agg_ntile_stats(spark, sf_dir):
+    cents = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("c", "c_custkey")
+    tiled = cents.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH base AS (
+        SELECT epoch_us(ts) // 3600000000 AS hour_id,
+               epoch_us(ts) AS ts_us, event_id, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY hour_id ORDER BY ts_us, event_id
+               ) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY hour_id ORDER BY ts_us DESC, event_id DESC
+               ) AS rn_d
+        FROM base
+    )
+    SELECT hour_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM ranked
+    GROUP BY hour_id
+    ORDER BY hour_id
+    """,
+    doc="OHLC bars: per-hour open/high/low/close of the event value "
+    "stream — first/last by a total (ts, id) order via two rank "
+    "windows folded into one aggregate; the time-series "
+    "downsampling shape. Values pass through untouched (no "
+    "arithmetic), so floats stay bit-identical.",
+)
+def events_ohlc_bars(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    base = e.select(
+        F.expr("ts_us div 3600000000").alias("hour_id"),
+        "ts_us",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("hour_id").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("hour_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    ranked = base.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return (
+        ranked.groupBy("hour_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        )
+        .orderBy("hour_id")
+    )
