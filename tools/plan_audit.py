@@ -93,6 +93,11 @@ AUDIT = {
     "agg_bitwise": {"expect": ["HashAggregate"], "forbid": ["Join"]},
     "agg_collect_sorted": {"expect": ["HashAggregate|ObjectHashAggregate"], "forbid": ["Join"]},
     "scalar_map_suite": {"expect": [], "forbid": ["Join", "Exchange hashpartitioning"]},
+    # prefix-scan consumers: bucket offsets must broadcast back
+    "corpus_pack_sequences": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
+    "events_streaks": {"expect": ["Window", "HashAggregate"], "forbid": ["Join"]},
+    "agg_ntile_stats": {"expect": ["Window"], "forbid": ["Join"]},
+    "events_ohlc_bars": {"expect": ["Window", "HashAggregate"], "forbid": ["Join"]},
 }
 
 
