@@ -5491,3 +5491,99 @@ def events_ohlc_bars(spark, sf_dir):
         )
         .orderBy("hour_id")
     )
+
+
+@query(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_WORD_SHINGLES} AS shingles FROM documents
+    ),
+    eval_sh AS (
+        SELECT DISTINCT s FROM sh, UNNEST(shingles) AS t(s)
+        WHERE doc_id < 20
+    ),
+    train_sh AS (
+        SELECT doc_id, s FROM sh, UNNEST(shingles) AS t(s)
+        WHERE doc_id >= 20
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM train_sh JOIN eval_sh USING (s)
+    GROUP BY doc_id
+    HAVING COUNT(*) >= 3
+    ORDER BY doc_id
+    """,
+    doc="Train/eval decontamination: training documents sharing >= 3 "
+    "word-3-gram shingles with the held-out eval split (doc_id < "
+    "20). The eval shingle set is tiny and broadcasts; the train "
+    "side streams through a map-side semi-match — the standard "
+    "benchmark-leakage scrub, linear in corpus size at any scale "
+    "(never pairs docs).",
+)
+def dedup_decontaminate(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.functions.text import word_shingles
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", 3).alias("shingles")
+    )
+    eval_sh = (
+        d.filter(F.col("doc_id") < 20)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train_sh = d.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENIZE_SQL} AS word FROM documents
+    ),
+    uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY word
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS u FROM uni
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {sql_r('-SUM(LN(CAST(uni.c AS DOUBLE) / tot.u)) / COUNT(*)', 6)}
+               AS avg_nll
+    FROM toks JOIN uni USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Unigram language-model scoring: corpus word frequencies "
+    "become a broadcast LM; each document's mean negative "
+    "log-likelihood is the CCNet-style perplexity proxy used for "
+    "quality filtering. One explode + one broadcast join + one "
+    "per-doc aggregate — no Python, linear at scale.",
+)
+def text_unigram_logprob(spark, sf_dir):
+    t = _tokens(spark, sf_dir)
+    uni = t.groupBy("word").agg(F.count("*").alias("c"))
+    tot = uni.select(F.sum("c").cast("double").alias("u"))
+    return (
+        t.join(F.broadcast(uni), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            r(
+                -F.sum(F.log(F.col("c").cast("double") / F.col("u")))
+                / F.count("*"),
+                6,
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
