@@ -5587,3 +5587,88 @@ def text_unigram_logprob(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT c_custkey,
+           reverse(regexp_replace(c_name, '[^0-9]', '', 'g')) AS rev_digits,
+           CAST(LENGTH(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INTEGER)
+               AS n_digits
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="Arrow-vectorized scalar pandas_udf under the correctness "
+    "gate: digit extraction + reversal runs as columnar pandas "
+    "string kernels over Arrow batches (plan shows "
+    "ArrowEvalPython, never row-at-a-time BatchEvalPython — "
+    "enforced registry-wide by the plan audit). The template for "
+    "Python scalar logic Spark lacks a builtin for.",
+)
+def udf_pandas_scalar(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: the module's `from __future__ import annotations`
+    # stringifies def-style hints, which pandas_udf cannot resolve
+    # from a nested scope — the explicit returnType carries the type
+    rev_digits = pandas_udf(
+        lambda s: s.str.replace(r"[^0-9]", "", regex=True).map(
+            lambda x: x[::-1]
+        ),
+        "string",
+    )
+
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        rev_digits(F.col("c_name")).alias("rev_digits"),
+        F.length(F.regexp_replace(F.col("c_name"), r"[^0-9]", "")).alias(
+            "n_digits"
+        ),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "udf_grouped_ols",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS x,
+               value AS y
+        FROM events
+    )
+    SELECT user_id AS group_key,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           {sql_r('regr_slope(y, x)', 6)} AS slope,
+           {sql_r('regr_intercept(y, x)', 6)} AS intercept
+    FROM base
+    GROUP BY user_id
+    HAVING COUNT(*) >= 2 AND var_pop(x) > 0
+    ORDER BY group_key
+    """,
+    doc="applyInPandas per-group OLS under the correctness gate: one "
+    "shuffle on the group key, one Arrow-batched pandas fit per "
+    "group (operators/groupmap.grouped_ols), checked against "
+    "DuckDB's regr_slope/regr_intercept. Timestamps rescale to "
+    "days so coefficients sit at O(1) where the 1e-6 quantization "
+    "grid is meaningful. Proves the FlatMapGroupsInPandas path "
+    "computes, not just runs.",
+)
+def udf_grouped_ols(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.groupmap import (
+        grouped_ols,
+    )
+
+    e = tbl_events(spark, sf_dir).select(
+        "user_id",
+        (F.col("ts_us").cast("double") / F.lit(86400000000.0)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    fit = grouped_ols(e, key_col="user_id", x_col="x", y_col="y")
+    return fit.select(
+        "group_key",
+        "n_obs",
+        r("slope", 6).alias("slope"),
+        r("intercept", 6).alias("intercept"),
+    ).orderBy("group_key")

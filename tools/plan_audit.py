@@ -98,6 +98,11 @@ AUDIT = {
     "events_streaks": {"expect": ["Window", "HashAggregate"], "forbid": ["Join"]},
     "agg_ntile_stats": {"expect": ["Window"], "forbid": ["Join"]},
     "events_ohlc_bars": {"expect": ["Window", "HashAggregate"], "forbid": ["Join"]},
+    # Python boundaries must be Arrow-vectorized, never row-at-a-time
+    "udf_pandas_scalar": {"expect": ["ArrowEvalPython"], "forbid": ["Join"]},
+    "udf_grouped_ols": {"expect": ["FlatMapGroupsInPandas"], "forbid": []},
+    "dedup_decontaminate": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
+    "text_unigram_logprob": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
 }
 
 
