@@ -5672,3 +5672,97 @@ def udf_grouped_ols(spark, sf_dir):
         r("slope", 6).alias("slope"),
         r("intercept", 6).alias("intercept"),
     ).orderBy("group_key")
+
+
+@query(
+    "outlier_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, ABS(e.value - med.med) AS d, med.med
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(d, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           {sql_r('ANY_VALUE(dev.med)', 6)} AS median_value,
+           {sql_r('ANY_VALUE(mad.mad)', 6)} AS mad_value,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    ORDER BY dev.event_type
+    """,
+    doc="Median-absolute-deviation outlier detection: the robust "
+    "twin of z-scores (insensitive to the outliers it hunts). Two "
+    "grouped exact-percentile aggregates; the per-type medians are "
+    "a tiny broadcast side. Interpolated medians compute "
+    "identically from identical doubles, so the 3*MAD threshold "
+    "is engine-exact; approx_percentile swaps in at 100 TB.",
+)
+def outlier_mad(spark, sf_dir):
+    e = tbl_events(spark, sf_dir).select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            r(F.any_value("med"), 6).alias("median_value"),
+            r(F.any_value("mad"), 6).alias("mad_value"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "scalar_array_setops",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_intersect(ws, ['spark', 'join', 'the', 'a']))
+               AS matched,
+           CAST(len(list_filter(ws,
+                w -> NOT list_contains(['spark', 'join', 'the', 'a'], w)))
+               AS INTEGER) AS n_rest,
+           list_contains(ws, 'table') AS has_table
+    FROM toks
+    ORDER BY doc_id
+    """,
+    doc="Array set operations (intersect / except-size / contains) "
+    "against a literal vocabulary — JVM higher-order kernels, no "
+    "explode, no shuffle beyond the scan; the in-row set algebra "
+    "used by tag filtering and stopword accounting.",
+)
+def scalar_array_setops(spark, sf_dir):
+    probe = F.array(*[F.lit(w) for w in ("spark", "join", "the", "a")])
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("ws"),
+    )
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_intersect(F.col("ws"), probe)).alias("matched"),
+        F.size(F.array_except(F.col("ws"), probe)).alias("n_rest"),
+        F.array_contains(F.col("ws"), "table").alias("has_table"),
+    ).orderBy("doc_id")
