@@ -5766,3 +5766,288 @@ def scalar_array_setops(spark, sf_dir):
         F.size(F.array_except(F.col("ws"), probe)).alias("n_rest"),
         F.array_contains(F.col("ws"), "table").alias("has_table"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM w)
+        GROUP BY doc_id, w
+    ), wstats AS (
+        SELECT doc_id,
+               CAST(MAX(c) AS BIGINT) AS top_word_cnt,
+               CAST(COUNT(*) AS BIGINT) AS distinct_words,
+               CAST(SUM(c) AS BIGINT) AS total_words
+        FROM wc GROUP BY doc_id
+    ), bc AS (
+        SELECT doc_id, b, COUNT(*) AS c
+        FROM (
+            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 1)) AS i
+                  FROM w)
+        )
+        GROUP BY doc_id, b
+    ), bstats AS (
+        SELECT doc_id,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_cnt,
+               CAST(SUM(c) AS BIGINT) AS total_bigrams
+        FROM bc GROUP BY doc_id
+    )
+    SELECT ws.doc_id, ws.total_words, ws.distinct_words, ws.top_word_cnt,
+           bs.total_bigrams, bs.top_bigram_cnt,
+           {sql_r('1.0 - CAST(ws.distinct_words AS DOUBLE) / ws.total_words', 6)}
+               AS dup_word_ratio,
+           {sql_r('CAST(bs.top_bigram_cnt AS DOUBLE) / bs.total_bigrams', 6)}
+               AS top_bigram_share
+    FROM wstats ws JOIN bstats bs ON ws.doc_id = bs.doc_id
+    ORDER BY ws.doc_id
+    """,
+    doc="Gopher-style repetition quality signals: duplicate-word "
+    "ratio and top-bigram share per document. Both signals reduce "
+    "through (doc_id, token) hash aggregates — explode then "
+    "two-level groupBy, so the heavy fan-out combines map-side and "
+    "the only shuffles are keyed on doc_id; no all-pairs, no "
+    "Python. The standard pre-training corpus filter for "
+    "boilerplate/spam (repeated n-grams) at any scale.",
+)
+def text_repetition_signals(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    words = d.select("doc_id", F.explode("ws").alias("w"))
+    wstats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_word_cnt"),
+            F.count("*").alias("distinct_words"),
+            F.sum("c").alias("total_words"),
+        )
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") > 1,
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("b"),
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_cnt"),
+            F.sum("c").alias("total_bigrams"),
+        )
+    )
+    return (
+        wstats.join(bstats, "doc_id")
+        .select(
+            "doc_id",
+            "total_words",
+            "distinct_words",
+            "top_word_cnt",
+            "total_bigrams",
+            "top_bigram_cnt",
+            r(
+                F.lit(1.0)
+                - F.col("distinct_words").cast("double") / F.col("total_words"),
+                6,
+            ).alias("dup_word_ratio"),
+            r(
+                F.col("top_bigram_cnt").cast("double") / F.col("total_bigrams"),
+                6,
+            ).alias("top_bigram_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "layout_zorder",
+    oracle="""
+    WITH z AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(list_sum(list_transform(generate_series(0, 15), i ->
+                   (((CAST(l_partkey AS BIGINT) >> i) & 1) << (2 * i))
+                 + (((CAST(l_suppkey AS BIGINT) >> i) & 1) << (2 * i + 1))
+               )) AS BIGINT) AS zval
+        FROM lineitem
+    )
+    SELECT CAST(zval >> 14 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(zval) AS zmin, MAX(zval) AS zmax
+    FROM z
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Z-order (Morton) layout key: bit-interleave two join/filter "
+    "dimensions into one sort key, then bucket on its prefix — the "
+    "write-side clustering that makes min/max data skipping work "
+    "for BOTH dimensions at once (Delta/Iceberg OPTIMIZE ZORDER "
+    "does exactly this before repartitionByRange). The interleave "
+    "is a 16-step JVM aggregate fold over a sequence — stays in "
+    "codegen, no Python, no shuffle beyond the final bucket agg; "
+    "at 100 TB you'd repartitionByRange(zval) and write.",
+)
+def layout_zorder(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    zval = F.expr(
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+        " + shiftleft(shiftright(cast(l_partkey as bigint), i) & 1, 2 * i)"
+        " + shiftleft(shiftright(cast(l_suppkey as bigint), i) & 1, 2 * i + 1))"
+    )
+    return (
+        li.select(zval.alias("zval"))
+        .groupBy(F.shiftright("zval", 14).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("zval").alias("zmin"),
+            F.max("zval").alias("zmax"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "incr_agg_merge",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           {sql_r('SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0', 2)}
+               AS total_price
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    doc="Incremental aggregate maintenance: partial aggregates for "
+    "the closed history period merge with the open-period delta "
+    "through a union + re-aggregate — sums add, counts add — so "
+    "yesterday's rollup is never recomputed. The oracle is the "
+    "direct full aggregate; integer-cents quantization keeps the "
+    "merged totals bit-identical to the from-scratch ones. At "
+    "100 TB the base partials are a stored table 1000x smaller "
+    "than the fact table and the daily cost is O(delta).",
+)
+def incr_agg_merge(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    )
+    cut = F.lit("1998-01-01").cast("date")
+    odate = F.col("o_orderdate").cast("date")
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"), F.sum("cents").alias("total_cents")
+        )
+
+    base = partial(o.filter(odate < cut))      # stored partials (history)
+    delta = partial(o.filter(odate >= cut))    # today's delta
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        "total_cents",
+        r(F.col("total_cents") / F.lit(100.0), 2).alias("total_price"),
+    ).orderBy("o_custkey")
+
+
+@query(
+    "events_sliding_distinct",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_id FROM events
+    ), contrib AS (
+        SELECT DISTINCT
+               unnest(generate_series(epoch_us(ts) // 86400000000,
+                                      epoch_us(ts) // 86400000000 + 6)) AS wday,
+               user_id
+        FROM events
+    )
+    SELECT c.wday AS day_id,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+    FROM contrib c JOIN days d ON c.wday = d.day_id
+    GROUP BY c.wday
+    ORDER BY c.wday
+    """,
+    doc="7-day sliding DISTINCT users per day — the canonical "
+    "'distinct over a moving window' rollup that window frames "
+    "cannot express (COUNT(DISTINCT) OVER RANGE is unsupported "
+    "everywhere). Each event fans out to the <=7 window-ends it "
+    "feeds, then a (day,user) distinct + per-day distinct count: "
+    "bounded 7x amplification traded for a plain two-level hash "
+    "aggregate — shuffle-friendly, no state, no per-day rescans. "
+    "The days join keeps only observed window-ends, and at 100 TB "
+    "the same shape swaps COUNT DISTINCT for approx_count_distinct "
+    "or an HLL-sketch merge without touching the fan-out.",
+)
+def events_sliding_distinct(spark, sf_dir):
+    e = tbl_events(spark, sf_dir).select(
+        F.expr("ts_us div 86400000000").alias("day_id"), "user_id"
+    )
+    days = e.select("day_id").distinct()
+    contrib = e.select(
+        F.explode(
+            F.sequence(F.col("day_id"), F.col("day_id") + F.lit(6))
+        ).alias("wday"),
+        "user_id",
+    ).distinct()
+    return (
+        contrib.join(days, contrib.wday == days.day_id)
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.col("wday").alias("day_id"), "users_7d")
+        .orderBy("day_id")
+    )
+
+
+@query(
+    "scalar_struct_suite",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(lang := lang, n_chars := n_chars)) AS meta_json,
+           struct_pack(lang := lang, n_chars := n_chars).lang AS s_lang,
+           struct_pack(src := source, sz := n_chars // 100).sz AS size_bucket
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Struct pack / field-access / JSON serialization round-trip "
+    "— the nested-record kernel for typed payload columns (event "
+    "props, multimodal metadata). int/string struct to_json is "
+    "byte-identical across engines (same field order, no floats); "
+    "all JVM expressions, row-local, zero shuffle.",
+)
+def scalar_struct_suite(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    meta = F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("n_chars"))
+    sized = F.struct(
+        F.col("source").alias("src"),
+        F.expr("n_chars div 100").alias("sz"),
+    )
+    return d.select(
+        "doc_id",
+        F.to_json(meta).alias("meta_json"),
+        meta.getField("lang").alias("s_lang"),
+        sized.getField("sz").alias("size_bucket"),
+    ).orderBy("doc_id")

@@ -114,3 +114,84 @@ def stateful_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x): streaming first-seen filter
+# ---------------------------------------------------------------------
+
+FIRST_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.StringType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("n_dups_batch", T.LongType()),
+    ]
+)
+
+
+try:  # Spark 4.x API; absent on 3.x
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover - container ships Spark 4
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class FirstSeenProcessor(StatefulProcessor):
+    """Streaming exact-dedup state machine: emit a fingerprint the
+    first time it appears, swallow every later occurrence.
+
+    Built on the Spark 4 ``transformWithState`` API (RocksDB-backed
+    ``ValueState``), which supersedes ``applyInPandasWithState``:
+    state lives in the native store (changelog-checkpointed, spillable
+    far past executor memory), so the seen-set can hold billions of
+    fingerprints — the streaming twin of ``dedup_exact`` and the
+    ingest-side guard of the incremental near-dup index.
+
+    Optional ``ttl_ms`` expires idle fingerprints, bounding state for
+    sources where re-crawl duplicates only arrive within a window.
+    """
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._seen = handle.getValueState("seen", "n BIGINT", self._ttl_ms)
+
+    def handleInputRows(self, key, rows, timer_values):
+        (fp,) = key
+        first = not self._seen.exists()
+        n = 0
+        out = None
+        for pdf in rows:
+            if first and out is None and len(pdf):
+                out = pd.DataFrame(
+                    {
+                        "fp": [fp],
+                        "first_ts": [pdf["ts"].iloc[0]],
+                        "n_dups_batch": [0],
+                    }
+                )
+            n += len(pdf)
+        prev = 0 if first else self._seen.get()[0]
+        self._seen.update((prev + n,))
+        if out is not None:
+            out["n_dups_batch"] = n - 1
+            yield out
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_first_seen(
+    stream: DataFrame,
+    fp_col: str = "fp",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """First-occurrence-only streaming dedup over an unbounded
+    fingerprint space. Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    return stream.groupBy(fp_col).transformWithStateInPandas(
+        FirstSeenProcessor(ttl_minutes * 60_000 if ttl_minutes else None),
+        outputStructType=FIRST_SEEN_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

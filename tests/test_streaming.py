@@ -239,3 +239,110 @@ def test_stream_static_enrich_broadcasts_dim(spark, tmp_path):
     assert got == {("click", "engagement"), ("view", "passive")}
     n = spark.sql("SELECT COUNT(*) AS n FROM enriched").collect()[0]["n"]
     assert n == 3
+
+
+def test_transform_with_state_first_seen(spark, tmp_path):
+    """Spark-4 transformWithState: first occurrence emits, duplicates
+    are swallowed across separate runs via RocksDB state recovery."""
+    import pytest
+
+    # transformWithState's Python state-server protocol rides on
+    # protobuf, which this container does not ship — the operator is
+    # exercised fully where protobuf exists
+    pytest.importorskip("google.protobuf")
+    from etl_pipeline_4handling_listings_spark.streaming.stateful import (
+        stateful_first_seen,
+    )
+
+    src = str(tmp_path / "fs_src")
+    ckpt = str(tmp_path / "fs_ckpt")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("fp STRING, ts TIMESTAMP").parquet(src)
+        q = (
+            stateful_first_seen(stream, "fp")
+            .writeStream.format("memory")
+            .queryName("first_seen_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.sql(
+            "SELECT fp, n_dups_batch FROM first_seen_out"
+        ).collect()
+
+    try:
+        spark.createDataFrame(
+            [("a", _ts(1, 0)), ("a", _ts(1, 1)), ("b", _ts(1, 2))],
+            "fp STRING, ts TIMESTAMP",
+        ).coalesce(1).write.mode("append").parquet(src)
+        out1 = {(r["fp"], r["n_dups_batch"]) for r in run_once()}
+        assert out1 == {("a", 1), ("b", 0)}
+
+        # second run: 'a' and 'b' are already in state -> only 'c' emits
+        spark.createDataFrame(
+            [("a", _ts(2, 0)), ("c", _ts(2, 1)), ("b", _ts(2, 2))],
+            "fp STRING, ts TIMESTAMP",
+        ).coalesce(1).write.mode("append").parquet(src)
+        out2 = {(r["fp"], r["n_dups_batch"]) for r in run_once()}
+        assert out2 == {("c", 0)}
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+
+
+def test_first_seen_processor_state_machine():
+    """The transformWithState processor logic itself, driven with a
+    fake ValueState — covers the paths the container's missing
+    protobuf keeps the end-to-end test from reaching."""
+    import pandas as pd
+
+    from etl_pipeline_4handling_listings_spark.streaming.stateful import (
+        FirstSeenProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema, ttl):
+            return self.state
+
+    proc = FirstSeenProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    batch = pd.DataFrame({"fp": ["a", "a"], "ts": pd.to_datetime(["2024-01-01", "2024-01-02"])})
+    out = list(proc.handleInputRows(("a",), iter([batch]), None))
+    assert len(out) == 1
+    assert out[0]["fp"].iloc[0] == "a"
+    assert out[0]["n_dups_batch"].iloc[0] == 1  # 2 rows, 1 duplicate
+    assert handle.state.get() == (2,)
+
+    # same key again: nothing emits, the dup counter accumulates
+    out2 = list(proc.handleInputRows(("a",), iter([batch.head(1)]), None))
+    assert out2 == []
+    assert handle.state.get() == (3,)

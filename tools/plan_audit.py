@@ -103,6 +103,17 @@ AUDIT = {
     "udf_grouped_ols": {"expect": ["FlatMapGroupsInPandas"], "forbid": []},
     "dedup_decontaminate": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
     "text_unigram_logprob": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
+    # repetition signals: explode + two-level agg, join keyed on doc_id
+    "text_repetition_signals": {"expect": ["Generate", "HashAggregate"], "forbid": []},
+    # Morton interleave is a codegen fold — no Python, no join
+    "layout_zorder": {"expect": ["HashAggregate"], "forbid": ["Join"]},
+    # partial-merge is union + re-aggregate, never a join of partials
+    "incr_agg_merge": {"expect": ["HashAggregate", "Union"], "forbid": ["Join"]},
+    # sliding distinct: explode fan-out + hash aggregates; the
+    # observed-days side is tiny and must broadcast
+    "events_sliding_distinct": {"expect": ["Generate", "BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
+    # struct kernel is row-local: no join, no shuffle
+    "scalar_struct_suite": {"expect": [], "forbid": ["Join", "Exchange hashpartitioning"]},
 }
 
 
