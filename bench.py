@@ -1,8 +1,14 @@
 """Benchmark harness: every registry query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints TWO JSON lines — a compact summary FIRST (always parseable
+even if a log captor truncates long lines), then the full payload
+with the per-query map:
     {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": <sf>}
+     "sf": <sf>, ...totals...}
+    {...same + "queries": {"q1": sec, ...}}
+The full payload is also written to BENCH_LOCAL.json at the repo
+root so the per-query map survives any stdout truncation (round 2
+lost the front of the single long line: BENCH_r02 parsed: null).
 
 ``value`` sums the HEADLINE subset only (stable round-over-round
 metric); ``queries`` carries per-query wall time for the FULL
@@ -73,6 +79,12 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     spark.range(1000).selectExpr("sum(id)").collect()
+    # warm the Arrow/Python worker pool: the first Arrow stage of a
+    # session pays 4-5 s of Python-worker + serializer cold start
+    # that would otherwise be billed to x1_enrich_lookup / udf_*
+    spark.createDataFrame([(1,)], "a int").mapInPandas(
+        lambda it: it, "a int"
+    ).write.format("noop").mode("overwrite").save()
     all_names = list(REGISTRY)
     for name in all_names:
         try:
@@ -102,19 +114,20 @@ def main() -> None:
     registry_total = round(sum(t for t in times.values() if t >= 0), 3)
     _pipeline_throughput(spark, 5_000)  # warm the pipeline plan shapes
     pipeline = _pipeline_throughput(spark)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "registry_queries_total": registry_total,
-                "pipeline_rows_per_sec": pipeline,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "registry_queries_total": registry_total,
+        "pipeline_rows_per_sec": pipeline,
+    }
+    full = {**summary, "queries": times}
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(summary), flush=True)
+    print(json.dumps(full), flush=True)
     spark.stop()
 
 

@@ -52,10 +52,13 @@ def batched_lookup(
     here is exact — cheap at this cardinality since only key columns
     are scanned.
     """
-    # persist the distinct key set: it feeds both the sizing count
-    # and the repartition — without the cache the distinct shuffle
-    # runs twice
-    keys = df.select(*key_cols).distinct().persist()
+    # the sizing count recomputes the distinct when the caller later
+    # acts on the returned plan — a bounded narrow shuffle over key
+    # columns only. Deliberately NOT persisted: a cache block here
+    # outlives the call (nothing can unpersist after the caller's
+    # action), and a long-lived session running hundreds of lookups
+    # would accumulate one leaked block per call.
+    keys = df.select(*key_cols).distinct()
     n = keys.count()
     if n == 0:
         empty = keys

@@ -211,7 +211,7 @@ def ivf_topk(
     # random init + few iterations gives equally-usable cells at a
     # fraction of the cost (k-means|| init alone runs several passes
     # over the data); recall is governed by n_probe, and the recall
-    # gate (ann_ivf_recall) holds the quality bar
+    # gate (the ann_ivf query's recall oracle) holds the quality bar
     model = KMeans(
         k=n_centroids,
         seed=seed,

@@ -181,14 +181,83 @@ class FirstSeenProcessor(StatefulProcessor):
         pass
 
 
+def _has_transform_with_state() -> bool:
+    """transformWithState's Python state-server protocol rides on
+    protobuf; without it the operator fails at runtime even though
+    the API exists."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _first_seen_apply_in_pandas(stream: DataFrame, fp_col: str) -> DataFrame:
+    """``applyInPandasWithState`` twin of :class:`FirstSeenProcessor`:
+    same contract (first occurrence emits with the batch's duplicate
+    count, later occurrences are swallowed, state survives restarts
+    via the checkpoint). State is one counter row per fingerprint in
+    the configured state store — the fallback for runtimes without
+    the transformWithState protobuf dependency."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (fp,) = key
+        first_ts = None
+        n = 0
+        for pdf in pdfs:
+            if first_ts is None and len(pdf):
+                first_ts = pdf["ts"].iloc[0]
+            n += len(pdf)
+        existed = state.exists
+        prev = state.get[0] if existed else 0
+        state.update((prev + n,))
+        if not existed:
+            yield pd.DataFrame(
+                {
+                    "fp": [fp],
+                    "first_ts": [first_ts],
+                    "n_dups_batch": [n - 1],
+                }
+            )
+
+    return stream.groupBy(fp_col).applyInPandasWithState(
+        fn,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=T.StructType([T.StructField("n", T.LongType())]),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_first_seen(
     stream: DataFrame,
     fp_col: str = "fp",
     ttl_minutes: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """First-occurrence-only streaming dedup over an unbounded
     fingerprint space. Requires the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass``)."""
+    (``spark.sql.streaming.stateStore.providerClass``).
+
+    ``engine``: ``"tws"`` forces transformWithStateInPandas (Spark 4,
+    needs protobuf), ``"applyInPandas"`` forces the fallback, and
+    ``"auto"`` picks tws when its protobuf dependency is importable.
+    TTL expiry is a tws-only feature (ValueState TTL); the fallback
+    rejects it rather than silently keeping state forever.
+    """
+    if engine == "auto":
+        engine = "tws" if _has_transform_with_state() else "applyInPandas"
+    if engine == "applyInPandas":
+        if ttl_minutes is not None:
+            raise ValueError(
+                "ttl_minutes requires the transformWithState engine"
+            )
+        return _first_seen_apply_in_pandas(stream, fp_col)
     return stream.groupBy(fp_col).transformWithStateInPandas(
         FirstSeenProcessor(ttl_minutes * 60_000 if ttl_minutes else None),
         outputStructType=FIRST_SEEN_SCHEMA,

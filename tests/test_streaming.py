@@ -242,20 +242,18 @@ def test_stream_static_enrich_broadcasts_dim(spark, tmp_path):
 
 
 def test_transform_with_state_first_seen(spark, tmp_path):
-    """Spark-4 transformWithState: first occurrence emits, duplicates
-    are swallowed across separate runs via RocksDB state recovery."""
-    import pytest
-
-    # transformWithState's Python state-server protocol rides on
-    # protobuf, which this container does not ship — the operator is
-    # exercised fully where protobuf exists
-    pytest.importorskip("google.protobuf")
+    """Streaming first-seen dedup end-to-end: first occurrence emits,
+    duplicates are swallowed across separate runs via RocksDB state
+    recovery. engine="auto" runs transformWithState where its
+    protobuf dependency exists and the applyInPandasWithState twin
+    otherwise — same contract either way, so this e2e never skips."""
     from etl_pipeline_4handling_listings_spark.streaming.stateful import (
         stateful_first_seen,
     )
 
     src = str(tmp_path / "fs_src")
     ckpt = str(tmp_path / "fs_ckpt")
+    out_dir = str(tmp_path / "fs_out")
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get(prov_key, None)
     spark.conf.set(
@@ -264,27 +262,30 @@ def test_transform_with_state_first_seen(spark, tmp_path):
     )
 
     def run_once():
+        # file sink, not memory: the memory sink cannot recover from
+        # a checkpoint, and cross-run state recovery is the point
         stream = spark.readStream.schema("fp STRING, ts TIMESTAMP").parquet(src)
         q = (
             stateful_first_seen(stream, "fp")
-            .writeStream.format("memory")
-            .queryName("first_seen_out")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(180)
-        return spark.sql(
-            "SELECT fp, n_dups_batch FROM first_seen_out"
-        ).collect()
+        return {
+            (r["fp"], r["n_dups_batch"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
 
     try:
         spark.createDataFrame(
             [("a", _ts(1, 0)), ("a", _ts(1, 1)), ("b", _ts(1, 2))],
             "fp STRING, ts TIMESTAMP",
         ).coalesce(1).write.mode("append").parquet(src)
-        out1 = {(r["fp"], r["n_dups_batch"]) for r in run_once()}
+        out1 = run_once()
         assert out1 == {("a", 1), ("b", 0)}
 
         # second run: 'a' and 'b' are already in state -> only 'c' emits
@@ -292,7 +293,7 @@ def test_transform_with_state_first_seen(spark, tmp_path):
             [("a", _ts(2, 0)), ("c", _ts(2, 1)), ("b", _ts(2, 2))],
             "fp STRING, ts TIMESTAMP",
         ).coalesce(1).write.mode("append").parquet(src)
-        out2 = {(r["fp"], r["n_dups_batch"]) for r in run_once()}
+        out2 = run_once() - out1
         assert out2 == {("c", 0)}
     finally:
         if old is None:

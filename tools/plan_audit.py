@@ -50,7 +50,8 @@ AUDIT = {
     "range_interval_join": {"expect": ["HashJoin"], "forbid": ["BroadcastNestedLoopJoin"]},
     "q4_order_priority": {"expect": ["LeftSemi"], "forbid": []},
     "q16_supplier_cnt": {"expect": ["LeftAnti"], "forbid": []},
-    "q2_min_cost_supplier": {"expect": ["TakeOrderedAndProject"], "forbid": []},
+    # the selective part filter must semi-join below the aggregates
+    "q2_min_cost_supplier": {"expect": ["TakeOrderedAndProject", "LeftSemi"], "forbid": []},
     "q21_waiting_supplier": {"expect": ["TakeOrderedAndProject"], "forbid": []},
     # multi-join analytics: every dimension leg must broadcast, and
     # the selective filters must reach the parquet scans
@@ -97,7 +98,11 @@ AUDIT = {
     "corpus_pack_sequences": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
     "events_streaks": {"expect": ["Window", "HashAggregate"], "forbid": ["Join"]},
     "agg_ntile_stats": {"expect": ["Window"], "forbid": ["Join"]},
-    "events_ohlc_bars": {"expect": ["Window", "HashAggregate"], "forbid": ["Join"]},
+    # OHLC is ONE argmin/argmax aggregate (partial SortAggregate:
+    # struct order keys aren't hash-buffer types, but partials still
+    # combine map-side so only per-hour rows shuffle) — a Window node
+    # here would mean the per-hour full-sort formulation snuck back in
+    "events_ohlc_bars": {"expect": ["SortAggregate"], "forbid": ["Window", "Join"]},
     # Python boundaries must be Arrow-vectorized, never row-at-a-time
     "udf_pandas_scalar": {"expect": ["ArrowEvalPython"], "forbid": ["Join"]},
     "udf_grouped_ols": {"expect": ["FlatMapGroupsInPandas"], "forbid": []},
