@@ -6069,6 +6069,176 @@ def scalar_struct_suite(spark, sf_dir):
 
 
 # =====================================================================
+# Round-3 additions — registered BEHIND the certification window
+# (appended to the back of _DRIVER_ORDER, never ahead of slot 50).
+# =====================================================================
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS eff_from,
+           COALESCE(LEAD(CAST(o_orderdate AS DATE)) OVER w,
+                    DATE '9999-12-31') AS eff_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n,
+           (LEAD(o_orderkey) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+    )
+    """,
+    doc="SCD2 interval construction: each customer's orders become "
+    "type-2 dimension versions with [eff_from, eff_to) validity "
+    "derived by LEAD over the per-customer timeline, open-ended "
+    "current row sentinel 9999-12-31, and a version counter — the "
+    "standard warehouse history-build (ref hist-curated driving "
+    "columns, mls_listings_hist_curated.py:194-203, generalized to "
+    "validity ranges). One window over one shuffle by the dimension "
+    "key; per-key partitions are order-count bounded, so no skew "
+    "hazard at 100 TB.",
+)
+def scd2_intervals(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(d, "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("eff_from"),
+        F.coalesce(
+            F.lead(d).over(w), F.lit("9999-12-31").cast("date")
+        ).alias("eff_to"),
+        F.row_number().over(w).cast("bigint").alias("version_n"),
+        F.lead("o_orderkey").over(w).isNull().alias("is_current"),
+    )
+
+
+_DUCK_5GRAMS = r"""
+    list_distinct(list_transform(
+        range(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 4, 1) + 1),
+        i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i:i+4], ' ')
+    ))
+"""
+
+
+@query(
+    "dedup_crossdoc_spans",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_DUCK_5GRAMS}) AS g FROM documents
+    ),
+    freq AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g
+    ),
+    per_doc AS (
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) FILTER (WHERE freq.nd >= 2) AS BIGINT)
+                   AS n_dup_grams
+        FROM g JOIN freq USING (g)
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_dup_grams,
+           {sql_r('n_dup_grams / n_grams', 6)} AS dup_frac
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    doc="Cross-document duplicated-span statistic: per document, the "
+    "fraction of its distinct word 5-grams that also appear in at "
+    "least one OTHER document — the corpus-level duplication measure "
+    "behind substring-level training-data dedup (Lee et al. 2022 "
+    "style). Inverted-index shape: explode 5-grams, one hash-agg for "
+    "document frequency, one equi-join back, one per-doc agg — "
+    "never materializes document pairs, so it scales linearly in "
+    "corpus size where a pairwise formulation is quadratic.",
+)
+def dedup_crossdoc_spans(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.functions.text import word_shingles
+
+    g = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+    )
+    freq = g.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        g.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("nd") >= 2, True)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            r(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM per_lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           {sql_r('n_tokens / tot_tokens', 6)} AS token_share,
+           {sql_r('tot_tokens / (n_langs * n_tokens)', 6)} AS resample_weight
+    FROM per_lang CROSS JOIN tot
+    ORDER BY lang
+    """,
+    doc="Domain-mixture reweighting: per-language token shares and "
+    "the resampling weight that moves the corpus to a uniform "
+    "target mix (weight = target_share / actual_share) — the "
+    "knob for data-mixture curricula. One hash-agg to a "
+    "languages-sized frame, then a broadcast of the single "
+    "grand-total row; nothing scales with corpus size after the "
+    "first aggregate.",
+)
+def corpus_mix_weights(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.functions.text import token_count
+
+    per_lang = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text").cast("bigint")).alias("n_tokens"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count("*").alias("n_langs"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            r(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("token_share"),
+            r(
+                F.col("tot_tokens") / (F.col("n_langs") * F.col("n_tokens")), 6
+            ).alias("resample_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+# =====================================================================
 # Driver-certification rotation (round 3).
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries
@@ -6225,6 +6395,10 @@ _DRIVER_ORDER = [
     "q6_forecast_revenue",
     "q18_large_orders",
     "dedup_embedding_cosine",
+    # round-3 additions: appended BEHIND the certification window
+    "scd2_intervals",
+    "dedup_crossdoc_spans",
+    "corpus_mix_weights",
 ]
 
 

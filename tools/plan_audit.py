@@ -119,6 +119,12 @@ AUDIT = {
     "events_sliding_distinct": {"expect": ["Generate", "BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
     # struct kernel is row-local: no join, no shuffle
     "scalar_struct_suite": {"expect": [], "forbid": ["Join", "Exchange hashpartitioning"]},
+    # SCD2 build is one window over the dimension-key shuffle
+    "scd2_intervals": {"expect": ["Window"], "forbid": ["Join"]},
+    # inverted-index shape: explode + two hash aggs; never a pair join
+    "dedup_crossdoc_spans": {"expect": ["Generate", "HashAggregate"], "forbid": ["BroadcastNestedLoopJoin"]},
+    # languages-sized agg + broadcast grand total
+    "corpus_mix_weights": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
 }
 
 
