@@ -121,6 +121,8 @@ AUDIT = {
     "scalar_struct_suite": {"expect": [], "forbid": ["Join", "Exchange hashpartitioning"]},
     # SCD2 build is one window over the dimension-key shuffle
     "scd2_intervals": {"expect": ["Window"], "forbid": ["Join"]},
+    # point-in-time lookup must ride the binned hash join
+    "scd2_point_in_time": {"expect": ["HashJoin"], "forbid": ["BroadcastNestedLoopJoin"]},
     # inverted-index shape: explode + two hash aggs; never a pair join
     "dedup_crossdoc_spans": {"expect": ["Generate", "HashAggregate"], "forbid": ["BroadcastNestedLoopJoin"]},
     # languages-sized agg + broadcast grand total
