@@ -106,6 +106,25 @@ def r4(c: Column | str) -> Column:
     return r(c, 4)
 
 
+def cents(c: Column | str) -> Column:
+    """Exact integer cents: floor(x*100 + 0.5) as BIGINT.
+
+    Double summation is not associative, so SUM over raw float
+    money values can land on either side of a half-cent rounding
+    boundary depending on partial-aggregation order (partition
+    count, machine). Flooring each ROW to integer cents first —
+    identical IEEE ops in Spark and DuckDB (mirror:
+    :func:`sql_cents`) — makes every SUM exact and
+    order-independent."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+def sql_cents(expr: str) -> str:
+    """DuckDB mirror of :func:`cents`."""
+    return f"CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
 def sql_r(expr: str, k: int) -> str:
     scale = 10**k
     return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
@@ -889,11 +908,11 @@ def a1_distinct(spark, sf_dir):
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            {sql_r('SUM(l_quantity)', 2)} AS sum_qty,
-           {sql_r('SUM(l_extendedprice)', 2)} AS sum_base_price,
-           {sql_r('SUM(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
-           {sql_r('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+           {sql_r(f'SUM({sql_cents("l_extendedprice")}) / 100.0', 2)} AS sum_base_price,
+           {sql_r(f'SUM({sql_cents("l_extendedprice * (1 - l_discount)")}) / 100.0', 2)} AS sum_disc_price,
+           {sql_r(f'SUM({sql_cents("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) / 100.0', 2)} AS sum_charge,
            {sql_r('AVG(l_quantity)', 4)} AS avg_qty,
-           {sql_r('AVG(l_extendedprice)', 4)} AS avg_price,
+           {sql_r(f'SUM({sql_cents("l_extendedprice")}) / 100.0 / COUNT(*)', 4)} AS avg_price,
            {sql_r('AVG(l_discount)', 4)} AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -901,7 +920,10 @@ def a1_distinct(spark, sf_dir):
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="Headline: TPC-H Q1-style pricing summary (partial-agg map-side "
-    "combine; one shuffle).",
+    "combine; one shuffle). Money aggregates sum integer cents "
+    "(order-independent; see cents()); quantity is integral-valued "
+    "so its raw sum is already exact, and discount is too small in "
+    "magnitude for reassociation error to reach the 1e-4 grid.",
 )
 def q1_pricing_summary(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
@@ -911,11 +933,15 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),
-            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r2(F.sum(disc)).alias("sum_disc_price"),
-            r2(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r2(F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            r2(F.sum(cents(disc)) / 100.0).alias("sum_disc_price"),
+            r2(F.sum(cents(disc * (1 + F.col("l_tax")))) / 100.0).alias(
+                "sum_charge"
+            ),
             r4(F.avg("l_quantity")).alias("avg_qty"),
-            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.sum(cents("l_extendedprice")) / 100.0 / F.count("*")).alias(
+                "avg_price"
+            ),
             r4(F.avg("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -926,7 +952,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_topk_join_agg",
     oracle=f"""
     SELECT l_orderkey,
-           {sql_r('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+           {sql_r(f'SUM({sql_cents("l_extendedprice * (1 - l_discount)")}) / 100.0', 2)} AS revenue,
            CAST(o_orderdate AS DATE) AS order_date
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -952,9 +978,12 @@ def q3_topk_join_agg(spark, sf_dir):
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            )
+            r2(
+                F.sum(
+                    cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                )
+                / 100.0
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -977,7 +1006,7 @@ def q3_topk_join_agg(spark, sf_dir):
     SELECT epoch_us(ts) // 3600000000 AS hour_id,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           {sql_r('SUM(value)', 2)} AS total_value
+           {sql_r(f'SUM({sql_cents("value")}) / 100.0', 2)} AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -991,7 +1020,7 @@ def events_hourly_rollup(spark, sf_dir):
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),
-        r2(F.sum("value")).alias("total_value"),
+        r2(F.sum(cents("value")) / 100.0).alias("total_value"),
     )
 
 
@@ -1709,7 +1738,7 @@ def u3_priority_source_rerank(spark, sf_dir):
     "q5_multi_join_agg",
     oracle=f"""
     SELECT n_name,
-           {sql_r('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+           {sql_r(f'SUM({sql_cents("l_extendedprice * (1 - l_discount)")}) / 100.0', 2)} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1740,9 +1769,12 @@ def q5_multi_join_agg(spark, sf_dir):
         .join(F.broadcast(rg), n["n_regionkey"] == rg["r_regionkey"])
         .groupBy("n_name")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            )
+            r2(
+                F.sum(
+                    cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                )
+                / 100.0
+            ).alias("revenue")
         )
     )
 
@@ -1807,7 +1839,7 @@ def s10_schema_enforce(spark, sf_dir):
 @query(
     "q6_forecast_revenue",
     oracle=f"""
-    SELECT {sql_r('SUM(l_extendedprice * l_discount)', 2)} AS revenue
+    SELECT {sql_r(f'SUM({sql_cents("l_extendedprice * l_discount")}) / 100.0', 2)} AS revenue
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
       AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
@@ -1828,7 +1860,10 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue")
+            r2(
+                F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+                / 100.0
+            ).alias("revenue")
         )
     )
 
@@ -2050,19 +2085,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     "sql_interface",
     oracle="""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-           FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS total
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS total
     FROM orders GROUP BY o_orderstatus
     """,
     doc="spark.sql() surface: identical SQL text runs on registered "
     "temp views — proves the engine answers the SQL dialect, not "
-    "just the DataFrame API.",
+    "just the DataFrame API. Sums per-row integer cents so the "
+    "total is independent of partial-aggregation order; the double "
+    "casts are explicit because Spark SQL parses a bare 100.0 as a "
+    "DECIMAL literal (DuckDB: double) and the result types would "
+    "diverge.",
 )
 def sql_interface(spark, sf_dir):
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderstatus, COUNT(*) AS n,
-               FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS total
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / CAST(100 AS DOUBLE) AS total
         FROM orders GROUP BY o_orderstatus
         """
     )
@@ -2393,10 +2434,10 @@ def corpus_curation(spark, sf_dir):
     SELECT event_type, user_id, total_value, CAST(rnk AS INTEGER) AS rnk
     FROM (
         SELECT event_type, user_id,
-               {sql_r('SUM(value)', 2)} AS total_value,
+               {sql_r(f'SUM({sql_cents("value")}) / 100.0', 2)} AS total_value,
                ROW_NUMBER() OVER (
                    PARTITION BY event_type
-                   ORDER BY {sql_r('SUM(value)', 2)} DESC, user_id ASC
+                   ORDER BY SUM({sql_cents("value")}) DESC, user_id ASC
                ) AS rnk
         FROM events
         GROUP BY event_type, user_id
@@ -2408,14 +2449,19 @@ def corpus_curation(spark, sf_dir):
 def events_top_users(spark, sf_dir):
     e = tbl_events(spark, sf_dir)
     agg = e.groupBy("event_type", "user_id").agg(
-        r2(F.sum("value")).alias("total_value")
+        F.sum(cents("value")).alias("_tc")
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.desc("total_value"), F.asc("user_id")
+    w = Window.partitionBy("event_type").orderBy(F.desc("_tc"), F.asc("user_id"))
+    agg = agg.select(
+        "event_type",
+        "user_id",
+        r2(F.col("_tc") / 100.0).alias("total_value"),
+        F.col("_tc"),
     )
     return (
         agg.select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 5)
+        .drop("_tc")
     )
 
 
@@ -2493,9 +2539,9 @@ def agg_rollup(spark, sf_dir):
     "agg_pivot",
     oracle=f"""
     SELECT user_id,
-           {sql_r("SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END)", 2)} AS view,
-           {sql_r("SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END)", 2)} AS click,
-           {sql_r("SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)", 2)} AS purchase
+           {sql_r(f"SUM(CASE WHEN event_type = 'view' THEN {sql_cents('value')} ELSE 0 END) / 100.0", 2)} AS view,
+           {sql_r(f"SUM(CASE WHEN event_type = 'click' THEN {sql_cents('value')} ELSE 0 END) / 100.0", 2)} AS click,
+           {sql_r(f"SUM(CASE WHEN event_type = 'purchase' THEN {sql_cents('value')} ELSE 0 END) / 100.0", 2)} AS purchase
     FROM events
     GROUP BY user_id
     """,
@@ -2508,13 +2554,13 @@ def agg_pivot(spark, sf_dir):
     out = (
         e.groupBy("user_id")
         .pivot("event_type", ["view", "click", "purchase"])
-        .agg(F.sum("value"))
+        .agg(F.sum(cents("value")))
     )
     return out.select(
         "user_id",
-        r2(F.coalesce("view", F.lit(0.0))).alias("view"),
-        r2(F.coalesce("click", F.lit(0.0))).alias("click"),
-        r2(F.coalesce("purchase", F.lit(0.0))).alias("purchase"),
+        r2(F.coalesce("view", F.lit(0)) / 100.0).alias("view"),
+        r2(F.coalesce("click", F.lit(0)) / 100.0).alias("click"),
+        r2(F.coalesce("purchase", F.lit(0)) / 100.0).alias("purchase"),
     )
 
 
@@ -2547,7 +2593,7 @@ def agg_percentiles(spark, sf_dir):
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           {sql_r('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+           {sql_r(f'SUM({sql_cents("l_extendedprice * (1 - l_discount)")}) / 100.0', 2)} AS revenue,
            n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -2575,9 +2621,12 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            )
+            r2(
+                F.sum(
+                    cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                )
+                / 100.0
+            ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -2621,9 +2670,9 @@ def q12_conditional_buckets(spark, sf_dir):
 @query(
     "q14_promo_share",
     oracle=f"""
-    SELECT {sql_r('''100.00 * SUM(CASE WHEN p_type = 'PROMO'
-                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                  / SUM(l_extendedprice * (1 - l_discount))''', 4)} AS promo_revenue_pct
+    SELECT {sql_r(f'''100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN {sql_cents("l_extendedprice * (1 - l_discount)")} ELSE 0 END)
+                  / SUM({sql_cents("l_extendedprice * (1 - l_discount)")})''', 4)} AS promo_revenue_pct
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
@@ -2637,13 +2686,13 @@ def q14_promo_share(spark, sf_dir):
         & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01").cast("date"))
     )
     p = tbl(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
     return joined.agg(
         r4(
             100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
-            / F.sum(disc)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc_c).otherwise(0))
+            / F.sum(disc_c)
         ).alias("promo_revenue_pct")
     )
 
@@ -2651,7 +2700,7 @@ def q14_promo_share(spark, sf_dir):
 @query(
     "q19_disjunctive_predicates",
     oracle=f"""
-    SELECT {sql_r('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+    SELECT {sql_r(f'SUM({sql_cents("l_extendedprice * (1 - l_discount)")}) / 100.0', 2)} AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND (
@@ -2690,9 +2739,10 @@ def q19_disjunctive_predicates(spark, sf_dir):
         )
     )
     return j.filter(cond).agg(
-        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "revenue"
-        )
+        r2(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            / 100.0
+        ).alias("revenue")
     )
 
 
@@ -2793,7 +2843,7 @@ def text_word_count_top20(spark, sf_dir):
     )
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           {sql_r('SUM(c_acctbal)', 2)} AS totacctbal
+           {sql_r(f'SUM({sql_cents("c_acctbal")}) / 100.0', 2)} AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > a
       AND NOT EXISTS (
@@ -2822,7 +2872,7 @@ def q22_dormant_customers(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            r2(F.sum("c_acctbal")).alias("totacctbal"),
+            r2(F.sum(cents("c_acctbal")) / 100.0).alias("totacctbal"),
         )
     )
 
@@ -3073,11 +3123,11 @@ def q4_order_priority(spark, sf_dir):
     "q7_volume_shipping",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           {sql_r('SUM(volume)', 2)} AS revenue
+           {sql_r('SUM(volume_cents) / 100.0', 2)} AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               {sql_cents('l_extendedprice * (1 - l_discount)')} AS volume_cents
         FROM lineitem
         JOIN orders    ON l_orderkey = o_orderkey
         JOIN customer  ON o_custkey = c_custkey
@@ -3119,11 +3169,13 @@ def q7_volume_shipping(spark, sf_dir):
             "supp_nation",
             "cust_nation",
             F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume_cents"
+            ),
         )
     )
     return df.groupBy("supp_nation", "cust_nation", "l_year").agg(
-        r2(F.sum("volume")).alias("revenue")
+        r2(F.sum("volume_cents") / 100.0).alias("revenue")
     )
 
 
@@ -3131,10 +3183,10 @@ def q7_volume_shipping(spark, sf_dir):
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           {sql_r("SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume)", 4)} AS mkt_share
+           {sql_r("SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_cents ELSE 0 END) / SUM(volume_cents)", 4)} AS mkt_share
     FROM (
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               {sql_cents('l_extendedprice * (1 - l_discount)')} AS volume_cents,
                n2.n_name AS supp_nation
         FROM lineitem
         JOIN part      ON p_partkey = l_partkey
@@ -3177,18 +3229,20 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume_cents"
+            ),
             "supp_nation",
         )
     )
     return df.groupBy("o_year").agg(
         r4(
             F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
-                    F.lit(0.0)
-                )
+                F.when(
+                    F.col("supp_nation") == "NATION_3", F.col("volume_cents")
+                ).otherwise(F.lit(0))
             )
-            / F.sum("volume")
+            / F.sum("volume_cents")
         ).alias("mkt_share")
     )
 
@@ -3196,12 +3250,14 @@ def q8_market_share(spark, sf_dir):
 @query(
     "q9_product_profit",
     oracle=f"""
-    SELECT nation, o_year, {sql_r('SUM(amount)', 2)} AS sum_profit
+    SELECT nation, o_year,
+           {sql_r('SUM(amount_cents) / 100.0', 2)} AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity AS amount
+               CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity) * 100 + 0.5)
+                    AS BIGINT) AS amount_cents
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -3214,7 +3270,11 @@ def q8_market_share(spark, sf_dir):
     doc="Q9 shape: profit by supplier nation and year over a part-"
     "name pattern. Cost term adapted to 0.6*p_retailprice*l_quantity "
     "(no partsupp table in the synthetic schema). LIKE filter "
-    "reaches the part scan; nation broadcast.",
+    "reaches the part scan; nation broadcast. The per-row amount is "
+    "rounded to integer cents BEFORE the sum: double summation is "
+    "not associative, so a raw SUM can straddle a half-cent boundary "
+    "between Spark's partial-agg order and DuckDB's (observed at "
+    "sf0.001); integer cents sum exactly in any order.",
 )
 def q9_product_profit(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
@@ -3230,13 +3290,21 @@ def q9_product_profit(spark, sf_dir):
         .select(
             F.col("n_name").alias("nation"),
             F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
-            (
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
-            ).alias("amount"),
+            F.floor(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                )
+                * 100
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("amount_cents"),
         )
     )
-    return df.groupBy("nation", "o_year").agg(r2(F.sum("amount")).alias("sum_profit"))
+    return df.groupBy("nation", "o_year").agg(
+        r2(F.sum("amount_cents") / 100.0).alias("sum_profit")
+    )
 
 
 @query(
@@ -3276,7 +3344,7 @@ def q13_customer_distribution(spark, sf_dir):
     oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               {sql_r('SUM(l_extendedprice * (1 - l_discount))', 2)} AS total_revenue
+               {sql_r(f'SUM({sql_cents("l_extendedprice * (1 - l_discount)")}) / 100.0', 2)} AS total_revenue
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
           AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
@@ -3301,9 +3369,12 @@ def q15_top_supplier(spark, sf_dir):
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "total_revenue"
-            )
+            r2(
+                F.sum(
+                    cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                )
+                / 100.0
+            ).alias("total_revenue")
         )
     )
     mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
@@ -3489,7 +3560,7 @@ def q16_supplier_cnt(spark, sf_dir):
                COUNT(*) AS n
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT {sql_r('SUM(l_extendedprice) / 7.0', 2)} AS avg_yearly
+    SELECT {sql_r(f'SUM({sql_cents("l_extendedprice")}) / 100.0 / 7.0', 2)} AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN perpart ON a_partkey = l_partkey
@@ -3513,7 +3584,11 @@ def q17_small_qty_revenue(spark, sf_dir):
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(perpart, F.col("a_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity").cast("long") * 5 * F.col("n") < F.col("sum_qty"))
-        .agg(r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(
+            r2(F.sum(cents("l_extendedprice")) / 100.0 / 7.0).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
@@ -3792,7 +3867,7 @@ def scalar_array_suite(spark, sf_dir):
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           {sql_r('SUM(o_totalprice)', 2)} AS sum_price,
+           {sql_r(f'SUM({sql_cents("o_totalprice")}) / 100.0', 2)} AS sum_price,
            CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri
     FROM orders
@@ -3808,7 +3883,7 @@ def agg_cube(spark, sf_dir):
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            r2(F.sum("o_totalprice")).alias("sum_price"),
+            r2(F.sum(cents("o_totalprice")) / 100.0).alias("sum_price"),
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_pri"),
         )
@@ -5649,7 +5724,8 @@ def udf_pandas_scalar(spark, sf_dir):
     oracle=f"""
     WITH base AS (
         SELECT user_id,
-               CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS x,
+               (CAST(epoch_us(ts) AS DOUBLE) - 1704067200000000.0)
+                   / 86400000000.0 AS x,
                value AS y
         FROM events
     )
@@ -5665,10 +5741,14 @@ def udf_pandas_scalar(spark, sf_dir):
     doc="applyInPandas per-group OLS under the correctness gate: one "
     "shuffle on the group key, one Arrow-batched pandas fit per "
     "group (operators/groupmap.grouped_ols), checked against "
-    "DuckDB's regr_slope/regr_intercept. Timestamps rescale to "
-    "days so coefficients sit at O(1) where the 1e-6 quantization "
-    "grid is meaningful. Proves the FlatMapGroupsInPandas path "
-    "computes, not just runs.",
+    "DuckDB's regr_slope/regr_intercept. Timestamps rescale to days "
+    "SINCE THE DATA EPOCH (2024-01-01): with x at the raw epoch-day "
+    "scale (~19731) the normal equations cancel catastrophically "
+    "and numpy-vs-DuckDB noise reaches the 1e-6 grid (observed at "
+    "sf0.1 — the intercept extrapolates ~2e4 days out); rebasing "
+    "keeps x in [0, 31], both fits well-conditioned, and the "
+    "intercept at the scale of y. Proves the FlatMapGroupsInPandas "
+    "path computes, not just runs.",
 )
 def udf_grouped_ols(spark, sf_dir):
     from etl_pipeline_4handling_listings_spark.operators.groupmap import (
@@ -5677,7 +5757,10 @@ def udf_grouped_ols(spark, sf_dir):
 
     e = tbl_events(spark, sf_dir).select(
         "user_id",
-        (F.col("ts_us").cast("double") / F.lit(86400000000.0)).alias("x"),
+        (
+            (F.col("ts_us").cast("double") - F.lit(1704067200000000.0))
+            / F.lit(86400000000.0)
+        ).alias("x"),
         F.col("value").alias("y"),
     )
     fit = grouped_ols(e, key_col="user_id", x_col="x", y_col="y")
