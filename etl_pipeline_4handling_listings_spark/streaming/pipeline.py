@@ -65,6 +65,34 @@ def stream_hourly_rollup(
     )
 
 
+def stream_ohlc_bars(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling 1-hour OHLC bars — the streaming twin of the
+    ``events_ohlc_bars`` batch query: open/close via min_by/max_by
+    over the (ts, id) composite, ONE windowed aggregate, no
+    per-window sort. State per open window is a fixed handful of
+    scalars regardless of event volume, and the watermark closes
+    windows for append-mode emission — the time-series downsampler
+    that holds up on an unbounded stream."""
+    order_key = F.struct(F.col(ts_col), F.col(id_col))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by(value_col, order_key).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, order_key).alias("close"),
+        )
+    )
+
+
 def foreach_batch_upsert(
     store: MergeStore,
     keys: Sequence[str],

@@ -12,6 +12,7 @@ from etl_pipeline_4handling_listings_spark.streaming import (
     foreach_batch_upsert,
     stream_hourly_rollup,
     stream_latest_record_dedup,
+    stream_ohlc_bars,
 )
 
 
@@ -49,6 +50,40 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM rollup").collect()
     }
     assert got == {(1, "click"): (2, 5.0), (2, "view"): (1, 5.0)}
+
+
+def test_stream_ohlc_bars_matches_batch_semantics(spark, tmp_path):
+    """Streaming OHLC: open/close resolve by the (ts, id) composite
+    via min_by/max_by inside the windowed aggregate — the streaming
+    twin of the events_ohlc_bars batch query."""
+    src = str(tmp_path / "src")
+    rows = [
+        ("a", _ts(1, 5), 1.0, "click", 2.0),
+        ("b", _ts(1, 30), 1.0, "click", 3.0),
+        ("c", _ts(1, 5), 1.0, "view", 7.0),  # same ts as 'a': id breaks tie
+        ("d", _ts(2, 10), 1.0, "view", 5.0),
+    ]
+    _write_batch(spark, src, rows)
+    df = spark.read.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_ohlc_bars(stream, ts_col="ts", id_col="k", value_col="value")
+        .writeStream.format("memory")
+        .queryName("ohlc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window"]["start"].hour: (
+            r["n"], r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in spark.sql("SELECT * FROM ohlc").collect()
+    }
+    # hour 1: first by (ts, k) is ('a', 2.0) — 'c' shares the ts but
+    # sorts after 'a' on the id; last is 'b' (3.0); high is 'c' (7.0)
+    assert got == {1: (3, 2.0, 7.0, 2.0, 3.0), 2: (1, 5.0, 5.0, 5.0, 5.0)}
 
 
 def test_stream_dedup_within_watermark(spark, tmp_path):
