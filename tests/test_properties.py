@@ -173,3 +173,45 @@ def test_range_join_matches_bruteforce(spark_sess, points, intervals, bin_width)
         if ik == k and s <= t <= e
     )
     assert got == want
+
+
+def test_money_sums_partition_invariant(spark_sess):
+    """The cents-hardening invariant: repartitioning the input (which
+    reorders partial aggregation) must not move any money sum — the
+    per-row integer-cents floor makes SUM exact in any order. A raw
+    double SUM fails this test at some partition count eventually."""
+    from etl_pipeline_4handling_listings_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in ["q1_pricing_summary", "q9_product_profit", "events_hourly_rollup"]:
+        fn = REGISTRY[name].fn
+        base = sorted(map(tuple, fn(spark_sess, sf).collect()))
+        old = spark_sess.conf.get("spark.sql.shuffle.partitions")
+        try:
+            for parts in ["1", "7"]:
+                spark_sess.conf.set("spark.sql.shuffle.partitions", parts)
+                again = sorted(map(tuple, fn(spark_sess, sf).collect()))
+                assert again == base, f"{name} drifted at {parts} partitions"
+        finally:
+            spark_sess.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_driver_order_hygiene():
+    """_DRIVER_ORDER is the driver-certification contract: it must
+    cover the registry exactly (no dups, no strays) and keep the
+    round-3 fix queries at the front of the 50-slot window."""
+    from etl_pipeline_4handling_listings_spark.queries import (
+        _DRIVER_ORDER,
+        REGISTRY,
+    )
+
+    assert len(_DRIVER_ORDER) == len(set(_DRIVER_ORDER)), "duplicate names"
+    assert sorted(_DRIVER_ORDER) == sorted(REGISTRY)
+    assert list(REGISTRY) == _DRIVER_ORDER, "registry iteration order drifted"
+    assert _DRIVER_ORDER[:5] == [
+        "s10_schema_enforce",
+        "ann_rp_lsh",
+        "ann_ivf",
+        "q2_min_cost_supplier",
+        "events_ohlc_bars",
+    ]
