@@ -6399,22 +6399,68 @@ def corpus_mix_weights(spark, sf_dir):
 
 
 # =====================================================================
-# Driver-certification rotation (round 3).
+# Driver-certification rotation (round 4).
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries
-# in iteration order each round. Rounds 1-2 both sampled the same
-# first 50 registrations, leaving the rest of the registry locally
-# gated (tools/check_oracle.py) but never driver-certified. This
-# explicit, frozen order rotates the never-driver-checked queries to
-# the front — fixes that need re-observation first (s10 integer-cents
-# enforce, the self-gating ANN recalls, the q2 filter-first and OHLC
-# single-aggregate rewrites), then the unchecked block in original
-# registration order, then the 47 already-driver-green queries.
-# Round 4 rotates again so every entry ends up with a driver row.
-# No new queries may be inserted ahead of slot 50 between rotations.
+# in iteration order each round. Rounds 1-2 sampled the same first
+# 50 registrations; round 3 rotated the then-unchecked block to the
+# front. This round rotates the remaining 47 never-driver-checked
+# queries (everything not in CORRECTNESS_r01/r02 nor in round 3's
+# first-50 window) to the front, plus the three fixes still worth
+# re-observation (s10 integer-provenance enforce, the self-gating
+# ANN recalls) to fill slot 50. After this round every registry
+# entry has had a driver row. New queries are appended BEHIND the
+# window; no inserts ahead of slot 50 between rotations.
 # =====================================================================
 
 _DRIVER_ORDER = [
+    "events_user_trend",
+    "skew_salted_agg",
+    "events_daily_gapfill",
+    "text_chunking",
+    "embedding_label_centroids",
+    "centroid_assignment",
+    "events_locf_fill",
+    "u_intersect",
+    "u_except_all",
+    "agg_grouping_sets",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "w_range_frame",
+    "text_keyword_search",
+    "tfidf_top_terms",
+    "bm25_search",
+    "pmi_bigrams",
+    "text_token_entropy",
+    "agg_histogram",
+    "outlier_zscore",
+    "corpus_token_budget",
+    "agg_argmax",
+    "textrank_keywords",
+    "sample_weighted",
+    "agg_unpivot",
+    "j_nullsafe_join",
+    "agg_bitwise",
+    "agg_collect_sorted",
+    "scalar_map_suite",
+    "corpus_pack_sequences",
+    "events_streaks",
+    "agg_ntile_stats",
+    "dedup_decontaminate",
+    "text_unigram_logprob",
+    "udf_pandas_scalar",
+    "udf_grouped_ols",
+    "outlier_mad",
+    "scalar_array_setops",
+    "text_repetition_signals",
+    "layout_zorder",
+    "incr_agg_merge",
+    "events_sliding_distinct",
+    "scalar_struct_suite",
+    "scd2_intervals",
+    "scd2_point_in_time",
+    "dedup_crossdoc_spans",
+    "corpus_mix_weights",
     "s10_schema_enforce",
     "ann_rp_lsh",
     "ann_ivf",
@@ -6465,49 +6511,6 @@ _DRIVER_ORDER = [
     "scalar_array_suite",
     "agg_cube",
     "fuzzy_source_pairs",
-    "events_user_trend",
-    "skew_salted_agg",
-    "events_daily_gapfill",
-    "text_chunking",
-    "embedding_label_centroids",
-    "centroid_assignment",
-    "events_locf_fill",
-    "u_intersect",
-    "u_except_all",
-    "agg_grouping_sets",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "w_range_frame",
-    "text_keyword_search",
-    "tfidf_top_terms",
-    "bm25_search",
-    "pmi_bigrams",
-    "text_token_entropy",
-    "agg_histogram",
-    "outlier_zscore",
-    "corpus_token_budget",
-    "agg_argmax",
-    "textrank_keywords",
-    "sample_weighted",
-    "agg_unpivot",
-    "j_nullsafe_join",
-    "agg_bitwise",
-    "agg_collect_sorted",
-    "scalar_map_suite",
-    "corpus_pack_sequences",
-    "events_streaks",
-    "agg_ntile_stats",
-    "dedup_decontaminate",
-    "text_unigram_logprob",
-    "udf_pandas_scalar",
-    "udf_grouped_ols",
-    "outlier_mad",
-    "scalar_array_setops",
-    "text_repetition_signals",
-    "layout_zorder",
-    "incr_agg_merge",
-    "events_sliding_distinct",
-    "scalar_struct_suite",
     "s1_scan_filter",
     "s2_union_scan",
     "p1_prefix_rename",
@@ -6555,11 +6558,6 @@ _DRIVER_ORDER = [
     "q6_forecast_revenue",
     "q18_large_orders",
     "dedup_embedding_cosine",
-    # round-3 additions: appended BEHIND the certification window
-    "scd2_intervals",
-    "scd2_point_in_time",
-    "dedup_crossdoc_spans",
-    "corpus_mix_weights",
 ]
 
 

@@ -199,7 +199,9 @@ def test_money_sums_partition_invariant(spark_sess):
 def test_driver_order_hygiene():
     """_DRIVER_ORDER is the driver-certification contract: it must
     cover the registry exactly (no dups, no strays) and keep the
-    round-3 fix queries at the front of the 50-slot window."""
+    round-4 rotation's certification window intact: the 47 queries
+    never driver-checked through round 3, then the three fixes
+    still worth re-observation filling slot 50."""
     from etl_pipeline_4handling_listings_spark.queries import (
         _DRIVER_ORDER,
         REGISTRY,
@@ -208,10 +210,9 @@ def test_driver_order_hygiene():
     assert len(_DRIVER_ORDER) == len(set(_DRIVER_ORDER)), "duplicate names"
     assert sorted(_DRIVER_ORDER) == sorted(REGISTRY)
     assert list(REGISTRY) == _DRIVER_ORDER, "registry iteration order drifted"
-    assert _DRIVER_ORDER[:5] == [
+    assert _DRIVER_ORDER[0] == "events_user_trend"
+    assert _DRIVER_ORDER[47:50] == [
         "s10_schema_enforce",
         "ann_rp_lsh",
         "ann_ivf",
-        "q2_min_cost_supplier",
-        "events_ohlc_bars",
     ]
