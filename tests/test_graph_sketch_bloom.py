@@ -1,0 +1,128 @@
+"""Unit tests for the round-4 operators: triangle counting via
+degree orientation, Count-Min frequency sketch, bloom build/probe."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.operators.bloomfilter import (
+    bloom_build,
+    bloom_probe,
+)
+from etl_pipeline_4handling_listings_spark.operators.graph import (
+    orient_edges,
+    triangle_stats,
+)
+from etl_pipeline_4handling_listings_spark.operators.sketch_cms import (
+    cms_build,
+    cms_estimate,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "u LONG, v LONG")
+
+
+def _brute_triangles(pairs):
+    es = {frozenset(p) for p in pairs}
+    nodes = sorted({n for p in pairs for n in p})
+    return sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((a, c)), frozenset((b, c))} <= es
+    )
+
+
+def test_triangle_stats_known_graph(spark):
+    # K4 plus a pendant: 4 triangles, 7 edges... K4 has C(4,3)=4
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    row = triangle_stats(_edges_df(spark, pairs)).collect()[0]
+    assert row.n_nodes == 5
+    assert row.n_edges == 7
+    assert row.n_triangles == 4 == _brute_triangles(pairs)
+    # wedges: degrees 3,3,3,4,1 -> 3+3+3+6+0 = 15
+    assert row.n_wedges == 15
+
+
+def test_triangle_stats_matches_bruteforce_random(spark):
+    # deterministic pseudo-random sparse graph on 30 nodes
+    pairs = []
+    x = 7
+    for _ in range(120):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a, b = x % 30, (x // 30) % 30
+        if a != b:
+            pairs.append((min(a, b), max(a, b)))
+    pairs = sorted(set(pairs))
+    row = triangle_stats(_edges_df(spark, pairs)).collect()[0]
+    assert row.n_triangles == _brute_triangles(pairs)
+    assert row.n_edges == len(pairs)
+
+
+def test_orient_edges_is_dag_by_rank(spark):
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    rows = orient_edges(_edges_df(spark, pairs)).collect()
+    assert len(rows) == len(pairs)
+    for r0 in rows:
+        assert (r0.ra.d, r0.ra.n) < (r0.rb.d, r0.rb.n)
+        assert {r0.a, r0.b} in [set(p) for p in pairs]
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 37).alias("k")  # 37 keys, heavy uniform counts
+    )
+    sketch = cms_build(df, "k", depth=3, width=1024)
+    assert sketch.count() <= 3 * 1024
+    exact = df.groupBy("k").agg(F.count("*").alias("n"))
+    est = cms_estimate(exact.select("k"), sketch, "k", depth=3, width=1024)
+    joined = exact.join(est, "k").collect()
+    assert len(joined) == 37
+    for r0 in joined:
+        # 37 keys in 1024 buckets: no collisions, estimates exact
+        assert r0.cms_est == r0.n
+
+
+def test_cms_merge_of_partial_sketches(spark):
+    # sketch(A) + sketch(B) counter-wise == sketch(A union B)
+    a = spark.range(0, 500).select((F.col("id") % 11).alias("k"))
+    b = spark.range(500, 1500).select((F.col("id") % 11).alias("k"))
+    merged = (
+        cms_build(a, "k").unionByName(cms_build(b, "k"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    keys = spark.range(0, 300).select((F.col("id") * 7919 + 13).alias("k"))
+    bloom = bloom_build(keys, "k", num_bits=1 << 14, num_hashes=5)
+    assert bloom.count() <= (1 << 14) // 62 + 1
+    # every member must hit
+    probed = bloom_probe(keys, "k", bloom, num_bits=1 << 14, num_hashes=5)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
+    # non-members: fp rate well under 5% at this sizing
+    others = spark.range(0, 2000).select((F.col("id") * 104729 + 7).alias("k"))
+    others = others.join(keys, "k", "anti")
+    hit = bloom_probe(others, "k", bloom, num_bits=1 << 14, num_hashes=5)
+    n = others.count()
+    fp = hit.filter(F.col("bloom_hit")).count()
+    assert fp <= max(5, 0.05 * n)
+
+
+def test_bloom_probe_preserves_payload_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (999, "c")], "k LONG, payload STRING"
+    )
+    bloom = bloom_build(df.filter(F.col("k") < 10), "k", num_bits=1 << 10)
+    out = bloom_probe(df, "k", bloom, num_bits=1 << 10)
+    rows = {r.k: (r.payload, r.bloom_hit) for r in out.collect()}
+    assert rows[1] == ("a", True)
+    assert rows[2] == ("b", True)
+    assert set(rows) == {1, 2, 999}

@@ -127,6 +127,17 @@ AUDIT = {
     "dedup_crossdoc_spans": {"expect": ["Generate", "HashAggregate"], "forbid": ["BroadcastNestedLoopJoin"]},
     # languages-sized agg + broadcast grand total
     "corpus_mix_weights": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
+    # degree-oriented wedge join; the only nested-loop joins are the
+    # single-row stat frames crossJoined at the end (broadcast-sided
+    # by construction) — the global CartesianProduct forbid still
+    # guards the pair joins
+    "graph_triangle_count": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": []},
+    # the fixed-size sketch must broadcast into the probe join
+    "sketch_countmin_heavy": {"expect": ["BroadcastHashJoin", "Generate"], "forbid": []},
+    # bloom words frame is bounded -> broadcast; probe stays map-side
+    "j_bloom_prefilter": {"expect": ["BroadcastHashJoin", "Generate"], "forbid": ["BroadcastNestedLoopJoin"]},
+    # one lead window + one aggregate, no join anywhere
+    "events_time_weighted_avg": {"expect": ["Window", "HashAggregate"], "forbid": ["Join"]},
 }
 
 
