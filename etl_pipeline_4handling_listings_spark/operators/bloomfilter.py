@@ -29,8 +29,11 @@ _WORD_BITS = 62
 
 
 def _positions(key: Column, num_hashes: int, num_bits: int) -> Column:
-    """Array of ``num_hashes`` bit positions in ``[0, num_bits)``."""
-    k = F.pmod(key.cast("long"), F.lit(_P31))
+    """Array of ``num_hashes`` bit positions in ``[0, num_bits)``.
+
+    ``xxhash64`` reduces a key of ANY type to a long first, so
+    fingerprint strings probe directly — no cast, no conv step."""
+    k = F.pmod(F.xxhash64(key), F.lit(_P31))
     return F.array(
         *[
             F.pmod(

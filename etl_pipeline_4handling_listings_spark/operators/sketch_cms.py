@@ -28,8 +28,12 @@ _P61 = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 
 
 def _bucket(key: Column, i: int, width: int) -> Column:
-    """Row-``i`` counter index for ``key`` — pure 64-bit-safe math."""
-    k = F.pmod(key.cast("long"), F.lit(_P31))
+    """Row-``i`` counter index for ``key`` — pure 64-bit-safe math.
+
+    ``xxhash64`` reduces a key of ANY type (string, long, struct)
+    to a long before the affine family, so the sketch works on raw
+    id/text columns without casts."""
+    k = F.pmod(F.xxhash64(key), F.lit(_P31))
     return F.pmod(F.pmod(k * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P61)), F.lit(width))
 
 

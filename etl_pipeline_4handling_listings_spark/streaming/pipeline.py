@@ -116,6 +116,57 @@ def foreach_batch_upsert(
     return sink
 
 
+def foreach_batch_sketch_merge(
+    path: str, key: str, depth: int = 3, width: int = 2048
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining a Count-Min sketch
+    incrementally: per micro-batch, build the batch's sketch and
+    merge it counter-wise into the stored grid — streaming heavy
+    hitters with a few KB of persisted state and O(batch) work per
+    trigger, never a rescan of history (the streaming twin of the
+    ``incr_sketch_merge`` batch query).
+
+    State lives as versioned parquet dirs ``{path}/v<batch_id>``;
+    the latest version is the current sketch. Replayed batches are
+    skipped when their version dir already exists, making the sink
+    idempotent under at-least-once delivery (production would hold
+    the version pointer in a transactional table — MergeStore or
+    Delta — instead of directory listing).
+    """
+    import os
+
+    from etl_pipeline_4handling_listings_spark.operators.sketch_cms import (
+        cms_build,
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(os.path.join(path, f"v{batch_id}")):
+            return  # replay of an already-applied batch
+        spark = batch.sparkSession
+        merged = cms_build(batch, key, depth=depth, width=width)
+        versions = (
+            sorted(
+                int(d[1:])
+                for d in os.listdir(path)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+            if os.path.isdir(path)
+            else []
+        )
+        if versions:
+            current = spark.read.parquet(os.path.join(path, f"v{versions[-1]}"))
+            merged = (
+                merged.unionByName(current)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"v{batch_id}")
+        )
+
+    return sink
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -382,3 +382,53 @@ def test_first_seen_processor_state_machine():
     out2 = list(proc.handleInputRows(("a",), iter([batch.head(1)]), None))
     assert out2 == []
     assert handle.state.get() == (3,)
+
+def test_foreach_batch_sketch_merge_matches_from_scratch(spark, tmp_path):
+    """Incrementally-merged streaming CMS == sketch built from all
+    rows at once (the merge law, end to end through foreachBatch),
+    and replaying a batch does not double-count."""
+    import os
+
+    from etl_pipeline_4handling_listings_spark.operators.sketch_cms import (
+        cms_build,
+    )
+    from etl_pipeline_4handling_listings_spark.streaming import (
+        foreach_batch_sketch_merge,
+    )
+
+    src = str(tmp_path / "src")
+    sketch_path = str(tmp_path / "sketch")
+    batch1 = [("u%d" % (i % 5), _ts(1, i % 60), 1.0, "e", 0.0) for i in range(40)]
+    batch2 = [("u%d" % (i % 7), _ts(2, i % 60), 1.0, "e", 0.0) for i in range(30)]
+
+    _write_batch(spark, src, batch1)
+    df = spark.read.parquet(src)
+    sink = foreach_batch_sketch_merge(sketch_path, "k", depth=3, width=256)
+    for _ in range(2):
+        q = (
+            spark.readStream.schema(df.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .start()
+        )
+        q.awaitTermination(120)
+        if _ == 0:
+            _write_batch(spark, src, batch2)
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(sketch_path) if d[1:].isdigit()
+    )
+    final = spark.read.parquet(os.path.join(sketch_path, f"v{versions[-1]}"))
+    whole = cms_build(spark.read.parquet(src), "k", depth=3, width=256)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    # replaying batch 0 against the existing state is a no-op
+    sink(spark.read.parquet(src), 0)
+    after = spark.read.parquet(os.path.join(sketch_path, f"v{versions[-1]}"))
+    assert sorted(map(tuple, after.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

@@ -134,6 +134,8 @@ AUDIT = {
     "graph_triangle_count": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": []},
     # the fixed-size sketch must broadcast into the probe join
     "sketch_countmin_heavy": {"expect": ["BroadcastHashJoin", "Generate"], "forbid": []},
+    # merged partial sketches: union + re-sum, probe still broadcast
+    "incr_sketch_merge": {"expect": ["BroadcastHashJoin", "Union"], "forbid": []},
     # bloom words frame is bounded -> broadcast; probe stays map-side
     "j_bloom_prefilter": {"expect": ["BroadcastHashJoin", "Generate"], "forbid": ["BroadcastNestedLoopJoin"]},
     # one lead window + one aggregate, no join anywhere
