@@ -6530,6 +6530,191 @@ def sketch_countmin_heavy(spark, sf_dir):
 
 
 @query(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+        FROM toks, unnest(range(1, length(w))) AS t(i)
+        WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    doc="BPE merge-step statistics: corpus-wide frequency of "
+    "adjacent character pairs inside whitespace tokens — the "
+    "counting kernel a tokenizer trainer runs once per merge. "
+    "Pairs are generated JVM-side (sequence + transform over each "
+    "token, no Python) and partial-aggregate before the single "
+    "shuffle; the pair alphabet is tiny, so the reduce side is "
+    "trivially small however large the corpus.",
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "events_daily_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_r('quantile_cont(value, 0.5)', 6)} AS p50,
+               {sql_r('quantile_cont(value, 0.95)', 6)} AS p95
+        FROM events GROUP BY 1
+    )
+    SELECT day_id, n_events, p50, p95,
+           {sql_r('p50 - LAG(p50) OVER (ORDER BY day_id)', 6)} AS p50_drift
+    FROM daily ORDER BY day_id
+    """,
+    doc="Distribution-drift monitor: per-day median and p95 of the "
+    "event value plus the day-over-day median delta — the "
+    "data-quality tripwire a training-data pipeline runs on every "
+    "ingest. The heavy lift is one per-day aggregate (map-side "
+    "combinable); the lag window runs over the days-sized frame, "
+    "so the monitoring cost is independent of corpus size.",
+)
+def events_daily_drift(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    daily = e.groupBy(F.expr("ts_us div 86400000000").alias("day_id")).agg(
+        F.count("*").alias("n_events"),
+        F.expr("percentile(value, 0.5D)").alias("_p50"),
+        F.expr("percentile(value, 0.95D)").alias("_p95"),
+    )
+    w = Window.orderBy("day_id")
+    return daily.select(
+        "day_id",
+        "n_events",
+        r("_p50", 6).alias("p50"),
+        r("_p95", 6).alias("p95"),
+        r(r("_p50", 6) - F.lag(r("_p50", 6)).over(w), 6).alias("p50_drift"),
+    ).orderBy("day_id")
+
+
+@query(
+    "sparse_cosine_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    kept AS (
+        SELECT tf.doc_id, tf.w, tf.tf FROM tf JOIN df USING (w)
+        WHERE df.df BETWEEN 2 AND 50
+    ),
+    nrm AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+            FROM kept GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT da AS d, db AS o, dot FROM dots
+        UNION ALL SELECT db AS d, da AS o, dot FROM dots
+    ),
+    scored AS (
+        SELECT d, o, CAST(dot AS DOUBLE) / (n1.nrm * n2.nrm) AS cos
+        FROM sym JOIN nrm n1 ON n1.doc_id = d JOIN nrm n2 ON n2.doc_id = o
+    ),
+    best AS (
+        SELECT d, o, cos,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY cos DESC, o) AS rn
+        FROM scored
+    )
+    SELECT d AS doc_id, o AS neighbor_id,
+           FLOOR(cos * 1000000 + 0.5) / 1000000 AS cosine
+    FROM best WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc="Sparse-vector nearest neighbor via inverted index: TF "
+    "cosine over a df-banded vocabulary (2 <= df <= 50 — hapax "
+    "terms cannot match, stopword-grade terms would quadratically "
+    "inflate the postings self-join), dot products through a "
+    "posting-list join per shared term, top-1 per doc. The sparse "
+    "twin of ann_cosine_topk: no dense vectors, the postings join "
+    "output is sum-of-df^2 bounded by the band cap, and the dot "
+    "products are exact integers (tf x tf), so ranking is "
+    "bit-deterministic across engines and partitionings.",
+)
+def sparse_cosine_topk(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    kept = tf.join(
+        df.filter((F.col("df") >= 2) & (F.col("df") <= 50)).select("w"), "w"
+    )
+    nrm = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a = kept.select(
+        F.col("w"), F.col("doc_id").alias("da"), F.col("tf").alias("tfa")
+    )
+    b = kept.select(
+        F.col("w"), F.col("doc_id").alias("db"), F.col("tf").alias("tfb")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    sym = dots.select(
+        F.col("da").alias("d"), F.col("db").alias("o"), "dot"
+    ).unionByName(
+        dots.select(F.col("db").alias("d"), F.col("da").alias("o"), "dot")
+    )
+    scored = (
+        sym.join(nrm.select(F.col("doc_id").alias("d"), F.col("nrm").alias("n1")), "d")
+        .join(nrm.select(F.col("doc_id").alias("o"), F.col("nrm").alias("n2")), "o")
+        .select(
+            "d",
+            "o",
+            (F.col("dot").cast("double") / (F.col("n1") * F.col("n2"))).alias("cos"),
+        )
+    )
+    wn = Window.partitionBy("d").orderBy(F.col("cos").desc(), "o")
+    return (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").alias("doc_id"),
+            F.col("o").alias("neighbor_id"),
+            r("cos", 6).alias("cosine"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "incr_sketch_merge",
     oracle="""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n, TRUE AS merged_ok
@@ -6874,6 +7059,9 @@ _DRIVER_ORDER = [
     "incr_sketch_merge",
     "j_bloom_prefilter",
     "events_time_weighted_avg",
+    "text_bpe_pair_counts",
+    "events_daily_drift",
+    "sparse_cosine_topk",
 ]
 
 

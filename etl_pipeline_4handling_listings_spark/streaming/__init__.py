@@ -5,4 +5,5 @@ from etl_pipeline_4handling_listings_spark.streaming.pipeline import (  # noqa: 
     stream_interval_join,
     stream_latest_record_dedup,
     stream_ohlc_bars,
+    stream_session_rollup,
 )

@@ -116,6 +116,38 @@ def foreach_batch_upsert(
     return sink
 
 
+def stream_session_rollup(
+    events: DataFrame,
+    key: str = "k",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key session aggregation via the NATIVE ``session_window``
+    — Spark merges overlapping gap-extended windows in the state
+    store, closing a session once the watermark passes its end.
+    The built-in twin of ``stateful.sessionize`` (the
+    applyInPandasWithState version, which exists for custom
+    session logic); for plain gap sessions this one stays fully
+    JVM-side with watermark-bounded state.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def foreach_batch_sketch_merge(
     path: str, key: str, depth: int = 3, width: int = 2048
 ) -> Callable[[DataFrame, int], None]:

@@ -432,3 +432,42 @@ def test_foreach_batch_sketch_merge_matches_from_scratch(spark, tmp_path):
     assert sorted(map(tuple, after.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+def test_stream_session_rollup_native_session_window(spark, tmp_path):
+    """Native session_window gap sessions: events within the gap
+    merge into one session; a gap splits them."""
+    from etl_pipeline_4handling_listings_spark.streaming import (
+        stream_session_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        ("u1", _ts(1, 0), 1.0, "e", 10.0),
+        ("u1", _ts(1, 20), 1.0, "e", 5.0),   # within 30m gap: same session
+        ("u1", _ts(3, 0), 1.0, "e", 2.0),    # >30m later: new session
+        ("u2", _ts(1, 5), 1.0, "e", 1.0),
+    ]
+    _write_batch(spark, src, rows)
+    df = spark.read.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_session_rollup(stream, key="k", ts_col="ts", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["session_start"].hour, r["session_start"].minute): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got == {
+        ("u1", 1, 0): (2, 15.0),
+        ("u1", 3, 0): (1, 2.0),
+        ("u2", 1, 5): (1, 1.0),
+    }

@@ -140,6 +140,12 @@ AUDIT = {
     "j_bloom_prefilter": {"expect": ["BroadcastHashJoin", "Generate"], "forbid": ["BroadcastNestedLoopJoin"]},
     # one lead window + one aggregate, no join anywhere
     "events_time_weighted_avg": {"expect": ["Window", "HashAggregate"], "forbid": ["Join"]},
+    # pair counting is explode + agg + top-k; never a join
+    "text_bpe_pair_counts": {"expect": ["Generate", "HashAggregate", "TakeOrderedAndProject"], "forbid": ["Join"]},
+    # percentile agg to a days-sized frame; lag window over that frame
+    "events_daily_drift": {"expect": ["Window"], "forbid": ["Join"]},
+    # posting-list self-join on the term key; pair joins are equi-joins
+    "sparse_cosine_topk": {"expect": ["HashAggregate"], "forbid": ["BroadcastNestedLoopJoin"]},
 }
 
 
