@@ -81,9 +81,12 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     # warm the Arrow/Python worker pool: the first Arrow stage of a
     # session pays 4-5 s of Python-worker + serializer cold start
-    # that would otherwise be billed to x1_enrich_lookup / udf_*
-    spark.createDataFrame([(1,)], "a int").mapInPandas(
-        lambda it: it, "a int"
+    # that would otherwise be billed to x1_enrich_lookup / udf_*.
+    # Fan across ALL cores — a single-partition warmup spawns one
+    # worker and the remaining 31 still cold-start inside the timed
+    # udf_* queries (local-mode workers are per-concurrent-task).
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
     all_names = list(REGISTRY)
     for name in all_names:
