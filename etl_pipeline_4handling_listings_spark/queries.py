@@ -58,6 +58,24 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def tbl_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + spread for CPU-heavy map kernels above the scan.
+
+    The driver's test parquet is single-row-group, so the scan runs
+    as ONE task regardless of ``maxPartitionBytes`` (parquet splits
+    at row-group granularity) — and any shingle/hash/vector kernel
+    sitting directly above it serializes on one core. A keyless
+    repartition (a ~1 MB shuffle at these SFs) unlocks the whole
+    cluster for the map side: measured 7.3 s -> 1.1 s on
+    dedup_crossdoc_spans at sf0.1. At production scale files carry
+    many row groups and scans split naturally; the repartition then
+    degrades into cheap insurance for even spread after selective
+    filters (or is dropped by retuning this helper)."""
+    return tbl(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def tbl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table with ``ts_us`` = epoch microseconds (long).
 
@@ -1437,13 +1455,14 @@ _COSINE_ORACLE = f"""
     "tie determinism.",
 )
 def ann_cosine_topk(spark, sf_dir):
-    e = tbl(spark, sf_dir, "embeddings")
+    e = tbl_wide(spark, sf_dir, "embeddings")
+    eq = tbl(spark, sf_dir, "embeddings")
     v = e.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("_v"),
     ).withColumn("_vnorm", l2_norm(F.col("_v")))
     q = (
-        e.filter(F.col("vec_id") < 5)
+        eq.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("_q"))
         .withColumn("_qnorm", l2_norm(F.col("_q")))
     )
@@ -1513,8 +1532,11 @@ _RECALL_ORACLE = """
     "claim 0.9-recall on structureless data.",
 )
 def ann_rp_lsh(spark, sf_dir):
-    e = tbl(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(
+    # corpus side spread for the signature kernel; the 5-row query
+    # side reads a PLAIN scan so the filter pushes into parquet (a
+    # filter above a repartition shuffles the whole table first)
+    e = tbl_wide(spark, sf_dir, "embeddings")
+    q = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     approx = rp_lsh_topk(e, q, k=10, dim=64, planes=4, probe_radius=2)
@@ -1557,7 +1579,7 @@ _LANGID_ORACLE = f"""
     "(JVM higher-order filter, deterministic tie order).",
 )
 def text_langid(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
+    d = tbl_wide(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", detect_language("text").alias("lang_pred"))
 
 
@@ -1935,7 +1957,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     # NOTE: an unrolled 64-term dot was tried and is 2.5x SLOWER than
     # the zip_with/aggregate fold here — the giant expression falls
     # out of codegen (same trap as the simhash fold); keep the fold.
-    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    e = (
+        tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     v = e.select(
         F.col("vec_id").alias("_id"), _as_double(F.col("embedding")).alias("_v")
     ).withColumn("_n", l2_norm(F.col("_v")))
@@ -2057,8 +2083,12 @@ def scalar_cleaning_suite(spark, sf_dir):
 def ann_ivf(spark, sf_dir):
     from etl_pipeline_4handling_listings_spark.operators.similarity import ivf_topk
 
+    # PLAIN scan on purpose: KMeans.fit makes ~8 passes over the
+    # corpus, and a repartition in the lineage re-executes its
+    # shuffle on every pass (measured 3.1 -> 4.6 s) — re-reading the
+    # page-cached parquet is cheaper than re-shuffling
     e = tbl(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(
+    q = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     approx = ivf_topk(e, q, k=10, n_centroids=16, n_probe=12)
@@ -4511,8 +4541,10 @@ _TOKENIZE_SQL = r"unnest(regexp_split_to_array(trim(lower(text)), '\s+'))"
 
 
 def _tokens(spark, sf_dir):
-    """(doc_id, word) token stream — one map-side explode."""
-    d = tbl(spark, sf_dir, "documents")
+    """(doc_id, word) token stream — one map-side explode (spread
+    across the cluster: the whole retrieval family's tokenize cost
+    sits above a one-task scan otherwise)."""
+    d = tbl_wide(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
@@ -5106,7 +5138,7 @@ def _textrank_oracle(iters: int = 10, d: float = 0.85) -> str:
     "the same 10 steps as chained CTEs.",
 )
 def textrank_keywords(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents").select(
+    d = tbl_wide(spark, sf_dir, "documents").select(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws")
     )
     pairs = d.select(
@@ -5613,7 +5645,7 @@ def events_ohlc_bars(spark, sf_dir):
 def dedup_decontaminate(spark, sf_dir):
     from etl_pipeline_4handling_listings_spark.functions.text import word_shingles
 
-    d = tbl(spark, sf_dir, "documents").select(
+    d = tbl_wide(spark, sf_dir, "documents").select(
         "doc_id", word_shingles("text", 3).alias("shingles")
     )
     eval_sh = (
@@ -5915,7 +5947,7 @@ def scalar_array_setops(spark, sf_dir):
     "boilerplate/spam (repeated n-grams) at any scale.",
 )
 def text_repetition_signals(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents").select(
+    d = tbl_wide(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
     )
     words = d.select("doc_id", F.explode("ws").alias("w"))
@@ -6001,7 +6033,7 @@ def text_repetition_signals(spark, sf_dir):
     "at 100 TB you'd repartitionByRange(zval) and write.",
 )
 def layout_zorder(spark, sf_dir):
-    li = tbl(spark, sf_dir, "lineitem")
+    li = tbl_wide(spark, sf_dir, "lineitem")
     zval = F.expr(
         "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
         " + shiftleft(shiftright(cast(l_partkey as bigint), i) & 1, 2 * i)"
@@ -6318,7 +6350,7 @@ def dedup_crossdoc_spans(spark, sf_dir):
     from etl_pipeline_4handling_listings_spark.functions.text import word_shingles
 
     g = (
-        tbl(spark, sf_dir, "documents")
+        tbl_wide(spark, sf_dir, "documents")
         .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
     )
     # NOTE: a window-count formulation (count over partitionBy(g),
@@ -6662,7 +6694,7 @@ def events_daily_drift(spark, sf_dir):
     "bit-deterministic across engines and partitionings.",
 )
 def sparse_cosine_topk(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
+    d = tbl_wide(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
