@@ -6925,6 +6925,222 @@ def events_time_weighted_avg(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_setsim_prefix",
+    oracle=_NGRAM_PAIRS_ORACLE,
+    doc="Dedup (third strategy): EXACT shingle-set Jaccard >= 0.5 "
+    "via PPJoin-style prefix filtering — sets sorted by a global "
+    "rarest-first token order, only the first |x|-ceil(t|x|)+1 "
+    "tokens indexed, size-ratio pruning, then array-intersect "
+    "verification on surviving candidates only. Same oracle as "
+    "dedup_ngram_jaccard (inverted-index count closure) and "
+    "dedup_minhash_lsh (approximate): three physical strategies, "
+    "one output contract. The prefix index never contains the "
+    "head-of-distribution tokens that drive the count-closure "
+    "join's sum-of-df^2 cost, so this is the exact-result scale "
+    "path when frequent shingles exist (operators/setsim.py).",
+)
+def dedup_setsim_prefix(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.setsim import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    pairs = prefix_filter_jaccard_pairs(
+        d, "doc_id", word_shingles("text", 3), threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+# Both engines parse the SAME deterministically constructed URL, so
+# the kernel under test is the extraction itself. The Spark side
+# uses the JVM parse_url expression; DuckDB mirrors with anchored
+# regexes (no lookaround — portable semantics on these inputs).
+_URL_SQL = (
+    "concat('https://www.', source, '.example.com/', lang, '/doc/', "
+    "CAST(doc_id AS VARCHAR), '?ref=r', CAST(doc_id % 7 AS VARCHAR), "
+    "'&utm_source=feed')"
+)
+
+
+@query(
+    "scalar_url_suite",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+           regexp_extract(regexp_extract(url, 'https?://([^/?#]+)', 1),
+                          '([^.]+\\.[^.]+)$', 1) AS reg_domain,
+           regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+           CAST(length(regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1))
+                - length(replace(regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1),
+                                 '/', '')) AS BIGINT) AS path_depth,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param,
+           concat('https://',
+                  regexp_replace(regexp_extract(url, 'https?://([^/?#]+)', 1),
+                                 '^www\\.', ''),
+                  regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1),
+                  '?ref=',
+                  regexp_extract(url, '[?&]ref=([^&#]*)', 1)) AS norm_url
+    FROM u ORDER BY doc_id
+    """,
+    doc="Web-corpus URL kernel: host / registered-domain / path / "
+    "path-depth extraction, query-param lookup, and tracking-param "
+    "normalization (strip www + utm_*, keep ref) — the per-row "
+    "toolkit behind domain-level corpus curation (domain quotas, "
+    "blocklists, URL dedup) in web-scale training pipelines. "
+    "Spark side runs the JVM parse_url expression (whole-stage "
+    "codegen, no Python); at 100 TB this is a pure map stage with "
+    "zero shuffles.",
+)
+def scalar_url_suite(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_source=feed"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    ref = F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref"))
+    return u.select(
+        "doc_id",
+        host.alias("host"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("reg_domain"),
+        path.alias("path"),
+        (
+            F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+        ).cast("bigint").alias("path_depth"),
+        ref.alias("ref_param"),
+        F.concat(
+            F.lit("https://"),
+            F.regexp_replace(host, r"^www\.", ""),
+            path,
+            F.lit("?ref="),
+            ref,
+        ).alias("norm_url"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "stats_chi2_assoc",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) % 24 // 6 AS tod,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(n) AS r_tot FROM obs GROUP BY 1),
+    ct AS (SELECT tod, SUM(n) AS c_tot FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(n) AS big_n FROM obs),
+    grid AS (
+        SELECT rt.event_type, ct.tod, rt.r_tot, ct.c_tot, tot.big_n,
+               COALESCE(obs.n, 0) AS n
+        FROM rt CROSS JOIN ct CROSS JOIN tot
+        LEFT JOIN obs USING (event_type, tod)
+    ),
+    terms AS (
+        SELECT big_n,
+               CAST(FLOOR(
+                   power(CAST(n AS DOUBLE)
+                         - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                           / CAST(big_n AS DOUBLE), 2)
+                   / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                      / CAST(big_n AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS term_micros
+        FROM grid
+    ),
+    dims AS (
+        SELECT (SELECT COUNT(*) FROM rt) AS n_rows,
+               (SELECT COUNT(*) FROM ct) AS n_cols
+    )
+    SELECT CAST(SUM(term_micros) AS DOUBLE) / 1000000 AS chi2,
+           CAST((MAX(n_rows) - 1) * (MAX(n_cols) - 1) AS BIGINT) AS dof,
+           FLOOR(sqrt((CAST(SUM(term_micros) AS DOUBLE) / 1000000)
+                      / (CAST(MAX(big_n) AS DOUBLE)
+                         * least(MAX(n_rows) - 1, MAX(n_cols) - 1)))
+                 * 1000000 + 0.5) / 1000000 AS cramers_v
+    FROM terms CROSS JOIN dims
+    """,
+    doc="Chi-square test of association between two categorical "
+    "columns (event_type x 6-hour time-of-day band) + Cramer's V "
+    "effect size — the feature-association probe a corpus/feature "
+    "pipeline runs before trusting a categorical signal. "
+    "Determinism: each cell's (O-E)^2/E term derives from exact "
+    "integer marginals through one fixed double expression, is "
+    "quantized to integer micros PER CELL, and the cross-engine "
+    "sum is then an exact integer sum (the money-cents pattern "
+    "lifted to test statistics — double SUM order can never flip "
+    "the result). Scale: contingency cells are "
+    "|types| x |bands| regardless of row count; everything above "
+    "the first groupBy is broadcast-sized.",
+)
+def stats_chi2_assoc(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    obs = (
+        e.select(
+            "event_type",
+            ((F.col("ts_us") / F.lit(3600000000)).cast("long") % 24)
+            .cast("long")
+            .alias("_h"),
+        )
+        .select("event_type", (F.col("_h") / 6).cast("long").alias("tod"))
+        .groupBy("event_type", "tod")
+        .agg(F.count("*").alias("n"))
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("n").alias("r_tot"))
+    ct = obs.groupBy("tod").agg(F.sum("n").alias("c_tot"))
+    tot = obs.agg(F.sum("n").alias("big_n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["event_type", "tod"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    expected = (
+        F.col("r_tot").cast("double")
+        * F.col("c_tot").cast("double")
+        / F.col("big_n").cast("double")
+    )
+    term = F.pow(F.col("n").cast("double") - expected, 2) / expected
+    terms = grid.select(
+        "big_n",
+        F.floor(term * 1000000 + F.lit(0.5)).cast("long").alias("term_micros"),
+    )
+    n_rows = rt.count()
+    n_cols = ct.count()
+    return terms.agg(
+        (F.sum("term_micros").cast("double") / 1000000).alias("chi2"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
+        (
+            F.floor(
+                F.sqrt(
+                    (F.sum("term_micros").cast("double") / 1000000)
+                    / (
+                        F.max("big_n").cast("double")
+                        * F.lit(min(n_rows - 1, n_cols - 1))
+                    )
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("cramers_v"),
+    )
+
+
 # =====================================================================
 # Driver-certification rotation (round 4).
 #
@@ -7094,6 +7310,9 @@ _DRIVER_ORDER = [
     "text_bpe_pair_counts",
     "events_daily_drift",
     "sparse_cosine_topk",
+    "dedup_setsim_prefix",
+    "scalar_url_suite",
+    "stats_chi2_assoc",
 ]
 
 

@@ -177,3 +177,46 @@ def test_connected_components_clusters(spark):
     )
     out = {r["id"]: r["component"] for r in connected_components(vertices, edges).collect()}
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_prefix_filter_matches_inverted_index_exact(spark, sf_dir):
+    """PPJoin prefix filtering is EXACT: its output must equal the
+    inverted-index count-closure operator pair-for-pair (both claim
+    the same contract through different physical plans)."""
+    from etl_pipeline_4handling_listings_spark.operators.dedup_approx import (
+        exact_jaccard_pairs,
+    )
+    from etl_pipeline_4handling_listings_spark.operators.setsim import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.5, 0.8):
+        via_counts = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in exact_jaccard_pairs(
+                docs, "doc_id", word_shingles("text", 3), threshold=t
+            ).collect()
+        }
+        via_prefix = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in prefix_filter_jaccard_pairs(
+                docs, "doc_id", word_shingles("text", 3), threshold=t
+            ).collect()
+        }
+        assert via_prefix == via_counts
+        assert via_prefix  # planted dups exist at both thresholds
+
+
+def test_prefix_filter_planted_dups(spark):
+    from etl_pipeline_4handling_listings_spark.operators.setsim import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = prefix_filter_jaccard_pairs(
+        docs, "doc_id", word_shingles("text", 3), threshold=0.5
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1), (2, 3)}
+    for p in pairs:
+        assert p["jaccard"] >= 0.5
