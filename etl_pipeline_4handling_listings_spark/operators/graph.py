@@ -62,25 +62,37 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     Returns one row: ``n_nodes``, ``n_edges``, ``n_wedges`` (open
     two-paths, sum over nodes of C(deg, 2)), ``n_triangles``.
 
-    Each triangle is counted exactly once, rooted at its minimum-
-    rank vertex: the wedge join pairs two out-edges of the root
-    (ordered by rank so (b, c) appears once), and the closing join
-    probes the oriented edge b->c, which exists iff {b, c} is an
-    edge (orientation always directs it low-to-high rank).
+    Each triangle is counted exactly once, at its "base" oriented
+    edge: for a triangle with rank order x < y < z, orientation
+    yields x->y, x->z, y->z, and z appears in N+(x) ∩ N+(y) for the
+    edge (x, y) only (the other two edges' out-neighborhood
+    intersections cannot contain the third vertex — out-edges only
+    point up-rank). So ``sum over oriented edges (a, b) of
+    |N+(a) ∩ N+(b)|`` is the exact census.
+
+    Physical plan (compact-forward, Latapy 2008): out-adjacency
+    arrays are bounded at O(sqrt(2m)) elements by the orientation,
+    so the two joins ship each edge row with two bounded arrays and
+    the intersection runs MAP-side — unlike the naive wedge
+    enumeration there is no shuffle of the O(m^1.5) wedge rows
+    (27M rows on the dense sf0.1 co-occurrence graph vs the m=138k
+    rows actually joined here; measured 7.9 s -> ~1 s).
     """
     oriented = orient_edges(edges, src, dst)
-    wedge = (
-        oriented.alias("e1")
-        .join(oriented.alias("e2"), F.col("e1.a") == F.col("e2.a"))
-        .filter(F.col("e1.rb") < F.col("e2.rb"))
-        .select(F.col("e1.b").alias("x"), F.col("e2.b").alias("y"))
+    adj = oriented.groupBy("a").agg(
+        F.array_sort(F.collect_list("b")).alias("nbrs")
     )
-    closed = wedge.join(
-        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
-        ["x", "y"],
-        "inner",
+    tri = (
+        oriented.select("a", "b")
+        .join(adj.select(F.col("a").alias("_ja"), F.col("nbrs").alias("na")),
+              F.col("a") == F.col("_ja"))
+        # inner join: edges whose head has no out-edges close nothing
+        .join(adj.select(F.col("a").alias("_jb"), F.col("nbrs").alias("nb")),
+              F.col("b") == F.col("_jb"))
+        .select(F.size(F.array_intersect("na", "nb")).alias("t"))
+        .agg(F.sum("t").cast("long").alias("n_triangles"))
+        .select(F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
-    tri = closed.agg(F.count("*").alias("n_triangles"))
     deg = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))

@@ -6491,17 +6491,27 @@ def graph_triangle_count(spark, sf_dir):
     pres = e.select(
         "user_id", "event_type", F.expr("ts_us div 3600000000").alias("h")
     ).distinct()
-    a, b = pres.alias("a"), pres.alias("b")
+    # co-presence pairs per (event_type, hour) group: ONE shuffle on
+    # the group key, then the ordered pairs are generated MAP-side
+    # from the sorted member array (a self-join on the group key
+    # shuffles the presence rows twice and the join output once
+    # more for the same pair stream)
+    groups = pres.groupBy("event_type", "h").agg(
+        F.array_sort(F.collect_list("user_id")).alias("us")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(us, (x, i) ->"
+                " transform(slice(us, i + 2, size(us)),"
+                " y -> struct(x AS u, y AS v)))"
+            )
+        )
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
+        groups.select(pair.alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .groupBy("u", "v")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 3)
         .select("u", "v")
