@@ -182,7 +182,13 @@ def sample_video_frames(
             for rid, content in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(content) if content is not None else b""
                 for i in range(num_frames):
-                    frame = hashlib.sha256(data + i.to_bytes(4, "big")).hexdigest()
+                    # ASCII frame tag (not raw index bytes) so the
+                    # signature is reproducible from any engine's
+                    # UTF-8 string hash — see the mm_frame_sample
+                    # DuckDB oracle
+                    frame = hashlib.sha256(
+                        data + f"#frame{i}".encode()
+                    ).hexdigest()
                     rows.append((rid, i, frame))
             yield pd.DataFrame(rows, columns=[id_col, "frame_index", "frame_sha256"])
 

@@ -7151,6 +7151,125 @@ def stats_chi2_assoc(spark, sf_dir):
     )
 
 
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH spans AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+               (LEAD(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                ) - epoch_us(ts)) // 1000 AS w
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, vm, SUM(w) AS hw FROM spans
+        WHERE w IS NOT NULL AND w > 0 AND vm IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, vm, hw,
+               SUM(hw) OVER (PARTITION BY event_type ORDER BY vm
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(hw) OVER (PARTITION BY event_type) AS tw
+        FROM hist
+    )
+    SELECT event_type,
+           FLOOR(CAST(MIN(CASE WHEN 2 * cw >= tw THEN vm END) AS DOUBLE)
+                 / 1000 * 1000000 + 0.5) / 1000000 AS wmedian,
+           CAST(MAX(tw) AS BIGINT) AS total_weight_ms
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact duration-weighted median per group: each reading "
+    "weighted by its holding time (the robust location twin of "
+    "events_time_weighted_avg — a plain median over-weights "
+    "bursts). Scale shape: the cumulative scan runs over the "
+    "per-group DISTINCT-VALUE histogram, not the row stream — "
+    "groupBy(group, value-milli) first, so the window partition "
+    "size is bounded by the value grid (~1e5 cells) no matter how "
+    "many billions of rows feed each group; weights are exact "
+    "integer milliseconds, so the 2*cum >= total crossing is "
+    "bit-deterministic.",
+)
+def agg_weighted_median(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    spans = e.select(
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("vm"),
+        F.expr(
+            "(lead(ts_us) over (partition by user_id"
+            " order by ts_us, event_id) - ts_us) div 1000"
+        ).alias("w"),
+    ).filter(F.col("w").isNotNull() & (F.col("w") > 0) & F.col("vm").isNotNull())
+    hist = spans.groupBy("event_type", "vm").agg(F.sum("w").alias("hw"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "vm",
+        F.sum("hw").over(wc).alias("cw"),
+        F.sum("hw").over(wt).alias("tw"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            r(
+                F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("vm")))
+                .cast("double")
+                / 1000,
+                6,
+            ).alias("wmedian"),
+            F.max("tw").cast("bigint").alias("total_weight_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH frames AS (SELECT unnest(range(4)) AS frame_index)
+    SELECT d.doc_id AS item_id,
+           CAST(f.frame_index AS INTEGER) AS frame_index,
+           sha256(d.text || '#frame' || CAST(f.frame_index AS VARCHAR))
+               AS frame_sha256
+    FROM documents d CROSS JOIN frames f
+    WHERE d.doc_id < 200
+    ORDER BY item_id, frame_index
+    """,
+    doc="Multimodal frame-sampling plumbing: opaque binary content "
+    "fans out to one row per sampled frame through an Arrow "
+    "mapInPandas kernel (multimodal/binaryops.sample_video_frames "
+    "— UDTF-shaped row explosion, the exact batch shape an "
+    "ffmpeg/pyav keyframe extractor drops into). The stub frame "
+    "signature sha256(content || frame_index_be4) is reproduced "
+    "bit-for-bit by the DuckDB oracle, so the full Python-side "
+    "path — Arrow transfer, per-row fan-out, schema — is "
+    "hash-certified, not just row-counted.",
+)
+def mm_frame_sample(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.multimodal.binaryops import (
+        sample_video_frames,
+    )
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("item_id"),
+            F.col("text").cast("binary").alias("content"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return sample_video_frames(d, num_frames=4).orderBy(
+        "item_id", "frame_index"
+    )
+
+
 # =====================================================================
 # Driver-certification rotation (round 4).
 #
@@ -7323,6 +7442,8 @@ _DRIVER_ORDER = [
     "dedup_setsim_prefix",
     "scalar_url_suite",
     "stats_chi2_assoc",
+    "agg_weighted_median",
+    "mm_frame_sample",
 ]
 
 

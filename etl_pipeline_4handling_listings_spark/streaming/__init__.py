@@ -1,6 +1,7 @@
 from etl_pipeline_4handling_listings_spark.streaming.pipeline import (  # noqa: F401
     foreach_batch_sketch_merge,
     foreach_batch_upsert,
+    stream_dedup_redelivery,
     stream_hourly_rollup,
     stream_interval_join,
     stream_latest_record_dedup,

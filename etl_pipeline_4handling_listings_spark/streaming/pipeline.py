@@ -46,6 +46,30 @@ def stream_latest_record_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
 
 
+def stream_dedup_redelivery(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Duplicate suppression for at-least-once sources whose
+    re-deliveries carry DIFFERENT event times (retry timestamps).
+
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) dedups on the
+    business key alone while still bounding state by the watermark:
+    a key's state is evictable once the watermark passes the FIRST
+    observation + horizon, even though later duplicates carry later
+    event times. Plain ``dropDuplicates(keys)`` without the event
+    time in the key set never evicts state — unbounded at 100 TB;
+    with the event time in the key set it fails to suppress retried
+    rows at all. This is the only shape that is both correct under
+    retries and bounded.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_hourly_rollup(
     stream: DataFrame,
     ts_col: str = "ts",

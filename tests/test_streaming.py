@@ -11,6 +11,7 @@ from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
 from etl_pipeline_4handling_listings_spark.streaming import (
     foreach_batch_upsert,
     stream_hourly_rollup,
+    stream_dedup_redelivery,
     stream_latest_record_dedup,
     stream_ohlc_bars,
 )
@@ -471,3 +472,32 @@ def test_stream_session_rollup_native_session_window(spark, tmp_path):
         ("u1", 3, 0): (1, 2.0),
         ("u2", 1, 5): (1, 1.0),
     }
+
+
+def test_stream_dedup_redelivery_differing_event_times(spark, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses retried rows whose
+    re-delivery carries a LATER event time — the case where putting
+    the timestamp into dropDuplicates keys would let the duplicate
+    through, and leaving it out would leak state forever."""
+    src = str(tmp_path / "src")
+    rows = [
+        ("k1", _ts(1, 0), 1.0, "e", 0.0),
+        ("k1", _ts(1, 7), 1.0, "e", 0.0),   # retry, later event time
+        ("k2", _ts(1, 20), 3.0, "e", 0.0),
+        ("k2", _ts(1, 21), 3.0, "e", 0.0),  # retry
+        ("k3", _ts(1, 30), 4.0, "e", 0.0),
+    ]
+    _write_batch(spark, src, rows)
+    df = spark.read.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_dedup_redelivery(stream, ["k"], "ts")
+        .writeStream.format("memory")
+        .queryName("dedup_redeliver")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT k FROM dedup_redeliver").collect()
+    assert sorted(r["k"] for r in out) == ["k1", "k2", "k3"]
