@@ -7271,18 +7271,21 @@ def mm_frame_sample(spark, sf_dir):
 
 
 # =====================================================================
-# Driver-certification rotation (round 4).
+# Driver-certification rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries
-# in iteration order each round. Rounds 1-2 sampled the same first
-# 50 registrations; round 3 rotated the then-unchecked block to the
-# front. This round rotates the remaining 47 never-driver-checked
-# queries (everything not in CORRECTNESS_r01/r02 nor in round 3's
-# first-50 window) to the front, plus the three fixes still worth
-# re-observation (s10 integer-provenance enforce, the self-gating
-# ANN recalls) to fill slot 50. After this round every registry
-# entry has had a driver row. New queries are appended BEHIND the
-# window; no inserts ahead of slot 50 between rotations.
+# in iteration order once per round, at round end. Rounds 1-2
+# sampled the same first 50 registrations (driver-green 48 + the s10
+# hash fail + ann_rp_lsh no_oracle). The current front-50 below is
+# 48 queries with NO driver row in CORRECTNESS_r01/r02 plus the two
+# fixed rows worth re-observation (s10_schema_enforce now
+# integer-provenance, ann_rp_lsh now self-gating recall) — so
+# CORRECTNESS_r03 certifies 50 previously-unproven-or-red cells.
+# The ~55 still-unchecked queries behind the window (q2 onward in
+# this list, plus everything appended since) rotate to the front at
+# the START of round 4, using CORRECTNESS_r03 as the ledger of what
+# remains. New queries are appended BEHIND the window between
+# rotations; no inserts ahead of slot 50.
 # =====================================================================
 
 _DRIVER_ORDER = [

@@ -146,6 +146,15 @@ AUDIT = {
     "events_daily_drift": {"expect": ["Window"], "forbid": ["Join"]},
     # posting-list self-join on the term key; pair joins are equi-joins
     "sparse_cosine_topk": {"expect": ["HashAggregate"], "forbid": ["BroadcastNestedLoopJoin"]},
+    # prefix index: distinct + window rank + equi-join — never a loop
+    "dedup_setsim_prefix": {"expect": ["HashAggregate"], "forbid": ["BroadcastNestedLoopJoin"]},
+    # pure map stage + one final sort: no hash-shuffle anywhere
+    "scalar_url_suite": {"expect": [], "forbid": ["Exchange hashpartitioning", "Join"]},
+    "stats_chi2_assoc": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
+    # histogram scan: windows run over (group, distinct value) cells
+    "agg_weighted_median": {"expect": ["Window", "HashAggregate"], "forbid": []},
+    # the Arrow fan-out kernel is the point
+    "mm_frame_sample": {"expect": ["MapInPandas"], "forbid": []},
 }
 
 
