@@ -216,3 +216,42 @@ def test_driver_order_hygiene():
         "ann_rp_lsh",
         "ann_ivf",
     ]
+
+
+token_sets = st.lists(
+    st.lists(
+        st.sampled_from(list("abcdefgh")), min_size=1, max_size=8
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(sets=token_sets, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_prefix_filter_jaccard_matches_bruteforce(spark_sess, sets, threshold):
+    """PPJoin prefix filtering must return EXACTLY the brute-force
+    Jaccard pairs at any threshold — filtering is lossless."""
+    from etl_pipeline_4handling_listings_spark.operators.setsim import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [(i, list(s)) for i, s in enumerate(sets)]
+    expected = set()
+    dedup = [(i, set(s)) for i, s in rows]
+    for i, a in dedup:
+        for j, b in dedup:
+            if i < j and a and b:
+                jac = len(a & b) / len(a | b)
+                if jac >= threshold:
+                    expected.add((i, j, round(jac, 9)))
+    df = spark_sess.createDataFrame(rows, ["doc_id", "toks"])
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", F.col("toks"), threshold=threshold
+        ).collect()
+    }
+    assert got == expected
