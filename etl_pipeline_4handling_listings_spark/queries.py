@@ -7270,6 +7270,128 @@ def mm_frame_sample(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_cluster_quality",
+    oracle="""
+    WITH ex AS (
+        SELECT label, i.pos, CAST(embedding[i.pos] AS DOUBLE) AS val
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, 64)) AS pos) i
+    ), m AS (
+        SELECT label, pos,
+               FLOOR(AVG(val) * 1000000 + 0.5) / 1000000 AS mval
+        FROM ex GROUP BY label, pos
+    ), cent AS (
+        SELECT label AS c_label, list(mval ORDER BY pos) AS centroid
+        FROM m GROUP BY label
+    ), intra AS (
+        SELECT e.label,
+               COUNT(*) AS n_members,
+               FLOOR(AVG(FLOOR(sqrt(list_sum(list_transform(
+                   list_zip(CAST(e.embedding AS DOUBLE[]), c.centroid),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])
+               ))) * 1000000 + 0.5)) + 0.5) / 1000000 AS s_intra
+        FROM embeddings e JOIN cent c ON e.label = c.c_label
+        GROUP BY e.label
+    ), sep AS (
+        SELECT a.c_label AS label, b.c_label AS other_label,
+               FLOOR(sqrt(list_sum(list_transform(
+                   list_zip(a.centroid, b.centroid),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])
+               ))) * 1000000 + 0.5) / 1000000 AS d_cent,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.c_label
+                   ORDER BY FLOOR(sqrt(list_sum(list_transform(
+                       list_zip(a.centroid, b.centroid),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])
+                   ))) * 1000000 + 0.5), b.c_label
+               ) AS rn
+        FROM cent a JOIN cent b ON a.c_label <> b.c_label
+    )
+    SELECT i.label, CAST(i.n_members AS BIGINT) AS n_members,
+           i.s_intra,
+           s.other_label AS nearest_label,
+           s.d_cent AS separation,
+           FLOOR(i.s_intra / s.d_cent * 1000000 + 0.5) / 1000000
+               AS compactness_ratio
+    FROM intra i JOIN sep s ON s.label = i.label AND s.rn = 1
+    ORDER BY i.label
+    """,
+    doc="Cluster-quality audit for labeled embeddings (the eval "
+    "gate of a semantic-dedup / topic-bucketing stage): per label "
+    "the mean member-to-own-centroid distance (compactness), the "
+    "nearest other centroid (separation), and their ratio — the "
+    "per-cluster term of the Davies-Bouldin index, low = tight & "
+    "well-separated. Composition: distributed centroids (labels x "
+    "dim shuffle), broadcast centroid table, map-side member "
+    "distances — no vector ever visits the driver. Determinism: "
+    "member distances quantized to integer micros BEFORE the mean "
+    "(exact integer sum / count), centroid separations quantized "
+    "before the argmin with a label tie-break.",
+)
+def embedding_cluster_quality(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    cent = embedding_label_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    d2 = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # member -> own-centroid distance, micro-quantized per row so
+    # the per-label mean is an exact integer sum
+    member_micros = F.floor(
+        F.sqrt(d2(F.col("_v"), F.col("centroid"))) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    intra = (
+        e.select("label", _as_double(F.col("embedding")).alias("_v"))
+        .join(F.broadcast(cent), F.col("label") == F.col("c_label"))
+        .select("label", member_micros.alias("_dm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_members"), F.sum("_dm").alias("_sum"))
+        .select(
+            "label",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (
+                F.floor(
+                    F.col("_sum").cast("double") / F.col("n_members")
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("s_intra"),
+        )
+    )
+    a = cent.select(F.col("c_label").alias("label"), F.col("centroid").alias("_ca"))
+    b = cent.select(F.col("c_label").alias("other_label"), F.col("centroid").alias("_cb"))
+    d_cent = (
+        F.floor(F.sqrt(d2(F.col("_ca"), F.col("_cb"))) * 1000000 + F.lit(0.5))
+        / 1000000
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("label") != F.col("other_label"))
+        .select("label", "other_label", d_cent.alias("d_cent"))
+    )
+    wn = Window.partitionBy("label").orderBy("d_cent", "other_label")
+    nearest = (
+        pairs.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("label", "other_label", "d_cent")
+    )
+    return (
+        intra.join(nearest, "label")
+        .select(
+            "label",
+            "n_members",
+            "s_intra",
+            F.col("other_label").alias("nearest_label"),
+            F.col("d_cent").alias("separation"),
+            r(F.col("s_intra") / F.col("d_cent"), 6).alias("compactness_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -7447,6 +7569,7 @@ _DRIVER_ORDER = [
     "stats_chi2_assoc",
     "agg_weighted_median",
     "mm_frame_sample",
+    "embedding_cluster_quality",
 ]
 
 
