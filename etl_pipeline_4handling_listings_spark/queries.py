@@ -7392,6 +7392,138 @@ def embedding_cluster_quality(spark, sf_dir):
     )
 
 
+def _duck_bpe_round(s_prev: str, p: str, b: str, s_next: str | None) -> str:
+    """One unrolled BPE round for the DuckDB oracle: pair counts
+    from ``s_prev``, argmax into ``b``, merged state into
+    ``s_next`` (omitted for the last round)."""
+    sql = f"""
+    {p} AS (
+        SELECT q.p.l AS l, q.p.r AS r, CAST(SUM(q.wc) AS BIGINT) AS cnt
+        FROM (
+            SELECT wc, unnest(list_transform(range(1, len(syms)),
+                   i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p
+            FROM (SELECT wc, list_filter(str_split(st, chr(183)),
+                                         x -> x <> '') AS syms
+                  FROM {s_prev})
+        ) q GROUP BY 1, 2
+    ),
+    {b} AS (SELECT l, r, cnt FROM {p} ORDER BY cnt DESC, l, r LIMIT 1)"""
+    if s_next:
+        sql += f""",
+    {s_next} AS (
+        SELECT replace(st, chr(183) || {b}.l || chr(183) || {b}.r || chr(183),
+                       chr(183) || {b}.l || {b}.r || chr(183)) AS st, wc
+        FROM {s_prev} CROSS JOIN {b}
+    )"""
+    return sql
+
+
+@query(
+    "text_bpe_learn_merges",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM toks GROUP BY w),
+    s0 AS (
+        SELECT chr(183) || regexp_replace(w, '(.)', '\\1' || chr(183), 'g')
+                   AS st,
+               wc
+        FROM words
+    ),
+    {_duck_bpe_round('s0', 'p0', 'b0', 's1')},
+    {_duck_bpe_round('s1', 'p1', 'b1', 's2')},
+    {_duck_bpe_round('s2', 'p2', 'b2', None)}
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS merge_rank, l AS left_sym,
+               r AS right_sym, l || r AS merged, cnt AS pair_count FROM b0
+        UNION ALL
+        SELECT 2, l, r, l || r, cnt FROM b1
+        UNION ALL
+        SELECT 3, l, r, l || r, cnt FROM b2
+    ) ORDER BY merge_rank
+    """,
+    doc="BPE merge learning, first 3 merges (Sennrich et al. 2016, "
+    "the tokenizer-training kernel): iterate [count adjacent symbol "
+    "pairs weighted by word frequency -> argmax (count desc, pair "
+    "asc tiebreak) -> merge leftmost-first non-overlapping in every "
+    "word]. Scale shape: the ONLY corpus-sized pass is the initial "
+    "word count; every round then runs on the VOCAB-sized state "
+    "frame (tokenizer training is vocab-bound, not corpus-bound — "
+    "this is why real BPE trainers run on aggregated word counts). "
+    "Merge semantics are engine-portable: the delimited-string "
+    "replace() is leftmost-first non-overlapping in both Spark and "
+    "DuckDB, and the oracle unrolls the identical 3 rounds as CTEs "
+    "(the textrank unrolled-oracle pattern). localCheckpoint per "
+    "round truncates the iterative lineage, as in clustering.",
+)
+def text_bpe_learn_merges(spark, sf_dir):
+    d = tbl_wide(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    sep = "·"
+    state = words.select(
+        F.concat(
+            F.lit(sep), F.regexp_replace("w", "(.)", f"$1{sep}")
+        ).alias("st"),
+        "wc",
+    ).localCheckpoint()  # corpus-sized work ends here; state is vocab-sized
+    merges = []
+    for _ in range(3):
+        pairs = (
+            state.select(
+                "wc",
+                F.expr(f"filter(split(st, '{sep}'), x -> x <> '')").alias(
+                    "syms"
+                ),
+            )
+            .filter(F.expr("size(syms) >= 2"))
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms)-2),"
+                        " i -> struct(syms[i] as l, syms[i+1] as r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).localCheckpoint()
+        merges.append(best)
+        state = (
+            state.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    f"replace(st, concat('{sep}', l, '{sep}', r, '{sep}'),"
+                    f" concat('{sep}', l, r, '{sep}'))"
+                ).alias("st"),
+                "wc",
+            )
+            .localCheckpoint()
+        )
+    out = None
+    for i, b in enumerate(merges):
+        row = b.select(
+            F.lit(i + 1).cast("bigint").alias("merge_rank"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.concat("l", "r").alias("merged"),
+            F.col("cnt").cast("bigint").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("merge_rank")
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -7570,6 +7702,7 @@ _DRIVER_ORDER = [
     "agg_weighted_median",
     "mm_frame_sample",
     "embedding_cluster_quality",
+    "text_bpe_learn_merges",
 ]
 
 
