@@ -5165,10 +5165,16 @@ def textrank_keywords(spark, sf_dir):
     src = edges.join(wdeg.withColumnRenamed("w", "w1"), "w1").select(
         "w1", "w2", (F.col("c") / F.col("wd")).alias("share")
     )
-    src = src.localCheckpoint(eager=True)  # freeze the small edge frame
+    # freeze the edge frame AND collapse it to one partition: the
+    # word graph is vocab-bounded (edges ≤ |V|²ish, KBs even for
+    # 1e5-word vocabularies), so the 10 power steps should be 10
+    # one-task stages — at 32 shuffle partitions the iteration pays
+    # ~650 empty-task launches of pure scheduling latency.
+    # Broadcasting the rank side keeps each step's join map-side.
+    src = src.repartition(1).localCheckpoint(eager=True)
     for _ in range(10):
         pr = (
-            src.join(pr.withColumnRenamed("w", "w1"), "w1")
+            src.join(F.broadcast(pr.withColumnRenamed("w", "w1")), "w1")
             .groupBy(F.col("w2").alias("w"))
             .agg(
                 q9(
