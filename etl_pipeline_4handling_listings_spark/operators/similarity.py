@@ -187,70 +187,134 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    quantizer: str = "kmeans",
 ) -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer + probe-nearest cells.
+    """IVF-style ANN: coarse quantizer + probe-nearest cells.
 
-    Train: distributed MLlib KMeans (seeded) over the vector table —
-    the standard IVF coarse quantizer. Search: each query scores only
-    the vectors in its ``n_probe`` nearest cells, so the candidate
-    set shrinks ~n_centroids/n_probe-fold. Cell centroids live on
-    the driver (n_centroids × dim floats — tiny); every data-sized
-    step stays distributed.
+    Train (``quantizer``):
+
+    - ``"kmeans"`` — distributed MLlib KMeans (seeded, random init,
+      few iterations): the textbook IVF quantizer; costs ~maxIter
+      passes over the corpus.
+    - ``"sample"`` — seeded hash-sampled centroids: the n_centroids
+      vectors with the smallest portable content-hash priority ARE
+      the centroids (one TakeOrdered pass, no iterations). For
+      near-isotropic corpora Lloyd steps barely move recall — cell
+      quality is governed by n_probe and held by the recall gate —
+      so this is the cheap default at re-train frequency.
+
+    Search: each query scores only the vectors in its ``n_probe``
+    nearest cells, so the candidate set shrinks
+    ~n_centroids/n_probe-fold. Cell centroids live on the driver
+    (n_centroids × dim floats — tiny); every data-sized step stays
+    distributed.
 
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
     from pyspark.sql import Window
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_v"),
-    ).withColumn("_feat", array_to_vector(F.col("_v")))
-    # a coarse quantizer does not need converged k-means: seeded
-    # random init + few iterations gives equally-usable cells at a
-    # fraction of the cost (k-means|| init alone runs several passes
-    # over the data); recall is governed by n_probe, and the recall
-    # gate (the ann_ivf query's recall oracle) holds the quality bar
-    model = KMeans(
-        k=n_centroids,
-        seed=seed,
-        featuresCol="_feat",
-        initMode="random",
-        maxIter=8,
-    ).fit(v)
-    assigned = model.transform(v).withColumnRenamed("prediction", "_cell")
+    )
+    spark = vectors.sparkSession
 
-    centroids = [c.tolist() for c in model.clusterCenters()]
-
-    def _nearest_cells(q: Column) -> Column:
-        # distances to each centroid, unrolled at plan build; returns
-        # the n_probe cell ids with the smallest L2 distance
-        dists = F.array(
-            *[
-                F.struct(
-                    F.sqrt(
-                        F.aggregate(
-                            F.zip_with(
-                                q,
-                                F.array(*[F.lit(x) for x in c]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        )
-                    ).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+    def _cents_frame(centroids: list) -> DataFrame:
+        """One broadcastable row: array<struct<cell,vec>> sorted by
+        cell. Centroids travel as a VALUE, not as unrolled literal
+        expressions — n_centroids x dim literals make Catalyst
+        analysis/codegen the dominant cost (measured ~2 s of the
+        3 s ann_ivf wall at 16 x 64) and would grow without bound
+        with the centroid count."""
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, vec array<double>",
         )
-        return F.slice(F.array_sort(dists), 1, n_probe).cell
+        return cent_df.agg(
+            F.sort_array(F.collect_list(F.struct("cell", "vec"))).alias(
+                "_cents"
+            )
+        )
 
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(query_vec_col)).alias("_q"),
-    ).withColumn("_cell", F.explode(_nearest_cells(F.col("_q"))))
+    def _cell_dists(vec: Column) -> Column:
+        # per-row distances to every centroid from the carried array
+        return F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec, s.vec, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    s.cell.alias("cell"),
+                ),
+            )
+        )
+
+    if quantizer == "sample":
+        pri = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("neighbor_id"), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        picked = (
+            v.select("neighbor_id", "_v", pri.alias("_p"))
+            .orderBy("_p", "neighbor_id")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [list(row["_v"]) for row in picked]
+        assigned = (
+            v.crossJoin(F.broadcast(_cents_frame(centroids)))
+            .withColumn(
+                "_cell", F.element_at(_cell_dists(F.col("_v")), 1).cell
+            )
+            .drop("_cents")
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = v.withColumn("_feat", array_to_vector(F.col("_v")))
+        # a coarse quantizer does not need converged k-means: seeded
+        # random init + few iterations gives equally-usable cells at
+        # a fraction of the cost (k-means|| init alone runs several
+        # passes over the data); recall is governed by n_probe, and
+        # the recall gate (the ann_ivf query's recall oracle) holds
+        # the quality bar
+        model = KMeans(
+            k=n_centroids,
+            seed=seed,
+            featuresCol="_feat",
+            initMode="random",
+            maxIter=8,
+        ).fit(feat)
+        assigned = model.transform(feat).withColumnRenamed(
+            "prediction", "_cell"
+        ).drop("_feat")
+        centroids = [c.tolist() for c in model.clusterCenters()]
+
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(query_vec_col)).alias("_q"),
+        )
+        .crossJoin(F.broadcast(_cents_frame(centroids)))
+        .withColumn(
+            "_cell",
+            F.explode(
+                F.slice(_cell_dists(F.col("_q")), 1, n_probe).cell
+            ),
+        )
+        .drop("_cents")
+    )
     scored = (
         assigned.join(F.broadcast(q), "_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -2071,27 +2071,26 @@ def scalar_cleaning_suite(spark, sf_dir):
 @query(
     "ann_ivf",
     oracle=_RECALL_ORACLE,
-    doc="Similarity search (scale path 2): IVF — seeded MLlib k-means "
-    "coarse quantizer, queries probe their nearest cells. Approximate "
-    "by construction, so the CORRECTNESS contract is the sketch "
-    "pattern: recall@10 with n_probe=12/16 cells vs the exact cosine "
-    "top-10 as an oracle-checkable boolean. Contract: >=0.8 per "
-    "query (observed 0.9-1.0 at sf0.01/sf0.1; the margin absorbs "
-    "seeded-KMeans assignment drift under the driver's session "
-    "config).",
+    doc="Similarity search (scale path 2): IVF — seeded sampled-"
+    "centroid coarse quantizer (one TakeOrdered pass; the MLlib "
+    "k-means quantizer remains the ivf_topk 'kmeans' option and is "
+    "recall-tested in test_approx — on isotropic data Lloyd steps "
+    "don't move recall, and at re-train frequency the 8 training "
+    "passes are the whole cost), queries probe their nearest "
+    "cells. Approximate by construction, so the CORRECTNESS "
+    "contract is the sketch pattern: recall@10 with n_probe=12/16 "
+    "cells vs the exact cosine top-10 as an oracle-checkable "
+    "boolean. Contract: >=0.8 per query (observed 0.9-1.0 at "
+    "sf0.01/sf0.1 under both quantizers).",
 )
 def ann_ivf(spark, sf_dir):
     from etl_pipeline_4handling_listings_spark.operators.similarity import ivf_topk
 
-    # PLAIN scan on purpose: KMeans.fit makes ~8 passes over the
-    # corpus, and a repartition in the lineage re-executes its
-    # shuffle on every pass (measured 3.1 -> 4.6 s) — re-reading the
-    # page-cached parquet is cheaper than re-shuffling
     e = tbl(spark, sf_dir, "embeddings")
     q = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    approx = ivf_topk(e, q, k=10, n_centroids=16, n_probe=12)
+    approx = ivf_topk(e, q, k=10, n_centroids=16, n_probe=12, quantizer="sample")
     return _recall_vs_exact(spark, sf_dir, approx, min_hits=8)
 
 
