@@ -7529,6 +7529,99 @@ def text_bpe_learn_merges(spark, sf_dir):
     return out.orderBy("merge_rank")
 
 
+@query(
+    "stats_corr_matrix",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS h,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS hv
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(a.hv) AS BIGINT) AS sx,
+               CAST(SUM(b.hv) AS BIGINT) AS sy,
+               CAST(SUM(a.hv * b.hv) AS BIGINT) AS sxy,
+               CAST(SUM(a.hv * a.hv) AS BIGINT) AS sxx,
+               CAST(SUM(b.hv * b.hv) AS BIGINT) AS syy
+        FROM hourly a JOIN hourly b
+          ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_hours,
+           FLOOR(
+               (CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt(
+                   (CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               ) * 1000000 + 0.5) / 1000000 AS pearson_r
+    FROM pairs
+    ORDER BY type_a, type_b
+    """,
+    doc="Pearson correlation matrix between event-type activity "
+    "series (hourly value totals): the co-movement screen a "
+    "feature/metrics pipeline runs across signals. Determinism: "
+    "every moment (Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer sum "
+    "of per-hour integer cents, so the only float arithmetic is "
+    "one closed-form expression per pair, quantized at 1e-6 — "
+    "summation order cannot move the result. Scale: the hour-grid "
+    "self-join is |types| x hours rows (time-bounded, not "
+    "row-bounded); everything below it is one map-side-combinable "
+    "aggregate over the raw stream.",
+)
+def stats_corr_matrix(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    hourly = (
+        e.select(
+            "event_type",
+            F.expr("ts_us div 3600000000").alias("h"),
+            cents("value").alias("vc"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("vc").alias("hv"))
+    )
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "h", F.col("hv").alias("xa")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"),
+        F.col("h").alias("hb"),
+        F.col("hv").alias("xb"),
+    )
+    pairs = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        )
+    )
+    n = F.col("n_hours").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        r(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("type_a", "type_b")
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -7708,6 +7801,7 @@ _DRIVER_ORDER = [
     "mm_frame_sample",
     "embedding_cluster_quality",
     "text_bpe_learn_merges",
+    "stats_corr_matrix",
 ]
 
 
