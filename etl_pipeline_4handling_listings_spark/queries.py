@@ -7107,11 +7107,9 @@ def stats_chi2_assoc(spark, sf_dir):
     obs = (
         e.select(
             "event_type",
-            ((F.col("ts_us") / F.lit(3600000000)).cast("long") % 24)
-            .cast("long")
-            .alias("_h"),
+            F.expr("(ts_us div 3600000000) % 24").alias("_h"),
         )
-        .select("event_type", (F.col("_h") / 6).cast("long").alias("tod"))
+        .select("event_type", F.expr("_h div 6").alias("tod"))
         .groupBy("event_type", "tod")
         .agg(F.count("*").alias("n"))
     )
