@@ -183,7 +183,17 @@ def test_money_sums_partition_invariant(spark_sess):
     from etl_pipeline_4handling_listings_spark.queries import REGISTRY
 
     sf = "/root/testdata/sf0.001"
-    for name in ["q1_pricing_summary", "q9_product_profit", "events_hourly_rollup"]:
+    for name in [
+        "q1_pricing_summary",
+        "q9_product_profit",
+        "events_hourly_rollup",
+        # round-3 statistics: per-cell/per-row integer quantization
+        # BEFORE any sum is exactly what this test certifies
+        "stats_chi2_assoc",
+        "agg_weighted_median",
+        "stats_corr_matrix",
+        "embedding_cluster_quality",
+    ]:
         fn = REGISTRY[name].fn
         base = sorted(map(tuple, fn(spark_sess, sf).collect()))
         old = spark_sess.conf.get("spark.sql.shuffle.partitions")
