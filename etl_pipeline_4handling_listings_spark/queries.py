@@ -7620,6 +7620,279 @@ def stats_corr_matrix(spark, sf_dir):
     ).orderBy("type_a", "type_b")
 
 
+@query(
+    "events_interval_coverage",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + 300000000 AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS new_island
+        FROM spans
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING
+               ) AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island_id,
+               MIN(s) AS island_start, MAX(e) AS island_end
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_end - island_start) // 1000 AS BIGINT)
+               AS covered_ms
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Interval-union coverage (merge overlapping activity spans, "
+    "total covered time per user): each event opens a 5-minute "
+    "span; the classic gaps-and-islands merge — a span starts a new "
+    "island iff its start exceeds the running max end of everything "
+    "before it — then per-island extents and a per-user rollup. "
+    "Pure integer-microsecond arithmetic end to end. Scale: two "
+    "windows + two aggregates all partitioned by user_id, state "
+    "bounded per user; the island trick replaces the quadratic "
+    "interval-overlap self-join entirely.",
+)
+def events_interval_coverage(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    spans = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + F.lit(300000000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_cum).alias("island_id"),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.expr("sum(island_end - island_start) div 1000")
+            .cast("bigint")
+            .alias("covered_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "stats_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS yc
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               (CAST(b.yc AS DOUBLE) - CAST(a.yc AS DOUBLE))
+                   / (CAST(b.d AS DOUBLE) - CAST(a.d AS DOUBLE)) AS sl,
+               a.d AS da, b.d AS db
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+        SELECT event_type, sl,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY sl, da, db
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM slopes
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_slopes,
+           FLOOR(AVG(sl) / 100 * 1000000 + 0.5) / 1000000
+               AS trend_per_day
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Theil-Sen robust trend per event type: daily value totals "
+    "(exact integer cents), slope of EVERY day pair, median slope — "
+    "the estimator that shrugs off outlier days where OLS chases "
+    "them (complements udf_grouped_ols). Median by explicit order "
+    "statistic (row_number over a totally-ordered slope ranking, "
+    "avg of the two middles) so both engines pick identical "
+    "elements — no reliance on engine median() semantics. Scale: "
+    "pair count is days², a per-group constant (365² ~ 1e5/year) "
+    "independent of row count; the corpus-sized work is one "
+    "map-side-combinable daily aggregate.",
+)
+def stats_theilsen_trend(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    daily = (
+        e.select(
+            "event_type",
+            F.expr("ts_us div 86400000000").alias("d"),
+            cents("value").alias("vc"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("vc").alias("yc"))
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("yc").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("db"),
+        F.col("yc").alias("yb"),
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("da") < F.col("db"))
+    ).select(
+        "event_type",
+        (
+            (F.col("yb").cast("double") - F.col("ya").cast("double"))
+            / (F.col("db").cast("double") - F.col("da").cast("double"))
+        ).alias("sl"),
+        "da",
+        "db",
+    )
+    wr = Window.partitionBy("event_type").orderBy("sl", "da", "db")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "sl",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_slopes"),
+            r(F.avg("sl") / 100, 6).alias("trend_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_seasonal_profile",
+    oracle="""
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS hour_id,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS hc,
+               CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY 1
+    ),
+    how AS (
+        SELECT hour_id % 168 AS hour_of_week,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(hc) AS BIGINT) AS s_c,
+               CAST(SUM(n_ev) AS BIGINT) AS s_n
+        FROM hourly GROUP BY 1
+    ),
+    grand AS (
+        SELECT CAST(SUM(s_c) AS BIGINT) AS g_c,
+               CAST(SUM(n_obs) AS BIGINT) AS g_n
+        FROM how
+    )
+    SELECT hour_of_week, n_obs,
+           FLOOR(CAST(s_c AS DOUBLE) / n_obs / 100 * 1000000 + 0.5)
+               / 1000000 AS mean_total,
+           FLOOR((CAST(s_c AS DOUBLE) / n_obs
+                  - CAST(g_c AS DOUBLE) / g_n) / 100 * 1000000 + 0.5)
+               / 1000000 AS seasonal
+    FROM how CROSS JOIN grand
+    ORDER BY hour_of_week
+    """,
+    doc="Weekly seasonal profile (the seasonal component of a "
+    "classical decomposition at period 168): hourly value totals "
+    "-> mean per hour-of-week -> deviation from the grand hourly "
+    "mean. The normalization surface a forecasting/anomaly stage "
+    "consumes (de-seasonalize = subtract the profile). Exactness: "
+    "two levels of integer-cents sums; the only float ops are two "
+    "divisions and one subtraction from exact integers, quantized "
+    "at 1e-6. Scale: the first aggregate is the only corpus-sized "
+    "pass (map-side combinable on hour_id); everything after is "
+    "168-row arithmetic with a broadcast grand mean.",
+)
+def events_seasonal_profile(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    hourly = (
+        e.select(
+            F.expr("ts_us div 3600000000").alias("hour_id"),
+            cents("value").alias("vc"),
+        )
+        .groupBy("hour_id")
+        .agg(F.sum("vc").alias("hc"), F.count("*").alias("n_ev"))
+    )
+    how = (
+        hourly.select(
+            (F.col("hour_id") % 168).alias("hour_of_week"), "hc", "n_ev"
+        )
+        .groupBy("hour_of_week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum("hc").alias("s_c"),
+            F.sum("n_ev").alias("s_n"),
+        )
+    )
+    grand = how.agg(
+        F.sum("s_c").alias("g_c"), F.sum("n_obs").alias("g_n")
+    )
+    mean_c = F.col("s_c").cast("double") / F.col("n_obs")
+    grand_c = F.col("g_c").cast("double") / F.col("g_n")
+    return (
+        how.crossJoin(F.broadcast(grand))
+        .select(
+            "hour_of_week",
+            "n_obs",
+            r(mean_c / 100, 6).alias("mean_total"),
+            r((mean_c - grand_c) / 100, 6).alias("seasonal"),
+        )
+        .orderBy("hour_of_week")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -7800,6 +8073,9 @@ _DRIVER_ORDER = [
     "embedding_cluster_quality",
     "text_bpe_learn_merges",
     "stats_corr_matrix",
+    "events_interval_coverage",
+    "stats_theilsen_trend",
+    "events_seasonal_profile",
 ]
 
 

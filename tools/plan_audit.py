@@ -155,6 +155,11 @@ AUDIT = {
     "agg_weighted_median": {"expect": ["Window", "HashAggregate"], "forbid": []},
     # the Arrow fan-out kernel is the point
     "mm_frame_sample": {"expect": ["MapInPandas"], "forbid": []},
+    "stats_corr_matrix": {"expect": ["HashAggregate"], "forbid": ["BroadcastNestedLoopJoin"]},
+    # island merge replaces the quadratic interval self-join
+    "events_interval_coverage": {"expect": ["Window"], "forbid": ["Join"]},
+    "stats_theilsen_trend": {"expect": ["Window", "HashAggregate"], "forbid": []},
+    "events_seasonal_profile": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
 }
 
 
