@@ -7893,6 +7893,98 @@ def events_seasonal_profile(spark, sf_dir):
     )
 
 
+@query(
+    "geo_grid_radius_join",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(concat('0x', substr(md5(concat('x|', user_id)), 1, 8))
+                    AS BIGINT) % 1000000 AS x,
+               CAST(concat('0x', substr(md5(concat('y|', user_id)), 1, 8))
+                    AS BIGINT) % 1000000 AS y
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT a.user_id AS id_a, b.user_id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b ON a.user_id < b.user_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 2500000000
+    ORDER BY id_a, id_b
+    """,
+    doc="Grid-binned radius self-join (the geohash/S2 pattern): "
+    "points land in radius-sized cells, each point probes only its "
+    "3x3 cell neighborhood, exact distance verifies survivors — "
+    "candidates scale with local density instead of |points|² "
+    "(a broadcast-range or theta join dies at scale; this is how "
+    "spatial joins, store-proximity dedup, and location-based "
+    "blocking run at 100 TB). Coordinates are deterministic "
+    "hash-derived integers and the distance check is pure integer "
+    "arithmetic, so the pair set is bit-exact; the DuckDB oracle "
+    "runs the quadratic join over the same synthetic points. Cell "
+    "width = radius, so correctness needs exactly the 9-cell "
+    "probe: any pair within r spans at most one cell boundary per "
+    "axis.",
+)
+def geo_grid_radius_join(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    radius = 50000  # micro-units; cell width = radius
+    r2lim = radius * radius
+    users = e.select("user_id").distinct()
+
+    def hcoord(tag: str) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{tag}|"), F.col("user_id"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+
+    pts = users.select(
+        "user_id", hcoord("x").alias("x"), hcoord("y").alias("y")
+    )
+    build = pts.select(
+        F.col("user_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x div {radius}").alias("cx"),
+        F.expr(f"y div {radius}").alias("cy"),
+    )
+    # probe side explodes its 3x3 neighborhood once; the join is a
+    # plain equi-join on the cell key
+    probe = (
+        pts.select(
+            F.col("user_id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(-1, 1), dx ->"
+                    f" transform(sequence(-1, 1), dy ->"
+                    f" struct(x div {radius} + dx AS cx,"
+                    f" y div {radius} + dy AS cy))))"
+                )
+            ).alias("c"),
+        )
+        .select("id_a", "xa", "ya", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+        .filter(F.col("dist2") <= F.lit(r2lim))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -8076,6 +8168,7 @@ _DRIVER_ORDER = [
     "events_interval_coverage",
     "stats_theilsen_trend",
     "events_seasonal_profile",
+    "geo_grid_radius_join",
 ]
 
 

@@ -160,6 +160,8 @@ AUDIT = {
     "events_interval_coverage": {"expect": ["Window"], "forbid": ["Join"]},
     "stats_theilsen_trend": {"expect": ["Window", "HashAggregate"], "forbid": []},
     "events_seasonal_profile": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
+    # cell equi-join, never a nested-loop theta join
+    "geo_grid_radius_join": {"expect": ["Generate"], "forbid": ["BroadcastNestedLoopJoin"]},
 }
 
 
