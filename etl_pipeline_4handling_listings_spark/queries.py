@@ -7985,6 +7985,122 @@ def geo_grid_radius_join(spark, sf_dir):
     )
 
 
+@query(
+    "snapshot_column_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+               o_orderpriority
+        FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 3 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN o_orderkey % 7 = 2 THEN 100 ELSE 0 END
+                   AS price_c,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 10 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_kind,
+           list_filter([
+               CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'o_orderstatus' END,
+               CASE WHEN o.price_c IS DISTINCT FROM n.price_c
+                    THEN 'price_c' END,
+               CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                    THEN 'o_orderpriority' END
+           ], x -> x IS NOT NULL) AS changed_cols
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.price_c IS DISTINCT FROM n.price_c
+       OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+    ORDER BY o_orderkey
+    """,
+    doc="Snapshot diff with column-level change attribution: full "
+    "outer join of two table versions on the business key, emit "
+    "added/removed/changed rows plus WHICH columns moved (the "
+    "audit artifact behind CDC reports and the M3 changed-only "
+    "guard — unchanged_guard says whether to write, this says "
+    "why). Null-safe comparison via IS DISTINCT FROM on every "
+    "column; money compared in integer cents. The synthetic 'new' "
+    "snapshot derives deterministically from orders (drops "
+    "key%10=0, flips status on %13=3, bumps price on %7=2) so "
+    "both engines diff identical inputs. Scale: one co-partitioned "
+    "full outer join on the key — the same shuffle M1 merge "
+    "already pays; attribution is pure map-side expressions.",
+)
+def snapshot_column_diff(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    price_c = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    old = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        price_c.alias("price_c"),
+        "o_orderpriority",
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 10 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 3, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            (
+                price_c
+                + F.when(F.col("o_orderkey") % 7 == 2, F.lit(100)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("price_c"),
+            "o_orderpriority",
+        )
+    )
+    on = old.alias("o"), new.alias("n")
+    joined = on[0].join(
+        on[1], F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    diff_cols = ["o_orderstatus", "price_c", "o_orderpriority"]
+    moved = [
+        ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in diff_cols
+    ]
+    changed_cols = F.filter(
+        F.array(
+            *[
+                F.when(m, F.lit(c)).otherwise(F.lit(None))
+                for c, m in zip(diff_cols, moved)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    any_diff = (
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | moved[0]
+        | moved[1]
+        | moved[2]
+    )
+    return (
+        joined.filter(any_diff)
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+            .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_kind"),
+            changed_cols.alias("changed_cols"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -8169,6 +8285,7 @@ _DRIVER_ORDER = [
     "stats_theilsen_trend",
     "events_seasonal_profile",
     "geo_grid_radius_join",
+    "snapshot_column_diff",
 ]
 
 
