@@ -8101,6 +8101,123 @@ def snapshot_column_diff(spark, sf_dir):
     )
 
 
+@query(
+    "stats_cuped_adjust",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS d,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ),
+    d0 AS (SELECT MIN(d) AS dmin FROM ev),
+    per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(SUM(CASE WHEN d - dmin < 15 THEN vc ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN d - dmin >= 15 THEN vc ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM ev CROSS JOIN d0 GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM per_user
+    ),
+    theta AS (
+        SELECT n, sx,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   AS th
+        FROM g
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) / 100 * 1000000 + 0.5)
+               / 1000000 AS raw_mean,
+           FLOOR((CAST(SUM(y) AS DOUBLE) / COUNT(*)
+                  - th * (CAST(SUM(x) AS DOUBLE) / COUNT(*)
+                          - CAST(sx AS DOUBLE) / n))
+                 / 100 * 1000000 + 0.5) / 1000000 AS cuped_mean
+    FROM per_user CROSS JOIN theta
+    GROUP BY variant, th, sx, n ORDER BY variant
+    """,
+    doc="CUPED variance reduction (Deng et al. 2013, the standard "
+    "experimentation-platform adjustment): per-user pre-period "
+    "covariate x and post-period metric y, theta = cov(x,y)/var(x) "
+    "from GLOBAL moments, adjusted variant mean = mean(y) - "
+    "theta*(mean(x) - grand mean(x)). Hash-split variants "
+    "(user_id%2). Exactness: every moment is an exact integer-cents "
+    "sum; theta and the adjusted means are fixed closed-form double "
+    "expressions over those integers, quantized at 1e-6 — "
+    "partial-agg order cannot move them. Scale: one pass builds "
+    "per-user (x, y); moments and variant rollups are "
+    "map-side-combinable aggregates; theta broadcasts.",
+)
+def stats_cuped_adjust(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    ev = e.select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("d"),
+        cents("value").alias("vc"),
+    )
+    d0 = ev.agg(F.min("d").alias("dmin"))
+    per_user = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.sum(
+                F.when(F.col("d") - F.col("dmin") < 15, F.col("vc")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("d") - F.col("dmin") >= 15, F.col("vc")
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    g = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    theta = g.select(
+        "n",
+        "sx",
+        (
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("th"),
+    )
+    per_variant = (
+        per_user.groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("x").alias("vx"),
+            F.sum("y").alias("vy"),
+        )
+        .crossJoin(F.broadcast(theta))
+    )
+    mean_y = F.col("vy").cast("double") / F.col("n_users")
+    mean_x = F.col("vx").cast("double") / F.col("n_users")
+    grand_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    return per_variant.select(
+        "variant",
+        "n_users",
+        r(mean_y / 100, 6).alias("raw_mean"),
+        r((mean_y - F.col("th") * (mean_x - grand_x)) / 100, 6).alias(
+            "cuped_mean"
+        ),
+    ).orderBy("variant")
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -8286,6 +8403,7 @@ _DRIVER_ORDER = [
     "events_seasonal_profile",
     "geo_grid_radius_join",
     "snapshot_column_diff",
+    "stats_cuped_adjust",
 ]
 
 
