@@ -8339,6 +8339,74 @@ def graph_kcore(spark, sf_dir):
         ],
         "k bigint, core_nodes bigint, core_edges bigint, converged boolean",
     )
+
+
+@query(
+    "hier_subtree_rollup",
+    oracle="""
+    WITH anc AS (
+        SELECT c_custkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+               unnest(list_distinct(list_filter(
+                   list_transform(range(0, 7),
+                                  i -> c_custkey // CAST(power(10, i) AS BIGINT)),
+                   a -> a >= 1
+               ))) AS node
+        FROM customer
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS subtree_customers,
+           FLOOR(CAST(SUM(bal_c) AS DOUBLE) / 100 * 1000000 + 0.5)
+               / 1000000 AS subtree_balance
+    FROM anc GROUP BY node HAVING COUNT(*) > 1
+    ORDER BY node
+    """,
+    doc="Hierarchy subtree rollup WITHOUT recursion: the customer "
+    "tree parent(k) = k div 10 is algebraic, so every row emits its "
+    "full ancestor chain as a 7-element expression (explode + one "
+    "aggregate — the org-chart/BOM rollup that recursive-CTE "
+    "engines loop over). The general lesson for 100 TB: when depth "
+    "is bounded, path ENUMERATION (one explode of depth-many "
+    "ancestors, one map-side-combinable agg) beats depth-many "
+    "self-join rounds — no iteration, no driver loop, one shuffle "
+    "on the ancestor key. Exact integer-cents balances.",
+)
+def hier_subtree_rollup(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    anc = c.select(
+        cents("c_acctbal").alias("bal_c"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.expr(
+                        "transform(sequence(0, 6),"
+                        " i -> c_custkey div cast(power(10, i) as bigint))"
+                    ),
+                    lambda a: a >= 1,
+                )
+            )
+        ).alias("node"),
+    )
+    return (
+        anc.groupBy("node")
+        .agg(
+            F.count("*").cast("bigint").alias("subtree_customers"),
+            r(F.sum("bal_c").cast("double") / 100, 6).alias(
+                "subtree_balance"
+            ),
+        )
+        .filter(F.col("subtree_customers") > 1)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            "subtree_customers",
+            "subtree_balance",
+        )
+        .orderBy("node")
+    )
+
+
+# =====================================================================
+# Driver-certification rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries
 # in iteration order once per round, at round end. Rounds 1-2
@@ -8524,6 +8592,7 @@ _DRIVER_ORDER = [
     "snapshot_column_diff",
     "stats_cuped_adjust",
     "graph_kcore",
+    "hier_subtree_rollup",
 ]
 
 
