@@ -8303,7 +8303,11 @@ def graph_kcore(spark, sf_dir):
         .count()
     )
     k = max(2, (2 * ne + 2 * nv - 1) // (2 * nv)) if nv else 2
-    prev_count = edges.count()
+    # peeling only removes edges, so a no-op round IS the fixpoint —
+    # early-exit then produces the identical edge set (and the same
+    # `converged` bit) as the oracle's full 6-round unroll
+    cur_count = ne
+    converged = False
     for _ in range(6):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -8313,15 +8317,18 @@ def graph_kcore(spark, sf_dir):
             .filter(F.col("d") >= k)
             .select("node")
         )
-        edges_next = (
+        edges = (
             edges.join(deg.withColumnRenamed("node", "u"), "u", "semi")
             .join(deg.withColumnRenamed("node", "v"), "v", "semi")
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        prev_count = edges.count()
-        edges = edges_next
-    core_edges = edges.count()
+        nxt = edges.count()
+        if nxt == cur_count:
+            converged = True
+            break
+        cur_count = nxt
+    core_edges = cur_count if converged else edges.count()
     core_nodes = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -8329,14 +8336,7 @@ def graph_kcore(spark, sf_dir):
         .count()
     )
     return spark.createDataFrame(
-        [
-            (
-                int(k),
-                int(core_nodes),
-                int(core_edges),
-                bool(core_edges == prev_count),
-            )
-        ],
+        [(int(k), int(core_nodes), int(core_edges), bool(converged))],
         "k bigint, core_nodes bigint, core_edges bigint, converged boolean",
     )
 

@@ -162,6 +162,10 @@ AUDIT = {
     "events_seasonal_profile": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
     # cell equi-join, never a nested-loop theta join
     "geo_grid_radius_join": {"expect": ["Generate"], "forbid": ["BroadcastNestedLoopJoin"]},
+    "snapshot_column_diff": {"expect": ["FullOuter"], "forbid": ["BroadcastNestedLoopJoin"]},
+    "stats_cuped_adjust": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
+    # path enumeration: one explode + one agg, never self-join rounds
+    "hier_subtree_rollup": {"expect": ["Generate", "HashAggregate"], "forbid": ["Join"]},
 }
 
 
