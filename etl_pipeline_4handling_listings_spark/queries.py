@@ -8420,7 +8420,9 @@ def hier_subtree_rollup(spark, sf_dir):
 # this list, plus everything appended since) rotate to the front at
 # the START of round 4, using CORRECTNESS_r03 as the ledger of what
 # remains. New queries are appended BEHIND the window between
-# rotations; no inserts ahead of slot 50.
+# rotations; no inserts ahead of slot 50. `tools/rotate_registry.py`
+# computes the next round's order from the CORRECTNESS ledgers
+# (never-checked first, then red re-observations, then green).
 # =====================================================================
 
 _DRIVER_ORDER = [
