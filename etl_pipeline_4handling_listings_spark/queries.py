@@ -8405,6 +8405,166 @@ def hier_subtree_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS mon_c
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               CAST(NTILE(4) OVER (ORDER BY last_day DESC, user_id)
+                    AS BIGINT) AS r_score,
+               CAST(NTILE(4) OVER (ORDER BY freq DESC, user_id)
+                    AS BIGINT) AS f_score,
+               CAST(NTILE(4) OVER (ORDER BY mon_c DESC, user_id)
+                    AS BIGINT) AS m_score
+        FROM per_user
+    )
+    SELECT r_score, f_score, m_score,
+           CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'at_risk'
+                ELSE 'regular' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user
+    FROM scored GROUP BY 1, 2, 3, 4
+    ORDER BY r_score, f_score, m_score
+    """,
+    doc="RFM segmentation (recency / frequency / monetary quartile "
+    "scores -> named segments): the classic behavioral-cohort "
+    "kernel. Quartiles via NTILE with a full deterministic order "
+    "(metric, user tiebreak) so both engines assign identical "
+    "scores; monetary in exact integer cents. Scale note: NTILE "
+    "here ranks the USER-level aggregate (one row per user). For "
+    "billions of users the exact-rank window becomes the "
+    "documented sketch path — derive the three cut-points from "
+    "approx percentiles (sketch_approx_percentile) and score by "
+    "comparison, which drops the global sort entirely; the "
+    "quartile-score contract is unchanged.",
+)
+def events_rfm_segments(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.expr("ts_us div 86400000000")).cast("bigint").alias("last_day"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(cents("value")).cast("bigint").alias("mon_c"),
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_day"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("mon_c"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "at_risk")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score", seg.alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("sample_user"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT w, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+               SUM(c) OVER (ORDER BY c DESC, w
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS tot
+        FROM wc
+    )
+    SELECT CAST(k AS BIGINT) AS top_k,
+           CAST(MAX(CASE WHEN rk <= k THEN cum END) AS BIGINT) AS covered,
+           CAST(MAX(tot) AS BIGINT) AS total_tokens,
+           FLOOR(CAST(MAX(CASE WHEN rk <= k THEN cum END) AS DOUBLE)
+                 / MAX(tot) * 1000000 + 0.5) / 1000000 AS coverage
+    FROM ranked CROSS JOIN (SELECT unnest([1, 5, 10, 20]) AS k)
+    GROUP BY k ORDER BY top_k
+    """,
+    doc="Zipf vocabulary-coverage curve: fraction of all corpus "
+    "tokens covered by the top-k most frequent words, k in "
+    "{1,5,10,20} — the tokenizer-budget diagnostic (how much of "
+    "the stream a k-entry vocab absorbs). The ranking/cumsum "
+    "windows run over the VOCAB-sized word-count frame, not the "
+    "token stream; the corpus-sized pass is one explode + "
+    "map-side-combinable count. Integer token counts end to end; "
+    "the only float is the final ratio, quantized at 1e-6.",
+)
+def text_vocab_coverage(spark, sf_dir):
+    d = tbl_wide(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    wr = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = wc.select(
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("c").over(
+            Window.partitionBy(F.lit(1))
+        ).alias("tot"),
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,), (20,)], "k bigint")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum")))
+            .cast("bigint")
+            .alias("covered"),
+            F.max("tot").cast("bigint").alias("total_tokens"),
+            r(
+                F.max(
+                    F.when(F.col("rk") <= F.col("k"), F.col("cum"))
+                ).cast("double")
+                / F.max("tot"),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            F.col("k").alias("top_k"), "covered", "total_tokens", "coverage"
+        )
+        .orderBy("top_k")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -8595,6 +8755,8 @@ _DRIVER_ORDER = [
     "stats_cuped_adjust",
     "graph_kcore",
     "hier_subtree_rollup",
+    "events_rfm_segments",
+    "text_vocab_coverage",
 ]
 
 
