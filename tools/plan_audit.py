@@ -166,6 +166,8 @@ AUDIT = {
     "stats_cuped_adjust": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
     # path enumeration: one explode + one agg, never self-join rounds
     "hier_subtree_rollup": {"expect": ["Generate", "HashAggregate"], "forbid": ["Join"]},
+    "events_rfm_segments": {"expect": ["Window", "HashAggregate"], "forbid": []},
+    "text_vocab_coverage": {"expect": ["Window", "HashAggregate"], "forbid": ["SortMergeJoin"]},
 }
 
 
