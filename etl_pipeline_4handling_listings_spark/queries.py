@@ -8566,6 +8566,521 @@ def text_vocab_coverage(spark, sf_dir):
 
 
 # =====================================================================
+# Round-3 third batch: inference statistics, change detection,
+# attribution, privacy audit, survival analysis, audio decode.
+# Appended BEHIND the certification window (see rotation note below).
+# =====================================================================
+
+
+@query(
+    "stats_mannwhitney_u",
+    oracle="""
+    WITH g AS (
+        SELECT event_type AS grp,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vm
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    hist AS (
+        SELECT vm,
+               SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS c2
+        FROM g GROUP BY vm
+    ),
+    ranked AS (
+        SELECT c1, c2, c1 + c2 AS t,
+               COALESCE(SUM(c1 + c2) OVER (
+                   ORDER BY vm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cb
+        FROM hist
+    ),
+    s AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 * (2 * cb + t + 1)) AS BIGINT) AS r1_2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tcorr
+        FROM ranked
+    )
+    SELECT n1, n2,
+           CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
+           FLOOR(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                 / (CAST(n1 AS DOUBLE) * n2) * 1000000 + 0.5) / 1000000
+               AS auc,
+           FLOOR((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((n1 + n2 + 1)
+                           - CAST(tcorr AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+                 * 1000000 + 0.5) / 1000000 AS z_score
+    FROM s
+    """,
+    doc="Mann-Whitney U (rank-sum) test between two treatment "
+    "groups' value distributions — the nonparametric A/B kernel. "
+    "Scale design: ranks are NEVER assigned to raw events (a "
+    "global sort of the stream); the stream collapses to an exact "
+    "integer-cents value histogram first (map-side-combinable "
+    "count), and average ranks come from a cumulative count over "
+    "the HISTOGRAM frame, whose size is bounded by the value grid, "
+    "not the data. All rank algebra stays in integer half-ranks "
+    "(2*cb+t+1), so U is exact and partition-invariant; the only "
+    "floats are the final effect-size/z divisions, mirrored "
+    "op-for-op in the oracle (tie-corrected normal approximation), "
+    "quantized at 1e-6.",
+)
+def stats_mannwhitney_u(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    g = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.col("event_type").alias("grp"), cents("value").alias("vm")
+    )
+    hist = g.groupBy("vm").agg(
+        F.sum(F.when(F.col("grp") == "purchase", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == "click", 1).otherwise(0)).alias("c2"),
+    )
+    wb = Window.orderBy("vm").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("c1") + F.col("c2")
+    ranked = hist.select(
+        "c1",
+        "c2",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(wb), F.lit(0)).alias("cb"),
+    )
+    s = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("cb") + F.col("t") + 1)
+        ).cast("long").alias("r1_2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tcorr"),
+    )
+    n1d = F.col("n1").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u = (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    sigma = F.sqrt(
+        n1d * F.col("n2") / 12
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tcorr").cast("double") / (nd * (F.col("n1") + F.col("n2") - 1))
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u.alias("u_stat"),
+        r(u / (n1d * F.col("n2")), 6).alias("auc"),
+        r((u - n1d * F.col("n2") / 2) / sigma, 6).alias("z_score"),
+    )
+
+
+@query(
+    "events_cusum_shift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS s
+        FROM events GROUP BY event_type, day
+    ),
+    cum AS (
+        SELECT event_type, day, s,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS idx,
+               CAST(SUM(s) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cs,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(s) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    dev AS (
+        SELECT event_type, day, n,
+               n * cs - idx * tot AS cs2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ABS(n * cs - idx * tot) DESC, day
+               ) AS rk
+        FROM cum
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(day AS BIGINT) AS peak_day,
+           CAST(ABS(cs2) AS BIGINT) AS peak_cusum2,
+           CAST(cs2 AS DOUBLE) / (100 * n) AS peak_drift
+    FROM dev WHERE rk = 1 ORDER BY event_type
+    """,
+    doc="CUSUM level-shift detection per event type: the day where "
+    "the cumulative deviation of daily revenue from its overall "
+    "mean peaks — the classic change-point screen for rate/mix "
+    "shifts in an event stream. Exact-integer formulation: instead "
+    "of cum(s) - idx*mean (a float), track n*cum - idx*total — "
+    "pure BIGINT, so the argmax day is bit-determined. Windows run "
+    "over the per-(type, day) AGGREGATE frame (bounded by the "
+    "calendar, not the stream); the stream pass is one map-side-"
+    "combinable integer-cents sum. The only float is the final "
+    "drift report (one exact IEEE division).",
+)
+def events_cusum_shift(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.sum(cents("value")).cast("long").alias("s"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).cast("long").alias("idx"),
+        F.sum("s")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cs"),
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.sum("s").over(wall).cast("long").alias("tot"),
+    )
+    cs2 = F.col("n") * F.col("cs") - F.col("idx") * F.col("tot")
+    dev = cum.select(
+        "event_type",
+        "day",
+        "n",
+        cs2.alias("cs2"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(cs2).desc(), F.asc("day")
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        dev.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("day").alias("peak_day"),
+            F.abs(F.col("cs2")).alias("peak_cusum2"),
+            (F.col("cs2").cast("double") / (100 * F.col("n"))).alias(
+                "peak_drift"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, value,
+               epoch_us(ts) AS ts_us,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN epoch_us(ts) END IGNORE NULLS) OVER w
+                   AS touch_ts,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                 AND ts_us - touch_ts <= 604800000000
+                THEN touch_type ELSE 'direct' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           FLOOR(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100 * 100 + 0.5) / 100 AS revenue
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+    doc="Last-touch attribution: each purchase credits the user's "
+    "most recent click/view within a 7-day lookback, else "
+    "'direct' — the marketing-funnel revenue split. Same "
+    "single-window carry-forward shape as the as-of join operator "
+    "(operators/asof.py): ONE exchange on user_id, last(..., "
+    "ignorenulls) over the preceding frame, no join anywhere (the "
+    "range-fanout join formulation explodes at 100 TB; the window "
+    "carry is linear in the partition). Revenue in exact integer "
+    "cents; the 7-day cutoff is pure integer micros arithmetic.",
+)
+def attribution_last_touch(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "event_type",
+        "value",
+        "ts_us",
+        F.last(F.when(is_touch, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    channel = F.when(
+        F.col("touch_ts").isNotNull()
+        & (F.col("ts_us") - F.col("touch_ts") <= 604800000000),
+        F.col("touch_type"),
+    ).otherwise("direct")
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            r2(F.sum(cents("value")).cast("double") / 100).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS sz
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS small_classes,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           FLOOR(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz) * 1000000 + 0.5) / 1000000 AS risk_ratio
+    FROM classes GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="k-anonymity audit (k=5) over the quasi-identifier tuple "
+    "(segment, nation, coarse balance band): equivalence-class "
+    "sizes, classes below k, and the share of rows re-identifiable "
+    "by the QI combination — the privacy gate a training-data "
+    "release pipeline runs before export. Two map-side-combinable "
+    "integer aggregations, no window, no join; linear at any "
+    "scale. Integer counts end to end; the only float is the "
+    "final risk ratio, quantized at 1e-6.",
+)
+def privacy_k_anonymity(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count("*").cast("long").alias("sz"))
+    small = F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)
+    return (
+        classes.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("small_classes"),
+            F.sum(small).cast("long").alias("rows_at_risk"),
+            F.sum("sz").cast("long").alias("n_rows"),
+            r(
+                F.sum(small).cast("double") / F.sum("sz"), 6
+            ).alias("risk_ratio"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "survival_km_curve",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+        GROUP BY e.user_id
+    ),
+    horizon AS (SELECT MAX(epoch_us(ts)) AS h FROM events),
+    durs AS (
+        SELECT s.user_id,
+               CASE WHEN p.tp IS NOT NULL
+                    THEN (p.tp - s.t0) // 86400000000
+                    ELSE (horizon.h - s.t0) // 86400000000 END AS dur,
+               CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN horizon
+    ),
+    at_dur AS (
+        SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS removed
+        FROM durs GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d,
+               CAST((SELECT COUNT(*) FROM durs) AS BIGINT)
+               - COALESCE(SUM(removed) OVER (
+                     ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS at_risk
+        FROM at_dur
+    ),
+    km AS (
+        SELECT dur, d, at_risk,
+               SUM(CASE WHEN d > 0 AND d < at_risk
+                        THEN ln(1.0 - CAST(d AS DOUBLE) / at_risk)
+                        WHEN d > 0 THEN -1000000000.0
+                        ELSE 0.0 END) OVER (
+                   ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS lnS
+        FROM risk
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS events,
+           FLOOR(exp(lnS) * 1000000 + 0.5) / 1000000 AS survival
+    FROM km WHERE d > 0 ORDER BY dur_days
+    """,
+    doc="Kaplan-Meier survival curve for signup->first-purchase "
+    "conversion with right-censoring at the observation horizon — "
+    "the retention/time-to-event kernel. Scale design: the stream "
+    "collapses to ONE row per user (min signup / min qualifying "
+    "purchase, both map-side-combinable), then to one row per "
+    "distinct duration-day; the KM product runs as exp(cum-sum of "
+    "ln factors) over that calendar-bounded frame. Risk sets and "
+    "event counts are exact integers; ln/exp accumulate <1e-12 "
+    "over the grid and the curve is quantized at 1e-6.",
+)
+def survival_km_curve(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tp"))
+    )
+    horizon = e.agg(F.max("ts_us").alias("h"))
+    durs = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr("(tp - t0) div 86400000000"),
+            )
+            .otherwise(F.expr("(h - t0) div 86400000000"))
+            .alias("dur"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    at_dur = durs.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count("*").cast("long").alias("removed"),
+    )
+    total = durs.agg(F.count("*").cast("long").alias("n_total"))
+    wb = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = at_dur.crossJoin(F.broadcast(total)).select(
+        "dur",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("removed").over(wb), F.lit(0))
+        ).alias("at_risk"),
+    )
+    km = risk.select(
+        "dur",
+        "d",
+        "at_risk",
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("at_risk")),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("at_risk")
+                ),
+            )
+            .when(F.col("d") > 0, F.lit(-1000000000.0))
+            .otherwise(0.0)
+        )
+        .over(wc)
+        .alias("lnS"),
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("dur_days"),
+            "at_risk",
+            F.col("d").alias("events"),
+            r(F.exp(F.col("lnS")), 6).alias("survival"),
+        )
+        .orderBy("dur_days")
+    )
+
+
+@query(
+    "mm_audio_pcm_rms",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(320)) AS i),
+    samp AS (
+        SELECT d.doc_id, CAST(idx.i AS BIGINT) AS i,
+               ((d.doc_id * 7919 + idx.i * 31) % 2003) - 1001 AS s
+        FROM documents d CROSS JOIN idx WHERE d.doc_id < 200
+    )
+    SELECT doc_id AS item_id,
+           CAST(i // 64 AS INTEGER) AS frame_index,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           FLOOR(sqrt(CAST(SUM(s * s) AS DOUBLE) / 64) * 1000000 + 0.5)
+               / 1000000 AS rms
+    FROM samp GROUP BY doc_id, i // 64
+    ORDER BY item_id, frame_index
+    """,
+    doc="Audio decode plumbing: 16-bit LE PCM blobs -> per-frame "
+    "peak/RMS features through TWO Arrow mapInPandas stages "
+    "(deterministic synth standing in for an object-store read, "
+    "then the np.frombuffer decode + frame reduction under test — "
+    "multimodal/binaryops.synthesize_pcm16 / audio_frame_rms). "
+    "The DuckDB oracle replays the integer sample formula "
+    "arithmetically, so the whole Python path — binary Arrow "
+    "transfer, byte decode, framing, int64 sum-of-squares, the "
+    "1e-6-quantized RMS — is hash-certified bit-for-bit, not just "
+    "row-counted. PRODUCTION: swap the synth for real audio bytes "
+    "and frombuffer for soundfile/ffmpeg; schema and batch shape "
+    "unchanged.",
+)
+def mm_audio_pcm_rms(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.multimodal.binaryops import (
+        audio_frame_rms,
+        synthesize_pcm16,
+    )
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("item_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    pcm = synthesize_pcm16(d, n_samples=320)
+    return audio_frame_rms(pcm, frame_size=64).orderBy(
+        "item_id", "frame_index"
+    )
+
+
+# =====================================================================
 # Driver-certification rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries
@@ -8757,6 +9272,12 @@ _DRIVER_ORDER = [
     "hier_subtree_rollup",
     "events_rfm_segments",
     "text_vocab_coverage",
+    "stats_mannwhitney_u",
+    "events_cusum_shift",
+    "attribution_last_touch",
+    "privacy_k_anonymity",
+    "survival_km_curve",
+    "mm_audio_pcm_rms",
 ]
 
 

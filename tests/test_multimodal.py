@@ -87,3 +87,45 @@ def test_sample_video_frames_fanout(spark):
     frames = [r for r in out if r["item_id"] == 1]
     assert sorted(r["frame_index"] for r in frames) == [0, 1, 2]
     assert len({r["frame_sha256"] for r in frames}) == 3
+
+
+def test_audio_pcm_synth_decode_matches_formula(spark):
+    """The np.frombuffer decode path must reproduce the sample
+    formula exactly: peak is an exact integer, RMS the quantized
+    sqrt of an exact int64 sum of squares."""
+    import math
+
+    from etl_pipeline_4handling_listings_spark.multimodal.binaryops import (
+        audio_frame_rms,
+        synthesize_pcm16,
+    )
+
+    ids = spark.createDataFrame([(3,), (17,)], "item_id BIGINT")
+    pcm = synthesize_pcm16(ids, n_samples=128)
+    blobs = {r["item_id"]: bytes(r["content"]) for r in pcm.collect()}
+    assert all(len(b) == 256 for b in blobs.values())  # int16 LE
+
+    out = audio_frame_rms(pcm, frame_size=64).collect()
+    assert len(out) == 4  # 2 items x 2 frames
+    for row in out:
+        rid, f = row["item_id"], row["frame_index"]
+        samples = [
+            ((rid * 7919 + i * 31) % 2003) - 1001
+            for i in range(f * 64, (f + 1) * 64)
+        ]
+        assert row["n_samples"] == 64
+        assert row["peak"] == max(abs(s) for s in samples)
+        rms = math.sqrt(sum(s * s for s in samples) / 64.0)
+        assert row["rms"] == math.floor(rms * 1000000 + 0.5) / 1000000
+
+
+def test_audio_frame_rms_drops_trailing_partial_frame(spark):
+    from etl_pipeline_4handling_listings_spark.multimodal.binaryops import (
+        audio_frame_rms,
+        synthesize_pcm16,
+    )
+
+    ids = spark.createDataFrame([(1,)], "item_id BIGINT")
+    pcm = synthesize_pcm16(ids, n_samples=100)  # 1 full frame + 36
+    out = audio_frame_rms(pcm, frame_size=64).collect()
+    assert [r["frame_index"] for r in out] == [0]

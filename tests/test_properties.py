@@ -193,6 +193,10 @@ def test_money_sums_partition_invariant(spark_sess):
         "agg_weighted_median",
         "stats_corr_matrix",
         "embedding_cluster_quality",
+        # integer half-rank / n*cum-idx*tot formulations: partial-agg
+        # order must never move the statistic
+        "stats_mannwhitney_u",
+        "events_cusum_shift",
     ]:
         fn = REGISTRY[name].fn
         base = sorted(map(tuple, fn(spark_sess, sf).collect()))

@@ -168,6 +168,16 @@ AUDIT = {
     "hier_subtree_rollup": {"expect": ["Generate", "HashAggregate"], "forbid": ["Join"]},
     "events_rfm_segments": {"expect": ["Window", "HashAggregate"], "forbid": []},
     "text_vocab_coverage": {"expect": ["Window", "HashAggregate"], "forbid": ["SortMergeJoin"]},
+    # rank algebra must run over the value-histogram aggregate, never
+    # a global sort of the raw stream (no Sort below the first agg)
+    "stats_mannwhitney_u": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
+    "events_cusum_shift": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
+    # attribution is the as-of carry: one window, zero joins
+    "attribution_last_touch": {"expect": ["Window"], "forbid": ["Join"]},
+    "privacy_k_anonymity": {"expect": ["HashAggregate"], "forbid": ["Window", "Join"]},
+    "survival_km_curve": {"expect": ["Window", "HashAggregate"], "forbid": []},
+    # both the synth and the decode kernel must be Arrow mapInPandas
+    "mm_audio_pcm_rms": {"expect": ["MapInPandas"], "forbid": ["Join"]},
 }
 
 
