@@ -9080,6 +9080,227 @@ def mm_audio_pcm_rms(spark, sf_dir):
     )
 
 
+@query(
+    "stats_ks_test",
+    oracle="""
+    WITH g AS (
+        SELECT event_type AS grp,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vm
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    hist AS (
+        SELECT vm,
+               SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS c2
+        FROM g GROUP BY vm
+    ),
+    cum AS (
+        SELECT vm,
+               SUM(c1) OVER (ORDER BY vm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum1,
+               SUM(c2) OVER (ORDER BY vm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum2,
+               SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+        FROM hist
+    ),
+    dev AS (
+        SELECT vm, n1, n2, ABS(n2 * cum1 - n1 * cum2) AS d2,
+               ROW_NUMBER() OVER (
+                   ORDER BY ABS(n2 * cum1 - n1 * cum2) DESC, vm
+               ) AS rk
+        FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(d2 AS BIGINT) AS d_num,
+           FLOOR(CAST(d2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                 * 1000000 + 0.5) / 1000000 AS d_stat,
+           CAST(vm AS DOUBLE) / 100 AS d_location,
+           FLOOR(sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))
+                 * (CAST(d2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))
+                 * 1000000 + 0.5) / 1000000 AS ks_stat
+    FROM dev WHERE rk = 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test between two groups' "
+    "value distributions — the distribution-drift companion to "
+    "stats_mannwhitney_u, built on the same scale design: the "
+    "stream collapses to an exact integer-cents value histogram "
+    "(map-side-combinable), ECDFs are cumulative counts over the "
+    "grid-bounded HISTOGRAM frame, and the sup-norm runs on the "
+    "exact integer cross-scaled deviation |n2*cum1 - n1*cum2| — "
+    "so D and its argmax location are bit-determined. Floats "
+    "appear only in the final D / scaled-KS report, mirrored "
+    "op-for-op, quantized at 1e-6.",
+)
+def stats_ks_test(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    g = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.col("event_type").alias("grp"), cents("value").alias("vm")
+    )
+    hist = g.groupBy("vm").agg(
+        F.sum(F.when(F.col("grp") == "purchase", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == "click", 1).otherwise(0)).alias("c2"),
+    )
+    wc = Window.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    cum = hist.select(
+        "vm",
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    d2 = F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+    dev = cum.select(
+        "vm",
+        "n1",
+        "n2",
+        d2.alias("d2"),
+        F.row_number()
+        .over(Window.orderBy(d2.desc(), F.asc("vm")))
+        .alias("rk"),
+    )
+    n1d = F.col("n1").cast("double")
+    d_stat = F.col("d2").cast("double") / (n1d * F.col("n2"))
+    return dev.filter(F.col("rk") == 1).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("d2").cast("long").alias("d_num"),
+        r(d_stat, 6).alias("d_stat"),
+        (F.col("vm").cast("double") / 100).alias("d_location"),
+        r(
+            F.sqrt(n1d * F.col("n2") / (F.col("n1") + F.col("n2"))) * d_stat,
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@query(
+    "basket_assoc_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+        FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM baskets a JOIN baskets b
+          ON a.bk = b.bk AND a.item < b.item
+        GROUP BY 1, 2
+        ORDER BY pair_count DESC, item_a, item_b
+        LIMIT 20
+    ),
+    ic AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS item_count
+        FROM baskets GROUP BY item
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM baskets)
+    SELECT p.item_a, p.item_b, p.pair_count,
+           ca.item_count AS count_a, cb.item_count AS count_b,
+           nb.n AS n_baskets,
+           FLOOR(CAST(p.pair_count AS DOUBLE) / nb.n * 1000000 + 0.5)
+               / 1000000 AS support,
+           FLOOR(CAST(p.pair_count AS DOUBLE) / ca.item_count
+                 * 1000000 + 0.5) / 1000000 AS conf_a_to_b,
+           FLOOR(CAST(p.pair_count AS DOUBLE) * nb.n
+                 / (CAST(ca.item_count AS DOUBLE) * cb.item_count)
+                 * 1000000 + 0.5) / 1000000 AS lift
+    FROM pairs p
+    JOIN ic ca ON ca.item = p.item_a
+    JOIN ic cb ON cb.item = p.item_b
+    CROSS JOIN nb
+    ORDER BY pair_count DESC, item_a, item_b
+    """,
+    doc="Market-basket association rules: top-20 co-purchased part "
+    "pairs with support/confidence/lift (operators/assoc.py). "
+    "Scale design: pairs come from a self equi-join ON the basket "
+    "key — co-partitioned, fan-out bounded by basket SIZE (max 13 "
+    "here; a max_basket guard drops degenerate mega-baskets) — "
+    "never a cross join of the item universe; metric divisions "
+    "run on the top-K frame only, after TakeOrderedAndProject, "
+    "with the 20-row pair frame broadcast INTO the item-count "
+    "join. Integer counts end to end, metrics quantized at 1e-6.",
+)
+def basket_assoc_rules(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.assoc import (
+        association_rules,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
+    )
+    out = association_rules(li, "bk", "item", top_n=20)
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_count",
+        "count_a",
+        "count_b",
+        "n_baskets",
+        r("support", 6).alias("support"),
+        r("conf_a_to_b", 6).alias("conf_a_to_b"),
+        r("lift", 6).alias("lift"),
+    ).orderBy(F.desc("pair_count"), "item_a", "item_b")
+
+
+@query(
+    "stats_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(LEFT(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT o.digit, o.n_obs,
+           FLOOR(tot.n * log10(1.0 + 1.0 / o.digit) * 1000000 + 0.5)
+               / 1000000 AS expected,
+           FLOOR((o.n_obs - tot.n * log10(1.0 + 1.0 / o.digit))
+                 * (o.n_obs - tot.n * log10(1.0 + 1.0 / o.digit))
+                 / (tot.n * log10(1.0 + 1.0 / o.digit))
+                 * 1000000 + 0.5) / 1000000 AS chi2_term
+    FROM obs o CROSS JOIN tot
+    ORDER BY o.digit
+    """,
+    doc="Benford first-digit screen over order totals: observed vs "
+    "log10(1+1/d) expected counts with per-digit chi-square "
+    "contributions — the fraud/synthetic-data quality gate. First "
+    "digit extracted via integer-floor -> string (never float "
+    "log10 of the value, whose power-of-ten knife edges differ "
+    "across engines). One map-side-combinable count; the 9-row "
+    "expectation arithmetic is mirrored op-for-op and quantized "
+    "at 1e-6 (log10 of identical doubles agrees to 1 ulp).",
+)
+def stats_benford_digits(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.groupBy(digit.alias("digit")).agg(
+        F.count("*").cast("long").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp_n = F.col("n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            r(exp_n, 6).alias("expected"),
+            r(
+                (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n,
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -9278,6 +9499,9 @@ _DRIVER_ORDER = [
     "privacy_k_anonymity",
     "survival_km_curve",
     "mm_audio_pcm_rms",
+    "stats_ks_test",
+    "basket_assoc_rules",
+    "stats_benford_digits",
 ]
 
 

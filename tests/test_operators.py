@@ -240,3 +240,36 @@ def test_keyed_prefix_sum_matches_naive(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_association_rules_metrics_and_megabasket_guard(spark):
+    from etl_pipeline_4handling_listings_spark.operators.assoc import (
+        association_rules,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "bk INT, item STRING")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df, "bk", "item", top_n=10).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["pair_count"] == 2 and ab["n_baskets"] == 4
+    assert ab["count_a"] == 3 and ab["count_b"] == 3
+    assert abs(ab["support"] - 0.5) < 1e-12
+    assert abs(ab["conf_a_to_b"] - 2 / 3) < 1e-12
+    assert abs(ab["lift"] - 2 * 4 / 9) < 1e-12
+
+    # a degenerate mega-basket must be dropped, not exploded
+    mega = [(99, f"i{i}") for i in range(50)]
+    df2 = spark.createDataFrame(rows + mega, "bk INT, item STRING")
+    guarded = association_rules(df2, "bk", "item", top_n=100, max_basket=10)
+    items = {
+        (r["item_a"], r["item_b"]) for r in guarded.collect()
+    }
+    assert items == set(out)  # mega-basket contributed nothing

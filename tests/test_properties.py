@@ -197,6 +197,7 @@ def test_money_sums_partition_invariant(spark_sess):
         # order must never move the statistic
         "stats_mannwhitney_u",
         "events_cusum_shift",
+        "stats_ks_test",
     ]:
         fn = REGISTRY[name].fn
         base = sorted(map(tuple, fn(spark_sess, sf).collect()))

@@ -178,6 +178,11 @@ AUDIT = {
     "survival_km_curve": {"expect": ["Window", "HashAggregate"], "forbid": []},
     # both the synth and the decode kernel must be Arrow mapInPandas
     "mm_audio_pcm_rms": {"expect": ["MapInPandas"], "forbid": ["Join"]},
+    "stats_ks_test": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
+    # pair fan-out must be the co-partitioned basket self-join; the
+    # top-20 frame broadcasts into the item-count join
+    "basket_assoc_rules": {"expect": ["TakeOrderedAndProject", "BroadcastHashJoin"], "forbid": ["CartesianProduct"]},
+    "stats_benford_digits": {"expect": ["HashAggregate"], "forbid": ["Window"]},
 }
 
 
