@@ -2,23 +2,28 @@
 
 The classic co-purchase mining kernel, Spark-first:
 
-- baskets collapse to distinct (basket, item) pairs — one
-  map-side-combinable dedup;
-- item pairs come from a self equi-join ON THE BASKET KEY with an
-  ``a < b`` filter: both sides hash-partition on the basket id, so
-  the pair fan-out happens co-located, bounded per basket by the
-  basket's own size (never a cross join of the item universe);
-- pair/item counts are plain integer hash aggregates; the metric
-  arithmetic (support, confidence, lift) happens on the TOP-K
-  frame only, after a TakeOrderedAndProject.
+- baskets collapse to one array row each via ``collect_set`` —
+  a SINGLE shuffle with map-side partial aggregation (no separate
+  distinct pass);
+- item pairs come from two Generate stages (explode x explode
+  with an ``a < b`` value filter) over the basket's own array —
+  co-located by construction, bounded per basket by the basket's
+  size squared, never a join and never a cross join of the item
+  universe;
+- pair counts, item counts, and the basket total all derive from
+  the SAME grouped frame inside one lazy plan, so ReuseExchange
+  computes the shuffle once (no persist, no driver-side count());
+- the metric arithmetic (support, confidence, lift) happens on
+  the TOP-K frame only, after a TakeOrderedAndProject, with the
+  top-K side broadcast into the item-count join.
 
 At 100 TB the only superlinear term is the per-basket pair
 fan-out, quadratic in basket SIZE (bounded: retail baskets are
 tens of items, not millions); everything else is linear shuffles
 on (basket) and (item-pair) keys. A mega-basket guard drops
 baskets above ``max_basket`` items — the standard defense against
-a single degenerate basket exploding the join (same skew argument
-as operators/skew.py).
+a single degenerate basket exploding the fan-out (same skew
+argument as operators/skew.py).
 """
 
 from __future__ import annotations
@@ -42,27 +47,36 @@ def association_rules(
     of exact integers — deterministic; quantize at the call site if
     an oracle grid is needed).
     """
-    b = F.col(basket_col)
-    baskets = df.select(basket_col, item_col).distinct()
-    sized = baskets.groupBy(basket_col).agg(F.count("*").alias("_bsz"))
-    baskets = baskets.join(
-        sized.filter(F.col("_bsz") <= max_basket).select(basket_col),
-        basket_col,
+    # ONE shuffle: collect_set dedups per basket with map-side
+    # partials (no separate distinct pass). Pairs, item counts, and
+    # the basket total all derive from this grouped frame inside a
+    # single lazy plan, so Spark's ReuseExchange computes the
+    # shuffle once — no persist, no driver-side count() action.
+    grouped = (
+        df.groupBy(basket_col)
+        .agg(F.collect_set(F.col(item_col)).alias("_items"))
+        .filter(F.size("_items") <= max_basket)
+        .select(F.col("_items"))
     )
-    left = baskets.select(b.alias("_bk"), F.col(item_col).alias("item_a"))
-    right = baskets.select(b.alias("_bk"), F.col(item_col).alias("item_b"))
+    # pair fan-out via two Generate stages (explode x explode with a
+    # value filter) — bounded by basket size squared, zero joins
     pairs = (
-        left.join(right, "_bk")
+        grouped.select(
+            F.explode("_items").alias("item_a"), F.col("_items")
+        )
+        .select("item_a", F.explode("_items").alias("item_b"))
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count("*").cast("long").alias("pair_count"))
         .orderBy(F.desc("pair_count"), "item_a", "item_b")
         .limit(top_n)
     )
-    item_counts = baskets.groupBy(item_col).agg(
-        F.count("*").cast("long").alias("item_count")
+    item_counts = (
+        grouped.select(F.explode("_items").alias(item_col))
+        .groupBy(item_col)
+        .agg(F.count("*").cast("long").alias("item_count"))
     )
-    n_baskets = baskets.select(basket_col).distinct().count()
+    nb = grouped.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
     ca = item_counts.select(
         F.col(item_col).alias("item_a"), F.col("item_count").alias("count_a")
     )
@@ -76,7 +90,7 @@ def association_rules(
         F.broadcast(pairs)
         .join(ca, "item_a")
         .join(cb, "item_b")
-        .withColumn("n_baskets", F.lit(n_baskets).cast("long"))
+        .crossJoin(F.broadcast(nb))
     )
     nd = F.col("n_baskets").cast("double")
     return out.select(

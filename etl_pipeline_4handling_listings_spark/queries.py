@@ -9301,6 +9301,183 @@ def stats_benford_digits(spark, sf_dir):
     )
 
 
+@query(
+    "dq_constraint_report",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_nn,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS v_uq,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL
+                              OR o_totalprice < 0
+                              OR o_totalprice > 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                              OR o_orderstatus NOT IN ('F', 'O', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+               CAST(SUM(CASE WHEN o_orderdate IS NULL OR NOT
+                             regexp_matches(CAST(o_orderdate AS VARCHAR),
+                                            '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_fmt
+        FROM orders
+    ),
+    ref AS (
+        SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    )
+    SELECT * FROM (
+        SELECT 'o_orderkey_not_null' AS "constraint", 'completeness' AS kind,
+               n AS n_rows, v_nn AS violations, v_nn = 0 AS passed FROM agg
+        UNION ALL
+        SELECT 'o_orderkey_unique', 'uniqueness', n, v_uq, v_uq = 0 FROM agg
+        UNION ALL
+        SELECT 'o_totalprice_between', 'range', n, v_rng, v_rng = 0 FROM agg
+        UNION ALL
+        SELECT 'o_orderstatus_in_set', 'domain', n, v_dom, v_dom = 0 FROM agg
+        UNION ALL
+        SELECT 'o_orderdate_regex', 'format', n, v_fmt, v_fmt = 0 FROM agg
+        UNION ALL
+        SELECT 'o_custkey_refs_c_custkey', 'referential', n, v, v = 0
+        FROM ref
+    ) ORDER BY "constraint"
+    """,
+    doc="Declarative data-quality constraint report (the Deequ / "
+    "Great-Expectations pattern; generalizes the reference's "
+    "listing Rule table, mls_listings_transform.py:207-234): "
+    "completeness, uniqueness, range, domain, and format checks "
+    "compile to ONE aggregate pass over orders — N constraints "
+    "cost one scan, not N jobs — plus a left-anti referential "
+    "probe into customer, all unioned into one report "
+    "(operators/expectations.py). Integer violation counts end to "
+    "end; no floats anywhere.",
+)
+def dq_constraint_report(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_not_null,
+        expect_regex,
+        expect_unique,
+        referential_integrity,
+        run_expectations,
+    )
+
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    report = run_expectations(
+        o,
+        [
+            expect_not_null("o_orderkey"),
+            expect_unique("o_orderkey"),
+            expect_between("o_totalprice", 0, 1000000),
+            expect_in_set("o_orderstatus", ["F", "O", "P"]),
+            expect_regex(
+                "o_orderdate", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}"
+            ),
+        ],
+    )
+    ref = referential_integrity(o, "o_custkey", c, "c_custkey")
+    return report.unionByName(ref).orderBy("constraint")
+
+
+@query(
+    "stats_psi_drift",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vm
+        FROM events
+    ),
+    span AS (
+        SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM e
+    ),
+    binned AS (
+        SELECT CASE WHEN vm // 5000 > 9 THEN 9 ELSE vm // 5000 END AS bin,
+               CASE WHEN day <= span.mid THEN 1 ELSE 2 END AS period
+        FROM e CROSS JOIN span
+    ),
+    grid AS (SELECT unnest(range(10)) AS bin),
+    counts AS (
+        SELECT g.bin,
+               CAST(COALESCE(SUM(CASE WHEN period = 1 THEN 1 END), 0)
+                    AS BIGINT) AS c_ref,
+               CAST(COALESCE(SUM(CASE WHEN period = 2 THEN 1 END), 0)
+                    AS BIGINT) AS c_cur
+        FROM grid g LEFT JOIN binned b ON b.bin = g.bin
+        GROUP BY g.bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+               CAST(SUM(c_cur) AS BIGINT) AS n_cur
+        FROM counts
+    )
+    SELECT CAST(c.bin AS BIGINT) AS bin, c.c_ref, c.c_cur,
+           FLOOR((CAST(c_cur + 1 AS DOUBLE) / (n_cur + 10)
+                  - CAST(c_ref + 1 AS DOUBLE) / (n_ref + 10))
+                 * ln((CAST(c_cur + 1 AS DOUBLE) / (n_cur + 10))
+                      / (CAST(c_ref + 1 AS DOUBLE) / (n_ref + 10)))
+                 * 1000000 + 0.5) / 1000000 AS psi_term
+    FROM counts c CROSS JOIN tot
+    ORDER BY bin
+    """,
+    doc="Population Stability Index between the first and second "
+    "half of the event window — THE production drift metric for "
+    "feature/score monitoring. Scale design: the stream collapses "
+    "to integer counts per (period, fixed cents-bin) — bin "
+    "assignment is pure integer division (cents div 5000, capped), "
+    "never a float boundary; a 10-row grid left-join keeps empty "
+    "bins. Laplace smoothing (c+1)/(n+10) keeps PSI defined for "
+    "empty bins, mirrored op-for-op; per-bin terms quantized at "
+    "1e-6 (sum for the headline PSI). Only the final 10-row "
+    "arithmetic touches floats.",
+)
+def stats_psi_drift(spark, sf_dir):
+    e = tbl_events(spark, sf_dir).select(
+        F.expr("ts_us div 86400000000").alias("day"),
+        cents("value").alias("vm"),
+    )
+    span = e.agg(
+        F.expr("(min(day) + max(day)) div 2").alias("mid")
+    )
+    binned = e.crossJoin(F.broadcast(span)).select(
+        F.least(F.expr("vm div 5000"), F.lit(9)).alias("bin"),
+        F.when(F.col("day") <= F.col("mid"), 1).otherwise(2).alias("period"),
+    )
+    grid = spark.range(10).select(F.col("id").alias("bin"))
+    counts = (
+        grid.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 1, 1)), F.lit(0)
+            ).cast("long").alias("c_ref"),
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 2, 1)), F.lit(0)
+            ).cast("long").alias("c_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    p = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + 10)
+    q = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + 10)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "c_ref",
+            "c_cur",
+            r((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -9502,6 +9679,8 @@ _DRIVER_ORDER = [
     "stats_ks_test",
     "basket_assoc_rules",
     "stats_benford_digits",
+    "dq_constraint_report",
+    "stats_psi_drift",
 ]
 
 

@@ -273,3 +273,43 @@ def test_association_rules_metrics_and_megabasket_guard(spark):
         (r["item_a"], r["item_b"]) for r in guarded.collect()
     }
     assert items == set(out)  # mega-basket contributed nothing
+
+
+def test_expectations_single_pass_and_referential(spark):
+    from etl_pipeline_4handling_listings_spark.operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_not_null,
+        expect_unique,
+        referential_integrity,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", -2.0), (None, "z", 50.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    rep = {
+        r["constraint"]: r
+        for r in run_expectations(
+            df,
+            [
+                expect_not_null("k"),
+                expect_unique("k"),
+                expect_between("v", 0, 10),
+                expect_in_set("s", ["a", "b"]),
+            ],
+        ).collect()
+    }
+    assert rep["k_not_null"]["violations"] == 1
+    assert not rep["k_not_null"]["passed"]
+    # countDistinct ignores the null key: 3 rows - 1 distinct = 2
+    assert rep["k_unique"]["violations"] == 2
+    assert rep["v_between"]["violations"] == 2  # -2 and 50
+    assert rep["s_in_set"]["violations"] == 1  # "z"
+    assert all(r["n_rows"] == 3 for r in rep.values())
+
+    ref = spark.createDataFrame([(1,)], "rk INT")
+    row = referential_integrity(df, "k", ref, "rk").collect()[0]
+    assert row["kind"] == "referential"
+    assert row["violations"] == 0 and row["passed"]  # null key skipped

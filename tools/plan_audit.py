@@ -183,6 +183,10 @@ AUDIT = {
     # top-20 frame broadcasts into the item-count join
     "basket_assoc_rules": {"expect": ["TakeOrderedAndProject", "BroadcastHashJoin"], "forbid": ["CartesianProduct"]},
     "stats_benford_digits": {"expect": ["HashAggregate"], "forbid": ["Window"]},
+    # N column constraints must compile to ONE aggregate pass (plus
+    # the anti-join referential probe) — no window, no repeated scans
+    "dq_constraint_report": {"expect": ["HashAggregate", "LeftAnti"], "forbid": ["Window"]},
+    "stats_psi_drift": {"expect": ["HashAggregate"], "forbid": ["Window", "SortMergeJoin"]},
 }
 
 
