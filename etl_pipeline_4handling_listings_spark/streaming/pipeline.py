@@ -272,3 +272,53 @@ def stream_static_enrich(
     load (SURVEY §2.4 J1) running against a live feed.
     """
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def foreach_batch_histogram(
+    path: str, value_col: str, bin_cents: int = 5000, n_bins: int = 10
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining a value histogram
+    incrementally — the online half of a PSI drift monitor
+    (operators/drift.py; batch twin: query ``stats_psi_drift``).
+
+    Per micro-batch: bin the batch (integer cents-bins), merge
+    counter-wise into the stored n_bins-row state. PSI against a
+    frozen reference window is then O(n_bins) arithmetic on the
+    state at ANY trigger — drift detection never rescans history.
+    Same versioned-state idempotency scheme as
+    :func:`foreach_batch_sketch_merge`: replayed batch ids are
+    skipped, so at-least-once delivery cannot double-count.
+    """
+    import os
+
+    from etl_pipeline_4handling_listings_spark.operators.drift import (
+        merge_histograms,
+        value_histogram,
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(os.path.join(path, f"v{batch_id}")):
+            return  # replay of an already-applied batch
+        spark = batch.sparkSession
+        merged = value_histogram(
+            batch, value_col, bin_cents=bin_cents, n_bins=n_bins
+        )
+        versions = (
+            sorted(
+                int(d[1:])
+                for d in os.listdir(path)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+            if os.path.isdir(path)
+            else []
+        )
+        if versions:
+            current = spark.read.parquet(
+                os.path.join(path, f"v{versions[-1]}")
+            )
+            merged = merge_histograms(merged, current)
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"v{batch_id}")
+        )
+
+    return sink

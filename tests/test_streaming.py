@@ -501,3 +501,65 @@ def test_stream_dedup_redelivery_differing_event_times(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT k FROM dedup_redeliver").collect()
     assert sorted(r["k"] for r in out) == ["k1", "k2", "k3"]
+
+
+def test_foreach_batch_histogram_drift_matches_from_scratch(spark, tmp_path):
+    """Incrementally-merged streaming value histogram == histogram
+    of all rows at once (mergeable-state law through foreachBatch);
+    PSI of the merged state vs a frozen reference equals the
+    batch-computed PSI; replay does not double-count."""
+    import os
+
+    from etl_pipeline_4handling_listings_spark.operators.drift import (
+        psi,
+        value_histogram,
+    )
+    from etl_pipeline_4handling_listings_spark.streaming.pipeline import (
+        foreach_batch_histogram,
+    )
+
+    src = str(tmp_path / "src")
+    hist_path = str(tmp_path / "hist")
+    batch1 = [("u1", _ts(1, i % 60), float(i % 300), "e", 0.0) for i in range(50)]
+    batch2 = [("u2", _ts(2, i % 60), float(100 + i % 400), "e", 0.0) for i in range(40)]
+
+    _write_batch(spark, src, batch1)
+    df = spark.read.parquet(src)
+    sink = foreach_batch_histogram(hist_path, "v", bin_cents=5000, n_bins=10)
+    for i in range(2):
+        q = (
+            spark.readStream.schema(df.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .start()
+        )
+        q.awaitTermination(120)
+        if i == 0:
+            _write_batch(spark, src, batch2)
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(hist_path) if d[1:].isdigit()
+    )
+    final = spark.read.parquet(os.path.join(hist_path, f"v{versions[-1]}"))
+    whole = value_histogram(spark.read.parquet(src), "v")
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    # PSI(frozen ref, streaming state) == PSI(frozen ref, from-scratch)
+    ref = value_histogram(spark.read.parquet(src).limit(30), "v")
+    a = sorted(map(tuple, psi(ref, final).collect()))
+    b = sorted(map(tuple, psi(ref, whole).collect()))
+    assert a == b
+    # identical distributions -> PSI terms all ~0
+    zero = psi(whole, whole).agg(F.sum("psi_term").alias("s")).collect()[0]
+    assert abs(zero["s"]) < 1e-9
+
+    # replaying batch 0 is a no-op
+    sink(spark.read.parquet(src), 0)
+    after = spark.read.parquet(os.path.join(hist_path, f"v{versions[-1]}"))
+    assert sorted(map(tuple, after.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
