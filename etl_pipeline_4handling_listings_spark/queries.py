@@ -9478,6 +9478,166 @@ def stats_psi_drift(spark, sf_dir):
     )
 
 
+@query(
+    "abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               SUM(cents) OVER () AS tot
+        FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN 10 * cum <= 7 * tot THEN 'A'
+                    WHEN 10 * cum <= 9 * tot THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents, tot
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           FLOOR(CAST(SUM(cents) AS DOUBLE) / 100 * 100 + 0.5) / 100
+               AS class_revenue,
+           FLOOR(CAST(SUM(cents) AS DOUBLE) / MAX(tot) * 1000000 + 0.5)
+               / 1000000 AS revenue_share
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc="ABC (Pareto) classification of parts by revenue: A = parts "
+    "covering the top 70% of revenue, B to 90%, C the tail — the "
+    "inventory-prioritization kernel. Class boundaries compare "
+    "exact integers (10*cum vs 7*tot — never a float share), so "
+    "assignment is bit-determined. The rank/cumsum window runs "
+    "over the per-part AGGREGATE frame (bounded by the part "
+    "dimension, not lineitem); for billion-key dimensions the "
+    "documented sketch path derives the two cut-points from "
+    "approx percentiles and classifies by comparison, dropping "
+    "the global sort (same note as events_rfm_segments).",
+)
+def abc_classification(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).cast("long").alias("cents")
+    )
+    wc = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy(F.lit(1))
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(wc).alias("cum"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    abc = (
+        F.when(10 * F.col("cum") <= 7 * F.col("tot"), "A")
+        .when(10 * F.col("cum") <= 9 * F.col("tot"), "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(abc.alias("abc_class"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            r2(F.sum("cents").cast("double") / 100).alias("class_revenue"),
+            r(
+                F.sum("cents").cast("double") / F.max("tot"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "embedding_int8_quantization",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label,
+               list_max(list_transform(
+                   CAST(embedding AS DOUBLE[]), x -> abs(x)
+               )) AS max_abs,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    err AS (
+        SELECT vec_id, label,
+               CASE WHEN max_abs = 0 THEN 0 ELSE
+                   CAST(FLOOR(list_max(list_transform(emb,
+                       x -> abs(x - FLOOR(x * (127.0 / max_abs) + 0.5)
+                                    / (127.0 / max_abs))
+                   )) * 1000000000 + 0.5) AS BIGINT)
+               END AS err_nano
+        FROM ex
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MAX(err_nano) AS BIGINT) AS max_err_nano,
+           FLOOR(CAST(SUM(err_nano) AS DOUBLE) / COUNT(*) / 1000000000
+                 * 1000000000 + 0.5) / 1000000000 AS mean_max_err
+    FROM err GROUP BY label ORDER BY label
+    """,
+    doc="Int8 embedding-quantization audit: per-vector symmetric "
+    "scalar quantization (scale = 127/max_abs), reconstruction "
+    "error measured as the per-vector max |x - dequant(q)| — the "
+    "storage-compression gate an embedding pipeline runs before "
+    "shipping int8 vectors (4x smaller) to a vector store. All "
+    "arithmetic is a JVM higher-order-function fold per row (no "
+    "Python, no shuffle beyond the final label agg); per-vector "
+    "errors quantize to integer nano-units BEFORE the group "
+    "mean, so sums are exact in any partial-agg order (the "
+    "embedding_cluster_quality pattern).",
+)
+def embedding_int8_quantization(spark, sf_dir):
+    e = tbl(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.col("max_abs")
+    recon_err = F.array_max(
+        F.transform(
+            F.col("emb"),
+            lambda x: F.abs(
+                x - F.floor(x * scale + F.lit(0.5)) / scale
+            ),
+        )
+    )
+    err = (
+        e.select(
+            "vec_id",
+            "label",
+            emb.alias("emb"),
+            max_abs.alias("max_abs"),
+        )
+        .select(
+            "label",
+            F.when(F.col("max_abs") == 0, F.lit(0))
+            .otherwise(
+                F.floor(recon_err * 1000000000 + F.lit(0.5)).cast("long")
+            )
+            .alias("err_nano"),
+        )
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.max("err_nano").cast("long").alias("max_err_nano"),
+            r(
+                F.sum("err_nano").cast("double") / F.count("*") / 1000000000,
+                9,
+            ).alias("mean_max_err"),
+        )
+        .orderBy("label")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -9681,6 +9841,8 @@ _DRIVER_ORDER = [
     "stats_benford_digits",
     "dq_constraint_report",
     "stats_psi_drift",
+    "abc_classification",
+    "embedding_int8_quantization",
 ]
 
 

@@ -187,6 +187,10 @@ AUDIT = {
     # the anti-join referential probe) — no window, no repeated scans
     "dq_constraint_report": {"expect": ["HashAggregate", "LeftAnti"], "forbid": ["Window"]},
     "stats_psi_drift": {"expect": ["HashAggregate"], "forbid": ["Window", "SortMergeJoin"]},
+    # rank/cumsum over the per-part aggregate, never raw lineitem
+    "abc_classification": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
+    # higher-order-function fold per row: no Python, no window
+    "embedding_int8_quantization": {"expect": ["HashAggregate"], "forbid": ["Window", "BatchEvalPython", "MapInPandas"]},
 }
 
 
