@@ -9448,17 +9448,17 @@ def stats_psi_drift(spark, sf_dir):
         F.when(F.col("day") <= F.col("mid"), 1).otherwise(2).alias("period"),
     )
     grid = spark.range(10).select(F.col("id").alias("bin"))
-    counts = (
-        grid.join(binned, "bin", "left")
-        .groupBy("bin")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("period") == 1, 1)), F.lit(0)
-            ).cast("long").alias("c_ref"),
-            F.coalesce(
-                F.sum(F.when(F.col("period") == 2, 1)), F.lit(0)
-            ).cast("long").alias("c_cur"),
-        )
+    # aggregate the stream FIRST (map-side combine collapses each
+    # partition to <=10 rows), then left-join the 10-row grid onto
+    # the 10-row counts — never the grid onto the raw stream
+    agg0 = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 1, 1)).cast("long").alias("c_ref"),
+        F.sum(F.when(F.col("period") == 2, 1)).cast("long").alias("c_cur"),
+    )
+    counts = grid.join(agg0, "bin", "left").select(
+        "bin",
+        F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"),
     )
     tot = counts.agg(
         F.sum("c_ref").cast("long").alias("n_ref"),

@@ -313,3 +313,11 @@ def test_expectations_single_pass_and_referential(spark):
     row = referential_integrity(df, "k", ref, "rk").collect()[0]
     assert row["kind"] == "referential"
     assert row["violations"] == 0 and row["passed"]  # null key skipped
+
+    # orphans are counted per ROW, nulls excluded, report lazy
+    df2 = spark.createDataFrame(
+        [(1,), (9, ), (9,), (None,)], "k INT"
+    )
+    row2 = referential_integrity(df2, "k", ref, "rk").collect()[0]
+    assert row2["n_rows"] == 4
+    assert row2["violations"] == 2 and not row2["passed"]
