@@ -9638,6 +9638,176 @@ def embedding_int8_quantization(spark, sf_dir):
     )
 
 
+@query(
+    "events_ewma_smooth",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS s
+        FROM events GROUP BY event_type, day
+    ),
+    lagged AS (
+        SELECT event_type, day, s,
+               LAG(s, 1) OVER w AS s1, LAG(s, 2) OVER w AS s2,
+               LAG(s, 3) OVER w AS s3, LAG(s, 4) OVER w AS s4,
+               LAG(s, 5) OVER w AS s5, LAG(s, 6) OVER w AS s6,
+               LAG(s, 7) OVER w AS s7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, s AS s_cents,
+           FLOOR((((((((CAST(s AS DOUBLE)
+                 + COALESCE(s1, 0) * 0.5)
+                 + COALESCE(s2, 0) * 0.25)
+                 + COALESCE(s3, 0) * 0.125)
+                 + COALESCE(s4, 0) * 0.0625)
+                 + COALESCE(s5, 0) * 0.03125)
+                 + COALESCE(s6, 0) * 0.015625)
+                 + COALESCE(s7, 0) * 0.0078125)
+                 / 100 * 1000000 + 0.5) / 1000000 AS ewma
+    FROM lagged ORDER BY event_type, day
+    """,
+    doc="EWMA smoothing of daily revenue per event type with decay "
+    "1/2 over the 8 most recent observed days — the trend-smoothing "
+    "kernel, made cross-engine exact by construction: the decay is "
+    "a POWER OF TWO, so every term s * 2^-k is an exact double, "
+    "and the 8-term sum is written as one fixed left-associated "
+    "expression (identical IEEE op sequence on both engines — "
+    "never a sliding-window float sum whose internal add/subtract "
+    "order is implementation-defined). Lags run over the "
+    "per-(type, day) aggregate frame, calendar-bounded.",
+)
+def events_ewma_smooth(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.sum(cents("value")).cast("long").alias("s"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "s",
+        *[F.lag("s", k).over(w).alias(f"s{k}") for k in range(1, 8)],
+    )
+    acc = F.col("s").cast("double")
+    for k in range(1, 8):
+        acc = acc + F.coalesce(F.col(f"s{k}"), F.lit(0)) * F.lit(0.5**k)
+    return lagged.select(
+        "event_type",
+        "day",
+        F.col("s").alias("s_cents"),
+        r(acc / 100, 6).alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > 1800000000
+                     OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts_us, event_id,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM seq
+    ),
+    ranked AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts_us, event_id
+               ) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    doc="Clickstream path mining: top-10 session-opening event-type "
+    "paths (first 3 events per 30-min-gap session) — the funnel-"
+    "discovery kernel. Sessionization is the standard "
+    "gap-flag + running-sum pair of windows, both partitioned by "
+    "user (stream-shuffles once on user_id); the per-session path "
+    "assembles from the rn<=3 ROWS ONLY (collect bounded at 3, "
+    "never a whole-session array), and path counting is a "
+    "map-side-combinable string aggregate + TopK. Total order "
+    "(ts_us, event_id) makes every path bit-determined.",
+)
+def events_top_paths(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lag_ts = F.lag("ts_us").over(wo)
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.when(
+            lag_ts.isNull() | (F.col("ts_us") - lag_ts > 1800000000), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = seq.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.sum("is_new")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    ranked = sess.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "session_id").orderBy(
+                "ts_us", "event_id"
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = (
+        ranked.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -9843,6 +10013,8 @@ _DRIVER_ORDER = [
     "stats_psi_drift",
     "abc_classification",
     "embedding_int8_quantization",
+    "events_ewma_smooth",
+    "events_top_paths",
 ]
 
 

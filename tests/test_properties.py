@@ -270,3 +270,88 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark_sess, sets, threshold):
         ).collect()
     }
     assert got == expected
+
+
+value_lists = st.lists(
+    st.floats(min_value=0.0, max_value=500.0, allow_nan=False,
+              allow_infinity=False),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(a=value_lists, b=value_lists)
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_histogram_merge_law(spark_sess, a, b):
+    """value_histogram(A ∪ B) == merge(hist(A), hist(B)) — the
+    mergeable-state law the streaming PSI monitor relies on."""
+    from etl_pipeline_4handling_listings_spark.operators.drift import (
+        merge_histograms,
+        value_histogram,
+    )
+
+    schema = "v DOUBLE"
+    df_a = spark_sess.createDataFrame([(float(x),) for x in a], schema)
+    df_b = spark_sess.createDataFrame([(float(x),) for x in b], schema)
+    df_ab = spark_sess.createDataFrame(
+        [(float(x),) for x in a + b], schema
+    )
+    merged = merge_histograms(
+        value_histogram(df_a, "v"), value_histogram(df_b, "v")
+    )
+    whole = value_histogram(df_ab, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+basket_lists = st.lists(
+    st.tuples(st.integers(0, 5), st.sampled_from("abcdef")),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=basket_lists)
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_association_rules_match_bruteforce(spark_sess, rows):
+    """Pair/item counts and metrics equal an itertools brute force."""
+    import itertools
+
+    from etl_pipeline_4handling_listings_spark.operators.assoc import (
+        association_rules,
+    )
+
+    df = spark_sess.createDataFrame(
+        [(b, i) for b, i in rows] or [(0, "a")], "bk INT, item STRING"
+    )
+    data = set(rows) or {(0, "a")}
+    baskets = {}
+    for b, i in data:
+        baskets.setdefault(b, set()).add(i)
+    pair_counts = {}
+    for items in baskets.values():
+        for x, y in itertools.combinations(sorted(items), 2):
+            pair_counts[(x, y)] = pair_counts.get((x, y), 0) + 1
+    item_counts = {}
+    for items in baskets.values():
+        for i in items:
+            item_counts[i] = item_counts.get(i, 0) + 1
+    nb = len(baskets)
+
+    out = association_rules(df, "bk", "item", top_n=1000).collect()
+    got = {(r["item_a"], r["item_b"]): r for r in out}
+    assert set(got) == set(pair_counts)
+    for (x, y), r in got.items():
+        c = pair_counts[(x, y)]
+        assert r["pair_count"] == c
+        assert r["count_a"] == item_counts[x]
+        assert r["count_b"] == item_counts[y]
+        assert r["n_baskets"] == nb
+        assert abs(r["support"] - c / nb) < 1e-12
+        assert abs(r["conf_a_to_b"] - c / item_counts[x]) < 1e-12
+        assert abs(r["lift"] - c * nb / (item_counts[x] * item_counts[y])) < 1e-9

@@ -191,6 +191,9 @@ AUDIT = {
     "abc_classification": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
     # higher-order-function fold per row: no Python, no window
     "embedding_int8_quantization": {"expect": ["HashAggregate"], "forbid": ["Window", "BatchEvalPython", "MapInPandas"]},
+    # lags over the per-(type, day) aggregate frame only
+    "events_ewma_smooth": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
+    "events_top_paths": {"expect": ["Window", "TakeOrderedAndProject"], "forbid": ["Join"]},
 }
 
 
