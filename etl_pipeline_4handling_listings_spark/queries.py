@@ -9808,6 +9808,155 @@ def events_top_paths(spark, sf_dir):
     )
 
 
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    ),
+    marked AS (
+        SELECT p_partkey, price_c, size,
+               MAX(size) OVER (
+                   ORDER BY price_c
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_cheaper,
+               MAX(size) OVER (PARTITION BY price_c) AS best_same_price
+        FROM p
+    )
+    SELECT p_partkey,
+           FLOOR(CAST(price_c AS DOUBLE) / 100 * 100 + 0.5) / 100 AS price,
+           size
+    FROM marked
+    WHERE (best_cheaper IS NULL OR best_cheaper < size)
+      AND best_same_price = size
+    ORDER BY price, size DESC, p_partkey
+    """,
+    doc="2-D Pareto frontier (skyline): parts not dominated on "
+    "(minimize price, maximize size) — the multi-objective "
+    "shortlist kernel (cheapest-for-the-size offers). O(n log n) "
+    "window formulation instead of the quadratic NOT-EXISTS "
+    "domination join: one RANGE frame keyed on exact integer "
+    "cents gives the best size among STRICTLY cheaper rows, one "
+    "per-price partition max resolves equal-price ties; a row "
+    "survives iff it beats the cheaper best and is its price "
+    "level's best. Windows run over the part-dimension frame "
+    "(documented range-partition/sample-split path for billion-row "
+    "dimensions); all comparisons on exact integers.",
+)
+def pareto_frontier_parts(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part").select(
+        "p_partkey",
+        cents("p_retailprice").alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_cheaper = Window.orderBy("price_c").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("price_c")
+    marked = p.select(
+        "p_partkey",
+        "price_c",
+        "size",
+        F.max("size").over(w_cheaper).alias("best_cheaper"),
+        F.max("size").over(w_same).alias("best_same_price"),
+    )
+    return (
+        marked.filter(
+            (
+                F.col("best_cheaper").isNull()
+                | (F.col("best_cheaper") < F.col("size"))
+            )
+            & (F.col("best_same_price") == F.col("size"))
+        )
+        .select(
+            "p_partkey",
+            r2(F.col("price_c").cast("double") / 100).alias("price"),
+            "size",
+        )
+        .orderBy("price", F.desc("size"), "p_partkey")
+    )
+
+
+@query(
+    "market_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name, s.s_suppkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n_name, s.s_suppkey
+    ),
+    tot AS (
+        SELECT n_name, CAST(SUM(cents) AS BIGINT) AS tot_c,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY n_name
+    )
+    SELECT r.n_name, t.n_suppliers,
+           FLOOR(CAST(t.tot_c AS DOUBLE) / 100 * 100 + 0.5) / 100
+               AS market_revenue,
+           FLOOR(SUM((CAST(r.cents AS DOUBLE) / t.tot_c)
+                     * (CAST(r.cents AS DOUBLE) / t.tot_c))
+                 * 1000000 + 0.5) / 1000000 AS hhi
+    FROM rev r JOIN tot t ON r.n_name = t.n_name
+    GROUP BY r.n_name, t.n_suppliers, t.tot_c
+    ORDER BY r.n_name
+    """,
+    doc="Herfindahl-Hirschman market-concentration index per "
+    "supplier nation: sum of squared revenue shares — the "
+    "antitrust/marketplace-health metric. Revenue collapses to "
+    "exact integer cents per (nation, supplier) in one "
+    "map-side-combinable pass; shares and their squares are the "
+    "only floats — each share is ONE exact IEEE division of "
+    "integers, and the squared-share sum runs over the "
+    "supplier-count-bounded frame, quantized at 1e-6. Dimension "
+    "joins broadcast.",
+)
+def market_concentration_hhi(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("long").alias("cents")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(
+        F.sum("cents").cast("long").alias("tot_c"),
+        F.count("*").cast("long").alias("n_suppliers"),
+    )
+    share = F.col("cents").cast("double") / F.col("tot_c")
+    return (
+        rev.join(tot, "n_name")
+        .groupBy("n_name", "n_suppliers", "tot_c")
+        .agg(
+            r2(F.max("tot_c").cast("double") / 100).alias("market_revenue"),
+            r(F.sum(share * share), 6).alias("hhi"),
+        )
+        .select(
+            "n_name", "n_suppliers", "market_revenue", "hhi"
+        )
+        .orderBy("n_name")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -10015,6 +10164,8 @@ _DRIVER_ORDER = [
     "embedding_int8_quantization",
     "events_ewma_smooth",
     "events_top_paths",
+    "pareto_frontier_parts",
+    "market_concentration_hhi",
 ]
 
 

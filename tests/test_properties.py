@@ -355,3 +355,53 @@ def test_association_rules_match_bruteforce(spark_sess, rows):
         assert abs(r["support"] - c / nb) < 1e-12
         assert abs(r["conf_a_to_b"] - c / item_counts[x]) < 1e-12
         assert abs(r["lift"] - c * nb / (item_counts[x] * item_counts[y])) < 1e-9
+
+
+skyline_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=20),  # price
+        st.integers(min_value=1, max_value=10),  # size
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(rows=skyline_rows)
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_pareto_frontier_matches_bruteforce(spark_sess, rows, tmp_path_factory):
+    """Window-skyline == quadratic domination brute force. The query
+    reads a `part` table, so each example writes a miniature one."""
+    import uuid
+
+    from etl_pipeline_4handling_listings_spark.queries import REGISTRY
+
+    sf_dir = str(tmp_path_factory.mktemp("sky") / uuid.uuid4().hex)
+    parts = [
+        (i, "n", "b", "t", size, float(price))
+        for i, (price, size) in enumerate(rows)
+    ]
+    spark_sess.createDataFrame(
+        parts,
+        "p_partkey LONG, p_name STRING, p_brand STRING, p_type STRING,"
+        " p_size INT, p_retailprice DOUBLE",
+    ).write.parquet(f"{sf_dir}/part.parquet")
+
+    got = sorted(
+        r["p_partkey"]
+        for r in REGISTRY["pareto_frontier_parts"].fn(
+            spark_sess, sf_dir
+        ).collect()
+    )
+    want = sorted(
+        i
+        for i, (price, size) in enumerate(rows)
+        if not any(
+            (p2 <= price and s2 >= size and (p2 < price or s2 > size))
+            for j, (p2, s2) in enumerate(rows)
+            if j != i
+        )
+    )
+    assert got == want

@@ -194,6 +194,9 @@ AUDIT = {
     # lags over the per-(type, day) aggregate frame only
     "events_ewma_smooth": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
     "events_top_paths": {"expect": ["Window", "TakeOrderedAndProject"], "forbid": ["Join"]},
+    # O(n log n) window skyline — the quadratic domination join is banned
+    "pareto_frontier_parts": {"expect": ["Window"], "forbid": ["Join"]},
+    "market_concentration_hhi": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": []},
 }
 
 
