@@ -9957,6 +9957,198 @@ def market_concentration_hhi(spark, sf_dir):
     )
 
 
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH su AS (
+        SELECT user_id,
+               MIN(epoch_us(ts) // 86400000000) AS cohort_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT cohort_day // 7 AS cohort_week,
+               CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM su GROUP BY 1
+    ),
+    rev AS (
+        SELECT su.cohort_day // 7 AS cohort_week,
+               (epoch_us(e.ts) // 86400000000 - su.cohort_day) // 7
+                   AS age_week,
+               CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) // 86400000000 >= su.cohort_day
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_week, age_week,
+               CAST(SUM(cents) OVER (
+                   PARTITION BY cohort_week ORDER BY age_week
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+           CAST(c.age_week AS BIGINT) AS age_week,
+           k.cohort_users,
+           FLOOR(CAST(c.cum_cents AS DOUBLE) / 100 * 100 + 0.5) / 100
+               AS cum_revenue,
+           FLOOR(CAST(c.cum_cents AS DOUBLE) / 100 / k.cohort_users
+                 * 1000000 + 0.5) / 1000000 AS ltv_per_user
+    FROM cum c JOIN cohorts k ON c.cohort_week = k.cohort_week
+    ORDER BY cohort_week, age_week
+    """,
+    doc="Cohort LTV curves: cumulative purchase revenue per signup-"
+    "week cohort by weeks-since-signup, per capita — the "
+    "lifetime-value companion of events_retention_cohorts. The "
+    "stream collapses to (cohort_week, age_week) integer-cents "
+    "sums (map-side-combinable after a user-keyed cohort join); "
+    "the cumulative window runs over the week-grid-bounded frame. "
+    "Cohort sizes are exact integers; per-capita LTV is one exact "
+    "division, quantized at 1e-6.",
+)
+def events_cohort_ltv(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.expr("min(ts_us div 86400000000)").alias("cohort_day"))
+    )
+    cohorts = su.groupBy(
+        F.expr("cohort_day div 7").alias("cohort_week")
+    ).agg(F.count("*").cast("long").alias("cohort_users"))
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.expr("ts_us div 86400000000") >= F.col("cohort_day"))
+        .groupBy(
+            F.expr("cohort_day div 7").alias("cohort_week"),
+            F.expr(
+                "(ts_us div 86400000000 - cohort_day) div 7"
+            ).alias("age_week"),
+        )
+        .agg(F.sum(cents("value")).cast("long").alias("cents"))
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.select(
+        "cohort_week",
+        "age_week",
+        F.sum("cents").over(wc).cast("long").alias("cum_cents"),
+    )
+    return (
+        cum.join(F.broadcast(cohorts), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_users",
+            r2(F.col("cum_cents").cast("double") / 100).alias("cum_revenue"),
+            r(
+                F.col("cum_cents").cast("double") / 100
+                / F.col("cohort_users"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )
+
+
+@query(
+    "forecast_backtest_smape",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS s
+        FROM events GROUP BY event_type, day
+    ),
+    fc AS (
+        SELECT event_type, day, s,
+               LAG(s) OVER (PARTITION BY event_type ORDER BY day) AS f
+        FROM daily
+    ),
+    terms AS (
+        SELECT event_type, s, f,
+               ABS(s - f) AS ae,
+               (s - f) * (s - f) AS se,
+               CAST(FLOOR(2.0 * ABS(s - f) / (ABS(s) + ABS(f))
+                          * 1000000000 + 0.5) AS BIGINT) AS smape_nano
+        FROM fc WHERE f IS NOT NULL AND ABS(s) + ABS(f) > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ae) AS BIGINT) AS mae_total_cents,
+           FLOOR(sqrt(CAST(SUM(se) AS DOUBLE) / COUNT(*)) / 100
+                 * 1000000 + 0.5) / 1000000 AS rmse,
+           FLOOR(CAST(SUM(smape_nano) AS DOUBLE) / COUNT(*) / 1000000000
+                 * 1000000 + 0.5) / 1000000 AS smape
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Forecast backtesting: lag-1 naive baseline scored per "
+    "event type with MAE / RMSE / sMAPE — the eval harness any "
+    "forecasting stage (q6_forecast_revenue, events_ewma_smooth) "
+    "is judged against. Error algebra stays exact: absolute and "
+    "squared errors are pure BIGINT off integer-cents daily sums, "
+    "and each day's sMAPE ratio is quantized to integer "
+    "nano-units BEFORE the mean so the aggregate is "
+    "partial-agg-order exact; the only unquantized float ops are "
+    "one division and one correctly-rounded sqrt per group.",
+)
+def forecast_backtest_smape(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.sum(cents("value")).cast("long").alias("s"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.select(
+        "event_type", "s", F.lag("s").over(w).alias("f")
+    ).filter(
+        F.col("f").isNotNull()
+        & (F.abs(F.col("s")) + F.abs(F.col("f")) > 0)
+    )
+    ae = F.abs(F.col("s") - F.col("f"))
+    se = (F.col("s") - F.col("f")) * (F.col("s") - F.col("f"))
+    smape_nano = F.floor(
+        F.lit(2.0)
+        * F.abs(F.col("s") - F.col("f"))
+        / (F.abs(F.col("s")) + F.abs(F.col("f")))
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("long")
+    terms = fc.select(
+        "event_type",
+        ae.alias("ae"),
+        se.alias("se"),
+        smape_nano.alias("smape_nano"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("ae").cast("long").alias("mae_total_cents"),
+            r(
+                F.sqrt(
+                    F.sum("se").cast("double") / F.count("*")
+                )
+                / 100,
+                6,
+            ).alias("rmse"),
+            r(
+                F.sum("smape_nano").cast("double")
+                / F.count("*")
+                / 1000000000,
+                6,
+            ).alias("smape"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -10166,6 +10358,8 @@ _DRIVER_ORDER = [
     "events_top_paths",
     "pareto_frontier_parts",
     "market_concentration_hhi",
+    "events_cohort_ltv",
+    "forecast_backtest_smape",
 ]
 
 

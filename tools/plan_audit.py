@@ -197,6 +197,8 @@ AUDIT = {
     # O(n log n) window skyline — the quadratic domination join is banned
     "pareto_frontier_parts": {"expect": ["Window"], "forbid": ["Join"]},
     "market_concentration_hhi": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": []},
+    "events_cohort_ltv": {"expect": ["Window", "BroadcastHashJoin"], "forbid": []},
+    "forecast_backtest_smape": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
 }
 
 
