@@ -9836,41 +9836,30 @@ def events_top_paths(spark, sf_dir):
     """,
     doc="2-D Pareto frontier (skyline): parts not dominated on "
     "(minimize price, maximize size) — the multi-objective "
-    "shortlist kernel (cheapest-for-the-size offers). O(n log n) "
-    "window formulation instead of the quadratic NOT-EXISTS "
-    "domination join: one RANGE frame keyed on exact integer "
-    "cents gives the best size among STRICTLY cheaper rows, one "
-    "per-price partition max resolves equal-price ties; a row "
-    "survives iff it beats the cheaper best and is its price "
-    "level's best. Windows run over the part-dimension frame "
-    "(documented range-partition/sample-split path for billion-row "
-    "dimensions); all comparisons on exact integers.",
+    "shortlist kernel (cheapest-for-the-size offers), via the "
+    "DISTRIBUTED two-phase operator (operators/skyline.py): a "
+    "fully-parallel per-partition two-window skyline prunes "
+    "locally-dominated rows first (the global skyline is a subset "
+    "of any partitioning's local-skyline union; random 2-D data "
+    "leaves O(log n) survivors per partition), then the same two "
+    "windows resolve globally over the tiny survivor set — never "
+    "a whole-dimension single-partition sort, never the quadratic "
+    "NOT-EXISTS domination join. All comparisons on exact integer "
+    "cents. The oracle states the same frontier as one global "
+    "two-window pass.",
 )
 def pareto_frontier_parts(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.skyline import (
+        skyline_2d,
+    )
+
     p = tbl(spark, sf_dir, "part").select(
         "p_partkey",
         cents("p_retailprice").alias("price_c"),
         F.col("p_size").cast("long").alias("size"),
     )
-    w_cheaper = Window.orderBy("price_c").rangeBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_same = Window.partitionBy("price_c")
-    marked = p.select(
-        "p_partkey",
-        "price_c",
-        "size",
-        F.max("size").over(w_cheaper).alias("best_cheaper"),
-        F.max("size").over(w_same).alias("best_same_price"),
-    )
     return (
-        marked.filter(
-            (
-                F.col("best_cheaper").isNull()
-                | (F.col("best_cheaper") < F.col("size"))
-            )
-            & (F.col("best_same_price") == F.col("size"))
-        )
+        skyline_2d(p, "price_c", "size")
         .select(
             "p_partkey",
             r2(F.col("price_c").cast("double") / 100).alias("price"),

@@ -395,6 +395,24 @@ def test_pareto_frontier_matches_bruteforce(spark_sess, rows, tmp_path_factory):
             spark_sess, sf_dir
         ).collect()
     )
+    # the distributed operator must agree under ANY partitioning
+    from etl_pipeline_4handling_listings_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    base = spark_sess.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    for parts in (1, 3, 7):
+        alt = sorted(
+            r["p_partkey"]
+            for r in skyline_2d(
+                base.repartition(parts), "price_c", "size"
+            ).collect()
+        )
+        assert alt == got, f"skyline drifted at {parts} partitions"
     want = sorted(
         i
         for i, (price, size) in enumerate(rows)
