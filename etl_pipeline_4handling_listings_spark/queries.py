@@ -10138,6 +10138,212 @@ def forecast_backtest_smape(spark, sf_dir):
     )
 
 
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT user_id, event_type, epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    edges AS (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM pres a JOIN pres b
+          ON a.event_type = b.event_type AND a.h = b.h
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    adj AS (
+        SELECT u AS a, v AS w FROM edges
+        UNION ALL SELECT v AS a, u AS w FROM edges
+    ),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a),
+    common AS (
+        SELECT x.a AS u, y.a AS v, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM adj x JOIN adj y ON x.w = y.w AND x.a < y.a
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT c.u, c.v, c.cn
+        FROM common c
+        LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+        WHERE e.u IS NULL
+    )
+    SELECT c.u, c.v, c.cn AS common_neighbors,
+           du.d AS deg_u, dv.d AS deg_v,
+           FLOOR(CAST(c.cn AS DOUBLE) / (du.d + dv.d - c.cn)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM cand c
+    JOIN deg du ON du.node = c.u
+    JOIN deg dv ON dv.node = c.v
+    ORDER BY jaccard DESC, c.u, c.v LIMIT 20
+    """,
+    doc="Link prediction on the user co-activity graph: top-20 "
+    "NON-adjacent pairs by common-neighbor Jaccard — the "
+    "recommendation/entity-suggestion kernel. Common neighbors "
+    "come from the adjacency wedge join grouped per pair (exact "
+    "integers; at 100 TB a hub of degree d mints d^2 candidate "
+    "pairs, so production caps the wedge middle by degree — the "
+    "same celebrity guard as operators/assoc.py max_basket — "
+    "documented here, not triggered at oracle scale); existing "
+    "edges leave via anti-join, Jaccard = cn/(du+dv-cn) is one "
+    "exact division, quantized 1e-6 with full ordering tiebreaks.",
+)
+def graph_link_prediction(spark, sf_dir):
+    edges = _copresence_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("w")
+    ).unionByName(edges.select(F.col("v").alias("a"), F.col("u").alias("w")))
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    x = adj.select(F.col("a").alias("u"), "w")
+    y = adj.select(F.col("a").alias("v"), "w")
+    common = (
+        x.join(y, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    cand = common.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+            r(
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(20)
+    )
+
+
+@query(
+    "events_concurrent_sessions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > 1800000000
+                     OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id,
+               ts_us
+        FROM seq
+    ),
+    spans AS (
+        SELECT user_id, session_id,
+               MIN(ts_us) AS t0, MAX(ts_us) AS t1
+        FROM sess GROUP BY user_id, session_id
+    ),
+    deltas AS (
+        SELECT t0 * 4096 + user_id * 2 AS k, t0 AS ts, 1 AS delta
+        FROM spans
+        UNION ALL
+        SELECT t1 * 4096 + user_id * 2 + 1 AS k, t1 AS ts, -1 AS delta
+        FROM spans
+    ),
+    run AS (
+        SELECT ts, delta,
+               SUM(delta) OVER (
+                   ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS conc
+        FROM deltas
+    )
+    SELECT CAST(ts // 86400000000 AS BIGINT) AS day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions_started
+    FROM run GROUP BY 1 ORDER BY day
+    """,
+    doc="Per-day peak concurrent sessions: classic sweep-line "
+    "(+1 at session start, -1 at end, running sum, max per day). "
+    "The running sum is THE global-prefix-sum trap, so the Spark "
+    "side computes it with the two-level distributed scan "
+    "(operators/prefix.keyed_prefix_sum — per-bucket totals + tiny "
+    "offset frame + bucket-bounded windows), never one partition "
+    "holding every delta. Delta keys pack (ts, user, end-flag) "
+    "into one unique integer so the sweep order is total and "
+    "bit-identical on both engines (starts sort before ends at "
+    "the same microsecond: touching sessions count as "
+    "concurrent).",
+)
+def events_concurrent_sessions(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.prefix import (
+        keyed_prefix_sum,
+    )
+
+    e = tbl_events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lag_ts = F.lag("ts_us").over(wo)
+    seq = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(
+            lag_ts.isNull() | (F.col("ts_us") - lag_ts > 1800000000), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = seq.select(
+        "user_id",
+        F.sum("is_new")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+        "ts_us",
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
+    )
+    deltas = spans.select(
+        (F.col("t0") * 4096 + F.col("user_id") * 2).alias("k"),
+        F.col("t0").alias("ts"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        spans.select(
+            (F.col("t1") * 4096 + F.col("user_id") * 2 + 1).alias("k"),
+            F.col("t1").alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    run = keyed_prefix_sum(
+        deltas, "k", "delta", out_col="conc_excl"
+    ).select(
+        "ts",
+        "delta",
+        (F.col("conc_excl") + F.col("delta")).alias("conc"),
+    )
+    return (
+        run.groupBy(F.expr("ts div 86400000000").alias("day"))
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions_started"),
+        )
+        .orderBy("day")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -10349,6 +10555,8 @@ _DRIVER_ORDER = [
     "market_concentration_hhi",
     "events_cohort_ltv",
     "forecast_backtest_smape",
+    "graph_link_prediction",
+    "events_concurrent_sessions",
 ]
 
 
