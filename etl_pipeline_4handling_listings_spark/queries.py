@@ -10344,6 +10344,204 @@ def events_concurrent_sessions(spark, sf_dir):
     )
 
 
+@query(
+    "privacy_l_diversity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(l_div AS BIGINT) AS l_diversity,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(MAX(sz) AS BIGINT) AS max_class_size
+    FROM classes GROUP BY l_div ORDER BY l_diversity
+    """,
+    doc="l-diversity audit, the k-anonymity companion: per "
+    "quasi-identifier class (nation, balance band), how many "
+    "DISTINCT values of the sensitive attribute (market segment) "
+    "appear — classes with l=1 leak the sensitive value for every "
+    "member even when k-anonymous. Distribution reported by "
+    "l level. Two integer hash aggregates (the distinct count "
+    "expands per class, bounded by the sensitive domain); no "
+    "window, no join.",
+)
+def privacy_l_diversity(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(
+        F.count("*").cast("long").alias("sz"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l_div"),
+    )
+    return (
+        classes.groupBy(F.col("l_div").alias("l_diversity"))
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.min("sz").cast("long").alias("min_class_size"),
+            F.max("sz").cast("long").alias("max_class_size"),
+        )
+        .orderBy("l_diversity")
+    )
+
+
+@query(
+    "fraud_duplicate_payments",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS amount_c,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events
+    )
+    SELECT a.user_id AS user_id,
+           a.amount_c AS amount_c,
+           a.event_id AS event_a, b.event_id AS event_b,
+           CAST(ABS(b.day - a.day) AS BIGINT) AS days_apart
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.amount_c = b.amount_c
+     AND a.event_id < b.event_id
+     AND ABS(b.day - a.day) <= 7
+    ORDER BY user_id, amount_c, event_a, event_b
+    """,
+    doc="Duplicate-transaction screen: same user, same exact "
+    "amount, within 7 days — the double-charge / replayed-event "
+    "audit. The join is an EQUI-join on (user, exact integer "
+    "cents) with the day window as a post-filter — candidate "
+    "pairs are bounded by per-(user, amount) multiplicity, never "
+    "a range fan-out over the stream; at 100 TB both sides "
+    "hash-partition on the compound key and skew is bounded by "
+    "how often one user repeats one exact amount (a hot "
+    "(user, amount) pair is itself the fraud signal). Output is "
+    "every flagged pair with full ordering tiebreaks.",
+)
+def fraud_duplicate_payments(spark, sf_dir):
+    e = tbl_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        cents("value").alias("amount_c"),
+        F.expr("ts_us div 86400000000").alias("day"),
+    )
+    a = e.select(
+        "user_id",
+        "amount_c",
+        F.col("event_id").alias("event_a"),
+        F.col("day").alias("day_a"),
+    )
+    b = e.select(
+        "user_id",
+        "amount_c",
+        F.col("event_id").alias("event_b"),
+        F.col("day").alias("day_b"),
+    )
+    return (
+        a.join(b, ["user_id", "amount_c"])
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.abs(F.col("day_b") - F.col("day_a")) <= 7)
+        )
+        .select(
+            "user_id",
+            "amount_c",
+            "event_a",
+            "event_b",
+            F.abs(F.col("day_b") - F.col("day_a"))
+            .cast("long")
+            .alias("days_apart"),
+        )
+        .orderBy("user_id", "amount_c", "event_a", "event_b")
+    )
+
+
+@query(
+    "events_bot_heuristics",
+    oracle="""
+    WITH iat AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS gap_us,
+               epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN gap_us IS NOT NULL
+                              AND gap_us < 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS sub_second,
+               CAST(SUM(CASE WHEN (ts_us % 86400000000) // 3600000000
+                              BETWEEN 2 AND 5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS night_events
+        FROM iat GROUP BY user_id
+    )
+    SELECT user_id, n_events, sub_second, night_events,
+           FLOOR(CAST(sub_second AS DOUBLE) / (n_events - 1)
+                 * 1000000 + 0.5) / 1000000 AS burst_ratio,
+           FLOOR(CAST(night_events AS DOUBLE) / n_events
+                 * 1000000 + 0.5) / 1000000 AS night_share,
+           (CAST(sub_second AS DOUBLE) / (n_events - 1) > 0.2
+            OR CAST(night_events AS DOUBLE) / n_events > 0.5)
+               AS bot_suspect
+    FROM per_user WHERE n_events > 1
+    ORDER BY user_id
+    """,
+    doc="Bot / automation screen per user: burst ratio "
+    "(sub-second inter-arrival share) and night-hour activity "
+    "share with threshold flags — the abuse-filtering pass a "
+    "training-data pipeline runs before user-generated content "
+    "enters a corpus. One lag window per user (the stream's one "
+    "shuffle) then a map-side-combinable integer aggregate; "
+    "wall-clock hour comes from integer microsecond arithmetic, "
+    "immune to session timezones. Ratios are exact divisions of "
+    "integers, quantized 1e-6; the flag compares the RAW ratio "
+    "(bit-identical both engines), not the rounded one.",
+)
+def events_bot_heuristics(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    iat = e.select(
+        "user_id",
+        "ts_us",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+    hour = F.expr("(ts_us % 86400000000) div 3600000000")
+    per_user = iat.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("gap_us").isNotNull() & (F.col("gap_us") < 1000000),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("sub_second"),
+        F.sum(
+            F.when((hour >= 2) & (hour <= 5), 1).otherwise(0)
+        ).cast("long").alias("night_events"),
+    )
+    burst = F.col("sub_second").cast("double") / (F.col("n_events") - 1)
+    night = F.col("night_events").cast("double") / F.col("n_events")
+    return (
+        per_user.filter(F.col("n_events") > 1)
+        .select(
+            "user_id",
+            "n_events",
+            "sub_second",
+            "night_events",
+            r(burst, 6).alias("burst_ratio"),
+            r(night, 6).alias("night_share"),
+            ((burst > 0.2) | (night > 0.5)).alias("bot_suspect"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -10557,6 +10755,9 @@ _DRIVER_ORDER = [
     "forecast_backtest_smape",
     "graph_link_prediction",
     "events_concurrent_sessions",
+    "privacy_l_diversity",
+    "fraud_duplicate_payments",
+    "events_bot_heuristics",
 ]
 
 

@@ -203,6 +203,10 @@ AUDIT = {
     # the sweep's running sum must be the two-level scan: every
     # window below it is bucket- or user-partitioned, none global
     "events_concurrent_sessions": {"expect": ["HashAggregate", "Window"], "forbid": []},
+    "privacy_l_diversity": {"expect": ["HashAggregate"], "forbid": ["Window", "Join"]},
+    # equi-join on (user, exact cents), day window as post-filter
+    "fraud_duplicate_payments": {"expect": ["HashJoin"], "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
+    "events_bot_heuristics": {"expect": ["Window", "HashAggregate"], "forbid": ["Join"]},
 }
 
 
