@@ -10542,6 +10542,183 @@ def events_bot_heuristics(spark, sf_dir):
     )
 
 
+@query(
+    "revenue_bridge_decomposition",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) // 86400000000 <=
+                    (SELECT (MIN(epoch_us(ts) // 86400000000)
+                             + MAX(epoch_us(ts) // 86400000000)) // 2
+                     FROM events)
+                    THEN 1 ELSE 2 END AS period,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(SUM(CASE WHEN period = 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS t1,
+               CAST(SUM(CASE WHEN period = 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS t2
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type, n1, n2,
+           FLOOR(CAST(t2 - t1 AS DOUBLE) / 100 * 100 + 0.5) / 100
+               AS total_change,
+           FLOOR((n2 - n1) * (CAST(t1 AS DOUBLE) / n1) / 100
+                 * 10000 + 0.5) / 10000 AS volume_effect,
+           FLOOR(n2 * (CAST(t2 AS DOUBLE) / n2 - CAST(t1 AS DOUBLE) / n1)
+                 / 100 * 10000 + 0.5) / 10000 AS rate_effect
+    FROM agg WHERE n1 > 0 AND n2 > 0
+    ORDER BY event_type
+    """,
+    doc="Period-over-period revenue bridge: the change in each "
+    "event type's revenue decomposed into a volume effect "
+    "((n2-n1) x old rate) and a rate effect (n2 x rate change) — "
+    "the BI waterfall/shift-share kernel (effects sum to the "
+    "total change by construction). One map-side-combinable "
+    "integer pass splits the halves; the decomposition is "
+    "per-type closed-form arithmetic over exact integer "
+    "cents/counts, mirrored op-for-op and quantized at 1e-4.",
+)
+def revenue_bridge_decomposition(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    span = e.agg(
+        F.expr(
+            "(min(ts_us div 86400000000) + max(ts_us div 86400000000))"
+            " div 2"
+        ).alias("mid")
+    )
+    tagged = e.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.when(
+            F.expr("ts_us div 86400000000") <= F.col("mid"), 1
+        ).otherwise(2).alias("period"),
+        cents("value").alias("c"),
+    )
+    agg = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0))
+        .cast("long").alias("n2"),
+        F.sum(F.when(F.col("period") == 1, F.col("c")).otherwise(0))
+        .cast("long").alias("t1"),
+        F.sum(F.when(F.col("period") == 2, F.col("c")).otherwise(0))
+        .cast("long").alias("t2"),
+    )
+    r1 = F.col("t1").cast("double") / F.col("n1")
+    r2_ = F.col("t2").cast("double") / F.col("n2")
+    return (
+        agg.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            r2((F.col("t2") - F.col("t1")).cast("double") / 100).alias(
+                "total_change"
+            ),
+            r((F.col("n2") - F.col("n1")) * r1 / 100, 4).alias(
+                "volume_effect"
+            ),
+            r(F.col("n2") * (r2_ - r1) / 100, 4).alias("rate_effect"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "dq_reconciliation",
+    oracle="""
+    WITH detail AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS detail_c
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+        SELECT o.o_orderkey,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS head_c,
+               d.detail_c
+        FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.l_orderkey
+    ),
+    banded AS (
+        SELECT CASE
+                 WHEN detail_c IS NULL THEN 'missing_detail'
+                 WHEN head_c = detail_c THEN 'exact'
+                 WHEN ABS(CAST(head_c - detail_c AS DOUBLE)) / head_c
+                      <= 0.01 THEN 'within_1pct'
+                 WHEN ABS(CAST(head_c - detail_c AS DOUBLE)) / head_c
+                      <= 0.10 THEN 'within_10pct'
+                 ELSE 'gt_10pct' END AS band,
+               head_c,
+               COALESCE(detail_c, 0) AS dc
+        FROM joined
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR(CAST(SUM(head_c) AS DOUBLE) / 100 * 100 + 0.5) / 100
+               AS header_total,
+           FLOOR(CAST(SUM(ABS(head_c - dc)) AS DOUBLE) / 100 * 100 + 0.5)
+               / 100 AS abs_gap_total
+    FROM banded GROUP BY band ORDER BY band
+    """,
+    doc="Header/detail reconciliation report: order totals vs the "
+    "sum of their line items, banded by relative gap (exact / "
+    "within 1% / within 10% / worse / missing detail) — the "
+    "accounting-close DQ gate every warehouse runs between fact "
+    "grains. Detail sums are one map-side-combinable integer "
+    "pass; the header join shuffles on the order key (the same "
+    "shuffle the grain relationship always costs); gap bands "
+    "compare one exact IEEE division against fixed thresholds. "
+    "All money in exact integer cents.",
+)
+def dq_reconciliation(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(cents("l_extendedprice")).cast("long").alias("detail_c")
+    )
+    joined = o.select(
+        "o_orderkey", cents("o_totalprice").alias("head_c")
+    ).join(
+        detail, o["o_orderkey"] == detail["l_orderkey"], "left"
+    )
+    rel = (
+        F.abs((F.col("head_c") - F.col("detail_c")).cast("double"))
+        / F.col("head_c")
+    )
+    band = (
+        F.when(F.col("detail_c").isNull(), "missing_detail")
+        .when(F.col("head_c") == F.col("detail_c"), "exact")
+        .when(rel <= 0.01, "within_1pct")
+        .when(rel <= 0.10, "within_10pct")
+        .otherwise("gt_10pct")
+    )
+    dc = F.coalesce(F.col("detail_c"), F.lit(0))
+    return (
+        joined.select(
+            band.alias("band"),
+            "head_c",
+            dc.alias("dc"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            r2(F.sum("head_c").cast("double") / 100).alias("header_total"),
+            r2(
+                F.sum(F.abs(F.col("head_c") - F.col("dc"))).cast("double")
+                / 100
+            ).alias("abs_gap_total"),
+        )
+        .orderBy("band")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -10758,6 +10935,8 @@ _DRIVER_ORDER = [
     "privacy_l_diversity",
     "fraud_duplicate_payments",
     "events_bot_heuristics",
+    "revenue_bridge_decomposition",
+    "dq_reconciliation",
 ]
 
 

@@ -207,6 +207,9 @@ AUDIT = {
     # equi-join on (user, exact cents), day window as post-filter
     "fraud_duplicate_payments": {"expect": ["HashJoin"], "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
     "events_bot_heuristics": {"expect": ["Window", "HashAggregate"], "forbid": ["Join"]},
+    "revenue_bridge_decomposition": {"expect": ["HashAggregate"], "forbid": ["Window", "SortMergeJoin"]},
+    # the header/detail grain join shuffles on the order key once
+    "dq_reconciliation": {"expect": ["HashAggregate"], "forbid": ["Window", "BroadcastNestedLoopJoin"]},
 }
 
 
