@@ -1,0 +1,100 @@
+"""File-level min/max statistics index: data skipping above the scan.
+
+Parquet footers already carry per-row-group min/max, but Spark only
+consults them AFTER planning — every file still becomes (at least)
+one task and one footer read. A file-level stats index prunes the
+FILE LIST before the job exists, which is the Delta/Iceberg
+data-skipping model: at 100 TB with ~1e5-1e6 files, a selective
+predicate on a clustered column (load_date, a z-order key —
+sources/writers + layout_zorder make such columns) plans hundreds
+of tasks instead of hundreds of thousands.
+
+The index is one JSON row per file (metadata-scale: collected to
+the driver is bounded by the FILE count, never row count), built
+with one distributed pass grouping on ``input_file_name()``.
+Rebuild after compaction/merge — the builder overwrites
+atomically. Stats prune conservatively: a file with NULL stats
+(missing column, all-null) is always kept; results are verified by
+the residual filter Spark still applies, so a stale index can only
+lose speed, never rows — the same contract as Delta's stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STATS = "_FILE_STATS.json"
+
+
+def build_file_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """One distributed pass -> ``{path}/_FILE_STATS.json``.
+
+    Returns the number of files indexed.
+    """
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    rows = (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(*aggs)
+        .collect()
+    )
+    stats = {
+        r["_file"]: {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols
+        }
+        for r in rows
+    }
+    tmp = os.path.join(path, _STATS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, default=str)
+    os.replace(tmp, os.path.join(path, _STATS))
+    return len(stats)
+
+
+def read_with_skip(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> DataFrame:
+    """Scan only files whose [min, max] for ``col`` overlaps
+    [lo, hi]; the residual ``BETWEEN`` filter still applies (the
+    index is an optimization, never the correctness boundary).
+
+    Falls back to the full directory when no index exists or the
+    column is unindexed.
+    """
+    stats_path = os.path.join(path, _STATS)
+    try:
+        with open(stats_path) as f:
+            stats = json.load(f)
+    except FileNotFoundError:
+        stats = None
+    base = spark.read.parquet(path)
+    dtype = dict(base.dtypes).get(col)
+    if stats is not None:
+        keep = []
+        for file, cols_stats in stats.items():
+            rng = cols_stats.get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                keep.append(file)  # conservative: no stats -> keep
+                continue
+            fmin, fmax = rng
+            if dtype in ("bigint", "int", "smallint", "tinyint"):
+                fmin, fmax = int(fmin), int(fmax)
+            elif dtype in ("double", "float"):
+                fmin, fmax = float(fmin), float(fmax)
+            if not (fmax < lo or fmin > hi):
+                keep.append(file)
+        if not keep:
+            return base.filter(F.lit(False))
+        schema = base.schema
+        base = spark.read.schema(schema).parquet(*keep)
+    return base.filter(F.col(col).between(lo, hi))

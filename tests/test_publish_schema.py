@@ -224,3 +224,42 @@ def test_write_export_csv_roundtrip(spark, tmp_path):
         map(tuple, df.collect())
     )
     assert glob.glob(f"{path}/*.csv.gz"), "gzip codec not applied"
+
+
+def test_file_stats_index_skips_files(spark, tmp_path):
+    """The min/max file index must prune the planned file list for
+    a selective range predicate, and results must equal the full
+    scan + filter (the index is never the correctness boundary)."""
+    from etl_pipeline_4handling_listings_spark.sources.fileindex import (
+        build_file_stats,
+        read_with_skip,
+    )
+
+    path = str(tmp_path / "idx")
+    # 8 files with disjoint k-ranges: partitioned writes one file
+    # per repartition key range
+    df = spark.range(800).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    df.repartitionByRange(8, "k").write.parquet(path)
+
+    n = build_file_stats(spark, path, ["k"])
+    assert n == len(spark.read.parquet(path).inputFiles()) == 8
+
+    out = read_with_skip(spark, path, "k", 100, 120)
+    assert len(out.inputFiles()) < 8, "file list was not pruned"
+    want = sorted(
+        map(tuple, spark.read.parquet(path)
+            .filter(F.col("k").between(100, 120)).collect())
+    )
+    assert sorted(map(tuple, out.collect())) == want
+
+    # empty overlap -> empty frame, no files planned
+    assert read_with_skip(spark, path, "k", 5000, 6000).count() == 0
+
+    # unindexed column falls back to the full scan, still correct
+    fallback = read_with_skip(spark, path, "v", 0, 1)
+    assert sorted(map(tuple, fallback.collect())) == sorted(
+        map(tuple, spark.read.parquet(path)
+            .filter(F.col("v").between(0, 1)).collect())
+    )
