@@ -10719,6 +10719,92 @@ def dq_reconciliation(spark, sf_dir):
     )
 
 
+@query(
+    "events_lateness_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT event_id, epoch_us(ts) AS ev_ts,
+               MAX(epoch_us(ts)) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS high_watermark
+        FROM events
+    ),
+    late AS (
+        SELECT CASE
+                 WHEN high_watermark IS NULL
+                      OR ev_ts >= high_watermark THEN 0
+                 ELSE high_watermark - ev_ts END AS late_us
+        FROM arr
+    )
+    SELECT CASE WHEN late_us = 0 THEN 'in_order'
+                WHEN late_us < 60000000 THEN 'lt_1m'
+                WHEN late_us < 3600000000 THEN 'lt_1h'
+                ELSE 'ge_1h' END AS lateness_band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM late GROUP BY 1 ORDER BY lateness_band
+    """,
+    doc="Event-time lateness profile: arrival order is the "
+    "event_id sequence, the running max event-time is the "
+    "high-watermark, and each event's lateness is how far it "
+    "lands behind it — THE measurement that sizes Structured "
+    "Streaming watermarks (streaming/pipeline.py holds the "
+    "consumers: a '1 hour' watermark is justified iff the ge_1h "
+    "band is negligible). The running max is the same two-level "
+    "distributed scan family as events_concurrent_sessions "
+    "(operators/prefix.py, max instead of sum) — here via the "
+    "arrival-keyed window over bucketed ids; bands are pure "
+    "integer microsecond arithmetic.",
+)
+def events_lateness_profile(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    # two-level running max keyed on arrival order (event_id):
+    # per-bucket maxes -> tiny offset frame -> bucket-bounded window
+    tagged = e.select(
+        "event_id", F.col("ts_us").alias("ev_ts")
+    ).withColumn("_pb", F.expr("event_id div 8192"))
+    per_bucket = tagged.groupBy("_pb").agg(F.max("ev_ts").alias("_bm"))
+    wb = Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_pb", F.max("_bm").over(wb).alias("_prior_max")
+    )
+    ww = (
+        Window.partitionBy("_pb")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = tagged.join(F.broadcast(offsets), "_pb").select(
+        "ev_ts",
+        F.greatest(
+            F.max("ev_ts").over(ww), F.col("_prior_max")
+        ).alias("high_watermark"),
+    )
+    late = arr.select(
+        F.when(
+            F.col("high_watermark").isNull()
+            | (F.col("ev_ts") >= F.col("high_watermark")),
+            0,
+        )
+        .otherwise(F.col("high_watermark") - F.col("ev_ts"))
+        .alias("late_us")
+    )
+    band = (
+        F.when(F.col("late_us") == 0, "in_order")
+        .when(F.col("late_us") < 60000000, "lt_1m")
+        .when(F.col("late_us") < 3600000000, "lt_1h")
+        .otherwise("ge_1h")
+    )
+    return (
+        late.groupBy(band.alias("lateness_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+        )
+        .orderBy("lateness_band")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -10937,6 +11023,7 @@ _DRIVER_ORDER = [
     "events_bot_heuristics",
     "revenue_bridge_decomposition",
     "dq_reconciliation",
+    "events_lateness_profile",
 ]
 
 

@@ -95,6 +95,11 @@ def read_with_skip(
                 keep.append(file)
         if not keep:
             return base.filter(F.lit(False))
-        schema = base.schema
-        base = spark.read.schema(schema).parquet(*keep)
+        # basePath keeps Hive-style partition-directory columns
+        # resolvable when scanning an explicit leaf-file list
+        base = (
+            spark.read.schema(base.schema)
+            .option("basePath", path)
+            .parquet(*keep)
+        )
     return base.filter(F.col(col).between(lo, hi))

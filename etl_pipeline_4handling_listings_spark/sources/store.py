@@ -322,3 +322,35 @@ class MergeStore:
         for v in doomed:
             shutil.rmtree(self._version_dir(v), ignore_errors=True)
         return doomed
+
+
+def build_store_stats(store: "MergeStore", cols: Sequence[str]) -> int:
+    """Index the CURRENT snapshot's files with min/max stats
+    (sources/fileindex.py) — rebuild after each merge/compaction.
+    Returns the number of files indexed. Parquet stores only (the
+    index builder reads parquet directories)."""
+    from etl_pipeline_4handling_listings_spark.sources.fileindex import (
+        build_file_stats,
+    )
+
+    version = store.current_version()
+    if version is None:
+        raise FileNotFoundError(f"MergeStore at {store.path} does not exist")
+    return build_file_stats(
+        store.spark, store._version_dir(version), list(cols)
+    )
+
+
+def read_store_skip(store: "MergeStore", col: str, lo, hi) -> DataFrame:
+    """Range read over the current snapshot using the file-stats
+    index when present (falls back to a full scan + filter)."""
+    from etl_pipeline_4handling_listings_spark.sources.fileindex import (
+        read_with_skip,
+    )
+
+    version = store.current_version()
+    if version is None:
+        raise FileNotFoundError(f"MergeStore at {store.path} does not exist")
+    return read_with_skip(
+        store.spark, store._version_dir(version), col, lo, hi
+    )

@@ -206,3 +206,41 @@ def test_store_time_travel_and_cdc(spark, tmp_path):
     }
     # unchanged key 1 must not appear
     assert 1 not in changes
+
+
+def test_store_stats_skip_after_merge(spark, tmp_path):
+    """Stats index over a bucketed MergeStore snapshot: reads prune
+    the file list by key range and stay exact across a merge +
+    rebuild cycle."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+        build_store_stats,
+        read_store_skip,
+    )
+
+    store = MergeStore(spark, str(tmp_path / "st"), ["k"], partition_by="bucket")
+    base = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") / 50).cast("int").alias("bucket"),
+    )
+    store.create_if_absent(base)
+    store.merge(base)
+    n = build_store_stats(store, ["k"])
+    assert n >= 8  # one file per bucket at least
+
+    out = read_store_skip(store, "k", 100, 149)
+    full = store.read().filter(F.col("k").between(100, 149))
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert len(out.inputFiles()) < len(store.read().inputFiles())
+
+    # after another merge the index targets the NEW snapshot
+    delta = spark.createDataFrame([(100, 999, 2)], "k LONG, v LONG, bucket INT")
+    store.merge(delta)
+    build_store_stats(store, ["k"])
+    again = read_store_skip(store, "k", 100, 100).collect()
+    assert [(r["k"], r["v"]) for r in again] == [(100, 999)]

@@ -210,6 +210,9 @@ AUDIT = {
     "revenue_bridge_decomposition": {"expect": ["HashAggregate"], "forbid": ["Window", "SortMergeJoin"]},
     # the header/detail grain join shuffles on the order key once
     "dq_reconciliation": {"expect": ["HashAggregate"], "forbid": ["Window", "BroadcastNestedLoopJoin"]},
+    # the running high-watermark must be the two-level scan: the
+    # only unpartitioned window runs on the per-bucket offset frame
+    "events_lateness_profile": {"expect": ["HashAggregate", "Window"], "forbid": ["SortMergeJoin"]},
 }
 
 
