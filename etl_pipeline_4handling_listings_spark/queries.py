@@ -10805,6 +10805,124 @@ def events_lateness_profile(spark, sf_dir):
     )
 
 
+@query(
+    "price_elasticity_by_brand",
+    oracle="""
+    WITH obs AS (
+        SELECT p_brand,
+               ln(l_extendedprice / l_quantity) AS lx,
+               ln(CAST(l_quantity AS DOUBLE)) AS ly
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity > 0 AND l_extendedprice > 0
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           FLOOR(regr_slope(ly, lx) * 1000000 + 0.5) / 1000000
+               AS elasticity,
+           FLOOR(corr(lx, ly) * corr(lx, ly) * 1000000 + 0.5) / 1000000
+               AS r2
+    FROM obs GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="Log-log price elasticity of demand per brand: the slope "
+    "of ln(quantity) on ln(unit price) — the pricing-analytics "
+    "kernel. Spark uses the built-in covar_pop/var_pop moments "
+    "(one map-side-combinable pass; the same closed-form OLS "
+    "shape as events_user_trend) against DuckDB's regr_slope; "
+    "both engines compute ln of IDENTICAL doubles (unit price is "
+    "one exact IEEE division), slopes agree to ~1e-10 relative "
+    "and are quantized at 1e-6. Part dimension broadcasts.",
+)
+def price_elasticity_by_brand(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = (
+        li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(F.broadcast(p), li["l_partkey"] == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "lx"
+            ),
+            F.log(F.col("l_quantity").cast("double")).alias("ly"),
+        )
+    )
+    return (
+        obs.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            r(F.covar_pop("lx", "ly") / F.var_pop("lx"), 6).alias(
+                "elasticity"
+            ),
+            r(F.corr("lx", "ly") * F.corr("lx", "ly"), 6).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "events_weekly_active_mix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(epoch_us(ts) // 86400000000 // 7) AS first_week
+        FROM events GROUP BY user_id
+    ),
+    weekly AS (
+        SELECT epoch_us(ts) // 86400000000 // 7 AS week, e.user_id,
+               f.first_week
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(week AS BIGINT) AS week,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN week > first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           FLOOR(CAST(SUM(CASE WHEN week > first_week THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+               AS returning_share
+    FROM weekly GROUP BY week ORDER BY week
+    """,
+    doc="Weekly active users split into new vs returning (first "
+    "activity week vs later weeks) — the growth-accounting "
+    "headline metric. Per-user first week is one "
+    "map-side-combinable min; the weekly distinct-actives "
+    "aggregate shuffles once on (week, user); everything else is "
+    "integer counts with one quantized share division. The "
+    "first-week frame joins back broadcast-small (one row per "
+    "user aggregate at test scale; at 100 TB it hash-joins on "
+    "user_id — the same shuffle the distinct already pays).",
+)
+def events_weekly_active_mix(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    week = F.expr("ts_us div 86400000000 div 7")
+    firsts = e.groupBy("user_id").agg(
+        F.min(week).alias("first_week")
+    )
+    weekly = (
+        e.select(week.alias("week"), "user_id")
+        .join(firsts, "user_id")
+        .groupBy("week", "user_id", "first_week")
+        .agg(F.lit(1).alias("_one"))
+    )
+    ret = F.when(F.col("week") > F.col("first_week"), 1).otherwise(0)
+    return (
+        weekly.groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("active_users"),
+            F.sum(
+                F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)
+            ).cast("long").alias("new_users"),
+            F.sum(ret).cast("long").alias("returning_users"),
+            r(F.sum(ret).cast("double") / F.count("*"), 6).alias(
+                "returning_share"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -11024,6 +11142,8 @@ _DRIVER_ORDER = [
     "revenue_bridge_decomposition",
     "dq_reconciliation",
     "events_lateness_profile",
+    "price_elasticity_by_brand",
+    "events_weekly_active_mix",
 ]
 
 

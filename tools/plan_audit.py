@@ -213,6 +213,8 @@ AUDIT = {
     # the running high-watermark must be the two-level scan: the
     # only unpartitioned window runs on the per-bucket offset frame
     "events_lateness_profile": {"expect": ["HashAggregate", "Window"], "forbid": ["SortMergeJoin"]},
+    "price_elasticity_by_brand": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["Window", "SortMergeJoin"]},
+    "events_weekly_active_mix": {"expect": ["HashAggregate"], "forbid": ["Window", "BroadcastNestedLoopJoin"]},
 }
 
 
