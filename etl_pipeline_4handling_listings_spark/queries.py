@@ -10923,6 +10923,116 @@ def events_weekly_active_mix(spark, sf_dir):
     )
 
 
+@query(
+    "fairshare_waterfill",
+    oracle="""
+    WITH demand AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM events GROUP BY user_id
+    ),
+    cap AS (
+        SELECT CAST(SUM(d) // 2 AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM demand
+    ),
+    ranked AS (
+        SELECT user_id, d,
+               ROW_NUMBER() OVER (ORDER BY d, user_id) AS rk,
+               SUM(d) OVER (ORDER BY d, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pfx
+        FROM demand
+    ),
+    thresh AS (
+        SELECT COALESCE(MAX(CASE WHEN pfx + (cap.n - rk) * d <= cap.c
+                                 THEN rk END), 0) AS k,
+               COALESCE(MAX(CASE WHEN pfx + (cap.n - rk) * d <= cap.c
+                                 THEN pfx END), 0) AS pfx_k
+        FROM ranked CROSS JOIN cap
+    ),
+    level AS (
+        SELECT CASE WHEN thresh.k >= cap.n THEN NULL
+                    ELSE CAST(cap.c - thresh.pfx_k AS DOUBLE)
+                         / (cap.n - thresh.k) END AS lvl
+        FROM thresh CROSS JOIN cap
+    )
+    SELECT r.user_id, r.d AS demand,
+           FLOOR(CASE WHEN level.lvl IS NULL
+                       OR CAST(r.d AS DOUBLE) <= level.lvl
+                      THEN CAST(r.d AS DOUBLE) ELSE level.lvl END
+                 * 1000000 + 0.5) / 1000000 AS allocation,
+           (level.lvl IS NOT NULL
+            AND CAST(r.d AS DOUBLE) > level.lvl) AS saturated
+    FROM ranked r CROSS JOIN level
+    ORDER BY r.user_id
+    """,
+    doc="Max-min fair-share allocation (water-filling): capacity "
+    "(half of total demand) split so no tenant gets more than it "
+    "asked and the rest share equally at the water level — the "
+    "YARN/K8s fair-scheduler kernel. Exact closed form: demands "
+    "sort once (tenant-count-bounded frame), the threshold rank "
+    "is the last k where prefix_k + (n-k)*d_k fits capacity (pure "
+    "BIGINT comparison), and the level is ONE exact IEEE division "
+    "(C - prefix_k)/(n - k). Allocations compare the RAW level "
+    "(bit-identical both engines) and are quantized 1e-6.",
+)
+def fairshare_waterfill(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    demand = e.groupBy("user_id").agg(F.count("*").cast("long").alias("d"))
+    cap = demand.agg(
+        F.expr("sum(d) div 2").cast("long").alias("c"),
+        F.count("*").cast("long").alias("n"),
+    )
+    wr = Window.orderBy("d", "user_id")
+    ranked = demand.select(
+        "user_id",
+        "d",
+        F.row_number().over(wr).cast("long").alias("rk"),
+        F.sum("d")
+        .over(wr.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("pfx"),
+    )
+    fits = F.col("pfx") + (F.col("n") - F.col("rk")) * F.col("d") <= F.col(
+        "c"
+    )
+    thresh = (
+        ranked.crossJoin(F.broadcast(cap))
+        .agg(
+            F.coalesce(
+                F.max(F.when(fits, F.col("rk"))), F.lit(0)
+            ).cast("long").alias("k"),
+            F.coalesce(
+                F.max(F.when(fits, F.col("pfx"))), F.lit(0)
+            ).cast("long").alias("pfx_k"),
+        )
+    )
+    level = thresh.crossJoin(F.broadcast(cap)).select(
+        F.when(F.col("k") >= F.col("n"), F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("c") - F.col("pfx_k")).cast("double")
+            / (F.col("n") - F.col("k"))
+        )
+        .alias("lvl")
+    )
+    dd = F.col("d").cast("double")
+    alloc = F.when(
+        F.col("lvl").isNull() | (dd <= F.col("lvl")), dd
+    ).otherwise(F.col("lvl"))
+    return (
+        ranked.crossJoin(F.broadcast(level))
+        .select(
+            "user_id",
+            F.col("d").alias("demand"),
+            r(alloc, 6).alias("allocation"),
+            (F.col("lvl").isNotNull() & (dd > F.col("lvl"))).alias(
+                "saturated"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -11144,6 +11254,7 @@ _DRIVER_ORDER = [
     "events_lateness_profile",
     "price_elasticity_by_brand",
     "events_weekly_active_mix",
+    "fairshare_waterfill",
 ]
 
 

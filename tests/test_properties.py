@@ -423,3 +423,22 @@ def test_pareto_frontier_matches_bruteforce(spark_sess, rows, tmp_path_factory):
         )
     )
     assert got == want
+
+
+def test_fairshare_waterfill_conserves_capacity(spark_sess):
+    """Water-filling invariants on real data: allocations never
+    exceed demand, saturated tenants all sit at the level, and the
+    allocation total equals capacity (half of total demand) up to
+    the output quantization."""
+    from etl_pipeline_4handling_listings_spark.queries import REGISTRY
+
+    rows = REGISTRY["fairshare_waterfill"].fn(
+        spark_sess, "/root/testdata/sf0.001"
+    ).collect()
+    total_demand = sum(r["demand"] for r in rows)
+    capacity = total_demand // 2
+    assert all(r["allocation"] <= r["demand"] + 1e-9 for r in rows)
+    levels = {r["allocation"] for r in rows if r["saturated"]}
+    assert len(levels) <= 1  # every saturated tenant gets the level
+    got = sum(r["allocation"] for r in rows)
+    assert abs(got - capacity) <= 1e-4 * len(rows)

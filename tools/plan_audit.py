@@ -215,6 +215,9 @@ AUDIT = {
     "events_lateness_profile": {"expect": ["HashAggregate", "Window"], "forbid": ["SortMergeJoin"]},
     "price_elasticity_by_brand": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["Window", "SortMergeJoin"]},
     "events_weekly_active_mix": {"expect": ["HashAggregate"], "forbid": ["Window", "BroadcastNestedLoopJoin"]},
+    # demand sort runs once over the tenant-bounded aggregate; the
+    # level/threshold scalars broadcast back
+    "fairshare_waterfill": {"expect": ["HashAggregate", "Window"], "forbid": ["SortMergeJoin"]},
 }
 
 
