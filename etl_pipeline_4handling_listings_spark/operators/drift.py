@@ -35,9 +35,16 @@ def value_histogram(
     cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
     # integer `div`, never float division — no representability
     # knife edge at any magnitude
+    # clamp BOTH ends: negative values (refunds) land in bin 0
+    # instead of a negative bin the grid join would silently drop —
+    # counts must be conserved or a drift toward negatives is
+    # invisible to the PSI monitor
     binned = df.select(cents.alias("_c")).select(
         F.least(
-            F.expr(f"_c div {int(bin_cents)}"), F.lit(n_bins - 1).cast("long")
+            F.greatest(
+                F.expr(f"_c div {int(bin_cents)}"), F.lit(0).cast("long")
+            ),
+            F.lit(n_bins - 1).cast("long"),
         ).alias("bin")
     )
     counts = binned.groupBy("bin").agg(

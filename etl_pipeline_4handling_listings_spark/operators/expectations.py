@@ -89,13 +89,26 @@ def run_expectations(
     df: DataFrame, expectations: list[Expectation]
 ) -> DataFrame:
     """All column expectations in ONE aggregate pass -> report frame."""
+    spark = df.sparkSession
+    if not expectations:
+        return spark.createDataFrame(
+            [],
+            "constraint string, kind string, n_rows long,"
+            " violations long, passed boolean",
+        )
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")] + [
         e.violations.cast("long").alias(f"_v{i}")
         for i, e in enumerate(expectations)
     ]
     wide = df.agg(*aggs)
+
+    def q(text: str) -> str:
+        # SQL string literal: double embedded single quotes
+        return "'" + text.replace("'", "''") + "'"
+
     stack_args = ", ".join(
-        f"'{e.name}', '{e.kind}', _v{i}" for i, e in enumerate(expectations)
+        f"{q(e.name)}, {q(e.kind)}, _v{i}"
+        for i, e in enumerate(expectations)
     )
     tall = wide.select(
         F.col("_n"),

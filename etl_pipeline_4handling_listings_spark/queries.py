@@ -9396,7 +9396,9 @@ def dq_constraint_report(spark, sf_dir):
         SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM e
     ),
     binned AS (
-        SELECT CASE WHEN vm // 5000 > 9 THEN 9 ELSE vm // 5000 END AS bin,
+        SELECT CASE WHEN vm // 5000 > 9 THEN 9
+                    WHEN vm // 5000 < 0 THEN 0
+                    ELSE vm // 5000 END AS bin,
                CASE WHEN day <= span.mid THEN 1 ELSE 2 END AS period
         FROM e CROSS JOIN span
     ),
@@ -9444,7 +9446,8 @@ def stats_psi_drift(spark, sf_dir):
         F.expr("(min(day) + max(day)) div 2").alias("mid")
     )
     binned = e.crossJoin(F.broadcast(span)).select(
-        F.least(F.expr("vm div 5000"), F.lit(9)).alias("bin"),
+        F.least(F.greatest(F.expr("vm div 5000"), F.lit(0)), F.lit(9))
+        .alias("bin"),
         F.when(F.col("day") <= F.col("mid"), 1).otherwise(2).alias("period"),
     )
     grid = spark.range(10).select(F.col("id").alias("bin"))
@@ -10254,24 +10257,24 @@ def graph_link_prediction(spark, sf_dir):
         FROM sess GROUP BY user_id, session_id
     ),
     deltas AS (
-        SELECT t0 * 4096 + user_id * 2 AS k, t0 AS ts, 1 AS delta
-        FROM spans
-        UNION ALL
-        SELECT t1 * 4096 + user_id * 2 + 1 AS k, t1 AS ts, -1 AS delta
-        FROM spans
+        SELECT k, SUM(delta) AS delta, SUM(starts) AS starts
+        FROM (
+            SELECT t0 * 2 AS k, 1 AS delta, 1 AS starts FROM spans
+            UNION ALL
+            SELECT t1 * 2 + 1 AS k, -1 AS delta, 0 AS starts FROM spans
+        ) GROUP BY k
     ),
     run AS (
-        SELECT ts, delta,
+        SELECT k, starts,
                SUM(delta) OVER (
                    ORDER BY k
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS conc
         FROM deltas
     )
-    SELECT CAST(ts // 86400000000 AS BIGINT) AS day,
+    SELECT CAST((k // 2) // 86400000000 AS BIGINT) AS day,
            CAST(MAX(conc) AS BIGINT) AS max_concurrent,
-           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_sessions_started
+           CAST(SUM(starts) AS BIGINT) AS n_sessions_started
     FROM run GROUP BY 1 ORDER BY day
     """,
     doc="Per-day peak concurrent sessions: classic sweep-line "
@@ -10280,11 +10283,12 @@ def graph_link_prediction(spark, sf_dir):
     "side computes it with the two-level distributed scan "
     "(operators/prefix.keyed_prefix_sum — per-bucket totals + tiny "
     "offset frame + bucket-bounded windows), never one partition "
-    "holding every delta. Delta keys pack (ts, user, end-flag) "
-    "into one unique integer so the sweep order is total and "
-    "bit-identical on both engines (starts sort before ends at "
-    "the same microsecond: touching sessions count as "
-    "concurrent).",
+    "holding every delta. Deltas pre-aggregate onto the key "
+    "ts*2+end_flag — unique BY CONSTRUCTION (the prefix-sum "
+    "contract) with no id packing, so the sweep order is total, "
+    "overflow-free for any timestamp, and bit-identical on both "
+    "engines (starts sort before ends at the same microsecond: "
+    "touching sessions count as concurrent).",
 )
 def events_concurrent_sessions(spark, sf_dir):
     from etl_pipeline_4handling_listings_spark.operators.prefix import (
@@ -10314,31 +10318,37 @@ def events_concurrent_sessions(spark, sf_dir):
     spans = sess.groupBy("user_id", "session_id").agg(
         F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
     )
-    deltas = spans.select(
-        (F.col("t0") * 4096 + F.col("user_id") * 2).alias("k"),
-        F.col("t0").alias("ts"),
+    # one unique key per (instant, start/end flag): starts sort
+    # before ends at the same microsecond, and pre-aggregating the
+    # deltas per key keeps the key set unique BY CONSTRUCTION (the
+    # keyed_prefix_sum contract) with no user-id packing — ts*2+1
+    # stays far inside int64 for any real timestamp
+    raw = spans.select(
+        (F.col("t0") * 2).alias("k"),
         F.lit(1).alias("delta"),
+        F.lit(1).alias("starts"),
     ).unionByName(
         spans.select(
-            (F.col("t1") * 4096 + F.col("user_id") * 2 + 1).alias("k"),
-            F.col("t1").alias("ts"),
+            (F.col("t1") * 2 + 1).alias("k"),
             F.lit(-1).alias("delta"),
+            F.lit(0).alias("starts"),
         )
+    )
+    deltas = raw.groupBy("k").agg(
+        F.sum("delta").alias("delta"), F.sum("starts").alias("starts")
     )
     run = keyed_prefix_sum(
         deltas, "k", "delta", out_col="conc_excl"
     ).select(
-        "ts",
-        "delta",
+        "k",
+        "starts",
         (F.col("conc_excl") + F.col("delta")).alias("conc"),
     )
     return (
-        run.groupBy(F.expr("ts div 86400000000").alias("day"))
+        run.groupBy(F.expr("(k div 2) div 86400000000").alias("day"))
         .agg(
             F.max("conc").cast("long").alias("max_concurrent"),
-            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_sessions_started"),
+            F.sum("starts").cast("long").alias("n_sessions_started"),
         )
         .orderBy("day")
     )

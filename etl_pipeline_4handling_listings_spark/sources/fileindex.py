@@ -80,26 +80,47 @@ def read_with_skip(
     base = spark.read.parquet(path)
     dtype = dict(base.dtypes).get(col)
     if stats is not None:
+        # prune against the LIVE file list, never the index alone:
+        # files written after the index was built have no stats row
+        # and are kept (conservative); files the index remembers but
+        # that no longer exist (compaction/vacuum) are dropped —
+        # either direction of staleness only costs speed, not rows.
+        live = base.inputFiles()
         keep = []
-        for file, cols_stats in stats.items():
-            rng = cols_stats.get(col)
+        for file in live:
+            rng = (stats.get(file) or {}).get(col)
             if rng is None or rng[0] is None or rng[1] is None:
-                keep.append(file)  # conservative: no stats -> keep
+                keep.append(file)  # unindexed/no stats -> keep
                 continue
             fmin, fmax = rng
             if dtype in ("bigint", "int", "smallint", "tinyint"):
                 fmin, fmax = int(fmin), int(fmax)
             elif dtype in ("double", "float"):
                 fmin, fmax = float(fmin), float(fmax)
+            elif dtype in ("date", "string") or (
+                dtype or ""
+            ).startswith("timestamp"):
+                # stats were stringified (default=str); ISO forms
+                # order lexicographically, so compare as strings
+                fmin, fmax, lo_c, hi_c = (
+                    str(fmin), str(fmax), str(lo), str(hi)
+                )
+                if not (fmax < lo_c or fmin > hi_c):
+                    keep.append(file)
+                continue
+            else:
+                keep.append(file)  # unsupported dtype: never prune
+                continue
             if not (fmax < lo or fmin > hi):
                 keep.append(file)
         if not keep:
             return base.filter(F.lit(False))
-        # basePath keeps Hive-style partition-directory columns
-        # resolvable when scanning an explicit leaf-file list
-        base = (
-            spark.read.schema(base.schema)
-            .option("basePath", path)
-            .parquet(*keep)
-        )
+        if len(keep) < len(live):
+            # basePath keeps Hive-style partition-directory columns
+            # resolvable when scanning an explicit leaf-file list
+            base = (
+                spark.read.schema(base.schema)
+                .option("basePath", path)
+                .parquet(*keep)
+            )
     return base.filter(F.col(col).between(lo, hi))

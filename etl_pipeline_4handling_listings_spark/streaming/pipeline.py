@@ -172,34 +172,34 @@ def stream_session_rollup(
     )
 
 
-def foreach_batch_sketch_merge(
-    path: str, key: str, depth: int = 3, width: int = 2048
+def _versioned_merge_sink(
+    path: str,
+    batch_to_state: Callable[[DataFrame], DataFrame],
+    merge_states: Callable[[DataFrame, DataFrame], DataFrame],
 ) -> Callable[[DataFrame, int], None]:
-    """``foreachBatch`` sink maintaining a Count-Min sketch
-    incrementally: per micro-batch, build the batch's sketch and
-    merge it counter-wise into the stored grid — streaming heavy
-    hitters with a few KB of persisted state and O(batch) work per
-    trigger, never a rescan of history (the streaming twin of the
-    ``incr_sketch_merge`` batch query).
+    """Shared scaffolding for incremental mergeable-state sinks
+    (Count-Min sketch, value histogram): per micro-batch, build the
+    batch's state frame, merge it with the latest stored version,
+    and publish as ``{path}/v<batch_id>``.
 
-    State lives as versioned parquet dirs ``{path}/v<batch_id>``;
-    the latest version is the current sketch. Replayed batches are
-    skipped when their version dir already exists, making the sink
-    idempotent under at-least-once delivery (production would hold
-    the version pointer in a transactional table — MergeStore or
-    Delta — instead of directory listing).
+    Crash safety + idempotency: the merged state writes to a
+    ``_tmp`` directory first and is RENAMED into place — Spark
+    creates output dirs at job start, so checking the final name
+    can never mistake a mid-write crash for an applied batch
+    (retries of a torn write redo the merge; replays of a
+    committed batch_id are skipped). Production would hold the
+    version pointer in a transactional table (MergeStore/Delta)
+    instead of directory listing.
     """
     import os
-
-    from etl_pipeline_4handling_listings_spark.operators.sketch_cms import (
-        cms_build,
-    )
+    import shutil
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        if os.path.isdir(os.path.join(path, f"v{batch_id}")):
-            return  # replay of an already-applied batch
+        final = os.path.join(path, f"v{batch_id}")
+        if os.path.isdir(final):
+            return  # replay of an already-committed batch
         spark = batch.sparkSession
-        merged = cms_build(batch, key, depth=depth, width=width)
+        merged = batch_to_state(batch)
         versions = (
             sorted(
                 int(d[1:])
@@ -210,17 +210,45 @@ def foreach_batch_sketch_merge(
             else []
         )
         if versions:
-            current = spark.read.parquet(os.path.join(path, f"v{versions[-1]}"))
-            merged = (
-                merged.unionByName(current)
-                .groupBy("row", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
+            current = spark.read.parquet(
+                os.path.join(path, f"v{versions[-1]}")
             )
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, f"v{batch_id}")
-        )
+            merged = merge_states(merged, current)
+        tmp = os.path.join(path, f"_tmp_v{batch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)  # torn earlier attempt
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, final)
 
     return sink
+
+
+def foreach_batch_sketch_merge(
+    path: str, key: str, depth: int = 3, width: int = 2048
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining a Count-Min sketch
+    incrementally: per micro-batch, build the batch's sketch and
+    merge it counter-wise into the stored grid — streaming heavy
+    hitters with a few KB of persisted state and O(batch) work per
+    trigger, never a rescan of history (the streaming twin of the
+    ``incr_sketch_merge`` batch query). State scheme:
+    :func:`_versioned_merge_sink`.
+    """
+    from etl_pipeline_4handling_listings_spark.operators.sketch_cms import (
+        cms_build,
+    )
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    return _versioned_merge_sink(
+        path,
+        lambda batch: cms_build(batch, key, depth=depth, width=width),
+        merge,
+    )
 
 
 def stream_interval_join(
@@ -285,40 +313,18 @@ def foreach_batch_histogram(
     counter-wise into the stored n_bins-row state. PSI against a
     frozen reference window is then O(n_bins) arithmetic on the
     state at ANY trigger — drift detection never rescans history.
-    Same versioned-state idempotency scheme as
-    :func:`foreach_batch_sketch_merge`: replayed batch ids are
-    skipped, so at-least-once delivery cannot double-count.
+    State scheme (crash-safe rename + replay skip):
+    :func:`_versioned_merge_sink`.
     """
-    import os
-
     from etl_pipeline_4handling_listings_spark.operators.drift import (
         merge_histograms,
         value_histogram,
     )
 
-    def sink(batch: DataFrame, batch_id: int) -> None:
-        if os.path.isdir(os.path.join(path, f"v{batch_id}")):
-            return  # replay of an already-applied batch
-        spark = batch.sparkSession
-        merged = value_histogram(
+    return _versioned_merge_sink(
+        path,
+        lambda batch: value_histogram(
             batch, value_col, bin_cents=bin_cents, n_bins=n_bins
-        )
-        versions = (
-            sorted(
-                int(d[1:])
-                for d in os.listdir(path)
-                if d.startswith("v") and d[1:].isdigit()
-            )
-            if os.path.isdir(path)
-            else []
-        )
-        if versions:
-            current = spark.read.parquet(
-                os.path.join(path, f"v{versions[-1]}")
-            )
-            merged = merge_histograms(merged, current)
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, f"v{batch_id}")
-        )
-
-    return sink
+        ),
+        merge_histograms,
+    )

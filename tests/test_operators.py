@@ -321,3 +321,15 @@ def test_expectations_single_pass_and_referential(spark):
     row2 = referential_integrity(df2, "k", ref, "rk").collect()[0]
     assert row2["n_rows"] == 4
     assert row2["violations"] == 2 and not row2["passed"]
+
+    # empty expectation list -> empty report, valid schema
+    empty = run_expectations(df, [])
+    assert empty.count() == 0
+    assert empty.columns == [
+        "constraint", "kind", "n_rows", "violations", "passed"
+    ]
+
+    # a quoted column name must not break the stack() SQL
+    dfq = spark.createDataFrame([(1,)], ["it's_col"])
+    rep_q = run_expectations(dfq, [expect_not_null("`it's_col`")]).collect()
+    assert len(rep_q) == 1 and rep_q[0]["violations"] == 0

@@ -263,3 +263,39 @@ def test_file_stats_index_skips_files(spark, tmp_path):
         map(tuple, spark.read.parquet(path)
             .filter(F.col("v").between(0, 1)).collect())
     )
+
+
+def test_file_stats_index_stale_safe(spark, tmp_path):
+    """Staleness in either direction must only cost speed: files
+    added AFTER the index build are kept (no stats row); files the
+    index remembers but that were deleted are dropped from the
+    plan instead of raising."""
+    import os
+    import shutil
+
+    from etl_pipeline_4handling_listings_spark.sources.fileindex import (
+        build_file_stats,
+        read_with_skip,
+    )
+
+    path = str(tmp_path / "stale")
+    spark.range(100).select(F.col("id").alias("k")).repartitionByRange(
+        4, "k"
+    ).write.parquet(path)
+    build_file_stats(spark, path, ["k"])
+
+    # new ingest after the index was built: rows must NOT be lost
+    spark.range(1000, 1010).select(F.col("id").alias("k")).write.mode(
+        "append"
+    ).parquet(path)
+    out = read_with_skip(spark, path, "k", 1000, 1005)
+    assert out.count() == 6
+
+    # delete an indexed file (compaction): no PATH_NOT_FOUND
+    victim = [
+        f for f in spark.read.parquet(path).inputFiles() if "part-00000" in f
+    ][0].replace("file:", "")
+    os.remove(victim)
+    # recreate reader state: results still come from live files only
+    total = read_with_skip(spark, path, "k", 0, 2000).count()
+    assert total == spark.read.parquet(path).count()

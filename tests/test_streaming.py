@@ -563,3 +563,15 @@ def test_foreach_batch_histogram_drift_matches_from_scratch(spark, tmp_path):
     assert sorted(map(tuple, after.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+    # a torn attempt leaves only _tmp_v<id>, never the final dir —
+    # the retry must redo the merge (not skip) and clean up
+    nxt = versions[-1] + 1
+    os.makedirs(os.path.join(hist_path, f"_tmp_v{nxt}"))
+    sink(spark.read.parquet(src).limit(0), nxt)
+    assert os.path.isdir(os.path.join(hist_path, f"v{nxt}"))
+    assert not os.path.isdir(os.path.join(hist_path, f"_tmp_v{nxt}"))
+    latest = spark.read.parquet(os.path.join(hist_path, f"v{nxt}"))
+    assert sorted(map(tuple, latest.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

@@ -33,18 +33,23 @@ def run(name: str, cmd: list[str], env: dict | None = None) -> None:
 
 def main() -> None:
     fast = "--fast" in sys.argv
-    n_queries = subprocess.run(
-        [sys.executable, "-c",
-         "import sys; sys.path.insert(0, '.');"
-         "from etl_pipeline_4handling_listings_spark.queries import REGISTRY;"
-         "print(len(REGISTRY))"],
-        cwd=REPO, capture_output=True, text=True,
-    ).stdout.strip() or "250"
     run("oracle sweep", [sys.executable, "tools/check_oracle.py", SF])
     run("plan audit", [sys.executable, "tools/plan_audit.py"])
     if fast:
         print("ALL GATES PASS (fast)")
         return
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '.');"
+         "from etl_pipeline_4handling_listings_spark.queries import REGISTRY;"
+         "print(len(REGISTRY))"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if probe.returncode != 0:
+        print("GATE FAILED: registry import probe")
+        print(probe.stderr)
+        sys.exit(1)
+    n_queries = probe.stdout.strip()
     run(
         "hostile-driver sweep (plain session, non-UTC)",
         [sys.executable, "tools/check_oracle.py", SF],
