@@ -198,6 +198,10 @@ def test_money_sums_partition_invariant(spark_sess):
         "stats_mannwhitney_u",
         "events_cusum_shift",
         "stats_ks_test",
+        # sweep-line + classification kernels: exact-integer claims
+        "events_concurrent_sessions",
+        "abc_classification",
+        "fairshare_waterfill",
     ]:
         fn = REGISTRY[name].fn
         base = sorted(map(tuple, fn(spark_sess, sf).collect()))
