@@ -21,10 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393, 2166136261, 16777619]
-_B = [1013904223, 1640531527, 2027808243, 1103515245, 12345, 1566083941, 1812433253]
-_P31 = 2147483647
-_P61 = 2305843009213693951
+from etl_pipeline_4handling_listings_spark.operators.sketch_cms import (
+    _A,
+    _B,
+    _P31,
+    _P61,
+)
+
 _WORD_BITS = 62
 
 

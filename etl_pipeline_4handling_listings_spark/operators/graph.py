@@ -25,6 +25,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _degrees(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(node, deg) from an undirected edge list — one union + agg."""
+    return (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
 def orient_edges(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """Degree-orient an undirected edge list.
 
@@ -35,12 +45,7 @@ def orient_edges(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     larger — a total order, so the output is a DAG with out-degree
     bounded by ~sqrt(2m).
     """
-    deg = (
-        edges.select(F.col(src).alias("node"))
-        .unionAll(edges.select(F.col(dst).alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+    deg = _degrees(edges, src, dst)
     e = (
         edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
         .join(deg.select(F.col("node").alias("_u"), F.col("deg").alias("du")), "_u")
@@ -93,12 +98,9 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
         .agg(F.sum("t").cast("long").alias("n_triangles"))
         .select(F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
-    deg = (
-        edges.select(F.col(src).alias("node"))
-        .unionAll(edges.select(F.col(dst).alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+    # same frame orient_edges builds internally; within this one
+    # lazy plan ReuseExchange serves both from a single shuffle
+    deg = _degrees(edges, src, dst)
     node_stats = deg.agg(
         F.count("*").alias("n_nodes"),
         (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),

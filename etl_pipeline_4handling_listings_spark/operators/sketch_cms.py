@@ -21,8 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 # fixed odd multipliers / offsets (< 2^31) for the affine hash family
-_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393]
-_B = [1013904223, 1640531527, 2027808243, 1103515245, 12345]
+# shared 64-bit-safe affine hash family (also used by
+# operators/bloomfilter.py — one definition, never two copies)
+_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393,
+      2166136261, 16777619]
+_B = [1013904223, 1640531527, 2027808243, 1103515245, 12345,
+      1566083941, 1812433253]
 _P31 = 2147483647  # 2^31 - 1 (Mersenne prime)
 _P61 = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 

@@ -1842,16 +1842,16 @@ def s10_schema_enforce(spark, sf_dir):
             T.StructField("region_name", T.StringType()),
         ]
     )
-    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    bal_cents = cents("c_acctbal")
     c = tbl(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_custkey").alias("custkey_int"),
         "c_name",
-        cents.alias("acctbal_cents"),
+        bal_cents.alias("acctbal_cents"),
         # exact-integer provenance: decimal built by an exact
         # decimal multiply, never cast from a double
         (
-            cents.cast(T.DecimalType(14, 0))
+            bal_cents.cast(T.DecimalType(14, 0))
             * F.lit("0.01").cast(T.DecimalType(3, 2))
         ).alias("acctbal_dec"),
     )
@@ -5653,8 +5653,13 @@ def dedup_decontaminate(spark, sf_dir):
     d = tbl_wide(spark, sf_dir, "documents").select(
         "doc_id", word_shingles("text", 3).alias("shingles")
     )
+    # eval side reads a PLAIN scan: a filter above tbl_wide's
+    # round-robin repartition would shuffle (and shingle) the whole
+    # table to keep ~20 docs (same fix as ann_rp_lsh's query side)
     eval_sh = (
-        d.filter(F.col("doc_id") < 20)
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(word_shingles("text", 3).alias("shingles"))
         .select(F.explode("shingles").alias("s"))
         .distinct()
     )
@@ -7574,7 +7579,7 @@ def text_bpe_learn_merges(spark, sf_dir):
     "summation order cannot move the result. Scale: the hour-grid "
     "self-join is |types| x hours rows (time-bounded, not "
     "row-bounded); everything below it is one map-side-combinable "
-    "aggregate over the raw stream.",
+    "aggregate over the raw stream. Exactness bound: the int64 moment sums hold while per-cell values stay under ~3e9 integer units (value^2 < 2^63); beyond that, pre-scale the unit (cents -> dollars) or sum as DECIMAL(38,0) - the formula and oracle are unchanged.",
 )
 def stats_corr_matrix(spark, sf_dir):
     e = tbl_events(spark, sf_dir)
@@ -7633,7 +7638,7 @@ def stats_corr_matrix(spark, sf_dir):
         FROM events
     ),
     flagged AS (
-        SELECT user_id, s, e,
+        SELECT user_id, event_id, s, e,
                CASE WHEN s > COALESCE(MAX(e) OVER (
                         PARTITION BY user_id ORDER BY s, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -7643,7 +7648,7 @@ def stats_corr_matrix(spark, sf_dir):
     islands AS (
         SELECT user_id, s, e,
                SUM(new_island) OVER (
-                   PARTITION BY user_id ORDER BY s, e
+                   PARTITION BY user_id ORDER BY s, event_id
                    ROWS UNBOUNDED PRECEDING
                ) AS island_id
         FROM flagged
@@ -7684,6 +7689,7 @@ def events_interval_coverage(spark, sf_dir):
     )
     flagged = spans.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(
@@ -7693,9 +7699,11 @@ def events_interval_coverage(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("new_island"),
     )
+    # (s, event_id) is TOTAL; (s, e) is not — e = s + const, so
+    # duplicate timestamps would make island ids order-dependent
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.select(
@@ -8157,7 +8165,7 @@ def snapshot_column_diff(spark, sf_dir):
     "expressions over those integers, quantized at 1e-6 — "
     "partial-agg order cannot move them. Scale: one pass builds "
     "per-user (x, y); moments and variant rollups are "
-    "map-side-combinable aggregates; theta broadcasts.",
+    "map-side-combinable aggregates; theta broadcasts. Exactness bound: the int64 moment sums hold while per-cell values stay under ~3e9 integer units (value^2 < 2^63); beyond that, pre-scale the unit (cents -> dollars) or sum as DECIMAL(38,0) - the formula and oracle are unchanged.",
 )
 def stats_cuped_adjust(spark, sf_dir):
     e = tbl_events(spark, sf_dir)

@@ -160,22 +160,26 @@ class FirstSeenProcessor(StatefulProcessor):
         (fp,) = key
         first = not self._seen.exists()
         n = 0
-        out = None
+        first_ts = None
         for pdf in rows:
-            if first and out is None and len(pdf):
-                out = pd.DataFrame(
-                    {
-                        "fp": [fp],
-                        "first_ts": [pdf["ts"].iloc[0]],
-                        "n_dups_batch": [0],
-                    }
-                )
+            if first and len(pdf):
+                # MIN event time across every chunk of the group —
+                # the first row of the first Arrow chunk is
+                # arrival-order dependent, not the earliest event
+                chunk_min = pdf["ts"].min()
+                if first_ts is None or chunk_min < first_ts:
+                    first_ts = chunk_min
             n += len(pdf)
         prev = 0 if first else self._seen.get()[0]
         self._seen.update((prev + n,))
-        if out is not None:
-            out["n_dups_batch"] = n - 1
-            yield out
+        if first and first_ts is not None:
+            yield pd.DataFrame(
+                {
+                    "fp": [fp],
+                    "first_ts": [first_ts],
+                    "n_dups_batch": [n - 1],
+                }
+            )
 
     def close(self) -> None:
         pass
@@ -210,8 +214,12 @@ def _first_seen_apply_in_pandas(stream: DataFrame, fp_col: str) -> DataFrame:
         first_ts = None
         n = 0
         for pdf in pdfs:
-            if first_ts is None and len(pdf):
-                first_ts = pdf["ts"].iloc[0]
+            if len(pdf):
+                # min across chunks, not first-arrival row (see
+                # FirstSeenProcessor.handleInputRows)
+                chunk_min = pdf["ts"].min()
+                if first_ts is None or chunk_min < first_ts:
+                    first_ts = chunk_min
             n += len(pdf)
         existed = state.exists
         prev = state.get[0] if existed else 0

@@ -102,6 +102,16 @@ def main() -> int:
             continue
         if s == d:
             print(f"PASS  {name}: {len(s)} rows strict-identical")
+        elif len(s) != len(d):
+            # zip() would truncate to the shorter side and report an
+            # empty diff list for a pure row-count mismatch
+            print(
+                f"FAIL  {name}: row-count mismatch"
+                f" spark={len(s)} duckdb={len(d)}"
+            )
+            longer, label = (s, "spark") if len(s) > len(d) else (d, "duckdb")
+            print(f"  first unpaired {label} row: {longer[min(len(s), len(d))]}")
+            failed.append(name)
         else:
             diffs = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:3]
             print(f"FAIL  {name}: strict mismatch at rows {diffs}")
