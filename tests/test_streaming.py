@@ -384,6 +384,25 @@ def test_first_seen_processor_state_machine():
     assert out2 == []
     assert handle.state.get() == (3,)
 
+    # first_ts is the MIN event time, not the first-arrival row,
+    # even when rows arrive unordered across Arrow chunks
+    proc2 = FirstSeenProcessor()
+    h2 = FakeHandle()
+    proc2.init(h2)
+    late_first = pd.DataFrame(
+        {"fp": ["b"], "ts": pd.to_datetime(["2024-01-05"])}
+    )
+    early_second = pd.DataFrame(
+        {"fp": ["b", "b"],
+         "ts": pd.to_datetime(["2024-01-01", "2024-01-03"])}
+    )
+    out3 = list(
+        proc2.handleInputRows(("b",), iter([late_first, early_second]), None)
+    )
+    assert len(out3) == 1
+    assert out3[0]["first_ts"].iloc[0] == pd.Timestamp("2024-01-01")
+    assert out3[0]["n_dups_batch"].iloc[0] == 2
+
 def test_foreach_batch_sketch_merge_matches_from_scratch(spark, tmp_path):
     """Incrementally-merged streaming CMS == sketch built from all
     rows at once (the merge law, end to end through foreachBatch),
