@@ -10200,7 +10200,11 @@ def forecast_backtest_smape(spark, sf_dir):
     "exact division, quantized 1e-6 with full ordering tiebreaks.",
 )
 def graph_link_prediction(spark, sf_dir):
-    edges = _copresence_edges(spark, sf_dir)
+    # the co-presence edge build (pres self-join + HAVING) is the
+    # dominant cost and this plan consumes edges FOUR times (adj x2,
+    # degrees, anti-join) — freeze it once; lineage truncation is
+    # the same localCheckpoint pattern as textrank/clustering
+    edges = _copresence_edges(spark, sf_dir).localCheckpoint()
     adj = edges.select(
         F.col("u").alias("a"), F.col("v").alias("w")
     ).unionByName(edges.select(F.col("v").alias("a"), F.col("u").alias("w")))
