@@ -11055,6 +11055,127 @@ def fairshare_waterfill(spark, sf_dir):
     )
 
 
+@query(
+    "events_power_users_gini",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS i
+        FROM x
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS tot,
+               CAST(SUM(i * c) AS BIGINT) AS ic
+        FROM ranked
+    )
+    SELECT n AS n_users, tot AS total_events,
+           FLOOR((2.0 * ic / (n * CAST(tot AS DOUBLE))
+                  - CAST(n + 1 AS DOUBLE) / n)
+                 * 1000000 + 0.5) / 1000000 AS gini
+    FROM s
+    """,
+    doc="Gini coefficient of per-user activity — the inequality / "
+    "power-user-concentration metric (companion to the HHI "
+    "market-concentration kernel). Exact rank formula "
+    "G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n over counts sorted "
+    "ascending with a user tiebreak: every sum is BIGINT, the "
+    "sort runs over the user-bounded aggregate frame, and the "
+    "only floats are the final two divisions, mirrored op-for-op "
+    "and quantized 1e-6.",
+)
+def events_power_users_gini(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    x = e.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    ranked = x.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "user_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("ic"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("tot").alias("total_events"),
+        r(
+            F.lit(2.0) * F.col("ic") / (F.col("n") * F.col("tot").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH horizon AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders
+    ),
+    open_orders AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+               CAST(horizon.h - CAST(o_orderdate AS DATE) AS BIGINT)
+                   AS age_days
+        FROM orders CROSS JOIN horizon
+        WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days < 30 THEN 'lt_30d'
+                WHEN age_days < 90 THEN 'lt_90d'
+                WHEN age_days < 365 THEN 'lt_1y'
+                ELSE 'ge_1y' END AS age_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(age_days) AS BIGINT) AS oldest_days,
+           FLOOR(CAST(SUM(price_c) AS DOUBLE) / 100 * 100 + 0.5) / 100
+               AS backlog_value
+    FROM open_orders GROUP BY 1 ORDER BY age_band
+    """,
+    doc="Open-order backlog aging: outstanding orders banded by "
+    "days outstanding at the data horizon with value at risk — "
+    "the operations/working-capital report. The horizon is one "
+    "broadcast scalar; age is exact integer date arithmetic (no "
+    "timezone surface: DATE minus DATE); money in integer cents. "
+    "One filtered scan + one map-side-combinable aggregate — the "
+    "status filter pushes into parquet.",
+)
+def orders_backlog_aging(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    horizon = tbl(spark, sf_dir, "orders").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("h")
+    )
+    aged = o.crossJoin(F.broadcast(horizon)).select(
+        cents("o_totalprice").alias("price_c"),
+        F.datediff(F.col("h"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("age_days"),
+    )
+    band = (
+        F.when(F.col("age_days") < 30, "lt_30d")
+        .when(F.col("age_days") < 90, "lt_90d")
+        .when(F.col("age_days") < 365, "lt_1y")
+        .otherwise("ge_1y")
+    )
+    return (
+        aged.groupBy(band.alias("age_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.max("age_days").cast("long").alias("oldest_days"),
+            r2(F.sum("price_c").cast("double") / 100).alias(
+                "backlog_value"
+            ),
+        )
+        .orderBy("age_band")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -11277,6 +11398,8 @@ _DRIVER_ORDER = [
     "price_elasticity_by_brand",
     "events_weekly_active_mix",
     "fairshare_waterfill",
+    "events_power_users_gini",
+    "orders_backlog_aging",
 ]
 
 

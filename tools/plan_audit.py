@@ -218,6 +218,8 @@ AUDIT = {
     # demand sort runs once over the tenant-bounded aggregate; the
     # level/threshold scalars broadcast back
     "fairshare_waterfill": {"expect": ["HashAggregate", "Window"], "forbid": ["SortMergeJoin"]},
+    "events_power_users_gini": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
+    "orders_backlog_aging": {"expect": ["HashAggregate", "PushedFilters: \\[.*o_orderstatus"], "forbid": ["Window"]},
 }
 
 
