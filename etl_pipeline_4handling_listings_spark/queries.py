@@ -11176,6 +11176,70 @@ def orders_backlog_aging(spark, sf_dir):
     )
 
 
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    expanded AS (
+        SELECT DISTINCT d.day + o.off AS day, d.user_id
+        FROM du d CROSS JOIN (SELECT unnest(range(7)) AS off) o
+    ),
+    wau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+        FROM expanded GROUP BY day
+    )
+    SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+           FLOOR(CAST(dau.dau AS DOUBLE) / wau.wau * 1000000 + 0.5)
+               / 1000000 AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY day
+    """,
+    doc="DAU/WAU stickiness per day — the engagement-depth ratio "
+    "product teams track daily. Trailing-7-day distinct actives "
+    "use the bounded-explode pattern of events_sliding_distinct: "
+    "each (day, user) presence fans out to the 7 windows it "
+    "belongs to (constant fan-out), then one distinct + count — "
+    "never a per-day rescan and never a RANGE window holding "
+    "per-user state. Integer counts; one quantized division.",
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    du = e.select(
+        F.expr("ts_us div 86400000000").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    expanded = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6)
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = expanded.groupBy("day").agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            r(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -11400,6 +11464,7 @@ _DRIVER_ORDER = [
     "fairshare_waterfill",
     "events_power_users_gini",
     "orders_backlog_aging",
+    "events_dau_wau_stickiness",
 ]
 
 

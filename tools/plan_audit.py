@@ -220,6 +220,8 @@ AUDIT = {
     "fairshare_waterfill": {"expect": ["HashAggregate", "Window"], "forbid": ["SortMergeJoin"]},
     "events_power_users_gini": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
     "orders_backlog_aging": {"expect": ["HashAggregate", "PushedFilters: \\[.*o_orderstatus"], "forbid": ["Window"]},
+    # trailing-window actives via bounded explode, never a RANGE window
+    "events_dau_wau_stickiness": {"expect": ["HashAggregate", "Generate"], "forbid": ["Window"]},
 }
 
 
