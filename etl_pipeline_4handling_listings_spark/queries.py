@@ -11240,6 +11240,119 @@ def events_dau_wau_stickiness(spark, sf_dir):
     )
 
 
+@query(
+    "events_behavior_entropy",
+    oracle="""
+    WITH mix AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM mix
+        GROUP BY user_id
+    )
+    SELECT m.user_id, t.n AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           FLOOR((ln(CAST(t.n AS DOUBLE))
+                  - SUM(c * ln(CAST(c AS DOUBLE))) / t.n)
+                 * 1000000 + 0.5) / 1000000 AS entropy
+    FROM mix m JOIN tot t ON m.user_id = t.user_id
+    GROUP BY m.user_id, t.n ORDER BY m.user_id
+    """,
+    doc="Behavioral diversity per user: Shannon entropy of the "
+    "event-type mix — the engagement-breadth signal (0 = "
+    "single-action bots, ln(5) = uniform across all types; "
+    "complements events_bot_heuristics). Uses the sort-stable "
+    "identity H = ln(n) - SUM(c*ln(c))/n over exact integer "
+    "counts (the text_token_entropy pattern): c*ln(c) terms sum "
+    "over the per-(user, type) aggregate — at most |types| rows "
+    "per user — so partial-agg order cannot move the result "
+    "beyond the 1e-6 grid.",
+)
+def events_behavior_entropy(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    mix = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = mix.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    return (
+        mix.join(tot, "user_id")
+        .groupBy("user_id", "n")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            r(
+                F.log(F.max("n").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+                / F.max("n"),
+                6,
+            ).alias("entropy"),
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            "entropy",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "discount_effectiveness",
+    oracle="""
+    WITH banded AS (
+        SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+               l_quantity,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT) AS net_c
+        FROM lineitem
+    )
+    SELECT disc_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           FLOOR(AVG(CAST(l_quantity AS DOUBLE)) * 10000 + 0.5) / 10000
+               AS avg_qty,
+           FLOOR(CAST(SUM(net_c) AS DOUBLE) / 100 * 100 + 0.5) / 100
+               AS net_revenue,
+           FLOOR(CAST(SUM(net_c) AS DOUBLE) / COUNT(*) / 100
+                 * 10000 + 0.5) / 10000 AS revenue_per_line
+    FROM banded GROUP BY disc_pct ORDER BY disc_pct
+    """,
+    doc="Promo effectiveness: volume and net revenue by discount "
+    "percentage band — does a deeper discount buy enough quantity "
+    "to pay for itself. Discount bands come from integer-percent "
+    "flooring (never float equality grouping); money is "
+    "per-row-floored integer cents so every sum is exact; the "
+    "AVG over integer quantities is one map-side-combinable "
+    "aggregate with the mean division quantized at 1e-4. One "
+    "scan, one hash aggregate.",
+)
+def discount_effectiveness(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    banded = li.select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("disc_pct"),
+        "l_quantity",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "net_c"
+        ),
+    )
+    return (
+        banded.groupBy("disc_pct")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            r(F.avg(F.col("l_quantity").cast("double")), 4).alias(
+                "avg_qty"
+            ),
+            r2(F.sum("net_c").cast("double") / 100).alias("net_revenue"),
+            r(
+                F.sum("net_c").cast("double") / F.count("*") / 100, 4
+            ).alias("revenue_per_line"),
+        )
+        .orderBy("disc_pct")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -11465,6 +11578,8 @@ _DRIVER_ORDER = [
     "events_power_users_gini",
     "orders_backlog_aging",
     "events_dau_wau_stickiness",
+    "events_behavior_entropy",
+    "discount_effectiveness",
 ]
 
 

@@ -222,6 +222,8 @@ AUDIT = {
     "orders_backlog_aging": {"expect": ["HashAggregate", "PushedFilters: \\[.*o_orderstatus"], "forbid": ["Window"]},
     # trailing-window actives via bounded explode, never a RANGE window
     "events_dau_wau_stickiness": {"expect": ["HashAggregate", "Generate"], "forbid": ["Window"]},
+    "events_behavior_entropy": {"expect": ["HashAggregate"], "forbid": ["Window", "SortMergeJoin"]},
+    "discount_effectiveness": {"expect": ["HashAggregate"], "forbid": ["Window", "Join"]},
 }
 
 
