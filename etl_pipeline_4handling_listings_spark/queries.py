@@ -11353,6 +11353,119 @@ def discount_effectiveness(spark, sf_dir):
     )
 
 
+@query(
+    "segment_migration_matrix",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) // 86400000000 <=
+                    (SELECT (MIN(epoch_us(ts) // 86400000000)
+                             + MAX(epoch_us(ts) // 86400000000)) // 2
+                     FROM events)
+                    THEN 1 ELSE 2 END AS period,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    per_user AS (
+        SELECT period, user_id,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(c) AS BIGINT) AS mon_c
+        FROM e GROUP BY period, user_id
+    ),
+    scored AS (
+        SELECT period, user_id,
+               NTILE(4) OVER (PARTITION BY period
+                              ORDER BY freq DESC, user_id) AS f_q,
+               NTILE(4) OVER (PARTITION BY period
+                              ORDER BY mon_c DESC, user_id) AS m_q
+        FROM per_user
+    ),
+    seg AS (
+        SELECT period, user_id,
+               CASE WHEN f_q = 1 AND m_q = 1 THEN 'champion'
+                    WHEN f_q >= 3 AND m_q >= 3 THEN 'at_risk'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    )
+    SELECT COALESCE(a.segment, 'inactive') AS seg_from,
+           COALESCE(b.segment, 'inactive') AS seg_to,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id, segment FROM seg WHERE period = 1) a
+    FULL OUTER JOIN
+         (SELECT user_id, segment FROM seg WHERE period = 2) b
+      ON a.user_id = b.user_id
+    GROUP BY 1, 2 ORDER BY seg_from, seg_to
+    """,
+    doc="Segment-migration matrix: each user scored into "
+    "frequency/monetary quartile segments independently in the "
+    "first and second half of the window, then the period-over-"
+    "period flow counted per (from, to) pair — churn/upgrade "
+    "accounting on top of the events_rfm_segments kernel, with "
+    "'inactive' capturing entries and exits via a full outer join "
+    "on user. Quartiles use fully deterministic NTILE orders "
+    "(metric desc, user); monetary in exact integer cents; the "
+    "matrix is a bounded 4x4 output.",
+)
+def segment_migration_matrix(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    span = e.agg(
+        F.expr(
+            "(min(ts_us div 86400000000) + max(ts_us div 86400000000))"
+            " div 2"
+        ).alias("mid")
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(span))
+        .select(
+            F.when(
+                F.expr("ts_us div 86400000000") <= F.col("mid"), 1
+            ).otherwise(2).alias("period"),
+            "user_id",
+            cents("value").alias("c"),
+        )
+        .groupBy("period", "user_id")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("c").cast("long").alias("mon_c"),
+        )
+    )
+    wf = Window.partitionBy("period").orderBy(
+        F.desc("freq"), F.asc("user_id")
+    )
+    wm = Window.partitionBy("period").orderBy(
+        F.desc("mon_c"), F.asc("user_id")
+    )
+    scored = per_user.select(
+        "period",
+        "user_id",
+        F.ntile(4).over(wf).alias("f_q"),
+        F.ntile(4).over(wm).alias("m_q"),
+    )
+    seg = scored.select(
+        "period",
+        "user_id",
+        F.when((F.col("f_q") == 1) & (F.col("m_q") == 1), "champion")
+        .when((F.col("f_q") >= 3) & (F.col("m_q") >= 3), "at_risk")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("period") == 1).select(
+        "user_id", F.col("segment").alias("seg_a")
+    )
+    b = seg.filter(F.col("period") == 2).select(
+        "user_id", F.col("segment").alias("seg_b")
+    )
+    return (
+        a.join(b, "user_id", "full_outer")
+        .groupBy(
+            F.coalesce("seg_a", F.lit("inactive")).alias("seg_from"),
+            F.coalesce("seg_b", F.lit("inactive")).alias("seg_to"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("seg_from", "seg_to")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -11580,6 +11693,7 @@ _DRIVER_ORDER = [
     "events_dau_wau_stickiness",
     "events_behavior_entropy",
     "discount_effectiveness",
+    "segment_migration_matrix",
 ]
 
 

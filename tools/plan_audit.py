@@ -224,6 +224,7 @@ AUDIT = {
     "events_dau_wau_stickiness": {"expect": ["HashAggregate", "Generate"], "forbid": ["Window"]},
     "events_behavior_entropy": {"expect": ["HashAggregate"], "forbid": ["Window", "SortMergeJoin"]},
     "discount_effectiveness": {"expect": ["HashAggregate"], "forbid": ["Window", "Join"]},
+    "segment_migration_matrix": {"expect": ["Window", "HashAggregate", "FullOuter"], "forbid": []},
 }
 
 
