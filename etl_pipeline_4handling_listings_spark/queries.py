@@ -11466,6 +11466,103 @@ def segment_migration_matrix(spark, sf_dir):
     )
 
 
+@query(
+    "attribution_linear_multi_touch",
+    oracle="""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS rev_c
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id AS touch_id, event_type AS channel,
+               epoch_us(ts) AS t_us
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    matched AS (
+        SELECT c.conv_id, c.rev_c, t.channel
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.t_us >= c.ts_us - 604800000000
+         AND t.t_us <= c.ts_us
+    ),
+    credited AS (
+        SELECT conv_id, channel,
+               CAST(FLOOR(CAST(rev_c AS DOUBLE)
+                    / COUNT(*) OVER (PARTITION BY conv_id)
+                    * 1000 + 0.5) AS BIGINT) AS credit_milli
+        FROM matched
+    )
+    SELECT channel,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           FLOOR(CAST(SUM(credit_milli) AS DOUBLE) / 100000
+                 * 10000 + 0.5) / 10000 AS attributed_revenue
+    FROM credited GROUP BY channel ORDER BY channel
+    """,
+    doc="Linear multi-touch attribution: every click/view in the "
+    "7-day lookback of a purchase shares its revenue equally — "
+    "the fractional-credit companion to attribution_last_touch. "
+    "The purchase-x-touch match is the BINNED range join "
+    "(operators/rangejoin.py: purchases become [ts-7d, ts] "
+    "intervals, touches probe as points on the user key — "
+    "replication O(1) per interval at 7d bins, never a BNLJ); "
+    "per-touch credits floor to integer MILLI-cents before any "
+    "sum, so channel totals are exact in every partial-agg order. "
+    "The per-conversion touch count rides a window over the "
+    "matched frame, partitioned by conversion.",
+)
+def attribution_linear_multi_touch(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    e = tbl_events(spark, sf_dir)
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        (F.col("ts_us") - 604800000000).alias("w_start"),
+        F.col("ts_us").alias("w_end"),
+        cents("value").alias("rev_c"),
+    )
+    touch = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts_us").alias("t_us"),
+    )
+    matched = point_in_interval_join(
+        touch,
+        conv,
+        on=["user_id"],
+        point_col="t_us",
+        start_col="w_start",
+        end_col="w_end",
+        bin_width=604800000000,
+    ).select("conv_id", "rev_c", "channel")
+    wc = Window.partitionBy("conv_id")
+    credited = matched.select(
+        "conv_id",
+        "channel",
+        F.floor(
+            F.col("rev_c").cast("double") / F.count("*").over(wc) * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("credit_milli"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+            F.count("*").cast("long").alias("n_touches"),
+            r(
+                F.sum("credit_milli").cast("double") / 100000, 4
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -11694,6 +11791,7 @@ _DRIVER_ORDER = [
     "events_behavior_entropy",
     "discount_effectiveness",
     "segment_migration_matrix",
+    "attribution_linear_multi_touch",
 ]
 
 

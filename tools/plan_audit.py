@@ -225,6 +225,8 @@ AUDIT = {
     "events_behavior_entropy": {"expect": ["HashAggregate"], "forbid": ["Window", "SortMergeJoin"]},
     "discount_effectiveness": {"expect": ["HashAggregate"], "forbid": ["Window", "Join"]},
     "segment_migration_matrix": {"expect": ["Window", "HashAggregate", "FullOuter"], "forbid": []},
+    # purchase-x-touch match must be the binned hash range join
+    "attribution_linear_multi_touch": {"expect": ["HashJoin", "Window"], "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
 }
 
 
