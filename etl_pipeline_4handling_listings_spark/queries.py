@@ -1815,9 +1815,9 @@ from etl_pipeline_4handling_listings_spark.schema import enforce_schema  # noqa:
            CAST(c_custkey AS INTEGER) AS custkey_int,
            c_name,
            CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
-           CAST(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
-                     AS DECIMAL(14,0)) * CAST(0.01 AS DECIMAL(3,2))
-                AS DECIMAL(12,2)) AS acctbal_dec,
+           CAST(CAST(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                          AS DECIMAL(14,0)) * CAST(0.01 AS DECIMAL(3,2))
+                     AS DECIMAL(12,2)) AS VARCHAR) AS acctbal_dec,
            CAST(NULL AS VARCHAR) AS region_name
     FROM customer
     """,
@@ -1827,9 +1827,13 @@ from etl_pipeline_4handling_listings_spark.schema import enforce_schema  # noqa:
     "The DECIMAL column is integer-provenance: cents = "
     "FLOOR(bal*100+0.5) as BIGINT (identical IEEE double ops in "
     "both engines), then an exact DECIMAL(14,0) x DECIMAL(3,2) "
-    "multiply — no double->DECIMAL cast exists on either side, so "
-    "there is no half-up/half-even knife edge for a raw-value hash "
-    "to disagree on.",
+    "multiply — no double->DECIMAL cast exists on either side. "
+    "The driver-facing projection stringifies the DECIMAL(12,2) "
+    "(both engines render scale-2 decimals identically as text) "
+    "because DECIMAL cannot cross the driver's pandas "
+    "canonicalization: DuckDB->float64 vs Spark->decimal.Decimal "
+    "can never hash-agree. enforce_schema's decimal path stays "
+    "proven by test_schema_roundtrip_and_enforcement.",
 )
 def s10_schema_enforce(spark, sf_dir):
     target = T.StructType(
@@ -1855,7 +1859,11 @@ def s10_schema_enforce(spark, sf_dir):
             * F.lit("0.01").cast(T.DecimalType(3, 2))
         ).alias("acctbal_dec"),
     )
-    return enforce_schema(c, target)
+    enforced = enforce_schema(c, target)
+    # Driver-facing projection: DECIMAL exercised above, shipped as text.
+    return enforced.withColumn(
+        "acctbal_dec", F.col("acctbal_dec").cast("string")
+    )
 
 
 @query(
@@ -3504,7 +3512,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     oracle="""
     WITH v AS (
         SELECT l_partkey,
-               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_cents
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_cents
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
@@ -3855,7 +3864,10 @@ def text_pii_redaction(spark, sf_dir):
     oracle=f"""
     SELECT vec_id,
            len(embedding) AS dim,
-           list_slice(embedding, 1, 4) AS head4,
+           array_to_string(list_transform(
+               list_slice(embedding, 1, 4),
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5)
+                              AS BIGINT) AS VARCHAR)), ',') AS head4,
            list_reverse(embedding)[1] AS last_val,
            list_max(embedding) AS vmax,
            {sql_r('sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))', 4)} AS l2_norm,
@@ -3883,7 +3895,15 @@ def scalar_array_suite(spark, sf_dir):
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.slice(emb, 1, 4).alias("head4"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(emb, 1, 4),
+                lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+        ).alias("head4"),
         F.element_at(F.reverse(emb), 1).alias("last_val"),
         F.array_max(emb).alias("vmax"),
         r4(F.sqrt(sumsq)).alias("l2_norm"),
@@ -4025,7 +4045,8 @@ def events_user_trend(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
     FROM events GROUP BY event_type
     """,
     doc="Skew path under the gate: two-stage salted aggregation "
@@ -4169,10 +4190,12 @@ def text_chunking(spark, sf_dir):
              (SELECT unnest(generate_series(1, 64)) AS pos) i
     ), m AS (
         SELECT label, pos,
-               FLOOR(AVG(val) * 1000000 + 0.5) / 1000000 AS mval
+               CAST(FLOOR(AVG(val) * 1000000 + 0.5) AS BIGINT) AS mval_u
         FROM ex GROUP BY label, pos
     )
-    SELECT label, list(mval ORDER BY pos) AS centroid,
+    SELECT label,
+           string_agg(CAST(mval_u AS VARCHAR), ',' ORDER BY pos)
+               AS centroid_u,
            CAST((SELECT COUNT(*) FROM embeddings e WHERE e.label = m.label)
                 AS BIGINT) AS n_members
     FROM m GROUP BY label
@@ -4183,9 +4206,34 @@ def text_chunking(spark, sf_dir):
     "vector mean (never collects a vector to the driver; shuffle "
     "keys are (label, pos), cardinality labels x dim). The "
     "prototype table this emits is what a classifier-by-nearest-"
-    "centroid or IVF warm start consumes.",
+    "centroid or IVF warm start consumes. Driver-facing "
+    "projection serializes the vector as comma-joined integer "
+    "micro-units (exact FLOOR(mean*1e6+0.5) on both engines) — "
+    "array columns crash the driver's pandas canonicalization, and "
+    "integer text avoids the engines' divergent double->string "
+    "formats (Spark 1.0E-6 vs DuckDB 1e-06). Array consumers use "
+    "_label_centroids.",
 )
 def embedding_label_centroids(spark, sf_dir):
+    cent = _label_centroids(spark, sf_dir)
+    return cent.select(
+        "label",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("centroid"),
+                lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long").cast(
+                    "string"
+                ),
+            ),
+        ).alias("centroid_u"),
+        "n_members",
+    )
+
+
+def _label_centroids(spark, sf_dir):
+    """Array-typed per-label centroid frame (internal composition
+    target for centroid_assignment / embedding_cluster_quality)."""
     e = tbl(spark, sf_dir, "embeddings")
     ex = e.select(
         "label", F.posexplode(F.col("embedding")).alias("pos0", "val")
@@ -4254,7 +4302,7 @@ def centroid_assignment(spark, sf_dir):
     from pyspark.sql import Window
 
     e = tbl(spark, sf_dir, "embeddings")
-    cent = embedding_label_centroids(spark, sf_dir).select(
+    cent = _label_centroids(spark, sf_dir).select(
         F.col("label").alias("c_label"), "centroid"
     )
     v = e.select(
@@ -5367,7 +5415,7 @@ def agg_collect_sorted(spark, sf_dir):
     "scalar_map_suite",
     oracle="""
     SELECT c_custkey,
-           LIST_VALUE('balance', 'segment') AS m_keys,
+           'balance,segment' AS m_keys,
            c_mktsegment AS seg_val,
            CAST(2 AS INTEGER) AS m_size,
            (c_acctbal > 0) AS has_pos_balance
@@ -5394,7 +5442,9 @@ def scalar_map_suite(spark, sf_dir):
         c.select("c_custkey", m.alias("_m"), "c_acctbal")
         .select(
             "c_custkey",
-            F.array_sort(F.map_keys(F.col("_m"))).alias("m_keys"),
+            F.concat_ws(
+                ",", F.array_sort(F.map_keys(F.col("_m")))
+            ).alias("m_keys"),
             F.element_at(F.col("_m"), "segment").alias("seg_val"),
             F.size(F.col("_m")).alias("m_size"),
             (F.col("c_acctbal") > 0).alias("has_pos_balance"),
@@ -5878,8 +5928,9 @@ def outlier_mad(spark, sf_dir):
         FROM documents
     )
     SELECT doc_id,
-           list_sort(list_intersect(ws, ['spark', 'join', 'the', 'a']))
-               AS matched,
+           COALESCE(array_to_string(
+               list_sort(list_intersect(ws, ['spark', 'join', 'the', 'a'])),
+               ','), '') AS matched,
            CAST(len(list_filter(ws,
                 w -> NOT list_contains(['spark', 'join', 'the', 'a'], w)))
                AS INTEGER) AS n_rest,
@@ -5902,7 +5953,9 @@ def scalar_array_setops(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        F.array_sort(F.array_intersect(F.col("ws"), probe)).alias("matched"),
+        F.concat_ws(
+            ",", F.array_sort(F.array_intersect(F.col("ws"), probe))
+        ).alias("matched"),
         F.size(F.array_except(F.col("ws"), probe)).alias("n_rest"),
         F.array_contains(F.col("ws"), "table").alias("has_table"),
     ).orderBy("doc_id")
@@ -7342,7 +7395,7 @@ def mm_frame_sample(spark, sf_dir):
 )
 def embedding_cluster_quality(spark, sf_dir):
     e = tbl(spark, sf_dir, "embeddings")
-    cent = embedding_label_centroids(spark, sf_dir).select(
+    cent = _label_centroids(spark, sf_dir).select(
         F.col("label").alias("c_label"), "centroid"
     )
     d2 = lambda u, v: F.aggregate(  # noqa: E731
@@ -8019,14 +8072,14 @@ def geo_grid_radius_join(spark, sf_dir):
            CASE WHEN o.o_orderkey IS NULL THEN 'added'
                 WHEN n.o_orderkey IS NULL THEN 'removed'
                 ELSE 'changed' END AS change_kind,
-           list_filter([
+           array_to_string(list_filter([
                CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
                     THEN 'o_orderstatus' END,
                CASE WHEN o.price_c IS DISTINCT FROM n.price_c
                     THEN 'price_c' END,
                CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
                     THEN 'o_orderpriority' END
-           ], x -> x IS NOT NULL) AS changed_cols
+           ], x -> x IS NOT NULL), ',') AS changed_cols
     FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
     WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
        OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
@@ -8106,7 +8159,7 @@ def snapshot_column_diff(spark, sf_dir):
             .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
             .otherwise(F.lit("changed"))
             .alias("change_kind"),
-            changed_cols.alias("changed_cols"),
+            F.concat_ws(",", changed_cols).alias("changed_cols"),
         )
         .orderBy("o_orderkey")
     )
