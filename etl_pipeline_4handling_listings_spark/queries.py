@@ -11620,76 +11620,31 @@ def attribution_linear_multi_touch(spark, sf_dir):
 # Driver-certification rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries
-# in iteration order once per round, at round end. Rounds 1-2
-# sampled the same first 50 registrations (driver-green 48 + the s10
-# hash fail + ann_rp_lsh no_oracle). The current front-50 below is
-# 48 queries with NO driver row in CORRECTNESS_r01/r02 plus the two
-# fixed rows worth re-observation (s10_schema_enforce now
-# integer-provenance, ann_rp_lsh now self-gating recall) — so
-# CORRECTNESS_r03 certifies 50 previously-unproven-or-red cells.
-# The ~55 still-unchecked queries behind the window (q2 onward in
-# this list, plus everything appended since) rotate to the front at
-# the START of round 4, using CORRECTNESS_r03 as the ledger of what
-# remains. New queries are appended BEHIND the window between
-# rotations; no inserts ahead of slot 50. `tools/rotate_registry.py`
-# computes the next round's order from the CORRECTNESS ledgers
-# (never-checked first, then red re-observations, then green).
+# in iteration order once per round, at round end. Round-4 window
+# (rotated at round start per tools/rotate_registry.py from the
+# r01-r03 ledgers): the 5 r03 red rows FIRST — all five shared the
+# pandas-canonicalization type mechanism and are now fixed, so the
+# fixes get driver-observed — then snapshot_column_diff (the one
+# fixed type-contract landmine that sat deep in the backlog), then
+# the never-checked backlog in registration order starting at
+# q2_min_cost_supplier (whose r02-judged rewrite, like
+# events_ohlc_bars', lands inside this window), then driver-green
+# rows. Slot 50 is scalar_array_suite, so all 8 type-contract
+# fixes are inside the window. Registry growth is FROZEN at 207
+# until the never-checked backlog clears (round-3 verdict #3);
+# if anything must land, it goes BEHIND the window, never ahead of
+# slot 50.
 # =====================================================================
 
 _DRIVER_ORDER = [
-    "events_user_trend",
     "skew_salted_agg",
-    "events_daily_gapfill",
-    "text_chunking",
     "embedding_label_centroids",
-    "centroid_assignment",
-    "events_locf_fill",
-    "u_intersect",
-    "u_except_all",
-    "agg_grouping_sets",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "w_range_frame",
-    "text_keyword_search",
-    "tfidf_top_terms",
-    "bm25_search",
-    "pmi_bigrams",
-    "text_token_entropy",
-    "agg_histogram",
-    "outlier_zscore",
-    "corpus_token_budget",
-    "agg_argmax",
-    "textrank_keywords",
-    "sample_weighted",
-    "agg_unpivot",
-    "j_nullsafe_join",
-    "agg_bitwise",
-    "agg_collect_sorted",
     "scalar_map_suite",
-    "corpus_pack_sequences",
-    "events_streaks",
-    "agg_ntile_stats",
-    "dedup_decontaminate",
-    "text_unigram_logprob",
-    "udf_pandas_scalar",
-    "udf_grouped_ols",
-    "outlier_mad",
     "scalar_array_setops",
-    "text_repetition_signals",
-    "layout_zorder",
-    "incr_agg_merge",
-    "events_sliding_distinct",
-    "scalar_struct_suite",
-    "scd2_intervals",
-    "scd2_point_in_time",
-    "dedup_crossdoc_spans",
-    "corpus_mix_weights",
     "s10_schema_enforce",
-    "ann_rp_lsh",
-    "ann_ivf",
+    "snapshot_column_diff",
     "q2_min_cost_supplier",
     "events_ohlc_bars",
-    "scalar_cleaning_suite",
     "sql_interface",
     "text_token_count_bpe",
     "doc_corpus_rollup",
@@ -11734,6 +11689,114 @@ _DRIVER_ORDER = [
     "scalar_array_suite",
     "agg_cube",
     "fuzzy_source_pairs",
+    "graph_triangle_count",
+    "sketch_countmin_heavy",
+    "incr_sketch_merge",
+    "j_bloom_prefilter",
+    "events_time_weighted_avg",
+    "text_bpe_pair_counts",
+    "events_daily_drift",
+    "sparse_cosine_topk",
+    "dedup_setsim_prefix",
+    "scalar_url_suite",
+    "stats_chi2_assoc",
+    "agg_weighted_median",
+    "mm_frame_sample",
+    "embedding_cluster_quality",
+    "text_bpe_learn_merges",
+    "stats_corr_matrix",
+    "events_interval_coverage",
+    "stats_theilsen_trend",
+    "events_seasonal_profile",
+    "geo_grid_radius_join",
+    "stats_cuped_adjust",
+    "graph_kcore",
+    "hier_subtree_rollup",
+    "events_rfm_segments",
+    "text_vocab_coverage",
+    "stats_mannwhitney_u",
+    "events_cusum_shift",
+    "attribution_last_touch",
+    "privacy_k_anonymity",
+    "survival_km_curve",
+    "mm_audio_pcm_rms",
+    "stats_ks_test",
+    "basket_assoc_rules",
+    "stats_benford_digits",
+    "dq_constraint_report",
+    "stats_psi_drift",
+    "abc_classification",
+    "embedding_int8_quantization",
+    "events_ewma_smooth",
+    "events_top_paths",
+    "pareto_frontier_parts",
+    "market_concentration_hhi",
+    "events_cohort_ltv",
+    "forecast_backtest_smape",
+    "graph_link_prediction",
+    "events_concurrent_sessions",
+    "privacy_l_diversity",
+    "fraud_duplicate_payments",
+    "events_bot_heuristics",
+    "revenue_bridge_decomposition",
+    "dq_reconciliation",
+    "events_lateness_profile",
+    "price_elasticity_by_brand",
+    "events_weekly_active_mix",
+    "fairshare_waterfill",
+    "events_power_users_gini",
+    "orders_backlog_aging",
+    "events_dau_wau_stickiness",
+    "events_behavior_entropy",
+    "discount_effectiveness",
+    "segment_migration_matrix",
+    "attribution_linear_multi_touch",
+    "events_user_trend",
+    "events_daily_gapfill",
+    "text_chunking",
+    "centroid_assignment",
+    "events_locf_fill",
+    "u_intersect",
+    "u_except_all",
+    "agg_grouping_sets",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "w_range_frame",
+    "text_keyword_search",
+    "tfidf_top_terms",
+    "bm25_search",
+    "pmi_bigrams",
+    "text_token_entropy",
+    "agg_histogram",
+    "outlier_zscore",
+    "corpus_token_budget",
+    "agg_argmax",
+    "textrank_keywords",
+    "sample_weighted",
+    "agg_unpivot",
+    "j_nullsafe_join",
+    "agg_bitwise",
+    "agg_collect_sorted",
+    "corpus_pack_sequences",
+    "events_streaks",
+    "agg_ntile_stats",
+    "dedup_decontaminate",
+    "text_unigram_logprob",
+    "udf_pandas_scalar",
+    "udf_grouped_ols",
+    "outlier_mad",
+    "text_repetition_signals",
+    "layout_zorder",
+    "incr_agg_merge",
+    "events_sliding_distinct",
+    "scalar_struct_suite",
+    "scd2_intervals",
+    "scd2_point_in_time",
+    "dedup_crossdoc_spans",
+    "corpus_mix_weights",
+    "ann_rp_lsh",
+    "ann_ivf",
+    "scalar_cleaning_suite",
     "s1_scan_filter",
     "s2_union_scan",
     "p1_prefix_rename",
@@ -11781,70 +11844,6 @@ _DRIVER_ORDER = [
     "q6_forecast_revenue",
     "q18_large_orders",
     "dedup_embedding_cosine",
-    # round-4 additions: appended BEHIND the certification window
-    "graph_triangle_count",
-    "sketch_countmin_heavy",
-    "incr_sketch_merge",
-    "j_bloom_prefilter",
-    "events_time_weighted_avg",
-    "text_bpe_pair_counts",
-    "events_daily_drift",
-    "sparse_cosine_topk",
-    "dedup_setsim_prefix",
-    "scalar_url_suite",
-    "stats_chi2_assoc",
-    "agg_weighted_median",
-    "mm_frame_sample",
-    "embedding_cluster_quality",
-    "text_bpe_learn_merges",
-    "stats_corr_matrix",
-    "events_interval_coverage",
-    "stats_theilsen_trend",
-    "events_seasonal_profile",
-    "geo_grid_radius_join",
-    "snapshot_column_diff",
-    "stats_cuped_adjust",
-    "graph_kcore",
-    "hier_subtree_rollup",
-    "events_rfm_segments",
-    "text_vocab_coverage",
-    "stats_mannwhitney_u",
-    "events_cusum_shift",
-    "attribution_last_touch",
-    "privacy_k_anonymity",
-    "survival_km_curve",
-    "mm_audio_pcm_rms",
-    "stats_ks_test",
-    "basket_assoc_rules",
-    "stats_benford_digits",
-    "dq_constraint_report",
-    "stats_psi_drift",
-    "abc_classification",
-    "embedding_int8_quantization",
-    "events_ewma_smooth",
-    "events_top_paths",
-    "pareto_frontier_parts",
-    "market_concentration_hhi",
-    "events_cohort_ltv",
-    "forecast_backtest_smape",
-    "graph_link_prediction",
-    "events_concurrent_sessions",
-    "privacy_l_diversity",
-    "fraud_duplicate_payments",
-    "events_bot_heuristics",
-    "revenue_bridge_decomposition",
-    "dq_reconciliation",
-    "events_lateness_profile",
-    "price_elasticity_by_brand",
-    "events_weekly_active_mix",
-    "fairshare_waterfill",
-    "events_power_users_gini",
-    "orders_backlog_aging",
-    "events_dau_wau_stickiness",
-    "events_behavior_entropy",
-    "discount_effectiveness",
-    "segment_migration_matrix",
-    "attribution_linear_multi_touch",
 ]
 
 
