@@ -111,3 +111,53 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+def member_pairs(
+    groups: DataFrame,
+    members_col: str = "us",
+    max_cell: int = 1000,
+    observation=None,
+) -> DataFrame:
+    """Ordered co-membership pairs from a grouped member-array frame.
+
+    ``groups`` holds one row per group with a SORTED member array in
+    ``members_col``; returns one row per unordered pair ``(u, v)``,
+    ``u < v``, per group — the map-side C(n,2) expansion behind
+    co-presence / co-purchase graphs (one shuffle to build the
+    groups, zero joins for the pairs).
+
+    The ``max_cell`` guard is the celebrity-cell protection (same
+    role as ``association_rules``'s ``max_basket``): a single hot
+    group of n members mints n*(n-1)/2 pair rows INSIDE ONE TASK,
+    so an unguarded million-member cell is a ~5e11-row array
+    materialization that no executor survives. Groups above the cap
+    are dropped — their pairwise signal is saturated noise at that
+    size — bounding per-task fan-out at ~max_cell^2/2. Pass a
+    ``pyspark.sql.Observation`` for drop accounting: metrics
+    ``cells_total`` / ``cells_dropped`` become available after the
+    consuming action completes (lazy — no extra job, unlike an
+    eager count()).
+    """
+    if observation is not None:
+        groups = groups.observe(
+            observation,
+            F.count(F.lit(1)).alias("cells_total"),
+            F.sum(
+                (F.size(members_col) > max_cell).cast("long")
+            ).alias("cells_dropped"),
+        )
+    groups = groups.filter(F.size(members_col) <= max_cell)
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                f"transform({members_col}, (x, i) ->"
+                f" transform(slice({members_col}, i + 2,"
+                f" size({members_col})),"
+                " y -> struct(x AS u, y AS v)))"
+            )
+        )
+    )
+    return groups.select(pair.alias("p")).select(
+        F.col("p.u").alias("u"), F.col("p.v").alias("v")
+    )

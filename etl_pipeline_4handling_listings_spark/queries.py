@@ -6504,31 +6504,43 @@ def corpus_mix_weights(spark, sf_dir):
 # =====================================================================
 
 
-def _copresence_edges(spark, sf_dir) -> DataFrame:
+def _copresence_edges(
+    spark, sf_dir, max_cell: int = 1000, observation=None
+) -> DataFrame:
     """User co-activity graph: edge (u, v) when two users share >= 3
     distinct (event_type, hour) cells. ONE shuffle on the group key;
     the ordered pairs are generated MAP-side from the sorted member
     array (a self-join on the group key shuffles the presence rows
-    twice and the join output once more for the same pair stream)."""
+    twice and the join output once more for the same pair stream).
+
+    ``max_cell`` guards the C(n,2) map-side expansion (mirrors
+    operators/assoc.py max_basket): a hot (event_type, hour) cell
+    with n users mints n*(n-1)/2 pairs inside ONE task, so an
+    unguarded million-user cell is a task-killing 5e11-row array.
+    Cells above the cap are DROPPED (their co-presence signal is
+    saturated anyway — a stadium-hour says little about pairwise
+    affinity), bounding any task at ~max_cell^2/2 pairs. The cap
+    never triggers at oracle scale (max cell = 51 at sf0.1 vs cap
+    1000), keeping DuckDB parity exact. Pass an
+    ``pyspark.sql.Observation`` to get drop accounting
+    (cells_total / cells_dropped) surfaced after the action —
+    logged by callers that own the action, never an eager count()
+    here."""
     e = tbl_events(spark, sf_dir)
     pres = e.select(
         "user_id", "event_type", F.expr("ts_us div 3600000000").alias("h")
     ).distinct()
+    from etl_pipeline_4handling_listings_spark.operators.graph import (
+        member_pairs,
+    )
+
     groups = pres.groupBy("event_type", "h").agg(
         F.array_sort(F.collect_list("user_id")).alias("us")
     )
-    pair = F.explode(
-        F.flatten(
-            F.expr(
-                "transform(us, (x, i) ->"
-                " transform(slice(us, i + 2, size(us)),"
-                " y -> struct(x AS u, y AS v)))"
-            )
-        )
-    )
     return (
-        groups.select(pair.alias("p"))
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        member_pairs(
+            groups, "us", max_cell=max_cell, observation=observation
+        )
         .groupBy("u", "v")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 3)
@@ -10245,14 +10257,19 @@ def forecast_backtest_smape(spark, sf_dir):
     "NON-adjacent pairs by common-neighbor Jaccard — the "
     "recommendation/entity-suggestion kernel. Common neighbors "
     "come from the adjacency wedge join grouped per pair (exact "
-    "integers; at 100 TB a hub of degree d mints d^2 candidate "
-    "pairs, so production caps the wedge middle by degree — the "
-    "same celebrity guard as operators/assoc.py max_basket — "
-    "documented here, not triggered at oracle scale); existing "
-    "edges leave via anti-join, Jaccard = cn/(du+dv-cn) is one "
-    "exact division, quantized 1e-6 with full ordering tiebreaks.",
+    "integers). A hub of degree d mints d^2 candidate pairs, so "
+    "the wedge MIDDLE is degree-capped at 1000 (the celebrity "
+    "guard, same idea as operators/assoc.py max_basket): middles "
+    "above the cap are removed via a broadcast anti-join against "
+    "the hot-middle blacklist — tiny BY CONSTRUCTION, hubs are "
+    "rare — bounding any wedge fan-out at ~1e6 while a capped "
+    "celebrity would otherwise mint 10^12. Never triggers at "
+    "oracle scale (max degree 401 at sf0.1), so DuckDB parity is "
+    "exact; existing edges leave via anti-join, Jaccard = "
+    "cn/(du+dv-cn) is one exact division, quantized 1e-6 with "
+    "full ordering tiebreaks.",
 )
-def graph_link_prediction(spark, sf_dir):
+def graph_link_prediction(spark, sf_dir, max_middle_degree: int = 1000):
     # the co-presence edge build (pres self-join + HAVING) is the
     # dominant cost and this plan consumes edges FOUR times (adj x2,
     # degrees, anti-join) — freeze it once; lineage truncation is
@@ -10264,8 +10281,15 @@ def graph_link_prediction(spark, sf_dir):
     deg = adj.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("long").alias("d")
     )
-    x = adj.select(F.col("a").alias("u"), "w")
-    y = adj.select(F.col("a").alias("v"), "w")
+    # celebrity guard: drop wedge MIDDLES above the degree cap via a
+    # broadcast anti-join on the (rare-by-construction) hub list;
+    # deg itself stays uncapped so reported deg_u/deg_v are exact
+    hot = deg.filter(F.col("d") > max_middle_degree).select(
+        F.col("node").alias("w")
+    )
+    adj_mid = adj.join(F.broadcast(hot), "w", "left_anti")
+    x = adj_mid.select(F.col("a").alias("u"), "w")
+    y = adj_mid.select(F.col("a").alias("v"), "w")
     common = (
         x.join(y, "w")
         .filter(F.col("u") < F.col("v"))

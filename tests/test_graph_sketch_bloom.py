@@ -126,3 +126,57 @@ def test_bloom_probe_preserves_payload_columns(spark):
     assert rows[1] == ("a", True)
     assert rows[2] == ("b", True)
     assert set(rows) == {1, 2, 999}
+
+
+def test_member_pairs_hot_cell_cap_bounds_fanout(spark):
+    """The celebrity-cell guard: a synthetic hot cell above max_cell
+    is dropped (its C(n,2) expansion never materializes), normal
+    cells expand exactly, and the Observation reports the drop."""
+    from pyspark.sql import Observation
+
+    from etl_pipeline_4handling_listings_spark.operators.graph import (
+        member_pairs,
+    )
+
+    hot = list(range(1000, 1050))  # 50 members -> over a cap of 10
+    small = [1, 2, 3]
+    groups = spark.createDataFrame(
+        [("hot", hot), ("ok", small)], "g STRING, us ARRAY<BIGINT>"
+    )
+    obs = Observation("pairs_guard")
+    out = member_pairs(groups, "us", max_cell=10, observation=obs)
+    rows = {(r.u, r.v) for r in out.collect()}
+    # only the small cell's pairs survive; the hot cell is dropped
+    assert rows == {(1, 2), (1, 3), (2, 3)}
+    assert obs.get == {"cells_total": 2, "cells_dropped": 1}
+    # uncapped control: the same frame expands C(50,2) + C(3,2)
+    n_all = member_pairs(groups, "us", max_cell=1000).count()
+    assert n_all == 50 * 49 // 2 + 3
+
+
+def test_member_pairs_cap_inactive_below_threshold(spark):
+    from etl_pipeline_4handling_listings_spark.operators.graph import (
+        member_pairs,
+    )
+
+    groups = spark.createDataFrame(
+        [("a", [1, 2, 3, 4])], "g STRING, us ARRAY<BIGINT>"
+    )
+    out = member_pairs(groups, "us", max_cell=1000)
+    assert out.count() == 6
+
+
+def test_link_prediction_middle_degree_cap(spark, sf_dir):
+    """The wedge middle-degree cap must not change results when no
+    node exceeds it (oracle-scale invariant), and must bound the
+    candidate stream when a hub does."""
+    from etl_pipeline_4handling_listings_spark.queries import (
+        graph_link_prediction,
+    )
+
+    base = graph_link_prediction(spark, sf_dir).collect()
+    capped = graph_link_prediction(spark, sf_dir, max_middle_degree=10**6)
+    assert base == capped.collect()
+    # with a cap of 0 every middle is a "hub": no wedges survive
+    none = graph_link_prediction(spark, sf_dir, max_middle_degree=0)
+    assert none.count() == 0
