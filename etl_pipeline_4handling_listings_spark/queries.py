@@ -5748,22 +5748,38 @@ def dedup_decontaminate(spark, sf_dir):
     doc="Unigram language-model scoring: corpus word frequencies "
     "become a broadcast LM; each document's mean negative "
     "log-likelihood is the CCNet-style perplexity proxy used for "
-    "quality filtering. One explode + one broadcast join + one "
-    "per-doc aggregate — no Python, linear at scale.",
+    "quality filtering. The token stream collapses to (doc, word) "
+    "counts FIRST (k-weighted log terms, identical sum), and that "
+    "narrow frame is cached across its THREE consumers (LM "
+    "aggregate, grand total, probe) — one tokenize pass instead of "
+    "three (ReuseExchange does NOT unify the branches: round-robin "
+    "repartition exchanges refuse reuse, verified on the executed "
+    "plan). The cache is the compressed (doc, word, k) table — "
+    "Zipfian text shrinks it well below the token stream — and "
+    "spills to disk past memory. No Python, linear at scale.",
 )
 def text_unigram_logprob(spark, sf_dir):
+    from pyspark import StorageLevel
+
     t = _tokens(spark, sf_dir)
-    uni = t.groupBy("word").agg(F.count("*").alias("c"))
-    tot = uni.select(F.sum("c").cast("double").alias("u"))
+    dw = t.groupBy("doc_id", "word").agg(F.count("*").alias("k")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    uni = dw.groupBy("word").agg(F.sum("k").alias("c"))
+    # grand total straight off the cache (sum k == sum c) — skips a
+    # second vocab shuffle that tot-via-uni would re-run
+    tot = dw.agg(F.sum("k").cast("double").alias("u"))
     return (
-        t.join(F.broadcast(uni), "word")
+        dw.join(F.broadcast(uni), "word")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.sum("k").alias("n_tokens"),
             r(
-                -F.sum(F.log(F.col("c").cast("double") / F.col("u")))
-                / F.count("*"),
+                -F.sum(
+                    F.col("k") * F.log(F.col("c").cast("double") / F.col("u"))
+                )
+                / F.sum("k"),
                 6,
             ).alias("avg_nll"),
         )
@@ -6499,7 +6515,7 @@ def corpus_mix_weights(spark, sf_dir):
 
 
 # =====================================================================
-# Round-4 widening: graph census, mergeable frequency sketch,
+# Round-3 widening: graph census, mergeable frequency sketch,
 # bloom-prefiltered joins, duration-weighted time-series stats
 # =====================================================================
 

@@ -1,4 +1,4 @@
-"""Unit tests for the round-4 operators: triangle counting via
+"""Unit tests for the round-3 operators: triangle counting via
 degree orientation, Count-Min frequency sketch, bloom build/probe."""
 
 from __future__ import annotations
