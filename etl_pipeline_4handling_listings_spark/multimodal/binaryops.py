@@ -277,6 +277,11 @@ def audio_frame_rms(
             rows = []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(content) if content is not None else b""
+                # truncated/corrupt blobs may be odd-length; trim to
+                # a whole number of 16-bit samples instead of letting
+                # np.frombuffer raise and fail the whole job — same
+                # semantics as the tested partial-frame drop
+                data = data[: len(data) // 2 * 2]
                 samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 for f in range(0, len(samples) // frame_size):
                     fr = samples[f * frame_size : (f + 1) * frame_size]

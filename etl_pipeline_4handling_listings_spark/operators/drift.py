@@ -70,18 +70,41 @@ def psi(ref: DataFrame, cur: DataFrame) -> DataFrame:
     """Per-bin PSI terms between two histograms, Laplace-smoothed
     ((c+1)/(n+n_bins)) so empty bins stay defined; quantized 1e-6.
     Pure arithmetic over the n_bins-row frames.
+
+    The two histograms are FULL-OUTER joined on bin with missing
+    counts coalesced to 0: an inner join would silently drop any
+    bin present on one side only (histograms built with different
+    n_bins, or a sparse builder omitting empty rows), and the
+    Laplace constant is the size of the UNIFIED bin set — derived
+    lazily from the joined frame itself, so the smoothing
+    denominator always matches the grid actually scored (no eager
+    count() action, no desync with ref's row count).
     """
-    n_bins = ref.count()
-    r_tot = ref.agg(F.sum("cnt").cast("long").alias("n_ref"))
-    c_tot = cur.agg(F.sum("cnt").cast("long").alias("n_cur"))
-    j = (
+    j0 = (
         ref.select("bin", F.col("cnt").alias("c_ref"))
-        .join(cur.select("bin", F.col("cnt").alias("c_cur")), "bin")
-        .crossJoin(F.broadcast(r_tot))
-        .crossJoin(F.broadcast(c_tot))
+        .join(
+            cur.select("bin", F.col("cnt").alias("c_cur")),
+            "bin",
+            "full_outer",
+        )
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"),
+        )
     )
-    p = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + n_bins)
-    q = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + n_bins)
+    tots = j0.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    j = j0.crossJoin(F.broadcast(tots))
+    p = (F.col("c_cur") + 1).cast("double") / (
+        F.col("n_cur") + F.col("n_bins")
+    )
+    q = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_ref") + F.col("n_bins")
+    )
     term = (p - q) * F.log(p / q)
     return j.select(
         "bin",

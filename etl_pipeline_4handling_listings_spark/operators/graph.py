@@ -148,6 +148,15 @@ def member_pairs(
             ).alias("cells_dropped"),
         )
     groups = groups.filter(F.size(members_col) <= max_cell)
+    # spread BEFORE the explode: the grouped frame is tiny (one row
+    # per group) so AQE coalesces it to ~1 partition, but each row
+    # fans out to C(n,2) pairs — without this keyless repartition
+    # the whole expansion lands in ONE task (measured 27 s vs ~2 s
+    # on the sf0.1 link-prediction wedge). The shuffle it adds is
+    # group-count-sized — noise next to the fan-out it parallelizes.
+    groups = groups.repartition(
+        groups.sparkSession.sparkContext.defaultParallelism
+    )
     pair = F.explode(
         F.flatten(
             F.expr(

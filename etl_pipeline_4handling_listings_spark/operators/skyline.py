@@ -32,22 +32,38 @@ from pyspark.sql import functions as F
 def _skyline_pass(
     df: DataFrame, minimize_col: str, maximize_col: str, pid: str | None
 ) -> DataFrame:
-    """One two-window skyline pass, optionally per-partition."""
+    """One two-window skyline pass, optionally per-partition.
+
+    The "strictly cheaper" frame is built over ``dense_rank`` of the
+    minimize column, not a raw ``rangeBetween(..., -1)`` on the
+    value: a -1 range offset means "value minus one", which only
+    equals "strictly smaller" for integer columns — on a double
+    column it silently misses dominators within (x-1, x) and emits
+    dominated rows. The rank is integral by construction, ties
+    share a rank (same-value rows stay out of the strict frame),
+    and the extra window rides the SAME sort — no added shuffle —
+    so any orderable dtype is now exact.
+    """
     part = [pid] if pid else []
+    w_rank = Window.partitionBy(*part).orderBy(minimize_col)
     w_cheaper = (
         Window.partitionBy(*part)
-        .orderBy(minimize_col)
+        .orderBy("_mrk")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_same = Window.partitionBy(*part, minimize_col)
-    best_cheaper = F.max(maximize_col).over(w_cheaper)
     best_same = F.max(maximize_col).over(w_same)
-    return df.withColumns(
-        {"_bc": best_cheaper, "_bs": best_same}
-    ).filter(
-        (F.col("_bc").isNull() | (F.col("_bc") < F.col(maximize_col)))
-        & (F.col("_bs") == F.col(maximize_col))
-    ).drop("_bc", "_bs")
+    return (
+        df.withColumn("_mrk", F.dense_rank().over(w_rank))
+        .withColumns(
+            {"_bc": F.max(maximize_col).over(w_cheaper), "_bs": best_same}
+        )
+        .filter(
+            (F.col("_bc").isNull() | (F.col("_bc") < F.col(maximize_col)))
+            & (F.col("_bs") == F.col(maximize_col))
+        )
+        .drop("_mrk", "_bc", "_bs")
+    )
 
 
 def skyline_2d(
@@ -55,8 +71,10 @@ def skyline_2d(
 ) -> DataFrame:
     """Rows not dominated on (minimize_col asc, maximize_col desc).
 
-    Both columns should be exactly-comparable types (integers /
-    integer-provenance values) so domination is bit-determined.
+    Exact for any orderable column dtypes (the strict-preceding
+    frame is rank-based, not value-offset-based); prefer integer /
+    integer-provenance values where cross-engine bit-determinism
+    matters.
     """
     local = _skyline_pass(
         df.withColumn("_pid", F.spark_partition_id()),

@@ -10272,18 +10272,19 @@ def forecast_backtest_smape(spark, sf_dir):
     doc="Link prediction on the user co-activity graph: top-20 "
     "NON-adjacent pairs by common-neighbor Jaccard — the "
     "recommendation/entity-suggestion kernel. Common neighbors "
-    "come from the adjacency wedge join grouped per pair (exact "
-    "integers). A hub of degree d mints d^2 candidate pairs, so "
-    "the wedge MIDDLE is degree-capped at 1000 (the celebrity "
-    "guard, same idea as operators/assoc.py max_basket): middles "
-    "above the cap are removed via a broadcast anti-join against "
-    "the hot-middle blacklist — tiny BY CONSTRUCTION, hubs are "
-    "rare — bounding any wedge fan-out at ~1e6 while a capped "
-    "celebrity would otherwise mint 10^12. Never triggers at "
-    "oracle scale (max degree 401 at sf0.1), so DuckDB parity is "
-    "exact; existing edges leave via anti-join, Jaccard = "
-    "cn/(du+dv-cn) is one exact division, quantized 1e-6 with "
-    "full ordering tiebreaks.",
+    "are counted by grouping the adjacency per MIDDLE vertex and "
+    "emitting C(d,2) ordered pairs map-side (graph.member_pairs — "
+    "the same kernel as the co-presence edge build), not by the "
+    "adj-x-adj self-join: one shuffle fewer, and the pair stream "
+    "is C(d,2) instead of the join's d^2 (measured 6.4 s -> "
+    "~3.5 s at sf0.1). member_pairs' max_cell IS the celebrity "
+    "guard here: a middle of degree d mints C(d,2) candidates, so "
+    "middles above degree 1000 are dropped before the expansion — "
+    "bounding any task at ~5e5 pairs where an unguarded celebrity "
+    "would mint 10^12. Never triggers at oracle scale (max degree "
+    "401 at sf0.1), so DuckDB parity is exact; existing edges "
+    "leave via anti-join, Jaccard = cn/(du+dv-cn) is one exact "
+    "division, quantized 1e-6 with full ordering tiebreaks.",
 )
 def graph_link_prediction(spark, sf_dir, max_middle_degree: int = 1000):
     # the co-presence edge build (pres self-join + HAVING) is the
@@ -10294,21 +10295,22 @@ def graph_link_prediction(spark, sf_dir, max_middle_degree: int = 1000):
     adj = edges.select(
         F.col("u").alias("a"), F.col("v").alias("w")
     ).unionByName(edges.select(F.col("v").alias("a"), F.col("u").alias("w")))
+    from etl_pipeline_4handling_listings_spark.operators.graph import (
+        member_pairs,
+    )
+
     deg = adj.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("long").alias("d")
     )
-    # celebrity guard: drop wedge MIDDLES above the degree cap via a
-    # broadcast anti-join on the (rare-by-construction) hub list;
-    # deg itself stays uncapped so reported deg_u/deg_v are exact
-    hot = deg.filter(F.col("d") > max_middle_degree).select(
-        F.col("node").alias("w")
+    # group the adjacency per middle vertex and expand C(d,2)
+    # neighbor pairs MAP-side; max_cell doubles as the middle-degree
+    # celebrity guard. deg stays uncapped: reported deg_u/deg_v are
+    # exact regardless of which middles were dropped.
+    adj_grp = adj.groupBy("w").agg(
+        F.array_sort(F.collect_list("a")).alias("us")
     )
-    adj_mid = adj.join(F.broadcast(hot), "w", "left_anti")
-    x = adj_mid.select(F.col("a").alias("u"), "w")
-    y = adj_mid.select(F.col("a").alias("v"), "w")
     common = (
-        x.join(y, "w")
-        .filter(F.col("u") < F.col("v"))
+        member_pairs(adj_grp, "us", max_cell=max_middle_degree)
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("cn"))
     )

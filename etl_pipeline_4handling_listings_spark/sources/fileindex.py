@@ -21,6 +21,7 @@ lose speed, never rows — the same contract as Delta's stats.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 
@@ -28,6 +29,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _STATS = "_FILE_STATS.json"
+
+
+def _as_datetime(v) -> _dt.datetime:
+    """Normalize a stats/bound value to a typed datetime.
+
+    Stats are serialized via ``json.dump(default=str)``, so a
+    timestamp min arrives as ``'2024-01-01 00:00:00'`` while a
+    caller's bound may be the shorter ``'2024-01-01'`` (or a real
+    date/datetime object). Lexicographic comparison across those
+    forms is WRONG — ``'2024-01-01 00:00:00' > '2024-01-01'`` would
+    prune a file whose min is exactly midnight of ``hi`` even
+    though ``between(lo, hi)`` matches its rows. Parse both sides
+    to datetimes before comparing; raises on unparseable input (the
+    caller catches and keeps the file — pruning may only lose
+    speed, never rows).
+    """
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    return _dt.datetime.fromisoformat(str(v).strip().replace("T", " "))
 
 
 def build_file_stats(
@@ -97,15 +119,25 @@ def read_with_skip(
                 fmin, fmax = int(fmin), int(fmax)
             elif dtype in ("double", "float"):
                 fmin, fmax = float(fmin), float(fmax)
-            elif dtype in ("date", "string") or (
-                dtype or ""
-            ).startswith("timestamp"):
-                # stats were stringified (default=str); ISO forms
-                # order lexicographically, so compare as strings
+            elif dtype == "string":
+                # plain strings: lexicographic IS the column order
                 fmin, fmax, lo_c, hi_c = (
                     str(fmin), str(fmax), str(lo), str(hi)
                 )
                 if not (fmax < lo_c or fmin > hi_c):
+                    keep.append(file)
+                continue
+            elif dtype == "date" or (dtype or "").startswith("timestamp"):
+                # stats were stringified (default=str) — parse BOTH
+                # sides to typed datetimes; mixed-precision string
+                # compare ('...00:00:00' vs a bare date) mis-prunes
+                try:
+                    fmin_t, fmax_t = _as_datetime(fmin), _as_datetime(fmax)
+                    lo_t, hi_t = _as_datetime(lo), _as_datetime(hi)
+                except (ValueError, TypeError):
+                    keep.append(file)  # unparseable: never prune
+                    continue
+                if not (fmax_t < lo_t or fmin_t > hi_t):
                     keep.append(file)
                 continue
             else:

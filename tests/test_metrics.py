@@ -46,3 +46,26 @@ def test_observe_through_pipeline_stages(spark):
     staged = observe_rows(df, obs).groupBy("grp").count()
     staged.write.format("noop").mode("overwrite").save()
     assert obs.get["rows"] == 100
+
+
+def test_psi_full_outer_bins_and_unified_laplace(spark):
+    """ADVICE round-4: psi() must not drop bins present on one side
+    only, and the Laplace constant must be the unified bin-set
+    size."""
+    import math
+
+    from etl_pipeline_4handling_listings_spark.operators.drift import psi
+
+    ref = spark.createDataFrame([(0, 10), (1, 30)], "bin LONG, cnt LONG")
+    cur = spark.createDataFrame([(1, 20), (2, 20)], "bin LONG, cnt LONG")
+    rows = {r["bin"]: r for r in psi(ref, cur).collect()}
+    # all three bins present (full outer), missing counts are 0
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["c_cur"] == 0 and rows[2]["c_ref"] == 0
+    # hand-compute with n_bins = 3 (the UNIFIED grid)
+    n_ref, n_cur, nb = 40, 40, 3
+    for b in (0, 1, 2):
+        p = (rows[b]["c_cur"] + 1) / (n_cur + nb)
+        q = (rows[b]["c_ref"] + 1) / (n_ref + nb)
+        want = math.floor((p - q) * math.log(p / q) * 1e6 + 0.5) / 1e6
+        assert rows[b]["psi_term"] == want

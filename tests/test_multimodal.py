@@ -129,3 +129,21 @@ def test_audio_frame_rms_drops_trailing_partial_frame(spark):
     pcm = synthesize_pcm16(ids, n_samples=100)  # 1 full frame + 36
     out = audio_frame_rms(pcm, frame_size=64).collect()
     assert [r["frame_index"] for r in out] == [0]
+
+
+def test_audio_frame_rms_odd_length_blob_truncates(spark):
+    """ADVICE round-4: an odd-length (truncated/corrupt) blob must
+    not fail the job — trim to whole samples, same contract as the
+    partial-frame drop."""
+    from etl_pipeline_4handling_listings_spark.multimodal.binaryops import (
+        audio_frame_rms,
+    )
+
+    odd = bytes(range(129))  # 129 bytes -> 64 samples
+    pcm = spark.createDataFrame(
+        [(1, odd), (2, b"\x01")], "item_id BIGINT, content BINARY"
+    )
+    out = audio_frame_rms(pcm, frame_size=64).collect()
+    # item 1 yields exactly one 64-sample frame; item 2 yields none
+    assert [(r["item_id"], r["frame_index"]) for r in out] == [(1, 0)]
+    assert out[0]["n_samples"] == 64

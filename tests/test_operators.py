@@ -333,3 +333,27 @@ def test_expectations_single_pass_and_referential(spark):
     dfq = spark.createDataFrame([(1,)], ["it's_col"])
     rep_q = run_expectations(dfq, [expect_not_null("`it's_col`")]).collect()
     assert len(rep_q) == 1 and rep_q[0]["violations"] == 0
+
+
+def test_skyline_2d_double_minimize_column(spark):
+    """ADVICE round-4: the strict-preceding frame is rank-based, so
+    double-typed minimize columns are exact — a dominator within
+    (x-1, x) of the old value-offset frame must now eliminate the
+    dominated row."""
+    from etl_pipeline_4handling_listings_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    rows = [
+        (1.0, 10),   # frontier
+        (1.5, 5),    # dominated by (1.0, 10): within (x-1, x) of it
+        (2.0, 20),   # frontier
+        (2.5, 20),   # dominated (same max, higher min)
+        (3.0, 30),   # frontier
+    ]
+    df = spark.createDataFrame(rows, "cost DOUBLE, value LONG")
+    got = sorted(
+        (r["cost"], r["value"])
+        for r in skyline_2d(df, "cost", "value").collect()
+    )
+    assert got == [(1.0, 10), (2.0, 20), (3.0, 30)]

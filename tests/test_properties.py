@@ -218,9 +218,12 @@ def test_money_sums_partition_invariant(spark_sess):
 def test_driver_order_hygiene():
     """_DRIVER_ORDER is the driver-certification contract: it must
     cover the registry exactly (no dups, no strays) and keep the
-    round-4 rotation's certification window intact: the 47 queries
-    never driver-checked through round 3, then the three fixes
-    still worth re-observation filling slot 50."""
+    round-4 rotation's certification window intact: the 5 r03 red
+    rows first (type-contract fixes under re-observation), the
+    pulled-forward snapshot_column_diff landmine, then the
+    never-checked backlog from q2_min_cost_supplier onward —
+    closing with scalar_array_suite in slot 50 so all 8
+    type-contract fixes sit inside the window."""
     from etl_pipeline_4handling_listings_spark.queries import (
         _DRIVER_ORDER,
         REGISTRY,
@@ -229,12 +232,19 @@ def test_driver_order_hygiene():
     assert len(_DRIVER_ORDER) == len(set(_DRIVER_ORDER)), "duplicate names"
     assert sorted(_DRIVER_ORDER) == sorted(REGISTRY)
     assert list(REGISTRY) == _DRIVER_ORDER, "registry iteration order drifted"
-    assert _DRIVER_ORDER[0] == "events_user_trend"
-    assert _DRIVER_ORDER[47:50] == [
+    assert _DRIVER_ORDER[:7] == [
+        "skew_salted_agg",
+        "embedding_label_centroids",
+        "scalar_map_suite",
+        "scalar_array_setops",
         "s10_schema_enforce",
-        "ann_rp_lsh",
-        "ann_ivf",
+        "snapshot_column_diff",
+        "q2_min_cost_supplier",
     ]
+    assert _DRIVER_ORDER[49] == "scalar_array_suite"
+    window = set(_DRIVER_ORDER[:50])
+    for fixed in ("q11_important_stock", "events_ohlc_bars"):
+        assert fixed in window
 
 
 token_sets = st.lists(

@@ -299,3 +299,46 @@ def test_file_stats_index_stale_safe(spark, tmp_path):
     # recreate reader state: results still come from live files only
     total = read_with_skip(spark, path, "k", 0, 2000).count()
     assert total == spark.read.parquet(path).count()
+
+
+def test_file_stats_index_timestamp_bounds_typed_compare(spark, tmp_path):
+    """ADVICE round-4 (medium): timestamp stats serialize as
+    '... 00:00:00' strings while callers may pass bare-date bounds;
+    lexicographic compare pruned a file whose min is exactly
+    midnight of ``hi``. The typed-parse fix must keep it."""
+    from etl_pipeline_4handling_listings_spark.sources.fileindex import (
+        build_file_stats,
+        read_with_skip,
+    )
+
+    path = str(tmp_path / "tsidx")
+    df = spark.sql(
+        """
+        SELECT id AS k,
+               timestampadd(DAY, CAST(id AS INT),
+                            TIMESTAMP'2024-01-01 00:00:00') AS ts
+        FROM range(8)
+        """
+    )
+    df.repartitionByRange(4, "k").write.parquet(path)
+    build_file_stats(spark, path, ["ts"])
+
+    # hi as a SHORT date string: midnight-of-hi rows must survive
+    out = read_with_skip(spark, path, "ts", "2024-01-01", "2024-01-03")
+    assert out.count() == 3, "midnight-of-bound rows were pruned"
+    # and pruning still actually happens for the narrow range
+    assert len(out.inputFiles()) < 4
+
+    # disjoint range prunes everything
+    assert read_with_skip(
+        spark, path, "ts", "2030-01-01", "2030-02-01"
+    ).count() == 0
+
+    # typed date/datetime bounds parse too (not just strings)
+    import datetime as dt
+
+    typed = read_with_skip(
+        spark, path, "ts", dt.date(2024, 1, 1),
+        dt.datetime(2024, 1, 3, 0, 0, 0),
+    )
+    assert typed.count() == 3

@@ -1,9 +1,11 @@
 """One-shot verification: every gate this repo must pass, in order.
 
-Runs (1) the full oracle-parity sweep at sf0.01, (2) the same sweep
-under the hostile-driver emulation (stock session, non-UTC zone),
-(3) the strict raw-value probe over the whole registry, (4) the
-physical-plan audit, (5) pytest. Stops at the first failing gate.
+Runs (1) the full oracle-parity sweep at sf0.01, (2) the
+registry-wide output-type gate (driver pandas-hashability), (3) the
+same sweep under the hostile-driver emulation (stock session,
+non-UTC zone), (4) the strict raw-value probe over the whole
+registry, (5) the physical-plan audit, (6) pytest. Stops at the
+first failing gate.
 
 Usage:
     python tools/verify_all.py            # all gates (~15-25 min)
@@ -34,6 +36,7 @@ def run(name: str, cmd: list[str], env: dict | None = None) -> None:
 def main() -> None:
     fast = "--fast" in sys.argv
     run("oracle sweep", [sys.executable, "tools/check_oracle.py", SF])
+    run("output-type gate", [sys.executable, "tools/type_gate.py"])
     run("plan audit", [sys.executable, "tools/plan_audit.py"])
     if fast:
         print("ALL GATES PASS (fast)")
