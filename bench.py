@@ -111,6 +111,11 @@ def main() -> None:
             # one broken query must not kill the whole bench line;
             # a sentinel makes the failure visible in BENCH_r{N}.json
             times[name] = -1.0
+        # per-query isolation: queries that persist() intermediates
+        # (budget_select, unigram LM) must not squat on block-manager
+        # memory during LATER queries' shuffles — measured up to 3x
+        # inflation on heap-heavy queries downstream of a leak
+        spark.catalog.clearCache()
 
     # sentinels stay visible in the map but never deflate a total
     total = round(sum(times[n] for n in HEADLINE if times.get(n, -1.0) >= 0), 3)
