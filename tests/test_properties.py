@@ -456,3 +456,43 @@ def test_fairshare_waterfill_conserves_capacity(spark_sess):
     assert len(levels) <= 1  # every saturated tenant gets the level
     got = sum(r["allocation"] for r in rows)
     assert abs(got - capacity) <= 1e-4 * len(rows)
+
+
+member_groups = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=30),
+        min_size=0, max_size=12, unique=True,
+    ),
+    min_size=1, max_size=5,
+)
+
+
+@given(groups=member_groups, cap=st.sampled_from([3, 8, 1000]))
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_member_pairs_matches_bruteforce(spark_sess, groups, cap):
+    """member_pairs == per-group C(n,2) combinations over sorted
+    distinct members, with groups above max_cell dropped entirely —
+    for ANY group mix and cap."""
+    from itertools import combinations
+
+    from etl_pipeline_4handling_listings_spark.operators.graph import (
+        member_pairs,
+    )
+
+    df = spark_sess.createDataFrame(
+        [(i, sorted(g)) for i, g in enumerate(groups)],
+        "g LONG, us ARRAY<BIGINT>",
+    )
+    got = sorted(
+        (r["u"], r["v"])
+        for r in member_pairs(df, "us", max_cell=cap).collect()
+    )
+    want = sorted(
+        p
+        for g in groups
+        if len(g) <= cap
+        for p in combinations(sorted(g), 2)
+    )
+    assert got == want
