@@ -131,7 +131,7 @@ AUDIT = {
     # single-row stat frames crossJoined at the end (broadcast-sided
     # by construction) — the global CartesianProduct forbid still
     # guards the pair joins
-    "graph_triangle_count": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": []},
+    "graph_triangle_count": {"expect": ["HashAggregate", "BroadcastHashJoin", "Generate"], "forbid": []},
     # the fixed-size sketch must broadcast into the probe join
     "sketch_countmin_heavy": {"expect": ["BroadcastHashJoin", "Generate"], "forbid": []},
     # merged partial sketches: union + re-sum, probe still broadcast
@@ -199,7 +199,7 @@ AUDIT = {
     "market_concentration_hhi": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": []},
     "events_cohort_ltv": {"expect": ["Window", "BroadcastHashJoin"], "forbid": []},
     "forecast_backtest_smape": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
-    "graph_link_prediction": {"expect": ["TakeOrderedAndProject", "LeftAnti"], "forbid": ["CartesianProduct"]},
+    "graph_link_prediction": {"expect": ["TakeOrderedAndProject", "LeftAnti", "Generate"], "forbid": ["CartesianProduct"]},
     # the sweep's running sum must be the two-level scan: every
     # window below it is bucket- or user-partitioned, none global
     "events_concurrent_sessions": {"expect": ["HashAggregate", "Window"], "forbid": []},
