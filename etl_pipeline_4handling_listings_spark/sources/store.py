@@ -32,6 +32,29 @@ touched); at 100 TB you'd partition the store (``partition_by``) so
 a merge only rewrites partitions containing matched keys — the
 store prunes untouched partitions by joining source keys against
 the partition column when one is declared.
+
+Concurrent writers (the Delta commit-protocol analogue, reference
+runs nightly + backfill jobs against the same curated table,
+curated.py:319-368 / backfill.py): a merge is OPTIMISTICALLY
+CONCURRENT, not last-writer-wins —
+
+1. the merged snapshot is staged under ``_STAGING/<uuid>``;
+2. the writer CLAIMS version base+1 by ``O_CREAT|O_EXCL``-creating
+   ``_COMMITS/v<N>.json`` — atomic on POSIX, exactly Delta's
+   "write the next _delta_log entry or lose" rule. A claim is only
+   ever for base+1, so a commit is serializable: you can commit
+   v(N+1) only if you merged against v(N);
+3. winner renames staging -> ``v<N>`` (atomic dir rename — the
+   final arbiter even if a stale claim was broken) and flips the
+   ``_CURRENT`` pointer; loser discards its staging, waits for the
+   winner's pointer, RE-RUNS the merge against the new snapshot,
+   and claims the next version — no lost updates;
+4. a claim whose snapshot never appears (crashed writer) expires
+   after ``claim_expiry_s`` and may be broken by a later writer.
+
+``compact_log`` folds commit manifests of vacuumed snapshots into
+one ``_compacted.json`` (the Delta checkpoint/log-compaction
+analogue) so the commit dir stays O(retained versions).
 """
 
 from __future__ import annotations
@@ -39,6 +62,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,6 +133,95 @@ class MergeStore:
     def _version_dir(self, version: str) -> str:
         return os.path.join(self.path, version)
 
+    # -- commit protocol (optimistic concurrency) -----------------------
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, "_COMMITS")
+
+    def _staging_dir(self) -> str:
+        return os.path.join(self.path, "_STAGING")
+
+    def _claim_version(self, version: str, expiry_s: float) -> bool:
+        """Atomically claim ``version``; True iff this writer owns it.
+
+        The exclusive create is the serialization point (Delta's
+        next-log-entry rule). A pre-existing claim whose snapshot
+        directory never materialized within ``expiry_s`` is a
+        crashed writer's orphan and is broken by ``os.replace``
+        (atomic); the subsequent staging->version dir rename is the
+        final arbiter if two breakers ever race through the
+        expiry-check window.
+        """
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        manifest = os.path.join(self._commits_dir(), f"{version}.json")
+        payload = json.dumps(
+            {"version": version, "owner": uuid.uuid4().hex, "ts": time.time()}
+        )
+        try:
+            fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return True
+        except FileExistsError:
+            pass
+        try:
+            age = time.time() - os.path.getmtime(manifest)
+        except OSError:
+            return False
+        if age > expiry_s and not os.path.isdir(self._version_dir(version)):
+            tmp = manifest + "." + uuid.uuid4().hex
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, manifest)
+            return True
+        return False
+
+    def _await_advance(self, beyond: str, timeout_s: float = 30.0) -> None:
+        """Wait for another writer's committed pointer to pass
+        ``beyond`` (bounded poll; returns on timeout — the caller's
+        next attempt then re-claims or breaks the stale claim)."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            cur = self.current_version()
+            if cur is not None and cur > beyond:
+                return
+            time.sleep(0.05)
+
+    def compact_log(self) -> int:
+        """Fold commit manifests of snapshots no longer on disk into
+        ``_COMMITS/_compacted.json`` (Delta checkpoint analogue).
+        Returns the number of manifests folded; the commit dir stays
+        O(retained versions) under any merge cadence."""
+        commits = self._commits_dir()
+        if not os.path.isdir(commits):
+            return 0
+        live = set(self.list_versions())
+        compacted_path = os.path.join(commits, "_compacted.json")
+        try:
+            with open(compacted_path) as f:
+                compacted = json.load(f)
+        except (FileNotFoundError, ValueError):
+            compacted = {}
+        folded = 0
+        for entry in sorted(os.listdir(commits)):
+            if not entry.endswith(".json") or entry == "_compacted.json":
+                continue
+            version = entry[:-5]
+            if version in live:
+                continue
+            try:
+                with open(os.path.join(commits, entry)) as f:
+                    compacted[version] = json.load(f)
+            except (OSError, ValueError):
+                compacted[version] = {"version": version}
+            os.remove(os.path.join(commits, entry))
+            folded += 1
+        if folded:
+            tmp = compacted_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(compacted, f)
+            os.replace(tmp, compacted_path)
+        return folded
+
     # -- public API ----------------------------------------------------
     def exists(self) -> bool:
         return self.current_version() is not None
@@ -124,6 +238,12 @@ class MergeStore:
         if self.exists():
             return
         os.makedirs(self.path, exist_ok=True)
+        # concurrent creators serialize on the v00000 claim; the
+        # loser waits for the winner's pointer instead of double-
+        # writing (the old exists()-then-write was check-then-act)
+        if not self._claim_version("v00000", expiry_s=300.0):
+            self._await_advance(beyond="")
+            return
         with open(self._schema_path(), "w") as f:
             json.dump(template.schema.jsonValue(), f)
         self._write_snapshot(template.limit(0), "v00000")
@@ -164,8 +284,11 @@ class MergeStore:
         delete_condition: Cond = None,
         insert_condition: Cond = None,
         broadcast_source: bool = False,
-    ) -> None:
+        max_retries: int = 5,
+        claim_expiry_s: float = 300.0,
+    ) -> str:
         """Keyed MERGE of ``source`` into the store (M1-M3 semantics).
+        Returns the committed version.
 
         ``broadcast_source=True`` hints the merge join when the
         source batch is small relative to the table.
@@ -177,56 +300,94 @@ class MergeStore:
         be a pure function of the merge keys (use
         :meth:`hash_bucket`) so updates cannot move rows across
         partitions.
+
+        Concurrency: optimistic, serializable per merge (module
+        docstring). Each attempt merges against the CURRENT
+        snapshot and can only commit current+1; losing the claim
+        discards the staged snapshot and re-runs the merge against
+        the winner's result. Raises ``RuntimeError`` after
+        ``max_retries`` lost races.
         """
-        target = self.read()
         src = F.broadcast(source) if broadcast_source else source
-        current = self.current_version() or "v00000"
-        nxt = f"v{int(current[1:]) + 1:05d}"
+        for _attempt in range(max_retries + 1):
+            base = self.current_version()
+            if base is None:
+                raise FileNotFoundError(
+                    f"MergeStore at {self.path} does not exist"
+                )
+            nxt = f"v{int(base[1:]) + 1:05d}"
+            target = self.read_version(base)
+            os.makedirs(self._staging_dir(), exist_ok=True)
+            staging = os.path.join(self._staging_dir(), uuid.uuid4().hex)
 
-        if self.partition_by:
-            pcol = self.partition_by
-            touched = [
-                row[0]
-                for row in source.select(pcol).distinct().collect()
-            ]
-            merged = merge_upsert(
-                target.filter(F.col(pcol).isin(touched)),
-                src,
-                self.keys,
-                update_condition=update_condition,
-                delete_condition=delete_condition,
-                insert_condition=insert_condition,
-            )
-            nxt_dir = self._version_dir(nxt)
-            (
-                merged.write.mode("overwrite")
-                .format(self.fmt)
-                .partitionBy(pcol)
-                .save(nxt_dir)
-            )
-            touched_dirs = {f"{pcol}={v}" for v in touched}
-            prev_dir = self._version_dir(current)
-            for entry in os.listdir(prev_dir):
-                if (
-                    entry.startswith(f"{pcol}=")
-                    and entry not in touched_dirs
-                ):
-                    _link_tree(
-                        os.path.join(prev_dir, entry),
-                        os.path.join(nxt_dir, entry),
-                    )
-            self._set_current(nxt)
-            return
+            if self.partition_by:
+                pcol = self.partition_by
+                touched = [
+                    row[0]
+                    for row in source.select(pcol).distinct().collect()
+                ]
+                merged = merge_upsert(
+                    target.filter(F.col(pcol).isin(touched)),
+                    src,
+                    self.keys,
+                    update_condition=update_condition,
+                    delete_condition=delete_condition,
+                    insert_condition=insert_condition,
+                )
+                (
+                    merged.write.mode("overwrite")
+                    .format(self.fmt)
+                    .partitionBy(pcol)
+                    .save(staging)
+                )
+                # untouched partitions hardlink from the base
+                # snapshot into staging BEFORE the commit rename —
+                # base is immutable and vacuum never drops current
+                touched_dirs = {f"{pcol}={v}" for v in touched}
+                base_dir = self._version_dir(base)
+                for entry in os.listdir(base_dir):
+                    if (
+                        entry.startswith(f"{pcol}=")
+                        and entry not in touched_dirs
+                    ):
+                        _link_tree(
+                            os.path.join(base_dir, entry),
+                            os.path.join(staging, entry),
+                        )
+            else:
+                merged = merge_upsert(
+                    target,
+                    src,
+                    self.keys,
+                    update_condition=update_condition,
+                    delete_condition=delete_condition,
+                    insert_condition=insert_condition,
+                )
+                (
+                    merged.write.mode("overwrite")
+                    .format(self.fmt)
+                    .save(staging)
+                )
 
-        merged = merge_upsert(
-            target,
-            src,
-            self.keys,
-            update_condition=update_condition,
-            delete_condition=delete_condition,
-            insert_condition=insert_condition,
+            if self._claim_version(nxt, claim_expiry_s):
+                try:
+                    os.rename(staging, self._version_dir(nxt))
+                except OSError:
+                    # a broken-claim race lost the dir-rename
+                    # arbiter: treat as a lost claim and retry
+                    shutil.rmtree(staging, ignore_errors=True)
+                    self._await_advance(beyond=base)
+                    continue
+                self._set_current(nxt)
+                return nxt
+            # lost the race: drop the stale staging, wait for the
+            # winner's pointer, re-merge against the new snapshot
+            shutil.rmtree(staging, ignore_errors=True)
+            self._await_advance(beyond=base)
+        raise RuntimeError(
+            f"merge at {self.path} lost {max_retries + 1} straight "
+            "commit races; raise max_retries or serialize writers"
         )
-        self._write_snapshot(merged, nxt)
 
     def list_versions(self) -> list[str]:
         """All snapshot versions on disk, oldest first."""
@@ -321,6 +482,17 @@ class MergeStore:
         doomed = [v for v in versions[:-keep] if v != current]
         for v in doomed:
             shutil.rmtree(self._version_dir(v), ignore_errors=True)
+        # abandoned staging dirs (crashed writers) age out here too;
+        # live writers hold theirs for well under the expiry
+        staging = self._staging_dir()
+        if os.path.isdir(staging):
+            for entry in os.listdir(staging):
+                p = os.path.join(staging, entry)
+                try:
+                    if time.time() - os.path.getmtime(p) > 3600:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         return doomed
 
 

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -244,3 +245,96 @@ def test_store_stats_skip_after_merge(spark, tmp_path):
     build_store_stats(store, ["k"])
     again = read_store_skip(store, "k", 100, 100).collect()
     assert [(r["k"], r["v"]) for r in again] == [(100, 999)]
+
+
+def test_merge_store_concurrent_writers_no_lost_update(spark, tmp_path):
+    """Optimistic concurrency: two writers racing disjoint merges
+    must BOTH land (the old pointer flip was last-writer-wins). The
+    loser re-merges against the winner's snapshot and commits the
+    next version — serializable history, no lost updates."""
+    import threading
+
+    path = str(tmp_path / "occ")
+    store = MergeStore(spark, path, keys=["k"])
+    store.create_if_absent(spark.createDataFrame([(0, "z")], ["k", "v"]))
+
+    errs = []
+
+    def writer(lo: int):
+        try:
+            s = MergeStore(spark, path, keys=["k"])
+            for i in range(3):
+                s.merge(
+                    spark.createDataFrame(
+                        [(lo + i, f"w{lo}-{i}")], ["k", "v"]
+                    )
+                )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    got = {r["k"]: r["v"] for r in store.read().collect()}
+    for lo in (100, 200):
+        for i in range(3):
+            assert got[lo + i] == f"w{lo}-{i}", f"lost update {lo+i}"
+    # six merges -> six committed versions, serial history
+    assert len(store.list_versions()) == 7  # v00000 + 6 commits
+    manifests = sorted(
+        f for f in os.listdir(os.path.join(path, "_COMMITS"))
+        if f.endswith(".json") and f != "_compacted.json"
+    )
+    assert len(manifests) == 7
+
+
+def test_merge_store_stale_claim_expires(spark, tmp_path):
+    """A crashed writer's claim (manifest without a snapshot dir)
+    must not wedge the table: after claim_expiry_s it is broken and
+    the next merge commits that version."""
+    import json as _json
+
+    path = str(tmp_path / "stale")
+    store = MergeStore(spark, path, keys=["k"])
+    store.create_if_absent(spark.createDataFrame([(0, "z")], ["k", "v"]))
+    # simulate the crash: claim v00001, never write the snapshot
+    os.makedirs(os.path.join(path, "_COMMITS"), exist_ok=True)
+    stale = os.path.join(path, "_COMMITS", "v00001.json")
+    with open(stale, "w") as f:
+        _json.dump({"version": "v00001", "owner": "dead", "ts": 0}, f)
+    old = time.time() - 1000
+    os.utime(stale, (old, old))
+
+    store.merge(
+        spark.createDataFrame([(1, "a")], ["k", "v"]),
+        claim_expiry_s=300.0,
+    )
+    assert store.current_version() == "v00001"
+    assert {r["k"]: r["v"] for r in store.read().collect()} == {1: "a"}
+
+
+def test_merge_store_compact_log(spark, tmp_path):
+    """compact_log folds manifests of vacuumed snapshots into
+    _compacted.json and keeps manifests of live ones."""
+    path = str(tmp_path / "clog")
+    store = MergeStore(spark, path, keys=["k"])
+    store.create_if_absent(spark.createDataFrame([(0, "z")], ["k", "v"]))
+    for i in range(4):
+        store.merge(spark.createDataFrame([(i, f"v{i}")], ["k", "v"]))
+    store.vacuum(keep=2)
+    folded = store.compact_log()
+    assert folded == 3  # v00000..v00002 vacuumed (keep v00003/v00004)
+    commits = os.path.join(path, "_COMMITS")
+    import json as _json
+
+    with open(os.path.join(commits, "_compacted.json")) as f:
+        compacted = _json.load(f)
+    assert set(compacted) == {"v00000", "v00001", "v00002"}
+    live_manifests = {
+        f[:-5] for f in os.listdir(commits)
+        if f.endswith(".json") and f != "_compacted.json"
+    }
+    assert live_manifests == {"v00003", "v00004"}
+    # idempotent
+    assert store.compact_log() == 0
