@@ -124,18 +124,42 @@ def foreach_batch_upsert(
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink: W1-dedup each micro-batch, MERGE into
     the store — the reference's daily curated load as a streaming
-    sink (idempotent per key thanks to MERGE semantics).
+    sink.
+
+    Exactly-once per batch: Structured Streaming replays the last
+    uncommitted micro-batch after a restart, so the sink records
+    the highest applied ``batch_id`` in ``_LAST_BATCH`` (written
+    atomically AFTER the merge commits) and skips batch ids at or
+    below it — a replay neither re-merges nor churns a new store
+    version. MERGE's key-idempotency still backstops the one
+    torn-write window (crash after merge, before marker): the redo
+    produces an identical snapshot, never duplicate rows — the same
+    layered guarantee Delta's txn-version-in-commit gives
+    foreachBatch writers.
 
     ``order`` may be a thunk because Column objects are bound to a
     session; a thunk lets the caller defer construction to the
     executor-side invocation.
     """
+    import os
+
+    marker = os.path.join(store.path, "_LAST_BATCH")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        try:
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return  # replayed, already applied
+        except (FileNotFoundError, ValueError):
+            pass
         cols = order() if callable(order) else list(order)
         deduped = latest_record(batch, keys, cols)
         store.create_if_absent(deduped)
         store.merge(deduped)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
 
     return sink
 

@@ -594,3 +594,31 @@ def test_foreach_batch_histogram_drift_matches_from_scratch(spark, tmp_path):
     assert sorted(map(tuple, latest.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_foreach_batch_upsert_skips_replayed_batch(spark, tmp_path):
+    """The _LAST_BATCH transactional marker: a replayed batch_id must
+    neither re-merge nor mint a new store version; a NEW batch id
+    advances normally."""
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+    from etl_pipeline_4handling_listings_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+    )
+
+    store = MergeStore(spark, str(tmp_path / "sink"), keys=["k"])
+    sink = foreach_batch_upsert(
+        store, ["k"], lambda: [F.desc("o")]
+    )
+    b0 = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")], ["k", "o", "v"])
+    sink(b0, 0)
+    assert {r["k"]: r["v"] for r in store.read().collect()} == {1: "b"}
+    versions_after_b0 = store.list_versions()
+
+    # replay of batch 0 (post-restart redelivery): no-op
+    sink(b0, 0)
+    assert store.list_versions() == versions_after_b0
+
+    # next batch applies
+    sink(spark.createDataFrame([(2, 1, "c")], ["k", "o", "v"]), 1)
+    assert {r["k"]: r["v"] for r in store.read().collect()} == {1: "b", 2: "c"}
+    assert len(store.list_versions()) == len(versions_after_b0) + 1
