@@ -178,13 +178,42 @@ class MergeStore:
     def _await_advance(self, beyond: str, timeout_s: float = 30.0) -> None:
         """Wait for another writer's committed pointer to pass
         ``beyond`` (bounded poll; returns on timeout — the caller's
-        next attempt then re-claims or breaks the stale claim)."""
+        next attempt then re-claims or breaks the stale claim).
+        Repairs the pointer while waiting: a writer that crashed
+        between the dir rename (the commit point) and the pointer
+        flip leaves a committed snapshot the pointer doesn't see."""
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
+            self._repair_pointer()
             cur = self.current_version()
             if cur is not None and cur > beyond:
                 return
             time.sleep(0.05)
+
+    def _repair_pointer(self) -> None:
+        """Roll the pointer forward to the newest snapshot directory
+        that holds a commit manifest. The dir rename is the commit
+        point, so a renamed-but-unpointed version (writer crashed
+        before the flip) is COMMITTED — without repair its claim is
+        unbreakable (dir exists) and every later writer would wedge
+        computing base+1 from the stale pointer. Forward-only and
+        idempotent: any process may repair; racing repairs write the
+        same value."""
+        versions = self.list_versions()
+        if not versions:
+            return
+        commits = self._commits_dir()
+        committed = [
+            v
+            for v in versions
+            if os.path.exists(os.path.join(commits, f"{v}.json"))
+        ]
+        if not committed:
+            return
+        newest = max(committed)
+        cur = self.current_version()
+        if cur is None or newest > cur:
+            self._set_current(newest)
 
     def compact_log(self) -> int:
         """Fold commit manifests of snapshots no longer on disk into
@@ -310,6 +339,7 @@ class MergeStore:
         """
         src = F.broadcast(source) if broadcast_source else source
         for _attempt in range(max_retries + 1):
+            self._repair_pointer()
             base = self.current_version()
             if base is None:
                 raise FileNotFoundError(

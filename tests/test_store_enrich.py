@@ -338,3 +338,32 @@ def test_merge_store_compact_log(spark, tmp_path):
     assert live_manifests == {"v00003", "v00004"}
     # idempotent
     assert store.compact_log() == 0
+
+
+def test_merge_store_pointer_repair_after_crash(spark, tmp_path):
+    """A writer crashing between the dir rename (commit point) and
+    the pointer flip must not wedge the table: the next merge rolls
+    the pointer forward over the committed-but-unpointed snapshot
+    and commits on top of it."""
+    import shutil as _sh
+
+    path = str(tmp_path / "crash")
+    store = MergeStore(spark, path, keys=["k"])
+    store.create_if_absent(spark.createDataFrame([(0, "z")], ["k", "v"]))
+    store.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    assert store.current_version() == "v00001"
+
+    # simulate the crash window: v00002 dir + manifest exist, but
+    # the pointer still says v00001
+    _sh.copytree(
+        os.path.join(path, "v00001"), os.path.join(path, "v00002")
+    )
+    with open(os.path.join(path, "_COMMITS", "v00002.json"), "w") as f:
+        json.dump({"version": "v00002", "owner": "dead"}, f)
+
+    store.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    # repaired past v00002, committed v00003 on top of its contents
+    assert store.current_version() == "v00003"
+    assert {r["k"]: r["v"] for r in store.read().collect()} == {
+        1: "a", 2: "b",
+    }
