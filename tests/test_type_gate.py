@@ -34,3 +34,42 @@ def test_oracle_result_types_pandas_hashable(sf_dir):
         "oracle outputs with HUGEINT/DECIMAL/LIST types "
         f"(CAST sums to BIGINT, array_to_string lists): {bad}"
     )
+
+
+def test_type_gate_catches_spark_array_output(spark, sf_dir, monkeypatch):
+    """Guard liveness: a deliberately array-typed registry output must
+    be flagged (the gate itself, not just the current registry, is
+    what CI certifies)."""
+    from etl_pipeline_4handling_listings_spark import queries as qmod
+    from etl_pipeline_4handling_listings_spark.queries import QuerySpec
+
+    def bad(spark_, sf_dir_):
+        from pyspark.sql import functions as F
+
+        return spark_.range(3).select(F.array(F.lit(1), F.lit(2)).alias("xs"))
+
+    monkeypatch.setitem(
+        qmod.REGISTRY, "_gate_probe", QuerySpec("_gate_probe", bad, None, "")
+    )
+    bad_rows = spark_schema_violations(spark, sf_dir)
+    assert any("_gate_probe.xs: ArrayType" in b for b in bad_rows)
+
+
+def test_type_gate_catches_hugeint_oracle(sf_dir, monkeypatch):
+    """Guard liveness on the DuckDB side: an oracle whose SUM widens
+    to HUGEINT must be flagged."""
+    from etl_pipeline_4handling_listings_spark import queries as qmod
+    from etl_pipeline_4handling_listings_spark.queries import QuerySpec
+
+    monkeypatch.setitem(
+        qmod.REGISTRY,
+        "_gate_probe_sql",
+        QuerySpec(
+            "_gate_probe_sql",
+            lambda s, d: None,
+            "SELECT SUM(o_orderkey) AS s FROM orders",
+            "",
+        ),
+    )
+    bad_rows = oracle_type_violations(sf_dir)
+    assert any("_gate_probe_sql.s: HUGEINT" in b for b in bad_rows)
