@@ -180,3 +180,27 @@ def test_link_prediction_middle_degree_cap(spark, sf_dir):
     # with a cap of 0 every middle is a "hub": no wedges survive
     none = graph_link_prediction(spark, sf_dir, max_middle_degree=0)
     assert none.count() == 0
+
+
+def test_member_pairs_spreads_before_explode(spark):
+    """Plan-shape pin for the AQE single-task-explode trap: the
+    grouped frame must pass a keyless repartition BEFORE the pair
+    Generate — without it AQE coalesces the one-row-per-group frame
+    to ~1 partition and the whole C(n,2) fan-out runs in one task
+    (measured 27 s vs ~2 s on the sf0.1 wedge)."""
+    import re
+
+    from etl_pipeline_4handling_listings_spark.operators.graph import (
+        member_pairs,
+    )
+
+    groups = spark.createDataFrame(
+        [("g", [1, 2, 3])], "g STRING, us ARRAY<BIGINT>"
+    )
+    plan = member_pairs(groups, "us")._jdf.queryExecution().executedPlan().toString()
+    gen = plan.find("Generate")
+    rep = plan.find("RoundRobinPartitioning")
+    assert gen != -1 and rep != -1, plan
+    # the repartition exchange must feed the Generate (appear below
+    # it in the tree printout)
+    assert rep > gen, "repartition is not below the pair Generate"
