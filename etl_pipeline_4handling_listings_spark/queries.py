@@ -6545,13 +6545,17 @@ def _copresence_edges(
     e = tbl_events(spark, sf_dir)
     pres = e.select(
         "user_id", "event_type", F.expr("ts_us div 3600000000").alias("h")
-    ).distinct()
+    )
     from etl_pipeline_4handling_listings_spark.operators.graph import (
         member_pairs,
     )
 
+    # collect_set dedups (user, cell) presence inside the SAME
+    # aggregate (map-side partials included) — a separate
+    # .distinct() before the groupBy paid a second full shuffle of
+    # the presence stream for a dedup this one does for free
     groups = pres.groupBy("event_type", "h").agg(
-        F.array_sort(F.collect_list("user_id")).alias("us")
+        F.array_sort(F.collect_set("user_id")).alias("us")
     )
     return (
         member_pairs(
