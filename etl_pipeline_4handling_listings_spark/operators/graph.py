@@ -157,16 +157,20 @@ def member_pairs(
     groups = groups.repartition(
         groups.sparkSession.sparkContext.defaultParallelism
     )
-    pair = F.explode(
-        F.flatten(
-            F.expr(
-                f"transform({members_col}, (x, i) ->"
-                f" transform(slice({members_col}, i + 2,"
-                f" size({members_col})),"
-                " y -> struct(x AS u, y AS v)))"
-            )
-        )
+    # two-level explode, NOT flatten(transform(...)): the flattened
+    # pair array is one C(n,2)-element allocation per group row (at
+    # the 1000 cap that is a ~16 MB humongous object — G1 old-gen
+    # pressure that showed up as multi-x wall-time swings late in
+    # long sessions). Chaining posexplode -> explode(slice) streams
+    # the same pairs through two pipelined Generate nodes with
+    # per-row allocations bounded by n elements, never n^2/2.
+    lvl1 = groups.select(
+        F.col(members_col).alias("_us"),
+        F.posexplode(members_col).alias("_i", "u"),
     )
-    return groups.select(pair.alias("p")).select(
-        F.col("p.u").alias("u"), F.col("p.v").alias("v")
+    return lvl1.select(
+        "u",
+        F.explode(
+            F.slice(F.col("_us"), F.col("_i") + 2, F.size("_us"))
+        ).alias("v"),
     )
