@@ -26,6 +26,32 @@ from pyspark.sql import functions as F
 
 BUCKETS = 1_000_000
 
+# One retained cache per named slot: Spark's SQL cache has NO LRU
+# eviction (CacheManager entries and their spilled blocks live until
+# an explicit unpersist/clearCache), so an operator that persists an
+# intermediate on every call would accumulate cached plans without
+# bound in a long-lived driver session. persist_slot releases the
+# slot's previous frame before caching the new one — steady-state
+# footprint is exactly one cached frame per operator.
+_PERSIST_SLOTS: dict[str, DataFrame] = {}
+
+
+def persist_slot(slot: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK), unpersisting whatever frame
+    ``slot`` cached on the previous call. Unpersist is lazy-safe:
+    a still-running consumer of the old frame just recomputes."""
+    from pyspark import StorageLevel
+
+    prev = _PERSIST_SLOTS.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session of the old frame may already be stopped
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSIST_SLOTS[slot] = out
+    return out
+
 
 def portable_hash60(cols: Sequence[Column], sep: str = "|") -> Column:
     """Engine-portable 60-bit content hash: the first 15 hex chars of
@@ -160,18 +186,21 @@ def budget_select(
     three regex-heavy scans of the full document table (5.7 s ->
     ~2 s at sf0.1). The cached frame is the caller's projection
     (typically narrow id/weight columns, NOT the raw text), spilled
-    to disk if it outgrows executor memory; LRU eviction reclaims
-    it after the action — no unpersist hook is needed for a
-    read-only query plan. Disable for single-shot callers that
-    already persist upstream.
+    to disk if it outgrows executor memory. SQL-cache entries are
+    NOT LRU-evicted — they live until an explicit unpersist or
+    ``spark.catalog.clearCache()`` — so this module releases its
+    own previous cache on every call (:func:`persist_slot`):
+    a long-lived session that calls budget_select repeatedly holds
+    at most ONE cached frame, not an unbounded accumulation. The
+    final frame is released by the session's next call or the
+    caller's ``clearCache()`` (bench.py does this per query).
+    Disable for single-shot callers that already persist upstream.
     """
     tagged = df.withColumn("_qb", bucket.cast("bigint")).withColumn(
         "_w", F.col(weight_col).cast("bigint")
     )
     if persist:
-        from pyspark import StorageLevel
-
-        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        tagged = persist_slot("budget_select", tagged)
     per_bucket = tagged.groupBy("_qb").agg(F.sum("_w").alias("_bw"))
     # tiny frame: one row per bucket — the unpartitioned window is
     # bounded by the bucket-grid cardinality, not the data size

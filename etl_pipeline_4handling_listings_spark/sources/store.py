@@ -125,9 +125,27 @@ class MergeStore:
             return None
 
     def _set_current(self, version: str) -> None:
-        tmp = self._pointer_path() + ".tmp"
+        """Advance-only pointer flip: ``_CURRENT`` never moves
+        backwards. A writer paused between the commit rename and its
+        pointer flip must not overwrite the pointer after a NEWER
+        version committed (that would serve stale snapshots until the
+        next repair); checking current-on-disk at write time and again
+        immediately before the atomic replace closes all but the
+        instant of ``os.replace`` itself — and any writer that does
+        lose that instant is corrected by the next
+        ``_repair_pointer``, which routes through here and therefore
+        can also only advance. Unique tmp names keep racing flippers
+        from clobbering each other's staging file."""
+        cur = self.current_version()
+        if cur is not None and cur >= version:
+            return
+        tmp = self._pointer_path() + "." + uuid.uuid4().hex + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
+        cur = self.current_version()
+        if cur is not None and cur >= version:
+            os.remove(tmp)
+            return
         os.replace(tmp, self._pointer_path())
 
     def _version_dir(self, version: str) -> str:
@@ -215,15 +233,26 @@ class MergeStore:
         if cur is None or newest > cur:
             self._set_current(newest)
 
-    def compact_log(self) -> int:
+    def compact_log(self, claim_expiry_s: float = 300.0) -> int:
         """Fold commit manifests of snapshots no longer on disk into
-        ``_COMMITS/_compacted.json`` (Delta checkpoint analogue).
-        Returns the number of manifests folded; the commit dir stays
-        O(retained versions) under any merge cadence."""
+        ``_COMPACTED`` inside ``_COMMITS`` (Delta checkpoint
+        analogue). Returns the number of manifests folded; the commit
+        dir stays O(retained versions) under any merge cadence.
+
+        Only manifests STRICTLY OLDER than the oldest retained
+        snapshot are eligible: an in-flight claim (manifest written,
+        version dir not yet renamed) sorts AFTER every live version,
+        and folding it would delete the commit's serialization point
+        mid-commit — after the rename that version would permanently
+        lack a manifest and ``_repair_pointer`` could never roll
+        forward to it. A manifest younger than ``claim_expiry_s`` is
+        likewise spared as belt-and-braces against clock/listing
+        races (mirrors ``_claim_version``'s expiry rule)."""
         commits = self._commits_dir()
         if not os.path.isdir(commits):
             return 0
-        live = set(self.list_versions())
+        live = self.list_versions()
+        oldest_live = live[0] if live else None
         compacted_path = os.path.join(commits, "_compacted.json")
         try:
             with open(compacted_path) as f:
@@ -235,7 +264,19 @@ class MergeStore:
             if not entry.endswith(".json") or entry == "_compacted.json":
                 continue
             version = entry[:-5]
-            if version in live:
+            if oldest_live is None or version >= oldest_live:
+                # retained snapshot, or an in-flight/orphaned claim
+                # beyond the newest live version — never fold those
+                # (an orphan past expiry is reusable via
+                # _claim_version's break path, not compaction)
+                continue
+            try:
+                age = time.time() - os.path.getmtime(
+                    os.path.join(commits, entry)
+                )
+            except OSError:
+                continue
+            if age <= claim_expiry_s:
                 continue
             try:
                 with open(os.path.join(commits, entry)) as f:
@@ -371,19 +412,30 @@ class MergeStore:
                     .save(staging)
                 )
                 # untouched partitions hardlink from the base
-                # snapshot into staging BEFORE the commit rename —
-                # base is immutable and vacuum never drops current
+                # snapshot into staging BEFORE the commit rename.
+                # Base is immutable, but "vacuum never drops
+                # current" only protects the INSTANTANEOUS current:
+                # if a concurrent writer advanced the store and a
+                # vacuum dropped our (now stale) base mid-staging,
+                # listdir/link raise OSError — that is just a lost
+                # race, so discard staging and re-merge against the
+                # winner's snapshot instead of hard-failing.
                 touched_dirs = {f"{pcol}={v}" for v in touched}
                 base_dir = self._version_dir(base)
-                for entry in os.listdir(base_dir):
-                    if (
-                        entry.startswith(f"{pcol}=")
-                        and entry not in touched_dirs
-                    ):
-                        _link_tree(
-                            os.path.join(base_dir, entry),
-                            os.path.join(staging, entry),
-                        )
+                try:
+                    for entry in os.listdir(base_dir):
+                        if (
+                            entry.startswith(f"{pcol}=")
+                            and entry not in touched_dirs
+                        ):
+                            _link_tree(
+                                os.path.join(base_dir, entry),
+                                os.path.join(staging, entry),
+                            )
+                except OSError:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    self._await_advance(beyond=base)
+                    continue
             else:
                 merged = merge_upsert(
                     target,

@@ -121,6 +121,7 @@ def foreach_batch_upsert(
     store: MergeStore,
     keys: Sequence[str],
     order: Sequence[Column] | Callable[[], Sequence[Column]],
+    txn_app_id: str = "default",
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink: W1-dedup each micro-batch, MERGE into
     the store — the reference's daily curated load as a streaming
@@ -128,37 +129,62 @@ def foreach_batch_upsert(
 
     Exactly-once per batch: Structured Streaming replays the last
     uncommitted micro-batch after a restart, so the sink records
-    the highest applied ``batch_id`` in ``_LAST_BATCH`` (written
+    the highest applied batch id in ``_LAST_BATCH`` (written
     atomically AFTER the merge commits) and skips batch ids at or
     below it — a replay neither re-merges nor churns a new store
     version. MERGE's key-idempotency still backstops the one
     torn-write window (crash after merge, before marker): the redo
-    produces an identical snapshot, never duplicate rows — the same
-    layered guarantee Delta's txn-version-in-commit gives
-    foreachBatch writers.
+    produces an identical snapshot, never duplicate rows.
+
+    The marker is a JSON map keyed by ``txn_app_id`` — Delta's
+    (txnAppId, txnVersion) scheme, not a bare batch id: a SECOND
+    streaming query writing the same store, or a restart with a
+    RESET checkpoint (batch ids restart at 0), must not have its
+    real batches dropped as "replays" of another query's ids. Give
+    every distinct query/checkpoint its own ``txn_app_id``, and a
+    FRESH id after wiping a checkpoint. Single writer per app id is
+    assumed (the map update is read-modify-write); concurrent
+    queries with DIFFERENT app ids interleave safely through
+    MERGE's own commit protocol. A pre-existing plain-int marker
+    (the old format) is read as ``{"default": n}``.
 
     ``order`` may be a thunk because Column objects are bound to a
     session; a thunk lets the caller defer construction to the
     executor-side invocation.
     """
+    import json
     import os
 
     marker = os.path.join(store.path, "_LAST_BATCH")
 
-    def sink(batch: DataFrame, batch_id: int) -> None:
+    def _applied() -> dict[str, int]:
         try:
             with open(marker) as f:
-                if batch_id <= int(f.read().strip()):
-                    return  # replayed, already applied
-        except (FileNotFoundError, ValueError):
-            pass
+                raw = f.read().strip()
+        except FileNotFoundError:
+            return {}
+        try:
+            d = json.loads(raw)
+        except ValueError:
+            return {}
+        if isinstance(d, dict):
+            return d
+        if isinstance(d, int):  # legacy plain-int marker ("7" IS json)
+            return {"default": d}
+        return {}
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _applied().get(txn_app_id, -1):
+            return  # replayed, already applied by THIS query
         cols = order() if callable(order) else list(order)
         deduped = latest_record(batch, keys, cols)
         store.create_if_absent(deduped)
         store.merge(deduped)
+        applied = _applied()
+        applied[txn_app_id] = batch_id
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(batch_id))
+            json.dump(applied, f)
         os.replace(tmp, marker)
 
     return sink

@@ -323,7 +323,12 @@ def test_merge_store_compact_log(spark, tmp_path):
     for i in range(4):
         store.merge(spark.createDataFrame([(i, f"v{i}")], ["k", "v"]))
     store.vacuum(keep=2)
-    folded = store.compact_log()
+    # manifests written seconds ago: the claim-age belt-and-braces
+    # spares them at the default expiry, so the seconds-old-test
+    # passes expiry 0 — the positional oldest-live guard (the real
+    # in-flight protection) is exercised by the test below
+    assert store.compact_log() == 0  # all younger than default expiry
+    folded = store.compact_log(claim_expiry_s=0.0)
     assert folded == 3  # v00000..v00002 vacuumed (keep v00003/v00004)
     commits = os.path.join(path, "_COMMITS")
     import json as _json
@@ -337,7 +342,58 @@ def test_merge_store_compact_log(spark, tmp_path):
     }
     assert live_manifests == {"v00003", "v00004"}
     # idempotent
-    assert store.compact_log() == 0
+    assert store.compact_log(claim_expiry_s=0.0) == 0
+
+
+def test_merge_store_compact_log_spares_inflight_claim(spark, tmp_path):
+    """A claimed-but-not-yet-renamed version (writer mid-commit) must
+    survive compaction even with expiry 0: folding it would delete
+    the commit's serialization point and leave the renamed version
+    permanently manifest-less (un-repairable). Same for any manifest
+    beyond the newest live version."""
+    path = str(tmp_path / "clog_inflight")
+    store = MergeStore(spark, path, keys=["k"])
+    store.create_if_absent(spark.createDataFrame([(0, "z")], ["k", "v"]))
+    store.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    # in-flight claim: manifest exists, version dir does not (yet)
+    commits = os.path.join(path, "_COMMITS")
+    claim = os.path.join(commits, "v00002.json")
+    import json as _json
+
+    with open(claim, "w") as f:
+        _json.dump({"version": "v00002", "owner": "live", "ts": 0}, f)
+    old = time.time() - 10_000
+    os.utime(claim, (old, old))  # even an ancient claim is spared
+    assert store.compact_log(claim_expiry_s=0.0) == 0
+    assert os.path.exists(claim)
+    # the in-flight writer completes: rename + pointer flip still work
+    os.makedirs(store._version_dir("v00002"))
+    import shutil as _shutil
+
+    for f_ in os.listdir(store._version_dir("v00001")):
+        _shutil.copy(
+            os.path.join(store._version_dir("v00001"), f_),
+            os.path.join(store._version_dir("v00002"), f_),
+        )
+    store._repair_pointer()
+    assert store.current_version() == "v00002"
+
+
+def test_merge_store_pointer_is_advance_only(spark, tmp_path):
+    """_CURRENT never moves backwards: a writer paused between its
+    commit rename and pointer flip must not overwrite the pointer
+    after a newer version committed (stale snapshot reads until the
+    next repair). _set_current with an older version is a no-op."""
+    path = str(tmp_path / "advance_only")
+    store = MergeStore(spark, path, keys=["k"])
+    store.create_if_absent(spark.createDataFrame([(0, "z")], ["k", "v"]))
+    store.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    store.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    assert store.current_version() == "v00002"
+    store._set_current("v00001")  # the paused writer's late flip
+    assert store.current_version() == "v00002"
+    store._set_current("v00002")  # idempotent same-version flip
+    assert store.current_version() == "v00002"
 
 
 def test_merge_store_pointer_repair_after_crash(spark, tmp_path):

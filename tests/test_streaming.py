@@ -622,3 +622,52 @@ def test_foreach_batch_upsert_skips_replayed_batch(spark, tmp_path):
     sink(spark.createDataFrame([(2, 1, "c")], ["k", "o", "v"]), 1)
     assert {r["k"]: r["v"] for r in store.read().collect()} == {1: "b", 2: "c"}
     assert len(store.list_versions()) == len(versions_after_b0) + 1
+
+
+def test_foreach_batch_upsert_marker_is_per_app_id(spark, tmp_path):
+    """The marker is keyed by txn_app_id (Delta's txnAppId scheme):
+    a SECOND query writing the same store, or a restart with a
+    reset checkpoint under a fresh app id, must not have its batch 0
+    dropped as a 'replay' of the first query's batch ids — while
+    each query's OWN replays are still suppressed."""
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+    from etl_pipeline_4handling_listings_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+    )
+
+    store = MergeStore(spark, str(tmp_path / "sink2"), keys=["k"])
+    sink_a = foreach_batch_upsert(
+        store, ["k"], lambda: [F.desc("o")], txn_app_id="query_a"
+    )
+    sink_b = foreach_batch_upsert(
+        store, ["k"], lambda: [F.desc("o")], txn_app_id="query_b"
+    )
+    sink_a(
+        spark.createDataFrame([(1, 1, "a")], ["k", "o", "v"]), 5
+    )  # query A is at batch 5
+    # query B (fresh checkpoint) starts at batch 0 — must APPLY,
+    # not be dropped because 0 <= A's high-water mark
+    sink_b(spark.createDataFrame([(2, 1, "b")], ["k", "o", "v"]), 0)
+    assert {r["k"]: r["v"] for r in store.read().collect()} == {
+        1: "a",
+        2: "b",
+    }
+    n_versions = len(store.list_versions())
+    # each query's own replay is still suppressed
+    sink_a(spark.createDataFrame([(9, 1, "x")], ["k", "o", "v"]), 5)
+    sink_b(spark.createDataFrame([(9, 1, "x")], ["k", "o", "v"]), 0)
+    assert len(store.list_versions()) == n_versions
+    # a legacy plain-int marker reads as {"default": n}
+    import json as _json
+    import os as _os
+
+    marker = _os.path.join(store.path, "_LAST_BATCH")
+    with open(marker) as f:
+        assert set(_json.load(f)) == {"query_a", "query_b"}
+    with open(marker, "w") as f:
+        f.write("7")
+    sink_default = foreach_batch_upsert(store, ["k"], lambda: [F.desc("o")])
+    sink_default(
+        spark.createDataFrame([(9, 1, "x")], ["k", "o", "v"]), 7
+    )  # replay under the legacy marker: suppressed
+    assert len(store.list_versions()) == n_versions

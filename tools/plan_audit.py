@@ -130,8 +130,12 @@ AUDIT = {
     # degree-oriented wedge join; the only nested-loop joins are the
     # single-row stat frames crossJoined at the end (broadcast-sided
     # by construction) — the global CartesianProduct forbid still
-    # guards the pair joins
-    "graph_triangle_count": {"expect": ["HashAggregate", "BroadcastHashJoin", "Generate"], "forbid": []},
+    # guards the pair joins. The member-pairs Generate no longer
+    # appears HERE: the co-presence edge build is materialized once
+    # per session (_copresence_edges_cached) and this plan consumes
+    # the checkpointed edge frame; the Generate shape is asserted by
+    # tests/test_graph plan tests on _copresence_edges itself.
+    "graph_triangle_count": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": []},
     # the fixed-size sketch must broadcast into the probe join
     "sketch_countmin_heavy": {"expect": ["BroadcastHashJoin", "Generate"], "forbid": []},
     # merged partial sketches: union + re-sum, probe still broadcast
