@@ -112,6 +112,11 @@ class MergeStore:
         self.keys = list(keys)
         self.fmt = fmt
         self.partition_by = partition_by
+        # per-merge instrumentation (reset by each merge() call):
+        # how many times the merge computation ran vs how many lost
+        # races were absorbed by the partition-disjoint fast-forward
+        self.merge_recomputes = 0
+        self.merge_fast_forwards = 0
 
     # -- pointer bookkeeping -------------------------------------------
     def _pointer_path(self) -> str:
@@ -158,7 +163,12 @@ class MergeStore:
     def _staging_dir(self) -> str:
         return os.path.join(self.path, "_STAGING")
 
-    def _claim_version(self, version: str, expiry_s: float) -> bool:
+    def _claim_version(
+        self,
+        version: str,
+        expiry_s: float,
+        touched: list[str] | None = None,
+    ) -> bool:
         """Atomically claim ``version``; True iff this writer owns it.
 
         The exclusive create is the serialization point (Delta's
@@ -168,12 +178,22 @@ class MergeStore:
         (atomic); the subsequent staging->version dir rename is the
         final arbiter if two breakers ever race through the
         expiry-check window.
+
+        ``touched`` (partitioned merges) records WHICH partition
+        values this commit rewrites — Delta-style conflict metadata:
+        a losing writer whose own touched set is disjoint can
+        fast-forward past this commit without re-running its merge.
         """
         os.makedirs(self._commits_dir(), exist_ok=True)
         manifest = os.path.join(self._commits_dir(), f"{version}.json")
-        payload = json.dumps(
-            {"version": version, "owner": uuid.uuid4().hex, "ts": time.time()}
-        )
+        record = {
+            "version": version,
+            "owner": uuid.uuid4().hex,
+            "ts": time.time(),
+        }
+        if touched is not None:
+            record["touched"] = sorted(touched)
+        payload = json.dumps(record)
         try:
             fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
@@ -192,6 +212,34 @@ class MergeStore:
             os.replace(tmp, manifest)
             return True
         return False
+
+    def _manifest_touched(self, version: str) -> list[str] | None:
+        """The partition values ``version``'s commit rewrote, or
+        ``None`` when unattributed (non-partitioned commit, legacy
+        manifest, or unreadable) — ``None`` always disables
+        fast-forward; absence of evidence is treated as conflict."""
+        manifest = os.path.join(self._commits_dir(), f"{version}.json")
+        try:
+            with open(manifest) as f:
+                record = json.load(f)
+        except (OSError, ValueError):
+            return None
+        t = record.get("touched")
+        return t if isinstance(t, list) else None
+
+    def _ff_valid(
+        self, from_v: str, to_v: str, touched_strs: Sequence[str]
+    ) -> bool:
+        """True iff EVERY commit in ``(from_v, to_v]`` declares a
+        touched-partition set disjoint from ``touched_strs`` — the
+        precondition for reusing merge output computed against
+        ``from_v`` when committing on top of ``to_v``."""
+        mine = set(touched_strs)
+        for i in range(int(from_v[1:]) + 1, int(to_v[1:]) + 1):
+            theirs = self._manifest_touched(f"v{i:05d}")
+            if theirs is None or mine & set(theirs):
+                return False
+        return True
 
     def _await_advance(self, beyond: str, timeout_s: float = 30.0) -> None:
         """Wait for another writer's committed pointer to pass
@@ -377,99 +425,163 @@ class MergeStore:
         discards the staged snapshot and re-runs the merge against
         the winner's result. Raises ``RuntimeError`` after
         ``max_retries`` lost races.
+
+        PARTITION-DISJOINT FAST-FORWARD: with ``partition_by`` set,
+        each commit manifest records the partition values it rewrote
+        (Delta's conflict-detection metadata). A loser whose touched
+        set is disjoint from EVERY commit that landed since its base
+        does not re-run the merge: its already-written merged
+        partitions are still byte-valid against the new base, so it
+        just re-links the (new) untouched partitions and claims the
+        next version — two writers loading disjoint daily partitions
+        both commit with ONE merge computation each. Any overlapping
+        or unattributed intermediate commit (non-partitioned writer,
+        legacy manifest) forces the conservative full re-merge.
+        ``merge_recomputes`` / ``merge_fast_forwards`` expose the
+        path taken for tests and ops introspection.
         """
         src = F.broadcast(source) if broadcast_source else source
-        for _attempt in range(max_retries + 1):
-            self._repair_pointer()
-            base = self.current_version()
-            if base is None:
-                raise FileNotFoundError(
-                    f"MergeStore at {self.path} does not exist"
+        self.merge_recomputes = 0
+        self.merge_fast_forwards = 0
+        # surviving merged output across lost-but-disjoint races:
+        # {"dir": staged parquet of touched partitions, "base":
+        #  version it was merged against, "touched": raw values,
+        #  "strs": stringified partition values (manifest form)}
+        ff: dict | None = None
+        try:
+            for _attempt in range(max_retries + 1):
+                self._repair_pointer()
+                base = self.current_version()
+                if base is None:
+                    raise FileNotFoundError(
+                        f"MergeStore at {self.path} does not exist"
+                    )
+                nxt = f"v{int(base[1:]) + 1:05d}"
+                os.makedirs(self._staging_dir(), exist_ok=True)
+                staging = os.path.join(
+                    self._staging_dir(), uuid.uuid4().hex
                 )
-            nxt = f"v{int(base[1:]) + 1:05d}"
-            target = self.read_version(base)
-            os.makedirs(self._staging_dir(), exist_ok=True)
-            staging = os.path.join(self._staging_dir(), uuid.uuid4().hex)
 
-            if self.partition_by:
-                pcol = self.partition_by
-                touched = [
-                    row[0]
-                    for row in source.select(pcol).distinct().collect()
-                ]
-                merged = merge_upsert(
-                    target.filter(F.col(pcol).isin(touched)),
-                    src,
-                    self.keys,
-                    update_condition=update_condition,
-                    delete_condition=delete_condition,
-                    insert_condition=insert_condition,
-                )
-                (
-                    merged.write.mode("overwrite")
-                    .format(self.fmt)
-                    .partitionBy(pcol)
-                    .save(staging)
-                )
-                # untouched partitions hardlink from the base
-                # snapshot into staging BEFORE the commit rename.
-                # Base is immutable, but "vacuum never drops
-                # current" only protects the INSTANTANEOUS current:
-                # if a concurrent writer advanced the store and a
-                # vacuum dropped our (now stale) base mid-staging,
-                # listdir/link raise OSError — that is just a lost
-                # race, so discard staging and re-merge against the
-                # winner's snapshot instead of hard-failing.
-                touched_dirs = {f"{pcol}={v}" for v in touched}
-                base_dir = self._version_dir(base)
-                try:
-                    for entry in os.listdir(base_dir):
-                        if (
-                            entry.startswith(f"{pcol}=")
-                            and entry not in touched_dirs
+                if self.partition_by:
+                    pcol = self.partition_by
+                    if ff is not None and ff["base"] != base:
+                        # reusable only if EVERY commit in
+                        # (ff.base, base] is provably disjoint
+                        if not self._ff_valid(
+                            ff["base"], base, ff["strs"]
                         ):
-                            _link_tree(
-                                os.path.join(base_dir, entry),
-                                os.path.join(staging, entry),
-                            )
-                except OSError:
-                    shutil.rmtree(staging, ignore_errors=True)
-                    self._await_advance(beyond=base)
-                    continue
-            else:
-                merged = merge_upsert(
-                    target,
-                    src,
-                    self.keys,
-                    update_condition=update_condition,
-                    delete_condition=delete_condition,
-                    insert_condition=insert_condition,
-                )
-                (
-                    merged.write.mode("overwrite")
-                    .format(self.fmt)
-                    .save(staging)
-                )
+                            shutil.rmtree(ff["dir"], ignore_errors=True)
+                            ff = None
+                    if ff is None:
+                        touched = [
+                            row[0]
+                            for row in source.select(pcol)
+                            .distinct()
+                            .collect()
+                        ]
+                        merged = merge_upsert(
+                            self.read_version(base).filter(
+                                F.col(pcol).isin(touched)
+                            ),
+                            src,
+                            self.keys,
+                            update_condition=update_condition,
+                            delete_condition=delete_condition,
+                            insert_condition=insert_condition,
+                        )
+                        merged_dir = os.path.join(
+                            self._staging_dir(),
+                            uuid.uuid4().hex + ".merged",
+                        )
+                        (
+                            merged.write.mode("overwrite")
+                            .format(self.fmt)
+                            .partitionBy(pcol)
+                            .save(merged_dir)
+                        )
+                        self.merge_recomputes += 1
+                        ff = {
+                            "dir": merged_dir,
+                            "base": base,
+                            "touched": touched,
+                            "strs": sorted(str(v) for v in touched),
+                        }
+                    else:
+                        self.merge_fast_forwards += 1
+                    # commit candidate: hardlinks of the merged
+                    # touched partitions + untouched partitions from
+                    # the (current) base. Base is immutable, but
+                    # "vacuum never drops current" only protects the
+                    # INSTANTANEOUS current: if a concurrent writer
+                    # advanced the store and a vacuum dropped our
+                    # now-stale base mid-build, listdir/link raise
+                    # OSError — that is just a lost race, so discard
+                    # staging and retry against the winner.
+                    touched_dirs = {
+                        f"{pcol}={s}" for s in ff["strs"]
+                    }
+                    base_dir = self._version_dir(base)
+                    try:
+                        _link_tree(ff["dir"], staging)
+                        for entry in os.listdir(base_dir):
+                            if (
+                                entry.startswith(f"{pcol}=")
+                                and entry not in touched_dirs
+                            ):
+                                _link_tree(
+                                    os.path.join(base_dir, entry),
+                                    os.path.join(staging, entry),
+                                )
+                    except OSError:
+                        shutil.rmtree(staging, ignore_errors=True)
+                        self._await_advance(beyond=base)
+                        continue
+                    claim_touched = ff["strs"]
+                else:
+                    merged = merge_upsert(
+                        self.read_version(base),
+                        src,
+                        self.keys,
+                        update_condition=update_condition,
+                        delete_condition=delete_condition,
+                        insert_condition=insert_condition,
+                    )
+                    (
+                        merged.write.mode("overwrite")
+                        .format(self.fmt)
+                        .save(staging)
+                    )
+                    self.merge_recomputes += 1
+                    claim_touched = None
 
-            if self._claim_version(nxt, claim_expiry_s):
-                try:
-                    os.rename(staging, self._version_dir(nxt))
-                except OSError:
-                    # a broken-claim race lost the dir-rename
-                    # arbiter: treat as a lost claim and retry
-                    shutil.rmtree(staging, ignore_errors=True)
-                    self._await_advance(beyond=base)
-                    continue
-                self._set_current(nxt)
-                return nxt
-            # lost the race: drop the stale staging, wait for the
-            # winner's pointer, re-merge against the new snapshot
-            shutil.rmtree(staging, ignore_errors=True)
-            self._await_advance(beyond=base)
-        raise RuntimeError(
-            f"merge at {self.path} lost {max_retries + 1} straight "
-            "commit races; raise max_retries or serialize writers"
-        )
+                if self._claim_version(
+                    nxt, claim_expiry_s, touched=claim_touched
+                ):
+                    try:
+                        os.rename(staging, self._version_dir(nxt))
+                    except OSError:
+                        # a broken-claim race lost the dir-rename
+                        # arbiter: treat as a lost claim and retry
+                        shutil.rmtree(staging, ignore_errors=True)
+                        self._await_advance(beyond=base)
+                        continue
+                    self._set_current(nxt)
+                    return nxt
+                # lost the race: drop the stale staging, wait for
+                # the winner's pointer, retry against the new
+                # snapshot (fast-forward decides at loop top whether
+                # the merge computation itself can be reused)
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+            raise RuntimeError(
+                f"merge at {self.path} lost {max_retries + 1} straight "
+                "commit races; raise max_retries or serialize writers"
+            )
+        finally:
+            # committed staging holds hardlinks to the merged files,
+            # so dropping the scratch dir never touches live data
+            if ff is not None:
+                shutil.rmtree(ff["dir"], ignore_errors=True)
 
     def list_versions(self) -> list[str]:
         """All snapshot versions on disk, oldest first."""

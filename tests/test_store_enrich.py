@@ -247,6 +247,54 @@ def test_store_stats_skip_after_merge(spark, tmp_path):
     assert [(r["k"], r["v"]) for r in again] == [(100, 999)]
 
 
+def test_store_stats_survive_concurrent_commit(spark, tmp_path):
+    """A stats index built before ANOTHER writer's merge must degrade
+    to correct-but-unpruned (the index lives in the indexed VERSION's
+    directory; the winner's new snapshot has none), and a
+    build_store_stats refresh restores pruning on the winner's
+    snapshot — the skip claim survives concurrency, never lying."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+        build_store_stats,
+        read_store_skip,
+    )
+
+    path = str(tmp_path / "st_cc")
+    store = MergeStore(spark, path, ["k"], partition_by="bucket")
+    base = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") / 50).cast("int").alias("bucket"),
+    )
+    store.create_if_absent(base)
+    store.merge(base)
+    build_store_stats(store, ["k"])
+    pruned = read_store_skip(store, "k", 100, 149)
+    assert len(pruned.inputFiles()) < len(store.read().inputFiles())
+
+    # a CONCURRENT writer (separate handle) advances the store
+    other = MergeStore(spark, path, ["k"], partition_by="bucket")
+    other.merge(
+        spark.createDataFrame([(100, 999, 2)], "k LONG, v LONG, bucket INT")
+    )
+
+    # pre-merge index: the read targets the WINNER's snapshot, which
+    # has no index yet -> full scan, still row-correct (never stale)
+    out = read_store_skip(store, "k", 100, 149).collect()
+    got = {r["k"]: r["v"] for r in out}
+    assert got[100] == 999  # sees the winner's update
+    assert set(got) == set(range(100, 150))
+
+    # refresh restores pruning on the new snapshot
+    build_store_stats(store, ["k"])
+    repruned = read_store_skip(store, "k", 100, 149)
+    assert len(repruned.inputFiles()) < len(store.read().inputFiles())
+    regot = {r["k"]: r["v"] for r in repruned.collect()}
+    assert regot == got
+
+
 def test_merge_store_concurrent_writers_no_lost_update(spark, tmp_path):
     """Optimistic concurrency: two writers racing disjoint merges
     must BOTH land (the old pointer flip was last-writer-wins). The
@@ -287,6 +335,109 @@ def test_merge_store_concurrent_writers_no_lost_update(spark, tmp_path):
         if f.endswith(".json") and f != "_compacted.json"
     )
     assert len(manifests) == 7
+
+
+def test_merge_store_disjoint_partition_fast_forward(spark, tmp_path):
+    """Two writers racing merges into DISJOINT partitions from the
+    SAME base must both commit with ONE merge computation each: the
+    loser's staged partitions are still valid against the winner's
+    snapshot (the winner provably didn't touch them, per its commit
+    manifest), so it fast-forwards — re-links and re-claims — rather
+    than re-running the merge. Delta's partition-level conflict
+    detection; reference analogue: partition-disjoint daily loads
+    (mls_listings_curated.py merge semantics)."""
+    import threading
+
+    path = str(tmp_path / "ffwd")
+    mk = lambda: MergeStore(spark, path, keys=["k"], partition_by="p")
+    seed = spark.createDataFrame(
+        [(0, 0, "z"), (1, 1, "z")], ["k", "p", "v"]
+    )
+    mk().create_if_absent(seed)
+    mk().merge(seed)
+
+    # force the true race: both writers finish staging BEFORE either
+    # claims, so exactly one loses its claim with staging in hand
+    barrier = threading.Barrier(2, timeout=120)
+    armed = [True]
+    orig_claim = MergeStore._claim_version
+
+    def gated_claim(self, version, expiry_s, touched=None):
+        if armed[0]:
+            try:
+                barrier.wait()
+            except threading.BrokenBarrierError:
+                pass
+            armed[0] = False  # only the FIRST claim round is gated
+        return orig_claim(self, version, expiry_s, touched=touched)
+
+    stores, errs = {}, []
+
+    def writer(part: int):
+        try:
+            s = mk()
+            stores[part] = s
+            s.merge(
+                spark.createDataFrame(
+                    [(part, part, f"w{part}")], ["k", "p", "v"]
+                )
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    MergeStore._claim_version = gated_claim
+    try:
+        t0 = threading.Thread(target=writer, args=(0,))
+        t1 = threading.Thread(target=writer, args=(1,))
+        t0.start(); t1.start(); t0.join(); t1.join()
+    finally:
+        MergeStore._claim_version = orig_claim
+    assert not errs, errs
+
+    got = {r["k"]: r["v"] for r in mk().read().collect()}
+    assert got == {0: "w0", 1: "w1"}  # neither update lost
+    # both committed (v00001 base + 2), each computed its merge ONCE
+    assert mk().current_version() == "v00003"
+    recomputes = [stores[p].merge_recomputes for p in (0, 1)]
+    ffs = [stores[p].merge_fast_forwards for p in (0, 1)]
+    assert recomputes == [1, 1], (recomputes, ffs)
+    assert sorted(ffs) == [0, 1], (recomputes, ffs)  # loser fast-forwarded
+    # manifests carry the conflict metadata
+    import json as _json
+
+    for v in ("v00002", "v00003"):
+        with open(os.path.join(path, "_COMMITS", f"{v}.json")) as f:
+            assert "touched" in _json.load(f)
+
+
+def test_merge_store_overlapping_partition_no_fast_forward(spark, tmp_path):
+    """Overlapping touched sets must take the conservative re-merge:
+    reusing output merged against the old base would drop the
+    winner's update to the shared partition."""
+    path = str(tmp_path / "no_ffwd")
+    store = MergeStore(spark, path, keys=["k"], partition_by="p")
+    seed = spark.createDataFrame([(0, 0, "z")], ["k", "p", "v"])
+    store.create_if_absent(seed)
+    store.merge(seed)
+
+    # loser staged against v00001; winner then commits v00002
+    # touching the SAME partition — simulate by validating directly
+    assert store._ff_valid("v00001", "v00001", ["0"])  # no commits between
+    winner = MergeStore(spark, path, keys=["k"], partition_by="p")
+    winner.merge(spark.createDataFrame([(0, 0, "w")], ["k", "p", "v"]))
+    assert store._manifest_touched("v00002") == ["0"]
+    assert not store._ff_valid("v00001", "v00002", ["0"])  # overlap
+    assert store._ff_valid("v00001", "v00002", ["1"])  # disjoint ok
+    # unattributed commits (no touched metadata) always conflict
+    import json as _json
+
+    m = os.path.join(path, "_COMMITS", "v00002.json")
+    with open(m) as f:
+        rec = _json.load(f)
+    rec.pop("touched")
+    with open(m, "w") as f:
+        _json.dump(rec, f)
+    assert not store._ff_valid("v00001", "v00002", ["1"])
 
 
 def test_merge_store_stale_claim_expires(spark, tmp_path):
