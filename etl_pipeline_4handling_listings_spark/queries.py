@@ -5199,7 +5199,18 @@ def textrank_keywords(spark, sf_dir):
     ).select(
         F.least("p.a", "p.b").alias("wa"), F.greatest("p.a", "p.b").alias("wb")
     )
-    und = pairs.groupBy("wa", "wb").agg(F.count("*").cast("double").alias("c"))
+    # materialize the adjacent-pair aggregate ONCE: everything below
+    # (degrees, node count, normalized source shares, the power
+    # iteration) derives from this vocab²-bounded frame, and without
+    # the checkpoint the heavy scan+explode+shuffle ran TWICE — once
+    # for the eager n_nodes count, once more when the src checkpoint
+    # materialized (5.8 s -> 3.2 s at sf0.1)
+    und = (
+        pairs.groupBy("wa", "wb")
+        .agg(F.count("*").cast("double").alias("c"))
+        .repartition(1)
+        .localCheckpoint(eager=True)
+    )
     edges = und.select(
         F.col("wa").alias("w1"), F.col("wb").alias("w2"), "c"
     ).unionByName(und.select(F.col("wb").alias("w1"), F.col("wa").alias("w2"), "c"))
@@ -5219,7 +5230,7 @@ def textrank_keywords(spark, sf_dir):
     # ~650 empty-task launches of pure scheduling latency.
     # Broadcasting the rank side keeps each step's join map-side.
     src = src.repartition(1).localCheckpoint(eager=True)
-    for _ in range(10):
+    for _it in range(10):
         pr = (
             src.join(F.broadcast(pr.withColumnRenamed("w", "w1")), "w1")
             .groupBy(F.col("w2").alias("w"))
@@ -5230,6 +5241,12 @@ def textrank_keywords(spark, sf_dir):
                 ).alias("r")
             )
         )
+        if _it + 1 == 5:
+            # truncate the nested-join lineage halfway: analyzer/
+            # optimizer time grows superlinearly with plan depth and
+            # a 10-deep broadcast-join chain pays ~1 s of pure
+            # planning at any data size
+            pr = pr.repartition(1).localCheckpoint(eager=True)
     return (
         pr.select(F.col("w").alias("word"), F.col("r").alias("textrank"))
         .orderBy(F.desc("textrank"), "word")

@@ -370,19 +370,55 @@ class MergeStore:
         version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"MergeStore at {self.path} does not exist")
-        reader = self.spark.read.format(self.fmt)
+        return self.read_version(version)
+
+    # -- file manifests (Delta log-replay analogue) ---------------------
+    _FILES = "_FILES.json"
+
+    @classmethod
+    def _write_file_manifest(cls, snapshot_dir: str) -> int:
+        """Record the snapshot's data files (relpath + size) inside
+        the snapshot itself, BEFORE the commit rename makes it live —
+        the manifest is therefore exactly as atomic as the commit.
+        Delta readers never LIST the table directory: they replay the
+        log's add-file entries. This is that read path re-expressed:
+        one small JSON read replaces a recursive directory listing —
+        O(1) metadata ops per read instead of O(files) LIST calls,
+        the difference that matters on object stores where LIST is
+        the slowest, rate-limited primitive. Returns the file count."""
+        files = {}
+        for root, _dirs, names in os.walk(snapshot_dir):
+            for name in names:
+                if name.startswith(("_", ".")):
+                    continue  # _SUCCESS, .crc, _FILES.json itself
+                full = os.path.join(root, name)
+                files[os.path.relpath(full, snapshot_dir)] = os.path.getsize(
+                    full
+                )
+        tmp = os.path.join(snapshot_dir, cls._FILES + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(files, f)
+        os.replace(tmp, os.path.join(snapshot_dir, cls._FILES))
+        return len(files)
+
+    def _manifest_files(self, version: str) -> list[str] | None:
+        """Absolute data-file paths from the snapshot's manifest, or
+        ``None`` (pre-manifest snapshot) -> caller falls back to a
+        directory listing. An empty snapshot is a valid empty list."""
+        vdir = self._version_dir(version)
         try:
-            with open(self._schema_path()) as f:
-                reader = reader.schema(StructType.fromJson(json.load(f)))
-        except FileNotFoundError:
-            pass
-        return reader.load(self._version_dir(version))
+            with open(os.path.join(vdir, self._FILES)) as f:
+                files = json.load(f)
+        except (OSError, ValueError):
+            return None
+        return [os.path.join(vdir, rel) for rel in sorted(files)]
 
     def _write_snapshot(self, df: DataFrame, version: str) -> None:
         writer = df.write.mode("overwrite").format(self.fmt)
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.save(self._version_dir(version))
+        self._write_file_manifest(self._version_dir(version))
         self._set_current(version)
 
     @staticmethod
@@ -554,6 +590,11 @@ class MergeStore:
                     self.merge_recomputes += 1
                     claim_touched = None
 
+                # file manifest travels INSIDE the staged snapshot,
+                # so the commit rename publishes data + manifest
+                # atomically (Delta's add-file log entries analogue)
+                self._write_file_manifest(staging)
+
                 if self._claim_version(
                     nxt, claim_expiry_s, touched=claim_touched
                 ):
@@ -606,6 +647,15 @@ class MergeStore:
                 reader = reader.schema(StructType.fromJson(json.load(f)))
         except FileNotFoundError:
             pass
+        # manifest read path (no directory LIST): explicit file set
+        # from the commit-time manifest; basePath keeps partition-
+        # column inference over pcol=value paths. Pre-manifest or
+        # empty snapshots fall back to the directory scan.
+        files = self._manifest_files(version)
+        if files:
+            return reader.option(
+                "basePath", self._version_dir(version)
+            ).load(files)
         return reader.load(self._version_dir(version))
 
     def read_changes(self, v_from: str, v_to: str | None = None) -> DataFrame:

@@ -530,6 +530,55 @@ def test_merge_store_compact_log_spares_inflight_claim(spark, tmp_path):
     assert store.current_version() == "v00002"
 
 
+def test_merge_store_manifest_reads(spark, tmp_path):
+    """Each committed snapshot carries a _FILES.json manifest written
+    into staging BEFORE the commit rename (atomic with the data) —
+    the Delta add-file log analogue. Reads resolve the file set from
+    the manifest (no recursive directory LIST); pre-manifest
+    snapshots fall back to the listing; partition columns survive
+    the explicit-file read via basePath."""
+    import json as _json
+
+    path = str(tmp_path / "mani")
+    store = MergeStore(spark, path, keys=["k"], partition_by="p")
+    seed = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], ["k", "p", "v"]
+    )
+    store.create_if_absent(seed)
+    store.merge(seed)
+
+    vdir = store._version_dir(store.current_version())
+    with open(os.path.join(vdir, "_FILES.json")) as f:
+        manifest = _json.load(f)
+    assert manifest, "manifest must list the data files"
+    assert all(not os.path.basename(p_).startswith("_") for p_ in manifest)
+    # every manifest entry exists with the recorded size
+    for rel, size in manifest.items():
+        assert os.path.getsize(os.path.join(vdir, rel)) == size
+
+    # manifest read == listing read, partition column included
+    got = {(r["k"], r["p"], r["v"]) for r in store.read().collect()}
+    assert got == {(i, i % 3, f"v{i}") for i in range(30)}
+    files = store._manifest_files(store.current_version())
+    assert files and all(os.path.isabs(p_) for p_ in files)
+    assert {os.path.relpath(p_, vdir) for p_ in files} == set(manifest)
+
+    # a merge's new snapshot gets its own manifest (incl. hardlinked
+    # untouched partitions), and reads see the update through it
+    store.merge(spark.createDataFrame([(0, 0, "NEW")], ["k", "p", "v"]))
+    vdir2 = store._version_dir(store.current_version())
+    assert os.path.exists(os.path.join(vdir2, "_FILES.json"))
+    got2 = {r["k"]: r["v"] for r in store.read().collect()}
+    assert got2[0] == "NEW" and got2[29] == "v29"
+
+    # pre-manifest snapshot (legacy): deleting the manifest falls
+    # back to the directory listing with identical results
+    os.remove(os.path.join(vdir2, "_FILES.json"))
+    assert store._manifest_files(store.current_version()) is None
+    got3 = {r["k"]: r["v"] for r in store.read().collect()}
+    assert got3 == got2
+
+
 def test_merge_store_pointer_is_advance_only(spark, tmp_path):
     """_CURRENT never moves backwards: a writer paused between its
     commit rename and pointer flip must not overwrite the pointer
