@@ -7285,21 +7285,29 @@ def stats_chi2_assoc(spark, sf_dir):
     )
     term = F.pow(F.col("n").cast("double") - expected, 2) / expected
     terms = grid.select(
+        "event_type",
+        "tod",
         "big_n",
         F.floor(term * 1000000 + F.lit(0.5)).cast("long").alias("term_micros"),
     )
-    n_rows = rt.count()
-    n_cols = ct.count()
+    # table dims come from the SAME pass as the statistic
+    # (countDistinct over the r x c grid) — the previous two eager
+    # rt.count()/ct.count() actions each re-ran the full events
+    # aggregate, tripling the table scan for two tiny integers
+    n_r = F.countDistinct("event_type").cast("long")
+    n_c = F.countDistinct("tod").cast("long")
     return terms.agg(
         (F.sum("term_micros").cast("double") / 1000000).alias("chi2"),
-        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
+        ((n_r - F.lit(1)) * (n_c - F.lit(1))).cast("bigint").alias("dof"),
         (
             F.floor(
                 F.sqrt(
                     (F.sum("term_micros").cast("double") / 1000000)
                     / (
                         F.max("big_n").cast("double")
-                        * F.lit(min(n_rows - 1, n_cols - 1))
+                        * F.least(n_r - F.lit(1), n_c - F.lit(1)).cast(
+                            "double"
+                        )
                     )
                 )
                 * 1000000

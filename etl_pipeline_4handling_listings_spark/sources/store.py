@@ -715,6 +715,127 @@ class MergeStore:
             .select(*out_keys, *out_vals, "_change_type")
         )
 
+    def optimize(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+        max_retries: int = 5,
+        claim_expiry_s: float = 300.0,
+    ) -> str | None:
+        """Bin-pack small files into ~``target_file_bytes`` ones —
+        the Delta ``OPTIMIZE`` analogue, committed as a NEW version
+        through the same optimistic claim protocol (readers of older
+        snapshots are untouched; ``vacuum`` reclaims the small files
+        with the old versions later).
+
+        MERGE writes one file set per commit, so a high-frequency
+        writer accretes thousands of tiny files per partition — at
+        100 TB the small-file problem IS the read-amplification
+        problem (every file is a task + a footer fetch). Partitioned
+        stores compact PER PARTITION, and only partitions holding at
+        least ``min_files`` data files (decided from the _FILES.json
+        manifest — no directory LIST); the commit manifest records
+        exactly those partitions as touched, so a concurrent merge
+        into OTHER partitions fast-forwards past an optimize instead
+        of re-merging — maintenance never blocks ingest. Returns the
+        committed version, or ``None`` when nothing needed
+        compaction. Reference semantics: Delta OPTIMIZE / bin-packing
+        (public docs); sizing policy shared with
+        ``sources/writers.write_export`` (coalesce, never a shuffle).
+        """
+        for _attempt in range(max_retries + 1):
+            self._repair_pointer()
+            base = self.current_version()
+            if base is None:
+                raise FileNotFoundError(
+                    f"MergeStore at {self.path} does not exist"
+                )
+            base_dir = self._version_dir(base)
+            files = self._manifest_files(base)
+            if files is None:  # pre-manifest snapshot: walk once
+                files = [
+                    os.path.join(root, name)
+                    for root, _d, names in os.walk(base_dir)
+                    for name in names
+                    if not name.startswith(("_", "."))
+                ]
+            # group data files by partition dir ("" = unpartitioned)
+            groups: dict[str, list[str]] = {}
+            for f in files:
+                rel = os.path.relpath(f, base_dir)
+                head = os.path.dirname(rel)
+                groups.setdefault(head, []).append(f)
+            chosen = {
+                part: fs
+                for part, fs in groups.items()
+                if len(fs) >= min_files
+            }
+            if not chosen:
+                return None
+
+            nxt = f"v{int(base[1:]) + 1:05d}"
+            os.makedirs(self._staging_dir(), exist_ok=True)
+            staging = os.path.join(self._staging_dir(), uuid.uuid4().hex)
+            os.makedirs(staging, exist_ok=True)
+            try:
+                for part, fs in chosen.items():
+                    total = sum(os.path.getsize(f) for f in fs)
+                    n_out = max(
+                        1, -(-total // target_file_bytes)
+                    )  # ceil
+                    out_dir = (
+                        os.path.join(staging, part) if part else staging
+                    )
+                    (
+                        self.spark.read.format(self.fmt)
+                        .load(fs)
+                        .coalesce(int(n_out))
+                        .write.mode("overwrite")
+                        .format(self.fmt)
+                        .save(out_dir)
+                    )
+                # untouched partitions (and a partitioned store's
+                # root files) hardlink from the base snapshot
+                for part, fs in groups.items():
+                    if part in chosen:
+                        continue
+                    for f in fs:
+                        rel = os.path.relpath(f, base_dir)
+                        dst = os.path.join(staging, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.link(f, dst)
+            except OSError:
+                # stale base vacuumed mid-build: lost race, retry
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+                continue
+            self._write_file_manifest(staging)
+            touched = (
+                sorted(
+                    p.split("=", 1)[1] for p in chosen if "=" in p
+                )
+                if self.partition_by
+                else None
+            )
+            if self._claim_version(nxt, claim_expiry_s, touched=touched):
+                try:
+                    os.rename(staging, self._version_dir(nxt))
+                except OSError:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    self._await_advance(beyond=base)
+                    continue
+                self._set_current(nxt)
+                return nxt
+            # lost to a concurrent commit: compaction choices may be
+            # stale (the winner rewrote files) — recompute from the
+            # new snapshot rather than fast-forwarding file moves
+            shutil.rmtree(staging, ignore_errors=True)
+            self._await_advance(beyond=base)
+        raise RuntimeError(
+            f"optimize at {self.path} lost {max_retries + 1} straight "
+            "commit races; raise max_retries or pause ingest"
+        )
+
     def vacuum(self, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` snapshots (S9 analogue)."""
         current = self.current_version()

@@ -530,6 +530,102 @@ def test_merge_store_compact_log_spares_inflight_claim(spark, tmp_path):
     assert store.current_version() == "v00002"
 
 
+def test_merge_store_optimize_compacts_small_files(spark, tmp_path):
+    """OPTIMIZE bin-packs the small files that per-commit merges
+    accrete, as a normal committed version: per-partition for
+    partitioned stores with the compacted partitions recorded as
+    touched (so concurrent disjoint merges can fast-forward past
+    it), rows byte-identical, old snapshots untouched until vacuum."""
+    import json as _json
+
+    path = str(tmp_path / "opt")
+    store = MergeStore(spark, path, keys=["k"], partition_by="p")
+    seed = spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(20)], ["k", "p", "v"]
+    )
+    store.create_if_absent(seed)
+    # small-file accretion: at scale each merge writes one file per
+    # post-shuffle task into the touched partition dirs; AQE's
+    # small-data coalescing hides that locally, so pin it off while
+    # BUILDING the fixture (restored before optimize runs)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce_key, "false")
+    try:
+        store.merge(seed.repartition(6))
+        for i in range(100, 102):
+            store.merge(
+                spark.createDataFrame([(i, 0, f"n{i}")], ["k", "p", "v"])
+            )
+    finally:
+        spark.conf.set(coalesce_key, "true")
+    before = {r["k"]: r["v"] for r in store.read().collect()}
+    vdir = store._version_dir(store.current_version())
+    n_files_p0 = len(
+        [
+            f
+            for f in os.listdir(os.path.join(vdir, "p=0"))
+            if not f.startswith(("_", "."))
+        ]
+    )
+    assert n_files_p0 >= 2  # accretion happened
+
+    v = store.optimize(min_files=2)
+    assert v is not None
+    assert store.current_version() == v
+    after = {r["k"]: r["v"] for r in store.read().collect()}
+    assert after == before  # pure layout change
+    vdir2 = store._version_dir(v)
+    n_after_p0 = len(
+        [
+            f
+            for f in os.listdir(os.path.join(vdir2, "p=0"))
+            if not f.startswith(("_", "."))
+        ]
+    )
+    assert n_after_p0 < n_files_p0
+    assert os.path.exists(os.path.join(vdir2, "_FILES.json"))
+    # the commit manifest attributes the compacted partitions, so a
+    # concurrent merge into a DIFFERENT partition may fast-forward
+    with open(os.path.join(path, "_COMMITS", f"{v}.json")) as f:
+        rec = _json.load(f)
+    assert set(rec["touched"]) <= {"0", "1"} and rec["touched"]
+    assert store._ff_valid(
+        f"v{int(v[1:]) - 1:05d}", v, ["9999"]
+    )  # disjoint partition sails past the optimize
+    # nothing left to compact -> no-op, no version churn
+    assert store.optimize(min_files=2) is None
+    assert store.current_version() == v
+
+
+def test_merge_store_optimize_unpartitioned(spark, tmp_path):
+    """Unpartitioned optimize rewrites the whole snapshot when it
+    holds >= min_files files; rows identical, file count shrinks."""
+    path = str(tmp_path / "opt_flat")
+    store = MergeStore(spark, path, keys=["k"])
+    seed = spark.range(50).selectExpr("id as k", "id * 2 as v")
+    store.create_if_absent(seed)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce_key, "false")
+    try:
+        store.merge(seed.repartition(8))  # many small files
+    finally:
+        spark.conf.set(coalesce_key, "true")
+    before = {r["k"]: r["v"] for r in store.read().collect()}
+    vdir = store._version_dir(store.current_version())
+    n_before = len(
+        [f for f in os.listdir(vdir) if not f.startswith(("_", "."))]
+    )
+    assert n_before >= 2
+    v = store.optimize(min_files=2)
+    assert v is not None
+    vdir2 = store._version_dir(v)
+    n_after = len(
+        [f for f in os.listdir(vdir2) if not f.startswith(("_", "."))]
+    )
+    assert n_after < n_before
+    assert {r["k"]: r["v"] for r in store.read().collect()} == before
+
+
 def test_merge_store_manifest_reads(spark, tmp_path):
     """Each committed snapshot carries a _FILES.json manifest written
     into staging BEFORE the commit rename (atomic with the data) —
