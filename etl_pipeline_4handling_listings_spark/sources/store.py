@@ -778,6 +778,10 @@ class MergeStore:
             staging = os.path.join(self._staging_dir(), uuid.uuid4().hex)
             os.makedirs(staging, exist_ok=True)
             try:
+                from pyspark.errors import AnalysisException
+            except ImportError:  # pragma: no cover - pyspark < 3.4
+                AnalysisException = OSError  # noqa: N806
+            try:
                 for part, fs in chosen.items():
                     total = sum(os.path.getsize(f) for f in fs)
                     n_out = max(
@@ -804,8 +808,10 @@ class MergeStore:
                         dst = os.path.join(staging, rel)
                         os.makedirs(os.path.dirname(dst), exist_ok=True)
                         os.link(f, dst)
-            except OSError:
-                # stale base vacuumed mid-build: lost race, retry
+            except (OSError, AnalysisException):
+                # stale base vacuumed mid-build (getsize/link ->
+                # OSError; the Spark path check on vanished input
+                # files -> AnalysisException): lost race, retry
                 shutil.rmtree(staging, ignore_errors=True)
                 self._await_advance(beyond=base)
                 continue
