@@ -715,12 +715,40 @@ class MergeStore:
             .select(*out_keys, *out_vals, "_change_type")
         )
 
+    @staticmethod
+    def zorder_key(cols: Sequence[str], bits: int = 16) -> "F.Column":
+        """Morton (Z-order) clustering key: bit-interleave up to a
+        handful of non-negative integer-castable columns into ONE
+        sort key, so range-partitioning by it co-locates rows that
+        are close in EVERY dimension — the write-side layout that
+        makes min/max file skipping effective for all the
+        interleaved columns at once (what Delta/Iceberg OPTIMIZE
+        ZORDER BY computes before repartitionByRange). Pure JVM
+        expression (a ``bits``-step aggregate fold), stays inside
+        whole-stage codegen. One column degenerates to a plain sort
+        key. Negative values sort before positives as a block
+        (sign-extension); intended for keys, buckets, and other
+        non-negative dimensions."""
+        if len(cols) == 1:
+            return F.col(cols[0]).cast("bigint")
+        n = len(cols)
+        terms = " + ".join(
+            f"shiftleft(shiftright(cast(`{c}` as bigint), i) & 1,"
+            f" {n} * i + {j})"
+            for j, c in enumerate(cols)
+        )
+        return F.expr(
+            f"aggregate(sequence(0, {bits - 1}), 0L,"
+            f" (acc, i) -> acc + {terms})"
+        )
+
     def optimize(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         min_files: int = 2,
         max_retries: int = 5,
         claim_expiry_s: float = 300.0,
+        zorder_by: Sequence[str] | None = None,
     ) -> str | None:
         """Bin-pack small files into ~``target_file_bytes`` ones —
         the Delta ``OPTIMIZE`` analogue, committed as a NEW version
@@ -742,6 +770,15 @@ class MergeStore:
         compaction. Reference semantics: Delta OPTIMIZE / bin-packing
         (public docs); sizing policy shared with
         ``sources/writers.write_export`` (coalesce, never a shuffle).
+
+        ``zorder_by`` additionally CLUSTERS the rewritten files by
+        the Morton key of the given columns (``OPTIMIZE ZORDER BY``):
+        rows are range-partitioned and sorted by the interleaved-bit
+        key before writing, so a subsequent ``build_store_stats`` +
+        ``read_store_skip`` prunes files on ANY of those columns.
+        With ``zorder_by`` a compaction pass always rewrites the
+        chosen partitions (one shuffle — clustering is the point);
+        without it compaction is a shuffle-free coalesce.
         """
         for _attempt in range(max_retries + 1):
             self._repair_pointer()
@@ -765,10 +802,14 @@ class MergeStore:
                 rel = os.path.relpath(f, base_dir)
                 head = os.path.dirname(rel)
                 groups.setdefault(head, []).append(f)
+            # clustering rewrites even single-file partitions (the
+            # file may be unsorted); plain bin-packing only acts on
+            # genuine small-file accretion
+            eff_min = 1 if zorder_by else min_files
             chosen = {
                 part: fs
                 for part, fs in groups.items()
-                if len(fs) >= min_files
+                if len(fs) >= eff_min
             }
             if not chosen:
                 return None
@@ -790,11 +831,20 @@ class MergeStore:
                     out_dir = (
                         os.path.join(staging, part) if part else staging
                     )
+                    df = self.spark.read.format(self.fmt).load(fs)
+                    if zorder_by:
+                        df = (
+                            df.withColumn(
+                                "_zorder", self.zorder_key(zorder_by)
+                            )
+                            .repartitionByRange(int(n_out), "_zorder")
+                            .sortWithinPartitions("_zorder")
+                            .drop("_zorder")
+                        )
+                    else:
+                        df = df.coalesce(int(n_out))
                     (
-                        self.spark.read.format(self.fmt)
-                        .load(fs)
-                        .coalesce(int(n_out))
-                        .write.mode("overwrite")
+                        df.write.mode("overwrite")
                         .format(self.fmt)
                         .save(out_dir)
                     )

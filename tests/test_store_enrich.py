@@ -597,6 +597,83 @@ def test_merge_store_optimize_compacts_small_files(spark, tmp_path):
     assert store.current_version() == v
 
 
+def test_merge_store_optimize_zorder_enables_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: compaction range-clusters the rewritten
+    files by the Morton key, so the stats index prunes range reads
+    that a hash-scattered layout cannot — rows identical, and a
+    narrow key range now touches a strict subset of files."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+        build_store_stats,
+        read_store_skip,
+    )
+
+    path = str(tmp_path / "zopt")
+    store = MergeStore(spark, path, keys=["k"])
+    # hash-scatter: every file sees the full k range -> no pruning
+    seed = (
+        spark.range(2000)
+        .selectExpr("id as k", "id % 97 as v")
+        .repartition(8, "v")
+    )
+    store.create_if_absent(seed)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce_key, "false")
+    try:
+        store.merge(seed)
+    finally:
+        spark.conf.set(coalesce_key, "true")
+    before = {r["k"]: r["v"] for r in store.read().collect()}
+    build_store_stats(store, ["k"])
+    scattered = len(read_store_skip(store, "k", 0, 99).inputFiles())
+
+    v = store.optimize(
+        target_file_bytes=8 * 1024, min_files=1, zorder_by=["k"]
+    )
+    assert v is not None
+    assert {r["k"]: r["v"] for r in store.read().collect()} == before
+    n_total = len(store.read().inputFiles())
+    assert n_total >= 2  # range partitioning kept multiple files
+    build_store_stats(store, ["k"])
+    pruned = len(read_store_skip(store, "k", 0, 99).inputFiles())
+    assert pruned < n_total  # clustered layout actually prunes
+    assert pruned <= scattered
+    # range read stays row-correct through the clustered layout
+    got = sorted(
+        r["k"] for r in read_store_skip(store, "k", 0, 99).collect()
+    )
+    assert got == list(range(100))
+
+
+def test_zorder_key_interleaves_two_dims(spark):
+    """The 2-column Morton key interleaves bits: points close in
+    BOTH dimensions land close on the key, and each dimension
+    occupies its own bit positions (exact interleave identity)."""
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (255, 255)], ["x", "y"]
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", MergeStore.zorder_key(["x", "y"])
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+
+
 def test_merge_store_optimize_unpartitioned(spark, tmp_path):
     """Unpartitioned optimize rewrites the whole snapshot when it
     holds >= min_files files; rows identical, file count shrinks."""
