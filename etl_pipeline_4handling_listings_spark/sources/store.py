@@ -778,7 +778,10 @@ class MergeStore:
         ``read_store_skip`` prunes files on ANY of those columns.
         With ``zorder_by`` a compaction pass always rewrites the
         chosen partitions (one shuffle — clustering is the point);
-        without it compaction is a shuffle-free coalesce.
+        without it compaction is a shuffle-free coalesce. No
+        sortedness metadata is kept, so re-running a zorder
+        optimize rewrites again: schedule it after ingest windows,
+        don't loop it.
         """
         for _attempt in range(max_retries + 1):
             self._repair_pointer()

@@ -122,6 +122,7 @@ def foreach_batch_upsert(
     keys: Sequence[str],
     order: Sequence[Column] | Callable[[], Sequence[Column]],
     txn_app_id: str = "default",
+    auto_optimize_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink: W1-dedup each micro-batch, MERGE into
     the store — the reference's daily curated load as a streaming
@@ -151,6 +152,17 @@ def foreach_batch_upsert(
     ``order`` may be a thunk because Column objects are bound to a
     session; a thunk lets the caller defer construction to the
     executor-side invocation.
+
+    ``auto_optimize_every=N`` compacts the store's small files
+    (``MergeStore.optimize``) after every Nth APPLIED batch —
+    Delta's autoCompact analogue: a micro-batch cadence of
+    one-file-per-partition commits accretes files linearly with
+    stream uptime, so maintenance must ride the ingest path.
+    Optimize commits through the same claim protocol, and its
+    manifest names the compacted partitions as touched, so a racing
+    batch merge into other partitions fast-forwards rather than
+    re-merging. Optimize failures never fail the batch (the data is
+    already committed); they surface on the next cycle.
     """
     import json
     import os
@@ -186,6 +198,14 @@ def foreach_batch_upsert(
         with open(tmp, "w") as f:
             json.dump(applied, f)
         os.replace(tmp, marker)
+        if (
+            auto_optimize_every
+            and (batch_id + 1) % auto_optimize_every == 0
+        ):
+            try:
+                store.optimize()
+            except Exception:
+                pass  # data already committed; retry next cycle
 
     return sink
 

@@ -624,6 +624,50 @@ def test_foreach_batch_upsert_skips_replayed_batch(spark, tmp_path):
     assert len(store.list_versions()) == len(versions_after_b0) + 1
 
 
+def test_foreach_batch_upsert_auto_optimize(spark, tmp_path):
+    """auto_optimize_every=N compacts after every Nth applied batch
+    (Delta autoCompact analogue): the optimize commit appears as its
+    own store version, rows are untouched, and an off-cadence batch
+    does not trigger it."""
+    import os as _os
+
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+    from etl_pipeline_4handling_listings_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+    )
+
+    store = MergeStore(spark, str(tmp_path / "ao"), keys=["k"])
+    sink = foreach_batch_upsert(
+        store, ["k"], lambda: [F.desc("o")], auto_optimize_every=2
+    )
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce_key, "false")  # let small files accrete
+    try:
+        sink(
+            spark.createDataFrame(
+                [(i, 1, f"a{i}") for i in range(8)], ["k", "o", "v"]
+            ).repartition(4),
+            0,
+        )
+        n_after_b0 = len(store.list_versions())
+        # batch 1 completes the cadence -> merge commit + optimize
+        # commit = two new versions
+        sink(
+            spark.createDataFrame([(99, 1, "z")], ["k", "o", "v"]), 1
+        )
+    finally:
+        spark.conf.set(coalesce_key, "true")
+    assert len(store.list_versions()) == n_after_b0 + 2
+    got = {r["k"]: r["v"] for r in store.read().collect()}
+    assert got[99] == "z" and got[0] == "a0" and len(got) == 9
+    # compacted: current snapshot holds a single data file
+    vdir = store._version_dir(store.current_version())
+    data_files = [
+        f for f in _os.listdir(vdir) if not f.startswith(("_", "."))
+    ]
+    assert len(data_files) == 1
+
+
 def test_foreach_batch_upsert_marker_is_per_app_id(spark, tmp_path):
     """The marker is keyed by txn_app_id (Delta's txnAppId scheme):
     a SECOND query writing the same store, or a restart with a
