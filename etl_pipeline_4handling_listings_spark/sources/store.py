@@ -783,6 +783,16 @@ class MergeStore:
         optimize rewrites again: schedule it after ingest windows,
         don't loop it.
         """
+        if zorder_by and self.partition_by in set(zorder_by):
+            # partition values live in directory names, not in the
+            # data files — interleaving on them would surface as a
+            # missing-column AnalysisException that the lost-race
+            # handler would retry forever; partition pruning already
+            # covers that dimension
+            raise ValueError(
+                f"zorder_by may not include the partition column "
+                f"{self.partition_by!r}"
+            )
         for _attempt in range(max_retries + 1):
             self._repair_pointer()
             base = self.current_version()
