@@ -515,6 +515,18 @@ class MergeStore:
                             .distinct()
                             .collect()
                         ]
+                        if any(v is None for v in touched):
+                            # Spark writes NULL partitions to
+                            # __HIVE_DEFAULT_PARTITION__, which the
+                            # str(v) dir bookkeeping can't name — and
+                            # a key-derived partition (hash_bucket)
+                            # is never null, so this is always a
+                            # misconfigured partition column
+                            raise ValueError(
+                                f"partition column {pcol!r} contains "
+                                "NULLs; derive it from the merge keys "
+                                "(MergeStore.hash_bucket)"
+                            )
                         merged = merge_upsert(
                             self.read_version(base).filter(
                                 F.col(pcol).isin(touched)
