@@ -115,6 +115,15 @@ def main() -> None:
         edge_build = round(time.perf_counter() - t0, 3)
     except Exception:
         edge_build = -1.0
+    # same for the retrieval family's shared (doc_id, word) stream
+    t0 = time.perf_counter()
+    try:
+        from etl_pipeline_4handling_listings_spark.queries import _tokens
+
+        _tokens(spark, sf_dir)
+        token_build = round(time.perf_counter() - t0, 3)
+    except Exception:
+        token_build = -1.0
 
     times: dict[str, float] = {}
     for name in all_names:
@@ -169,6 +178,7 @@ def main() -> None:
         "registry_queries_total": registry_total,
         "pipeline_rows_per_sec": pipeline,
         "shared_edge_build_sec": edge_build,
+        "shared_token_build_sec": token_build,
     }
     full = {
         **summary,
