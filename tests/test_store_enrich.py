@@ -438,6 +438,16 @@ def test_merge_store_overlapping_partition_no_fast_forward(spark, tmp_path):
     with open(m, "w") as f:
         _json.dump(rec, f)
     assert not store._ff_valid("v00001", "v00002", ["1"])
+    # multi-commit chains: EVERY intervening commit must be disjoint
+    # — one overlapping commit in the middle poisons the whole range
+    with open(m, "w") as f:
+        _json.dump({**rec, "touched": ["7"]}, f)
+    for v, t in (("v00003", ["8"]), ("v00004", ["9"])):
+        with open(os.path.join(path, "_COMMITS", f"{v}.json"), "w") as f:
+            _json.dump({"version": v, "touched": t}, f)
+    assert store._ff_valid("v00001", "v00004", ["1"])  # all disjoint
+    assert not store._ff_valid("v00001", "v00004", ["8"])  # middle hit
+    assert not store._ff_valid("v00001", "v00004", ["9"])  # end hit
 
 
 def test_merge_store_stale_claim_expires(spark, tmp_path):
