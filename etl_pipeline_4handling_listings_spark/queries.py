@@ -6283,15 +6283,22 @@ def events_sliding_distinct(spark, sf_dir):
     e = tbl_events(spark, sf_dir).select(
         F.expr("ts_us div 86400000000").alias("day_id"), "user_id"
     )
-    days = e.select("day_id").distinct()
-    contrib = e.select(
+    # dedup to (day, user) presence BEFORE the x7 window explode:
+    # the old shape exploded the raw stream and then ran distinct
+    # over the 7x-fanned pairs — a full shuffle of 7x the rows for
+    # a dedup the presence distinct does at 1x (and count_distinct's
+    # partial aggregation absorbs the cross-day repeats the explode
+    # re-introduces, so no second distinct is needed)
+    ed = e.distinct()
+    days = ed.select("day_id").distinct()
+    contrib = ed.select(
         F.explode(
             F.sequence(F.col("day_id"), F.col("day_id") + F.lit(6))
         ).alias("wday"),
         "user_id",
-    ).distinct()
+    )
     return (
-        contrib.join(days, contrib.wday == days.day_id)
+        contrib.join(F.broadcast(days), contrib.wday == days.day_id)
         .groupBy("wday")
         .agg(F.count_distinct("user_id").alias("users_7d"))
         .select(F.col("wday").alias("day_id"), "users_7d")
