@@ -670,6 +670,65 @@ class MergeStore:
             ).load(files)
         return reader.load(self._version_dir(version))
 
+    def history(self) -> DataFrame:
+        """Commit log as a DataFrame — the ``DESCRIBE HISTORY``
+        analogue: one row per known commit (live manifests plus the
+        compacted log), with timestamp, owner, the touched-partition
+        conflict metadata, and — for retained snapshots — file count
+        and byte size from the snapshot's file manifest. Metadata
+        scale: rows = commits, built driver-side from the commit dir
+        (no data files are read)."""
+        commits = self._commits_dir()
+        records: dict[str, dict] = {}
+        try:
+            with open(os.path.join(commits, "_compacted.json")) as f:
+                records.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+        if os.path.isdir(commits):
+            for entry in os.listdir(commits):
+                if not entry.endswith(".json") or entry == "_compacted.json":
+                    continue
+                try:
+                    with open(os.path.join(commits, entry)) as f:
+                        records[entry[:-5]] = json.load(f)
+                except (OSError, ValueError):
+                    records[entry[:-5]] = {"version": entry[:-5]}
+        live = set(self.list_versions())
+        current = self.current_version()
+        rows = []
+        for version in sorted(records):
+            rec = records[version] or {}
+            n_files = size_bytes = None
+            if version in live:
+                vdir = self._version_dir(version)
+                try:
+                    with open(os.path.join(vdir, self._FILES)) as f:
+                        manifest = json.load(f)
+                    n_files = len(manifest)
+                    size_bytes = sum(manifest.values())
+                except (OSError, ValueError):
+                    pass
+            touched = rec.get("touched")
+            rows.append(
+                (
+                    version,
+                    float(rec["ts"]) if rec.get("ts") else None,
+                    rec.get("owner"),
+                    ",".join(touched) if touched is not None else None,
+                    version in live,
+                    version == current,
+                    n_files,
+                    size_bytes,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version string, ts double, owner string,"
+            " touched_partitions string, retained boolean,"
+            " is_current boolean, n_files long, size_bytes long",
+        )
+
     def read_changes(self, v_from: str, v_to: str | None = None) -> DataFrame:
         """Change-data-feed between two snapshots (Delta CDF
         analogue): every key whose row was inserted, updated, or

@@ -607,6 +607,30 @@ def test_merge_store_optimize_compacts_small_files(spark, tmp_path):
     assert store.current_version() == v
 
 
+def test_merge_store_history(spark, tmp_path):
+    """history() surfaces the commit log: every commit (including
+    compacted-away ones), touched-partition metadata, retention and
+    current flags, and manifest-derived file/byte counts for
+    retained snapshots."""
+    path = str(tmp_path / "hist")
+    store = MergeStore(spark, path, keys=["k"], partition_by="p")
+    seed = spark.createDataFrame([(0, 0, "z"), (1, 1, "z")], ["k", "p", "v"])
+    store.create_if_absent(seed)
+    store.merge(seed)
+    store.merge(spark.createDataFrame([(2, 0, "a")], ["k", "p", "v"]))
+    store.vacuum(keep=2)
+    store.compact_log(claim_expiry_s=0.0)
+
+    h = {r["version"]: r for r in store.history().collect()}
+    assert set(h) == {"v00000", "v00001", "v00002"}
+    assert not h["v00000"]["retained"]  # vacuumed, still in the log
+    assert h["v00002"]["is_current"] and h["v00002"]["retained"]
+    assert h["v00002"]["touched_partitions"] == "0"
+    assert h["v00001"]["touched_partitions"] == "0,1"
+    assert h["v00002"]["n_files"] and h["v00002"]["size_bytes"] > 0
+    assert h["v00000"]["n_files"] is None  # no manifest once vacuumed
+
+
 def test_merge_store_optimize_zorder_enables_skipping(spark, tmp_path):
     """OPTIMIZE ZORDER BY: compaction range-clusters the rewritten
     files by the Morton key, so the stats index prunes range reads
