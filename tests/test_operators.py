@@ -357,3 +357,53 @@ def test_skyline_2d_double_minimize_column(spark):
         for r in skyline_2d(df, "cost", "value").collect()
     )
     assert got == [(1.0, 10), (2.0, 20), (3.0, 30)]
+
+
+def test_session_caches_invalidate_on_input_rewrite(spark, tmp_path):
+    """The session-materialized shared frames (_tokens,
+    _copresence_edges_cached) are keyed on the input's mtime
+    fingerprint: same input -> the SAME checkpointed frame (no
+    rebuild), rewritten input -> a fresh build. A stale cache here
+    would be silent wrong results, so the contract gets a test."""
+    import shutil
+    import time as _time
+
+    import etl_pipeline_4handling_listings_spark.queries as Q
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    for t in ("documents", "events"):
+        p = os.path.join(src, f"{t}.parquet")
+        if os.path.isdir(p):
+            shutil.copytree(p, os.path.join(d, f"{t}.parquet"))
+        else:
+            shutil.copy(p, os.path.join(d, f"{t}.parquet"))
+
+    t1 = Q._tokens(spark, d)
+    assert Q._tokens(spark, d) is t1  # cache hit
+    n1 = t1.count()
+
+    # rewrite the input with a strict subset; bump mtime past fs
+    # timestamp granularity
+    sub = spark.read.parquet(os.path.join(d, "documents.parquet")).limit(5)
+    pdf = sub.toPandas()
+    shutil.rmtree(
+        os.path.join(d, "documents.parquet"), ignore_errors=True
+    )
+    try:
+        os.remove(os.path.join(d, "documents.parquet"))
+    except OSError:
+        pass
+    _time.sleep(0.01)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    t2 = Q._tokens(spark, d)
+    assert t2 is not t1  # fingerprint changed -> rebuild
+    assert t2.count() < n1
+
+    e1 = Q._copresence_edges_cached(spark, d)
+    assert Q._copresence_edges_cached(spark, d) is e1
