@@ -156,3 +156,162 @@ def read_with_skip(
                 .parquet(*keep)
             )
     return base.filter(F.col(col).between(lo, hi))
+
+
+# -- per-file bloom filters (point-lookup skipping) ---------------------
+#
+# Min/max stats skip RANGE predicates on clustered columns, but an
+# equality probe on a high-cardinality UNclustered column (a user id,
+# a document fingerprint) overlaps almost every file's [min, max] —
+# stats prune nothing. Delta's answer is a per-file bloom filter
+# index; this is that index above the scan: ~one cache line of bloom
+# words per file, built in one distributed pass, pruning the file
+# list to the handful whose bloom admits the probed value. False
+# positives only KEEP files (the residual equality filter is still
+# applied); a bloom can never produce a false negative for a value
+# actually present, so pruning may only lose speed, never rows.
+
+_BLOOM = "_FILE_BLOOM.json"
+
+
+def build_file_bloom(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    num_bits: int = 1 << 13,
+    num_hashes: int = 5,
+) -> int:
+    """One distributed pass -> per-file bloom words for ``col`` in
+    ``{path}/_FILE_BLOOM.json`` (merged with other columns' entries).
+    Returns the number of files indexed.
+
+    Metadata scale: at most ``ceil(num_bits/62)`` words per file
+    (132 at the default 8192 bits) — the collect is bounded by file
+    count, never rows. NULL rows map to the sentinel word ``-1`` so
+    an all-NULL file still gets an (empty) index entry and is
+    provably prunable, while an UNindexed file stays conservative.
+    """
+    from etl_pipeline_4handling_listings_spark.operators.bloomfilter import (
+        _WORD_BITS,
+        _positions,
+    )
+
+    df = spark.read.parquet(path)
+    c = F.col(col)
+    pos = F.explode(
+        F.when(
+            c.isNotNull(), _positions(c, num_hashes, num_bits)
+        ).otherwise(F.array(F.lit(-1).cast("long")))
+    ).alias("pos")
+    rows = (
+        df.select(F.input_file_name().alias("_file"), pos)
+        .select(
+            "_file",
+            F.when(
+                F.col("pos") >= 0,
+                (F.col("pos") / _WORD_BITS).cast("long"),
+            )
+            .otherwise(F.lit(-1))
+            .alias("word_idx"),
+            F.when(
+                F.col("pos") >= 0,
+                F.expr(
+                    f"shiftleft(1L, CAST(pos % {_WORD_BITS} AS INT))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("_file", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    files: dict[str, dict[str, int]] = {}
+    for r in rows:
+        words = files.setdefault(r["_file"], {})
+        if r["word_idx"] >= 0:
+            words[str(r["word_idx"])] = r["word"]
+    bloom_path = os.path.join(path, _BLOOM)
+    try:
+        with open(bloom_path) as f:
+            index = json.load(f)
+    except (FileNotFoundError, ValueError):
+        index = {}
+    index[col] = {
+        "num_bits": num_bits,
+        "num_hashes": num_hashes,
+        "files": files,
+    }
+    tmp = bloom_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(index, f)
+    os.replace(tmp, bloom_path)
+    return len(files)
+
+
+def read_with_skip_eq(
+    spark: SparkSession, path: str, col: str, value
+) -> DataFrame:
+    """Equality read scanning only files whose bloom admits
+    ``value``; the residual ``col == value`` filter still applies.
+
+    Falls back to the full directory when no bloom index exists for
+    the column (or ``value`` is None — blooms only index non-null
+    values). The probe's bit positions are computed with the SAME
+    Spark expressions the build used (one one-row job, so the hash
+    family can never drift between build and probe), with the value
+    cast to the column's type — ``xxhash64`` of the long 7 and the
+    string '7' differ.
+    """
+    base = spark.read.parquet(path)
+    entry = None
+    if value is not None:
+        try:
+            with open(os.path.join(path, _BLOOM)) as f:
+                entry = json.load(f).get(col)
+        except (FileNotFoundError, ValueError):
+            entry = None
+    if entry is None:
+        return base.filter(F.col(col) == F.lit(value))
+
+    from etl_pipeline_4handling_listings_spark.operators.bloomfilter import (
+        _WORD_BITS,
+        _positions,
+    )
+
+    dtype = dict(base.dtypes).get(col)
+    probe = F.lit(value).cast(dtype) if dtype else F.lit(value)
+    positions = (
+        spark.range(1)
+        .select(
+            _positions(
+                probe, entry["num_hashes"], entry["num_bits"]
+            ).alias("p")
+        )
+        .head()["p"]
+    )
+    needed: dict[str, int] = {}
+    for p in positions:
+        w = str(p // _WORD_BITS)
+        needed[w] = needed.get(w, 0) | (1 << (p % _WORD_BITS))
+    files = entry["files"]
+    live = base.inputFiles()
+    keep = []
+    for file in live:
+        words = files.get(file)
+        if words is None:
+            keep.append(file)  # written after the index: keep
+            continue
+        if all(
+            (words.get(w, 0) & bits) == bits for w, bits in needed.items()
+        ):
+            keep.append(file)
+    if not keep:
+        return base.filter(F.lit(False))
+    if len(keep) < len(live):
+        base = (
+            spark.read.schema(base.schema)
+            .option("basePath", path)
+            .parquet(*keep)
+        )
+    return base.filter(F.col(col) == F.lit(value))

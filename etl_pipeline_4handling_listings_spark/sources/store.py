@@ -82,6 +82,33 @@ except Exception:  # ImportError or missing JVM jars
 _POINTER = "_CURRENT"
 
 
+class ConstraintViolationError(ValueError):
+    """A merge attempted to commit rows violating a table CHECK
+    constraint (Delta's ``DeltaInvariantViolationException``
+    analogue). The commit is aborted before the claim — the store
+    is left exactly at its pre-merge version."""
+
+
+def _evolve_target(target: DataFrame, source: DataFrame) -> DataFrame:
+    """Schema evolution (Delta ``withSchemaEvolution`` analogue):
+    append the source's NEW columns to the target as typed NULLs, so
+    the merge output carries the union schema and pre-existing rows
+    read NULL for the added columns. Only additive — existing column
+    types are never changed (a type conflict surfaces as the same
+    cast/analysis error it would raise without evolution)."""
+    have = set(target.columns)
+    new = [f for f in source.schema.fields if f.name not in have]
+    if not new:
+        return target
+    return target.select(
+        "*",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in new
+        ],
+    )
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Hardlink a directory tree: O(1) data movement per file.
 
@@ -168,6 +195,7 @@ class MergeStore:
         version: str,
         expiry_s: float,
         touched: list[str] | None = None,
+        extra: dict | None = None,
     ) -> bool:
         """Atomically claim ``version``; True iff this writer owns it.
 
@@ -193,6 +221,8 @@ class MergeStore:
         }
         if touched is not None:
             record["touched"] = sorted(touched)
+        if extra:
+            record.update(extra)
         payload = json.dumps(record)
         try:
             fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -347,6 +377,125 @@ class MergeStore:
     def _schema_path(self) -> str:
         return os.path.join(self.path, "_SCHEMA.json")
 
+    _SCHEMA = "_SCHEMA.json"
+
+    def _version_schema(self, version: str) -> StructType | None:
+        """The schema a snapshot was COMMITTED with: the snapshot-
+        local ``_SCHEMA.json`` (written atomically with the commit —
+        Delta's per-log-entry schema), falling back to the table-
+        level file for pre-evolution snapshots, else ``None``
+        (inference). Per-version schemas are what make
+        ``schema_evolution`` time-travel-faithful: reading v3 must
+        not grow v7's columns."""
+        for p in (
+            os.path.join(self._version_dir(version), self._SCHEMA),
+            self._schema_path(),
+        ):
+            try:
+                with open(p) as f:
+                    return StructType.fromJson(json.load(f))
+            except (FileNotFoundError, ValueError):
+                continue
+        return None
+
+    @classmethod
+    def _write_snapshot_schema(
+        cls, snapshot_dir: str, schema: StructType
+    ) -> None:
+        """Persist the snapshot's schema INSIDE the (pre-rename)
+        snapshot dir, so schema travels atomically with the commit."""
+        tmp = os.path.join(snapshot_dir, cls._SCHEMA + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(schema.jsonValue(), f)
+        os.replace(tmp, os.path.join(snapshot_dir, cls._SCHEMA))
+
+    # -- CHECK constraints (Delta invariant analogue) -------------------
+    def _constraints_path(self) -> str:
+        return os.path.join(self.path, "_CONSTRAINTS.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: ``{name: sql_boolean_expr}``."""
+        try:
+            with open(self._constraints_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``.
+
+        SQL CHECK semantics: a row violates only when ``expr``
+        evaluates to FALSE — NULL passes (use ``col IS NOT NULL``
+        for a null guard). Existing data is validated first (one
+        scan of the current snapshot, same as Delta), so a
+        constraint can never be added in an already-violated state;
+        every subsequent merge enforces it on the rows it writes at
+        zero extra passes (an ``Observation`` on the staging write).
+        """
+        if self.exists():
+            bad = (
+                self.read()
+                .filter(F.expr(f"({expr}) IS FALSE"))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"existing rows violate CHECK ({expr!r}); "
+                    f"constraint {name!r} not added"
+                )
+        cons = self.constraints()
+        cons[name] = expr
+        tmp = self._constraints_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path())
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        cons.pop(name, None)
+        tmp = self._constraints_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path())
+
+    def _observe_constraints(self, df: DataFrame):
+        """Attach violation counters to the frame about to be
+        staged. Returns ``(df, observation | None)`` — the counters
+        ride the write job itself (Spark ``Observation``), so
+        enforcement costs no extra scan of the merged data."""
+        cons = self.constraints()
+        if not cons:
+            return df, None
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            *[
+                F.sum(
+                    F.expr(f"({expr}) IS FALSE").cast("long")
+                ).alias(name)
+                for name, expr in cons.items()
+            ],
+        )
+        return df, obs
+
+    def _check_observed(self, obs, *scratch_dirs: str) -> None:
+        """After the staging write: abort the commit (pre-claim) if
+        any constraint counter is non-zero."""
+        if obs is None:
+            return
+        counts = obs.get
+        bad = {k: v for k, v in counts.items() if v}
+        if bad:
+            for d in scratch_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            raise ConstraintViolationError(
+                f"merge writes violate CHECK constraints {bad}; "
+                "commit aborted (store unchanged)"
+            )
+
     def create_if_absent(self, template: DataFrame) -> None:
         """Create an empty table with ``template``'s schema — the
         reference's probe-then-``limit(0)``-write pattern
@@ -418,6 +567,7 @@ class MergeStore:
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.save(self._version_dir(version))
+        self._write_snapshot_schema(self._version_dir(version), df.schema)
         self._write_file_manifest(self._version_dir(version))
         self._set_current(version)
 
@@ -440,9 +590,25 @@ class MergeStore:
         broadcast_source: bool = False,
         max_retries: int = 5,
         claim_expiry_s: float = 300.0,
+        schema_evolution: bool = False,
     ) -> str:
         """Keyed MERGE of ``source`` into the store (M1-M3 semantics).
         Returns the committed version.
+
+        ``schema_evolution=True`` (Delta ``withSchemaEvolution``):
+        source columns absent from the table are ADDED — existing
+        rows read NULL for them, and the committed snapshot carries
+        its own ``_SCHEMA.json`` so time travel to older versions
+        keeps their narrower schema. Note this persists EVERY extra
+        source column; condition-only helper columns (change flags)
+        belong with the default ``False``, where they remain
+        droppable merge inputs.
+
+        CHECK constraints (``add_constraint``) are enforced on the
+        rows each merge writes, via an ``Observation`` riding the
+        staging write (no extra scan); a violation aborts before the
+        commit claim and raises :class:`ConstraintViolationError`
+        with the store unchanged.
 
         ``broadcast_source=True`` hints the merge join when the
         source batch is small relative to the table.
@@ -527,16 +693,21 @@ class MergeStore:
                                 "NULLs; derive it from the merge keys "
                                 "(MergeStore.hash_bucket)"
                             )
+                        tgt = self.read_version(base).filter(
+                            F.col(pcol).isin(touched)
+                        )
+                        if schema_evolution:
+                            tgt = _evolve_target(tgt, src)
                         merged = merge_upsert(
-                            self.read_version(base).filter(
-                                F.col(pcol).isin(touched)
-                            ),
+                            tgt,
                             src,
                             self.keys,
                             update_condition=update_condition,
                             delete_condition=delete_condition,
                             insert_condition=insert_condition,
                         )
+                        out_schema = merged.schema
+                        merged, obs = self._observe_constraints(merged)
                         merged_dir = os.path.join(
                             self._staging_dir(),
                             uuid.uuid4().hex + ".merged",
@@ -547,12 +718,14 @@ class MergeStore:
                             .partitionBy(pcol)
                             .save(merged_dir)
                         )
+                        self._check_observed(obs, merged_dir)
                         self.merge_recomputes += 1
                         ff = {
                             "dir": merged_dir,
                             "base": base,
                             "touched": touched,
                             "strs": sorted(str(v) for v in touched),
+                            "schema": out_schema,
                         }
                     else:
                         self.merge_fast_forwards += 1
@@ -584,21 +757,32 @@ class MergeStore:
                         shutil.rmtree(staging, ignore_errors=True)
                         self._await_advance(beyond=base)
                         continue
+                    # snapshot-local schema: the evolved (union)
+                    # schema — untouched base partitions lack the
+                    # added columns on disk and read as NULL under it
+                    self._write_snapshot_schema(staging, ff["schema"])
                     claim_touched = ff["strs"]
                 else:
+                    tgt = self.read_version(base)
+                    if schema_evolution:
+                        tgt = _evolve_target(tgt, src)
                     merged = merge_upsert(
-                        self.read_version(base),
+                        tgt,
                         src,
                         self.keys,
                         update_condition=update_condition,
                         delete_condition=delete_condition,
                         insert_condition=insert_condition,
                     )
+                    out_schema = merged.schema
+                    merged, obs = self._observe_constraints(merged)
                     (
                         merged.write.mode("overwrite")
                         .format(self.fmt)
                         .save(staging)
                     )
+                    self._check_observed(obs, staging)
+                    self._write_snapshot_schema(staging, out_schema)
                     self.merge_recomputes += 1
                     claim_touched = None
 
@@ -654,11 +838,9 @@ class MergeStore:
                 f"(have {self.list_versions()})"
             )
         reader = self.spark.read.format(self.fmt)
-        try:
-            with open(self._schema_path()) as f:
-                reader = reader.schema(StructType.fromJson(json.load(f)))
-        except FileNotFoundError:
-            pass
+        schema = self._version_schema(version)
+        if schema is not None:
+            reader = reader.schema(schema)
         # manifest read path (no directory LIST): explicit file set
         # from the commit-time manifest; basePath keeps partition-
         # column inference over pcol=value paths. Pre-manifest or
@@ -669,6 +851,71 @@ class MergeStore:
                 "basePath", self._version_dir(version)
             ).load(files)
         return reader.load(self._version_dir(version))
+
+    def restore(
+        self,
+        version: str,
+        claim_expiry_s: float = 300.0,
+        max_retries: int = 5,
+    ) -> str:
+        """``RESTORE TABLE ... TO VERSION AS OF`` (Delta RESTORE
+        analogue): commit a NEW version whose content is a retained
+        older snapshot's. Returns the committed version.
+
+        Forward-only undo: nothing is rewritten or deleted — the new
+        snapshot hardlinks the old files (O(1) data movement per
+        file, exactly Delta's add-file re-listing), history stays
+        intact and auditable, and the restored-over versions remain
+        time-travelable until ``vacuum``. Goes through the same
+        optimistic claim protocol as merge; a whole-table operation,
+        so it declares no touched-partition metadata and conflicts
+        with every concurrent commit (the loser re-links against the
+        advanced base — last restore wins, same as Delta).
+        """
+        for _attempt in range(max_retries + 1):
+            if version not in self.list_versions():
+                raise FileNotFoundError(
+                    f"version {version!r} not present at {self.path} "
+                    f"(have {self.list_versions()})"
+                )
+            self._repair_pointer()
+            base = self.current_version()
+            if base is None:
+                raise FileNotFoundError(
+                    f"MergeStore at {self.path} does not exist"
+                )
+            nxt = f"v{int(base[1:]) + 1:05d}"
+            os.makedirs(self._staging_dir(), exist_ok=True)
+            staging = os.path.join(self._staging_dir(), uuid.uuid4().hex)
+            try:
+                # carries the old snapshot's _FILES.json and local
+                # _SCHEMA.json too — content, manifest, and schema
+                # restore as one unit
+                _link_tree(self._version_dir(version), staging)
+            except OSError:
+                # restore source vacuumed mid-link: re-check at loop
+                # top (raises FileNotFoundError if truly gone)
+                shutil.rmtree(staging, ignore_errors=True)
+                continue
+            if self._claim_version(
+                nxt,
+                claim_expiry_s,
+                extra={"operation": "restore", "restore_of": version},
+            ):
+                try:
+                    os.rename(staging, self._version_dir(nxt))
+                except OSError:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    self._await_advance(beyond=base)
+                    continue
+                self._set_current(nxt)
+                return nxt
+            shutil.rmtree(staging, ignore_errors=True)
+            self._await_advance(beyond=base)
+        raise RuntimeError(
+            f"restore at {self.path} lost {max_retries + 1} straight "
+            "commit races; raise max_retries or pause ingest"
+        )
 
     def history(self) -> DataFrame:
         """Commit log as a DataFrame — the ``DESCRIBE HISTORY``
@@ -715,6 +962,8 @@ class MergeStore:
                     version,
                     float(rec["ts"]) if rec.get("ts") else None,
                     rec.get("owner"),
+                    rec.get("operation"),
+                    rec.get("restore_of"),
                     ",".join(touched) if touched is not None else None,
                     version in live,
                     version == current,
@@ -725,6 +974,7 @@ class MergeStore:
         return self.spark.createDataFrame(
             rows,
             "version string, ts double, owner string,"
+            " operation string, restore_of string,"
             " touched_partitions string, retained boolean,"
             " is_current boolean, n_files long, size_bytes long",
         )
@@ -949,6 +1199,11 @@ class MergeStore:
                 shutil.rmtree(staging, ignore_errors=True)
                 self._await_advance(beyond=base)
                 continue
+            # compaction never changes content schema: carry the
+            # base snapshot's local schema (post-evolution stores)
+            base_schema = self._version_schema(base)
+            if base_schema is not None:
+                self._write_snapshot_schema(staging, base_schema)
             self._write_file_manifest(staging)
             touched = (
                 sorted(
@@ -1030,4 +1285,38 @@ def read_store_skip(store: "MergeStore", col: str, lo, hi) -> DataFrame:
         raise FileNotFoundError(f"MergeStore at {store.path} does not exist")
     return read_with_skip(
         store.spark, store._version_dir(version), col, lo, hi
+    )
+
+
+def build_store_bloom(
+    store: "MergeStore", col: str, num_bits: int = 1 << 13
+) -> int:
+    """Per-file bloom index over the CURRENT snapshot (Delta bloom
+    filter index analogue; sources/fileindex.py) — point-lookup
+    skipping on high-cardinality unclustered columns where min/max
+    stats prune nothing. Rebuild after each merge/compaction."""
+    from etl_pipeline_4handling_listings_spark.sources.fileindex import (
+        build_file_bloom,
+    )
+
+    version = store.current_version()
+    if version is None:
+        raise FileNotFoundError(f"MergeStore at {store.path} does not exist")
+    return build_file_bloom(
+        store.spark, store._version_dir(version), col, num_bits=num_bits
+    )
+
+
+def read_store_skip_eq(store: "MergeStore", col: str, value) -> DataFrame:
+    """Equality read over the current snapshot using the bloom index
+    when present (falls back to a full scan + filter)."""
+    from etl_pipeline_4handling_listings_spark.sources.fileindex import (
+        read_with_skip_eq,
+    )
+
+    version = store.current_version()
+    if version is None:
+        raise FileNotFoundError(f"MergeStore at {store.path} does not exist")
+    return read_with_skip_eq(
+        store.spark, store._version_dir(version), col, value
     )

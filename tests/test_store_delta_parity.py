@@ -1,0 +1,272 @@
+"""Delta-parity store surfaces: RESTORE, CHECK constraints, merge
+schema evolution, and bloom-filter file skipping.
+
+Reference semantics: Delta Lake's RESTORE TABLE, ALTER TABLE ADD
+CONSTRAINT / invariant enforcement, MERGE withSchemaEvolution, and
+bloom filter indexes — re-expressed over the MergeStore commit
+protocol (reference mls_listings_curated.py:321-368 is the Delta
+surface the store stands in for).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.sources.fileindex import (
+    build_file_bloom,
+    read_with_skip_eq,
+)
+from etl_pipeline_4handling_listings_spark.sources.store import (
+    ConstraintViolationError,
+    MergeStore,
+    build_store_bloom,
+    read_store_skip_eq,
+)
+
+
+def _mk(spark, tmp_path, rows, partition_by=None, name="store"):
+    store = MergeStore(
+        spark, str(tmp_path / name), keys=["k"], partition_by=partition_by
+    )
+    df = spark.createDataFrame(rows, ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)
+    return store
+
+
+# -- RESTORE -----------------------------------------------------------
+
+
+def test_restore_roundtrip(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b")])  # v1
+    store.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    assert store.current_version() == "v00002"
+
+    restored = store.restore("v00001")
+    assert restored == "v00003"
+    assert store.current_version() == "v00003"
+    assert {r["k"]: r["v"] for r in store.read().collect()} == {
+        1: "a",
+        2: "b",
+    }
+    # forward-only: the restored-over version stays time-travelable
+    assert {
+        r["k"]: r["v"] for r in store.read_version("v00002").collect()
+    } == {1: "a", 2: "B", 3: "c"}
+    # and the commit log records the operation
+    h = {r["version"]: r for r in store.history().collect()}
+    assert h["v00003"]["operation"] == "restore"
+    assert h["v00003"]["restore_of"] == "v00001"
+    assert h["v00001"]["operation"] is None  # plain merge
+
+    # the store keeps working: merge on top of the restore
+    store.merge(spark.createDataFrame([(4, "d")], ["k", "v"]))
+    assert store.read().count() == 3
+
+
+def test_restore_unknown_version_raises(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(FileNotFoundError):
+        store.restore("v00099")
+
+
+def test_restore_survives_vacuum_of_newer(spark, tmp_path):
+    """Restored snapshot hardlinks: vacuuming the source version
+    afterwards must not damage the restored (current) content."""
+    store = _mk(spark, tmp_path, [(1, "a")])  # v1
+    store.merge(spark.createDataFrame([(1, "x")], ["k", "v"]))  # v2
+    store.restore("v00001")  # v3
+    store.vacuum(keep=1)
+    assert store.list_versions() == ["v00003"]
+    assert store.read().collect()[0]["v"] == "a"
+
+
+# -- CHECK constraints -------------------------------------------------
+
+
+def test_constraint_blocks_violating_merge(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a")])
+    store.add_constraint("v_not_blank", "length(v) > 0")
+    assert store.constraints() == {"v_not_blank": "length(v) > 0"}
+
+    before = store.current_version()
+    with pytest.raises(ConstraintViolationError):
+        store.merge(spark.createDataFrame([(2, "")], ["k", "v"]))
+    # aborted pre-claim: pointer unchanged, no stray snapshot dirs
+    assert store.current_version() == before
+    assert store.list_versions()[-1] == before
+
+    # a clean merge still commits and a later violation still trips
+    store.merge(spark.createDataFrame([(2, "ok")], ["k", "v"]))
+    assert store.read().count() == 2
+    with pytest.raises(ConstraintViolationError):
+        store.merge(spark.createDataFrame([(3, "")], ["k", "v"]))
+
+
+def test_constraint_null_passes_sql_check_semantics(spark, tmp_path):
+    """SQL CHECK: NULL predicate result is NOT a violation."""
+    store = _mk(spark, tmp_path, [(1, "a")])
+    store.add_constraint("len_gt0", "length(v) > 0")
+    store.merge(
+        spark.createDataFrame([(5, None)], "k bigint, v string")
+    )
+    assert store.read().filter(F.col("v").isNull()).count() == 1
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, ""), (2, "b")])
+    with pytest.raises(ConstraintViolationError):
+        store.add_constraint("v_not_blank", "length(v) > 0")
+    assert store.constraints() == {}
+    store.drop_constraint("nope")  # dropping a non-constraint is a no-op
+    store.add_constraint("k_pos", "k > 0")  # satisfiable one adds fine
+    assert "k_pos" in store.constraints()
+
+
+def test_constraint_enforced_on_partitioned_merge(spark, tmp_path):
+    store = MergeStore(
+        spark, str(tmp_path / "pstore"), keys=["k"], partition_by="b"
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], ["k", "v", "b"]
+    )
+    store.create_if_absent(df)
+    store.merge(df)
+    store.add_constraint("v_not_blank", "length(v) > 0")
+    before = store.current_version()
+    with pytest.raises(ConstraintViolationError):
+        store.merge(
+            spark.createDataFrame([(3, "", 0)], ["k", "v", "b"])
+        )
+    assert store.current_version() == before
+    store.merge(spark.createDataFrame([(3, "c", 0)], ["k", "v", "b"]))
+    assert store.read().count() == 3
+
+
+# -- merge schema evolution --------------------------------------------
+
+
+def test_schema_evolution_adds_column(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b")])  # v1: (k, v)
+    src = spark.createDataFrame(
+        [(2, "B", 7), (3, "c", 9)], ["k", "v", "score"]
+    )
+    store.merge(src, schema_evolution=True)  # v2: (k, v, score)
+
+    cur = store.read()
+    assert cur.columns == ["k", "v", "score"]
+    got = {r["k"]: (r["v"], r["score"]) for r in cur.collect()}
+    assert got == {1: ("a", None), 2: ("B", 7), 3: ("c", 9)}
+
+    # time travel keeps the narrower pre-evolution schema
+    assert store.read_version("v00001").columns == ["k", "v"]
+
+    # subsequent merges see the evolved schema without the flag
+    store.merge(
+        spark.createDataFrame([(4, "d", 1)], ["k", "v", "score"])
+    )
+    assert store.read().filter("k = 4").collect()[0]["score"] == 1
+
+
+def test_no_evolution_drops_extra_source_columns(spark, tmp_path):
+    """Default merge keeps condition-only helper columns out of the
+    table (the pre-existing contract)."""
+    store = _mk(spark, tmp_path, [(1, "a")])
+    store.merge(
+        spark.createDataFrame([(2, "b", True)], ["k", "v", "_changed"])
+    )
+    assert store.read().columns == ["k", "v"]
+
+
+def test_schema_evolution_partitioned(spark, tmp_path):
+    store = MergeStore(
+        spark, str(tmp_path / "pstore"), keys=["k"], partition_by="b"
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], ["k", "v", "b"]
+    )
+    store.create_if_absent(df)
+    store.merge(df)
+    # evolve while touching ONLY partition 0: partition 1's files
+    # lack the new column on disk and must read as NULL
+    store.merge(
+        spark.createDataFrame([(3, "c", 0, 5)], ["k", "v", "b", "s"]),
+        schema_evolution=True,
+    )
+    got = {
+        r["k"]: r["s"] for r in store.read().collect()
+    }
+    assert got == {1: None, 2: None, 3: 5}
+    assert set(store.read().columns) == {"k", "v", "b", "s"}
+
+
+def test_evolution_survives_optimize_and_restore(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a")])
+    store.merge(
+        spark.createDataFrame([(2, "b", 3)], ["k", "v", "s"]),
+        schema_evolution=True,
+    )  # v2 evolved
+    store.merge(spark.createDataFrame([(4, "d", 8)], ["k", "v", "s"]))
+    v = store.optimize(min_files=1)
+    if v is not None:  # compaction may be a no-op on tiny stores
+        assert store.read().columns == ["k", "v", "s"]
+    store.restore("v00001")
+    assert store.read().columns == ["k", "v"]  # pre-evolution schema
+    store.restore(store.list_versions()[-2])  # back to an evolved one
+    assert "s" in store.read().columns
+
+
+# -- bloom-filter file skipping ----------------------------------------
+
+
+def test_bloom_skip_prunes_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # 8 files, disjoint key ranges -> a point lookup lives in 1 file
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), F.col("id")).alias("uid"),
+    )
+    df.repartitionByRange(8, "k").write.parquet(path)
+    n = build_file_bloom(spark, path, "uid")
+    assert n == 8
+
+    hit = read_with_skip_eq(spark, path, "uid", "u123")
+    assert [r["k"] for r in hit.collect()] == [123]
+    # the bloom pruned the file list well below the full 8
+    assert len(hit.inputFiles()) < 8
+
+    # absent value: typically zero files survive; result is empty
+    miss = read_with_skip_eq(spark, path, "uid", "u99999")
+    assert miss.count() == 0
+
+    # unindexed column: falls back to a full scan, same answer
+    full = read_with_skip_eq(spark, path, "k", 123)
+    assert full.collect()[0]["uid"] == "u123"
+    assert len(full.inputFiles()) == 8
+
+
+def test_bloom_skip_no_false_negatives(spark, tmp_path):
+    """Every present value must be found — bloom prunes may only
+    drop files that provably lack the value."""
+    path = str(tmp_path / "t")
+    spark.range(0, 300).select(
+        (F.col("id") % 50).alias("g"), F.col("id").alias("k")
+    ).repartition(6).write.parquet(path)
+    build_file_bloom(spark, path, "k", num_bits=1 << 10)
+    for probe in (0, 7, 123, 299):
+        got = read_with_skip_eq(spark, path, "k", probe).count()
+        assert got == 1, f"k={probe} lost by bloom pruning"
+
+
+def test_store_bloom_wrappers(spark, tmp_path):
+    store = MergeStore(spark, str(tmp_path / "s"), keys=["k"])
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.col("id")).alias("doc"),
+    )
+    store.create_if_absent(df)
+    store.merge(df.repartitionByRange(5, "k"))
+    assert build_store_bloom(store, "doc") >= 1
+    got = read_store_skip_eq(store, "doc", "d42")
+    assert [r["k"] for r in got.collect()] == [42]
