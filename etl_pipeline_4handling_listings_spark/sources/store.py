@@ -852,6 +852,150 @@ class MergeStore:
             ).load(files)
         return reader.load(self._version_dir(version))
 
+    def read_as_of(self, ts) -> DataFrame:
+        """Time travel by TIMESTAMP (Delta ``timestampAsOf``): read
+        the newest retained snapshot committed at or before ``ts``.
+
+        ``ts`` may be an epoch-seconds number, a ``datetime``, or an
+        ISO string (naive strings are taken as UTC, matching the
+        epoch clock the commit manifests record). Raises if every
+        retained snapshot is newer than ``ts`` — same contract as
+        Delta (you cannot read before the table existed), and if the
+        candidate's commit time was lost to log compaction the
+        lookup refuses rather than guessing."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts.replace("T", " "))
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts = ts.timestamp()
+        best = None
+        for version in self.list_versions():
+            rec_ts = self._manifest_ts(version)
+            if rec_ts is not None and rec_ts <= float(ts):
+                best = version  # list_versions is ascending
+        if best is None:
+            raise FileNotFoundError(
+                f"no retained snapshot at {self.path} committed at or "
+                f"before {ts} (oldest retained: {self.list_versions()})"
+            )
+        return self.read_version(best)
+
+    def _manifest_ts(self, version: str) -> float | None:
+        manifest = os.path.join(self._commits_dir(), f"{version}.json")
+        try:
+            with open(manifest) as f:
+                rec = json.load(f)
+            return float(rec["ts"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        fmt: str = "parquet",
+        partition_by: str | None = None,
+    ) -> "MergeStore":
+        """``CONVERT TO DELTA`` analogue: adopt an existing columnar
+        directory as a MergeStore IN PLACE, without rewriting data.
+
+        The directory's data files are hardlinked into ``v00000``
+        (O(1) per file) and the originals unlinked — same inodes, no
+        copy — then the normal commit bookkeeping (claim manifest,
+        file manifest, schema, pointer) is created around them.
+        Idempotent: a path that is already a store is just opened.
+        """
+        store = cls(
+            spark, path, keys, fmt=fmt, partition_by=partition_by
+        )
+        if store.exists():
+            return store
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"nothing to convert at {path}")
+        schema = spark.read.format(fmt).load(path).schema
+        if not store._claim_version(
+            "v00000", expiry_s=300.0, extra={"operation": "convert"}
+        ):
+            store._await_advance(beyond="")
+            return store
+        vdir = store._version_dir("v00000")
+        os.makedirs(vdir, exist_ok=True)
+        # adopt only data entries: bookkeeping (_COMMITS with the
+        # claim just written, _SUCCESS, dotfiles) stays at the root
+        adopted = [
+            e
+            for e in os.listdir(path)
+            if not e.startswith(("_", "."))
+            and e != os.path.basename(vdir)
+        ]
+        for entry in adopted:
+            src = os.path.join(path, entry)
+            dst = os.path.join(vdir, entry)
+            if os.path.isdir(src):
+                _link_tree(src, dst)
+            else:
+                os.link(src, dst)
+        # unlink the originals — the inodes live on in v00000
+        for entry in adopted:
+            src = os.path.join(path, entry)
+            if os.path.isdir(src):
+                shutil.rmtree(src)
+            else:
+                os.remove(src)
+        with open(store._schema_path(), "w") as f:
+            json.dump(schema.jsonValue(), f)
+        store._write_snapshot_schema(vdir, schema)
+        store._write_file_manifest(vdir)
+        store._set_current("v00000")
+        return store
+
+    def clone(self, new_path: str) -> "MergeStore":
+        """Shallow(-ish) clone (Delta ``CLONE``): a NEW independent
+        store whose ``v00000`` is the current snapshot. Data files
+        are hardlinked (zero copy on the same filesystem — the
+        closest POSIX analogue to Delta's file-reference clone);
+        constraints and schema carry over; history does not (the
+        clone starts its own commit log, exactly like Delta, where
+        a clone's version counter resets)."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(
+                f"MergeStore at {self.path} does not exist"
+            )
+        target = MergeStore(
+            self.spark,
+            new_path,
+            self.keys,
+            fmt=self.fmt,
+            partition_by=self.partition_by,
+        )
+        if target.exists():
+            raise FileExistsError(f"store already exists at {new_path}")
+        os.makedirs(new_path, exist_ok=True)
+        if not target._claim_version(
+            "v00000",
+            expiry_s=300.0,
+            extra={"operation": "clone", "clone_of": self.path},
+        ):
+            target._await_advance(beyond="")
+            return target
+        _link_tree(self._version_dir(cur), target._version_dir("v00000"))
+        schema = self._version_schema(cur)
+        if schema is not None:
+            with open(target._schema_path(), "w") as f:
+                json.dump(schema.jsonValue(), f)
+        cons = self.constraints()
+        if cons:
+            with open(target._constraints_path(), "w") as f:
+                json.dump(cons, f)
+        target._set_current("v00000")
+        return target
+
     def restore(
         self,
         version: str,

@@ -82,6 +82,81 @@ def test_restore_survives_vacuum_of_newer(spark, tmp_path):
     assert store.read().collect()[0]["v"] == "a"
 
 
+# -- timestampAsOf / CONVERT / CLONE -----------------------------------
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    import time as _time
+
+    store = _mk(spark, tmp_path, [(1, "a")])  # v1
+    t_after_v1 = _time.time() + 0.05
+    _time.sleep(0.1)  # commit clocks are second-granularity floats
+    store.merge(spark.createDataFrame([(1, "x")], ["k", "v"]))  # v2
+
+    assert store.read_as_of(t_after_v1).collect()[0]["v"] == "a"
+    assert store.read_as_of(_time.time()).collect()[0]["v"] == "x"
+    with pytest.raises(FileNotFoundError):
+        store.read_as_of(0)  # before the table existed
+
+
+def test_convert_existing_parquet_dir(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["k", "v"]
+    ).write.parquet(path)
+
+    store = MergeStore.convert(spark, path, keys=["k"])
+    assert store.current_version() == "v00000"
+    assert {r["k"]: r["v"] for r in store.read().collect()} == {
+        1: "a",
+        2: "b",
+    }
+    h = {r["version"]: r for r in store.history().collect()}
+    assert h["v00000"]["operation"] == "convert"
+    # adopted in place: no stray data files left at the root
+    import os
+
+    root_files = [
+        e
+        for e in os.listdir(path)
+        if not e.startswith(("_", ".")) and e != "v00000"
+    ]
+    assert root_files == []
+
+    # the full merge lifecycle works on the adopted table
+    store.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    assert {r["k"]: r["v"] for r in store.read().collect()} == {
+        1: "a",
+        2: "B",
+        3: "c",
+    }
+    # idempotent: converting again just opens the store
+    again = MergeStore.convert(spark, path, keys=["k"])
+    assert again.current_version() == store.current_version()
+
+
+def test_clone_is_independent(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a")])
+    store.add_constraint("k_pos", "k > 0")
+    clone = store.clone(str(tmp_path / "clone"))
+
+    assert clone.current_version() == "v00000"
+    assert clone.read().collect()[0]["v"] == "a"
+    assert clone.constraints() == {"k_pos": "k > 0"}
+
+    # diverge both sides: no cross-talk
+    store.merge(spark.createDataFrame([(1, "src")], ["k", "v"]))
+    clone.merge(spark.createDataFrame([(1, "cln")], ["k", "v"]))
+    assert store.read().collect()[0]["v"] == "src"
+    assert clone.read().collect()[0]["v"] == "cln"
+    # the clone enforces the carried constraint
+    with pytest.raises(ConstraintViolationError):
+        clone.merge(spark.createDataFrame([(-1, "z")], ["k", "v"]))
+    # cloning onto an existing store refuses
+    with pytest.raises(FileExistsError):
+        store.clone(str(tmp_path / "clone"))
+
+
 # -- CHECK constraints -------------------------------------------------
 
 
