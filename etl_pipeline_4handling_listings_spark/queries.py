@@ -10415,15 +10415,20 @@ def graph_link_prediction(spark, sf_dir, max_middle_degree: int = 1000):
         member_pairs,
     )
 
-    deg = adj.groupBy(F.col("a").alias("node")).agg(
-        F.count("*").cast("long").alias("d")
-    )
     # group the adjacency per middle vertex and expand C(d,2)
     # neighbor pairs MAP-side; max_cell doubles as the middle-degree
     # celebrity guard. deg stays uncapped: reported deg_u/deg_v are
     # exact regardless of which middles were dropped.
     adj_grp = adj.groupBy("w").agg(
         F.array_sort(F.collect_list("a")).alias("us")
+    )
+    # adj holds BOTH directions, so the per-middle neighbor list IS
+    # the adjacency list of w — degree falls out as size(us), and
+    # both consumers share ONE shuffle of the 2|E| stream
+    # (ReusedExchange) instead of deg running its own groupBy.
+    deg = adj_grp.select(
+        F.col("w").alias("node"),
+        F.size("us").cast("long").alias("d"),
     )
     common = (
         member_pairs(adj_grp, "us", max_cell=max_middle_degree)

@@ -182,6 +182,22 @@ def test_link_prediction_middle_degree_cap(spark, sf_dir):
     assert none.count() == 0
 
 
+def test_link_prediction_shares_adjacency_shuffle(spark, sf_dir):
+    """Plan-shape pin: degrees are derived from the per-vertex
+    neighbor lists (size(us)), so the degree subtree and the wedge
+    expansion share ONE shuffle of the 2|E| adjacency stream via
+    ReusedExchange — deg running its own groupBy would shuffle the
+    full edge stream twice."""
+    from etl_pipeline_4handling_listings_spark.queries import (
+        graph_link_prediction,
+    )
+
+    df = graph_link_prediction(spark, sf_dir)
+    df.collect()  # AQE finalizes exchange reuse only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:2000]
+
+
 def test_member_pairs_spreads_before_explode(spark):
     """Plan-shape pin for the AQE single-task-explode trap: the
     grouped frame must pass a keyless repartition BEFORE the pair
