@@ -536,7 +536,11 @@ class MergeStore:
         the difference that matters on object stores where LIST is
         the slowest, rate-limited primitive. Returns the file count."""
         files = {}
-        for root, _dirs, names in os.walk(snapshot_dir):
+        for root, dirs, names in os.walk(snapshot_dir):
+            # prune bookkeeping SUBTREES (_dv deletion vectors): their
+            # files have plain part-*.parquet names, so the basename
+            # check below would register them as data
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for name in names:
                 if name.startswith(("_", ".")):
                     continue  # _SUCCESS, .crc, _FILES.json itself
@@ -757,6 +761,10 @@ class MergeStore:
                         shutil.rmtree(staging, ignore_errors=True)
                         self._await_advance(beyond=base)
                         continue
+                    # deletion vectors: rewritten partitions had
+                    # theirs applied (tgt reads through read_version);
+                    # hardlinked partitions keep theirs verbatim
+                    self._carry_dv(base, staging, touched_dirs)
                     # snapshot-local schema: the evolved (union)
                     # schema — untouched base partitions lack the
                     # added columns on disk and read as NULL under it
@@ -831,7 +839,14 @@ class MergeStore:
     def read_version(self, version: str) -> DataFrame:
         """Time travel: read a specific retained snapshot (the Delta
         ``versionAsOf`` analogue; snapshots are immutable so this is
-        just a scan of that version's directory)."""
+        just a scan of that version's directory), minus any rows the
+        snapshot's deletion vectors soft-deleted (:meth:`delete`)."""
+        return self._apply_dv(self._load_version(version), version)
+
+    def _load_version(self, version: str) -> DataFrame:
+        """Raw snapshot scan WITHOUT deletion-vector application —
+        internal: callers that need ``_metadata`` access (delete's
+        match scan) or that apply DVs themselves."""
         if version not in self.list_versions():
             raise FileNotFoundError(
                 f"version {version!r} not present at {self.path} "
@@ -1180,6 +1195,305 @@ class MergeStore:
             .select(*out_keys, *out_vals, "_change_type")
         )
 
+    # -- deletion vectors (merge-on-read DELETE) ------------------------
+    #
+    # A DELETE that rewrites every file containing a matched row is
+    # copy-on-write: at 100 TB a point delete (one user id — GDPR
+    # erasure) rewrites terabytes to remove kilobytes. Merge-on-read
+    # instead records WHICH rows died: a sidecar of (file relpath,
+    # row position) pairs under the snapshot's _dv/ directory,
+    # committed through the normal claim protocol with the data files
+    # HARDLINKED unchanged — O(1) write cost per file regardless of
+    # table size. Readers anti-join the sidecar on (file, position);
+    # Spark's _metadata.row_index supplies the position straight from
+    # the parquet scan, and DV frames are tiny, so AQE plans the
+    # anti-join as a broadcast. The read tax is repaid at the next
+    # rewrite: merge and optimize apply DVs whenever they rewrite a
+    # partition and carry the remainder forward, so a vector never
+    # outlives one compaction cycle of its partition. Reference
+    # semantics: Delta Lake deletion vectors / REORG APPLY (PURGE)
+    # (public docs), re-expressed over plain parquet + _metadata.
+
+    _DV = "_dv"
+
+    def _dv_dir(self, version: str) -> str:
+        return os.path.join(self._version_dir(version), self._DV)
+
+    def _dv_files(self, version: str) -> list[str]:
+        try:
+            return [
+                os.path.join(self._dv_dir(version), n)
+                for n in os.listdir(self._dv_dir(version))
+                if not n.startswith(("_", "."))
+            ]
+        except OSError:
+            return []
+
+    def _dv_frame(self, version: str) -> DataFrame | None:
+        """The snapshot's deletion vectors as (_dv_file, _dv_pos), or
+        ``None`` when it has none. Explicit schema: the sidecar must
+        stay readable even when empty or single-file."""
+        files = self._dv_files(version)
+        if not files:
+            return None
+        return self.spark.read.schema(
+            "_dv_file string, _dv_pos long"
+        ).parquet(*files)
+
+    @staticmethod
+    def _rel_file(version: str) -> "F.Column":
+        """Scanned file's path RELATIVE to its version directory —
+        the DV key that stays stable when later snapshots hardlink
+        the same file under a new version dir. The version-dir name
+        appears as a path segment exactly once below the store root
+        (partition dir names cannot contain '/'); if the STORE path
+        itself contains a look-alike segment, the deepest occurrence
+        is the real one — hence element_at(..., -1)."""
+        return F.element_at(
+            F.split(F.col("_metadata.file_path"), f"/{version}/"), -1
+        )
+
+    def _apply_dv(self, df: DataFrame, version: str) -> DataFrame:
+        """Anti-join ``df`` (a scan over ``version``'s files that
+        still exposes ``_metadata``) against the snapshot's deletion
+        vectors; identity when the snapshot has none."""
+        dv = self._dv_frame(version)
+        if dv is None:
+            return df
+        cols = df.columns
+        tagged = df.withColumn(
+            "_dv_file", self._rel_file(version)
+        ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+        return tagged.join(
+            dv, ["_dv_file", "_dv_pos"], "left_anti"
+        ).select(*cols)
+
+    def _carry_dv(
+        self, base: str, staging: str, rewritten_dirs: set[str]
+    ) -> None:
+        """Carry the base snapshot's DV entries for partitions NOT in
+        ``rewritten_dirs`` into ``staging``. Rewritten partitions had
+        their DVs applied during the rewrite (carrying those would be
+        stale garbage); hardlinked partitions keep identical file
+        names, so their entries stay valid verbatim."""
+        if "" in rewritten_dirs:
+            return  # whole-directory rewrite applied every vector
+        dv = self._dv_frame(base)
+        if dv is None:
+            return
+        keep = dv.filter(
+            ~F.split(F.col("_dv_file"), "/")
+            .getItem(0)
+            .isin(sorted(rewritten_dirs))
+        )
+        if keep.limit(1).count() == 0:
+            return
+        keep.write.mode("overwrite").parquet(
+            os.path.join(staging, self._DV)
+        )
+
+    def delete(
+        self,
+        condition,
+        rewrite: bool = False,
+        max_retries: int = 5,
+        claim_expiry_s: float = 300.0,
+    ) -> str | None:
+        """DELETE rows matching ``condition`` (str or Column).
+        Returns the committed version, or ``None`` when nothing
+        matched (no version is spent on a no-op).
+
+        Default is MERGE-ON-READ: data files are hardlinked unchanged
+        and the matched (file, row-position) pairs are appended to
+        the new snapshot's ``_dv/`` sidecar — the Delta
+        deletion-vector analogue, O(matched rows) written instead of
+        O(touched files). ``rewrite=True`` forces COPY-ON-WRITE (only
+        the partitions holding matches are rewritten when
+        ``partition_by`` is set); non-parquet stores always take the
+        rewrite path because row positions ride the parquet scan's
+        ``_metadata.row_index``.
+
+        NULL semantics match SQL DELETE: only rows where the
+        condition is TRUE die; NULL-evaluating rows survive (the
+        copy-on-write keep-filter is ``NOT coalesce(cond, false)``,
+        never a bare negation).
+
+        Concurrency: same optimistic claim protocol as merge. The
+        commit manifest records the touched partition values, so a
+        racing partition-disjoint merge fast-forwards past a delete
+        instead of re-merging; a losing delete recomputes its matches
+        against the winner's snapshot (rows the winner already
+        removed simply stop matching).
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if self.fmt != "parquet":
+            rewrite = True
+        try:
+            from pyspark.errors import AnalysisException
+        except ImportError:  # pragma: no cover - pyspark < 3.4
+            AnalysisException = OSError  # noqa: N806
+        for _attempt in range(max_retries + 1):
+            self._repair_pointer()
+            base = self.current_version()
+            if base is None:
+                raise FileNotFoundError(
+                    f"MergeStore at {self.path} does not exist"
+                )
+            nxt = f"v{int(base[1:]) + 1:05d}"
+            os.makedirs(self._staging_dir(), exist_ok=True)
+            staging = os.path.join(self._staging_dir(), uuid.uuid4().hex)
+            scratch = staging + ".scratch"
+            try:
+                if not rewrite:
+                    ok, touched, extra = self._delete_mor(
+                        base, cond, staging, scratch, AnalysisException
+                    )
+                else:
+                    ok, touched, extra = self._delete_cow(
+                        base, cond, staging, scratch, AnalysisException
+                    )
+                if ok is None:
+                    return None  # nothing matched — no-op
+                if not ok:  # lost race mid-build: retry on new base
+                    self._await_advance(beyond=base)
+                    continue
+                if self._claim_version(
+                    nxt, claim_expiry_s, touched=touched, extra=extra
+                ):
+                    try:
+                        os.rename(staging, self._version_dir(nxt))
+                    except OSError:
+                        shutil.rmtree(staging, ignore_errors=True)
+                        self._await_advance(beyond=base)
+                        continue
+                    self._set_current(nxt)
+                    return nxt
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+        raise RuntimeError(
+            f"delete at {self.path} lost {max_retries + 1} straight "
+            "commit races; raise max_retries or serialize writers"
+        )
+
+    def _delete_mor(self, base, cond, staging, scratch, AnalysisException):
+        """Merge-on-read staging build. Returns (ok, touched, extra):
+        ok None = no matches, False = lost race (vacuumed base), True
+        = ``staging`` is a commit candidate."""
+        raw = self._load_version(base)
+        tagged = raw.withColumn(
+            "_dv_file", self._rel_file(base)
+        ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+        dv = self._dv_frame(base)
+        if dv is not None:
+            # already-deleted rows must not re-match: dv_rows_added
+            # stays the count of NEWLY dead rows and repeat deletes
+            # cannot bloat the sidecar with duplicates
+            tagged = tagged.join(dv, ["_dv_file", "_dv_pos"], "left_anti")
+        matches = tagged.filter(cond).select("_dv_file", "_dv_pos")
+        try:
+            matches.write.mode("overwrite").parquet(scratch)
+        except (OSError, AnalysisException):
+            return False, None, None
+        newdv = self.spark.read.schema(
+            "_dv_file string, _dv_pos long"
+        ).parquet(scratch)
+        n_new = newdv.count()
+        if n_new == 0:
+            return None, None, None
+        touched = None
+        if self.partition_by:
+            touched = sorted(
+                r[0].split("=", 1)[1]
+                for r in newdv.select(
+                    F.split(F.col("_dv_file"), "/").getItem(0).alias("p")
+                )
+                .distinct()
+                .collect()
+                if "=" in r[0]
+            )
+        try:
+            _link_tree(self._version_dir(base), staging)
+            dvdir = os.path.join(staging, self._DV)
+            os.makedirs(dvdir, exist_ok=True)
+            for fname in os.listdir(scratch):
+                if fname.startswith(("_", ".")):
+                    continue
+                # scratch part-file names carry this write job's UUID,
+                # so they never collide with hardlinked base DV files
+                os.link(
+                    os.path.join(scratch, fname),
+                    os.path.join(dvdir, fname),
+                )
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            return False, None, None
+        return (
+            True,
+            touched,
+            {"operation": "delete", "dv_rows_added": n_new},
+        )
+
+    def _delete_cow(self, base, cond, staging, scratch, AnalysisException):
+        """Copy-on-write staging build (see ``_delete_mor`` contract):
+        rewrite only the partitions holding matches; DVs of rewritten
+        partitions are applied by reading through ``read_version``."""
+        live = self.read_version(base)
+        keep_cond = ~F.coalesce(cond, F.lit(False))
+        try:
+            if self.partition_by:
+                pcol = self.partition_by
+                touched_vals = [
+                    r[0]
+                    for r in live.filter(cond)
+                    .select(pcol)
+                    .distinct()
+                    .collect()
+                ]
+                if not touched_vals:
+                    return None, None, None
+                kept = live.filter(
+                    F.col(pcol).isin(touched_vals)
+                ).filter(keep_cond)
+                (
+                    kept.write.mode("overwrite")
+                    .format(self.fmt)
+                    .partitionBy(pcol)
+                    .save(scratch)
+                )
+                touched_dirs = {
+                    f"{pcol}={v}" for v in (str(x) for x in touched_vals)
+                }
+                _link_tree(scratch, staging)
+                base_dir = self._version_dir(base)
+                for entry in os.listdir(base_dir):
+                    if (
+                        entry.startswith(f"{pcol}=")
+                        and entry not in touched_dirs
+                    ):
+                        _link_tree(
+                            os.path.join(base_dir, entry),
+                            os.path.join(staging, entry),
+                        )
+                self._carry_dv(base, staging, touched_dirs)
+                touched = sorted(str(v) for v in touched_vals)
+            else:
+                if live.filter(cond).limit(1).count() == 0:
+                    return None, None, None
+                live.filter(keep_cond).write.mode("overwrite").format(
+                    self.fmt
+                ).save(staging)
+                touched = None
+        except (OSError, AnalysisException):
+            shutil.rmtree(staging, ignore_errors=True)
+            return False, None, None
+        base_schema = self._version_schema(base)
+        if base_schema is not None:
+            self._write_snapshot_schema(staging, base_schema)
+        self._write_file_manifest(staging)
+        return True, touched, {"operation": "delete", "rewrite": True}
+
     @staticmethod
     def zorder_key(cols: Sequence[str], bits: int = 16) -> "F.Column":
         """Morton (Z-order) clustering key: bit-interleave up to a
@@ -1214,6 +1528,7 @@ class MergeStore:
         max_retries: int = 5,
         claim_expiry_s: float = 300.0,
         zorder_by: Sequence[str] | None = None,
+        purge: bool = False,
     ) -> str | None:
         """Bin-pack small files into ~``target_file_bytes`` ones —
         the Delta ``OPTIMIZE`` analogue, committed as a NEW version
@@ -1247,6 +1562,14 @@ class MergeStore:
         sortedness metadata is kept, so re-running a zorder
         optimize rewrites again: schedule it after ingest windows,
         don't loop it.
+
+        Deletion vectors: every rewritten partition has its DVs
+        APPLIED (soft-deleted rows are physically dropped from the
+        compacted files) and the survivors' vectors are carried
+        forward. ``purge=True`` additionally forces a rewrite of any
+        partition that holds DV entries even when it is under the
+        small-file threshold — the ``REORG TABLE ... APPLY (PURGE)``
+        analogue for hard-erasure deadlines.
         """
         if zorder_by and self.partition_by in set(zorder_by):
             # partition values live in directory names, not in the
@@ -1268,12 +1591,16 @@ class MergeStore:
             base_dir = self._version_dir(base)
             files = self._manifest_files(base)
             if files is None:  # pre-manifest snapshot: walk once
-                files = [
-                    os.path.join(root, name)
-                    for root, _d, names in os.walk(base_dir)
-                    for name in names
-                    if not name.startswith(("_", "."))
-                ]
+                files = []
+                for root, dirs, names in os.walk(base_dir):
+                    dirs[:] = [
+                        d for d in dirs if not d.startswith(("_", "."))
+                    ]  # _dv sidecar files are not data
+                    files.extend(
+                        os.path.join(root, name)
+                        for name in names
+                        if not name.startswith(("_", "."))
+                    )
             # group data files by partition dir ("" = unpartitioned)
             groups: dict[str, list[str]] = {}
             for f in files:
@@ -1284,10 +1611,26 @@ class MergeStore:
             # file may be unsorted); plain bin-packing only acts on
             # genuine small-file accretion
             eff_min = 1 if zorder_by else min_files
+            dv_parts: set[str] = set()
+            if purge and self._dv_files(base):
+                dv = self._dv_frame(base)
+                dv_parts = {
+                    r[0]
+                    for r in dv.select(
+                        F.when(
+                            F.instr(F.col("_dv_file"), "/") > 0,
+                            F.split(F.col("_dv_file"), "/").getItem(0),
+                        )
+                        .otherwise(F.lit(""))
+                        .alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                }
             chosen = {
                 part: fs
                 for part, fs in groups.items()
-                if len(fs) >= eff_min
+                if len(fs) >= eff_min or part in dv_parts
             }
             if not chosen:
                 return None
@@ -1309,7 +1652,9 @@ class MergeStore:
                     out_dir = (
                         os.path.join(staging, part) if part else staging
                     )
-                    df = self.spark.read.format(self.fmt).load(fs)
+                    df = self._apply_dv(
+                        self.spark.read.format(self.fmt).load(fs), base
+                    )
                     if zorder_by:
                         df = (
                             df.withColumn(
@@ -1343,6 +1688,9 @@ class MergeStore:
                 shutil.rmtree(staging, ignore_errors=True)
                 self._await_advance(beyond=base)
                 continue
+            # compacted partitions dropped their soft-deleted rows
+            # above; survivors keep their vectors
+            self._carry_dv(base, staging, set(chosen))
             # compaction never changes content schema: carry the
             # base snapshot's local schema (post-evolution stores)
             base_schema = self._version_schema(base)
@@ -1419,7 +1767,10 @@ def build_store_stats(store: "MergeStore", cols: Sequence[str]) -> int:
 
 def read_store_skip(store: "MergeStore", col: str, lo, hi) -> DataFrame:
     """Range read over the current snapshot using the file-stats
-    index when present (falls back to a full scan + filter)."""
+    index when present (falls back to a full scan + filter). Skipping
+    composes with deletion vectors: stats cover soft-deleted rows too
+    (over-approximate — may keep a file, never loses one), and the
+    DV anti-join is applied to whatever file subset survives."""
     from etl_pipeline_4handling_listings_spark.sources.fileindex import (
         read_with_skip,
     )
@@ -1427,8 +1778,11 @@ def read_store_skip(store: "MergeStore", col: str, lo, hi) -> DataFrame:
     version = store.current_version()
     if version is None:
         raise FileNotFoundError(f"MergeStore at {store.path} does not exist")
-    return read_with_skip(
-        store.spark, store._version_dir(version), col, lo, hi
+    return store._apply_dv(
+        read_with_skip(
+            store.spark, store._version_dir(version), col, lo, hi
+        ),
+        version,
     )
 
 
@@ -1453,7 +1807,8 @@ def build_store_bloom(
 
 def read_store_skip_eq(store: "MergeStore", col: str, value) -> DataFrame:
     """Equality read over the current snapshot using the bloom index
-    when present (falls back to a full scan + filter)."""
+    when present (falls back to a full scan + filter). DV-aware, same
+    contract as :func:`read_store_skip`."""
     from etl_pipeline_4handling_listings_spark.sources.fileindex import (
         read_with_skip_eq,
     )
@@ -1461,6 +1816,9 @@ def read_store_skip_eq(store: "MergeStore", col: str, value) -> DataFrame:
     version = store.current_version()
     if version is None:
         raise FileNotFoundError(f"MergeStore at {store.path} does not exist")
-    return read_with_skip_eq(
-        store.spark, store._version_dir(version), col, value
+    return store._apply_dv(
+        read_with_skip_eq(
+            store.spark, store._version_dir(version), col, value
+        ),
+        version,
     )
