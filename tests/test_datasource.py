@@ -1,0 +1,132 @@
+"""MergeStore as a Spark Data Source (batch + streaming CDF).
+
+Reference semantics: Delta's DataFrame reader / Change Data Feed
+(public docs) — the store consumed through the standard
+``spark.read.format(...)`` / ``spark.readStream.format(...)``
+surface via Spark 4's Python Data Source API.
+"""
+
+from __future__ import annotations
+
+from etl_pipeline_4handling_listings_spark.sources.datasource import register
+from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+
+def _mk(spark, tmp_path, rows, partition_by=None, name="store"):
+    store = MergeStore(
+        spark, str(tmp_path / name), keys=["k"], partition_by=partition_by
+    )
+    cols = ["k", "v"] + (["p"] if partition_by else [])
+    df = spark.createDataFrame(rows, cols)
+    store.create_if_absent(df)
+    store.merge(df)
+    return store
+
+
+def test_batch_read_matches_store_read(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    store.delete("k = 2")  # deletion vector must be applied
+    register(spark)
+    out = spark.read.format("mergestore").load(store.path)
+    assert {(r["k"], r["v"]) for r in out.collect()} == {
+        (1, "a"),
+        (3, "c"),
+    }
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
+
+
+def test_batch_time_travel_option(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a")])  # v1
+    store.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))  # v2
+    register(spark)
+    old = (
+        spark.read.format("mergestore")
+        .option("version", 1)
+        .load(store.path)
+    )
+    assert [(r["k"], r["v"]) for r in old.collect()] == [(1, "a")]
+
+
+def test_batch_partitioned_injects_partition_column(spark, tmp_path):
+    rows = [(1, "a", 0), (2, "b", 1), (3, "c", 0)]
+    store = _mk(spark, tmp_path, rows, partition_by="p")
+    register(spark)
+    out = spark.read.format("mergestore").load(store.path)
+    assert dict(out.dtypes)["p"] == "bigint"
+    assert {(r["k"], r["p"]) for r in out.collect()} == {
+        (1, 0),
+        (2, 1),
+        (3, 0),
+    }
+
+
+def test_batch_schema_evolution_nulls_old_files(spark, tmp_path):
+    rows = [(1, "a", 0), (2, "b", 1)]
+    store = _mk(spark, tmp_path, rows, partition_by="p")
+    # evolve: add a column via a merge touching only partition 1 —
+    # partition 0's files predate the column and must read as NULL
+    store.merge(
+        spark.createDataFrame([(2, "B", 1, "x")], ["k", "v", "p", "extra"]),
+        schema_evolution=True,
+    )
+    register(spark)
+    out = spark.read.format("mergestore").load(store.path)
+    got = {r["k"]: (r["v"], r["extra"]) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("B", "x")}
+
+
+def test_cdc_stream_emits_commit_changes(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b")])  # v1: inserts
+    store.merge(
+        spark.createDataFrame([(1, "A"), (3, "c")], ["k", "v"])
+    )  # v2: update + insert
+    store.delete("k = 2")  # v3: merge-on-read delete
+    register(spark)
+    q = (
+        spark.readStream.format("mergestore_cdc")
+        .option("keys", "k")
+        .option("startingVersion", 0)
+        .load(store.path)
+        .writeStream.format("memory")
+        .queryName("cdc_feed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("select * from cdc_feed").collect()
+    }
+    assert rows == {
+        (1, "insert", "v00001"),
+        (2, "insert", "v00001"),
+        (1, "update_postimage", "v00002"),
+        (3, "insert", "v00002"),
+        (2, "delete", "v00003"),
+    }
+
+
+def test_cdc_partitioned_diffs_only_touched(spark, tmp_path):
+    rows = [(1, "a", 0), (2, "b", 1)]
+    store = _mk(spark, tmp_path, rows, partition_by="p")
+    store.merge(
+        spark.createDataFrame([(3, "c", 1)], ["k", "v", "p"])
+    )  # touches partition 1 only
+    register(spark)
+    q = (
+        spark.readStream.format("mergestore_cdc")
+        .option("keys", "k")
+        .option("startingVersion", 1)
+        .load(store.path)
+        .writeStream.format("memory")
+        .queryName("cdc_part")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["k"], r["_change_type"])
+        for r in spark.sql("select * from cdc_part").collect()
+    }
+    # the untouched partition contributed no diff work and no rows
+    assert rows == {(3, "insert")}
