@@ -279,15 +279,30 @@ class MergeStoreBatchReader(DataSourceReader):
 
 
 class MergeStoreDataSource(DataSource):
-    """Batch snapshot reads of a MergeStore (``version`` option =
-    time travel)."""
+    """Batch reads of a MergeStore: snapshot by default (``version``
+    option = time travel), or the change feed between two versions
+    with ``readChangeFeed=true`` + ``startingVersion`` (+ optional
+    ``endingVersion``, default current) + ``keys`` — the Delta
+    ``readChangeFeed`` analogue."""
 
     @classmethod
     def name(cls) -> str:
         return "mergestore"
 
+    def _cdc_mode(self) -> bool:
+        return (
+            str(
+                self.options.get(
+                    "readchangefeed", self.options.get("readChangeFeed", "")
+                )
+            ).lower()
+            == "true"
+        )
+
     def schema(self):
         path = self.options["path"]
+        if self._cdc_mode():
+            return _cdc_schema(path)
         v = self.options.get("version")
         version = (
             _norm_version(v) if v is not None else _current_version(path)
@@ -295,10 +310,13 @@ class MergeStoreDataSource(DataSource):
         return _schema_of(path, version)
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._cdc_mode():
+            return MergeStoreCDCBatchReader(schema, self.options)
         return MergeStoreBatchReader(schema, self.options)
 
 
-# -- streaming change-data-feed source ----------------------------------
+# -- change-data-feed (shared by the stream source and the batch
+#    readChangeFeed mode) --------------------------------------------
 
 
 class _DiffPartition(InputPartition):
@@ -317,17 +335,117 @@ class _DiffPartition(InputPartition):
         self.keys = keys
 
 
+def _plan_diff_partitions(
+    path: str, start_v: int, end_v: int, keys: list
+) -> list:
+    """One diff partition per (commit step, touched partition) — the
+    commit manifest's conflict metadata bounds CDC work to what the
+    commit rewrote; unpartitioned/unattributed commits degrade to a
+    whole-snapshot diff."""
+    parts = []
+    for n in range(start_v, end_v):
+        v_old, v_new = f"v{n:05d}", f"v{n + 1:05d}"
+        rec = _commit_record(path, v_new)
+        touched = rec.get("touched")
+        if touched:
+            rels = _manifest_relpaths(path, v_new)
+            pcol = next(
+                (
+                    os.path.dirname(r).split("=", 1)[0]
+                    for r in rels
+                    if "=" in os.path.dirname(r)
+                ),
+                None,
+            )
+            if pcol is not None:
+                parts.extend(
+                    _DiffPartition(
+                        path, v_old, v_new, f"{pcol}={val}/", keys
+                    )
+                    for val in touched
+                )
+                continue
+        parts.append(_DiffPartition(path, v_old, v_new, "", keys))
+    return parts
+
+
+def _diff_side(partition: _DiffPartition, version: str, fields) -> dict:
+    """One side of the diff: key tuple -> schema-projected row dict,
+    restricted to the partition prefix, DVs applied."""
+    dv = _dv_map(partition.path, version)
+    vdir = _version_dir(partition.path, version)
+    rows: dict = {}
+    for rel in _manifest_relpaths(partition.path, version):
+        if partition.prefix and not rel.startswith(partition.prefix):
+            continue
+        for d in _read_file_dicts(vdir, rel, dv.get(rel, set()), fields):
+            rows[tuple(d[k] for k in partition.keys)] = d
+    return rows
+
+
+def _diff_rows(partition: _DiffPartition, cdc_schema: StructType):
+    """insert/update_postimage/delete tuples for one diff partition
+    (``cdc_schema`` ends with _change_type, _commit_version)."""
+    fields = StructType(cdc_schema.fields[:-2])
+    old = _diff_side(partition, partition.v_old, fields)
+    new = _diff_side(partition, partition.v_new, fields)
+    names = [f.name for f in fields.fields]
+
+    def eq(a, b):
+        if a == b:
+            return True
+        # NaN-safe: float('nan') != float('nan') but the row is
+        # unchanged — don't emit a phantom update
+        return (
+            isinstance(a, float)
+            and isinstance(b, float)
+            and a != a
+            and b != b
+        )
+
+    for key, row in new.items():
+        prev = old.get(key)
+        if prev is None:
+            change = "insert"
+        elif all(eq(row[n], prev[n]) for n in names):
+            continue
+        else:
+            change = "update_postimage"
+        yield tuple(row[n] for n in names) + (change, partition.v_new)
+    for key, row in old.items():
+        if key not in new:
+            yield tuple(row[n] for n in names) + (
+                "delete",
+                partition.v_new,
+            )
+
+
+def _cdc_keys(options: dict) -> list:
+    keys = options.get("keys")
+    if not keys:
+        raise ValueError(
+            "change-feed reads require .option('keys', 'k1,k2'): the "
+            "store's merge keys drive the insert/update/delete diff"
+        )
+    return [k.strip() for k in str(keys).split(",") if k.strip()]
+
+
+def _cdc_schema(path: str) -> StructType:
+    base = _schema_of(path, _current_version(path))
+    return StructType(
+        base.fields
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", StringType()),
+        ]
+    )
+
+
 class MergeStoreCDCStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
         self.path = options["path"]
-        keys = options.get("keys")
-        if not keys:
-            raise ValueError(
-                "mergestore_cdc requires .option('keys', 'k1,k2'): the "
-                "store's merge keys drive the insert/update/delete diff"
-            )
-        self.keys = [k.strip() for k in str(keys).split(",") if k.strip()]
+        self.keys = _cdc_keys(options)
         start = options.get("startingversion", options.get("startingVersion"))
         self._initial = (
             int(str(start).lstrip("v"))
@@ -342,91 +460,45 @@ class MergeStoreCDCStreamReader(DataSourceStreamReader):
         return {"version": int(_current_version(self.path)[1:])}
 
     def partitions(self, start: dict, end: dict):
-        parts = []
-        for n in range(start["version"], end["version"]):
-            v_old, v_new = f"v{n:05d}", f"v{n + 1:05d}"
-            rec = _commit_record(self.path, v_new)
-            touched = rec.get("touched")
-            if touched:
-                # dir prefix from any data relpath of the new version
-                rels = _manifest_relpaths(self.path, v_new)
-                pcol = next(
-                    (
-                        os.path.dirname(r).split("=", 1)[0]
-                        for r in rels
-                        if "=" in os.path.dirname(r)
-                    ),
-                    None,
-                )
-                if pcol is not None:
-                    parts.extend(
-                        _DiffPartition(
-                            self.path,
-                            v_old,
-                            v_new,
-                            f"{pcol}={val}/",
-                            self.keys,
-                        )
-                        for val in touched
-                    )
-                    continue
-            # unpartitioned or unattributed commit: one full diff
-            parts.append(
-                _DiffPartition(self.path, v_old, v_new, "", self.keys)
-            )
-        return parts
+        return _plan_diff_partitions(
+            self.path, start["version"], end["version"], self.keys
+        )
 
     def commit(self, end: dict) -> None:
         pass
 
-    def _side(self, version: str, prefix: str) -> dict:
-        """One side of the diff: key tuple -> schema-projected row
-        dict, restricted to the partition prefix, DVs applied."""
-        dv = _dv_map(self.path, version)
-        vdir = _version_dir(self.path, version)
-        table_fields = StructType(self.schema_.fields[:-2])  # drop CDC cols
-        rows: dict = {}
-        for rel in _manifest_relpaths(self.path, version):
-            if prefix and not rel.startswith(prefix):
-                continue
-            for d in _read_file_dicts(
-                vdir, rel, dv.get(rel, set()), table_fields
-            ):
-                rows[tuple(d[k] for k in self.keys)] = d
-        return rows
+    def read(self, partition: _DiffPartition) -> Iterator:
+        return _diff_rows(partition, self.schema_)
+
+
+class MergeStoreCDCBatchReader(DataSourceReader):
+    """Batch change-feed (Delta ``readChangeFeed`` analogue): all
+    changes in (startingVersion, endingVersion] as one DataFrame."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.path = options["path"]
+        self.keys = _cdc_keys(options)
+        start = options.get("startingversion", options.get("startingVersion"))
+        if start is None:
+            raise ValueError(
+                "readChangeFeed requires .option('startingVersion', n)"
+            )
+        self.start = int(str(start).lstrip("v"))
+        end = options.get("endingversion", options.get("endingVersion"))
+        self.end = (
+            int(str(end).lstrip("v"))
+            if end is not None
+            else int(_current_version(self.path)[1:])
+        )
+
+    def partitions(self):
+        return _plan_diff_partitions(
+            self.path, self.start, self.end, self.keys
+        )
 
     def read(self, partition: _DiffPartition) -> Iterator:
-        old = self._side(partition.v_old, partition.prefix)
-        new = self._side(partition.v_new, partition.prefix)
-        names = [f.name for f in self.schema_.fields[:-2]]
-
-        def eq(a, b):
-            if a == b:
-                return True
-            # NaN-safe: float('nan') != float('nan') but the row is
-            # unchanged — don't emit a phantom update
-            return (
-                isinstance(a, float)
-                and isinstance(b, float)
-                and a != a
-                and b != b
-            )
-
-        for key, row in new.items():
-            prev = old.get(key)
-            if prev is None:
-                change = "insert"
-            elif all(eq(row[n], prev[n]) for n in names):
-                continue
-            else:
-                change = "update_postimage"
-            yield tuple(row[n] for n in names) + (change, partition.v_new)
-        for key, row in old.items():
-            if key not in new:
-                yield tuple(row[n] for n in names) + (
-                    "delete",
-                    partition.v_new,
-                )
+        return _diff_rows(partition, self.schema_)
 
 
 class MergeStoreCDCDataSource(DataSource):
@@ -437,15 +509,7 @@ class MergeStoreCDCDataSource(DataSource):
         return "mergestore_cdc"
 
     def schema(self):
-        path = self.options["path"]
-        base = _schema_of(path, _current_version(path))
-        return StructType(
-            base.fields
-            + [
-                StructField("_change_type", StringType()),
-                StructField("_commit_version", StringType()),
-            ]
-        )
+        return _cdc_schema(self.options["path"])
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return MergeStoreCDCStreamReader(schema, self.options)

@@ -1723,6 +1723,112 @@ class MergeStore:
             "commit races; raise max_retries or pause ingest"
         )
 
+    def fsck(self, claim_expiry_s: float = 300.0) -> list[dict]:
+        """Metadata-only invariant check (the ops surface a store
+        with this many moving parts owes its operators — Delta's
+        equivalent is the transaction-log consistency the runtime
+        enforces implicitly). Returns a list of findings, each
+        ``{"version", "check", "detail"}``; empty means healthy.
+        Only commit metadata, file stats, and the (tiny) DV sidecar
+        are read — never data files — so it is safe to run against a
+        live store at any size.
+
+        Checks: the pointer targets a live version; the pointer is
+        not BEHIND a newer committed version (repairable — the
+        advance-only flip's one lost instant); every retained
+        snapshot's manifest files exist with the recorded sizes;
+        deletion-vector entries reference manifest files; snapshot
+        schemas parse; claims older than ``claim_expiry_s`` whose
+        snapshot never materialized (crashed writers — vacuum/
+        compact_log will fold them)."""
+        findings: list[dict] = []
+
+        def flag(version: str | None, check: str, detail: str) -> None:
+            findings.append(
+                {"version": version, "check": check, "detail": detail}
+            )
+
+        current = self.current_version()
+        live = self.list_versions()
+        if current is None:
+            flag(None, "pointer", "no _CURRENT pointer (store absent?)")
+            return findings
+        if current not in live:
+            flag(
+                current,
+                "pointer",
+                "pointer targets a missing version dir",
+            )
+        newest_committed = None
+        for v in live:
+            manifest = os.path.join(self._commits_dir(), f"{v}.json")
+            if os.path.isfile(manifest):
+                newest_committed = v
+        if newest_committed is not None and newest_committed > current:
+            flag(
+                current,
+                "pointer-behind",
+                f"newer committed snapshot {newest_committed} exists; "
+                "_repair_pointer() will advance",
+            )
+        for v in live:
+            vdir = self._version_dir(v)
+            try:
+                with open(os.path.join(vdir, self._FILES)) as f:
+                    manifest = json.load(f)
+            except (OSError, ValueError):
+                continue  # pre-manifest snapshot: directory scan reads
+            for rel, size in manifest.items():
+                full = os.path.join(vdir, rel)
+                try:
+                    actual = os.path.getsize(full)
+                except OSError:
+                    flag(v, "manifest-missing-file", rel)
+                    continue
+                if actual != size:
+                    flag(
+                        v,
+                        "manifest-size-mismatch",
+                        f"{rel}: manifest {size} vs disk {actual}",
+                    )
+            dv = self._dv_frame(v)
+            if dv is not None:
+                for rel in {
+                    r[0] for r in dv.select("_dv_file").distinct().collect()
+                }:
+                    if rel not in manifest:
+                        flag(
+                            v,
+                            "dv-dangling-file",
+                            f"deletion vector references {rel} not in "
+                            "the manifest",
+                        )
+            if self._version_schema(v) is None:
+                flag(v, "schema-missing", "no parseable schema")
+        commits = self._commits_dir()
+        if os.path.isdir(commits):
+            for entry in os.listdir(commits):
+                if not entry.endswith(".json") or entry.startswith("_"):
+                    continue
+                v = entry[:-5]
+                if v in live or v <= current:
+                    continue
+                try:
+                    age = time.time() - os.path.getmtime(
+                        os.path.join(commits, entry)
+                    )
+                except OSError:
+                    continue
+                if age > claim_expiry_s:
+                    flag(
+                        v,
+                        "stale-claim",
+                        f"claimed {age:.0f}s ago, snapshot never "
+                        "materialized (crashed writer; next committer "
+                        "breaks it)",
+                    )
+        return findings
+
     def vacuum(self, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` snapshots (S9 analogue)."""
         current = self.current_version()

@@ -106,6 +106,42 @@ def test_cdc_stream_emits_commit_changes(spark, tmp_path):
     }
 
 
+def test_batch_read_change_feed(spark, tmp_path):
+    """Delta readChangeFeed analogue: the batch source in CDC mode
+    returns every change in (startingVersion, endingVersion]."""
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b")])  # v1
+    store.merge(spark.createDataFrame([(1, "A")], ["k", "v"]))  # v2
+    store.delete("k = 2")  # v3
+    register(spark)
+    out = (
+        spark.read.format("mergestore")
+        .option("readChangeFeed", "true")
+        .option("keys", "k")
+        .option("startingVersion", 1)
+        .load(store.path)
+    )
+    rows = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "update_postimage", "v00002"),
+        (2, "delete", "v00003"),
+    }
+    # bounded range: only the v1->v2 step
+    only_v2 = (
+        spark.read.format("mergestore")
+        .option("readChangeFeed", "true")
+        .option("keys", "k")
+        .option("startingVersion", 1)
+        .option("endingVersion", 2)
+        .load(store.path)
+    )
+    assert {
+        (r["k"], r["_change_type"]) for r in only_v2.collect()
+    } == {(1, "update_postimage")}
+
+
 def test_cdc_partitioned_diffs_only_touched(spark, tmp_path):
     rows = [(1, "a", 0), (2, "b", 1)]
     store = _mk(spark, tmp_path, rows, partition_by="p")

@@ -198,6 +198,24 @@ def test_skip_read_respects_vectors(spark, tmp_path):
     assert sorted(r["k"] for r in out.collect()) == [5, 6, 7, 8]
 
 
+def test_fsck_healthy_and_corrupted(spark, tmp_path):
+    """fsck is silent on a healthy store (including one with live
+    deletion vectors) and names the broken invariant after damage."""
+    import os
+
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    store.delete("k = 2")
+    assert store.fsck() == []
+
+    # damage: remove one manifest-listed data file from the current
+    # snapshot (simulates partial replication / fat-fingered rm)
+    v = store.current_version()
+    victim = store._manifest_files(v)[0]
+    os.remove(victim)
+    checks = {f["check"] for f in store.fsck()}
+    assert "manifest-missing-file" in checks
+
+
 def test_vectors_survive_vacuum_and_clone(spark, tmp_path):
     """The sidecar lives INSIDE the version dir, so it rides every
     file-reference operation: vacuum of the pre-delete snapshots
