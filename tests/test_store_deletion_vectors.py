@@ -198,6 +198,19 @@ def test_skip_read_respects_vectors(spark, tmp_path):
     assert sorted(r["k"] for r in out.collect()) == [5, 6, 7, 8]
 
 
+def test_delete_commit_participates_in_fast_forward(spark, tmp_path):
+    """A DV delete records touched-partition conflict metadata, so a
+    racing merge into OTHER partitions may fast-forward past it
+    (carrying its vectors — covered above), while a merge into the
+    SAME partition must re-merge."""
+    rows = [(1, "a", 0), (2, "b", 1)]
+    store = _mk(spark, tmp_path, rows, partition_by="p")
+    base = store.current_version()
+    v = store.delete("k = 1")  # touched: partition 0
+    assert store._ff_valid(base, v, ["1"])  # disjoint: sails past
+    assert not store._ff_valid(base, v, ["0"])  # overlap: re-merge
+
+
 def test_fsck_healthy_and_corrupted(spark, tmp_path):
     """fsck is silent on a healthy store (including one with live
     deletion vectors) and names the broken invariant after damage."""
