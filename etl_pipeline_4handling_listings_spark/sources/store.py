@@ -1377,6 +1377,255 @@ class MergeStore:
             "commit races; raise max_retries or serialize writers"
         )
 
+    def update(
+        self,
+        condition,
+        set_exprs: dict,
+        rewrite: bool = False,
+        max_retries: int = 5,
+        claim_expiry_s: float = 300.0,
+    ) -> str | None:
+        """UPDATE rows matching ``condition``: assign each column in
+        ``set_exprs`` (name -> Column or SQL string) on the matched
+        rows. Returns the committed version, or ``None`` when nothing
+        matched.
+
+        Default is the deletion-vector form (Delta's DV-backed
+        UPDATE): the matched rows' old positions join the ``_dv/``
+        sidecar and their updated images are APPENDED as new data
+        files — the untouched files are hardlinked, so write cost is
+        O(matched rows), not O(touched files). ``rewrite=True`` (and
+        any non-parquet store) rewrites the touched partitions
+        copy-on-write instead.
+
+        Key and partition columns may not be assigned: a key update
+        is a delete+insert (use :meth:`merge`), and a row may never
+        change partitions (the store's pruning precondition).
+        NULL-evaluating rows are not matched, same as SQL UPDATE.
+        """
+        assigns = {
+            name: (F.expr(e) if isinstance(e, str) else e)
+            for name, e in set_exprs.items()
+        }
+        illegal = set(assigns) & (
+            set(self.keys) | ({self.partition_by} - {None})
+        )
+        if illegal:
+            raise ValueError(
+                f"update may not assign key/partition columns {sorted(illegal)}; "
+                "key changes are a delete+insert (merge), partition "
+                "changes violate the pruning precondition"
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if self.fmt != "parquet":
+            rewrite = True
+        try:
+            from pyspark.errors import AnalysisException
+        except ImportError:  # pragma: no cover - pyspark < 3.4
+            AnalysisException = OSError  # noqa: N806
+        for _attempt in range(max_retries + 1):
+            self._repair_pointer()
+            base = self.current_version()
+            if base is None:
+                raise FileNotFoundError(
+                    f"MergeStore at {self.path} does not exist"
+                )
+            nxt = f"v{int(base[1:]) + 1:05d}"
+            os.makedirs(self._staging_dir(), exist_ok=True)
+            staging = os.path.join(self._staging_dir(), uuid.uuid4().hex)
+            scratch = staging + ".scratch"
+            try:
+                if not rewrite:
+                    ok, touched, extra = self._update_mor(
+                        base, cond, assigns, staging, scratch,
+                        AnalysisException,
+                    )
+                else:
+                    ok, touched, extra = self._update_cow(
+                        base, cond, assigns, staging, scratch,
+                        AnalysisException,
+                    )
+                if ok is None:
+                    return None
+                if not ok:
+                    self._await_advance(beyond=base)
+                    continue
+                if self._claim_version(
+                    nxt, claim_expiry_s, touched=touched, extra=extra
+                ):
+                    try:
+                        os.rename(staging, self._version_dir(nxt))
+                    except OSError:
+                        shutil.rmtree(staging, ignore_errors=True)
+                        self._await_advance(beyond=base)
+                        continue
+                    self._set_current(nxt)
+                    return nxt
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+        raise RuntimeError(
+            f"update at {self.path} lost {max_retries + 1} straight "
+            "commit races; raise max_retries or serialize writers"
+        )
+
+    def _update_mor(
+        self, base, cond, assigns, staging, scratch, AnalysisException
+    ):
+        """DV-backed update staging build (``_delete_mor`` contract):
+        matched rows' positions become vectors AND their updated
+        images are appended as fresh data files."""
+        raw = self._load_version(base)
+        tagged = raw.withColumn(
+            "_dv_file", self._rel_file(base)
+        ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+        dv = self._dv_frame(base)
+        if dv is not None:
+            tagged = tagged.join(dv, ["_dv_file", "_dv_pos"], "left_anti")
+        matched = tagged.filter(cond)
+        data_cols = raw.columns
+        try:
+            # one pass writes BOTH outputs: positions for the sidecar
+            # and the post-update images for the appended files
+            matched.select(
+                "_dv_file",
+                "_dv_pos",
+                *[
+                    (assigns[c].alias(c) if c in assigns else F.col(c))
+                    for c in data_cols
+                ],
+            ).write.mode("overwrite").parquet(scratch)
+        except (OSError, AnalysisException):
+            return False, None, None
+        snap = self.spark.read.parquet(scratch)
+        n = snap.count()
+        if n == 0:
+            return None, None, None
+        newdv = snap.select("_dv_file", "_dv_pos")
+        touched = None
+        if self.partition_by:
+            touched = sorted(
+                r[0].split("=", 1)[1]
+                for r in newdv.select(
+                    F.split(F.col("_dv_file"), "/").getItem(0).alias("p")
+                )
+                .distinct()
+                .collect()
+                if "=" in r[0]
+            )
+        try:
+            _link_tree(self._version_dir(base), staging)
+            images = snap.select(*data_cols)
+            images, obs = self._observe_constraints(images)
+            writer = images.write.mode("append").format(self.fmt)
+            if self.partition_by:
+                writer = writer.partitionBy(self.partition_by)
+            writer.save(staging)
+            self._check_observed(obs, staging)
+            dvdir = os.path.join(staging, self._DV)
+            os.makedirs(dvdir, exist_ok=True)
+            dvtmp = scratch + ".dv"
+            newdv.write.mode("overwrite").parquet(dvtmp)
+            try:
+                for fname in os.listdir(dvtmp):
+                    if not fname.startswith(("_", ".")):
+                        os.link(
+                            os.path.join(dvtmp, fname),
+                            os.path.join(dvdir, fname),
+                        )
+            finally:
+                shutil.rmtree(dvtmp, ignore_errors=True)
+        except ConstraintViolationError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        except (OSError, AnalysisException):
+            shutil.rmtree(staging, ignore_errors=True)
+            return False, None, None
+        # new data files appeared: the hardlinked base manifest is
+        # stale — regenerate (underscore subtrees stay excluded)
+        self._write_file_manifest(staging)
+        return (
+            True,
+            touched,
+            {"operation": "update", "rows_updated": n},
+        )
+
+    def _update_cow(
+        self, base, cond, assigns, staging, scratch, AnalysisException
+    ):
+        """Copy-on-write update: rewrite only the partitions holding
+        matches, applying the assignments via when(cond)."""
+        live = self.read_version(base)
+        updated_cols = [
+            (
+                F.when(F.coalesce(cond, F.lit(False)), assigns[c])
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assigns
+                else F.col(c)
+            )
+            for c in live.columns
+        ]
+        try:
+            if self.partition_by:
+                pcol = self.partition_by
+                touched_vals = [
+                    r[0]
+                    for r in live.filter(cond)
+                    .select(pcol)
+                    .distinct()
+                    .collect()
+                ]
+                if not touched_vals:
+                    return None, None, None
+                out = live.filter(
+                    F.col(pcol).isin(touched_vals)
+                ).select(*updated_cols)
+                out, obs = self._observe_constraints(out)
+                (
+                    out.write.mode("overwrite")
+                    .format(self.fmt)
+                    .partitionBy(pcol)
+                    .save(scratch)
+                )
+                self._check_observed(obs, scratch)
+                touched_dirs = {
+                    f"{pcol}={v}" for v in (str(x) for x in touched_vals)
+                }
+                _link_tree(scratch, staging)
+                base_dir = self._version_dir(base)
+                for entry in os.listdir(base_dir):
+                    if (
+                        entry.startswith(f"{pcol}=")
+                        and entry not in touched_dirs
+                    ):
+                        _link_tree(
+                            os.path.join(base_dir, entry),
+                            os.path.join(staging, entry),
+                        )
+                self._carry_dv(base, staging, touched_dirs)
+                touched = sorted(str(v) for v in touched_vals)
+            else:
+                if live.filter(cond).limit(1).count() == 0:
+                    return None, None, None
+                out = live.select(*updated_cols)
+                out, obs = self._observe_constraints(out)
+                out.write.mode("overwrite").format(self.fmt).save(staging)
+                self._check_observed(obs, staging)
+                touched = None
+        except ConstraintViolationError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        except (OSError, AnalysisException):
+            shutil.rmtree(staging, ignore_errors=True)
+            return False, None, None
+        base_schema = self._version_schema(base)
+        if base_schema is not None:
+            self._write_snapshot_schema(staging, base_schema)
+        self._write_file_manifest(staging)
+        return True, touched, {"operation": "update", "rewrite": True}
+
     def _delete_mor(self, base, cond, staging, scratch, AnalysisException):
         """Merge-on-read staging build. Returns (ok, touched, extra):
         ok None = no matches, False = lost race (vacuumed base), True

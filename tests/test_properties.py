@@ -535,6 +535,22 @@ _store_op = st.one_of(
             max_size=4,
         ),
     ),
+    st.tuples(
+        st.just("update_mor"),
+        st.lists(
+            st.integers(min_value=0, max_value=9),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    st.tuples(
+        st.just("update_cow"),
+        st.lists(
+            st.integers(min_value=0, max_value=9),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
     st.tuples(st.just("optimize"), st.just(None)),
 )
 
@@ -579,6 +595,13 @@ def test_store_lifecycle_matches_model(spark_sess, tmp_path, ops, partitioned):
             store.delete(cond, rewrite=(op == "delete_cow"))
             for k in arg:
                 model.pop(k, None)
+        elif op in ("update_mor", "update_cow"):
+            cond = f"k in ({', '.join(str(k) for k in set(arg))})"
+            store.update(
+                cond, {"v": "'u'"}, rewrite=(op == "update_cow")
+            )
+            for k in set(arg) & set(model):
+                model[k] = "u"
         else:
             store.optimize(min_files=2, purge=True)
 

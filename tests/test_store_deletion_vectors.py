@@ -243,3 +243,93 @@ def test_vectors_survive_vacuum_and_clone(spark, tmp_path):
         1: "a",
         3: "c",
     }
+
+
+# -- UPDATE (DV-backed and copy-on-write) ------------------------------
+
+
+def test_update_mor_appends_images_and_vectors(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    base = store.current_version()
+    base_rels = {
+        f.split(base + "/")[-1] for f in store._manifest_files(base)
+    }
+    v = store.update("k >= 2", {"v": "upper(v)"})
+    assert _data(store) == {1: "a", 2: "B", 3: "C"}
+    # old data files are still there (hardlinked), plus appended
+    # image files; the matched rows' old positions joined the sidecar
+    new_rels = {
+        f.split(v + "/")[-1] for f in store._manifest_files(v)
+    }
+    assert base_rels < new_rels
+    assert store._dv_frame(v).count() == 2
+    h = {r["version"]: r for r in store.history().collect()}
+    assert h[v]["operation"] == "update"
+    # time travel: pre-update snapshot unchanged
+    assert {r["k"]: r["v"] for r in store.read_version(base).collect()} == {
+        1: "a",
+        2: "b",
+        3: "c",
+    }
+
+
+def test_update_null_condition_and_noop(spark, tmp_path):
+    rows = [(1, "a"), (2, None)]
+    mor = _mk(spark, tmp_path, rows, name="mor")
+    mor.update("v = 'a'", {"v": "'hit'"})
+    assert _data(mor) == {1: "hit", 2: None}  # NULL row not matched
+
+    cow = _mk(spark, tmp_path, rows, name="cow")
+    cow.update("v = 'a'", {"v": "'hit'"}, rewrite=True)
+    assert _data(cow) == {1: "hit", 2: None}
+
+    before = mor.current_version()
+    assert mor.update("k > 99", {"v": "'x'"}) is None
+    assert mor.current_version() == before
+
+
+def test_update_rejects_key_and_partition_assignment(spark, tmp_path):
+    import pytest
+
+    store = _mk(
+        spark, tmp_path, [(1, "a", 0)], partition_by="p"
+    )
+    with pytest.raises(ValueError, match="key/partition"):
+        store.update("true", {"k": "k + 1"})
+    with pytest.raises(ValueError, match="key/partition"):
+        store.update("true", {"p": "1 - p"})
+
+
+def test_update_partitioned_touched_and_carry(spark, tmp_path):
+    rows = [(1, "a", 0), (2, "b", 1), (3, "c", 0)]
+    store = _mk(spark, tmp_path, rows, partition_by="p")
+    store.delete("k = 3")  # pre-existing vector in partition 0
+    v = store.update("k = 2", {"v": "'B'"})  # touches partition 1
+    assert _data(store) == {1: "a", 2: "B"}
+    h = {r["version"]: r for r in store.history().collect()}
+    assert h[v]["touched_partitions"] == "1"
+    # prior delete's vector rode along (hardlinked sidecar) and the
+    # update added its own
+    assert store._dv_frame(v).count() == 2
+
+
+def test_update_cdc_emits_postimage(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    base = store.current_version()
+    store.update("k = 1", {"v": "'A'"})
+    changes = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in store.read_changes(base).collect()
+    }
+    assert changes == {(1, "A", "update_postimage")}
+
+
+def test_update_then_optimize_purges(spark, tmp_path):
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    store.update("k = 1", {"v": "'A'"})
+    v = store.optimize(purge=True)
+    assert v is not None
+    assert _data(store) == {1: "A", 2: "b"}
+    assert store._dv_files(v) == []
+    # physical: exactly the live rows remain on disk
+    assert spark.read.parquet(store._version_dir(v)).count() == 2
