@@ -409,6 +409,61 @@ class MergeStore:
             json.dump(schema.jsonValue(), f)
         os.replace(tmp, os.path.join(snapshot_dir, cls._SCHEMA))
 
+    # -- generated columns (Delta GENERATED ALWAYS AS analogue) ---------
+    def _generated_path(self) -> str:
+        return os.path.join(self.path, "_GENERATED.json")
+
+    def generated_columns(self) -> dict[str, str]:
+        """Active generated columns: ``{name: sql_expr}``."""
+        try:
+            with open(self._generated_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def add_generated_column(self, name: str, expr: str) -> None:
+        """Declare ``name`` as GENERATED ALWAYS AS (``expr``): a
+        merge source missing the column gets it computed; a source
+        PROVIDING it must agree with the expression (checked on the
+        written rows via the same Observation that rides CHECK
+        constraints — a mismatch aborts before the commit claim);
+        :meth:`update` recomputes it after assignments. The main use
+        is a derived partition column (a date from a timestamp, a
+        hash bucket from the keys) that writers then never have to
+        remember to populate consistently."""
+        F.expr(expr)  # parse now: fail at declaration, not at merge
+        gens = self.generated_columns()
+        gens[name] = expr
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._generated_path() + "." + uuid.uuid4().hex
+        with open(tmp, "w") as f:
+            json.dump(gens, f)
+        os.replace(tmp, self._generated_path())
+
+    def drop_generated_column(self, name: str) -> None:
+        gens = self.generated_columns()
+        gens.pop(name, None)
+        tmp = self._generated_path() + "." + uuid.uuid4().hex
+        with open(tmp, "w") as f:
+            json.dump(gens, f)
+        os.replace(tmp, self._generated_path())
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Fill MISSING generated columns (provided ones are left for
+        the write-time equality observation to validate)."""
+        for name, expr in self.generated_columns().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        return df
+
+    def _recompute_generated(self, df: DataFrame) -> DataFrame:
+        """Overwrite generated columns from their expressions — what
+        UPDATE owes them after assigning base columns."""
+        gens = self.generated_columns()
+        if not gens:
+            return df
+        return df.withColumns({n: F.expr(e) for n, e in gens.items()})
+
     # -- CHECK constraints (Delta invariant analogue) -------------------
     def _constraints_path(self) -> str:
         return os.path.join(self.path, "_CONSTRAINTS.json")
@@ -464,7 +519,13 @@ class MergeStore:
         staged. Returns ``(df, observation | None)`` — the counters
         ride the write job itself (Spark ``Observation``), so
         enforcement costs no extra scan of the merged data."""
-        cons = self.constraints()
+        cons = dict(self.constraints())
+        # generated columns are write-time invariants too: whatever
+        # lands on disk must agree with the generating expression
+        # (<=> is never NULL, so IS FALSE below is exactly mismatch)
+        for name, expr in self.generated_columns().items():
+            if name in df.columns:
+                cons[f"__generated_{name}"] = f"{name} <=> ({expr})"
         if not cons:
             return df, None
         from pyspark.sql import Observation
@@ -511,6 +572,7 @@ class MergeStore:
         if not self._claim_version("v00000", expiry_s=300.0):
             self._await_advance(beyond="")
             return
+        template = self._apply_generated(template)
         with open(self._schema_path(), "w") as f:
             json.dump(template.schema.jsonValue(), f)
         self._write_snapshot(template.limit(0), "v00000")
@@ -646,6 +708,7 @@ class MergeStore:
         ``merge_recomputes`` / ``merge_fast_forwards`` expose the
         path taken for tests and ops introspection.
         """
+        source = self._apply_generated(source)
         src = F.broadcast(source) if broadcast_source else source
         self.merge_recomputes = 0
         self.merge_fast_forwards = 0
@@ -1008,6 +1071,10 @@ class MergeStore:
         if cons:
             with open(target._constraints_path(), "w") as f:
                 json.dump(cons, f)
+        gens = self.generated_columns()
+        if gens:
+            with open(target._generated_path(), "w") as f:
+                json.dump(gens, f)
         target._set_current("v00000")
         return target
 
@@ -1416,6 +1483,13 @@ class MergeStore:
                 "key changes are a delete+insert (merge), partition "
                 "changes violate the pruning precondition"
             )
+        gen = set(assigns) & set(self.generated_columns())
+        if gen:
+            raise ValueError(
+                f"columns {sorted(gen)} are GENERATED ALWAYS AS — they "
+                "are recomputed from their expressions after the "
+                "update; assign the base columns instead"
+            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if self.fmt != "parquet":
             rewrite = True
@@ -1516,7 +1590,7 @@ class MergeStore:
             )
         try:
             _link_tree(self._version_dir(base), staging)
-            images = snap.select(*data_cols)
+            images = self._recompute_generated(snap.select(*data_cols))
             images, obs = self._observe_constraints(images)
             writer = images.write.mode("append").format(self.fmt)
             if self.partition_by:
@@ -1579,9 +1653,11 @@ class MergeStore:
                 ]
                 if not touched_vals:
                     return None, None, None
-                out = live.filter(
-                    F.col(pcol).isin(touched_vals)
-                ).select(*updated_cols)
+                out = self._recompute_generated(
+                    live.filter(F.col(pcol).isin(touched_vals)).select(
+                        *updated_cols
+                    )
+                )
                 out, obs = self._observe_constraints(out)
                 (
                     out.write.mode("overwrite")
@@ -1609,7 +1685,7 @@ class MergeStore:
             else:
                 if live.filter(cond).limit(1).count() == 0:
                     return None, None, None
-                out = live.select(*updated_cols)
+                out = self._recompute_generated(live.select(*updated_cols))
                 out, obs = self._observe_constraints(out)
                 out.write.mode("overwrite").format(self.fmt).save(staging)
                 self._check_observed(obs, staging)
@@ -2078,8 +2154,12 @@ class MergeStore:
                     )
         return findings
 
-    def vacuum(self, keep: int = 2) -> list[str]:
-        """Drop all but the newest ``keep`` snapshots (S9 analogue)."""
+    def vacuum(self, keep: int = 2, dry_run: bool = False) -> list[str]:
+        """Drop all but the newest ``keep`` snapshots (S9 analogue).
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``) returns the
+        versions that WOULD be reclaimed without touching anything —
+        the check an operator runs before a retention change, and
+        what a CDC consumer checks before trusting its lag."""
         current = self.current_version()
         versions = sorted(
             d
@@ -2087,6 +2167,8 @@ class MergeStore:
             if d.startswith("v") and d[1:].isdigit()
         )
         doomed = [v for v in versions[:-keep] if v != current]
+        if dry_run:
+            return doomed
         for v in doomed:
             shutil.rmtree(self._version_dir(v), ignore_errors=True)
         # abandoned staging dirs (crashed writers) age out here too;

@@ -345,3 +345,93 @@ def test_store_bloom_wrappers(spark, tmp_path):
     assert build_store_bloom(store, "doc") >= 1
     got = read_store_skip_eq(store, "doc", "d42")
     assert [r["k"] for r in got.collect()] == [42]
+
+
+# -- generated columns + VACUUM DRY RUN --------------------------------
+
+
+def test_generated_column_filled_and_enforced(spark, tmp_path):
+    """GENERATED ALWAYS AS: a merge source missing the column gets
+    it computed; a source providing WRONG values is rejected on the
+    written rows before any commit claim."""
+    store = MergeStore(spark, str(tmp_path / "gen"), keys=["k"])
+    store.add_generated_column("vlen", "length(v)")
+    df = spark.createDataFrame([(1, "abc"), (2, "de")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)  # vlen absent -> computed
+    got = {r["k"]: r["vlen"] for r in store.read().collect()}
+    assert got == {1: 3, 2: 2}
+
+    bad = spark.createDataFrame([(3, "xyz", 99)], ["k", "v", "vlen"])
+    before = store.current_version()
+    with pytest.raises(ConstraintViolationError):
+        store.merge(bad)
+    assert store.current_version() == before
+    # consistent explicit values are fine
+    store.merge(spark.createDataFrame([(3, "xyz", 3)], ["k", "v", "vlen"]))
+    assert store.read().count() == 3
+
+
+def test_generated_partition_column_end_to_end(spark, tmp_path):
+    """The headline use: a derived partition column writers never
+    populate. Generation runs before the merge's touched-partition
+    collection, so pruning and conflict metadata see it."""
+    import json as _json
+    import os
+
+    store = MergeStore(
+        spark, str(tmp_path / "genp"), keys=["k"], partition_by="b"
+    )
+    store.add_generated_column("b", "k % 2")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)
+    v = store.merge(spark.createDataFrame([(4, "c")], ["k", "v"]))
+    got = {r["k"]: r["b"] for r in store.read().collect()}
+    assert got == {1: 1, 2: 0, 4: 0}
+    with open(
+        os.path.join(store.path, "_COMMITS", f"{v}.json")
+    ) as f:
+        assert _json.load(f)["touched"] == ["0"]  # only b=0 rewritten
+
+
+def test_generated_column_recomputed_on_update(spark, tmp_path):
+    store = MergeStore(spark, str(tmp_path / "genu"), keys=["k"])
+    store.add_generated_column("vlen", "length(v)")
+    df = spark.createDataFrame([(1, "abc")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)
+    store.update("k = 1", {"v": "'longer'"})  # merge-on-read path
+    row = store.read().collect()[0]
+    assert (row["v"], row["vlen"]) == ("longer", 6)
+    store.update("k = 1", {"v": "'x'"}, rewrite=True)  # CoW path
+    row = store.read().collect()[0]
+    assert (row["v"], row["vlen"]) == ("x", 1)
+    with pytest.raises(ValueError, match="GENERATED"):
+        store.update("k = 1", {"vlen": "99"})
+
+
+def test_generated_columns_carry_on_clone(spark, tmp_path):
+    store = MergeStore(spark, str(tmp_path / "genc"), keys=["k"])
+    store.add_generated_column("vlen", "length(v)")
+    df = spark.createDataFrame([(1, "ab")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)
+    clone = store.clone(str(tmp_path / "genc2"))
+    assert clone.generated_columns() == {"vlen": "length(v)"}
+    clone.merge(spark.createDataFrame([(2, "xyz")], ["k", "v"]))
+    got = {r["k"]: r["vlen"] for r in clone.read().collect()}
+    assert got == {1: 2, 2: 3}
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    store = MergeStore(spark, str(tmp_path / "vdr"), keys=["k"])
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)
+    store.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    doomed = store.vacuum(keep=1, dry_run=True)
+    assert doomed == ["v00000", "v00001"]
+    assert store.list_versions() == ["v00000", "v00001", "v00002"]
+    assert store.vacuum(keep=1) == doomed  # the real run agrees
+    assert store.list_versions() == ["v00002"]
