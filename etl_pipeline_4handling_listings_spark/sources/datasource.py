@@ -62,6 +62,11 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructField, StructType, StringType
 
+from etl_pipeline_4handling_listings_spark.sources.hivepath import (
+    DEFAULT_PARTITION,
+    unescape_path_name,
+)
+
 _POINTER = "_CURRENT"
 _SCHEMA = "_SCHEMA.json"
 _FILES = "_FILES.json"
@@ -172,9 +177,14 @@ def _commit_record(path: str, version: str) -> dict:
 
 
 def _partition_value(field, raw: str):
-    """Parse a Hive directory value into the schema field's type."""
-    if raw == "__HIVE_DEFAULT_PARTITION__":
+    """Parse a Hive directory value into the schema field's type:
+    unescape the ``%XX`` path escaping first (Spark escapes ``:``
+    ``=`` ``%`` etc. when writing), then convert, so this read path
+    returns the SAME values as ``MergeStore.read`` / Spark's native
+    partitioned reader."""
+    if raw == DEFAULT_PARTITION:
         return None
+    raw = unescape_path_name(raw)
     t = field.dataType.simpleString()
     if t in ("bigint", "int", "smallint", "tinyint"):
         return int(raw)
@@ -182,6 +192,14 @@ def _partition_value(field, raw: str):
         return float(raw)
     if t == "boolean":
         return raw.lower() == "true"
+    if t == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if t.startswith("timestamp"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
     return raw
 
 
@@ -224,13 +242,14 @@ class _FilePartition(InputPartition):
 
 
 class MergeStoreBatchReader(DataSourceReader):
-    def __init__(self, schema: StructType, options: dict):
+    def __init__(self, schema: StructType, options: dict, version: str):
+        # version resolved ONCE by the DataSource (the same call
+        # that served schema()): re-resolving here would let a
+        # commit landing between the two calls serve vN+1's data
+        # under vN's schema
         self.schema_ = schema
         self.path = options["path"]
-        v = options.get("version")
-        self.version = (
-            _norm_version(v) if v is not None else _current_version(self.path)
-        )
+        self.version = version
 
     def partitions(self):
         dv = _dv_map(self.path, self.version)
@@ -248,12 +267,17 @@ class MergeStoreBatchReader(DataSourceReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        if partition is None:
+            # the planner substitutes [None] for an empty
+            # partitions() list (empty store / zero data files):
+            # an empty DataFrame, not an AttributeError
+            return
+
         arrow_schema = to_arrow_schema(self.schema_)
         table = pq.read_table(os.path.join(partition.vdir, partition.rel))
         if partition.dv:
-            keep = [
-                i for i in range(table.num_rows) if i not in set(partition.dv)
-            ]
+            dead = set(partition.dv)  # hoisted: set-per-row is O(n*dv)
+            keep = [i for i in range(table.num_rows) if i not in dead]
             table = table.take(pa.array(keep, type=pa.int64()))
         head = os.path.dirname(partition.rel)
         pcol_name = pcol_val = None
@@ -299,20 +323,49 @@ class MergeStoreDataSource(DataSource):
             == "true"
         )
 
+    def _pin_version(self) -> str:
+        """Resolve the snapshot version ONCE per DataSource instance
+        — schema() and reader() must see the same version, or a
+        commit landing between the two calls serves the new
+        snapshot's data under the old snapshot's schema."""
+        if not hasattr(self, "_pinned"):
+            v = self.options.get("version")
+            self._pinned = (
+                _norm_version(v)
+                if v is not None
+                else _current_version(self.options["path"])
+            )
+        return self._pinned
+
+    def _pin_cdc_end(self) -> int:
+        """Same single-resolution rule for the change feed's default
+        ending version."""
+        if not hasattr(self, "_pinned_end"):
+            end = self.options.get(
+                "endingversion", self.options.get("endingVersion")
+            )
+            self._pinned_end = (
+                int(str(end).lstrip("v"))
+                if end is not None
+                else int(_current_version(self.options["path"])[1:])
+            )
+        return self._pinned_end
+
     def schema(self):
         path = self.options["path"]
         if self._cdc_mode():
+            self._pin_cdc_end()
             return _cdc_schema(path)
-        v = self.options.get("version")
-        version = (
-            _norm_version(v) if v is not None else _current_version(path)
-        )
-        return _schema_of(path, version)
+        return _schema_of(path, self._pin_version())
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if self._cdc_mode():
-            return MergeStoreCDCBatchReader(schema, self.options)
-        return MergeStoreBatchReader(schema, self.options)
+            return MergeStoreCDCBatchReader(
+                schema, self.options, self._pin_cdc_end()
+            )
+        return MergeStoreBatchReader(
+            schema, self.options, self._pin_version()
+        )
 
 
 # -- change-data-feed (shared by the stream source and the batch
@@ -341,7 +394,18 @@ def _plan_diff_partitions(
     """One diff partition per (commit step, touched partition) — the
     commit manifest's conflict metadata bounds CDC work to what the
     commit rewrote; unpartitioned/unattributed commits degrade to a
-    whole-snapshot diff."""
+    whole-snapshot diff.
+
+    Manifest ``touched`` values are hive_part_str dir-name form, so
+    ``pcol=value/`` prefixes match the manifests' relpaths directly.
+    Safety net: a touched value that names a directory present in
+    NEITHER side of the diff (a legacy raw-str(v) manifest written
+    before the encoding was unified) would silently drop that
+    commit's changes from the feed — degrade that commit to a
+    whole-snapshot diff instead. A genuinely-touched partition
+    always exists on at least one side (deletes: the old side,
+    inserts: the new side), so the net never fires on current
+    manifests."""
     parts = []
     for n in range(start_v, end_v):
         v_old, v_new = f"v{n:05d}", f"v{n + 1:05d}"
@@ -358,13 +422,20 @@ def _plan_diff_partitions(
                 None,
             )
             if pcol is not None:
-                parts.extend(
-                    _DiffPartition(
-                        path, v_old, v_new, f"{pcol}={val}/", keys
+                dirs = {r.split("/", 1)[0] for r in rels if "/" in r}
+                dirs |= {
+                    r.split("/", 1)[0]
+                    for r in _manifest_relpaths(path, v_old)
+                    if "/" in r
+                }
+                if all(f"{pcol}={val}" in dirs for val in touched):
+                    parts.extend(
+                        _DiffPartition(
+                            path, v_old, v_new, f"{pcol}={val}/", keys
+                        )
+                        for val in touched
                     )
-                    for val in touched
-                )
-                continue
+                    continue
         parts.append(_DiffPartition(path, v_old, v_new, "", keys))
     return parts
 
@@ -468,6 +539,8 @@ class MergeStoreCDCStreamReader(DataSourceStreamReader):
         pass
 
     def read(self, partition: _DiffPartition) -> Iterator:
+        if partition is None:  # planner placeholder: empty batch
+            return iter(())
         return _diff_rows(partition, self.schema_)
 
 
@@ -475,7 +548,7 @@ class MergeStoreCDCBatchReader(DataSourceReader):
     """Batch change-feed (Delta ``readChangeFeed`` analogue): all
     changes in (startingVersion, endingVersion] as one DataFrame."""
 
-    def __init__(self, schema: StructType, options: dict):
+    def __init__(self, schema: StructType, options: dict, end: int):
         self.schema_ = schema
         self.path = options["path"]
         self.keys = _cdc_keys(options)
@@ -485,12 +558,7 @@ class MergeStoreCDCBatchReader(DataSourceReader):
                 "readChangeFeed requires .option('startingVersion', n)"
             )
         self.start = int(str(start).lstrip("v"))
-        end = options.get("endingversion", options.get("endingVersion"))
-        self.end = (
-            int(str(end).lstrip("v"))
-            if end is not None
-            else int(_current_version(self.path)[1:])
-        )
+        self.end = end  # resolved once by the DataSource
 
     def partitions(self):
         return _plan_diff_partitions(
@@ -498,6 +566,11 @@ class MergeStoreCDCBatchReader(DataSourceReader):
         )
 
     def read(self, partition: _DiffPartition) -> Iterator:
+        if partition is None:
+            # planner placeholder for an empty partitions() list
+            # (startingVersion == endingVersion: a legitimate empty
+            # range, not an error)
+            return iter(())
         return _diff_rows(partition, self.schema_)
 
 

@@ -71,6 +71,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from etl_pipeline_4handling_listings_spark.operators.merge import Cond, merge_upsert
+from etl_pipeline_4handling_listings_spark.sources.hivepath import hive_part_str
 
 try:  # pragma: no cover - delta not shipped in this container
     from delta.tables import DeltaTable  # noqa: F401
@@ -715,7 +716,8 @@ class MergeStore:
         # surviving merged output across lost-but-disjoint races:
         # {"dir": staged parquet of touched partitions, "base":
         #  version it was merged against, "touched": raw values,
-        #  "strs": stringified partition values (manifest form)}
+        #  "strs": escaped dir-name values (hive_part_str manifest
+        #  form — matches what Spark's partitionBy wrote on disk)}
         ff: dict | None = None
         try:
             for _attempt in range(max_retries + 1):
@@ -791,7 +793,14 @@ class MergeStore:
                             "dir": merged_dir,
                             "base": base,
                             "touched": touched,
-                            "strs": sorted(str(v) for v in touched),
+                            # manifest/dir form: MUST be the escaped
+                            # dir-name encoding, or the hardlink
+                            # exclusion below re-links rewritten
+                            # partitions (resurrecting rows) and
+                            # _ff_valid mis-judges disjointness
+                            "strs": sorted(
+                                hive_part_str(v) for v in touched
+                            ),
                             "schema": out_schema,
                         }
                     else:
@@ -982,11 +991,23 @@ class MergeStore:
         """``CONVERT TO DELTA`` analogue: adopt an existing columnar
         directory as a MergeStore IN PLACE, without rewriting data.
 
-        The directory's data files are hardlinked into ``v00000``
-        (O(1) per file) and the originals unlinked — same inodes, no
-        copy — then the normal commit bookkeeping (claim manifest,
-        file manifest, schema, pointer) is created around them.
-        Idempotent: a path that is already a store is just opened.
+        The directory's data files are hardlinked into a STAGED
+        ``v00000`` (O(1) per file) which is then atomically renamed
+        into place — the same commit discipline as every other
+        writer in this module, so a concurrent ``_repair_pointer``
+        can never observe (and flip the pointer to) a half-built
+        snapshot, and a crashed convert leaves only an expirable
+        claim, never a wedged store. The originals are unlinked
+        AFTER the pointer flip — same inodes, no copy; a crash in
+        that last step leaves harmless root-level leftovers that no
+        reader or merge ever consults. Idempotent: a path that is
+        already a store is just opened.
+
+        With ``partition_by`` the directory must actually HAVE that
+        Hive layout (every data entry a ``pcol=value/`` dir): a flat
+        directory adopted as partitioned would lose its root-level
+        files at the first merge (the partition-pruned staging build
+        neither merges nor hardlinks them), so it is rejected here.
         """
         store = cls(
             spark, path, keys, fmt=fmt, partition_by=partition_by
@@ -995,29 +1016,54 @@ class MergeStore:
             return store
         if not os.path.isdir(path):
             raise FileNotFoundError(f"nothing to convert at {path}")
+        # adopt only data entries: bookkeeping (_COMMITS, _STAGING,
+        # _SUCCESS, dotfiles) stays at the root
+        adopted = [
+            e
+            for e in os.listdir(path)
+            if not e.startswith(("_", "."))
+            and e != "v00000"
+        ]
+        if partition_by is not None:
+            flat = [
+                e
+                for e in adopted
+                if not (
+                    e.startswith(f"{partition_by}=")
+                    and os.path.isdir(os.path.join(path, e))
+                )
+            ]
+            if flat or not adopted:
+                raise ValueError(
+                    f"convert(partition_by={partition_by!r}) requires "
+                    f"a Hive-partitioned layout ({partition_by}=value/ "
+                    f"directories); found "
+                    f"{flat[:5] or 'no data entries'} at {path} — "
+                    "convert without partition_by, or rewrite the "
+                    "data partitioned first"
+                )
         schema = spark.read.format(fmt).load(path).schema
         if not store._claim_version(
             "v00000", expiry_s=300.0, extra={"operation": "convert"}
         ):
             store._await_advance(beyond="")
             return store
-        vdir = store._version_dir("v00000")
-        os.makedirs(vdir, exist_ok=True)
-        # adopt only data entries: bookkeeping (_COMMITS with the
-        # claim just written, _SUCCESS, dotfiles) stays at the root
-        adopted = [
-            e
-            for e in os.listdir(path)
-            if not e.startswith(("_", "."))
-            and e != os.path.basename(vdir)
-        ]
+        os.makedirs(store._staging_dir(), exist_ok=True)
+        staging = os.path.join(store._staging_dir(), uuid.uuid4().hex)
+        os.makedirs(staging, exist_ok=True)
         for entry in adopted:
             src = os.path.join(path, entry)
-            dst = os.path.join(vdir, entry)
+            dst = os.path.join(staging, entry)
             if os.path.isdir(src):
                 _link_tree(src, dst)
             else:
                 os.link(src, dst)
+        store._write_snapshot_schema(staging, schema)
+        store._write_file_manifest(staging)
+        with open(store._schema_path(), "w") as f:
+            json.dump(schema.jsonValue(), f)
+        os.rename(staging, store._version_dir("v00000"))
+        store._set_current("v00000")
         # unlink the originals — the inodes live on in v00000
         for entry in adopted:
             src = os.path.join(path, entry)
@@ -1025,11 +1071,6 @@ class MergeStore:
                 shutil.rmtree(src)
             else:
                 os.remove(src)
-        with open(store._schema_path(), "w") as f:
-            json.dump(schema.jsonValue(), f)
-        store._write_snapshot_schema(vdir, schema)
-        store._write_file_manifest(vdir)
-        store._set_current("v00000")
         return store
 
     def clone(self, new_path: str) -> "MergeStore":
@@ -1062,7 +1103,13 @@ class MergeStore:
         ):
             target._await_advance(beyond="")
             return target
-        _link_tree(self._version_dir(cur), target._version_dir("v00000"))
+        # stage + atomic rename (commit discipline as everywhere):
+        # a concurrent reader/repair of the clone must never see a
+        # partially-linked v00000
+        os.makedirs(target._staging_dir(), exist_ok=True)
+        staging = os.path.join(target._staging_dir(), uuid.uuid4().hex)
+        _link_tree(self._version_dir(cur), staging)
+        os.rename(staging, target._version_dir("v00000"))
         schema = self._version_schema(cur)
         if schema is not None:
             with open(target._schema_path(), "w") as f:
@@ -1666,9 +1713,12 @@ class MergeStore:
                     .save(scratch)
                 )
                 self._check_observed(obs, scratch)
-                touched_dirs = {
-                    f"{pcol}={v}" for v in (str(x) for x in touched_vals)
-                }
+                # escaped dir-name form: str(v) differs from the
+                # on-disk name for booleans/escapable chars, which
+                # would hardlink the PRE-update base partition in
+                # alongside the rewrite — duplicating every row
+                touched = sorted(hive_part_str(v) for v in touched_vals)
+                touched_dirs = {f"{pcol}={s}" for s in touched}
                 _link_tree(scratch, staging)
                 base_dir = self._version_dir(base)
                 for entry in os.listdir(base_dir):
@@ -1681,7 +1731,6 @@ class MergeStore:
                             os.path.join(staging, entry),
                         )
                 self._carry_dv(base, staging, touched_dirs)
-                touched = sorted(str(v) for v in touched_vals)
             else:
                 if live.filter(cond).limit(1).count() == 0:
                     return None, None, None
@@ -1787,9 +1836,11 @@ class MergeStore:
                     .partitionBy(pcol)
                     .save(scratch)
                 )
-                touched_dirs = {
-                    f"{pcol}={v}" for v in (str(x) for x in touched_vals)
-                }
+                # escaped dir-name form: str(v) would fail to
+                # exclude the rewritten partition's base dir from
+                # hardlinking, silently resurrecting deleted rows
+                touched = sorted(hive_part_str(v) for v in touched_vals)
+                touched_dirs = {f"{pcol}={s}" for s in touched}
                 _link_tree(scratch, staging)
                 base_dir = self._version_dir(base)
                 for entry in os.listdir(base_dir):
@@ -1802,7 +1853,6 @@ class MergeStore:
                             os.path.join(staging, entry),
                         )
                 self._carry_dv(base, staging, touched_dirs)
-                touched = sorted(str(v) for v in touched_vals)
             else:
                 if live.filter(cond).limit(1).count() == 0:
                     return None, None, None
