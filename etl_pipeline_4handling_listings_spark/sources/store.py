@@ -83,6 +83,16 @@ except Exception:  # ImportError or missing JVM jars
 _POINTER = "_CURRENT"
 
 
+def _vnum(version: str) -> int:
+    """Numeric order of a version name. Version strings are
+    ``f"v{n:05d}"`` — MIN-width 5, so v100000 has six digits and
+    sorts lexically BEFORE v99999; every ordering decision
+    (pointer advance, repair, vacuum retention, log compaction)
+    must compare numerically or a long-lived store wedges at
+    commit 100000."""
+    return int(version[1:])
+
+
 class ConstraintViolationError(ValueError):
     """A merge attempted to commit rows violating a table CHECK
     constraint (Delta's ``DeltaInvariantViolationException``
@@ -108,6 +118,21 @@ def _evolve_target(target: DataFrame, source: DataFrame) -> DataFrame:
             for f in new
         ],
     )
+
+
+def _union_schema(
+    primary: StructType, extra: StructType | None
+) -> StructType:
+    """``primary`` plus any fields only ``extra`` has (by name).
+    Schema evolution is additive-only, so the union is well-defined;
+    files lacking a unioned column read it as NULL."""
+    if extra is None:
+        return primary
+    have = {f.name for f in primary.fields}
+    added = [f for f in extra.fields if f.name not in have]
+    if not added:
+        return primary
+    return StructType(list(primary.fields) + added)
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -168,15 +193,17 @@ class MergeStore:
         lose that instant is corrected by the next
         ``_repair_pointer``, which routes through here and therefore
         can also only advance. Unique tmp names keep racing flippers
-        from clobbering each other's staging file."""
+        from clobbering each other's staging file. Comparisons are
+        numeric (``_vnum``): lexical order inverts at v99999 ->
+        v100000 and would freeze the pointer forever."""
         cur = self.current_version()
-        if cur is not None and cur >= version:
+        if cur is not None and _vnum(cur) >= _vnum(version):
             return
         tmp = self._pointer_path() + "." + uuid.uuid4().hex + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
         cur = self.current_version()
-        if cur is not None and cur >= version:
+        if cur is not None and _vnum(cur) >= _vnum(version):
             os.remove(tmp)
             return
         os.replace(tmp, self._pointer_path())
@@ -229,6 +256,7 @@ class MergeStore:
             fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
                 f.write(payload)
+            self._claim_owner = record["owner"]
             return True
         except FileExistsError:
             pass
@@ -241,14 +269,94 @@ class MergeStore:
             with open(tmp, "w") as f:
                 f.write(payload)
             os.replace(tmp, manifest)
+            self._claim_owner = record["owner"]
             return True
         return False
+
+    _OWNER = "_OWNER"
+
+    def _stamp_owner(self, staging: str) -> None:
+        """Write this writer's claim owner id INSIDE the staged
+        snapshot, so the commit rename publishes content and
+        authorship atomically. Needed because a stalled writer whose
+        expired claim was BROKEN (manifest rewritten by the breaker)
+        can still win the dir-rename arbiter: the committed content
+        is the stalled writer's while the manifest describes the
+        breaker — and ``_ff_valid`` trusting that manifest's
+        ``touched`` set would green-light a fast-forward over
+        partitions the commit actually rewrote (a lost update)."""
+        owner = getattr(self, "_claim_owner", None)
+        if owner:
+            with open(os.path.join(staging, self._OWNER), "w") as f:
+                f.write(owner)
+
+    def _reassert_manifest(
+        self,
+        version: str,
+        touched: list[str] | None = None,
+        extra: dict | None = None,
+    ) -> None:
+        """After winning the dir-rename arbiter, heal the commit
+        manifest if a claim-breaker rewrote it while we were stalled:
+        the snapshot's true metadata (our ``touched`` set) replaces
+        the breaker's. Readers in the tiny window between rename and
+        re-assert are protected by ``_manifest_touched``'s owner
+        cross-check, which refuses to attribute a manifest whose
+        owner differs from the committed snapshot's ``_OWNER``."""
+        owner = getattr(self, "_claim_owner", None)
+        if not owner:
+            return
+        manifest = os.path.join(self._commits_dir(), f"{version}.json")
+        try:
+            with open(manifest) as f:
+                if json.load(f).get("owner") == owner:
+                    return
+        except (OSError, ValueError):
+            pass
+        record = {"version": version, "owner": owner, "ts": time.time()}
+        if touched is not None:
+            record["touched"] = sorted(touched)
+        if extra:
+            record.update(extra)
+        tmp = manifest + "." + uuid.uuid4().hex
+        with open(tmp, "w") as f:
+            f.write(json.dumps(record))
+        os.replace(tmp, manifest)
+
+    def _finalize_commit(
+        self,
+        staging: str,
+        version: str,
+        touched: list[str] | None = None,
+        extra: dict | None = None,
+    ) -> bool:
+        """Stamp authorship, rename (THE commit point), re-assert the
+        manifest, advance the pointer. ``False`` = lost the dir-rename
+        arbiter to a broken-claim racer; the caller treats it exactly
+        like a lost claim (drop staging, await, retry)."""
+        self._stamp_owner(staging)
+        try:
+            os.rename(staging, self._version_dir(version))
+        except OSError:
+            return False
+        self._reassert_manifest(version, touched=touched, extra=extra)
+        self._set_current(version)
+        return True
 
     def _manifest_touched(self, version: str) -> list[str] | None:
         """The partition values ``version``'s commit rewrote, or
         ``None`` when unattributed (non-partitioned commit, legacy
         manifest, or unreadable) — ``None`` always disables
-        fast-forward; absence of evidence is treated as conflict."""
+        fast-forward; absence of evidence is treated as conflict.
+
+        The manifest is trusted only when its ``owner`` matches the
+        committed snapshot's ``_OWNER`` stamp: a broken-then-revived
+        claim can commit one writer's CONTENT under another writer's
+        manifest (see ``_stamp_owner``), and attributing that commit
+        would let a third writer fast-forward over partitions it
+        actually rewrote. Mismatch (or a pending re-assert) degrades
+        to the conservative full re-merge. Snapshots without a stamp
+        (pre-stamp commits) keep the old trust-the-manifest behavior."""
         manifest = os.path.join(self._commits_dir(), f"{version}.json")
         try:
             with open(manifest) as f:
@@ -256,7 +364,18 @@ class MergeStore:
         except (OSError, ValueError):
             return None
         t = record.get("touched")
-        return t if isinstance(t, list) else None
+        if not isinstance(t, list):
+            return None
+        try:
+            with open(
+                os.path.join(self._version_dir(version), self._OWNER)
+            ) as f:
+                stamped = f.read().strip()
+        except OSError:
+            stamped = None
+        if stamped is not None and record.get("owner") != stamped:
+            return None
+        return t
 
     def _ff_valid(
         self, from_v: str, to_v: str, touched_strs: Sequence[str]
@@ -280,10 +399,11 @@ class MergeStore:
         between the dir rename (the commit point) and the pointer
         flip leaves a committed snapshot the pointer doesn't see."""
         deadline = time.monotonic() + timeout_s
+        floor = _vnum(beyond) if beyond else -1
         while time.monotonic() < deadline:
             self._repair_pointer()
             cur = self.current_version()
-            if cur is not None and cur > beyond:
+            if cur is not None and _vnum(cur) > floor:
                 return
             time.sleep(0.05)
 
@@ -307,9 +427,9 @@ class MergeStore:
         ]
         if not committed:
             return
-        newest = max(committed)
+        newest = max(committed, key=_vnum)
         cur = self.current_version()
-        if cur is None or newest > cur:
+        if cur is None or _vnum(newest) > _vnum(cur):
             self._set_current(newest)
 
     def compact_log(self, claim_expiry_s: float = 300.0) -> int:
@@ -343,7 +463,7 @@ class MergeStore:
             if not entry.endswith(".json") or entry == "_compacted.json":
                 continue
             version = entry[:-5]
-            if oldest_live is None or version >= oldest_live:
+            if oldest_live is None or _vnum(version) >= _vnum(oldest_live):
                 # retained snapshot, or an in-flight/orphaned claim
                 # beyond the newest live version — never fold those
                 # (an orphan past expiry is reusable via
@@ -617,17 +737,32 @@ class MergeStore:
         os.replace(tmp, os.path.join(snapshot_dir, cls._FILES))
         return len(files)
 
-    def _manifest_files(self, version: str) -> list[str] | None:
-        """Absolute data-file paths from the snapshot's manifest, or
-        ``None`` (pre-manifest snapshot) -> caller falls back to a
-        directory listing. An empty snapshot is a valid empty list."""
+    def _manifest_sizes(self, version: str) -> dict[str, int] | None:
+        """Absolute data-file path -> byte size from the snapshot's
+        manifest, or ``None`` (pre-manifest snapshot). The manifest
+        already recorded every size at commit time, so consumers
+        (optimize's bin-packing) never re-stat O(files) paths — the
+        exact per-file metadata traffic the manifest exists to
+        eliminate on object stores."""
         vdir = self._version_dir(version)
         try:
             with open(os.path.join(vdir, self._FILES)) as f:
                 files = json.load(f)
         except (OSError, ValueError):
             return None
-        return [os.path.join(vdir, rel) for rel in sorted(files)]
+        return {
+            os.path.join(vdir, rel): int(size)
+            for rel, size in files.items()
+        }
+
+    def _manifest_files(self, version: str) -> list[str] | None:
+        """Absolute data-file paths from the snapshot's manifest, or
+        ``None`` (pre-manifest snapshot) -> caller falls back to a
+        directory listing. An empty snapshot is a valid empty list."""
+        sizes = self._manifest_sizes(version)
+        if sizes is None:
+            return None
+        return sorted(sizes)
 
     def _write_snapshot(self, df: DataFrame, version: str) -> None:
         writer = df.write.mode("overwrite").format(self.fmt)
@@ -839,8 +974,20 @@ class MergeStore:
                     self._carry_dv(base, staging, touched_dirs)
                     # snapshot-local schema: the evolved (union)
                     # schema — untouched base partitions lack the
-                    # added columns on disk and read as NULL under it
-                    self._write_snapshot_schema(staging, ff["schema"])
+                    # added columns on disk and read as NULL under
+                    # it. ff["schema"] was computed against
+                    # ff["base"]; a fast-forward past an
+                    # INTERMEDIATE schema-evolution commit must not
+                    # narrow the table back, so union with the
+                    # current base's committed schema (disjoint
+                    # partitions can't conflict on columns — both
+                    # sides' files read NULL for the other's adds).
+                    snap_schema = ff["schema"]
+                    if ff["base"] != base:
+                        snap_schema = _union_schema(
+                            snap_schema, self._version_schema(base)
+                        )
+                    self._write_snapshot_schema(staging, snap_schema)
                     claim_touched = ff["strs"]
                 else:
                     tgt = self.read_version(base)
@@ -874,16 +1021,15 @@ class MergeStore:
                 if self._claim_version(
                     nxt, claim_expiry_s, touched=claim_touched
                 ):
-                    try:
-                        os.rename(staging, self._version_dir(nxt))
-                    except OSError:
-                        # a broken-claim race lost the dir-rename
-                        # arbiter: treat as a lost claim and retry
-                        shutil.rmtree(staging, ignore_errors=True)
-                        self._await_advance(beyond=base)
-                        continue
-                    self._set_current(nxt)
-                    return nxt
+                    if self._finalize_commit(
+                        staging, nxt, touched=claim_touched
+                    ):
+                        return nxt
+                    # a broken-claim race lost the dir-rename
+                    # arbiter: treat as a lost claim and retry
+                    shutil.rmtree(staging, ignore_errors=True)
+                    self._await_advance(beyond=base)
+                    continue
                 # lost the race: drop the stale staging, wait for
                 # the winner's pointer, retry against the new
                 # snapshot (fast-forward decides at loop top whether
@@ -901,11 +1047,15 @@ class MergeStore:
                 shutil.rmtree(ff["dir"], ignore_errors=True)
 
     def list_versions(self) -> list[str]:
-        """All snapshot versions on disk, oldest first."""
+        """All snapshot versions on disk, oldest first (numeric
+        order — lexical inverts past v99999)."""
         return sorted(
-            d
-            for d in os.listdir(self.path)
-            if d.startswith("v") and d[1:].isdigit()
+            (
+                d
+                for d in os.listdir(self.path)
+                if d.startswith("v") and d[1:].isdigit()
+            ),
+            key=_vnum,
         )
 
     def read_version(self, version: str) -> DataFrame:
@@ -1175,14 +1325,15 @@ class MergeStore:
                 claim_expiry_s,
                 extra={"operation": "restore", "restore_of": version},
             ):
-                try:
-                    os.rename(staging, self._version_dir(nxt))
-                except OSError:
-                    shutil.rmtree(staging, ignore_errors=True)
-                    self._await_advance(beyond=base)
-                    continue
-                self._set_current(nxt)
-                return nxt
+                if self._finalize_commit(
+                    staging,
+                    nxt,
+                    extra={"operation": "restore", "restore_of": version},
+                ):
+                    return nxt
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+                continue
             shutil.rmtree(staging, ignore_errors=True)
             self._await_advance(beyond=base)
         raise RuntimeError(
@@ -1217,7 +1368,7 @@ class MergeStore:
         live = set(self.list_versions())
         current = self.current_version()
         rows = []
-        for version in sorted(records):
+        for version in sorted(records, key=_vnum):
             rec = records[version] or {}
             n_files = size_bytes = None
             if version in live:
@@ -1474,14 +1625,13 @@ class MergeStore:
                 if self._claim_version(
                     nxt, claim_expiry_s, touched=touched, extra=extra
                 ):
-                    try:
-                        os.rename(staging, self._version_dir(nxt))
-                    except OSError:
-                        shutil.rmtree(staging, ignore_errors=True)
-                        self._await_advance(beyond=base)
-                        continue
-                    self._set_current(nxt)
-                    return nxt
+                    if self._finalize_commit(
+                        staging, nxt, touched=touched, extra=extra
+                    ):
+                        return nxt
+                    shutil.rmtree(staging, ignore_errors=True)
+                    self._await_advance(beyond=base)
+                    continue
                 shutil.rmtree(staging, ignore_errors=True)
                 self._await_advance(beyond=base)
             finally:
@@ -1574,14 +1724,13 @@ class MergeStore:
                 if self._claim_version(
                     nxt, claim_expiry_s, touched=touched, extra=extra
                 ):
-                    try:
-                        os.rename(staging, self._version_dir(nxt))
-                    except OSError:
-                        shutil.rmtree(staging, ignore_errors=True)
-                        self._await_advance(beyond=base)
-                        continue
-                    self._set_current(nxt)
-                    return nxt
+                    if self._finalize_commit(
+                        staging, nxt, touched=touched, extra=extra
+                    ):
+                        return nxt
+                    shutil.rmtree(staging, ignore_errors=True)
+                    self._await_advance(beyond=base)
+                    continue
                 shutil.rmtree(staging, ignore_errors=True)
                 self._await_advance(beyond=base)
             finally:
@@ -1882,10 +2031,26 @@ class MergeStore:
         whole-stage codegen. One column degenerates to a plain sort
         key. Negative values sort before positives as a block
         (sign-extension); intended for keys, buckets, and other
-        non-negative dimensions."""
+        non-negative dimensions.
+
+        ``bits`` per column is capped so the highest interleaved bit
+        stays below bit 63: with 4 columns an uncapped 16-bit
+        interleave puts one dimension's bit 15 on the SIGN bit
+        (those rows would range-partition first, silently destroying
+        the Morton layout while still paying the shuffle), and 5+
+        columns would wrap shift counts past 64 and collide
+        dimensions. Capping trades key granularity for correctness —
+        clustering quality degrades gracefully with coarser bits,
+        never catastrophically with a broken order."""
         if len(cols) == 1:
             return F.col(cols[0]).cast("bigint")
         n = len(cols)
+        bits = min(bits, 62 // n)  # top bit position n*(bits-1)+n-1 <= 62
+        if bits < 1:
+            raise ValueError(
+                f"zorder on {n} columns cannot fit one bit per "
+                "column under the bigint sign bit"
+            )
         terms = " + ".join(
             f"shiftleft(shiftright(cast(`{c}` as bigint), i) & 1,"
             f" {n} * i + {j})"
@@ -1946,6 +2111,21 @@ class MergeStore:
         small-file threshold — the ``REORG TABLE ... APPLY (PURGE)``
         analogue for hard-erasure deadlines.
         """
+        cur = self.current_version()
+        if zorder_by and cur is not None:
+            # fail a typo'd column NOW with the real error — inside
+            # the loop it surfaces as an AnalysisException the
+            # lost-race handler can only misattribute
+            schema = self._version_schema(cur)
+            if schema is None:
+                schema = self.read_version(cur).schema
+            have = {f.name for f in schema.fields}
+            missing = [c for c in zorder_by if c not in have]
+            if missing:
+                raise ValueError(
+                    f"zorder_by columns {missing} not in the store "
+                    f"schema (have {sorted(have)})"
+                )
         if zorder_by and self.partition_by in set(zorder_by):
             # partition values live in directory names, not in the
             # data files — interleaving on them would surface as a
@@ -2018,18 +2198,41 @@ class MergeStore:
                 from pyspark.errors import AnalysisException
             except ImportError:  # pragma: no cover - pyspark < 3.4
                 AnalysisException = OSError  # noqa: N806
+            sizes = self._manifest_sizes(base) or {}
+            # read through the snapshot's committed schema (minus the
+            # partition column, which lives in dir names): a
+            # partition whose files predate a schema evolution lacks
+            # the added columns on disk — inference would drop them
+            # (or a zorder key on one would fail analysis); the
+            # explicit schema reads them as NULL, and the compacted
+            # files then carry them physically
+            snap_schema = self._version_schema(base)
+            read_schema = (
+                StructType(
+                    [
+                        f
+                        for f in snap_schema.fields
+                        if f.name != self.partition_by
+                    ]
+                )
+                if snap_schema is not None
+                else None
+            )
             try:
                 for part, fs in chosen.items():
-                    total = sum(os.path.getsize(f) for f in fs)
+                    total = sum(
+                        sizes.get(f) or os.path.getsize(f) for f in fs
+                    )
                     n_out = max(
                         1, -(-total // target_file_bytes)
                     )  # ceil
                     out_dir = (
                         os.path.join(staging, part) if part else staging
                     )
-                    df = self._apply_dv(
-                        self.spark.read.format(self.fmt).load(fs), base
-                    )
+                    reader = self.spark.read.format(self.fmt)
+                    if read_schema is not None:
+                        reader = reader.schema(read_schema)
+                    df = self._apply_dv(reader.load(fs), base)
                     if zorder_by:
                         df = (
                             df.withColumn(
@@ -2059,8 +2262,17 @@ class MergeStore:
             except (OSError, AnalysisException):
                 # stale base vacuumed mid-build (getsize/link ->
                 # OSError; the Spark path check on vanished input
-                # files -> AnalysisException): lost race, retry
+                # files -> AnalysisException): lost race, retry.
+                # Only a RACE though — if the pointer hasn't moved,
+                # nobody vacuumed anything and the error is
+                # deterministic (e.g. a zorder column absent from
+                # one partition's files): re-raise instead of
+                # spinning max_retries 30s waits into a misleading
+                # "lost commit races" failure.
                 shutil.rmtree(staging, ignore_errors=True)
+                self._repair_pointer()
+                if self.current_version() == base:
+                    raise
                 self._await_advance(beyond=base)
                 continue
             # compacted partitions dropped their soft-deleted rows
@@ -2080,14 +2292,11 @@ class MergeStore:
                 else None
             )
             if self._claim_version(nxt, claim_expiry_s, touched=touched):
-                try:
-                    os.rename(staging, self._version_dir(nxt))
-                except OSError:
-                    shutil.rmtree(staging, ignore_errors=True)
-                    self._await_advance(beyond=base)
-                    continue
-                self._set_current(nxt)
-                return nxt
+                if self._finalize_commit(staging, nxt, touched=touched):
+                    return nxt
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+                continue
             # lost to a concurrent commit: compaction choices may be
             # stale (the winner rewrote files) — recompute from the
             # new snapshot rather than fast-forwarding file moves
@@ -2211,11 +2420,7 @@ class MergeStore:
         the check an operator runs before a retention change, and
         what a CDC consumer checks before trusting its lag."""
         current = self.current_version()
-        versions = sorted(
-            d
-            for d in os.listdir(self.path)
-            if d.startswith("v") and d[1:].isdigit()
-        )
+        versions = self.list_versions()
         doomed = [v for v in versions[:-keep] if v != current]
         if dry_run:
             return doomed

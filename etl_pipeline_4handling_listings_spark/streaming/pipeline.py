@@ -137,17 +137,20 @@ def foreach_batch_upsert(
     torn-write window (crash after merge, before marker): the redo
     produces an identical snapshot, never duplicate rows.
 
-    The marker is a JSON map keyed by ``txn_app_id`` — Delta's
-    (txnAppId, txnVersion) scheme, not a bare batch id: a SECOND
-    streaming query writing the same store, or a restart with a
-    RESET checkpoint (batch ids restart at 0), must not have its
-    real batches dropped as "replays" of another query's ids. Give
-    every distinct query/checkpoint its own ``txn_app_id``, and a
-    FRESH id after wiping a checkpoint. Single writer per app id is
-    assumed (the map update is read-modify-write); concurrent
-    queries with DIFFERENT app ids interleave safely through
-    MERGE's own commit protocol. A pre-existing plain-int marker
-    (the old format) is read as ``{"default": n}``.
+    The marker is ONE FILE PER ``txn_app_id``
+    (``_LAST_BATCH.<app-id>``) — Delta's (txnAppId, txnVersion)
+    scheme, not a bare batch id: a SECOND streaming query writing
+    the same store, or a restart with a RESET checkpoint (batch ids
+    restart at 0), must not have its real batches dropped as
+    "replays" of another query's ids. Give every distinct
+    query/checkpoint its own ``txn_app_id``, and a FRESH id after
+    wiping a checkpoint. Per-app files make each update a
+    self-contained atomic replace — concurrent queries with
+    DIFFERENT app ids can NEVER erase each other's markers (a
+    shared map would need read-modify-write); single writer per app
+    id is assumed, as in Delta. Pre-existing shared markers (the
+    old plain-int and JSON-map formats of ``_LAST_BATCH``) are
+    read as a fallback, so existing stores resume seamlessly.
 
     ``order`` may be a thunk because Column objects are bound to a
     session; a thunk lets the caller defer construction to the
@@ -164,39 +167,53 @@ def foreach_batch_upsert(
     re-merging. Optimize failures never fail the batch (the data is
     already committed); they surface on the next cycle.
     """
+    import hashlib
     import json
     import os
+    import re
 
-    marker = os.path.join(store.path, "_LAST_BATCH")
+    legacy_marker = os.path.join(store.path, "_LAST_BATCH")
+    # filesystem-safe, collision-safe name for the app's own marker:
+    # readable prefix + short digest (two app ids that sanitize to
+    # the same prefix still get distinct files)
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", txn_app_id)[:40]
+    digest = hashlib.sha256(txn_app_id.encode()).hexdigest()[:8]
+    marker = f"{legacy_marker}.{safe}-{digest}"
 
-    def _applied() -> dict[str, int]:
+    def _applied() -> int:
+        """Highest batch id THIS app id has applied (-1 = none).
+        The per-app file wins; the legacy shared marker (plain int
+        or JSON map) is only consulted when the per-app file does
+        not exist yet, so pre-migration stores resume correctly."""
         try:
             with open(marker) as f:
-                raw = f.read().strip()
-        except FileNotFoundError:
-            return {}
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            pass
         try:
-            d = json.loads(raw)
-        except ValueError:
-            return {}
+            with open(legacy_marker) as f:
+                d = json.loads(f.read().strip())
+        except (OSError, ValueError):
+            return -1
         if isinstance(d, dict):
-            return d
-        if isinstance(d, int):  # legacy plain-int marker ("7" IS json)
-            return {"default": d}
-        return {}
+            v = d.get(txn_app_id, -1)
+            return v if isinstance(v, int) else -1
+        if isinstance(d, int) and txn_app_id == "default":
+            return d  # legacy plain-int marker ("7" IS json)
+        return -1
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        if batch_id <= _applied().get(txn_app_id, -1):
+        if batch_id <= _applied():
             return  # replayed, already applied by THIS query
         cols = order() if callable(order) else list(order)
         deduped = latest_record(batch, keys, cols)
         store.create_if_absent(deduped)
         store.merge(deduped)
-        applied = _applied()
-        applied[txn_app_id] = batch_id
+        # atomic self-contained replace: no read-modify-write of
+        # shared state, so concurrent app ids can't erase each other
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(applied, f)
+            f.write(str(batch_id))
         os.replace(tmp, marker)
         if (
             auto_optimize_every

@@ -1,0 +1,265 @@
+"""Commit-protocol hardening regressions.
+
+Each test pins a failure mode found by adversarial review of the
+MergeStore optimistic-concurrency protocol:
+
+- version ORDER must be numeric (lexical order inverts at
+  v99999 -> v100000 and freezes the advance-only pointer forever);
+- a fast-forward past an intermediate schema-evolution commit must
+  not narrow the table schema back;
+- a broken-then-revived claim can commit one writer's CONTENT under
+  another writer's MANIFEST — the `_OWNER` stamp + cross-check must
+  refuse to attribute such commits (else `_ff_valid` green-lights a
+  lost update);
+- the Morton key must never place an interleaved bit on the bigint
+  sign bit (4+ columns at the default 16 bits would);
+- a deterministic optimize() error (typo'd zorder column) must fail
+  fast with the real message, not spin the lost-race retry loop.
+"""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.sources.store import MergeStore, _vnum
+
+
+def _mk(spark, path, **kw):
+    return MergeStore(spark, str(path), keys=["k"], **kw)
+
+
+def test_version_order_survives_the_five_digit_rollover(spark, tmp_path):
+    """v99999 -> v100000: pointer advances, list_versions stays
+    ascending, reads serve the new snapshot. Lexical comparison
+    would freeze the pointer (\"v100000\" < \"v99999\") and wedge
+    every subsequent merge."""
+    path = str(tmp_path / "rollover")
+    store = _mk(spark, path)
+    store.create_if_absent(
+        spark.createDataFrame([(1, "a")], ["k", "v"])
+    )
+    store.merge(spark.createDataFrame([(1, "b")], ["k", "v"]))
+    assert store.current_version() == "v00001"
+
+    # teleport the store to the edge: v00001 becomes v99999
+    os.rename(
+        os.path.join(path, "v00001"), os.path.join(path, "v99999")
+    )
+    commits = os.path.join(path, "_COMMITS")
+    with open(os.path.join(commits, "v00001.json")) as f:
+        rec = json.load(f)
+    rec["version"] = "v99999"
+    with open(os.path.join(commits, "v99999.json"), "w") as f:
+        json.dump(rec, f)
+    os.remove(os.path.join(commits, "v00001.json"))
+    with open(os.path.join(path, "_CURRENT"), "w") as f:
+        f.write("v99999")
+
+    store2 = _mk(spark, path)
+    v = store2.merge(spark.createDataFrame([(2, "c")], ["k", "v"]))
+    assert v == "v100000"
+    assert store2.current_version() == "v100000"
+    assert store2.list_versions() == ["v00000", "v99999", "v100000"]
+    assert [_vnum(x) for x in store2.list_versions()] == [0, 99999, 100000]
+    got = {r["k"]: r["v"] for r in store2.read().collect()}
+    assert got == {1: "b", 2: "c"}
+    # the pointer is still advance-only: a stale flip is refused
+    store2._set_current("v99999")
+    assert store2.current_version() == "v100000"
+
+
+def test_fast_forward_keeps_intermediate_schema_evolution(spark, tmp_path):
+    """Writer A's schema-evolution commit (adds column x) lands
+    BETWEEN writer B's merge computation and B's commit. B's
+    fast-forward is disjoint-valid, but its reused merge output was
+    computed before x existed — the committed snapshot schema must
+    be the UNION, not B's narrower schema, or x silently vanishes
+    from the logical table."""
+    import types
+
+    path = str(tmp_path / "ffevolve")
+    seed = spark.createDataFrame(
+        [(0, 0, "z0"), (1, 1, "z1")], ["k", "p", "v"]
+    )
+    a = _mk(spark, path, partition_by="p")
+    a.create_if_absent(seed)
+    a.merge(seed)
+
+    b = _mk(spark, path, partition_by="p")
+    orig_claim = MergeStore._claim_version
+    state = {"fired": False}
+
+    def interleaved_claim(self, version, expiry_s, touched=None, extra=None):
+        if not state["fired"]:
+            state["fired"] = True
+            # A commits an evolution merge on the OTHER partition
+            # while B holds its staged (pre-evolution) merge output
+            a.merge(
+                spark.createDataFrame(
+                    [(1, 1, "a1", 7)], ["k", "p", "v", "x"]
+                ),
+                schema_evolution=True,
+            )
+            return False  # B loses this claim round
+        return orig_claim(
+            self, version, expiry_s, touched=touched, extra=extra
+        )
+
+    b._claim_version = types.MethodType(interleaved_claim, b)
+    b.merge(spark.createDataFrame([(0, 0, "b0")], ["k", "p", "v"]))
+    assert b.merge_fast_forwards == 1, "test must exercise the FF path"
+    assert b.merge_recomputes == 1
+
+    out = _mk(spark, path, partition_by="p").read()
+    assert "x" in out.columns, "fast-forward dropped the evolved column"
+    got = {r["k"]: (r["v"], r["x"]) for r in out.collect()}
+    assert got == {0: ("b0", None), 1: ("a1", 7)}
+
+
+def test_broken_claim_owner_mismatch_disables_fast_forward(spark, tmp_path):
+    """W1 claims (touched={0}) and stalls past expiry; W2 breaks the
+    claim (manifest now says touched={1}); W1 revives and wins the
+    dir-rename arbiter. The committed CONTENT rewrote partition 0
+    while the MANIFEST says 1 — `_manifest_touched` must refuse to
+    attribute it (owner stamp mismatch), so `_ff_valid` conservatively
+    re-merges instead of fast-forwarding over a lost update. After
+    W1 re-asserts its manifest, attribution heals."""
+    path = str(tmp_path / "broken")
+    seed = spark.createDataFrame(
+        [(0, 0, "z0"), (1, 1, "z1")], ["k", "p", "v"]
+    )
+    w1 = _mk(spark, path, partition_by="p")
+    w1.create_if_absent(seed)
+    w1.merge(seed)
+    base = w1.current_version()
+    nxt = f"v{_vnum(base) + 1:05d}"
+
+    assert w1._claim_version(nxt, expiry_s=300.0, touched=["0"])
+    w1_owner = w1._claim_owner
+    # age the claim past expiry so W2 can break it
+    manifest = os.path.join(path, "_COMMITS", f"{nxt}.json")
+    old = time.time() - 1000
+    os.utime(manifest, (old, old))
+    w2 = _mk(spark, path, partition_by="p")
+    assert w2._claim_version(nxt, expiry_s=300.0, touched=["1"])
+    assert w2._claim_owner != w1_owner
+
+    # W1 revives and wins the rename arbiter with ITS content
+    staging = os.path.join(path, "_STAGING", "w1-revived")
+    os.makedirs(staging)
+    w1._claim_owner = w1_owner  # what a live W1 still holds
+    assert w1._finalize_commit(staging, nxt, touched=["0"])
+
+    # manifest (W2's) contradicts content (W1's)... except W1's
+    # finalize re-asserted it — wind the manifest back to W2's to
+    # model the crash-before-reassert window
+    with open(manifest) as f:
+        healed = json.load(f)
+    assert healed["owner"] == w1_owner and healed["touched"] == ["0"]
+    w2_record = {
+        "version": nxt,
+        "owner": "someone-else",
+        "ts": time.time(),
+        "touched": ["1"],
+    }
+    with open(manifest, "w") as f:
+        json.dump(w2_record, f)
+    # attribution refused -> no fast-forward in ANY direction
+    assert w1._manifest_touched(nxt) is None
+    assert not w1._ff_valid(base, nxt, ["0"])
+    assert not w1._ff_valid(base, nxt, ["1"])
+    # re-assert heals attribution
+    w1._reassert_manifest(nxt, touched=["0"])
+    assert w1._manifest_touched(nxt) == ["0"]
+    assert not w1._ff_valid(base, nxt, ["0"])  # true conflict stays
+    assert w1._ff_valid(base, nxt, ["1"])  # true disjoint passes
+
+
+def test_normal_merge_stamps_owner_matching_manifest(spark, tmp_path):
+    """Every claimed commit stamps `_OWNER` inside the snapshot and
+    the manifest agrees, so attribution (and thus fast-forward)
+    keeps working for the non-racy 99.9% case."""
+    path = str(tmp_path / "stamped")
+    store = _mk(spark, path, partition_by="p")
+    seed = spark.createDataFrame([(0, 0, "a")], ["k", "p", "v"])
+    store.create_if_absent(seed)
+    v = store.merge(seed)
+    owner_path = os.path.join(path, v, "_OWNER")
+    assert os.path.isfile(owner_path)
+    with open(owner_path) as f:
+        stamped = f.read().strip()
+    with open(os.path.join(path, "_COMMITS", f"{v}.json")) as f:
+        assert json.load(f)["owner"] == stamped
+    assert store._manifest_touched(v) == ["0"]
+
+
+def test_zorder_key_never_touches_the_sign_bit(spark):
+    """4 columns at the default 16 bits would interleave one
+    dimension's bit 15 onto bigint bit 63 (sign) — rows with that
+    bit set would range-partition FIRST, silently breaking the
+    Morton layout. The per-column bit cap keeps every key
+    non-negative; 5+ columns must not wrap shift counts either."""
+    rows = [
+        (0, 0, 0, 0, 0),
+        (1, 2, 3, 4, 5),
+        (40000, 40000, 40000, 40000, 40000),  # bit 15 set everywhere
+        (65535, 65535, 65535, 65535, 65535),
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "d", "e"])
+    for cols in (["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]):
+        keys = [
+            r["z"]
+            for r in df.withColumn(
+                "z", MergeStore.zorder_key(cols)
+            ).collect()
+        ]
+        assert all(k >= 0 for k in keys), (cols, keys)
+        assert len(set(keys)) == len(rows), "distinct inputs collided"
+        assert keys == sorted(keys), (
+            "componentwise-dominating rows must sort in order"
+        )
+
+
+def test_optimize_rejects_unknown_zorder_column_fast(spark, tmp_path):
+    """A typo'd zorder_by column is a deterministic error: it must
+    raise ValueError immediately (naming the column), not burn
+    max_retries x 30s lost-race waits and blame 'commit races'."""
+    store = _mk(spark, tmp_path / "typo")
+    store.create_if_absent(
+        spark.createDataFrame([(1, 5, "a")], ["k", "s", "v"])
+    )
+    store.merge(spark.createDataFrame([(1, 5, "a")], ["k", "s", "v"]))
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="scor"):
+        store.optimize(zorder_by=["scor"], min_files=1)
+    assert time.monotonic() - t0 < 10.0
+
+
+def test_optimize_compacts_evolved_store_reading_snapshot_schema(
+    spark, tmp_path
+):
+    """A partition whose files PREDATE a schema evolution lacks the
+    added column on disk; optimize must compact it under the
+    snapshot's committed schema (column reads as NULL) instead of
+    failing analysis or silently dropping the column from the
+    compacted files."""
+    path = str(tmp_path / "evolved")
+    store = _mk(spark, path, partition_by="p")
+    seed = spark.createDataFrame(
+        [(0, 0, "z0"), (1, 1, "z1")], ["k", "p", "v"]
+    )
+    store.create_if_absent(seed)
+    store.merge(seed)
+    store.merge(
+        spark.createDataFrame([(1, 1, "a1", 7)], ["k", "p", "v", "x"]),
+        schema_evolution=True,
+    )
+    # partition p=0's files have no column x; zorder on x's sibling
+    # forces a full rewrite of both partitions
+    v = store.optimize(zorder_by=["k"], target_file_bytes=1 << 30)
+    assert v is not None
+    got = {r["k"]: (r["v"], r["x"]) for r in store.read().collect()}
+    assert got == {0: ("z0", None), 1: ("a1", 7)}

@@ -238,11 +238,19 @@ def test_driver_order_hygiene():
     assert _DRIVER_ORDER[0] == "agg_cube"
     assert _DRIVER_ORDER[49] == "fraud_duplicate_payments"
     # window = exactly the never-certified set (first 50 of it)
+    # certified = GREEN rows only (same rule as tools/rotate_registry):
+    # the ledgers record failures too, and a red row must be ELIGIBLE
+    # for the window (that's how it gets re-observed), not excluded
     certified = set()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for ledger in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-4].json"))):
         with open(ledger) as f:
-            certified |= set(json.load(f))
+            for name, row in json.load(f).items():
+                if all(
+                    row.get(k)
+                    for k in ("rows_match", "schema_match", "hash_match")
+                ):
+                    certified.add(name)
     window = _DRIVER_ORDER[:50]
     overlap = certified & set(window)
     assert not overlap, f"already-certified names in the window: {overlap}"

@@ -701,17 +701,31 @@ def test_foreach_batch_upsert_marker_is_per_app_id(spark, tmp_path):
     sink_a(spark.createDataFrame([(9, 1, "x")], ["k", "o", "v"]), 5)
     sink_b(spark.createDataFrame([(9, 1, "x")], ["k", "o", "v"]), 0)
     assert len(store.list_versions()) == n_versions
-    # a legacy plain-int marker reads as {"default": n}
-    import json as _json
+    # one marker FILE per app id (atomic self-contained replace —
+    # B's write can never erase A's high-water mark, closing the
+    # shared-map read-modify-write race)
     import os as _os
 
-    marker = _os.path.join(store.path, "_LAST_BATCH")
-    with open(marker) as f:
-        assert set(_json.load(f)) == {"query_a", "query_b"}
-    with open(marker, "w") as f:
+    markers = [
+        f
+        for f in _os.listdir(store.path)
+        if f.startswith("_LAST_BATCH.")
+    ]
+    assert len(markers) == 2
+    a_marker = next(m for m in markers if "query_a" in m)
+    with open(_os.path.join(store.path, a_marker)) as f:
+        assert f.read().strip() == "5"  # B's writes left A intact
+    # a legacy shared plain-int marker is honored as a fallback for
+    # the "default" app id (pre-migration store resumes seamlessly)
+    with open(_os.path.join(store.path, "_LAST_BATCH"), "w") as f:
         f.write("7")
     sink_default = foreach_batch_upsert(store, ["k"], lambda: [F.desc("o")])
     sink_default(
         spark.createDataFrame([(9, 1, "x")], ["k", "o", "v"]), 7
     )  # replay under the legacy marker: suppressed
     assert len(store.list_versions()) == n_versions
+    # and a NEW batch under the default app id still applies
+    sink_default(
+        spark.createDataFrame([(3, 1, "c")], ["k", "o", "v"]), 8
+    )
+    assert len(store.list_versions()) == n_versions + 1
