@@ -88,6 +88,33 @@ def _current_version(path: str) -> str:
     return v
 
 
+def _check_reader_protocol(path: str) -> None:
+    """Refuse (driver-side, at planning) a table whose protocol lists
+    reader features this build does not implement — same contract as
+    ``MergeStore._check_read_protocol``, duplicated here because the
+    data source reads the layout directly, without a MergeStore."""
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        SUPPORTED_READER_FEATURES,
+        ProtocolUnsupportedError,
+    )
+
+    try:
+        listed = frozenset(
+            n
+            for n in os.listdir(os.path.join(path, "_PROTOCOL", "reader"))
+            if not n.startswith(".")
+        )
+    except FileNotFoundError:
+        return
+    unknown = listed - SUPPORTED_READER_FEATURES
+    if unknown:
+        raise ProtocolUnsupportedError(
+            f"table at {path} requires reader features {sorted(unknown)} "
+            "this build does not implement "
+            f"(supported: {sorted(SUPPORTED_READER_FEATURES)})"
+        )
+
+
 def _norm_version(v) -> str:
     s = str(v)
     return s if s.startswith("v") else f"v{int(s):05d}"
@@ -353,6 +380,7 @@ class MergeStoreDataSource(DataSource):
 
     def schema(self):
         path = self.options["path"]
+        _check_reader_protocol(path)
         if self._cdc_mode():
             self._pin_cdc_end()
             return _cdc_schema(path)
@@ -582,6 +610,7 @@ class MergeStoreCDCDataSource(DataSource):
         return "mergestore_cdc"
 
     def schema(self):
+        _check_reader_protocol(self.options["path"])
         return _cdc_schema(self.options["path"])
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

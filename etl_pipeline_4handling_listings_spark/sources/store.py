@@ -55,6 +55,19 @@ CONCURRENT, not last-writer-wins —
 ``compact_log`` folds commit manifests of vacuumed snapshots into
 one ``_compacted.json`` (the Delta checkpoint/log-compaction
 analogue) so the commit dir stays O(retained versions).
+
+Protocol versioning (Delta reader/writer table features,
+delta-io/delta PROTOCOL.md): the first use of a feature whose
+on-disk effects an unaware build would misinterpret (deletion
+vectors, per-snapshot schemas, generated columns, CHECK
+constraints) drops a marker under ``_PROTOCOL/{reader,writer}/``
+BEFORE the enabling commit. Readers refuse tables whose reader set
+they do not cover; writers must cover both sets — refusal
+(:class:`ProtocolUnsupportedError`) instead of the silent
+corruption modes (resurrecting DV-deleted rows, committing stale
+generated values). Markers are one file per feature, created
+O_EXCL and never removed, so protocol upgrades are monotone and
+race-free with no read-modify-write document.
 """
 
 from __future__ import annotations
@@ -98,6 +111,50 @@ class ConstraintViolationError(ValueError):
     constraint (Delta's ``DeltaInvariantViolationException``
     analogue). The commit is aborted before the claim — the store
     is left exactly at its pre-merge version."""
+
+
+class ProtocolUnsupportedError(RuntimeError):
+    """The table's protocol requires a feature this build does not
+    implement (Delta's ``InvalidProtocolVersionException`` /
+    reader-writer table-features analogue, PROTOCOL.md). Raised
+    instead of proceeding, because the failure modes of ignoring a
+    protocol feature are silent corruption, not errors: a reader
+    that does not understand deletion vectors resurrects deleted
+    rows; a writer that does not recompute generated columns
+    commits stale derived values."""
+
+
+# Table features this BUILD understands (Delta's reader/writer
+# feature sets). A table lists the features it actually uses under
+# ``_PROTOCOL/reader/<name>`` and ``_PROTOCOL/writer/<name>``
+# marker files; a build may only read a table whose reader set it
+# covers, and only write one whose reader AND writer sets it covers.
+# Marker files (one per feature, created O_EXCL, never removed) make
+# protocol upgrades monotone and race-free by construction — no
+# read-modify-write of a single protocol document, so two writers
+# enabling different features concurrently can never lose one.
+SUPPORTED_READER_FEATURES = frozenset(
+    {
+        "deletion-vectors",  # _dv/ sidecars must be anti-joined on read
+        "snapshot-schema",  # per-snapshot _SCHEMA.json governs the scan
+    }
+)
+SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "deletion-vectors",
+        "snapshot-schema",
+        "generated-columns",  # writers must recompute generated cols
+        "check-constraints",  # writers must enforce CHECK constraints
+    }
+)
+
+# feature name -> True if it also changes what READERS must do
+_FEATURE_TOUCHES_READERS = {
+    "deletion-vectors": True,
+    "snapshot-schema": True,
+    "generated-columns": False,
+    "check-constraints": False,
+}
 
 
 def _evolve_target(target: DataFrame, source: DataFrame) -> DataFrame:
@@ -211,9 +268,105 @@ class MergeStore:
     def _version_dir(self, version: str) -> str:
         return os.path.join(self.path, version)
 
+    # -- protocol versioning (Delta reader/writer table features) -------
+    _PROTOCOL = "_PROTOCOL"
+
+    def _protocol_dir(self, side: str) -> str:
+        return os.path.join(self.path, self._PROTOCOL, side)
+
+    def _protocol_side(self, side: str) -> frozenset:
+        try:
+            return frozenset(
+                name
+                for name in os.listdir(self._protocol_dir(side))
+                if not name.startswith(".")
+            )
+        except FileNotFoundError:
+            return frozenset()
+
+    def protocol(self) -> dict:
+        """The table's protocol: which features readers and writers
+        of THIS table must implement. A table with no ``_PROTOCOL``
+        directory is a baseline table every build can serve (the
+        legacy-compatible default — protocol only appears once a
+        feature is first enabled)."""
+        return {
+            "reader_features": sorted(self._protocol_side("reader")),
+            "writer_features": sorted(self._protocol_side("writer")),
+        }
+
+    def _require_feature(self, feature: str) -> None:
+        """Enable ``feature`` on this table (idempotent, monotone —
+        features are never disabled, mirroring Delta, where dropping
+        a feature is a separate migration, not a flag flip). Called
+        BEFORE the enabling commit is claimed, so no reader can
+        observe feature-bearing data without the protocol saying so.
+        Concurrent enablers race benignly: both O_EXCL creates of the
+        same marker succeed-or-exist, and distinct markers never
+        contend."""
+        sides = ["writer"]
+        if _FEATURE_TOUCHES_READERS.get(feature, True):
+            sides.append("reader")
+        payload = json.dumps({"feature": feature, "ts": time.time()})
+        for side in sides:
+            os.makedirs(self._protocol_dir(side), exist_ok=True)
+            marker = os.path.join(self._protocol_dir(side), feature)
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(payload)
+            except FileExistsError:
+                pass
+
+    def _check_read_protocol(self) -> None:
+        unknown = self._protocol_side("reader") - SUPPORTED_READER_FEATURES
+        if unknown:
+            raise ProtocolUnsupportedError(
+                f"table at {self.path} requires reader features "
+                f"{sorted(unknown)} this build does not implement "
+                f"(supported: {sorted(SUPPORTED_READER_FEATURES)}); "
+                "refusing to read rather than silently misread"
+            )
+
+    def _check_write_protocol(self) -> None:
+        # a writer must satisfy BOTH sides (Delta's rule): every
+        # write re-materializes table state, so a writer blind to a
+        # reader feature would commit data that drops its effects
+        self._check_read_protocol()
+        unknown = self._protocol_side("writer") - SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise ProtocolUnsupportedError(
+                f"table at {self.path} requires writer features "
+                f"{sorted(unknown)} this build does not implement "
+                f"(supported: {sorted(SUPPORTED_WRITER_FEATURES)}); "
+                "refusing to write rather than corrupt"
+            )
+
     # -- commit protocol (optimistic concurrency) -----------------------
     def _commits_dir(self) -> str:
         return os.path.join(self.path, "_COMMITS")
+
+    def _commit_ts(self, version: str) -> float:
+        """In-commit timestamp (Delta ``inCommitTimestamps``
+        analogue): the recorded commit time is clamped to be
+        STRICTLY AFTER the predecessor's, so the version order and
+        the timestamp order can never disagree — without this, a
+        writer with a slow clock records an earlier ts than the
+        commit it builds on, and ``read_as_of`` (newest version at
+        or before t) silently resolves to the WRONG snapshot for
+        every t in the inverted window. The predecessor is the
+        committed base (retained by definition — compaction only
+        folds versions older than the oldest retained), so its
+        manifest is always readable; a missing/legacy manifest
+        falls back to the wall clock."""
+        now = time.time()
+        n = _vnum(version)
+        if n <= 0:
+            return now
+        prev = self._manifest_ts(f"v{n - 1:05d}")
+        if prev is not None and now <= prev:
+            return prev + 1e-6
+        return now
 
     def _staging_dir(self) -> str:
         return os.path.join(self.path, "_STAGING")
@@ -245,7 +398,7 @@ class MergeStore:
         record = {
             "version": version,
             "owner": uuid.uuid4().hex,
-            "ts": time.time(),
+            "ts": self._commit_ts(version),
         }
         if touched is not None:
             record["touched"] = sorted(touched)
@@ -313,7 +466,11 @@ class MergeStore:
                     return
         except (OSError, ValueError):
             pass
-        record = {"version": version, "owner": owner, "ts": time.time()}
+        record = {
+            "version": version,
+            "owner": owner,
+            "ts": self._commit_ts(version),
+        }
         if touched is not None:
             record["touched"] = sorted(touched)
         if extra:
@@ -553,6 +710,8 @@ class MergeStore:
         hash bucket from the keys) that writers then never have to
         remember to populate consistently."""
         F.expr(expr)  # parse now: fail at declaration, not at merge
+        self._check_write_protocol()
+        self._require_feature("generated-columns")
         gens = self.generated_columns()
         gens[name] = expr
         os.makedirs(self.path, exist_ok=True)
@@ -608,6 +767,7 @@ class MergeStore:
         every subsequent merge enforces it on the rows it writes at
         zero extra passes (an ``Observation`` on the staging write).
         """
+        self._check_write_protocol()
         if self.exists():
             bad = (
                 self.read()
@@ -620,6 +780,7 @@ class MergeStore:
                     f"existing rows violate CHECK ({expr!r}); "
                     f"constraint {name!r} not added"
                 )
+        self._require_feature("check-constraints")
         cons = self.constraints()
         cons[name] = expr
         tmp = self._constraints_path() + ".tmp"
@@ -844,6 +1005,12 @@ class MergeStore:
         ``merge_recomputes`` / ``merge_fast_forwards`` expose the
         path taken for tests and ops introspection.
         """
+        self._check_write_protocol()
+        if schema_evolution:
+            # enable BEFORE the commit: a snapshot whose partitions
+            # disagree on columns is only correct under the committed
+            # _SCHEMA.json, and readers must know to honor it
+            self._require_feature("snapshot-schema")
         source = self._apply_generated(source)
         src = F.broadcast(source) if broadcast_source else source
         self.merge_recomputes = 0
@@ -1069,6 +1236,7 @@ class MergeStore:
         """Raw snapshot scan WITHOUT deletion-vector application —
         internal: callers that need ``_metadata`` access (delete's
         match scan) or that apply DVs themselves."""
+        self._check_read_protocol()
         if version not in self.list_versions():
             raise FileNotFoundError(
                 f"version {version!r} not present at {self.path} "
@@ -1272,6 +1440,16 @@ class MergeStore:
         if gens:
             with open(target._generated_path(), "w") as f:
                 json.dump(gens, f)
+        # the clone's v00000 carries the source's feature-bearing
+        # state (DV sidecars, evolved schemas), so its protocol
+        # travels with it — cloning must never downgrade
+        src_proto = os.path.join(self.path, self._PROTOCOL)
+        if os.path.isdir(src_proto):
+            shutil.copytree(
+                src_proto,
+                os.path.join(new_path, self._PROTOCOL),
+                dirs_exist_ok=True,
+            )
         target._set_current("v00000")
         return target
 
@@ -1295,6 +1473,7 @@ class MergeStore:
         with every concurrent commit (the loser re-links against the
         advanced base — last restore wins, same as Delta).
         """
+        self._check_write_protocol()
         for _attempt in range(max_retries + 1):
             if version not in self.list_versions():
                 raise FileNotFoundError(
@@ -1590,9 +1769,14 @@ class MergeStore:
         against the winner's snapshot (rows the winner already
         removed simply stop matching).
         """
+        self._check_write_protocol()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if self.fmt != "parquet":
             rewrite = True
+        if not rewrite:
+            # protocol first, data second: no reader may observe a
+            # _dv/ sidecar before the table declares the feature
+            self._require_feature("deletion-vectors")
         try:
             from pyspark.errors import AnalysisException
         except ImportError:  # pragma: no cover - pyspark < 3.4
@@ -1687,9 +1871,12 @@ class MergeStore:
                 "are recomputed from their expressions after the "
                 "update; assign the base columns instead"
             )
+        self._check_write_protocol()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if self.fmt != "parquet":
             rewrite = True
+        if not rewrite:
+            self._require_feature("deletion-vectors")
         try:
             from pyspark.errors import AnalysisException
         except ImportError:  # pragma: no cover - pyspark < 3.4
@@ -2111,6 +2298,7 @@ class MergeStore:
         small-file threshold — the ``REORG TABLE ... APPLY (PURGE)``
         analogue for hard-erasure deadlines.
         """
+        self._check_write_protocol()
         cur = self.current_version()
         if zorder_by and cur is not None:
             # fail a typo'd column NOW with the real error — inside
@@ -2348,7 +2536,9 @@ class MergeStore:
             manifest = os.path.join(self._commits_dir(), f"{v}.json")
             if os.path.isfile(manifest):
                 newest_committed = v
-        if newest_committed is not None and newest_committed > current:
+        if newest_committed is not None and _vnum(newest_committed) > _vnum(
+            current
+        ):
             flag(
                 current,
                 "pointer-behind",
@@ -2395,7 +2585,7 @@ class MergeStore:
                 if not entry.endswith(".json") or entry.startswith("_"):
                     continue
                 v = entry[:-5]
-                if v in live or v <= current:
+                if v in live or _vnum(v) <= _vnum(current):
                     continue
                 try:
                     age = time.time() - os.path.getmtime(
@@ -2411,6 +2601,41 @@ class MergeStore:
                         "materialized (crashed writer; next committer "
                         "breaks it)",
                     )
+        # commit-timestamp monotonicity: version order and timestamp
+        # order must agree (the in-commit-timestamp rule enforces it
+        # at write time; an inversion marks a legacy store written
+        # under skewed writer clocks, where read_as_of answers are
+        # ambiguous inside the inverted window)
+        prev_v, prev_ts = None, None
+        for v in live:
+            ts = self._manifest_ts(v)
+            if ts is None:
+                continue
+            if prev_ts is not None and ts < prev_ts:
+                flag(
+                    v,
+                    "timestamp-inversion",
+                    f"committed at {ts:.6f}, before predecessor "
+                    f"{prev_v} at {prev_ts:.6f} (writer clock skew; "
+                    "read_as_of is ambiguous in this window)",
+                )
+            prev_v, prev_ts = v, ts
+        # protocol: features this table requires that THIS build
+        # lacks are the one finding that blocks serving, not just
+        # repairing — surface them the way Delta's DESCRIBE DETAIL
+        # surfaces an unsupported protocol
+        for side, supported in (
+            ("reader", SUPPORTED_READER_FEATURES),
+            ("writer", SUPPORTED_WRITER_FEATURES),
+        ):
+            unknown = self._protocol_side(side) - supported
+            if unknown:
+                flag(
+                    None,
+                    f"protocol-{side}-unsupported",
+                    f"table requires {side} features {sorted(unknown)} "
+                    "this build does not implement",
+                )
         return findings
 
     def vacuum(self, keep: int = 2, dry_run: bool = False) -> list[str]:
@@ -2467,6 +2692,7 @@ def read_store_skip(store: "MergeStore", col: str, lo, hi) -> DataFrame:
         read_with_skip,
     )
 
+    store._check_read_protocol()
     version = store.current_version()
     if version is None:
         raise FileNotFoundError(f"MergeStore at {store.path} does not exist")
@@ -2505,6 +2731,7 @@ def read_store_skip_eq(store: "MergeStore", col: str, value) -> DataFrame:
         read_with_skip_eq,
     )
 
+    store._check_read_protocol()
     version = store.current_version()
     if version is None:
         raise FileNotFoundError(f"MergeStore at {store.path} does not exist")
