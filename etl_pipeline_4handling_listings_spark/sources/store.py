@@ -437,11 +437,25 @@ class MergeStore:
         is the stalled writer's while the manifest describes the
         breaker — and ``_ff_valid`` trusting that manifest's
         ``touched`` set would green-light a fast-forward over
-        partitions the commit actually rewrote (a lost update)."""
+        partitions the commit actually rewrote (a lost update).
+
+        Written via tmp + ``os.replace``, never ``open("w")`` in
+        place: restore/append stagings HARDLINK a previous
+        snapshot's files, and a truncate-in-place writes through the
+        shared inode — restamping the staging would silently rewrite
+        the SOURCE version's ``_OWNER``, de-attributing its commit
+        (its manifest owner no longer matches) and killing
+        fast-forward attribution for history that was never touched.
+        ``os.replace`` swaps the directory entry only; the source
+        inode keeps its content."""
         owner = getattr(self, "_claim_owner", None)
         if owner:
-            with open(os.path.join(staging, self._OWNER), "w") as f:
+            tmp = os.path.join(
+                staging, self._OWNER + "." + uuid.uuid4().hex + ".tmp"
+            )
+            with open(tmp, "w") as f:
                 f.write(owner)
+            os.replace(tmp, os.path.join(staging, self._OWNER))
 
     def _reassert_manifest(
         self,
@@ -1212,6 +1226,244 @@ class MergeStore:
             # so dropping the scratch dir never touches live data
             if ff is not None:
                 shutil.rmtree(ff["dir"], ignore_errors=True)
+
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest ``txn_ver`` committed under ``app_id`` (-1 =
+        none) — Delta's (txnAppId, txnVersion) idempotent-writer
+        lookup. Scans live commit manifests plus the compacted log:
+        metadata-scale, and the transaction watermark survives both
+        vacuum and ``compact_log`` because compaction folds full
+        records."""
+        best = -1
+        commits = self._commits_dir()
+        records: list[dict] = []
+        try:
+            with open(os.path.join(commits, "_compacted.json")) as f:
+                records.extend(json.load(f).values())
+        except (OSError, ValueError):
+            pass
+        try:
+            entries = os.listdir(commits)
+        except FileNotFoundError:
+            entries = []
+        for entry in entries:
+            if not entry.endswith(".json") or entry.startswith("_"):
+                continue
+            try:
+                with open(os.path.join(commits, entry)) as f:
+                    records.append(json.load(f))
+            except (OSError, ValueError):
+                continue
+        for rec in records:
+            if rec.get("txn_app") == app_id:
+                try:
+                    best = max(best, int(rec.get("txn_ver", -1)))
+                except (TypeError, ValueError):
+                    continue
+        return best
+
+    def append(
+        self,
+        source: DataFrame,
+        max_retries: int = 5,
+        claim_expiry_s: float = 300.0,
+        schema_evolution: bool = False,
+        txn: tuple[str, int] | None = None,
+    ) -> str | None:
+        """Blind APPEND (Delta ``mode("append")`` / ``INSERT INTO``):
+        add ``source``'s rows without matching keys — the
+        high-throughput ingest path. Returns the committed version,
+        or ``None`` for an empty source (no version burned).
+
+        Cost model: the new rows are written ONCE to scratch; every
+        commit attempt is pure hardlinks (new files + the whole base
+        snapshot). Because an append's content is independent of the
+        base, a lost race NEVER recomputes — the same files re-link
+        against the winner's snapshot and re-claim. Compare merge,
+        whose staged output is only reusable when every intervening
+        commit is partition-disjoint.
+
+        Conflict metadata: with ``partition_by``, the partitions
+        gaining files are declared touched, so a racing merge that
+        rewrote one of them does NOT fast-forward past this append
+        (its rewrite was computed before these rows existed;
+        fast-forwarding would silently drop them). Disjoint merges
+        fast-forward as usual.
+
+        Contract: append does not look at keys — ingesting a key
+        that already exists creates a duplicate, exactly like a
+        Delta append under a conceptual primary key. Use
+        :meth:`merge` for upsert semantics; append is for fact/event
+        tables where rows are immutable arrivals. CHECK constraints
+        and generated columns are enforced on the appended rows
+        (same Observation ride as merge); deletion vectors carry
+        verbatim (no base file changes, so every vector stays
+        valid). ``schema_evolution=True`` admits new source columns;
+        existing rows read NULL for them.
+
+        ``txn=(app_id, version)`` makes the append IDEMPOTENT per
+        writer (Delta's txnAppId/txnVersion): the pair rides the
+        commit manifest itself — the commit IS the marker, so there
+        is no torn window between "data committed" and "progress
+        recorded". A replay whose version is at or below
+        :meth:`last_txn_version` returns ``None`` without writing.
+        Single writer per app id, as in Delta.
+        """
+        self._check_write_protocol()
+        extra = None
+        if txn is not None:
+            app_id, txn_ver = txn
+            if self.last_txn_version(str(app_id)) >= int(txn_ver):
+                return None  # replay: already applied, atomically
+            extra = {"txn_app": str(app_id), "txn_ver": int(txn_ver)}
+        if schema_evolution:
+            self._require_feature("snapshot-schema")
+        base0 = self.current_version()
+        if base0 is None:
+            raise FileNotFoundError(
+                f"MergeStore at {self.path} does not exist"
+            )
+        source = self._apply_generated(source)
+        table_schema = self._version_schema(base0)
+        if table_schema is not None:
+            have = [f.name for f in table_schema.fields]
+            extra_cols = [c for c in source.columns if c not in have]
+            missing = [c for c in have if c not in source.columns]
+            # a generated column declared since the last commit is
+            # table metadata, not a foreign column — the write that
+            # introduces it is exactly this one
+            foreign = [
+                c for c in extra_cols if c not in self.generated_columns()
+            ]
+            if foreign and not schema_evolution:
+                raise ValueError(
+                    f"append source has columns {foreign} the table "
+                    "lacks; pass schema_evolution=True to add them"
+                )
+            if missing:
+                raise ValueError(
+                    f"append source is missing table columns "
+                    f"{missing}; INSERT requires every column "
+                    "(generated columns are computed automatically)"
+                )
+            # table column order first — appended files stay
+            # uniformly readable under the snapshot schema
+            source = source.select(*have, *sorted(extra_cols))
+
+        # the rows are written exactly once; everything after this
+        # write is metadata-scale (links, claims, manifests)
+        os.makedirs(self._staging_dir(), exist_ok=True)
+        scratch = os.path.join(
+            self._staging_dir(), uuid.uuid4().hex + ".append"
+        )
+        observed, obs = self._observe_constraints(source)
+        # row-count observation rides the same write job: an empty
+        # source must be a no-op (no version spent), and empty
+        # writes still emit zero-row part files, so the file listing
+        # cannot tell
+        from pyspark.sql import Observation
+
+        nobs = Observation()
+        observed = observed.observe(nobs, F.count(F.lit(1)).alias("n"))
+        writer = observed.write.mode("overwrite").format(self.fmt)
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.save(scratch)
+        self._check_observed(obs, scratch)
+
+        try:
+            if nobs.get["n"] == 0:
+                return None  # empty source: no-op, no version spent
+            new_entries = [
+                e
+                for e in os.listdir(scratch)
+                if not e.startswith(("_", "."))
+            ]
+            touched: list[str] | None = None
+            if self.partition_by:
+                pfx = f"{self.partition_by}="
+                bad = [e for e in new_entries if not e.startswith(pfx)]
+                if bad or any(
+                    e == pfx + "__HIVE_DEFAULT_PARTITION__"
+                    for e in new_entries
+                ):
+                    raise ValueError(
+                        f"partition column {self.partition_by!r} "
+                        "produced NULL/unpartitioned output; derive "
+                        "it from row content (MergeStore.hash_bucket)"
+                    )
+                # dir-name encoding straight off the written layout —
+                # exactly the form manifests and _ff_valid compare
+                touched = sorted(e[len(pfx):] for e in new_entries)
+
+            for _attempt in range(max_retries + 1):
+                self._repair_pointer()
+                base = self.current_version()
+                nxt = f"v{int(base[1:]) + 1:05d}"
+                staging = os.path.join(
+                    self._staging_dir(), uuid.uuid4().hex
+                )
+                try:
+                    # whole base snapshot (data + _dv verbatim) ...
+                    base_dir = self._version_dir(base)
+                    os.makedirs(staging, exist_ok=True)
+                    for entry in os.listdir(base_dir):
+                        src = os.path.join(base_dir, entry)
+                        if entry.startswith("."):
+                            continue
+                        if entry.startswith("_"):
+                            # _SCHEMA/_FILES/_OWNER are re-derived
+                            # below (never linked: writing through a
+                            # shared inode would rewrite the base's)
+                            if entry == self._DV:
+                                _link_tree(
+                                    src, os.path.join(staging, entry)
+                                )
+                            continue
+                        if os.path.isdir(src):
+                            _link_tree(src, os.path.join(staging, entry))
+                        else:
+                            os.link(src, os.path.join(staging, entry))
+                    # ... plus the appended files (part-file names
+                    # carry job UUIDs — collision-free by design)
+                    for entry in new_entries:
+                        src = os.path.join(scratch, entry)
+                        if os.path.isdir(src):
+                            _link_tree(src, os.path.join(staging, entry))
+                        else:
+                            os.link(src, os.path.join(staging, entry))
+                except OSError:
+                    # base vacuumed mid-link after a concurrent
+                    # advance: a lost race, not a failure
+                    shutil.rmtree(staging, ignore_errors=True)
+                    self._await_advance(beyond=base)
+                    continue
+                snap_schema = _union_schema(
+                    observed.schema
+                    if table_schema is None
+                    else _union_schema(table_schema, observed.schema),
+                    self._version_schema(base),
+                )
+                self._write_snapshot_schema(staging, snap_schema)
+                self._write_file_manifest(staging)
+                if self._claim_version(
+                    nxt, claim_expiry_s, touched=touched, extra=extra
+                ):
+                    if self._finalize_commit(
+                        staging, nxt, touched=touched, extra=extra
+                    ):
+                        return nxt
+                    shutil.rmtree(staging, ignore_errors=True)
+                    self._await_advance(beyond=base)
+                    continue
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+            raise RuntimeError(
+                f"append at {self.path} lost {max_retries + 1} straight "
+                "commit races; raise max_retries or serialize writers"
+            )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
 
     def list_versions(self) -> list[str]:
         """All snapshot versions on disk, oldest first (numeric

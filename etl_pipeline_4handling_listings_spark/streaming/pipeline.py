@@ -227,6 +227,48 @@ def foreach_batch_upsert(
     return sink
 
 
+def foreach_batch_append(
+    store: MergeStore,
+    txn_app_id: str = "default",
+    auto_optimize_every: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink for APPEND-ONLY ingest (event/fact
+    tables): each micro-batch lands via ``MergeStore.append`` —
+    O(batch rows) written, no key join, the streaming write path
+    that stays flat at 100 TB table size.
+
+    Exactly-once is STRONGER here than the upsert sink's marker
+    file: append is not key-idempotent (a replayed batch would
+    duplicate rows), so the (txn_app_id, batch_id) pair rides the
+    COMMIT MANIFEST itself (Delta's txnAppId/txnVersion). The
+    commit is the marker — there is no torn window between "data
+    committed" and "progress recorded", and a restart replay is
+    skipped atomically by ``last_txn_version``. Single writer per
+    app id; give each query/checkpoint its own id, and a fresh one
+    after wiping a checkpoint (batch ids restart at 0).
+
+    ``auto_optimize_every=N``: same autoCompact ride-along as the
+    upsert sink — micro-batch appends accrete one file set per
+    batch, so compaction must ride the ingest path; failures never
+    fail the already-committed batch.
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store.create_if_absent(batch)
+        applied = store.append(batch, txn=(txn_app_id, batch_id))
+        if (
+            applied is not None
+            and auto_optimize_every
+            and (batch_id + 1) % auto_optimize_every == 0
+        ):
+            try:
+                store.optimize()
+            except Exception:
+                pass  # data already committed; retry next cycle
+
+    return sink
+
+
 def stream_session_rollup(
     events: DataFrame,
     key: str = "k",

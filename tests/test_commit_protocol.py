@@ -263,3 +263,27 @@ def test_optimize_compacts_evolved_store_reading_snapshot_schema(
     assert v is not None
     got = {r["k"]: (r["v"], r["x"]) for r in store.read().collect()}
     assert got == {0: ("z0", None), 1: ("a1", 7)}
+
+
+def test_restore_does_not_realias_source_owner_stamp(spark, tmp_path):
+    """restore() hardlinks the whole source snapshot — including its
+    _OWNER stamp. Stamping the staging must go through tmp +
+    os.replace (directory-entry swap), because a truncate-in-place
+    open("w") writes through the shared inode and rewrites the
+    SOURCE version's stamp: its manifest owner then mismatches, the
+    commit de-attributes, and fast-forward conservatively dies for
+    history that was never touched."""
+    path = str(tmp_path / "ownerstamp")
+    store = _mk(spark, path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)
+    o1_path = os.path.join(store._version_dir("v00001"), "_OWNER")
+    before = open(o1_path).read()
+    store.restore("v00001")
+    assert open(o1_path).read() == before, "source stamp rewritten"
+    o2 = open(os.path.join(store._version_dir("v00002"), "_OWNER")).read()
+    assert o2 != before, "restore commit must carry its own owner"
+    # attribution intact: v00001's manifest owner still matches
+    with open(os.path.join(store._commits_dir(), "v00001.json")) as f:
+        assert json.load(f)["owner"] == before

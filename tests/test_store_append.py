@@ -1,0 +1,254 @@
+"""Blind APPEND — the high-throughput ingest path.
+
+Reference semantics: Delta ``df.write.mode("append")`` / ``INSERT
+INTO`` on the curated tables (the reference's daily loads are
+upserts, but its raw/event landing zones are appends —
+SURVEY §2.1 S7's sized exports are the other direction of the same
+contract). Cost model under the MergeStore commit protocol: rows
+written once to scratch, every commit attempt pure hardlinks, lost
+races re-link and re-claim without recomputing anything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.sources.store import (
+    ConstraintViolationError,
+    MergeStore,
+)
+
+
+def _mk(spark, tmp_path, name="store", partition_by=None):
+    store = MergeStore(
+        spark, str(tmp_path / name), keys=["k"], partition_by=partition_by
+    )
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "b")], ["k", "p", "v"]
+    )
+    store.create_if_absent(df)
+    store.merge(df)
+    return store
+
+
+def test_append_adds_rows_keeps_existing(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    v = store.append(
+        spark.createDataFrame([(3, 0, "c"), (4, 1, "d")], ["k", "p", "v"])
+    )
+    assert v == "v00002"
+    got = {r.k: r.v for r in store.read().collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
+    # time travel: the pre-append snapshot is untouched
+    assert store.read_version("v00001").count() == 2
+
+
+def test_append_empty_source_is_a_noop(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    before = store.current_version()
+    df = spark.createDataFrame([], "k int, p int, v string")
+    assert store.append(df) is None
+    assert store.current_version() == before
+
+
+def test_append_does_not_dedup_keys(spark, tmp_path):
+    """Blind by contract: appending an existing key duplicates it —
+    same as a Delta append under a conceptual primary key. merge()
+    is the upsert path."""
+    store = _mk(spark, tmp_path)
+    store.append(spark.createDataFrame([(1, 0, "DUP")], ["k", "p", "v"]))
+    assert store.read().filter(F.col("k") == 1).count() == 2
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="missing table columns"):
+        store.append(spark.createDataFrame([(9, 0)], ["k", "p"]))
+    with pytest.raises(ValueError, match="schema_evolution"):
+        store.append(
+            spark.createDataFrame([(9, 0, "x", 1.0)], ["k", "p", "v", "w"])
+        )
+
+
+def test_append_schema_evolution_adds_column(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    v = store.append(
+        spark.createDataFrame([(3, 0, "c", 9.5)], ["k", "p", "v", "score"]),
+        schema_evolution=True,
+    )
+    got = {r.k: r.score for r in store.read().collect()}
+    assert got == {1: None, 2: None, 3: 9.5}
+    assert "snapshot-schema" in store.protocol()["reader_features"]
+    assert v == "v00002"
+
+
+def test_append_enforces_constraints_and_generated(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    store.add_constraint("v_nonempty", "length(v) > 0")
+    store.add_generated_column("k2", "k * 2")
+    with pytest.raises(ConstraintViolationError):
+        store.append(spark.createDataFrame([(3, 0, "")], ["k", "p", "v"]))
+    assert store.current_version() == "v00001"  # aborted pre-claim
+    store.append(spark.createDataFrame([(3, 0, "c")], ["k", "p", "v"]))
+    row = store.read().filter(F.col("k") == 3).collect()[0]
+    assert row.k2 == 6
+
+
+def test_partitioned_append_records_touched_and_links_rest(spark, tmp_path):
+    store = _mk(spark, tmp_path, partition_by="p")
+    v = store.append(
+        spark.createDataFrame([(3, 0, "c"), (5, 5, "e")], ["k", "p", "v"])
+    )
+    with open(os.path.join(store.path, "_COMMITS", f"{v}.json")) as f:
+        rec = json.load(f)
+    assert sorted(rec["touched"]) == ["0", "5"]
+    got = {r.k: (r.p, r.v) for r in store.read().collect()}
+    assert got == {1: (0, "a"), 2: (1, "b"), 3: (0, "c"), 5: (5, "e")}
+    # a merge into an untouched partition fast-forwards past the
+    # append; a merge into a gaining partition must NOT (its rewrite
+    # predates these rows — fast-forwarding would drop them)
+    prev = f"v{int(v[1:]) - 1:05d}"
+    assert store._ff_valid(prev, v, ["1"])
+    assert not store._ff_valid(prev, v, ["0"])
+
+
+def test_append_carries_deletion_vectors(spark, tmp_path):
+    """No base file changes, so every DV entry stays valid verbatim
+    — the deleted row must not resurrect through an append."""
+    store = _mk(spark, tmp_path)
+    store.delete(F.col("k") == 1)
+    store.append(spark.createDataFrame([(3, 0, "c")], ["k", "p", "v"]))
+    assert sorted(r.k for r in store.read().collect()) == [2, 3]
+
+
+def test_append_null_partition_value_rejected(spark, tmp_path):
+    store = _mk(spark, tmp_path, partition_by="p")
+    with pytest.raises(ValueError, match="NULL"):
+        store.append(
+            spark.createDataFrame(
+                [(9, None, "x")], "k int, p int, v string"
+            )
+        )
+    assert store.current_version() == "v00001"
+
+
+def test_append_interleaves_with_merge_and_cdc(spark, tmp_path):
+    """Appends are first-class commits: history attributes them,
+    the change feed emits their rows as inserts, and a later merge
+    sees them as ordinary target rows."""
+    store = _mk(spark, tmp_path)
+    v2 = store.append(spark.createDataFrame([(3, 0, "c")], ["k", "p", "v"]))
+    store.merge(spark.createDataFrame([(3, 0, "C2")], ["k", "p", "v"]))
+    assert {r.k: r.v for r in store.read().collect()}[3] == "C2"
+    changes = store.read_changes("v00001", v2)
+    kinds = {(r.k, r["_change_type"]) for r in changes.collect()}
+    assert (3, "insert") in kinds
+
+
+# -- transactional (idempotent) appends --------------------------------
+
+
+def test_append_txn_replay_is_atomic_noop(spark, tmp_path):
+    """(app_id, version) rides the commit manifest — the commit IS
+    the progress marker, so a replay can never duplicate rows even
+    though append itself is not key-idempotent."""
+    store = _mk(spark, tmp_path)
+    df = spark.createDataFrame([(3, 0, "c")], ["k", "p", "v"])
+    v = store.append(df, txn=("loader", 7))
+    assert v == "v00002"
+    assert store.append(df, txn=("loader", 7)) is None  # replay
+    assert store.append(df, txn=("loader", 5)) is None  # older replay
+    assert store.read().filter(F.col("k") == 3).count() == 1
+    assert store.last_txn_version("loader") == 7
+    assert store.last_txn_version("other") == -1
+    # a different app id is independent
+    assert store.append(df, txn=("other", 0)) == "v00003"
+
+
+def test_append_txn_watermark_survives_vacuum_and_compaction(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    df = spark.createDataFrame([(3, 0, "c")], ["k", "p", "v"])
+    store.append(df, txn=("loader", 3))
+    for i in range(4):
+        store.merge(
+            spark.createDataFrame([(10 + i, 0, "m")], ["k", "p", "v"])
+        )
+    store.vacuum(keep=1)
+    store.compact_log(claim_expiry_s=0.0)
+    assert store.last_txn_version("loader") == 3
+    assert store.append(df, txn=("loader", 3)) is None
+
+
+def test_foreach_batch_append_sink_exactly_once(spark, tmp_path):
+    from etl_pipeline_4handling_listings_spark.streaming.pipeline import (
+        foreach_batch_append,
+    )
+
+    store = MergeStore(spark, str(tmp_path / "sink"), keys=["k"])
+    sink = foreach_batch_append(store, txn_app_id="q1")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    sink(b0, 0)
+    assert store.read().count() == 2
+    versions = store.list_versions()
+    sink(b0, 0)  # post-restart replay: atomically skipped
+    assert store.list_versions() == versions
+    assert store.read().count() == 2
+    sink(spark.createDataFrame([(3, "c")], ["k", "v"]), 1)
+    assert store.read().count() == 3
+    # a second query with its own app id appends independently
+    sink2 = foreach_batch_append(store, txn_app_id="q2")
+    sink2(spark.createDataFrame([(4, "d")], ["k", "v"]), 0)
+    assert store.read().count() == 4
+
+
+def test_concurrent_appends_and_merges_no_lost_rows(spark, tmp_path):
+    """Race appends against merges on the same table: every appended
+    row and every merged key must land (appends re-link on lost
+    races; merges re-merge or fast-forward). Serializable history,
+    no lost updates in either direction."""
+    import threading
+
+    path = str(tmp_path / "race")
+    store = MergeStore(spark, path, keys=["k"], partition_by="p")
+    store.create_if_absent(
+        spark.createDataFrame([(0, 0, "z")], ["k", "p", "v"])
+    )
+    store.merge(spark.createDataFrame([(0, 0, "z")], ["k", "p", "v"]))
+    errs = []
+
+    def appender():
+        try:
+            s = MergeStore(spark, path, keys=["k"], partition_by="p")
+            for i in range(3):
+                s.append(
+                    spark.createDataFrame(
+                        [(1000 + i, 7, f"a{i}")], ["k", "p", "v"]
+                    )
+                )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    def merger():
+        try:
+            s = MergeStore(spark, path, keys=["k"], partition_by="p")
+            for i in range(3):
+                s.merge(
+                    spark.createDataFrame(
+                        [(2000 + i, 3, f"m{i}")], ["k", "p", "v"]
+                    )
+                )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender)
+    t2 = threading.Thread(target=merger)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    got = {r["k"]: r["v"] for r in store.read().collect()}
+    for i in range(3):
+        assert got.get(1000 + i) == f"a{i}", f"lost append {1000+i}"
+        assert got.get(2000 + i) == f"m{i}", f"lost merge {2000+i}"
