@@ -52,12 +52,15 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    WriterCommitMessage,
     InputPartition,
 )
 from pyspark.sql.types import StructField, StructType, StringType
@@ -394,6 +397,188 @@ class MergeStoreDataSource(DataSource):
         return MergeStoreBatchReader(
             schema, self.options, self._pin_version()
         )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        """``df.write.format("mergestore").mode("append")`` — the
+        standard-API ingest path, committing through the store's
+        APPEND protocol (executors write parquet to scratch; the
+        driver commit hardlinks base + new files and claims the next
+        version — see ``MergeStore._commit_appended_files``).
+
+        Scope (v1, checked driver-side so misuse fails at plan
+        time, not at commit): append mode only (``overwrite`` on a
+        keyed store is ambiguous — use ``merge``/``restore``),
+        unpartitioned stores (partitioned layout needs the engine's
+        ``partitionBy`` write — use ``MergeStore.append``), and
+        stores without CHECK constraints / generated columns (those
+        ride the engine write's Observation — same redirect).
+        ``txnAppId``/``txnVersion`` options make the job idempotent
+        per writer, committed in the manifest like
+        ``MergeStore.append(txn=...)``."""
+        path = self.options["path"]
+        if overwrite:
+            raise ValueError(
+                "mergestore writes are append-only through this API "
+                "(mode('append')); overwriting a keyed store is a "
+                "merge/restore decision, not a file-level truncate"
+            )
+        _check_reader_protocol(path)  # writers must satisfy both sides
+        from etl_pipeline_4handling_listings_spark.sources.store import (
+            SUPPORTED_WRITER_FEATURES,
+            ProtocolUnsupportedError,
+        )
+
+        try:
+            listed = frozenset(
+                os.listdir(os.path.join(path, "_PROTOCOL", "writer"))
+            )
+        except FileNotFoundError:
+            listed = frozenset()
+        unknown = listed - SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise ProtocolUnsupportedError(
+                f"table at {path} requires writer features "
+                f"{sorted(unknown)} this build does not implement"
+            )
+        version = _current_version(path)
+        for meta, redirect in (
+            ("_CONSTRAINTS.json", "CHECK constraints"),
+            ("_GENERATED.json", "generated columns"),
+        ):
+            if os.path.exists(os.path.join(path, meta)):
+                raise ValueError(
+                    f"table at {path} declares {redirect}, which are "
+                    "enforced on the engine write path — use "
+                    "MergeStore.append() instead of df.write"
+                )
+        table_schema = _schema_of(path, version)
+        # partitioned layout (pcol=value dirs) needs partitionBy
+        vdir = _version_dir(path, version)
+        if any(
+            "=" in e and os.path.isdir(os.path.join(vdir, e))
+            for e in os.listdir(vdir)
+            if not e.startswith(("_", "."))
+        ):
+            raise ValueError(
+                f"table at {path} is partitioned — df.write cannot "
+                "produce its hive layout; use MergeStore.append()"
+            )
+        have = {f.name: f.dataType.simpleString() for f in table_schema.fields}
+        mine = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if set(have) != set(mine):
+            raise ValueError(
+                f"write schema columns {sorted(mine)} != table "
+                f"columns {sorted(have)}; this path does no "
+                "evolution (MergeStore.append(schema_evolution=True) "
+                "does)"
+            )
+        clash = {c for c in have if have[c] != mine[c]}
+        if clash:
+            raise ValueError(
+                f"write schema types differ from the table's on "
+                f"{sorted(clash)}: "
+                f"{ {c: (mine[c], have[c]) for c in sorted(clash)} }"
+            )
+        scratch = os.path.join(
+            path, "_STAGING", "dsw-" + uuid.uuid4().hex
+        )
+        os.makedirs(scratch, exist_ok=True)
+        return MergeStoreBatchWriter(schema, self.options, scratch)
+
+
+class _AppendedFiles(WriterCommitMessage):
+    def __init__(self, files: list):
+        self.files = list(files)
+
+
+class MergeStoreBatchWriter(DataSourceArrowWriter):
+    """Executor side: each task streams its Arrow batches into one
+    parquet file under the pre-created scratch dir (zero-row tasks
+    write nothing). Driver side: ``commit`` links the files in
+    through the store's OCC append protocol — the rename IS the
+    commit, so a failed/aborted job leaves only scratch garbage that
+    vacuum ages out, never a half-visible table state."""
+
+    def __init__(self, schema: StructType, options: dict, scratch: str):
+        self.schema_ = schema
+        self.options = dict(options)
+        self.scratch = scratch
+
+    def write(self, iterator) -> _AppendedFiles:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        writer = None
+        name = f"part-{_uuid.uuid4().hex}.parquet"
+        dest = os.path.join(self.scratch, name)
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    writer = pq.ParquetWriter(dest, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+        finally:
+            if writer is not None:
+                writer.close()
+        return _AppendedFiles([name] if writer is not None else [])
+
+    def commit(self, messages) -> None:
+        from pyspark.sql import SparkSession
+
+        from etl_pipeline_4handling_listings_spark.sources.store import (
+            MergeStore,
+        )
+
+        path = self.options["path"]
+        files = sorted(
+            name
+            for m in messages
+            if m is not None
+            for name in m.files
+        )
+        try:
+            if not files:
+                return  # empty job: no version spent
+            keys = [
+                k.strip()
+                for k in str(self.options.get("keys", "")).split(",")
+                if k.strip()
+            ]
+            store = MergeStore(
+                SparkSession.getActiveSession(), path, keys=keys
+            )
+            extra = None
+            app = self.options.get(
+                "txnappid", self.options.get("txnAppId")
+            )
+            ver = self.options.get(
+                "txnversion", self.options.get("txnVersion")
+            )
+            if app is not None and ver is not None:
+                if store.last_txn_version(str(app)) >= int(ver):
+                    return  # replayed job: atomically already applied
+                extra = {"txn_app": str(app), "txn_ver": int(ver)}
+            store._commit_appended_files(
+                self.scratch,
+                files,
+                self.schema_,
+                touched=None,
+                extra=extra,
+                max_retries=5,
+                claim_expiry_s=300.0,
+            )
+        finally:
+            import shutil as _shutil
+
+            _shutil.rmtree(self.scratch, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil as _shutil
+
+        _shutil.rmtree(self.scratch, ignore_errors=True)
 
 
 # -- change-data-feed (shared by the stream source and the batch

@@ -1396,74 +1396,102 @@ class MergeStore:
                 # exactly the form manifests and _ff_valid compare
                 touched = sorted(e[len(pfx):] for e in new_entries)
 
-            for _attempt in range(max_retries + 1):
-                self._repair_pointer()
-                base = self.current_version()
-                nxt = f"v{int(base[1:]) + 1:05d}"
-                staging = os.path.join(
-                    self._staging_dir(), uuid.uuid4().hex
-                )
-                try:
-                    # whole base snapshot (data + _dv verbatim) ...
-                    base_dir = self._version_dir(base)
-                    os.makedirs(staging, exist_ok=True)
-                    for entry in os.listdir(base_dir):
-                        src = os.path.join(base_dir, entry)
-                        if entry.startswith("."):
-                            continue
-                        if entry.startswith("_"):
-                            # _SCHEMA/_FILES/_OWNER are re-derived
-                            # below (never linked: writing through a
-                            # shared inode would rewrite the base's)
-                            if entry == self._DV:
-                                _link_tree(
-                                    src, os.path.join(staging, entry)
-                                )
-                            continue
-                        if os.path.isdir(src):
-                            _link_tree(src, os.path.join(staging, entry))
-                        else:
-                            os.link(src, os.path.join(staging, entry))
-                    # ... plus the appended files (part-file names
-                    # carry job UUIDs — collision-free by design)
-                    for entry in new_entries:
-                        src = os.path.join(scratch, entry)
-                        if os.path.isdir(src):
-                            _link_tree(src, os.path.join(staging, entry))
-                        else:
-                            os.link(src, os.path.join(staging, entry))
-                except OSError:
-                    # base vacuumed mid-link after a concurrent
-                    # advance: a lost race, not a failure
-                    shutil.rmtree(staging, ignore_errors=True)
-                    self._await_advance(beyond=base)
-                    continue
-                snap_schema = _union_schema(
-                    observed.schema
-                    if table_schema is None
-                    else _union_schema(table_schema, observed.schema),
-                    self._version_schema(base),
-                )
-                self._write_snapshot_schema(staging, snap_schema)
-                self._write_file_manifest(staging)
-                if self._claim_version(
-                    nxt, claim_expiry_s, touched=touched, extra=extra
-                ):
-                    if self._finalize_commit(
-                        staging, nxt, touched=touched, extra=extra
-                    ):
-                        return nxt
-                    shutil.rmtree(staging, ignore_errors=True)
-                    self._await_advance(beyond=base)
-                    continue
-                shutil.rmtree(staging, ignore_errors=True)
-                self._await_advance(beyond=base)
-            raise RuntimeError(
-                f"append at {self.path} lost {max_retries + 1} straight "
-                "commit races; raise max_retries or serialize writers"
+            src_schema = (
+                observed.schema
+                if table_schema is None
+                else _union_schema(table_schema, observed.schema)
+            )
+            return self._commit_appended_files(
+                scratch,
+                new_entries,
+                src_schema,
+                touched=touched,
+                extra=extra,
+                max_retries=max_retries,
+                claim_expiry_s=claim_expiry_s,
             )
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
+
+    def _commit_appended_files(
+        self,
+        scratch: str,
+        new_entries: list[str],
+        src_schema: StructType,
+        touched: list[str] | None,
+        extra: dict | None,
+        max_retries: int,
+        claim_expiry_s: float,
+    ) -> str:
+        """OCC commit of already-written data files as an APPEND:
+        every attempt hardlinks (whole base snapshot + the new
+        files), claims base+1, renames. Shared by :meth:`append`
+        and the data source's ``df.write`` path — the files are
+        base-independent, so lost races re-link and re-claim, never
+        re-write. Caller owns ``scratch`` cleanup."""
+        for _attempt in range(max_retries + 1):
+            self._repair_pointer()
+            base = self.current_version()
+            nxt = f"v{int(base[1:]) + 1:05d}"
+            staging = os.path.join(
+                self._staging_dir(), uuid.uuid4().hex
+            )
+            try:
+                # whole base snapshot (data + _dv verbatim) ...
+                base_dir = self._version_dir(base)
+                os.makedirs(staging, exist_ok=True)
+                for entry in os.listdir(base_dir):
+                    src = os.path.join(base_dir, entry)
+                    if entry.startswith("."):
+                        continue
+                    if entry.startswith("_"):
+                        # _SCHEMA/_FILES/_OWNER are re-derived
+                        # below (never linked: writing through a
+                        # shared inode would rewrite the base's)
+                        if entry == self._DV:
+                            _link_tree(
+                                src, os.path.join(staging, entry)
+                            )
+                        continue
+                    if os.path.isdir(src):
+                        _link_tree(src, os.path.join(staging, entry))
+                    else:
+                        os.link(src, os.path.join(staging, entry))
+                # ... plus the appended files (part-file names
+                # carry job UUIDs — collision-free by design)
+                for entry in new_entries:
+                    src = os.path.join(scratch, entry)
+                    if os.path.isdir(src):
+                        _link_tree(src, os.path.join(staging, entry))
+                    else:
+                        os.link(src, os.path.join(staging, entry))
+            except OSError:
+                # base vacuumed mid-link after a concurrent
+                # advance: a lost race, not a failure
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+                continue
+            snap_schema = _union_schema(
+                src_schema, self._version_schema(base)
+            )
+            self._write_snapshot_schema(staging, snap_schema)
+            self._write_file_manifest(staging)
+            if self._claim_version(
+                nxt, claim_expiry_s, touched=touched, extra=extra
+            ):
+                if self._finalize_commit(
+                    staging, nxt, touched=touched, extra=extra
+                ):
+                    return nxt
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+                continue
+            shutil.rmtree(staging, ignore_errors=True)
+            self._await_advance(beyond=base)
+        raise RuntimeError(
+            f"append at {self.path} lost {max_retries + 1} straight "
+            "commit races; raise max_retries or serialize writers"
+        )
 
     def list_versions(self) -> list[str]:
         """All snapshot versions on disk, oldest first (numeric

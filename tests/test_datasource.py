@@ -166,3 +166,65 @@ def test_cdc_partitioned_diffs_only_touched(spark, tmp_path):
     }
     # the untouched partition contributed no diff work and no rows
     assert rows == {(3, "insert")}
+
+
+def test_datasource_write_append_path(spark, tmp_path):
+    """df.write.format('mergestore').mode('append'): executors write
+    Arrow->parquet scratch, the driver commit rides the store's OCC
+    append protocol — rows land as a normal committed version that
+    both the engine and the data source read back; txnAppId/
+    txnVersion make the job replay-safe."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        register,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+    register(spark)
+    path = str(tmp_path / "dsw")
+    store = MergeStore(spark, path, keys=["k"])
+    seed = spark.createDataFrame([(1, "a", 1.5)], ["k", "v", "x"])
+    store.create_if_absent(seed)
+    store.merge(seed)
+
+    batch = spark.createDataFrame([(2, "b", 2.5), (3, "c", None)], ["k", "v", "x"])
+    (
+        batch.write.format("mergestore")
+        .mode("append")
+        .option("path", path)
+        .option("txnAppId", "job1")
+        .option("txnVersion", 0)
+        .save()
+    )
+    got = {r.k: (r.v, r.x) for r in store.read().collect()}
+    assert got == {1: ("a", 1.5), 2: ("b", 2.5), 3: ("c", None)}
+    versions = store.list_versions()
+
+    # replayed job (same txn): atomically skipped, no version burned
+    (
+        batch.write.format("mergestore")
+        .mode("append")
+        .option("path", path)
+        .option("txnAppId", "job1")
+        .option("txnVersion", 0)
+        .save()
+    )
+    assert store.list_versions() == versions
+    assert store.read().count() == 3
+
+    # the data source reads its own writes
+    back = (
+        spark.read.format("mergestore").option("path", path).load()
+    )
+    assert back.count() == 3
+
+    # guard rails fail at PLAN time: overwrite, schema drift
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append-only"):
+        batch.write.format("mergestore").mode("overwrite").option(
+            "path", path
+        ).save()
+    with _pytest.raises(Exception, match="columns"):
+        spark.createDataFrame([(9,)], ["k"]).write.format(
+            "mergestore"
+        ).mode("append").option("path", path).save()
