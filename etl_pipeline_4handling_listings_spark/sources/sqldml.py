@@ -1,0 +1,356 @@
+"""SQL DML front-end for MergeStore — the reference's actual API.
+
+The reference never calls a merge function: it renders Delta SQL
+strings and runs ``spark.sql(...)`` (listings/mls_listings_curated.py
+:340-353 M1, mls_listings_hist_curated.py:195-203 M2 with a DELETE
+clause, mls_listings_curated_propid_backfill.py:206-212 M3 with a
+changed-columns guard). A migrating job should keep those strings.
+:func:`run_dml` accepts the same statements and routes them onto the
+MergeStore engine:
+
+    run_dml(spark, '''
+        merge into destination using source
+        on destination.mls = source.mls
+           and destination.mls_listing_id = source.mls_listing_id
+        when matched then update set *
+        when not matched then insert *
+    ''', tables={"destination": store})
+
+Supported dialect (exactly the surface the reference exercises, plus
+the obvious companions — anything outside it raises a NAMED error,
+never a silent misparse):
+
+- ``MERGE INTO <t> USING <view | (subquery)> ON <equi-conjunction>``
+  with any mix of ``WHEN MATCHED [AND c] THEN UPDATE SET *``,
+  ``WHEN MATCHED [AND c] THEN DELETE``,
+  ``WHEN NOT MATCHED [AND c] THEN INSERT *``. Clause conditions may
+  qualify columns with the destination/source names or aliases
+  (rewritten onto the merge join's row structs). Clause ORDER is
+  honored: a delete-before-update statement suppresses updates on
+  rows the delete clause claims, exactly like Delta.
+- ``DELETE FROM <t> [WHERE c]``
+- ``UPDATE <t> SET a = e[, ...] [WHERE c]``
+- ``INSERT INTO <t> <select ...>`` / ``INSERT INTO <t> TABLE <view>``
+- ``VACUUM <t> [RETAIN <n> VERSIONS] [DRY RUN]``
+- ``RESTORE TABLE <t> TO VERSION AS OF <n>``
+- ``DESCRIBE HISTORY <t>``
+
+``UPDATE SET *`` / ``INSERT *`` are the only merge assignment forms
+(the only forms the reference uses); column-list assignments inside
+MERGE raise with a pointer to ``MergeStore.update`` — partial
+assignment is a different operation, not a parse nicety.
+
+Scale note: this layer only PARSES; every statement lands on the
+same engine paths as the Python API (one-shuffle merge_upsert, DV
+delete/update, OCC commits), so the SQL surface adds zero plan cost.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+
+class DMLParseError(ValueError):
+    """The statement is outside the supported dialect — says what
+    was expected, never guesses."""
+
+
+def _norm(sql: str) -> str:
+    return re.sub(r"\s+", " ", sql.strip().rstrip(";").strip())
+
+
+def _get_table(tables: dict, name: str) -> MergeStore:
+    if name not in tables:
+        raise DMLParseError(
+            f"unknown table {name!r}; known: {sorted(tables)}"
+        )
+    return tables[name]
+
+
+def _resolve_source(spark: SparkSession, src: str) -> DataFrame:
+    src = src.strip()
+    if src.startswith("("):
+        return spark.sql(src[1:-1])
+    return spark.table(src)
+
+
+def _rewrite_refs(cond: str, dst_names: list, src_names: list) -> str:
+    """Qualify-rewrite a merge clause condition onto the join frame's
+    row structs: ``destination.x`` -> ``_t.x``, ``source.y`` ->
+    ``_s.y``. Unqualified column references are rejected — inside a
+    MERGE both rows are in scope, so a bare name is ambiguous (same
+    rule Delta applies)."""
+    out = cond
+    for alias in dst_names:
+        out = re.sub(
+            rf"\b{re.escape(alias)}\s*\.", "_t.", out, flags=re.I
+        )
+    for alias in src_names:
+        out = re.sub(
+            rf"\b{re.escape(alias)}\s*\.", "_s.", out, flags=re.I
+        )
+    return out
+
+
+_MERGE_RE = re.compile(
+    r"^merge into (?P<dst>\w+)(?: as (?P<dsta>\w+))?"
+    r" using (?P<src>\(.*\)|\w+)(?: as (?P<srca>\w+))?"
+    r" on (?P<on>.*?)(?P<clauses> when .*)$",
+    re.I,
+)
+_CLAUSE_RE = re.compile(
+    r" when (?P<not>not )?matched(?: and (?P<cond>.*?))? then "
+    r"(?P<action>update set \*|delete|insert \*"
+    r"|update set .+?|insert \(.*?\) values \(.*?\))"
+    r"(?= when |$)",
+    re.I,
+)
+
+
+def _parse_on_keys(on: str, dst_names: list, src_names: list) -> list:
+    """The ON clause must be a conjunction of cross-side equalities
+    on the SAME column name — that is what makes it a keyed merge
+    the store can execute (and what the reference renders)."""
+    keys = []
+    for part in re.split(r"\band\b", on, flags=re.I):
+        m = re.match(
+            r"^\s*(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*$",
+            part,
+        )
+        if not m:
+            raise DMLParseError(
+                f"ON clause term {part.strip()!r} is not "
+                "`side.col = side.col`; only equi-join merges are "
+                "keyed merges"
+            )
+        a_side, a_col, b_side, b_col = m.groups()
+        sides = {a_side.lower(), b_side.lower()}
+        dst_l = {n.lower() for n in dst_names}
+        src_l = {n.lower() for n in src_names}
+        if not (sides & dst_l and sides & src_l):
+            raise DMLParseError(
+                f"ON term {part.strip()!r} must compare destination "
+                "to source"
+            )
+        if a_col != b_col:
+            raise DMLParseError(
+                f"ON term {part.strip()!r} joins different column "
+                "names; the store's keyed merge requires same-name "
+                "keys"
+            )
+        keys.append(a_col)
+    return keys
+
+
+def _merge(spark: SparkSession, sql: str, tables: dict):
+    m = _MERGE_RE.match(sql)
+    if not m:
+        raise DMLParseError(
+            "unsupported MERGE shape; expected: MERGE INTO <t> USING "
+            "<view|(subquery)> ON <cond> WHEN [NOT] MATCHED ..."
+        )
+    store = _get_table(tables, m.group("dst"))
+    dst_names = [m.group("dst")] + (
+        [m.group("dsta")] if m.group("dsta") else []
+    )
+    src_txt = m.group("src")
+    src_names = ([src_txt] if not src_txt.startswith("(") else []) + (
+        [m.group("srca")] if m.group("srca") else []
+    )
+    if not src_names:
+        raise DMLParseError(
+            "a subquery source needs an alias: USING (...) AS s"
+        )
+    source = _resolve_source(spark, src_txt)
+
+    keys = _parse_on_keys(m.group("on"), dst_names, src_names)
+    if store.keys and sorted(keys) != sorted(store.keys):
+        raise DMLParseError(
+            f"ON keys {sorted(keys)} != store keys "
+            f"{sorted(store.keys)} — a merge on other columns is "
+            "not this table's keyed upsert"
+        )
+
+    def cond_expr(txt: str | None):
+        if txt is None:
+            return None
+        rewritten = _rewrite_refs(txt, dst_names, src_names)
+        leftover = re.findall(r"\b(\w+)\s*\.", rewritten)
+        bad = {
+            w
+            for w in leftover
+            if w not in ("_t", "_s") and not w.isdigit()
+        }
+        if bad:
+            raise DMLParseError(
+                f"condition references unknown qualifiers {sorted(bad)}"
+            )
+        return lambda t, s, _e=rewritten: F.expr(_e)
+
+    update_c = delete_c = insert_c = None
+    has_update = has_delete = has_insert = False
+    seen_delete_cond: str | None = None
+    order: list = []
+    for c in _CLAUSE_RE.finditer(sql):
+        action = c.group("action").lower().strip()
+        is_not = bool(c.group("not"))
+        cond_txt = c.group("cond")
+        if action == "update set *":
+            if is_not:
+                raise DMLParseError(
+                    "WHEN NOT MATCHED THEN UPDATE is not a merge "
+                    "clause (Delta has no such form)"
+                )
+            has_update = True
+            if seen_delete_cond is not None:
+                # delete clause precedes: Delta stops at the first
+                # matching clause, so updates only fire where the
+                # earlier delete's condition is false
+                guard = f"not ({seen_delete_cond})"
+                cond_txt = (
+                    f"({cond_txt}) and {guard}"
+                    if cond_txt
+                    else guard
+                )
+            update_c = cond_expr(cond_txt)
+            order.append("update")
+        elif action == "delete":
+            if is_not:
+                raise DMLParseError(
+                    "WHEN NOT MATCHED THEN DELETE is not a merge "
+                    "clause (nothing to delete)"
+                )
+            has_delete = True
+            delete_c = cond_expr(cond_txt)
+            seen_delete_cond = _rewrite_refs(
+                cond_txt, dst_names, src_names
+            ) if cond_txt else "true"
+            order.append("delete")
+        elif action == "insert *":
+            if not is_not:
+                raise DMLParseError(
+                    "WHEN MATCHED THEN INSERT is not a merge clause"
+                )
+            has_insert = True
+            insert_c = cond_expr(cond_txt)
+            order.append("insert")
+        else:
+            raise DMLParseError(
+                f"merge assignment form {action!r} is unsupported: "
+                "only UPDATE SET * / DELETE / INSERT * (the "
+                "reference's forms); partial assignment is "
+                "MergeStore.update()"
+            )
+    if not order:
+        raise DMLParseError("MERGE has no WHEN clauses")
+
+    # a statement may omit the update or insert clause entirely
+    # (delete-only merges exist); a never-true condition suppresses
+    # the engine's default unconditional behavior
+    if not has_update:
+        update_c = lambda t, s: F.lit(False)  # noqa: E731
+    if not has_insert:
+        insert_c = lambda t, s: F.lit(False)  # noqa: E731
+    return store.merge(
+        source,
+        update_condition=update_c,
+        delete_condition=delete_c if has_delete else None,
+        insert_condition=insert_c,
+    )
+
+
+def run_dml(spark: SparkSession, sql: str, tables: dict):
+    """Execute one DML/utility statement against MergeStore tables.
+
+    ``tables`` maps statement table names to :class:`MergeStore`
+    handles (the analogue of registering a Delta path as a name).
+    Returns what the operation returns: the committed version string
+    for MERGE/DELETE/UPDATE/INSERT (or ``None`` no-ops), the doomed
+    version list for VACUUM, and a DataFrame for DESCRIBE HISTORY.
+    """
+    stmt = _norm(sql)
+    low = stmt.lower()
+
+    if low.startswith("merge into "):
+        return _merge(spark, stmt, tables)
+
+    m = re.match(r"^delete from (\w+)(?: where (.*))?$", stmt, re.I)
+    if m:
+        store = _get_table(tables, m.group(1))
+        return store.delete(m.group(2) if m.group(2) else F.lit(True))
+
+    m = re.match(r"^update (\w+) set (.*?)(?: where (.*))?$", stmt, re.I)
+    if m:
+        store = _get_table(tables, m.group(1))
+        assigns = {}
+        for part in _split_top_level(m.group(2)):
+            am = re.match(r"^\s*(\w+)\s*=\s*(.+)$", part)
+            if not am:
+                raise DMLParseError(f"bad SET item {part!r}")
+            assigns[am.group(1)] = am.group(2)
+        cond = m.group(3) if m.group(3) else "true"
+        return store.update(cond, assigns)
+
+    m = re.match(r"^insert into (\w+) table (\w+)$", stmt, re.I)
+    if m:
+        store = _get_table(tables, m.group(1))
+        return store.append(spark.table(m.group(2)))
+
+    m = re.match(r"^insert into (\w+) (select .*)$", stmt, re.I)
+    if m:
+        store = _get_table(tables, m.group(1))
+        return store.append(spark.sql(m.group(2)))
+
+    m = re.match(
+        r"^vacuum (\w+)(?: retain (\d+) versions)?( dry run)?$",
+        stmt,
+        re.I,
+    )
+    if m:
+        store = _get_table(tables, m.group(1))
+        keep = int(m.group(2)) if m.group(2) else 2
+        return store.vacuum(keep=keep, dry_run=bool(m.group(3)))
+
+    m = re.match(
+        r"^restore table (\w+) to version as of (\d+)$", stmt, re.I
+    )
+    if m:
+        store = _get_table(tables, m.group(1))
+        return store.restore(f"v{int(m.group(2)):05d}")
+
+    m = re.match(r"^describe history (\w+)$", stmt, re.I)
+    if m:
+        return _get_table(tables, m.group(1)).history()
+
+    raise DMLParseError(
+        f"unsupported statement {stmt[:80]!r}; supported: MERGE INTO, "
+        "DELETE FROM, UPDATE, INSERT INTO, VACUUM, RESTORE TABLE, "
+        "DESCRIBE HISTORY"
+    )
+
+
+def _split_top_level(s: str) -> list:
+    """Split on commas outside parentheses/quotes (SET lists whose
+    expressions contain function calls)."""
+    parts, depth, start, quote = [], 0, 0, None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in parts if p.strip()]

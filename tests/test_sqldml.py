@@ -1,0 +1,226 @@
+"""SQL DML front-end: the reference's Delta SQL strings run verbatim.
+
+Each MERGE test renders the same statement SHAPE the reference
+renders (mls_listings_curated.py:340-353 M1,
+mls_listings_hist_curated.py:195-203 M2,
+mls_listings_curated_propid_backfill.py:206-212 M3) and checks the
+store lands in the same state the Python-API merge produces.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_4handling_listings_spark.sources.sqldml import (
+    DMLParseError,
+    run_dml,
+)
+from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+
+def _mk(spark, tmp_path, rows, name="t"):
+    store = MergeStore(spark, str(tmp_path / name), keys=["mls", "lid"])
+    df = spark.createDataFrame(rows, ["mls", "lid", "price", "status"])
+    store.create_if_absent(df)
+    store.merge(df)
+    return store
+
+
+BASE = [("A", 1, 100, "open"), ("A", 2, 200, "open"), ("B", 1, 300, "open")]
+
+
+def test_merge_m1_update_all_insert_all(spark, tmp_path):
+    """The curated-load statement: unconditional upsert."""
+    store = _mk(spark, tmp_path, BASE)
+    spark.createDataFrame(
+        [("A", 1, 150, "open"), ("C", 9, 900, "new")],
+        ["mls", "lid", "price", "status"],
+    ).createOrReplaceTempView("source")
+    v = run_dml(
+        spark,
+        """
+        merge into destination using source
+        on destination.mls = source.mls and destination.lid = source.lid
+        when matched then
+            update set *
+        when not matched then
+            insert *
+        """,
+        tables={"destination": store},
+    )
+    assert v == "v00002"
+    got = {(r.mls, r.lid): r.price for r in store.read().collect()}
+    assert got == {("A", 1): 150, ("A", 2): 200, ("B", 1): 300, ("C", 9): 900}
+
+
+def test_merge_m2_flagged_update_delete_insert(spark, tmp_path):
+    """The history-table statement: update when flagged true AND
+    changed, delete when flagged false, insert new flagged rows."""
+    store = _mk(spark, tmp_path, BASE)
+    spark.createDataFrame(
+        [
+            ("A", 1, 150, "open", True),   # flagged + changed -> update
+            ("A", 2, 200, "open", True),   # flagged, unchanged -> keep
+            ("B", 1, 300, "open", False),  # flagged false -> delete
+            ("D", 7, 700, "new", True),    # new + flagged -> insert
+            ("E", 8, 800, "new", False),   # new but unflagged -> drop
+        ],
+        ["mls", "lid", "price", "status", "_insert_update_flag"],
+    ).createOrReplaceTempView("source")
+    run_dml(
+        spark,
+        """
+        merge into destination using source
+        on destination.mls = source.mls and destination.lid = source.lid
+        when matched and (source._insert_update_flag = true and
+              (not (destination.price <=> source.price))) then
+            update set *
+        when matched and source._insert_update_flag = false then
+            delete
+        when not matched and source._insert_update_flag = true then
+            insert *
+        """,
+        tables={"destination": store},
+    )
+    got = {(r.mls, r.lid): r.price for r in store.read().collect()}
+    assert got == {("A", 1): 150, ("A", 2): 200, ("D", 7): 700}
+
+
+def test_merge_m3_changed_only_guard(spark, tmp_path):
+    """The backfill statement: update only when the tracked column
+    actually changed; unchanged matches burn no churn."""
+    store = _mk(spark, tmp_path, BASE)
+    spark.createDataFrame(
+        [("A", 1, 100, "open"), ("A", 2, 999, "open")],
+        ["mls", "lid", "price", "status"],
+    ).createOrReplaceTempView("source")
+    run_dml(
+        spark,
+        """
+        merge into destination using source
+        on destination.mls = source.mls and destination.lid = source.lid
+        when matched and (not (destination.price <=> source.price)) then
+            update set *
+        when not matched then
+            insert *
+        """,
+        tables={"destination": store},
+    )
+    got = {(r.mls, r.lid): r.price for r in store.read().collect()}
+    assert got == {("A", 1): 100, ("A", 2): 999, ("B", 1): 300}
+
+
+def test_merge_delete_before_update_clause_order(spark, tmp_path):
+    """Delta stops at the first matching clause: with DELETE first,
+    a row both clauses claim must be DELETED, not updated."""
+    store = _mk(spark, tmp_path, BASE)
+    spark.createDataFrame(
+        [("A", 1, 150, "kill"), ("A", 2, 999, "ok")],
+        ["mls", "lid", "price", "status"],
+    ).createOrReplaceTempView("source")
+    run_dml(
+        spark,
+        """
+        merge into destination using source
+        on destination.mls = source.mls and destination.lid = source.lid
+        when matched and source.status = 'kill' then delete
+        when matched then update set *
+        """,
+        tables={"destination": store},
+    )
+    got = {(r.mls, r.lid): r.price for r in store.read().collect()}
+    assert got == {("A", 2): 999, ("B", 1): 300}
+
+
+def test_merge_subquery_source_and_aliases(spark, tmp_path):
+    store = _mk(spark, tmp_path, BASE)
+    spark.createDataFrame(
+        [("A", 1, 175, "open", 1), ("A", 1, 150, "open", 2)],
+        ["mls", "lid", "price", "status", "rank"],
+    ).createOrReplaceTempView("raw")
+    run_dml(
+        spark,
+        """
+        merge into destination as d
+        using (select mls, lid, price, status from raw where rank = 1) as s
+        on d.mls = s.mls and d.lid = s.lid
+        when matched then update set *
+        when not matched then insert *
+        """,
+        tables={"destination": store},
+    )
+    got = {(r.mls, r.lid): r.price for r in store.read().collect()}
+    assert got[("A", 1)] == 175
+
+
+def test_delete_update_insert_vacuum_restore_history(spark, tmp_path):
+    store = _mk(spark, tmp_path, BASE)
+    t = {"t": store}
+    run_dml(spark, "DELETE FROM t WHERE status = 'open' AND mls = 'B'", t)
+    assert sorted((r.mls, r.lid) for r in store.read().collect()) == [
+        ("A", 1),
+        ("A", 2),
+    ]
+    run_dml(spark, "UPDATE t SET price = price + 1 WHERE lid = 2", t)
+    assert {r.lid: r.price for r in store.read().collect()}[2] == 201
+    spark.createDataFrame(
+        [("Z", 5, 500, "new")], ["mls", "lid", "price", "status"]
+    ).createOrReplaceTempView("newrows")
+    run_dml(spark, "INSERT INTO t TABLE newrows", t)
+    assert store.read().count() == 3
+    run_dml(
+        spark,
+        "INSERT INTO t SELECT 'Y' AS mls, 6 AS lid, 600 AS price, "
+        "'new' AS status",
+        t,
+    )
+    assert store.read().count() == 4
+    hist = run_dml(spark, "DESCRIBE HISTORY t", t)
+    assert hist.count() >= 5
+    doomed = run_dml(spark, "VACUUM t RETAIN 2 VERSIONS DRY RUN", t)
+    assert doomed and all(v.startswith("v") for v in doomed)
+    before = store.read().count()
+    run_dml(spark, "VACUUM t RETAIN 2 VERSIONS", t)
+    assert store.read().count() == before  # current snapshot untouched
+    cur = store.current_version()
+    run_dml(
+        spark,
+        f"RESTORE TABLE t TO VERSION AS OF {int(cur[1:]) - 1}",
+        t,
+    )
+    assert store.read().count() == before - 1
+
+
+def test_dialect_errors_are_named(spark, tmp_path):
+    store = _mk(spark, tmp_path, BASE)
+    t = {"destination": store}
+    with pytest.raises(DMLParseError, match="unknown table"):
+        run_dml(spark, "DELETE FROM nope", t)
+    with pytest.raises(DMLParseError, match="equi-join|side.col"):
+        run_dml(
+            spark,
+            "merge into destination using source on destination.mls "
+            "> source.mls when matched then update set *",
+            t,
+        )
+    with pytest.raises(DMLParseError, match="MergeStore.update"):
+        spark.createDataFrame(
+            [("A", 1, 1, "x")], ["mls", "lid", "price", "status"]
+        ).createOrReplaceTempView("source")
+        run_dml(
+            spark,
+            "merge into destination using source on destination.mls = "
+            "source.mls and destination.lid = source.lid when matched "
+            "then update set price = source.price",
+            t,
+        )
+    with pytest.raises(DMLParseError, match="ON keys"):
+        run_dml(
+            spark,
+            "merge into destination using source on destination.mls = "
+            "source.mls when matched then update set *",
+            t,
+        )
+    with pytest.raises(DMLParseError, match="unsupported statement"):
+        run_dml(spark, "TRUNCATE TABLE destination", t)
