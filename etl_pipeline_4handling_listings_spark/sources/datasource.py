@@ -59,6 +59,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     WriterCommitMessage,
     InputPartition,
@@ -485,6 +486,51 @@ class MergeStoreDataSource(DataSource):
         os.makedirs(scratch, exist_ok=True)
         return MergeStoreBatchWriter(schema, self.options, scratch)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        """``df.writeStream.format("mergestore")`` — the native
+        streaming sink: each micro-batch commits through the OCC
+        append protocol with ``txn=(app_id, batch_id)`` riding the
+        commit manifest, so restart replays are skipped atomically
+        (the commit IS the progress marker — same guarantee as
+        ``foreach_batch_append``, without the foreachBatch
+        boilerplate). Same v1 scope checks as the batch writer.
+
+        The scratch dir is DERIVED, not random: Spark instantiates
+        the data source (and this method) independently in the plan
+        runner, the write runner, and via pickling on executors — a
+        uuid-named scratch diverges between the instance that
+        created it and the writers that use it, and the commit then
+        chases files in the wrong directory. Deriving the name from
+        the query identity (checkpoint location / txn app id) makes
+        every instantiation agree; the files INSIDE are uuid-named,
+        so sharing the dir is exactly right."""
+        import hashlib
+
+        batch_writer = self.writer(schema, overwrite)
+        # the validation scratch was uuid-named for the batch path;
+        # replace it with the query-stable one
+        import shutil as _shutil
+
+        _shutil.rmtree(batch_writer.scratch, ignore_errors=True)
+        ident = str(
+            self.options.get(
+                "checkpointlocation",
+                self.options.get(
+                    "checkpointLocation",
+                    self.options.get(
+                        "txnappid",
+                        self.options.get("txnAppId", "stream"),
+                    ),
+                ),
+            )
+        )
+        digest = hashlib.sha256(ident.encode()).hexdigest()[:16]
+        scratch = os.path.join(
+            self.options["path"], "_STAGING", f"dsw-stream-{digest}"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        return MergeStoreStreamWriter(schema, self.options, scratch)
+
 
 class _AppendedFiles(WriterCommitMessage):
     def __init__(self, files: list):
@@ -526,49 +572,20 @@ class MergeStoreBatchWriter(DataSourceArrowWriter):
         return _AppendedFiles([name] if writer is not None else [])
 
     def commit(self, messages) -> None:
-        from pyspark.sql import SparkSession
-
-        from etl_pipeline_4handling_listings_spark.sources.store import (
-            MergeStore,
-        )
-
-        path = self.options["path"]
         files = sorted(
             name
             for m in messages
             if m is not None
             for name in m.files
         )
+        app = self.options.get("txnappid", self.options.get("txnAppId"))
+        ver = self.options.get(
+            "txnversion", self.options.get("txnVersion")
+        )
+        txn = (app, int(ver)) if app is not None and ver is not None else None
         try:
-            if not files:
-                return  # empty job: no version spent
-            keys = [
-                k.strip()
-                for k in str(self.options.get("keys", "")).split(",")
-                if k.strip()
-            ]
-            store = MergeStore(
-                SparkSession.getActiveSession(), path, keys=keys
-            )
-            extra = None
-            app = self.options.get(
-                "txnappid", self.options.get("txnAppId")
-            )
-            ver = self.options.get(
-                "txnversion", self.options.get("txnVersion")
-            )
-            if app is not None and ver is not None:
-                if store.last_txn_version(str(app)) >= int(ver):
-                    return  # replayed job: atomically already applied
-                extra = {"txn_app": str(app), "txn_ver": int(ver)}
-            store._commit_appended_files(
-                self.scratch,
-                files,
-                self.schema_,
-                touched=None,
-                extra=extra,
-                max_retries=5,
-                claim_expiry_s=300.0,
+            _commit_scratch_files(
+                self.options, self.schema_, self.scratch, files, txn
             )
         finally:
             import shutil as _shutil
@@ -579,6 +596,125 @@ class MergeStoreBatchWriter(DataSourceArrowWriter):
         import shutil as _shutil
 
         _shutil.rmtree(self.scratch, ignore_errors=True)
+
+
+def _commit_scratch_files(
+    options: dict, schema: StructType, scratch: str, files: list, txn
+) -> None:
+    """Driver-side: link already-written scratch files into the
+    store as one OCC append commit (no-op for an empty file set or
+    an already-applied txn). Shared by the batch and streaming
+    writers."""
+    if not files:
+        return
+    from pyspark.sql import SparkSession
+
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+    )
+
+    keys = [
+        k.strip()
+        for k in str(options.get("keys", "")).split(",")
+        if k.strip()
+    ]
+    store = MergeStore(
+        SparkSession.getActiveSession(), options["path"], keys=keys
+    )
+    extra = None
+    if txn is not None:
+        app, ver = txn
+        if store.last_txn_version(str(app)) >= int(ver):
+            return  # replay: atomically already applied
+        extra = {"txn_app": str(app), "txn_ver": int(ver)}
+    store._commit_appended_files(
+        scratch,
+        files,
+        schema,
+        touched=None,
+        extra=extra,
+        max_retries=5,
+        claim_expiry_s=300.0,
+    )
+
+
+class MergeStoreStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: tasks write Arrow->parquet into the stream's
+    scratch dir (names are UUIDs — batches never collide); each
+    micro-batch's commit links exactly ITS files in as one OCC
+    append with ``txn=(app_id, batch_id)`` in the manifest. A
+    restart replay of an already-committed batch is skipped
+    atomically; an aborted batch leaves only scratch files that are
+    removed here (or aged out by vacuum if the driver died)."""
+
+    def __init__(self, schema: StructType, options: dict, scratch: str):
+        self.schema_ = schema
+        self.options = dict(options)
+        self.scratch = scratch
+        app = options.get("txnappid", options.get("txnAppId"))
+        self.app_id = str(app) if app is not None else "mergestore-stream"
+
+    def write(self, iterator) -> _AppendedFiles:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.scratch, exist_ok=True)
+        writer = None
+        name = f"part-{_uuid.uuid4().hex}.parquet"
+        dest = os.path.join(self.scratch, name)
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    writer = pq.ParquetWriter(dest, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+        finally:
+            if writer is not None:
+                writer.close()
+        return _AppendedFiles([name] if writer is not None else [])
+
+    def _files(self, messages) -> list:
+        return sorted(
+            name
+            for m in messages
+            if m is not None
+            for name in m.files
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        files = self._files(messages)
+        try:
+            _commit_scratch_files(
+                self.options,
+                self.schema_,
+                self.scratch,
+                files,
+                (self.app_id, int(batchId)),
+            )
+        finally:
+            for name in files:
+                try:
+                    os.remove(os.path.join(self.scratch, name))
+                except OSError:
+                    pass
+            # keep the shared scratch dir alive for the next batch
+            # (vacuum ages out staging dirs by mtime; the touch
+            # keeps an active-but-quiet stream's scratch off its
+            # radar)
+            try:
+                os.utime(self.scratch)
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for name in self._files(messages):
+            try:
+                os.remove(os.path.join(self.scratch, name))
+            except OSError:
+                pass
 
 
 # -- change-data-feed (shared by the stream source and the batch

@@ -1466,9 +1466,25 @@ class MergeStore:
                     else:
                         os.link(src, os.path.join(staging, entry))
             except OSError:
-                # base vacuumed mid-link after a concurrent
-                # advance: a lost race, not a failure
                 shutil.rmtree(staging, ignore_errors=True)
+                # disambiguate before retrying: a vanished BASE is a
+                # lost race (vacuum dropped our stale base after a
+                # concurrent advance — wait and re-link), but a
+                # vanished NEW file is a caller bug (wrong scratch
+                # dir, files consumed twice) that no amount of
+                # retrying can fix — retrying it would wedge the
+                # writer in the await/retry loop until max_retries
+                # of 30 s timeouts
+                missing = [
+                    e
+                    for e in new_entries
+                    if not os.path.exists(os.path.join(scratch, e))
+                ]
+                if missing:
+                    raise FileNotFoundError(
+                        f"append input files vanished from scratch "
+                        f"{scratch}: {missing[:3]}"
+                    )
                 self._await_advance(beyond=base)
                 continue
             snap_schema = _union_schema(

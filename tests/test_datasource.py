@@ -228,3 +228,55 @@ def test_datasource_write_append_path(spark, tmp_path):
         spark.createDataFrame([(9,)], ["k"]).write.format(
             "mergestore"
         ).mode("append").option("path", path).save()
+
+
+def test_datasource_streaming_sink_exactly_once(spark, tmp_path):
+    """df.writeStream.format('mergestore'): each micro-batch is one
+    OCC append commit carrying txn=(app, batch_id); rows land
+    exactly once and survive a second availableNow pass over the
+    same source (no re-ingest of already-committed batches after
+    the checkpoint is consulted)."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        register,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+    register(spark)
+    src = str(tmp_path / "src")
+    sinkp = str(tmp_path / "snk")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["k", "v"]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    store = MergeStore(spark, sinkp, keys=["k"])
+    template = spark.read.parquet(src)
+    store.create_if_absent(template)
+
+    def run_once():
+        stream = spark.readStream.schema(template.schema).parquet(src)
+        q = (
+            stream.writeStream.format("mergestore")
+            .option("path", sinkp)
+            .option("txnAppId", "sq1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert {r.k: r.v for r in store.read().collect()} == {1: "a", 2: "b"}
+
+    # new file arrives; a second pass ingests ONLY it
+    spark.createDataFrame([(3, "c")], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert {r.k: r.v for r in store.read().collect()} == {
+        1: "a",
+        2: "b",
+        3: "c",
+    }
+    # txn watermark reflects the applied stream batches
+    assert store.last_txn_version("sq1") >= 1
