@@ -559,6 +559,17 @@ _store_op = st.one_of(
             max_size=4,
         ),
     ),
+    st.tuples(
+        st.just("append"),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.sampled_from(["x", "y"]),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
     st.tuples(st.just("optimize"), st.just(None)),
 )
 
@@ -587,6 +598,10 @@ def test_store_lifecycle_matches_model(spark_sess, tmp_path, ops, partitioned):
         cols = ["k", "v"] + (["p"] if partitioned else [])
         return spark_sess.createDataFrame(data, cols)
 
+    # model: key -> list of row values. Blind append can duplicate a
+    # key (its documented contract), so the model is a per-key
+    # MULTISET; merge/update act on every copy (each matched target
+    # row joins the one source row), delete drops them all.
     model: dict = {}
     store.create_if_absent(frame([(0, "a")]))
     for op, arg in ops:
@@ -597,7 +612,13 @@ def test_store_lifecycle_matches_model(spark_sess, tmp_path, ops, partitioned):
             for k, v in arg:
                 uniq[k] = v
             store.merge(frame(list(uniq.items())))
-            model.update(uniq)
+            for k, v in uniq.items():
+                n = len(model.get(k, []))
+                model[k] = [v] * max(n, 1)
+        elif op == "append":
+            store.append(frame(arg))
+            for k, v in arg:
+                model.setdefault(k, []).append(v)
         elif op in ("delete_mor", "delete_cow"):
             cond = f"k in ({', '.join(str(k) for k in set(arg))})"
             store.delete(cond, rewrite=(op == "delete_cow"))
@@ -609,10 +630,11 @@ def test_store_lifecycle_matches_model(spark_sess, tmp_path, ops, partitioned):
                 cond, {"v": "'u'"}, rewrite=(op == "update_cow")
             )
             for k in set(arg) & set(model):
-                model[k] = "u"
+                model[k] = ["u"] * len(model[k])
         else:
             store.optimize(min_files=2, purge=True)
 
-    got = {r["k"]: r["v"] for r in store.read().collect()}
-    assert got == model
+    got = sorted((r["k"], r["v"]) for r in store.read().collect())
+    want = sorted((k, v) for k, vs in model.items() for v in vs)
+    assert got == want
     assert store.fsck() == []
