@@ -327,10 +327,36 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
     if m:
         return _get_table(tables, m.group(1)).history()
 
+    m = re.match(r"^describe detail (\w+)$", stmt, re.I)
+    if m:
+        return _get_table(tables, m.group(1)).detail()
+
+    m = re.match(
+        r"^optimize (\w+)(?: zorder by \(?([\w, ]+)\)?)?$", stmt, re.I
+    )
+    if m:
+        store = _get_table(tables, m.group(1))
+        zcols = (
+            [c.strip() for c in m.group(2).split(",")]
+            if m.group(2)
+            else None
+        )
+        return store.optimize(zorder_by=zcols)
+
+    m = re.match(r"^create table (\w+) clone (\w+)$", stmt, re.I)
+    if m:
+        target = _get_table(tables, m.group(1))
+        source = _get_table(tables, m.group(2))
+        # the target handle names the clone's path (the analogue of
+        # the new table's location in Delta's CREATE ... CLONE)
+        source.clone(target.path)
+        return target.current_version()
+
     raise DMLParseError(
         f"unsupported statement {stmt[:80]!r}; supported: MERGE INTO, "
         "DELETE FROM, UPDATE, INSERT INTO, VACUUM, RESTORE TABLE, "
-        "DESCRIBE HISTORY"
+        "OPTIMIZE [ZORDER BY], CREATE TABLE ... CLONE, "
+        "DESCRIBE HISTORY, DESCRIBE DETAIL"
     )
 
 

@@ -1816,6 +1816,47 @@ class MergeStore:
             "commit races; raise max_retries or pause ingest"
         )
 
+    def detail(self) -> DataFrame:
+        """One-row table summary (Delta ``DESCRIBE DETAIL``
+        analogue): format, current version, file count and bytes
+        (from the commit-time manifest — no LIST), partition column,
+        merge keys, constraint/generated-column names, and the
+        protocol's feature sets. Metadata-scale: a handful of JSON
+        reads, no data files touched."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(
+                f"MergeStore at {self.path} does not exist"
+            )
+        sizes = self._manifest_sizes(cur)
+        proto = self.protocol()
+        row = {
+            "format": self.fmt,
+            "location": self.path,
+            "current_version": cur,
+            "num_files": len(sizes) if sizes is not None else None,
+            "size_bytes": (
+                sum(sizes.values()) if sizes is not None else None
+            ),
+            "partition_by": self.partition_by,
+            "keys": ",".join(self.keys),
+            "constraints": ",".join(sorted(self.constraints())),
+            "generated_columns": ",".join(
+                sorted(self.generated_columns())
+            ),
+            "reader_features": ",".join(proto["reader_features"]),
+            "writer_features": ",".join(proto["writer_features"]),
+            "retained_versions": len(self.list_versions()),
+        }
+        return self.spark.createDataFrame(
+            [row],
+            "format string, location string, current_version string, "
+            "num_files bigint, size_bytes bigint, partition_by string, "
+            "keys string, constraints string, generated_columns string, "
+            "reader_features string, writer_features string, "
+            "retained_versions bigint",
+        )
+
     def history(self) -> DataFrame:
         """Commit log as a DataFrame — the ``DESCRIBE HISTORY``
         analogue: one row per known commit (live manifests plus the

@@ -224,3 +224,18 @@ def test_dialect_errors_are_named(spark, tmp_path):
         )
     with pytest.raises(DMLParseError, match="unsupported statement"):
         run_dml(spark, "TRUNCATE TABLE destination", t)
+
+
+def test_describe_detail_optimize_clone(spark, tmp_path):
+    store = _mk(spark, tmp_path, BASE)
+    t = {"t": store, "t2": MergeStore(spark, str(tmp_path / "t2"), keys=["mls", "lid"])}
+    d = run_dml(spark, "DESCRIBE DETAIL t", t).collect()[0]
+    assert d.current_version == "v00001"
+    assert d.num_files >= 1 and d.size_bytes > 0
+    assert d.keys == "lid,mls" or d.keys == "mls,lid"
+    v = run_dml(spark, "OPTIMIZE t", t)
+    assert v is None or v.startswith("v")  # no-op or a commit
+    run_dml(spark, "CREATE TABLE t2 CLONE t", t)
+    assert t["t2"].read().count() == store.read().count()
+    with pytest.raises(DMLParseError):
+        run_dml(spark, "OPTIMIZE t ZORDER", t)
