@@ -281,14 +281,91 @@ class MergeStoreBatchReader(DataSourceReader):
         self.schema_ = schema
         self.path = options["path"]
         self.version = version
+        self._pushed: list = []  # (colpath, kind, value) pruning facts
+
+    @staticmethod
+    def _range_prunes(kind, value, fmin, fmax) -> bool:
+        """True iff a file with column range [fmin, fmax] cannot
+        contain a row passing the comparison. Comparisons never
+        match NULLs, so all-null tails cost nothing."""
+        try:
+            if kind == "eq":
+                return value < fmin or value > fmax
+            if kind == "in":
+                return all(v < fmin or v > fmax for v in value)
+            if kind == "gt":
+                return fmax <= value
+            if kind == "ge":
+                return fmax < value
+            if kind == "lt":
+                return fmin >= value
+            if kind == "le":
+                return fmin > value
+        except TypeError:
+            return False  # cross-type comparison: keep the file
+        return False
+
+    def _keep_file(self, rel: str, stats: dict | None) -> bool:
+        head = os.path.dirname(rel)
+        pcol = raw = None
+        if "=" in head:
+            pcol, raw = os.path.basename(head).split("=", 1)
+        for colpath, kind, value in self._pushed:
+            col = colpath[0] if isinstance(colpath, tuple) else colpath
+            if col == pcol and raw is not None:
+                token = unescape_path_name(raw)
+                if token == DEFAULT_PARTITION:
+                    continue  # NULL partition: comparisons keep it
+                if kind == "eq" and token != str(value):
+                    return False
+                if kind == "in" and token not in {
+                    str(v) for v in value
+                }:
+                    return False
+                continue
+            if stats is None:
+                continue
+            entry = None
+            for key, colstats in stats.items():
+                # index keys are input_file_name() URLs of the
+                # version dir's files; the manifest speaks relpaths
+                if key.endswith("/" + rel):
+                    entry = colstats.get(col)
+                    break
+            if entry is None or entry[0] is None or entry[1] is None:
+                continue  # unindexed column/file: keep
+            fmin, fmax = entry
+            # compare in the literal's own type where the index
+            # preserved it; the index stores JSON, so only
+            # int/float/str survive round-tripping faithfully
+            if isinstance(value, bool) or not isinstance(
+                value, (int, float, str)
+            ):
+                continue
+            if isinstance(value, str) != isinstance(fmin, str):
+                continue
+            if self._range_prunes(kind, value, fmin, fmax):
+                return False
+        return True
 
     def partitions(self):
         dv = _dv_map(self.path, self.version)
         vdir = _version_dir(self.path, self.version)
+        stats = None
+        if self._pushed:
+            try:
+                with open(
+                    os.path.join(vdir, "_FILE_STATS.json")
+                ) as f:
+                    stats = json.load(f)
+            except (OSError, ValueError):
+                stats = None
         return [
             _FilePartition(vdir, rel, sorted(dv.get(rel, ())))
             for rel in _manifest_relpaths(self.path, self.version)
+            if not self._pushed or self._keep_file(rel, stats)
         ]
+
 
     def read(self, partition: _FilePartition) -> Iterator:
         """Arrow data plane: the file's record batches, DV mask
@@ -331,6 +408,52 @@ class MergeStoreBatchReader(DataSourceReader):
             arrow_schema
         )
         yield from out.to_batches()
+
+
+class MergeStorePushdownBatchReader(MergeStoreBatchReader):
+    """File-level pruning (Spark 4.1 pushdown API): partition-dir
+    elimination on hive-layout paths and min/max skipping from the
+    snapshot's ``_FILE_STATS.json`` index when one exists.
+
+    A SEPARATE class because merely DEFINING ``pushFilters`` makes
+    Spark hard-fail when ``spark.sql.python.filterPushdown.enabled``
+    is false (the stock-session default): the DataSource picks this
+    reader only when the session has pushdown on (or the caller
+    passed ``.option("pushdown", "true")``), so a stock session
+    keeps working with the plain reader.
+
+    Every filter is RETURNED (Spark re-applies them row-level):
+    pruning here is an over-approximation that may keep a file,
+    never lose a row — the same contract as the engine-side
+    ``read_store_skip``. This is what turns the standard read path
+    into the scale path: a point lookup on a stats-indexed or
+    partition column plans O(matching files) Arrow tasks instead of
+    O(all files)."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            if isinstance(f, EqualTo):
+                self._pushed.append((f.attribute, "eq", f.value))
+            elif isinstance(f, In):
+                self._pushed.append((f.attribute, "in", f.value))
+            elif isinstance(f, GreaterThan):
+                self._pushed.append((f.attribute, "gt", f.value))
+            elif isinstance(f, GreaterThanOrEqual):
+                self._pushed.append((f.attribute, "ge", f.value))
+            elif isinstance(f, LessThan):
+                self._pushed.append((f.attribute, "lt", f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self._pushed.append((f.attribute, "le", f.value))
+        return filters  # row-level residual stays with Spark
 
 
 class MergeStoreDataSource(DataSource):
@@ -395,9 +518,42 @@ class MergeStoreDataSource(DataSource):
             return MergeStoreCDCBatchReader(
                 schema, self.options, self._pin_cdc_end()
             )
+        if self._pushdown_enabled():
+            return MergeStorePushdownBatchReader(
+                schema, self.options, self._pin_version()
+            )
         return MergeStoreBatchReader(
             schema, self.options, self._pin_version()
         )
+
+    def _pushdown_enabled(self) -> bool:
+        """Pick the pushFilters-implementing reader only when the
+        session allows it: Spark REJECTS a reader that defines
+        pushFilters under the default
+        ``spark.sql.python.filterPushdown.enabled=false``, so the
+        choice must be made here, per session/option — explicit
+        ``.option("pushdown", ...)`` wins, else the active session's
+        conf decides (absent session: off, the safe default)."""
+        opt = self.options.get("pushdown")
+        if opt is not None:
+            return str(opt).lower() == "true"
+        try:
+            from pyspark.sql import SparkSession
+
+            s = SparkSession.getActiveSession()
+            if s is None:
+                return False
+            return (
+                str(
+                    s.conf.get(
+                        "spark.sql.python.filterPushdown.enabled",
+                        "false",
+                    )
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            return False
 
     def writer(self, schema: StructType, overwrite: bool):
         """``df.write.format("mergestore").mode("append")`` — the

@@ -280,3 +280,67 @@ def test_datasource_streaming_sink_exactly_once(spark, tmp_path):
     }
     # txn watermark reflects the applied stream batches
     assert store.last_txn_version("sq1") >= 1
+
+
+def test_datasource_filter_pushdown_prunes_files(spark, tmp_path):
+    """Spark 4.1 pushFilters: a partition-column predicate plans
+    only the matching hive dirs' files, and a stats-indexed range
+    predicate skips files whose [min,max] cannot match — both
+    over-approximate (rows re-filtered by Spark), verified by
+    comparing against the unpruned result."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        MergeStorePushdownBatchReader,
+        register,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+        build_store_stats,
+    )
+
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    path = str(tmp_path / "push")
+    store = MergeStore(spark, path, keys=["k"], partition_by="p")
+    rows = [(i, i % 4, i * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "p", "v"])
+    store.create_if_absent(df)
+    store.merge(df.repartition(4))
+    build_store_stats(store, ["k"])
+    # the stats index lives in the version dir read_store_skip uses;
+    # the data source reads the same snapshot
+    base = (
+        spark.read.format("mergestore")
+        .option("path", path)
+        .option("pushdown", "true")
+        .load()
+    )
+
+    # partition pruning: planner-level file count shrinks
+    rd_all = MergeStorePushdownBatchReader(
+        base.schema, {"path": path}, store.current_version()
+    )
+    n_all = len(rd_all.partitions())
+    rd_part = MergeStorePushdownBatchReader(
+        base.schema, {"path": path}, store.current_version()
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    residual = list(rd_part.pushFilters([EqualTo(("p",), 2)]))
+    assert len(residual) == 1  # everything re-applied by Spark
+    n_part = len(rd_part.partitions())
+    assert 0 < n_part < n_all
+
+    # stats pruning on k
+    rd_stats = MergeStorePushdownBatchReader(
+        base.schema, {"path": path}, store.current_version()
+    )
+    rd_stats.pushFilters([GreaterThan(("k",), 10_000)])
+    assert len(rd_stats.partitions()) < n_all  # nothing can match
+
+    # end-to-end correctness: pruned read == plain filter
+    got = sorted(
+        (r.k, r.v)
+        for r in base.filter("p = 2 AND k >= 100").collect()
+    )
+    want = sorted((k, v) for k, p, v in rows if p == 2 and k >= 100)
+    assert got == want
