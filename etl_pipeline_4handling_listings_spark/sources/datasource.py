@@ -609,17 +609,22 @@ class MergeStoreDataSource(DataSource):
                     "MergeStore.append() instead of df.write"
                 )
         table_schema = _schema_of(path, version)
-        # partitioned layout (pcol=value dirs) needs partitionBy
+        # partitioned tables: detect the hive layout (or take the
+        # explicit option) — the writer then splits batches into
+        # pcol=value dirs itself, matching what partitionBy writes
         vdir = _version_dir(path, version)
-        if any(
-            "=" in e and os.path.isdir(os.path.join(vdir, e))
-            for e in os.listdir(vdir)
-            if not e.startswith(("_", "."))
-        ):
-            raise ValueError(
-                f"table at {path} is partitioned — df.write cannot "
-                "produce its hive layout; use MergeStore.append()"
-            )
+        pcol = self.options.get(
+            "partitionby", self.options.get("partitionBy")
+        )
+        if pcol is None:
+            for e in os.listdir(vdir):
+                if (
+                    "=" in e
+                    and not e.startswith(("_", "."))
+                    and os.path.isdir(os.path.join(vdir, e))
+                ):
+                    pcol = e.split("=", 1)[0]
+                    break
         have = {f.name: f.dataType.simpleString() for f in table_schema.fields}
         mine = {f.name: f.dataType.simpleString() for f in schema.fields}
         if set(have) != set(mine):
@@ -636,11 +641,16 @@ class MergeStoreDataSource(DataSource):
                 f"{sorted(clash)}: "
                 f"{ {c: (mine[c], have[c]) for c in sorted(clash)} }"
             )
+        if pcol is not None and pcol not in have:
+            raise ValueError(
+                f"partition column {pcol!r} is not a table column "
+                f"(have {sorted(have)})"
+            )
         scratch = os.path.join(
             path, "_STAGING", "dsw-" + uuid.uuid4().hex
         )
         os.makedirs(scratch, exist_ok=True)
-        return MergeStoreBatchWriter(schema, self.options, scratch)
+        return MergeStoreBatchWriter(schema, self.options, scratch, pcol)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         """``df.writeStream.format("mergestore")`` — the native
@@ -685,7 +695,9 @@ class MergeStoreDataSource(DataSource):
             self.options["path"], "_STAGING", f"dsw-stream-{digest}"
         )
         os.makedirs(scratch, exist_ok=True)
-        return MergeStoreStreamWriter(schema, self.options, scratch)
+        return MergeStoreStreamWriter(
+            schema, self.options, scratch, batch_writer.pcol
+        )
 
 
 class _AppendedFiles(WriterCommitMessage):
@@ -693,39 +705,99 @@ class _AppendedFiles(WriterCommitMessage):
         self.files = list(files)
 
 
+def _write_arrow_task(scratch: str, pcol: str | None, iterator) -> _AppendedFiles:
+    """Executor side, shared by the batch and streaming writers:
+    stream the task's Arrow batches into parquet under ``scratch``
+    — one file per task for an unpartitioned table, one file per
+    (task, partition value) in ``pcol=value/`` hive dirs otherwise
+    (value carried by the dir name, dropped from the file, exactly
+    like ``partitionBy``). Zero-row tasks write nothing."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_4handling_listings_spark.sources.hivepath import (
+        hive_part_str,
+    )
+
+    os.makedirs(scratch, exist_ok=True)
+    task_id = _uuid.uuid4().hex
+    writers: dict = {}  # relpath -> ParquetWriter
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            if pcol is None:
+                groups = [(None, tbl)]
+            else:
+                import pyarrow.compute as pc
+
+                col = tbl.column(pcol)
+                if col.null_count:
+                    raise ValueError(
+                        f"partition column {pcol!r} contains NULLs; "
+                        "derive it from row content "
+                        "(MergeStore.hash_bucket)"
+                    )
+                groups = []
+                for v in pc.unique(col).to_pylist():
+                    sub = tbl.filter(pc.equal(col, v))
+                    # hive layout: the value lives in the dir name,
+                    # never in the data file
+                    groups.append(
+                        (hive_part_str(v), sub.drop_columns([pcol]))
+                    )
+            for token, sub in groups:
+                rel = (
+                    f"part-{task_id}.parquet"
+                    if token is None
+                    else os.path.join(
+                        f"{pcol}={token}", f"part-{task_id}.parquet"
+                    )
+                )
+                w = writers.get(rel)
+                if w is None:
+                    dest = os.path.join(scratch, rel)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    w = writers[rel] = pq.ParquetWriter(
+                        dest, sub.schema
+                    )
+                w.write_table(sub)
+    finally:
+        for w in writers.values():
+            w.close()
+    return _AppendedFiles(sorted(writers))
+
+
 class MergeStoreBatchWriter(DataSourceArrowWriter):
     """Executor side: each task streams its Arrow batches into one
     parquet file under the pre-created scratch dir (zero-row tasks
-    write nothing). Driver side: ``commit`` links the files in
-    through the store's OCC append protocol — the rename IS the
-    commit, so a failed/aborted job leaves only scratch garbage that
-    vacuum ages out, never a half-visible table state."""
+    write nothing); on a PARTITIONED table the task splits each
+    batch by the partition value and writes one file per value into
+    ``pcol=value/`` subdirs — the same hive layout (partition
+    column carried by the dir name, dropped from the file) that
+    ``partitionBy`` produces. Driver side: ``commit`` links the
+    files in through the store's OCC append protocol — the rename
+    IS the commit, so a failed/aborted job leaves only scratch
+    garbage that vacuum ages out, never a half-visible table
+    state."""
 
-    def __init__(self, schema: StructType, options: dict, scratch: str):
+    def __init__(
+        self,
+        schema: StructType,
+        options: dict,
+        scratch: str,
+        pcol: str | None = None,
+    ):
         self.schema_ = schema
         self.options = dict(options)
         self.scratch = scratch
+        self.pcol = pcol
 
     def write(self, iterator) -> _AppendedFiles:
-        import uuid as _uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        writer = None
-        name = f"part-{_uuid.uuid4().hex}.parquet"
-        dest = os.path.join(self.scratch, name)
-        try:
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                if writer is None:
-                    writer = pq.ParquetWriter(dest, batch.schema)
-                writer.write_table(pa.Table.from_batches([batch]))
-        finally:
-            if writer is not None:
-                writer.close()
-        return _AppendedFiles([name] if writer is not None else [])
+        return _write_arrow_task(self.scratch, self.pcol, iterator)
 
     def commit(self, messages) -> None:
         files = sorted(
@@ -741,7 +813,12 @@ class MergeStoreBatchWriter(DataSourceArrowWriter):
         txn = (app, int(ver)) if app is not None and ver is not None else None
         try:
             _commit_scratch_files(
-                self.options, self.schema_, self.scratch, files, txn
+                self.options,
+                self.schema_,
+                self.scratch,
+                files,
+                txn,
+                pcol=self.pcol,
             )
         finally:
             import shutil as _shutil
@@ -755,12 +832,19 @@ class MergeStoreBatchWriter(DataSourceArrowWriter):
 
 
 def _commit_scratch_files(
-    options: dict, schema: StructType, scratch: str, files: list, txn
+    options: dict,
+    schema: StructType,
+    scratch: str,
+    files: list,
+    txn,
+    pcol: str | None = None,
 ) -> None:
     """Driver-side: link already-written scratch files into the
     store as one OCC append commit (no-op for an empty file set or
     an already-applied txn). Shared by the batch and streaming
-    writers."""
+    writers. With ``pcol``, the gaining partition values (read off
+    the hive relpaths) become the commit's touched metadata, so the
+    same fast-forward conflict rules apply as for engine appends."""
     if not files:
         return
     from pyspark.sql import SparkSession
@@ -775,7 +859,10 @@ def _commit_scratch_files(
         if k.strip()
     ]
     store = MergeStore(
-        SparkSession.getActiveSession(), options["path"], keys=keys
+        SparkSession.getActiveSession(),
+        options["path"],
+        keys=keys,
+        partition_by=pcol,
     )
     extra = None
     if txn is not None:
@@ -783,11 +870,20 @@ def _commit_scratch_files(
         if store.last_txn_version(str(app)) >= int(ver):
             return  # replay: atomically already applied
         extra = {"txn_app": str(app), "txn_ver": int(ver)}
+    touched = None
+    if pcol is not None:
+        touched = sorted(
+            {
+                e.split("/", 1)[0][len(pcol) + 1:]
+                for e in files
+                if e.startswith(f"{pcol}=")
+            }
+        )
     store._commit_appended_files(
         scratch,
         files,
         schema,
-        touched=None,
+        touched=touched,
         extra=extra,
         max_retries=5,
         claim_expiry_s=300.0,
@@ -803,34 +899,22 @@ class MergeStoreStreamWriter(DataSourceStreamArrowWriter):
     atomically; an aborted batch leaves only scratch files that are
     removed here (or aged out by vacuum if the driver died)."""
 
-    def __init__(self, schema: StructType, options: dict, scratch: str):
+    def __init__(
+        self,
+        schema: StructType,
+        options: dict,
+        scratch: str,
+        pcol: str | None = None,
+    ):
         self.schema_ = schema
         self.options = dict(options)
         self.scratch = scratch
+        self.pcol = pcol
         app = options.get("txnappid", options.get("txnAppId"))
         self.app_id = str(app) if app is not None else "mergestore-stream"
 
     def write(self, iterator) -> _AppendedFiles:
-        import uuid as _uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(self.scratch, exist_ok=True)
-        writer = None
-        name = f"part-{_uuid.uuid4().hex}.parquet"
-        dest = os.path.join(self.scratch, name)
-        try:
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                if writer is None:
-                    writer = pq.ParquetWriter(dest, batch.schema)
-                writer.write_table(pa.Table.from_batches([batch]))
-        finally:
-            if writer is not None:
-                writer.close()
-        return _AppendedFiles([name] if writer is not None else [])
+        return _write_arrow_task(self.scratch, self.pcol, iterator)
 
     def _files(self, messages) -> list:
         return sorted(
@@ -849,6 +933,7 @@ class MergeStoreStreamWriter(DataSourceStreamArrowWriter):
                 self.scratch,
                 files,
                 (self.app_id, int(batchId)),
+                pcol=self.pcol,
             )
         finally:
             for name in files:

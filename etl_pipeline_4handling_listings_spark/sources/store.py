@@ -1458,13 +1458,19 @@ class MergeStore:
                     else:
                         os.link(src, os.path.join(staging, entry))
                 # ... plus the appended files (part-file names
-                # carry job UUIDs — collision-free by design)
+                # carry job UUIDs — collision-free by design).
+                # Entries may be top-level names OR relpaths into
+                # hive partition dirs (the data source writer links
+                # exactly its own batch's files, never a whole
+                # shared scratch subdir)
                 for entry in new_entries:
                     src = os.path.join(scratch, entry)
+                    dst = os.path.join(staging, entry)
                     if os.path.isdir(src):
-                        _link_tree(src, os.path.join(staging, entry))
+                        _link_tree(src, dst)
                     else:
-                        os.link(src, os.path.join(staging, entry))
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.link(src, dst)
             except OSError:
                 shutil.rmtree(staging, ignore_errors=True)
                 # disambiguate before retrying: a vanished BASE is a

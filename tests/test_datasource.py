@@ -344,3 +344,68 @@ def test_datasource_filter_pushdown_prunes_files(spark, tmp_path):
     )
     want = sorted((k, v) for k, p, v in rows if p == 2 and k >= 100)
     assert got == want
+
+
+def test_datasource_write_partitioned_hive_layout(spark, tmp_path):
+    """df.write on a PARTITIONED store: tasks split Arrow batches
+    into pcol=value dirs (value in the dir name, dropped from the
+    file — partitionBy's exact layout), the commit records the
+    gaining partitions as touched, and both the engine and the data
+    source read the result back."""
+    import json as _json
+    import os as _os
+
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        register,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+    register(spark)
+    path = str(tmp_path / "dswp")
+    store = MergeStore(spark, path, keys=["k"], partition_by="p")
+    seed = spark.createDataFrame([(1, 0, "a"), (2, 1, "b")], ["k", "p", "v"])
+    store.create_if_absent(seed)
+    store.merge(seed)
+
+    batch = spark.createDataFrame(
+        [(3, 0, "c"), (4, 5, "d"), (5, 5, "e")], ["k", "p", "v"]
+    )
+    (
+        batch.write.format("mergestore")
+        .mode("append")
+        .option("path", path)
+        .save()
+    )
+    v = store.current_version()
+    got = {r.k: (r.p, r.v) for r in store.read().collect()}
+    assert got == {
+        1: (0, "a"),
+        2: (1, "b"),
+        3: (0, "c"),
+        4: (5, "d"),
+        5: (5, "e"),
+    }
+    # hive layout on disk: new partition dir exists, files lack p
+    vdir = store._version_dir(v)
+    assert _os.path.isdir(_os.path.join(vdir, "p=5"))
+    # touched metadata names the gaining partitions
+    with open(_os.path.join(path, "_COMMITS", f"{v}.json")) as f:
+        rec = _json.load(f)
+    assert sorted(rec["touched"]) == ["0", "5"]
+    # disjoint-merge fast-forward rules hold against this commit
+    prev = f"v{int(v[1:]) - 1:05d}"
+    assert store._ff_valid(prev, v, ["1"])
+    assert not store._ff_valid(prev, v, ["5"])
+    # the data source reads its own partitioned writes
+    back = spark.read.format("mergestore").option("path", path).load()
+    assert back.filter("p = 5").count() == 2
+    # NULL partition values are rejected at task level, job fails
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NULL"):
+        spark.createDataFrame(
+            [(9, None, "x")], "k bigint, p bigint, v string"
+        ).write.format("mergestore").mode("append").option(
+            "path", path
+        ).save()
+    assert store.current_version() == v  # nothing committed
