@@ -609,13 +609,22 @@ class MergeStoreDataSource(DataSource):
                     "MergeStore.append() instead of df.write"
                 )
         table_schema = _schema_of(path, version)
-        # partitioned tables: detect the hive layout (or take the
-        # explicit option) — the writer then splits batches into
+        # partitioned tables: the declared shape from _TABLE.json
+        # wins (a FRESH partitioned table has no pcol=value dirs yet
+        # — layout detection alone would mis-write root files into
+        # it), then an explicit option, then hive-layout detection
+        # for pre-metadata stores — the writer splits batches into
         # pcol=value dirs itself, matching what partitionBy writes
         vdir = _version_dir(path, version)
         pcol = self.options.get(
             "partitionby", self.options.get("partitionBy")
         )
+        if pcol is None:
+            try:
+                with open(os.path.join(path, "_TABLE.json")) as f:
+                    pcol = json.load(f).get("partition_by")
+            except (OSError, ValueError):
+                pcol = None
         if pcol is None:
             for e in os.listdir(vdir):
                 if (

@@ -871,7 +871,34 @@ class MergeStore:
         template = self._apply_generated(template)
         with open(self._schema_path(), "w") as f:
             json.dump(template.schema.jsonValue(), f)
+        self._write_table_meta()
         self._write_snapshot(template.limit(0), "v00000")
+
+    _TABLE_META = "_TABLE.json"
+
+    def _write_table_meta(self) -> None:
+        """Persist the table's DECLARED shape (merge keys, partition
+        column) so layout-independent consumers can discover it —
+        the data source writer must know a fresh partitioned table
+        is partitioned even before any ``pcol=value`` dir exists on
+        disk (an empty template write creates none)."""
+        meta = {"keys": self.keys, "partition_by": self.partition_by}
+        tmp = os.path.join(
+            self.path, self._TABLE_META + "." + uuid.uuid4().hex
+        )
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, self._TABLE_META))
+
+    def table_meta(self) -> dict:
+        """The declared shape from ``_TABLE.json`` (empty dict for
+        pre-metadata stores — consumers fall back to layout
+        detection)."""
+        try:
+            with open(os.path.join(self.path, self._TABLE_META)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
 
     def read(self) -> DataFrame:
         version = self.current_version()
@@ -1682,6 +1709,7 @@ class MergeStore:
         store._write_file_manifest(staging)
         with open(store._schema_path(), "w") as f:
             json.dump(schema.jsonValue(), f)
+        store._write_table_meta()
         os.rename(staging, store._version_dir("v00000"))
         store._set_current("v00000")
         # unlink the originals — the inodes live on in v00000
@@ -1742,6 +1770,7 @@ class MergeStore:
         if gens:
             with open(target._generated_path(), "w") as f:
                 json.dump(gens, f)
+        target._write_table_meta()
         # the clone's v00000 carries the source's feature-bearing
         # state (DV sidecars, evolved schemas), so its protocol
         # travels with it — cloning must never downgrade

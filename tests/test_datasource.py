@@ -409,3 +409,33 @@ def test_datasource_write_partitioned_hive_layout(spark, tmp_path):
             "path", path
         ).save()
     assert store.current_version() == v  # nothing committed
+
+
+def test_datasource_write_fresh_partitioned_table_uses_declared_shape(
+    spark, tmp_path
+):
+    """A FRESH partitioned store has no pcol=value dirs (the empty
+    template writes none), so the writer must learn the partition
+    column from the declared _TABLE.json — not the layout — or it
+    would write root files into a partitioned table."""
+    import os as _os
+
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        register,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+    register(spark)
+    path = str(tmp_path / "fresh")
+    store = MergeStore(spark, path, keys=["k"], partition_by="p")
+    store.create_if_absent(
+        spark.createDataFrame([(1, 0, "a")], ["k", "p", "v"]).limit(0)
+    )
+    assert store.table_meta()["partition_by"] == "p"
+    spark.createDataFrame(
+        [(1, 0, "a"), (2, 3, "b")], ["k", "p", "v"]
+    ).write.format("mergestore").mode("append").option("path", path).save()
+    vdir = store._version_dir(store.current_version())
+    assert _os.path.isdir(_os.path.join(vdir, "p=0"))
+    assert _os.path.isdir(_os.path.join(vdir, "p=3"))
+    assert {r.k: r.p for r in store.read().collect()} == {1: 0, 2: 3}
