@@ -316,11 +316,23 @@ class MergeStoreBatchReader(DataSourceReader):
                 token = unescape_path_name(raw)
                 if token == DEFAULT_PARTITION:
                     continue  # NULL partition: comparisons keep it
-                if kind == "eq" and token != str(value):
+                # prune ONLY when the literal's textual form provably
+                # matches the hive token encoding — int and str round-
+                # trip exactly; anything else (float/date/decimal)
+                # risks a formatting mismatch pruning a LIVE file,
+                # which is data loss, so those stay unpruned
+                def _tok_safe(v):
+                    return isinstance(v, (int, str)) and not isinstance(
+                        v, bool
+                    )
+
+                if kind == "eq" and _tok_safe(value) and token != str(
+                    value
+                ):
                     return False
-                if kind == "in" and token not in {
-                    str(v) for v in value
-                }:
+                if kind == "in" and all(
+                    _tok_safe(v) for v in value
+                ) and token not in {str(v) for v in value}:
                     return False
                 continue
             if stats is None:
