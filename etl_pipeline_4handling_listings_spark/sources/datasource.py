@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from typing import Iterator
 
@@ -337,13 +338,7 @@ class MergeStoreBatchReader(DataSourceReader):
                 continue
             if stats is None:
                 continue
-            entry = None
-            for key, colstats in stats.items():
-                # index keys are input_file_name() URLs of the
-                # version dir's files; the manifest speaks relpaths
-                if key.endswith("/" + rel):
-                    entry = colstats.get(col)
-                    break
+            entry = (stats.get(rel) or {}).get(col)
             if entry is None or entry[0] is None or entry[1] is None:
                 continue  # unindexed column/file: keep
             fmin, fmax = entry
@@ -369,9 +364,25 @@ class MergeStoreBatchReader(DataSourceReader):
                 with open(
                     os.path.join(vdir, "_FILE_STATS.json")
                 ) as f:
-                    stats = json.load(f)
+                    raw = json.load(f)
             except (OSError, ValueError):
-                stats = None
+                raw = None
+            if raw:
+                # re-key the index by manifest relpath ONCE: the
+                # index keys are input_file_name() URLs; matching
+                # them per (file, filter) pair with endswith would
+                # be O(files^2) at plan time on exactly the large
+                # tables pushdown targets
+                marker = "/" + os.path.basename(vdir.rstrip("/")) + "/"
+                stats = {}
+                for key, colstats in raw.items():
+                    idx = key.find(marker)
+                    rel = (
+                        key[idx + len(marker):]
+                        if idx >= 0
+                        else key.rsplit("/", 1)[-1]
+                    )
+                    stats[rel] = colstats
         return [
             _FilePartition(vdir, rel, sorted(dv.get(rel, ())))
             for rel in _manifest_relpaths(self.path, self.version)
@@ -526,6 +537,11 @@ class MergeStoreDataSource(DataSource):
         return _schema_of(path, self._pin_version())
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        # re-checked here, not only in schema(): a read with a USER-
+        # SUPPLIED schema never calls schema(), and serving an
+        # unsupported-protocol table under a user schema is exactly
+        # the silent misread the protocol exists to prevent
+        _check_reader_protocol(self.options["path"])
         if self._cdc_mode():
             return MergeStoreCDCBatchReader(
                 schema, self.options, self._pin_cdc_end()
@@ -543,9 +559,15 @@ class MergeStoreDataSource(DataSource):
         session allows it: Spark REJECTS a reader that defines
         pushFilters under the default
         ``spark.sql.python.filterPushdown.enabled=false``, so the
-        choice must be made here, per session/option — explicit
-        ``.option("pushdown", ...)`` wins, else the active session's
-        conf decides (absent session: off, the safe default)."""
+        choice must be made here, per session/option.
+
+        ``.option("pushdown", "true")`` is the RELIABLE switch: this
+        method usually executes in the data source plan-runner
+        process, where ``getActiveSession()`` is typically ``None``
+        and the conf branch below cannot see the session — it exists
+        only for environments that do run planning driver-side.
+        Absent both: off, the safe default (a stock session would
+        reject the pushdown reader outright)."""
         opt = self.options.get("pushdown")
         if opt is not None:
             return str(opt).lower() == "true"
@@ -599,7 +621,12 @@ class MergeStoreDataSource(DataSource):
 
         try:
             listed = frozenset(
-                os.listdir(os.path.join(path, "_PROTOCOL", "writer"))
+                n
+                for n in os.listdir(
+                    os.path.join(path, "_PROTOCOL", "writer")
+                )
+                if not n.startswith(".")  # same filter as the engine:
+                # a stray dotfile is not a feature requirement
             )
         except FileNotFoundError:
             listed = frozenset()
@@ -932,7 +959,26 @@ class MergeStoreStreamWriter(DataSourceStreamArrowWriter):
         self.scratch = scratch
         self.pcol = pcol
         app = options.get("txnappid", options.get("txnAppId"))
-        self.app_id = str(app) if app is not None else "mergestore-stream"
+        if app is not None:
+            self.app_id = str(app)
+        else:
+            # derive from the checkpoint identity, NEVER a shared
+            # constant: two queries writing the same table without
+            # explicit txnAppIds would otherwise share a txn
+            # watermark, and the later query's first batches would
+            # be dropped as the earlier one's "replays" — silent
+            # data loss across independent streams
+            import hashlib
+
+            ident = str(
+                options.get(
+                    "checkpointlocation",
+                    options.get("checkpointLocation", scratch),
+                )
+            )
+            self.app_id = (
+                "stream-" + hashlib.sha256(ident.encode()).hexdigest()[:16]
+            )
 
     def write(self, iterator) -> _AppendedFiles:
         return _write_arrow_task(self.scratch, self.pcol, iterator)
@@ -962,6 +1008,20 @@ class MergeStoreStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(os.path.join(self.scratch, name))
                 except OSError:
                     pass
+            # failed/speculative task attempts leave files no commit
+            # message names, and the per-batch utime below keeps this
+            # dir permanently too young for vacuum's staging reaper —
+            # so the ingest path itself ages out hour-old orphans
+            # (anything that old belongs to no in-flight batch)
+            now = time.time()
+            for root, _dirs, names in os.walk(self.scratch):
+                for name in names:
+                    p = os.path.join(root, name)
+                    try:
+                        if now - os.path.getmtime(p) > 3600:
+                            os.remove(p)
+                    except OSError:
+                        pass
             # keep the shared scratch dir alive for the next batch
             # (vacuum ages out staging dirs by mtime; the touch
             # keeps an active-but-quiet stream's scratch off its
@@ -1197,6 +1257,8 @@ class MergeStoreCDCDataSource(DataSource):
         return _cdc_schema(self.options["path"])
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        # user-supplied stream schemas bypass schema(): re-check
+        _check_reader_protocol(self.options["path"])
         return MergeStoreCDCStreamReader(schema, self.options)
 
 

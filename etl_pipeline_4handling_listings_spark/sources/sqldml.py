@@ -79,13 +79,49 @@ def _resolve_source(spark: SparkSession, src: str) -> DataFrame:
     return spark.table(src)
 
 
+def _mask_literals(s: str):
+    """Replace single-quoted SQL literals with placeholders so the
+    regex passes (alias rewriting, qualifier validation, keyword
+    splitting) cannot corrupt or trip over literal TEXT — a value
+    like ``'see destination.notes'`` must survive rewriting
+    byte-identical, and ``'closed.by.agent'`` must not read as an
+    unknown qualifier. Doubling (``''``) is the SQL escape and stays
+    inside one literal."""
+    out, lits, i, n = [], [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            lits.append(s[i : j + 1])
+            out.append(f"\x00{len(lits) - 1}\x00")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), lits
+
+
+def _unmask_literals(s: str, lits: list) -> str:
+    for idx, lit in enumerate(lits):
+        s = s.replace(f"\x00{idx}\x00", lit)
+    return s
+
+
 def _rewrite_refs(cond: str, dst_names: list, src_names: list) -> str:
     """Qualify-rewrite a merge clause condition onto the join frame's
     row structs: ``destination.x`` -> ``_t.x``, ``source.y`` ->
-    ``_s.y``. Unqualified column references are rejected — inside a
-    MERGE both rows are in scope, so a bare name is ambiguous (same
-    rule Delta applies)."""
-    out = cond
+    ``_s.y``. Literals are masked first (rewriting must never reach
+    inside a string). Unqualified column references are rejected —
+    inside a MERGE both rows are in scope, so a bare name is
+    ambiguous (same rule Delta applies)."""
+    out, lits = _mask_literals(cond)
     for alias in dst_names:
         out = re.sub(
             rf"\b{re.escape(alias)}\s*\.", "_t.", out, flags=re.I
@@ -94,7 +130,7 @@ def _rewrite_refs(cond: str, dst_names: list, src_names: list) -> str:
         out = re.sub(
             rf"\b{re.escape(alias)}\s*\.", "_s.", out, flags=re.I
         )
-    return out
+    return _unmask_literals(out, lits)
 
 
 _MERGE_RE = re.compile(
@@ -137,7 +173,9 @@ def _parse_on_keys(on: str, dst_names: list, src_names: list) -> list:
                 f"ON term {part.strip()!r} must compare destination "
                 "to source"
             )
-        if a_col != b_col:
+        if a_col.lower() != b_col.lower():
+            # SQL identifiers are case-insensitive, like the rest of
+            # this parser's keyword handling
             raise DMLParseError(
                 f"ON term {part.strip()!r} joins different column "
                 "names; the store's keyed merge requires same-name "
@@ -147,7 +185,12 @@ def _parse_on_keys(on: str, dst_names: list, src_names: list) -> list:
     return keys
 
 
-def _merge(spark: SparkSession, sql: str, tables: dict):
+def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
+    """``sql`` arrives literal-MASKED (see :func:`_mask_literals`):
+    every keyword split and regex here runs on placeholder text, so
+    a string value containing ``when matched`` or an alias name can
+    never derail the parse; captured fragments are unmasked before
+    they reach Spark."""
     m = _MERGE_RE.match(sql)
     if not m:
         raise DMLParseError(
@@ -166,10 +209,12 @@ def _merge(spark: SparkSession, sql: str, tables: dict):
         raise DMLParseError(
             "a subquery source needs an alias: USING (...) AS s"
         )
-    source = _resolve_source(spark, src_txt)
+    source = _resolve_source(spark, _unmask_literals(src_txt, lits))
 
     keys = _parse_on_keys(m.group("on"), dst_names, src_names)
-    if store.keys and sorted(keys) != sorted(store.keys):
+    if store.keys and sorted(k.lower() for k in keys) != sorted(
+        k.lower() for k in store.keys
+    ):
         raise DMLParseError(
             f"ON keys {sorted(keys)} != store keys "
             f"{sorted(store.keys)} — a merge on other columns is "
@@ -180,7 +225,10 @@ def _merge(spark: SparkSession, sql: str, tables: dict):
         if txt is None:
             return None
         rewritten = _rewrite_refs(txt, dst_names, src_names)
-        leftover = re.findall(r"\b(\w+)\s*\.", rewritten)
+        # validate qualifiers on the MASKED text: dots inside string
+        # literals ('closed.by.agent') are values, not references
+        masked, _lits = _mask_literals(rewritten)
+        leftover = re.findall(r"\b(\w+)\s*\.", masked)
         bad = {
             w
             for w in leftover
@@ -200,6 +248,8 @@ def _merge(spark: SparkSession, sql: str, tables: dict):
         action = c.group("action").lower().strip()
         is_not = bool(c.group("not"))
         cond_txt = c.group("cond")
+        if cond_txt is not None:
+            cond_txt = _unmask_literals(cond_txt, lits)
         if action == "update set *":
             if is_not:
                 raise DMLParseError(
@@ -273,16 +323,23 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
     for MERGE/DELETE/UPDATE/INSERT (or ``None`` no-ops), the doomed
     version list for VACUUM, and a DataFrame for DESCRIBE HISTORY.
     """
-    stmt = _norm(sql)
+    # parse on literal-MASKED text throughout: a WHERE/WHEN keyword
+    # or alias-dot inside a string value must never steer the parse
+    masked_sql, lits = _mask_literals(sql)
+    stmt = _norm(masked_sql)
     low = stmt.lower()
 
+    def unmask(s):
+        return None if s is None else _unmask_literals(s, lits)
+
     if low.startswith("merge into "):
-        return _merge(spark, stmt, tables)
+        return _merge(spark, stmt, tables, lits)
 
     m = re.match(r"^delete from (\w+)(?: where (.*))?$", stmt, re.I)
     if m:
         store = _get_table(tables, m.group(1))
-        return store.delete(m.group(2) if m.group(2) else F.lit(True))
+        cond = unmask(m.group(2))
+        return store.delete(cond if cond else F.lit(True))
 
     m = re.match(r"^update (\w+) set (.*?)(?: where (.*))?$", stmt, re.I)
     if m:
@@ -291,9 +348,9 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         for part in _split_top_level(m.group(2)):
             am = re.match(r"^\s*(\w+)\s*=\s*(.+)$", part)
             if not am:
-                raise DMLParseError(f"bad SET item {part!r}")
-            assigns[am.group(1)] = am.group(2)
-        cond = m.group(3) if m.group(3) else "true"
+                raise DMLParseError(f"bad SET item {unmask(part)!r}")
+            assigns[am.group(1)] = unmask(am.group(2))
+        cond = unmask(m.group(3)) if m.group(3) else "true"
         return store.update(cond, assigns)
 
     m = re.match(r"^insert into (\w+) table (\w+)$", stmt, re.I)
@@ -304,7 +361,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
     m = re.match(r"^insert into (\w+) (select .*)$", stmt, re.I)
     if m:
         store = _get_table(tables, m.group(1))
-        return store.append(spark.sql(m.group(2)))
+        return store.append(spark.sql(unmask(m.group(2))))
 
     m = re.match(
         r"^vacuum (\w+)(?: retain (\d+) versions)?( dry run)?$",
@@ -353,7 +410,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         return target.current_version()
 
     raise DMLParseError(
-        f"unsupported statement {stmt[:80]!r}; supported: MERGE INTO, "
+        f"unsupported statement {unmask(stmt)[:80]!r}; supported: MERGE INTO, "
         "DELETE FROM, UPDATE, INSERT INTO, VACUUM, RESTORE TABLE, "
         "OPTIMIZE [ZORDER BY], CREATE TABLE ... CLONE, "
         "DESCRIBE HISTORY, DESCRIBE DETAIL"

@@ -239,3 +239,56 @@ def test_describe_detail_optimize_clone(spark, tmp_path):
     assert t["t2"].read().count() == store.read().count()
     with pytest.raises(DMLParseError):
         run_dml(spark, "OPTIMIZE t ZORDER", t)
+
+
+def test_string_literals_never_steer_the_parse(spark, tmp_path):
+    """Dots, keywords, and alias names INSIDE string values must
+    neither corrupt the statement nor trip qualifier validation —
+    parsing runs on literal-masked text."""
+    store = _mk(spark, tmp_path, BASE)
+    t = {"destination": store, "t": store}
+    # literal containing word-dot sequences and the alias name
+    spark.createDataFrame(
+        [("A", 1, 150, "closed.by.agent")],
+        ["mls", "lid", "price", "status"],
+    ).createOrReplaceTempView("source")
+    run_dml(
+        spark,
+        "merge into destination using source on destination.mls = "
+        "source.mls and destination.lid = source.lid when matched "
+        "and source.status = 'closed.by.agent' then update set * "
+        "when not matched then insert *",
+        t,
+    )
+    st = {(r.mls, r.lid): r.status for r in store.read().collect()}
+    assert st[("A", 1)] == "closed.by.agent"
+    # ' where ' inside a literal must not split UPDATE's condition
+    run_dml(spark, "UPDATE t SET status = 'a where b' WHERE lid = 2", t)
+    st = {(r.mls, r.lid): r.status for r in store.read().collect()}
+    assert st[("A", 2)] == "a where b"
+    assert st[("A", 1)] == "closed.by.agent"
+    # a literal mentioning the destination alias survives verbatim
+    run_dml(
+        spark,
+        "UPDATE t SET status = 'see destination.notes' WHERE mls = 'A' "
+        "AND lid = 1",
+        t,
+    )
+    st = {(r.mls, r.lid): r.status for r in store.read().collect()}
+    assert st[("A", 1)] == "see destination.notes"
+
+
+def test_on_clause_is_case_insensitive(spark, tmp_path):
+    store = _mk(spark, tmp_path, BASE)
+    spark.createDataFrame(
+        [("A", 1, 175, "x")], ["mls", "lid", "price", "status"]
+    ).createOrReplaceTempView("source")
+    run_dml(
+        spark,
+        "merge into destination using source on destination.MLS = "
+        "source.mls and destination.LID = source.lid "
+        "when matched then update set *",
+        {"destination": store},
+    )
+    got = {(r.mls, r.lid): r.price for r in store.read().collect()}
+    assert got[("A", 1)] == 175 and got[("B", 1)] == 300
