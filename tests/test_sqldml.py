@@ -292,3 +292,99 @@ def test_on_clause_is_case_insensitive(spark, tmp_path):
     )
     got = {(r.mls, r.lid): r.price for r in store.read().collect()}
     assert got[("A", 1)] == 175 and got[("B", 1)] == 300
+
+
+def test_merge_statement_property_vs_direct_api(spark, tmp_path):
+    """Property: for random clause-shape combinations, the SQL
+    front-end lands the store in exactly the state the direct
+    Python-API merge produces. Deterministic enumeration (all 2^3-1
+    clause subsets x conditional/unconditional update), one Spark
+    session — a hypothesis strategy would re-randomize what is a
+    small finite space."""
+    from itertools import product
+
+    from etl_pipeline_4handling_listings_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    src_rows = [
+        ("A", 1, 150, "upd"),
+        ("A", 2, 200, "del"),
+        ("C", 9, 900, "new"),
+        ("D", 8, 800, "del"),
+    ]
+    case_i = 0
+    for has_u, has_d, has_i in product([True, False], repeat=3):
+        if not (has_u or has_d or has_i):
+            continue
+        for cond_u in (True, False):
+            case_i += 1
+            store = _mk(
+                spark, tmp_path, BASE, name=f"prop{case_i}"
+            )
+            spark.createDataFrame(
+                src_rows, ["mls", "lid", "price", "status"]
+            ).createOrReplaceTempView("source")
+            clauses = []
+            if has_u:
+                clauses.append(
+                    "when matched and source.status = 'upd' then "
+                    "update set *"
+                    if cond_u
+                    else "when matched then update set *"
+                )
+            if has_d:
+                clauses.append(
+                    "when matched and source.status = 'del' then delete"
+                )
+            if has_i:
+                clauses.append("when not matched then insert *")
+            sql = (
+                "merge into destination using source on "
+                "destination.mls = source.mls and destination.lid = "
+                "source.lid " + " ".join(clauses)
+            )
+            run_dml(spark, sql, {"destination": store})
+            got = sorted(
+                (r.mls, r.lid, r.price)
+                for r in store.read().collect()
+            )
+            # oracle: the direct relational merge with equivalent
+            # condition callables
+            import pyspark.sql.functions as F_
+
+            target = spark.createDataFrame(
+                BASE, ["mls", "lid", "price", "status"]
+            )
+            source = spark.createDataFrame(
+                src_rows, ["mls", "lid", "price", "status"]
+            )
+            upd_c = (
+                (lambda t, s: s["status"] == "upd")
+                if (has_u and cond_u)
+                else None
+            )
+            # clause order: update first (as rendered), so no
+            # delete-guard composition needed
+            want_df = merge_upsert(
+                target,
+                source,
+                ["mls", "lid"],
+                update_condition=(
+                    upd_c
+                    if has_u
+                    else (lambda t, s: F_.lit(False))
+                ),
+                delete_condition=(
+                    (lambda t, s: s["status"] == "del")
+                    if has_d
+                    else None
+                ),
+                insert_condition=(
+                    None if has_i else (lambda t, s: F_.lit(False))
+                ),
+            )
+            want = sorted(
+                (r.mls, r.lid, r.price) for r in want_df.collect()
+            )
+            assert got == want, (sql, got, want)

@@ -252,3 +252,35 @@ def test_concurrent_appends_and_merges_no_lost_rows(spark, tmp_path):
     for i in range(3):
         assert got.get(1000 + i) == f"a{i}", f"lost append {1000+i}"
         assert got.get(2000 + i) == f"m{i}", f"lost merge {2000+i}"
+
+
+def test_partitioned_append_change_feed_both_modes(spark, tmp_path):
+    """CDC over a partitioned append commit (pure file additions —
+    no rewrites): both the engine's read_changes and the data
+    source's readChangeFeed emit exactly the appended rows as
+    inserts, including for a partition that already had data."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        register,
+    )
+
+    store = _mk(spark, tmp_path, partition_by="p")
+    v = store.append(
+        spark.createDataFrame([(3, 0, "c"), (4, 7, "d")], ["k", "p", "v"])
+    )
+    ch = store.read_changes("v00001", v)
+    assert sorted((r.k, r["_change_type"]) for r in ch.collect()) == [
+        (3, "insert"),
+        (4, "insert"),
+    ]
+    register(spark)
+    out = (
+        spark.read.format("mergestore")
+        .option("readChangeFeed", "true")
+        .option("keys", "k")
+        .option("startingVersion", 1)
+        .load(store.path)
+    )
+    assert sorted((r.k, r["_change_type"]) for r in out.collect()) == [
+        (3, "insert"),
+        (4, "insert"),
+    ]
