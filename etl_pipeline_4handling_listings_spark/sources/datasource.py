@@ -93,6 +93,25 @@ def _current_version(path: str) -> str:
     return v
 
 
+def _check_parquet_format(path: str) -> None:
+    """The data source's Arrow data plane reads and writes PARQUET;
+    a store declared with another format (ORC is a supported engine
+    format) must be served through the engine API, not silently
+    misparsed file-by-file. Pre-metadata stores (no _TABLE.json)
+    are assumed parquet — the constructor default."""
+    try:
+        with open(os.path.join(path, "_TABLE.json")) as f:
+            fmt = json.load(f).get("format", "parquet")
+    except (OSError, ValueError):
+        return
+    if fmt != "parquet":
+        raise ValueError(
+            f"table at {path} is stored as {fmt!r}; the mergestore "
+            "data source's Arrow data plane is parquet-only — use "
+            "MergeStore.read()/append() for this table"
+        )
+
+
 def _check_reader_protocol(path: str) -> None:
     """Refuse (driver-side, at planning) a table whose protocol lists
     reader features this build does not implement — same contract as
@@ -542,6 +561,7 @@ class MergeStoreDataSource(DataSource):
         # unsupported-protocol table under a user schema is exactly
         # the silent misread the protocol exists to prevent
         _check_reader_protocol(self.options["path"])
+        _check_parquet_format(self.options["path"])
         if self._cdc_mode():
             return MergeStoreCDCBatchReader(
                 schema, self.options, self._pin_cdc_end()
@@ -614,6 +634,7 @@ class MergeStoreDataSource(DataSource):
                 "merge/restore decision, not a file-level truncate"
             )
         _check_reader_protocol(path)  # writers must satisfy both sides
+        _check_parquet_format(path)
         from etl_pipeline_4handling_listings_spark.sources.store import (
             SUPPORTED_WRITER_FEATURES,
             ProtocolUnsupportedError,

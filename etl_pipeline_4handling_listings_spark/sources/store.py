@@ -882,7 +882,11 @@ class MergeStore:
         the data source writer must know a fresh partitioned table
         is partitioned even before any ``pcol=value`` dir exists on
         disk (an empty template write creates none)."""
-        meta = {"keys": self.keys, "partition_by": self.partition_by}
+        meta = {
+            "keys": self.keys,
+            "partition_by": self.partition_by,
+            "format": self.fmt,
+        }
         tmp = os.path.join(
             self.path, self._TABLE_META + "." + uuid.uuid4().hex
         )

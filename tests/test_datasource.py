@@ -439,3 +439,29 @@ def test_datasource_write_fresh_partitioned_table_uses_declared_shape(
     assert _os.path.isdir(_os.path.join(vdir, "p=0"))
     assert _os.path.isdir(_os.path.join(vdir, "p=3"))
     assert {r.k: r.p for r in store.read().collect()} == {1: 0, 2: 3}
+
+
+def test_datasource_refuses_non_parquet_store(spark, tmp_path):
+    """An ORC store must be served through the engine API: the data
+    source's Arrow data plane is parquet-only, and misparsing ORC
+    files byte-wise would be silent garbage, not an error."""
+    import pytest as _pytest
+
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        register,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+    register(spark)
+    path = str(tmp_path / "orcstore")
+    store = MergeStore(spark, path, keys=["k"], fmt="orc")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)
+    assert store.read().count() == 1  # engine path serves it fine
+    with _pytest.raises(Exception, match="parquet-only"):
+        spark.read.format("mergestore").option("path", path).load().count()
+    with _pytest.raises(Exception, match="parquet-only"):
+        df.write.format("mergestore").mode("append").option(
+            "path", path
+        ).save()
