@@ -758,6 +758,64 @@ class MergeStore:
             return df
         return df.withColumns({n: F.expr(e) for n, e in gens.items()})
 
+    # -- clustered tables (Delta liquid-clustering analogue) ------------
+    def _clustering_path(self) -> str:
+        return os.path.join(self.path, "_CLUSTER.json")
+
+    def clustering(self) -> list[str]:
+        """Declared clustering columns (empty = unclustered)."""
+        try:
+            with open(self._clustering_path()) as f:
+                return list(json.load(f))
+        except (FileNotFoundError, ValueError):
+            return []
+
+    def set_clustering(self, cols: Sequence[str]) -> None:
+        """Declare the table CLUSTERED BY ``cols`` (Delta
+        ``CLUSTER BY`` / liquid-clustering analogue): every
+        subsequent merge/append range-clusters the data it writes on
+        the Morton interleave of ``cols``, and ``optimize()`` with no
+        explicit ``zorder_by`` compacts on them — so min/max file
+        skipping on the clustered columns keeps working
+        CONTINUOUSLY, not only right after a manual OPTIMIZE ZORDER.
+        Unlike a partition column, clustering can be changed at any
+        time (``set_clustering([])`` stops clustering): it shapes
+        future file layout, never row placement semantics. Costs one
+        range shuffle per write — the same trade Delta's clustered
+        tables make."""
+        cols = list(cols)
+        if self.partition_by in set(cols):
+            raise ValueError(
+                f"clustering may not include the partition column "
+                f"{self.partition_by!r}: partition pruning already "
+                "covers that dimension, and its values live in "
+                "directory names, not data files"
+            )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._clustering_path() + "." + uuid.uuid4().hex
+        with open(tmp, "w") as f:
+            json.dump(cols, f)
+        os.replace(tmp, self._clustering_path())
+
+    def _apply_clustering(self, df: DataFrame) -> DataFrame:
+        """Range-cluster a frame about to be staged: repartition by
+        range on (partition column, Morton key) so each written
+        file covers a NARROW multi-dimensional range — the write-
+        side layout that makes the stats index prune on every
+        clustered column at once. No-op for unclustered tables; a
+        clustered column missing from the frame (pre-evolution
+        writes) degrades to no-op rather than failing the write."""
+        cols = [c for c in self.clustering() if c in df.columns]
+        if not cols:
+            return df
+        key = MergeStore.zorder_key(cols)
+        by = (
+            [F.col(self.partition_by), key]
+            if self.partition_by and self.partition_by in df.columns
+            else [key]
+        )
+        return df.repartitionByRange(*by)
+
     # -- CHECK constraints (Delta invariant analogue) -------------------
     def _constraints_path(self) -> str:
         return os.path.join(self.path, "_CONSTRAINTS.json")
@@ -1123,6 +1181,7 @@ class MergeStore:
                             insert_condition=insert_condition,
                         )
                         out_schema = merged.schema
+                        merged = self._apply_clustering(merged)
                         merged, obs = self._observe_constraints(merged)
                         merged_dir = os.path.join(
                             self._staging_dir(),
@@ -1214,6 +1273,7 @@ class MergeStore:
                         insert_condition=insert_condition,
                     )
                     out_schema = merged.schema
+                    merged = self._apply_clustering(merged)
                     merged, obs = self._observe_constraints(merged)
                     (
                         merged.write.mode("overwrite")
@@ -1387,6 +1447,7 @@ class MergeStore:
         scratch = os.path.join(
             self._staging_dir(), uuid.uuid4().hex + ".append"
         )
+        source = self._apply_clustering(source)
         observed, obs = self._observe_constraints(source)
         # row-count observation rides the same write job: an empty
         # source must be a no-op (no version spent), and empty
@@ -2675,6 +2736,10 @@ class MergeStore:
         analogue for hard-erasure deadlines.
         """
         self._check_write_protocol()
+        if zorder_by is None:
+            # clustered tables (set_clustering): compaction keeps
+            # the declared layout without the caller re-stating it
+            zorder_by = self.clustering() or None
         cur = self.current_version()
         if zorder_by and cur is not None:
             # fail a typo'd column NOW with the real error — inside

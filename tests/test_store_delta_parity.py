@@ -435,3 +435,69 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert store.list_versions() == ["v00000", "v00001", "v00002"]
     assert store.vacuum(keep=1) == doomed  # the real run agrees
     assert store.list_versions() == ["v00002"]
+
+
+def test_clustered_table_layout_enables_skipping(spark, tmp_path):
+    """set_clustering (liquid-clustering analogue): a clustered
+    table's MERGES and APPENDS range-cluster what they write, so
+    the stats index prunes narrow reads continuously — no manual
+    OPTIMIZE ZORDER required — and optimize() with no arguments
+    compacts on the declared columns."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        build_store_stats,
+        read_store_skip,
+    )
+
+    path = str(tmp_path / "clustered")
+    store = MergeStore(spark, path, keys=["k"])
+    store.set_clustering(["a"])
+    assert store.clustering() == ["a"]
+    # write hash-scattered data: without clustering every file
+    # would cover the whole `a` range
+    rows = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(4000)).alias("a"),
+        (F.col("id") % 7).alias("v"),
+    )
+    store.create_if_absent(rows)
+    # AQE coalesces this tiny fixture to one post-shuffle partition
+    # (correct at this size — one file IS the right layout); pin it
+    # off so the test exercises the multi-file clustered shape
+    ck = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(ck, "false")
+    try:
+        store.merge(rows.repartition(8))  # scattered input
+    finally:
+        spark.conf.set(ck, "true")
+    build_store_stats(store, ["a"])
+    pruned = read_store_skip(store, "a", 0, 99)
+    n_all = len(store.read().inputFiles())
+    assert n_all >= 2
+    assert len(pruned.inputFiles()) < n_all, "clustered files must prune"
+    got = sorted(r["k"] for r in pruned.collect())
+    want = sorted(
+        r["k"] for r in store.read().filter("a between 0 and 99").collect()
+    )
+    assert got == want
+    # appends cluster too
+    extra = spark.range(4000, 4400).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(4000)).alias("a"),
+        (F.col("id") % 7).alias("v"),
+    )
+    spark.conf.set(ck, "false")
+    try:
+        store.append(extra.repartition(8))
+    finally:
+        spark.conf.set(ck, "true")
+    build_store_stats(store, ["a"])
+    pruned2 = read_store_skip(store, "a", 0, 99)
+    assert len(pruned2.inputFiles()) < len(store.read().inputFiles())
+    # declared clustering may not shadow the partition dimension
+    p2 = MergeStore(spark, str(tmp_path / "c2"), keys=["k"], partition_by="p")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition column"):
+        p2.set_clustering(["p"])
