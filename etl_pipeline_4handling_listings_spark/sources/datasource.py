@@ -661,6 +661,7 @@ class MergeStoreDataSource(DataSource):
         for meta, redirect in (
             ("_CONSTRAINTS.json", "CHECK constraints"),
             ("_GENERATED.json", "generated columns"),
+            ("_IDENTITY.json", "identity columns"),
         ):
             if os.path.exists(os.path.join(path, meta)):
                 raise ValueError(

@@ -145,6 +145,7 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         "snapshot-schema",
         "generated-columns",  # writers must recompute generated cols
         "check-constraints",  # writers must enforce CHECK constraints
+        "identity-columns",  # writers must allocate from the hwm
     }
 )
 
@@ -154,6 +155,7 @@ _FEATURE_TOUCHES_READERS = {
     "snapshot-schema": True,
     "generated-columns": False,
     "check-constraints": False,
+    "identity-columns": False,  # readers see plain bigint values
 }
 
 
@@ -816,6 +818,140 @@ class MergeStore:
         )
         return df.repartitionByRange(*by)
 
+    # -- identity columns (GENERATED ALWAYS AS IDENTITY) ----------------
+    def _identity_path(self) -> str:
+        return os.path.join(self.path, "_IDENTITY.json")
+
+    def identity_columns(self) -> dict[str, dict]:
+        """Declared identity columns: ``{name: {"start": s, "step": k}}``."""
+        try:
+            with open(self._identity_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1
+    ) -> None:
+        """Declare ``name`` GENERATED ALWAYS AS IDENTITY (Delta
+        analogue): :meth:`append` allocates values above the
+        table's high-water mark, which rides the COMMIT MANIFEST
+        (``identity_hwm``) — the same serialization point as
+        everything else, so allocation survives vacuum/compaction
+        and needs no side table. Values are unique and increasing
+        per Delta's contract, NOT contiguous (concurrent/retried
+        allocations may leave gaps — gaps are explicitly allowed).
+
+        Delta-parity restrictions, enforced rather than fudged:
+        sources may never SUPPLY the column (that is what ALWAYS
+        means), ``update`` may not assign it, and ``merge`` on an
+        identity table is unsupported (Delta documents the same
+        MERGE limitation) — identity tables are append-path tables.
+        """
+        if step < 1:
+            raise ValueError(
+                "identity step must be a positive integer (the "
+                "high-water mark is a max; descending sequences are "
+                "out of scope)"
+            )
+        self._check_write_protocol()
+        self._require_feature("identity-columns")
+        ids = self.identity_columns()
+        ids[name] = {"start": int(start), "step": int(step)}
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._identity_path() + "." + uuid.uuid4().hex
+        with open(tmp, "w") as f:
+            json.dump(ids, f)
+        os.replace(tmp, self._identity_path())
+
+    def _identity_hwm(
+        self, name: str, exclude_version: str | None = None
+    ) -> int | None:
+        """Highest allocated value for ``name`` across all commit
+        records (live + compacted), or ``None`` if never allocated.
+        Metadata-scale, same scan as :meth:`last_txn_version`.
+        ``exclude_version`` skips one record — the under-claim
+        verification must not see its OWN claim's mark."""
+        best = None
+        commits = self._commits_dir()
+        records: list[dict] = []
+        try:
+            with open(os.path.join(commits, "_compacted.json")) as f:
+                records.extend(json.load(f).values())
+        except (OSError, ValueError):
+            pass
+        try:
+            entries = os.listdir(commits)
+        except FileNotFoundError:
+            entries = []
+        for entry in entries:
+            if not entry.endswith(".json") or entry.startswith("_"):
+                continue
+            try:
+                with open(os.path.join(commits, entry)) as f:
+                    records.append(json.load(f))
+            except (OSError, ValueError):
+                continue
+        for rec in records:
+            if (
+                exclude_version is not None
+                and rec.get("version") == exclude_version
+            ):
+                continue
+            hwm = (rec.get("identity_hwm") or {}).get(name)
+            if hwm is None:
+                continue
+            try:
+                hwm = int(hwm)
+            except (TypeError, ValueError):
+                continue
+            if best is None or hwm > best:
+                best = hwm
+        return best
+
+    def _assign_identity(self, df: DataFrame):
+        """Allocate identity values for every declared column the
+        source (correctly) lacks. Returns ``(df, hwm_snapshot,
+        new_hwms)`` — the caller re-checks ``hwm_snapshot`` against
+        disk immediately before claiming and rebuilds on a
+        concurrent identity allocation (the one conflict identity
+        creates). Contiguous ranks come from the distributed
+        two-level prefix scan (operators/prefix.py) — never a
+        global single-partition window."""
+        ids = self.identity_columns()
+        if not ids:
+            return df, {}, {}
+        from etl_pipeline_4handling_listings_spark.operators.prefix import (
+            keyed_prefix_sum,
+        )
+
+        supplied = [c for c in ids if c in df.columns]
+        if supplied:
+            raise ValueError(
+                f"columns {sorted(supplied)} are GENERATED ALWAYS AS "
+                "IDENTITY — values are allocated by the table and "
+                "may not be supplied"
+            )
+        n = df.count()  # one pass; the scratch write follows anyway
+        snapshot = {name: self._identity_hwm(name) for name in ids}
+        new_hwms = {}
+        out = df.withColumn("_idk", F.monotonically_increasing_id())
+        # exclusive rank of each row: prefix count of rows with a
+        # smaller unique tag
+        out = out.withColumn("_one", F.lit(1))
+        out = keyed_prefix_sum(out, "_idk", "_one", out_col="_rank")
+        for name, spec in ids.items():
+            start, step = int(spec["start"]), int(spec["step"])
+            hwm = snapshot[name]
+            base = start if hwm is None else hwm + step
+            out = out.withColumn(
+                name, (F.lit(base) + F.col("_rank") * step).cast("bigint")
+            )
+            new_hwms[name] = base + (n - 1) * step if n else (
+                hwm if hwm is not None else start - step
+            )
+        return out.drop("_idk", "_one", "_rank"), snapshot, new_hwms
+
     # -- CHECK constraints (Delta invariant analogue) -------------------
     def _constraints_path(self) -> str:
         return os.path.join(self.path, "_CONSTRAINTS.json")
@@ -1109,6 +1245,15 @@ class MergeStore:
         path taken for tests and ops introspection.
         """
         self._check_write_protocol()
+        if self.identity_columns():
+            raise ValueError(
+                "MERGE on a table with GENERATED ALWAYS AS IDENTITY "
+                "columns is unsupported (Delta documents the same "
+                "limitation): a merge source can neither supply the "
+                "column nor preserve matched rows' values through "
+                "UPDATE SET *. Identity tables are append-path "
+                "tables — use append()/delete()/update()"
+            )
         if schema_evolution:
             # enable BEFORE the commit: a snapshot whose partitions
             # disagree on columns is only correct under the committed
@@ -1414,58 +1559,70 @@ class MergeStore:
             raise FileNotFoundError(
                 f"MergeStore at {self.path} does not exist"
             )
-        source = self._apply_generated(source)
+        source0 = self._apply_generated(source)
         table_schema = self._version_schema(base0)
-        if table_schema is not None:
-            have = [f.name for f in table_schema.fields]
-            extra_cols = [c for c in source.columns if c not in have]
-            missing = [c for c in have if c not in source.columns]
-            # a generated column declared since the last commit is
-            # table metadata, not a foreign column — the write that
-            # introduces it is exactly this one
-            foreign = [
-                c for c in extra_cols if c not in self.generated_columns()
-            ]
-            if foreign and not schema_evolution:
-                raise ValueError(
-                    f"append source has columns {foreign} the table "
-                    "lacks; pass schema_evolution=True to add them"
+        has_identity = bool(self.identity_columns())
+
+        def build() -> dict:
+            """Assign identity, align, cluster, observe, write
+            scratch — everything whose OUTPUT depends on the
+            identity high-water mark, so a concurrent identity
+            allocation can trigger exactly one clean rebuild."""
+            src, id_snap, id_hwms = self._assign_identity(source0)
+            if table_schema is not None:
+                have = [f.name for f in table_schema.fields]
+                extra_cols = [c for c in src.columns if c not in have]
+                missing = [c for c in have if c not in src.columns]
+                # generated/identity columns declared since the last
+                # commit are table metadata, not foreign columns —
+                # the write that introduces them is exactly this one
+                known = set(self.generated_columns()) | set(
+                    self.identity_columns()
                 )
-            if missing:
-                raise ValueError(
-                    f"append source is missing table columns "
-                    f"{missing}; INSERT requires every column "
-                    "(generated columns are computed automatically)"
-                )
-            # table column order first — appended files stay
-            # uniformly readable under the snapshot schema
-            source = source.select(*have, *sorted(extra_cols))
+                foreign = [c for c in extra_cols if c not in known]
+                if foreign and not schema_evolution:
+                    raise ValueError(
+                        f"append source has columns {foreign} the "
+                        "table lacks; pass schema_evolution=True to "
+                        "add them"
+                    )
+                if any(c in known for c in extra_cols):
+                    # a metadata column is being introduced: the
+                    # snapshot will mix files with/without it, which
+                    # only the per-snapshot schema makes readable
+                    self._require_feature("snapshot-schema")
+                if missing:
+                    raise ValueError(
+                        f"append source is missing table columns "
+                        f"{missing}; INSERT requires every column "
+                        "(generated columns are computed "
+                        "automatically)"
+                    )
+                # table column order first — appended files stay
+                # uniformly readable under the snapshot schema
+                src = src.select(*have, *sorted(extra_cols))
 
-        # the rows are written exactly once; everything after this
-        # write is metadata-scale (links, claims, manifests)
-        os.makedirs(self._staging_dir(), exist_ok=True)
-        scratch = os.path.join(
-            self._staging_dir(), uuid.uuid4().hex + ".append"
-        )
-        source = self._apply_clustering(source)
-        observed, obs = self._observe_constraints(source)
-        # row-count observation rides the same write job: an empty
-        # source must be a no-op (no version spent), and empty
-        # writes still emit zero-row part files, so the file listing
-        # cannot tell
-        from pyspark.sql import Observation
+            os.makedirs(self._staging_dir(), exist_ok=True)
+            scratch = os.path.join(
+                self._staging_dir(), uuid.uuid4().hex + ".append"
+            )
+            src = self._apply_clustering(src)
+            observed, obs = self._observe_constraints(src)
+            # row-count observation rides the same write job: an
+            # empty source must be a no-op (no version spent), and
+            # empty writes still emit zero-row part files, so the
+            # file listing cannot tell
+            from pyspark.sql import Observation
 
-        nobs = Observation()
-        observed = observed.observe(nobs, F.count(F.lit(1)).alias("n"))
-        writer = observed.write.mode("overwrite").format(self.fmt)
-        if self.partition_by:
-            writer = writer.partitionBy(self.partition_by)
-        writer.save(scratch)
-        self._check_observed(obs, scratch)
-
-        try:
-            if nobs.get["n"] == 0:
-                return None  # empty source: no-op, no version spent
+            nobs = Observation()
+            observed = observed.observe(
+                nobs, F.count(F.lit(1)).alias("n")
+            )
+            writer = observed.write.mode("overwrite").format(self.fmt)
+            if self.partition_by:
+                writer = writer.partitionBy(self.partition_by)
+            writer.save(scratch)
+            self._check_observed(obs, scratch)
             new_entries = [
                 e
                 for e in os.listdir(scratch)
@@ -1474,36 +1631,85 @@ class MergeStore:
             touched: list[str] | None = None
             if self.partition_by:
                 pfx = f"{self.partition_by}="
-                bad = [e for e in new_entries if not e.startswith(pfx)]
+                bad = [
+                    e for e in new_entries if not e.startswith(pfx)
+                ]
                 if bad or any(
                     e == pfx + "__HIVE_DEFAULT_PARTITION__"
                     for e in new_entries
                 ):
+                    shutil.rmtree(scratch, ignore_errors=True)
                     raise ValueError(
                         f"partition column {self.partition_by!r} "
                         "produced NULL/unpartitioned output; derive "
                         "it from row content (MergeStore.hash_bucket)"
                     )
-                # dir-name encoding straight off the written layout —
-                # exactly the form manifests and _ff_valid compare
+                # dir-name encoding straight off the written layout
+                # — exactly the form manifests and _ff_valid compare
                 touched = sorted(e[len(pfx):] for e in new_entries)
+            rec = dict(extra) if extra else {}
+            if id_hwms:
+                rec["identity_hwm"] = {
+                    k: int(v) for k, v in id_hwms.items()
+                }
+            return {
+                "scratch": scratch,
+                "entries": new_entries,
+                "touched": touched,
+                "extra": rec or None,
+                "n": nobs.get["n"],
+                "id_snap": id_snap,
+                "schema": (
+                    observed.schema
+                    if table_schema is None
+                    else _union_schema(table_schema, observed.schema)
+                ),
+            }
 
-            src_schema = (
-                observed.schema
-                if table_schema is None
-                else _union_schema(table_schema, observed.schema)
-            )
+        state = build()
+        preclaim = None
+        if has_identity:
+
+            def preclaim(exclude_version=None):
+                """Re-check the identity high-water mark UNDER the
+                won claim (own record excluded): another writer's
+                allocation since our scratch was written means our
+                baked-in values collide — rebuild from the new mark
+                (the ONE conflict identity introduces; non-identity
+                commits never invalidate an append)."""
+                nonlocal state
+                current = {
+                    name: self._identity_hwm(
+                        name, exclude_version=exclude_version
+                    )
+                    for name in self.identity_columns()
+                }
+                if current == state["id_snap"]:
+                    return None
+                shutil.rmtree(state["scratch"], ignore_errors=True)
+                state = build()
+                return (
+                    state["scratch"],
+                    state["entries"],
+                    state["touched"],
+                    state["extra"],
+                )
+
+        try:
+            if state["n"] == 0:
+                return None  # empty source: no-op, no version spent
             return self._commit_appended_files(
-                scratch,
-                new_entries,
-                src_schema,
-                touched=touched,
-                extra=extra,
+                state["scratch"],
+                state["entries"],
+                state["schema"],
+                touched=state["touched"],
+                extra=state["extra"],
                 max_retries=max_retries,
                 claim_expiry_s=claim_expiry_s,
+                preclaim=preclaim,
             )
         finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+            shutil.rmtree(state["scratch"], ignore_errors=True)
 
     def _commit_appended_files(
         self,
@@ -1514,22 +1720,33 @@ class MergeStore:
         extra: dict | None,
         max_retries: int,
         claim_expiry_s: float,
+        preclaim=None,
     ) -> str:
         """OCC commit of already-written data files as an APPEND:
         every attempt hardlinks (whole base snapshot + the new
         files), claims base+1, renames. Shared by :meth:`append`
         and the data source's ``df.write`` path — the files are
         base-independent, so lost races re-link and re-claim, never
-        re-write. Caller owns ``scratch`` cleanup."""
-        for _attempt in range(max_retries + 1):
-            self._repair_pointer()
-            base = self.current_version()
-            nxt = f"v{int(base[1:]) + 1:05d}"
+        re-write. Caller owns ``scratch`` cleanup.
+
+        ``preclaim`` (identity tables): called again AFTER the claim
+        is won, with the claimed version excluded from the scan —
+        the claim is the serialization point (nobody can claim past
+        it), so a verification UNDER the claim is race-free where a
+        check before it is not. Returning a (scratch, entries,
+        touched, extra) tuple swaps in a REBUILT payload; the
+        identity-allocation conflict is the one case where an
+        append's content depends on other writers' commits."""
+
+        def link_staging(base: str, scr: str, entries: list[str]):
+            """Build a commit candidate: hardlinks of the whole base
+            snapshot (data + _dv verbatim) plus the appended files.
+            Returns the staging path, or ``None`` for a lost race
+            (base vacuumed mid-link after a concurrent advance)."""
             staging = os.path.join(
                 self._staging_dir(), uuid.uuid4().hex
             )
             try:
-                # whole base snapshot (data + _dv verbatim) ...
                 base_dir = self._version_dir(base)
                 os.makedirs(staging, exist_ok=True)
                 for entry in os.listdir(base_dir):
@@ -1537,9 +1754,9 @@ class MergeStore:
                     if entry.startswith("."):
                         continue
                     if entry.startswith("_"):
-                        # _SCHEMA/_FILES/_OWNER are re-derived
-                        # below (never linked: writing through a
-                        # shared inode would rewrite the base's)
+                        # _SCHEMA/_FILES/_OWNER are re-derived by
+                        # the caller (never linked: writing through
+                        # a shared inode would rewrite the base's)
                         if entry == self._DV:
                             _link_tree(
                                 src, os.path.join(staging, entry)
@@ -1549,50 +1766,81 @@ class MergeStore:
                         _link_tree(src, os.path.join(staging, entry))
                     else:
                         os.link(src, os.path.join(staging, entry))
-                # ... plus the appended files (part-file names
-                # carry job UUIDs — collision-free by design).
-                # Entries may be top-level names OR relpaths into
-                # hive partition dirs (the data source writer links
-                # exactly its own batch's files, never a whole
-                # shared scratch subdir)
-                for entry in new_entries:
-                    src = os.path.join(scratch, entry)
+                # appended files: part names carry job UUIDs —
+                # collision-free. Entries may be top-level names OR
+                # relpaths into hive partition dirs (the data source
+                # writer links exactly its own batch's files, never
+                # a whole shared scratch subdir)
+                for entry in entries:
+                    src = os.path.join(scr, entry)
                     dst = os.path.join(staging, entry)
                     if os.path.isdir(src):
                         _link_tree(src, dst)
                     else:
-                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.makedirs(
+                            os.path.dirname(dst), exist_ok=True
+                        )
                         os.link(src, dst)
             except OSError:
                 shutil.rmtree(staging, ignore_errors=True)
-                # disambiguate before retrying: a vanished BASE is a
-                # lost race (vacuum dropped our stale base after a
-                # concurrent advance — wait and re-link), but a
-                # vanished NEW file is a caller bug (wrong scratch
-                # dir, files consumed twice) that no amount of
-                # retrying can fix — retrying it would wedge the
-                # writer in the await/retry loop until max_retries
-                # of 30 s timeouts
+                # disambiguate before retrying: a vanished BASE is
+                # a lost race; a vanished NEW file is a caller bug
+                # (wrong scratch dir, files consumed twice) no
+                # retry can fix — retrying would wedge the writer
+                # for max_retries x 30 s timeouts
                 missing = [
                     e
-                    for e in new_entries
-                    if not os.path.exists(os.path.join(scratch, e))
+                    for e in entries
+                    if not os.path.exists(os.path.join(scr, e))
                 ]
                 if missing:
                     raise FileNotFoundError(
                         f"append input files vanished from scratch "
-                        f"{scratch}: {missing[:3]}"
+                        f"{scr}: {missing[:3]}"
                     )
+                return None
+            self._write_snapshot_schema(
+                staging,
+                _union_schema(src_schema, self._version_schema(base)),
+            )
+            self._write_file_manifest(staging)
+            return staging
+
+        for _attempt in range(max_retries + 1):
+            self._repair_pointer()
+            base = self.current_version()
+            nxt = f"v{int(base[1:]) + 1:05d}"
+            staging = link_staging(base, scratch, new_entries)
+            if staging is None:
                 self._await_advance(beyond=base)
                 continue
-            snap_schema = _union_schema(
-                src_schema, self._version_schema(base)
-            )
-            self._write_snapshot_schema(staging, snap_schema)
-            self._write_file_manifest(staging)
             if self._claim_version(
                 nxt, claim_expiry_s, touched=touched, extra=extra
             ):
+                if preclaim is not None:
+                    # verification UNDER the claim: our own record
+                    # (which carries our stale mark) is excluded;
+                    # any OTHER allocation that landed since our
+                    # scratch was written forces a rebuild — safe,
+                    # because holding the vN claim means no further
+                    # commit can land until we rename or expire
+                    rebuilt = preclaim(exclude_version=nxt)
+                    if rebuilt is not None:
+                        scratch, new_entries, touched, extra = rebuilt
+                        shutil.rmtree(staging, ignore_errors=True)
+                        staging = link_staging(
+                            base, scratch, new_entries
+                        )
+                        if staging is None:
+                            # base vanished under the claim: give
+                            # the claim up (no rename happened, so
+                            # removing our own manifest is safe)
+                            self._drop_own_claim(nxt)
+                            self._await_advance(beyond=base)
+                            continue
+                        self._rewrite_own_claim(
+                            nxt, touched=touched, extra=extra
+                        )
                 if self._finalize_commit(
                     staging, nxt, touched=touched, extra=extra
                 ):
@@ -1606,6 +1854,47 @@ class MergeStore:
             f"append at {self.path} lost {max_retries + 1} straight "
             "commit races; raise max_retries or serialize writers"
         )
+
+    def _drop_own_claim(self, version: str) -> None:
+        """Release a claim THIS writer holds and has not renamed
+        into: safe exactly because no snapshot dir exists yet, so
+        nothing references the manifest."""
+        manifest = os.path.join(self._commits_dir(), f"{version}.json")
+        try:
+            with open(manifest) as f:
+                if json.load(f).get("owner") != getattr(
+                    self, "_claim_owner", None
+                ):
+                    return
+            os.remove(manifest)
+        except (OSError, ValueError):
+            pass
+
+    def _rewrite_own_claim(
+        self,
+        version: str,
+        touched: list[str] | None,
+        extra: dict | None,
+    ) -> None:
+        """Refresh the metadata of a claim THIS writer holds (same
+        owner) after an under-claim rebuild changed the payload."""
+        owner = getattr(self, "_claim_owner", None)
+        if not owner:
+            return
+        manifest = os.path.join(self._commits_dir(), f"{version}.json")
+        record = {
+            "version": version,
+            "owner": owner,
+            "ts": self._commit_ts(version),
+        }
+        if touched is not None:
+            record["touched"] = sorted(touched)
+        if extra:
+            record.update(extra)
+        tmp = manifest + "." + uuid.uuid4().hex
+        with open(tmp, "w") as f:
+            f.write(json.dumps(record))
+        os.replace(tmp, manifest)
 
     def list_versions(self) -> list[str]:
         """All snapshot versions on disk, oldest first (numeric
@@ -2307,6 +2596,12 @@ class MergeStore:
                 f"columns {sorted(gen)} are GENERATED ALWAYS AS — they "
                 "are recomputed from their expressions after the "
                 "update; assign the base columns instead"
+            )
+        ident = set(assigns) & set(self.identity_columns())
+        if ident:
+            raise ValueError(
+                f"columns {sorted(ident)} are GENERATED ALWAYS AS "
+                "IDENTITY — allocated by the table, never assignable"
             )
         self._check_write_protocol()
         cond = F.expr(condition) if isinstance(condition, str) else condition

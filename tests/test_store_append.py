@@ -284,3 +284,96 @@ def test_partitioned_append_change_feed_both_modes(spark, tmp_path):
         (3, "insert"),
         (4, "insert"),
     ]
+
+
+# -- identity columns (GENERATED ALWAYS AS IDENTITY) -------------------
+
+
+def test_identity_append_allocates_unique_increasing(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    store.add_identity_column("rid", start=100, step=10)
+    assert "identity-columns" in store.protocol()["writer_features"]
+    store.append(
+        spark.createDataFrame(
+            [(3, 0, "c"), (4, 0, "d"), (5, 1, "e")], ["k", "p", "v"]
+        ).repartition(3)
+    )
+    rows = {r.k: r.rid for r in store.read().collect()}
+    assigned = sorted(v for k, v in rows.items() if k >= 3)
+    assert assigned == [100, 110, 120]
+    assert rows[1] is None and rows[2] is None  # pre-identity rows
+    # second append continues above the high-water mark
+    store.append(spark.createDataFrame([(6, 1, "f")], ["k", "p", "v"]))
+    rows = {r.k: r.rid for r in store.read().collect()}
+    assert rows[6] == 130
+    assert store._identity_hwm("rid") == 130
+
+
+def test_identity_restrictions_enforced(spark, tmp_path):
+    import pytest as _pytest
+
+    store = _mk(spark, tmp_path)
+    store.add_identity_column("rid")
+    # ALWAYS means the source can never supply it
+    with _pytest.raises(ValueError, match="may not be supplied"):
+        store.append(
+            spark.createDataFrame(
+                [(3, 0, "c", 999)], ["k", "p", "v", "rid"]
+            )
+        )
+    # merge is unsupported on identity tables (Delta parity)
+    with _pytest.raises(ValueError, match="unsupported"):
+        store.merge(spark.createDataFrame([(3, 0, "c")], ["k", "p", "v"]))
+    # update may not assign it; delete still works
+    store.append(spark.createDataFrame([(3, 0, "c")], ["k", "p", "v"]))
+    with _pytest.raises(ValueError, match="never assignable"):
+        store.update("k = 3", {"rid": "0"})
+    store.update("k = 3", {"v": "'C'"})
+    store.delete("k = 1")
+    got = {r.k: (r.v, r.rid) for r in store.read().collect()}
+    assert got[3] == ("C", 1)
+    assert 1 not in got
+    # df.write redirects to the engine path
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        register,
+    )
+
+    register(spark)
+    with _pytest.raises(Exception, match="identity columns"):
+        spark.createDataFrame(
+            [(9, 0, "x")],
+            "k bigint, p bigint, v string",
+        ).write.format("mergestore").mode("append").option(
+            "path", store.path
+        ).save()
+
+
+def test_identity_concurrent_appends_no_duplicates(spark, tmp_path):
+    """The one conflict identity introduces: two appends allocating
+    from the same high-water mark. The pre-claim re-check rebuilds
+    the loser's scratch from the winner's mark — every id unique."""
+    import threading
+
+    store = _mk(spark, tmp_path)
+    store.add_identity_column("rid")
+    errs = []
+
+    def writer(lo):
+        try:
+            s = MergeStore(spark, store.path, keys=["k"])
+            for i in range(2):
+                s.append(
+                    spark.createDataFrame(
+                        [(lo + i, 0, f"w{lo}-{i}")], ["k", "p", "v"]
+                    )
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    rids = [r.rid for r in store.read().collect() if r.rid is not None]
+    assert len(rids) == 4
+    assert len(set(rids)) == 4, f"duplicate identity values: {sorted(rids)}"

@@ -107,7 +107,7 @@ def test_unknown_reader_feature_blocks_reads_and_writes(spark, tmp_path):
 
 def test_unknown_writer_feature_blocks_writes_not_reads(spark, tmp_path):
     store = _mk(spark, tmp_path)
-    _inject(store, "writer", "identity-columns")
+    _inject(store, "writer", "row-tracking-v8")
     assert store.read().count() == 3  # serving stays legal
     for op in (
         lambda: store.merge(spark.createDataFrame([(9, "z")], ["k", "v"])),
@@ -118,11 +118,11 @@ def test_unknown_writer_feature_blocks_writes_not_reads(spark, tmp_path):
         lambda: store.add_constraint("c", "k > 0"),
         lambda: store.add_generated_column("g", "k + 1"),
     ):
-        with pytest.raises(ProtocolUnsupportedError, match="identity-columns"):
+        with pytest.raises(ProtocolUnsupportedError, match="row-tracking-v8"):
             op()
     # the table is exactly as it was: no version burned, no marker
     assert store.current_version() == "v00001"
-    assert "identity-columns" not in SUPPORTED_WRITER_FEATURES
+    assert "row-tracking-v8" not in SUPPORTED_WRITER_FEATURES
 
 
 def test_datasource_read_refuses_unknown_reader_feature(spark, tmp_path):
@@ -175,6 +175,7 @@ def test_supported_sets_cover_every_self_enabled_feature():
         "snapshot-schema",
         "generated-columns",
         "check-constraints",
+        "identity-columns",
     }
     assert enabled_by_this_build <= (
         SUPPORTED_READER_FEATURES | SUPPORTED_WRITER_FEATURES
