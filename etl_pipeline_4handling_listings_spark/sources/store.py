@@ -2233,6 +2233,8 @@ class MergeStore:
             "generated_columns": ",".join(
                 sorted(self.generated_columns())
             ),
+            "identity_columns": ",".join(sorted(self.identity_columns())),
+            "clustering": ",".join(self.clustering()),
             "reader_features": ",".join(proto["reader_features"]),
             "writer_features": ",".join(proto["writer_features"]),
             "retained_versions": len(self.list_versions()),
@@ -2242,6 +2244,7 @@ class MergeStore:
             "format string, location string, current_version string, "
             "num_files bigint, size_bytes bigint, partition_by string, "
             "keys string, constraints string, generated_columns string, "
+            "identity_columns string, clustering string, "
             "reader_features string, writer_features string, "
             "retained_versions bigint",
         )
