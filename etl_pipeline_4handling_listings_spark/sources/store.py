@@ -911,16 +911,17 @@ class MergeStore:
 
     def _assign_identity(self, df: DataFrame):
         """Allocate identity values for every declared column the
-        source (correctly) lacks. Returns ``(df, hwm_snapshot,
-        new_hwms)`` — the caller re-checks ``hwm_snapshot`` against
-        disk immediately before claiming and rebuilds on a
-        concurrent identity allocation (the one conflict identity
-        creates). Contiguous ranks come from the distributed
-        two-level prefix scan (operators/prefix.py) — never a
-        global single-partition window."""
+        source (correctly) lacks. Returns ``(df, hwm_snapshot)`` —
+        the caller re-checks ``hwm_snapshot`` against disk UNDER the
+        won claim and rebuilds on a concurrent identity allocation
+        (the one conflict identity creates), and reads the assigned
+        maxima off the scratch write's Observation (no extra pass
+        over the source). Contiguous ranks come from the distributed
+        two-level prefix scan (operators/prefix.py) — never a global
+        single-partition window."""
         ids = self.identity_columns()
         if not ids:
-            return df, {}, {}
+            return df, {}
         from etl_pipeline_4handling_listings_spark.operators.prefix import (
             keyed_prefix_sum,
         )
@@ -932,9 +933,7 @@ class MergeStore:
                 "IDENTITY — values are allocated by the table and "
                 "may not be supplied"
             )
-        n = df.count()  # one pass; the scratch write follows anyway
         snapshot = {name: self._identity_hwm(name) for name in ids}
-        new_hwms = {}
         out = df.withColumn("_idk", F.monotonically_increasing_id())
         # exclusive rank of each row: prefix count of rows with a
         # smaller unique tag
@@ -947,10 +946,7 @@ class MergeStore:
             out = out.withColumn(
                 name, (F.lit(base) + F.col("_rank") * step).cast("bigint")
             )
-            new_hwms[name] = base + (n - 1) * step if n else (
-                hwm if hwm is not None else start - step
-            )
-        return out.drop("_idk", "_one", "_rank"), snapshot, new_hwms
+        return out.drop("_idk", "_one", "_rank"), snapshot
 
     # -- CHECK constraints (Delta invariant analogue) -------------------
     def _constraints_path(self) -> str:
@@ -1568,7 +1564,7 @@ class MergeStore:
             scratch — everything whose OUTPUT depends on the
             identity high-water mark, so a concurrent identity
             allocation can trigger exactly one clean rebuild."""
-            src, id_snap, id_hwms = self._assign_identity(source0)
+            src, id_snap = self._assign_identity(source0)
             if table_schema is not None:
                 have = [f.name for f in table_schema.fields]
                 extra_cols = [c for c in src.columns if c not in have]
@@ -1615,9 +1611,14 @@ class MergeStore:
             from pyspark.sql import Observation
 
             nobs = Observation()
-            observed = observed.observe(
-                nobs, F.count(F.lit(1)).alias("n")
-            )
+            # assigned-identity maxima ride the SAME write job as
+            # the row count — no extra pass over the source
+            aggs = [F.count(F.lit(1)).alias("n")] + [
+                F.max(name).alias(f"_max_{name}")
+                for name in self.identity_columns()
+                if name in observed.columns
+            ]
+            observed = observed.observe(nobs, *aggs)
             writer = observed.write.mode("overwrite").format(self.fmt)
             if self.partition_by:
                 writer = writer.partitionBy(self.partition_by)
@@ -1648,16 +1649,19 @@ class MergeStore:
                 # — exactly the form manifests and _ff_valid compare
                 touched = sorted(e[len(pfx):] for e in new_entries)
             rec = dict(extra) if extra else {}
-            if id_hwms:
+            counts = nobs.get
+            if has_identity and counts["n"]:
                 rec["identity_hwm"] = {
-                    k: int(v) for k, v in id_hwms.items()
+                    name: int(counts[f"_max_{name}"])
+                    for name in self.identity_columns()
+                    if counts.get(f"_max_{name}") is not None
                 }
             return {
                 "scratch": scratch,
                 "entries": new_entries,
                 "touched": touched,
                 "extra": rec or None,
-                "n": nobs.get["n"],
+                "n": counts["n"],
                 "id_snap": id_snap,
                 "schema": (
                     observed.schema
