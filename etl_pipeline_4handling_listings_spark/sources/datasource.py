@@ -748,18 +748,29 @@ class MergeStoreDataSource(DataSource):
         import shutil as _shutil
 
         _shutil.rmtree(batch_writer.scratch, ignore_errors=True)
-        ident = str(
+        ident = self.options.get(
+            "checkpointlocation",
             self.options.get(
-                "checkpointlocation",
+                "checkpointLocation",
                 self.options.get(
-                    "checkpointLocation",
-                    self.options.get(
-                        "txnappid",
-                        self.options.get("txnAppId", "stream"),
-                    ),
+                    "txnappid", self.options.get("txnAppId")
                 ),
-            )
+            ),
         )
+        if ident is None:
+            # NEVER fall back to a shared constant: the scratch dir
+            # doubles as the txn identity, and two anonymous queries
+            # writing the same table would share one watermark — the
+            # later query's batches silently dropped as the earlier
+            # one's "replays". Spark does not forward the session
+            # conf checkpoint into sink options, so require one here.
+            raise ValueError(
+                "mergestore streaming sink needs a query identity: "
+                "set .option('checkpointLocation', ...) or "
+                ".option('txnAppId', ...) on the writeStream (the "
+                "session-conf checkpoint is not visible to the sink)"
+            )
+        ident = str(ident)
         digest = hashlib.sha256(ident.encode()).hexdigest()[:16]
         scratch = os.path.join(
             self.options["path"], "_STAGING", f"dsw-stream-{digest}"

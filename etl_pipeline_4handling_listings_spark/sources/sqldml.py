@@ -221,9 +221,7 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
             "not this table's keyed upsert"
         )
 
-    def cond_expr(txt: str | None):
-        if txt is None:
-            return None
+    def rewrite_validate(txt: str) -> str:
         rewritten = _rewrite_refs(txt, dst_names, src_names)
         # validate qualifiers on the MASKED text: dots inside string
         # literals ('closed.by.agent') are values, not references
@@ -238,12 +236,21 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
             raise DMLParseError(
                 f"condition references unknown qualifiers {sorted(bad)}"
             )
-        return lambda t, s, _e=rewritten: F.expr(_e)
+        return rewritten
 
-    update_c = delete_c = insert_c = None
-    has_update = has_delete = has_insert = False
-    seen_delete_cond: str | None = None
-    order: list = []
+    # Delta stops at the FIRST clause (per side) whose condition
+    # holds, in statement order. Each clause's EFFECTIVE condition
+    # is therefore its own condition AND NOT any earlier same-side
+    # clause's — encoded here as rewritten condition text, so two
+    # `UPDATE SET *` clauses OR together (earlier-clause precedence
+    # intact across an interleaved DELETE) instead of silently
+    # last-winning. The matched (UPDATE/DELETE) and not-matched
+    # (INSERT) sides carry separate precedence chains.
+    update_parts: list[str] = []
+    delete_parts: list[str] = []
+    insert_parts: list[str] = []
+    matched_prior: list[str] = []
+    notmatched_prior: list[str] = []
     for c in _CLAUSE_RE.finditer(sql):
         action = c.group("action").lower().strip()
         is_not = bool(c.group("not"))
@@ -256,39 +263,20 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
                     "WHEN NOT MATCHED THEN UPDATE is not a merge "
                     "clause (Delta has no such form)"
                 )
-            has_update = True
-            if seen_delete_cond is not None:
-                # delete clause precedes: Delta stops at the first
-                # matching clause, so updates only fire where the
-                # earlier delete's condition is false
-                guard = f"not ({seen_delete_cond})"
-                cond_txt = (
-                    f"({cond_txt}) and {guard}"
-                    if cond_txt
-                    else guard
-                )
-            update_c = cond_expr(cond_txt)
-            order.append("update")
+            prior, parts = matched_prior, update_parts
         elif action == "delete":
             if is_not:
                 raise DMLParseError(
                     "WHEN NOT MATCHED THEN DELETE is not a merge "
                     "clause (nothing to delete)"
                 )
-            has_delete = True
-            delete_c = cond_expr(cond_txt)
-            seen_delete_cond = _rewrite_refs(
-                cond_txt, dst_names, src_names
-            ) if cond_txt else "true"
-            order.append("delete")
+            prior, parts = matched_prior, delete_parts
         elif action == "insert *":
             if not is_not:
                 raise DMLParseError(
                     "WHEN MATCHED THEN INSERT is not a merge clause"
                 )
-            has_insert = True
-            insert_c = cond_expr(cond_txt)
-            order.append("insert")
+            prior, parts = notmatched_prior, insert_parts
         else:
             raise DMLParseError(
                 f"merge assignment form {action!r} is unsupported: "
@@ -296,21 +284,57 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
                 "reference's forms); partial assignment is "
                 "MergeStore.update()"
             )
-    if not order:
+        if "true" in prior:
+            # Delta rejects this shape outright (only the LAST
+            # clause of a side may omit its condition); a clause
+            # shadowed by an earlier unconditional one can never
+            # fire, and silently dropping it would be a misparse
+            raise DMLParseError(
+                "unreachable merge clause: an earlier unconditional "
+                f"WHEN {'NOT ' if is_not else ''}MATCHED clause "
+                "precedes it (only the last clause of a side may "
+                "omit its condition)"
+            )
+        raw = (
+            rewrite_validate(cond_txt) if cond_txt is not None else None
+        )
+        guard = " and ".join(f"(not ({p}))" for p in prior)
+        if raw is None:
+            parts.append(f"({guard})" if guard else "true")
+        elif guard:
+            parts.append(f"(({raw}) and {guard})")
+        else:
+            parts.append(f"({raw})")
+        prior.append(raw if raw is not None else "true")
+    if not (update_parts or delete_parts or insert_parts):
         raise DMLParseError("MERGE has no WHEN clauses")
 
-    # a statement may omit the update or insert clause entirely
-    # (delete-only merges exist); a never-true condition suppresses
-    # the engine's default unconditional behavior
-    if not has_update:
-        update_c = lambda t, s: F.lit(False)  # noqa: E731
-    if not has_insert:
-        insert_c = lambda t, s: F.lit(False)  # noqa: E731
+    def combined(parts: list[str]):
+        """Effective conditions are mutually exclusive by
+        construction, so OR order is immaterial; an absent side
+        gets a never-true condition (a statement may omit the
+        update or insert clause — delete-only merges exist — and
+        the engine's default is otherwise unconditional)."""
+        if not parts:
+            return lambda t, s: F.lit(False)
+        if parts == ["true"]:
+            return None  # unconditional: engine default, clean plan
+        txt = " or ".join(parts)
+        return lambda t, s, _e=txt: F.expr(_e)
+
     return store.merge(
         source,
-        update_condition=update_c,
-        delete_condition=delete_c if has_delete else None,
-        insert_condition=insert_c,
+        update_condition=combined(update_parts),
+        delete_condition=(
+            # None means "no delete clause" to merge(); a present
+            # unconditional DELETE must pass an always-true cond
+            (lambda t, s: F.lit(True))
+            if delete_parts == ["true"]
+            else combined(delete_parts)
+            if delete_parts
+            else None
+        ),
+        insert_condition=combined(insert_parts),
     )
 
 

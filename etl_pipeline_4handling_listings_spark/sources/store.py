@@ -1465,7 +1465,30 @@ class MergeStore:
         lookup. Scans live commit manifests plus the compacted log:
         metadata-scale, and the transaction watermark survives both
         vacuum and ``compact_log`` because compaction folds full
-        records."""
+        records.
+
+        Only MATERIALIZED commits count. The (txn_app, txn_ver)
+        pair is written into the claim manifest BEFORE the
+        staging->version rename (the commit point), so a writer
+        that crashes mid-commit leaves an orphan claim carrying the
+        txn with no data behind it — counting it would make the
+        restart replay skip the batch as already-applied (silent
+        loss). A live manifest is therefore trusted only when
+
+        - its version directory exists AND (no ``_OWNER`` stamp —
+          pre-stamp legacy — or the stamp matches the manifest
+          owner: a stalled writer that won the rename arbiter but
+          crashed before ``_reassert_manifest`` leaves the
+          BREAKER's txn over the staller's content, and the breaker
+          retries its batch at the next version), or
+        - its version is at or below the current pointer with the
+          directory gone: vacuum removed the snapshot, and vacuum
+          only ever removes committed versions (an orphan claim is
+          always numbered past the pointer — every commit of that
+          number would have replaced its manifest).
+
+        Compacted records are committed by definition (compaction
+        folds only versions older than the oldest retained)."""
         best = -1
         commits = self._commits_dir()
         records: list[dict] = []
@@ -1478,14 +1501,29 @@ class MergeStore:
             entries = os.listdir(commits)
         except FileNotFoundError:
             entries = []
+        cur = self.current_version()
+        cur_n = _vnum(cur) if cur is not None else -1
         for entry in entries:
             if not entry.endswith(".json") or entry.startswith("_"):
                 continue
             try:
                 with open(os.path.join(commits, entry)) as f:
-                    records.append(json.load(f))
+                    rec = json.load(f)
             except (OSError, ValueError):
                 continue
+            version = str(rec.get("version") or entry[:-5])
+            vdir = self._version_dir(version)
+            if os.path.isdir(vdir):
+                try:
+                    with open(os.path.join(vdir, self._OWNER)) as f:
+                        stamped = f.read().strip()
+                except OSError:
+                    stamped = None
+                if stamped is not None and rec.get("owner") != stamped:
+                    continue  # arbiter raced: content isn't this txn's
+            elif _vnum(version) > cur_n:
+                continue  # orphan claim: txn never committed
+            records.append(rec)
         for rec in records:
             if rec.get("txn_app") == app_id:
                 try:

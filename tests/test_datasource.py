@@ -8,6 +8,8 @@ surface via Spark 4's Python Data Source API.
 
 from __future__ import annotations
 
+import pytest
+
 from etl_pipeline_4handling_listings_spark.sources.datasource import register
 from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
 
@@ -465,3 +467,47 @@ def test_datasource_refuses_non_parquet_store(spark, tmp_path):
         df.write.format("mergestore").mode("append").option(
             "path", path
         ).save()
+
+
+def test_datasource_streaming_sink_requires_query_identity(spark, tmp_path):
+    """Without txnAppId or a sink-level checkpointLocation the sink
+    has no per-query txn identity — two anonymous queries writing
+    one table would share a watermark and silently drop each
+    other's batches as 'replays'. The sink must refuse with a named
+    error instead of falling back to a shared constant."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        register,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import MergeStore
+
+    register(spark)
+    src = str(tmp_path / "src")
+    sinkp = str(tmp_path / "snk")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    template = spark.read.parquet(src)
+    MergeStore(spark, sinkp, keys=["k"]).create_if_absent(template)
+
+    stream = spark.readStream.schema(template.schema).parquet(src)
+    q = None
+    conf_key = "spark.sql.streaming.checkpointLocation"
+    try:
+        # checkpoint via session conf only — Spark accepts the query
+        # but does NOT forward the conf into sink options, so the
+        # sink must refuse rather than invent a shared identity
+        spark.conf.set(conf_key, str(tmp_path / "ckpt_root"))
+        with pytest.raises(Exception, match="query identity"):
+            q = (
+                stream.writeStream.format("mergestore")
+                .option("path", sinkp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        spark.conf.unset(conf_key)
+        if q is not None:
+            q.stop()

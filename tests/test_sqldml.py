@@ -344,6 +344,14 @@ def test_merge_statement_property_vs_direct_api(spark, tmp_path):
                 "destination.mls = source.mls and destination.lid = "
                 "source.lid " + " ".join(clauses)
             )
+            if has_u and not cond_u and has_d:
+                # Delta rejects this shape (AnalysisException: only
+                # the last MATCHED clause may omit its condition) —
+                # the delete clause is unreachable behind the
+                # unconditional update; parity means a named error
+                with pytest.raises(DMLParseError, match="unreachable"):
+                    run_dml(spark, sql, {"destination": store})
+                continue
             run_dml(spark, sql, {"destination": store})
             got = sorted(
                 (r.mls, r.lid, r.price)
@@ -388,3 +396,105 @@ def test_merge_statement_property_vs_direct_api(spark, tmp_path):
                 (r.mls, r.lid, r.price) for r in want_df.collect()
             )
             assert got == want, (sql, got, want)
+
+
+def test_merge_two_update_clauses_first_match_precedence(spark, tmp_path):
+    """Two WHEN MATCHED ... UPDATE SET * clauses: Delta updates rows
+    matching c1 OR c2 (first matching clause fires; same action, so
+    the union). The old parser last-won and updated only c2 rows."""
+    store = _mk(spark, tmp_path, BASE)
+    spark.createDataFrame(
+        [("A", 1, 150, "upd1"), ("A", 2, 250, "upd2"), ("B", 1, 350, "no")],
+        ["mls", "lid", "price", "status"],
+    ).createOrReplaceTempView("source")
+    run_dml(
+        spark,
+        """
+        merge into destination using source
+        on destination.mls = source.mls and destination.lid = source.lid
+        when matched and source.status = 'upd1' then update set *
+        when matched and source.status = 'upd2' then update set *
+        """,
+        tables={"destination": store},
+    )
+    got = {(r.mls, r.lid): r.price for r in store.read().collect()}
+    assert got == {("A", 1): 150, ("A", 2): 250, ("B", 1): 300}
+
+
+def test_merge_update_delete_update_statement_order(spark, tmp_path):
+    """UPDATE c1 / DELETE c2 / UPDATE c3 in statement order: a row
+    matching c1 updates even if it also matches c2 (first clause
+    wins); a row matching only c2 deletes; a row matching only c3
+    updates."""
+    store = _mk(
+        spark,
+        tmp_path,
+        [("A", 1, 100, "o"), ("A", 2, 200, "o"), ("B", 1, 300, "o")],
+    )
+    spark.createDataFrame(
+        # row 1 matches both c1 and c2 -> update (c1 first)
+        # row 2 matches only c2 -> delete
+        # row 3 matches only c3 -> update
+        [("A", 1, 111, "both"), ("A", 2, 222, "del"), ("B", 1, 333, "late")],
+        ["mls", "lid", "price", "status"],
+    ).createOrReplaceTempView("source")
+    run_dml(
+        spark,
+        """
+        merge into destination using source
+        on destination.mls = source.mls and destination.lid = source.lid
+        when matched and source.status in ('both') then update set *
+        when matched and source.status in ('both', 'del') then delete
+        when matched and source.status = 'late' then update set *
+        """,
+        tables={"destination": store},
+    )
+    got = {(r.mls, r.lid): r.price for r in store.read().collect()}
+    assert got == {("A", 1): 111, ("B", 1): 333}
+
+
+def test_merge_unconditional_delete_deletes(spark, tmp_path):
+    """WHEN MATCHED THEN DELETE with no condition must delete every
+    matched row (the old parser passed delete_condition=None, which
+    the engine reads as 'no delete clause')."""
+    store = _mk(spark, tmp_path, BASE)
+    spark.createDataFrame(
+        [("A", 1, 0, "x"), ("Z", 9, 900, "new")],
+        ["mls", "lid", "price", "status"],
+    ).createOrReplaceTempView("source")
+    run_dml(
+        spark,
+        """
+        merge into destination using source
+        on destination.mls = source.mls and destination.lid = source.lid
+        when matched then delete
+        when not matched then insert *
+        """,
+        tables={"destination": store},
+    )
+    got = {(r.mls, r.lid): r.price for r in store.read().collect()}
+    assert got == {("A", 2): 200, ("B", 1): 300, ("Z", 9): 900}
+
+
+def test_merge_unconditional_then_conditional_same_side_rejected(
+    spark, tmp_path
+):
+    """Delta parity: only the LAST clause of a side may omit its
+    condition; a clause behind an unconditional one is unreachable
+    and the statement is rejected with a named error."""
+    store = _mk(spark, tmp_path, BASE)
+    spark.createDataFrame(
+        [("A", 1, 150, "u")], ["mls", "lid", "price", "status"]
+    ).createOrReplaceTempView("source")
+    with pytest.raises(DMLParseError, match="unreachable"):
+        run_dml(
+            spark,
+            """
+            merge into destination using source
+            on destination.mls = source.mls
+               and destination.lid = source.lid
+            when matched then update set *
+            when matched and source.status = 'u' then delete
+            """,
+            tables={"destination": store},
+        )

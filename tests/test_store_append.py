@@ -377,3 +377,57 @@ def test_identity_concurrent_appends_no_duplicates(spark, tmp_path):
     rids = [r.rid for r in store.read().collect() if r.rid is not None]
     assert len(rids) == 4
     assert len(set(rids)) == 4, f"duplicate identity values: {sorted(rids)}"
+
+
+def test_append_txn_orphan_claim_does_not_mask_replay(spark, tmp_path):
+    """A writer that crashed between claiming a version (manifest
+    written, txn riding it) and the staging->version rename left no
+    data behind. The txn watermark must NOT count that orphan:
+    otherwise the restart 'replay' of the batch is skipped and its
+    rows are silently lost."""
+    store = _mk(spark, tmp_path)
+    df = spark.createDataFrame([(3, 0, "c")], ["k", "p", "v"])
+    store.append(df, txn=("loader", 1))
+    # simulate the crash: claim manifest for the NEXT version with
+    # the txn fields, no version directory ever materialized
+    cur = store.current_version()
+    nxt = f"v{int(cur[1:]) + 1:05d}"
+    manifest = os.path.join(store.path, "_COMMITS", f"{nxt}.json")
+    with open(manifest, "w") as f:
+        json.dump(
+            {
+                "version": nxt,
+                "owner": "dead-writer",
+                "ts": 0.0,
+                "txn_app": "loader",
+                "txn_ver": 2,
+            },
+            f,
+        )
+    # age the orphan past claim expiry so the next writer can break
+    # it (a fresh orphan correctly blocks the version until then)
+    os.utime(manifest, (1, 1))
+    assert store.last_txn_version("loader") == 1  # orphan ignored
+    df2 = spark.createDataFrame([(4, 0, "d")], ["k", "p", "v"])
+    v = store.append(df2, txn=("loader", 2))  # the restart replay
+    assert v is not None
+    assert store.read().filter(F.col("k") == 4).count() == 1
+    # once genuinely committed, the watermark advances
+    assert store.last_txn_version("loader") == 2
+    assert store.append(df2, txn=("loader", 2)) is None
+
+
+def test_append_txn_vacuumed_commit_still_counts(spark, tmp_path):
+    """Vacuum removes old version DIRECTORIES but their manifests
+    stay live until compact_log folds them — that window must keep
+    the watermark (vacuumed implies committed)."""
+    store = _mk(spark, tmp_path)
+    df = spark.createDataFrame([(3, 0, "c")], ["k", "p", "v"])
+    store.append(df, txn=("loader", 9))
+    for i in range(3):
+        store.merge(
+            spark.createDataFrame([(20 + i, 0, "m")], ["k", "p", "v"])
+        )
+    store.vacuum(keep=1)  # txn commit's dir is gone, manifest live
+    assert store.last_txn_version("loader") == 9
+    assert store.append(df, txn=("loader", 9)) is None
