@@ -29,9 +29,11 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def load_ledger() -> dict[str, dict]:
-    """Latest driver verdict per query across all rounds."""
+def load_ledger() -> tuple[dict[str, dict], dict[str, str]]:
+    """Latest driver verdict per query across all rounds, plus the
+    round file each latest verdict came from (for staleness sort)."""
     ledger: dict[str, dict] = {}
+    seen_round: dict[str, str] = {}
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         try:
             rows = json.load(open(path))
@@ -39,7 +41,8 @@ def load_ledger() -> dict[str, dict]:
             continue
         for name, row in rows.items():
             ledger[name] = row  # later rounds win
-    return ledger
+            seen_round[name] = path
+    return ledger, seen_round
 
 
 def classify(row: dict | None) -> str:
@@ -55,11 +58,18 @@ def classify(row: dict | None) -> str:
 def main() -> None:
     from etl_pipeline_4handling_listings_spark.queries import REGISTRY
 
-    ledger = load_ledger()
+    ledger, seen_round = load_ledger()
     order = list(REGISTRY)
     buckets = {"never": [], "red": [], "green": []}
     for name in order:
         buckets[classify(ledger.get(name))].append(name)
+    # greens: STALEST certification first (last observed in the
+    # oldest round), so the window's spare slots re-observe the
+    # rows whose evidence is oldest; registry order breaks ties
+    pos = {name: i for i, name in enumerate(order)}
+    buckets["green"].sort(
+        key=lambda n: (seen_round.get(n, ""), pos[n])
+    )
     nxt = buckets["never"] + buckets["red"] + buckets["green"]
 
     n_window = min(50, len(nxt))
