@@ -1,0 +1,970 @@
+"""Delta Lake transaction-log interop — the PUBLIC protocol, both
+directions, without delta-spark in the environment.
+
+The reference publishes its curated tables as Delta
+(`mls_listings_curated.py:321-368`); MergeStore reproduces the
+runtime semantics (MERGE/time travel/CDC/vacuum) over its own JSON
+commit manifests. What it could not do until now is EXCHANGE tables
+with stock Delta clients. This module closes that:
+
+- :func:`export_delta_log` mirrors a MergeStore's retained history
+  into a ``_delta_log/`` directory (newline-delimited JSON action
+  entries + a classic parquet checkpoint + ``_last_checkpoint``)
+  per the public Delta PROTOCOL.md, so delta-spark / delta-rs /
+  Trino / DuckDB-delta read the table — current state AND time
+  travel across every retained version.
+- :func:`read_delta` replays a ``_delta_log`` written by ANY Delta
+  client with plain Spark: checkpoint (single- or multi-part) +
+  JSON tail are read as DataFrames, the add/remove reconciliation
+  is a window over the union (distributed — a 100 TB table's
+  checkpoint has millions of add rows; none of this collects more
+  than the distinct-partition list), and the reconstructed file
+  set is scanned with the ordinary parquet reader. Version- and
+  timestamp-based time travel use Delta's own resolution rules
+  (log-entry file modification time).
+
+Unsupported protocol features fail by NAME (:class:`DeltaProtocolError`),
+never by silently misreading: deletion vectors, column mapping,
+reader features beyond the supported set. Export refuses versions
+carrying live MergeStore deletion vectors — ``optimize(purge=True)``
+(the REORG analogue) materializes them first.
+
+Scale notes: export walks only the per-snapshot ``_FILES.json``
+manifests (metadata-scale, no directory LIST) and writes the
+checkpoint via Arrow on the driver — one row per live file, the
+same driver-side cost Delta's own checkpointing pays; the
+PROTOCOL.md multi-part escape hatch is the 100 TB path and is
+accepted on read. Replay on read is fully distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .hivepath import DEFAULT_PARTITION, hive_part_str
+
+
+class DeltaProtocolError(RuntimeError):
+    """A _delta_log uses a protocol feature this reader does not
+    implement (or an export precondition fails). Named, so callers
+    distinguish 'unsupported by design' from data corruption."""
+
+
+_LOG_DIR = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+_ENTRY_RE = re.compile(r"^(\d{20})\.json$")
+_CKPT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet$"
+)
+
+# classic-checkpoint/action shapes from PROTOCOL.md — the explicit
+# schema means JSON replay never depends on Spark's struct
+# inference (which would fuse partitionValues keys across commits)
+_ACTION_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "add",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField(
+                        "partitionValues",
+                        T.MapType(T.StringType(), T.StringType()),
+                    ),
+                    T.StructField("size", T.LongType()),
+                    T.StructField("modificationTime", T.LongType()),
+                    T.StructField("dataChange", T.BooleanType()),
+                    T.StructField("stats", T.StringType()),
+                    T.StructField(
+                        "deletionVector",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "storageType", T.StringType()
+                                ),
+                                T.StructField(
+                                    "pathOrInlineDv", T.StringType()
+                                ),
+                                T.StructField(
+                                    "cardinality", T.LongType()
+                                ),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField(
+            "remove",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("deletionTimestamp", T.LongType()),
+                    T.StructField("dataChange", T.BooleanType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "metaData",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType()),
+                    T.StructField("name", T.StringType()),
+                    T.StructField("description", T.StringType()),
+                    T.StructField(
+                        "format",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "provider", T.StringType()
+                                ),
+                                T.StructField(
+                                    "options",
+                                    T.MapType(
+                                        T.StringType(), T.StringType()
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                    T.StructField("schemaString", T.StringType()),
+                    T.StructField(
+                        "partitionColumns",
+                        T.ArrayType(T.StringType()),
+                    ),
+                    T.StructField(
+                        "configuration",
+                        T.MapType(T.StringType(), T.StringType()),
+                    ),
+                    T.StructField("createdTime", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "protocol",
+            T.StructType(
+                [
+                    T.StructField("minReaderVersion", T.IntegerType()),
+                    T.StructField("minWriterVersion", T.IntegerType()),
+                    T.StructField(
+                        "readerFeatures", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField(
+                        "writerFeatures", T.ArrayType(T.StringType())
+                    ),
+                ]
+            ),
+        ),
+        T.StructField(
+            "txn",
+            T.StructType(
+                [
+                    T.StructField("appId", T.StringType()),
+                    T.StructField("version", T.LongType()),
+                    T.StructField("lastUpdated", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+# reader-version-3 table features this replay implements; anything
+# else in readerFeatures is a named refusal
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
+
+# ---------------------------------------------------------------------
+# export: MergeStore -> _delta_log
+# ---------------------------------------------------------------------
+
+
+def _encode_path(rel: str) -> str:
+    """add.path is an RFC 2396-encoded path RELATIVE to the table
+    root; '/' separates unencoded segments."""
+    return quote(rel, safe="/")
+
+
+def _partition_values(rel: str, pcol: str | None) -> dict:
+    """partitionValues from the hive dir segment of a snapshot-
+    relative file path. Values are the UNESCAPED strings (the map
+    carries real values; only dir names are hive-escaped)."""
+    if not pcol:
+        return {}
+    from .hivepath import unescape_path_name
+
+    head = rel.split("/", 1)[0]
+    pfx = f"{pcol}="
+    if not head.startswith(pfx):
+        return {pcol: None}
+    raw = head[len(pfx):]
+    if raw == DEFAULT_PARTITION:
+        return {pcol: None}
+    return {pcol: unescape_path_name(raw)}
+
+
+def _num_records(path: str) -> int | None:
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def _schema_with_delta_metadata(store, version: str) -> dict:
+    """schemaString payload: the snapshot schema (or current read
+    schema) with generated/identity declarations carried as Delta
+    field metadata — the public keys delta-spark itself writes."""
+    schema = store._version_schema(version)
+    if schema is None:
+        schema = store.read_version(version).schema
+    payload = schema.jsonValue()
+    gen = store.generated_columns()
+    ident = store.identity_columns()
+    for field in payload.get("fields", []):
+        name = field.get("name")
+        md = dict(field.get("metadata") or {})
+        if name in gen:
+            md["delta.generationExpression"] = gen[name]
+        if name in ident:
+            spec = ident[name]
+            md["delta.identity.start"] = spec.get("start", 1)
+            md["delta.identity.step"] = spec.get("step", 1)
+            md["delta.identity.allowExplicitInsert"] = False
+            hwm = store._identity_hwm(name)
+            if hwm is not None:
+                md["delta.identity.highWaterMark"] = hwm
+        if md:
+            field["metadata"] = md
+    return payload
+
+
+def _protocol_action(store) -> dict:
+    """minReaderVersion stays 1 (every exported feature is
+    writer-side); minWriterVersion per the PROTOCOL.md feature
+    table: 2 base (appendOnly/invariants), 3 CHECK constraints,
+    4 generated columns, 6 identity columns."""
+    w = 2
+    if store.constraints():
+        w = max(w, 3)
+    if store.generated_columns():
+        w = max(w, 4)
+    if store.identity_columns():
+        w = max(w, 6)
+    return {"minReaderVersion": 1, "minWriterVersion": w}
+
+
+def _meta_action(store, version: str) -> dict:
+    cfg = {
+        f"delta.constraints.{name}": expr
+        for name, expr in store.constraints().items()
+    }
+    if store.clustering():
+        # liquid clustering is a full table feature; the column
+        # list is informational config here (stock readers ignore
+        # unknown keys by contract)
+        cfg["mergestore.clusterBy"] = ",".join(store.clustering())
+    return {
+        "id": str(
+            uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(store.path))
+        ),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            _schema_with_delta_metadata(store, version)
+        ),
+        "partitionColumns": (
+            [store.partition_by] if store.partition_by else []
+        ),
+        "configuration": cfg,
+        "createdTime": int(os.path.getmtime(store.path) * 1000),
+    }
+
+
+def _version_adds(store, version: str) -> list[dict]:
+    """One add action per data file of ``version``, paths relative
+    to the TABLE root (``vNNNNN/...``) — legal per PROTOCOL.md
+    (readers resolve relative paths against the table root, and
+    subdirectories are exactly how Delta lays out partitions)."""
+    sizes = store._manifest_sizes(version)
+    if sizes is None:
+        # pre-manifest snapshot: walk once (export-time only)
+        vdir = store._version_dir(version)
+        sizes = {}
+        for root, dirs, names in os.walk(vdir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in names:
+                if n.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, n)
+                sizes[p] = os.path.getsize(p)
+    adds = []
+    vdir = store._version_dir(version)
+    for full in sorted(sizes):
+        rel_snap = os.path.relpath(full, vdir)
+        rel_root = f"{version}/{rel_snap}"
+        add = {
+            "path": _encode_path(rel_root),
+            "partitionValues": {
+                k: v
+                for k, v in _partition_values(
+                    rel_snap, store.partition_by
+                ).items()
+            },
+            "size": int(sizes[full]),
+            "modificationTime": int(os.path.getmtime(full) * 1000),
+            "dataChange": True,
+        }
+        n = _num_records(full)
+        if n is not None:
+            add["stats"] = json.dumps({"numRecords": n})
+        adds.append(add)
+    return adds
+
+
+def _commit_record(store, version: str) -> dict:
+    manifest = os.path.join(store._commits_dir(), f"{version}.json")
+    try:
+        with open(manifest) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        try:
+            with open(
+                os.path.join(store._commits_dir(), "_compacted.json")
+            ) as f:
+                return json.load(f).get(version, {})
+        except (OSError, ValueError):
+            return {}
+
+
+def export_delta_log(store) -> str:
+    """Write/refresh a stock-readable ``_delta_log`` for ``store``.
+
+    Layout: a classic parquet checkpoint at the oldest exportable
+    version (protocol + metaData + txn watermarks + every add of
+    that snapshot) with ``_last_checkpoint`` pointing at it, then
+    one JSON entry per later retained version (full remove+add
+    rewrite — MergeStore snapshots hardlink files under new version
+    dirs, so every commit changes every path; the checkpoint keeps
+    replay O(live files + tail entries), which is exactly Delta's
+    own answer to long histories). Delta log version N == MergeStore
+    ``vNNNNN``, so ``VERSION AS OF`` agrees between engines.
+
+    Vacuumed history starts AFTER the checkpoint by construction
+    (same as stock Delta: cleaned-up log + checkpoint). Versions
+    carrying live deletion vectors cannot be described as plain
+    adds — rows would resurrect — so export covers the newest
+    DV-free contiguous suffix of the history and REFUSES outright
+    when the CURRENT version has DVs (``optimize(purge=True)``
+    materializes them). Re-export after new commits is incremental:
+    existing entries are kept, missing ones appended, the
+    checkpoint advanced only when vacuum moved the history start.
+
+    Returns the ``_delta_log`` directory path. Reference:
+    `mls_listings_curated.py:321-368` (the Delta table the
+    reference maintains); PROTOCOL.md (public spec).
+    """
+    versions = store.list_versions()
+    if not versions:
+        raise FileNotFoundError(
+            f"MergeStore at {store.path} does not exist"
+        )
+    cur = versions[-1]
+    if store._dv_files(cur):
+        raise DeltaProtocolError(
+            "current version has live deletion vectors; a plain-"
+            "parquet _delta_log cannot express them (rows would "
+            "resurrect). Run store.optimize(purge=True) first"
+        )
+    # newest contiguous DV-free suffix
+    start_i = 0
+    for i in range(len(versions) - 1, -1, -1):
+        if store._dv_files(versions[i]):
+            start_i = i + 1
+            break
+    exportable = versions[start_i:]
+    # the log lives IN the table root: add paths are relative to it
+    log_dir = os.path.join(store.path, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+
+    ckpt_v = _vnum(exportable[0])
+    ckpt_name = f"{ckpt_v:020d}.checkpoint.parquet"
+    ckpt_path = os.path.join(log_dir, ckpt_name)
+    last_path = os.path.join(log_dir, _LAST_CHECKPOINT)
+    have_last = None
+    try:
+        with open(last_path) as f:
+            have_last = int(json.load(f).get("version"))
+    except (OSError, ValueError, TypeError):
+        pass
+
+    if have_last != ckpt_v or not os.path.exists(ckpt_path):
+        n_rows = _write_checkpoint(store, exportable[0], ckpt_path)
+        tmp = last_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": ckpt_v, "size": n_rows}, f)
+        os.replace(tmp, last_path)
+        # log cleanup: JSON entries at/below the new checkpoint and
+        # superseded checkpoints are expired history (their data may
+        # be vacuumed); stock readers start at the checkpoint
+        for entry in os.listdir(log_dir):
+            m = _ENTRY_RE.match(entry)
+            if m and int(m.group(1)) <= ckpt_v:
+                os.remove(os.path.join(log_dir, entry))
+                continue
+            m = _CKPT_RE.match(entry)
+            if m and int(m.group(1)) < ckpt_v:
+                os.remove(os.path.join(log_dir, entry))
+
+    prev_schema: str | None = None
+    for prev, vname in zip(exportable, exportable[1:]):
+        n = _vnum(vname)
+        entry = os.path.join(log_dir, f"{n:020d}.json")
+        if os.path.exists(entry):
+            prev_schema = None  # unknown here; recomputed below
+            continue
+        rec = _commit_record(store, vname)
+        lines: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(
+                        float(rec.get("ts", time.time())) * 1000
+                    ),
+                    "operation": "WRITE",
+                    "operationParameters": {},
+                    "engineInfo": "mergestore-deltalog-export",
+                }
+            }
+        ]
+        if rec.get("txn_app") is not None:
+            lines.append(
+                {
+                    "txn": {
+                        "appId": str(rec["txn_app"]),
+                        "version": int(rec.get("txn_ver", -1)),
+                    }
+                }
+            )
+        # schema evolution lands as a metaData action in the entry
+        # that introduced it (readers pick the latest metaData)
+        if prev_schema is None:
+            prev_schema = json.dumps(
+                _schema_with_delta_metadata(store, prev)
+            )
+        this_schema = json.dumps(
+            _schema_with_delta_metadata(store, vname)
+        )
+        if this_schema != prev_schema:
+            lines.append({"metaData": _meta_action(store, vname)})
+        prev_schema = this_schema
+        ts_ms = int(float(rec.get("ts", time.time())) * 1000)
+        for add in _version_adds(store, prev):
+            lines.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": ts_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for add in _version_adds(store, vname):
+            lines.append({"add": add})
+        tmp = entry + "." + uuid.uuid4().hex
+        with open(tmp, "w") as f:
+            f.write("\n".join(json.dumps(l) for l in lines) + "\n")
+        os.replace(tmp, entry)
+    return log_dir
+
+
+def _vnum(version: str) -> int:
+    return int(version[1:])
+
+
+def _write_checkpoint(store, version: str, ckpt_path: str) -> int:
+    """Classic single-file parquet checkpoint via Arrow: one row per
+    action, top-level nullable structs (txn/add/remove/metaData/
+    protocol) exactly as PROTOCOL.md specifies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = [
+        {"protocol": _protocol_action(store)},
+        {"metaData": _meta_action(store, version)},
+    ]
+    # txn watermarks: every app id ever committed, from the same
+    # records last_txn_version trusts
+    apps: dict[str, int] = {}
+    commits = store._commits_dir()
+    recs: list[dict] = []
+    try:
+        with open(os.path.join(commits, "_compacted.json")) as f:
+            recs.extend(json.load(f).values())
+    except (OSError, ValueError):
+        pass
+    for v in store.list_versions():
+        recs.append(_commit_record(store, v))
+    for rec in recs:
+        app = rec.get("txn_app")
+        if app is not None:
+            try:
+                ver = int(rec.get("txn_ver", -1))
+            except (TypeError, ValueError):
+                continue
+            apps[str(app)] = max(apps.get(str(app), -1), ver)
+    for app, ver in sorted(apps.items()):
+        rows.append({"txn": {"appId": app, "version": ver}})
+    for add in _version_adds(store, version):
+        rows.append({"add": add})
+
+    map_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", map_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_t),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ]
+    )
+    txn_t = pa.struct(
+        [("appId", pa.string()), ("version", pa.int64())]
+    )
+
+    def col(key, typ, conv=None):
+        vals = []
+        for r in rows:
+            v = r.get(key)
+            if v is not None and conv is not None:
+                v = conv(v)
+            vals.append(v)
+        return pa.array(vals, type=typ)
+
+    def conv_add(a):
+        return {
+            "path": a["path"],
+            "partitionValues": list(
+                (a.get("partitionValues") or {}).items()
+            ),
+            "size": a["size"],
+            "modificationTime": a["modificationTime"],
+            "dataChange": a["dataChange"],
+            "stats": a.get("stats"),
+        }
+
+    def conv_meta(m):
+        return {
+            "id": m["id"],
+            "format": {"provider": m["format"]["provider"]},
+            "schemaString": m["schemaString"],
+            "partitionColumns": m["partitionColumns"],
+            "configuration": list(
+                (m.get("configuration") or {}).items()
+            ),
+            "createdTime": m["createdTime"],
+        }
+
+    table = pa.table(
+        {
+            "txn": col("txn", txn_t),
+            "add": col("add", add_t, conv_add),
+            "remove": col("remove", remove_t),
+            "metaData": col("metaData", meta_t, conv_meta),
+            "protocol": col("protocol", proto_t),
+        }
+    )
+    tmp = ckpt_path + "." + uuid.uuid4().hex
+    pq.write_table(table, tmp)
+    os.replace(tmp, ckpt_path)
+    return len(rows)
+
+
+# ---------------------------------------------------------------------
+# read: _delta_log (any writer) -> DataFrame
+# ---------------------------------------------------------------------
+
+
+def _list_log(log_dir: str) -> tuple[dict[int, str], dict[int, list]]:
+    entries: dict[int, str] = {}
+    ckpts: dict[int, list] = {}
+    for name in os.listdir(log_dir):
+        m = _ENTRY_RE.match(name)
+        if m:
+            entries[int(m.group(1))] = os.path.join(log_dir, name)
+            continue
+        m = _CKPT_RE.match(name)
+        if m:
+            ckpts.setdefault(int(m.group(1)), []).append(
+                os.path.join(log_dir, name)
+            )
+    return entries, ckpts
+
+
+def _resolve_version(
+    log_dir: str,
+    entries: dict[int, str],
+    ckpts: dict[int, list],
+    version: int | None,
+    timestamp=None,
+) -> int:
+    latest = max(
+        [*entries.keys(), *ckpts.keys()], default=None
+    )
+    if latest is None:
+        raise FileNotFoundError(f"no log entries in {log_dir}")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        import datetime
+
+        if isinstance(timestamp, str):
+            ts = datetime.datetime.fromisoformat(timestamp).timestamp()
+        elif isinstance(timestamp, datetime.datetime):
+            ts = timestamp.timestamp()
+        else:
+            ts = float(timestamp)
+        # Delta's rule: latest entry whose log-file mtime <= ts
+        best = None
+        for v, p in sorted(entries.items()):
+            if os.path.getmtime(p) <= ts:
+                best = v
+        for v in sorted(ckpts):
+            if (
+                os.path.getmtime(ckpts[v][0]) <= ts
+                and (best is None or v > best)
+            ):
+                best = v
+        if best is None:
+            raise DeltaProtocolError(
+                f"no commit at or before timestamp {timestamp!r}"
+            )
+        return best
+    if version is None:
+        return latest
+    v = int(version)
+    if v > latest:
+        raise DeltaProtocolError(
+            f"version {v} is beyond the latest commit {latest}"
+        )
+    return v
+
+
+def _replay_plan(
+    log_dir: str, version: int | None = None, timestamp=None
+) -> tuple[int, list[str], list[str]]:
+    """(resolved version, checkpoint part files, JSON tail paths) —
+    the standard Delta resolution: newest checkpoint at or below
+    the target, then every JSON entry after it up to the target."""
+    entries, ckpts = _list_log(log_dir)
+    target = _resolve_version(log_dir, entries, ckpts, version, timestamp)
+    base = max((v for v in ckpts if v <= target), default=None)
+    tail_from = -1 if base is None else base
+    tail = []
+    for v in range(tail_from + 1, target + 1):
+        if v in entries:
+            tail.append(entries[v])
+        else:
+            raise DeltaProtocolError(
+                f"log entry {v:020d}.json is missing (cleaned up?); "
+                "cannot reconstruct the requested version"
+            )
+    return target, (ckpts.get(base, []) if base is not None else []), tail
+
+
+def _conform(
+    avail: T.DataType | None, path: str, want: T.DataType
+):
+    """Column expression conforming ``path`` in the source frame to
+    ``want``, null-filling absent (sub)fields — a struct cast in
+    Spark needs identical field counts, which foreign checkpoints
+    (extra stats_parsed, missing deletionVector) never guarantee."""
+    if avail is None:
+        return F.lit(None).cast(want)
+    if isinstance(want, T.StructType):
+        if not isinstance(avail, T.StructType):
+            return F.lit(None).cast(want)
+        by_name = {f.name: f.dataType for f in avail.fields}
+        built = F.struct(
+            *[
+                _conform(
+                    by_name.get(f.name), f"{path}.{f.name}", f.dataType
+                ).alias(f.name)
+                for f in want.fields
+            ]
+        )
+        # a null source struct must stay null, not become a struct
+        # of nulls (action-presence tests rely on it)
+        return F.when(F.col(path).isNotNull(), built)
+    return F.col(path).cast(want)
+
+
+def _read_actions(
+    spark: SparkSession, ckpt_files: list[str], tail: list[str]
+) -> DataFrame:
+    """Every action with its commit version, as ONE DataFrame:
+    checkpoint rows at the checkpoint version, JSON rows at the
+    version their file name carries. Distributed — no collect."""
+    frames = []
+    if ckpt_files:
+        ck = spark.read.parquet(*ckpt_files)
+        avail = {f.name: f.dataType for f in ck.schema.fields}
+        m = _CKPT_RE.match(os.path.basename(ckpt_files[0]))
+        ckv = int(m.group(1))
+        frames.append(
+            ck.select(
+                F.lit(ckv).alias("_commit"),
+                *[
+                    _conform(
+                        avail.get(f), f, _ACTION_SCHEMA[f].dataType
+                    ).alias(f)
+                    for f in _ACTION_SCHEMA.fieldNames()
+                ],
+            )
+        )
+    if tail:
+        txt = spark.read.text(tail).select(
+            F.from_json("value", _ACTION_SCHEMA).alias("a"),
+            F.regexp_extract(
+                F.col("_metadata.file_name"), r"^(\d{20})\.json$", 1
+            )
+            .cast("long")
+            .alias("_commit"),
+        )
+        frames.append(
+            txt.select(
+                "_commit",
+                *[F.col(f"a.{f}").alias(f) for f in _ACTION_SCHEMA.fieldNames()],
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
+def _live_adds(actions: DataFrame) -> DataFrame:
+    """Reconcile add/remove by path: the latest action per path
+    wins (within one commit a path legally appears at most once).
+    Pure window over the distributed union."""
+    fa = actions.select(
+        "_commit",
+        F.coalesce(F.col("add.path"), F.col("remove.path")).alias(
+            "path"
+        ),
+        F.col("add").alias("add"),
+    ).where(F.col("path").isNotNull())
+    w = Window.partitionBy("path").orderBy(F.col("_commit").desc())
+    return (
+        fa.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & F.col("add").isNotNull())
+        .select("add")
+    )
+
+
+def _latest_single(actions: DataFrame, field: str):
+    row = (
+        actions.where(F.col(field).isNotNull())
+        .orderBy(F.col("_commit").desc())
+        .select(field)
+        .limit(1)
+        .collect()
+    )
+    return row[0][0] if row else None
+
+
+def _check_protocol(proto) -> None:
+    if proto is None:
+        return
+    mrv = proto["minReaderVersion"] or 1
+    if mrv <= 1:
+        return
+    feats = set(proto["readerFeatures"] or []) if mrv >= 3 else None
+    if mrv == 2:
+        # column mapping capability; actual use is checked via the
+        # metaData configuration below
+        return
+    unsupported = (feats or set()) - _SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise DeltaProtocolError(
+            f"table requires reader features {sorted(unsupported)} "
+            "this engine does not implement"
+        )
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp=None,
+) -> DataFrame:
+    """Read a Delta table (any writer) with plain Spark — log
+    replay per PROTOCOL.md, no delta-spark dependency.
+
+    ``version`` / ``timestamp`` give Delta time travel (``VERSION
+    AS OF`` / ``TIMESTAMP AS OF``; timestamp resolution = log-file
+    modification time, Delta's own default). Unsupported protocol
+    features (deletion vectors in any live add, column mapping,
+    unknown reader features) raise :class:`DeltaProtocolError` by
+    name.
+
+    The scan pushes the reconstructed file list straight into the
+    parquet reader. For hive-laid-out tables (what Spark/delta-spark
+    write) partition columns come from the directory names under a
+    ``basePath`` — ONE multi-file scan, pruning and pushdown
+    intact. Tables whose file paths do not encode the partition
+    values (legal per spec) fall back to one scan per distinct
+    partition tuple, lit-tagged and unioned — bounded by partition
+    count, not file count.
+    """
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+    target, ckpt_files, tail = _replay_plan(log_dir, version, timestamp)
+    actions = _read_actions(spark, ckpt_files, tail)
+    proto = _latest_single(actions, "protocol")
+    _check_protocol(proto)
+    meta = _latest_single(actions, "metaData")
+    if meta is None:
+        raise DeltaProtocolError("log has no metaData action")
+    cfg = dict(meta["configuration"] or {})
+    cm = cfg.get("delta.columnMapping.mode", "none")
+    if cm not in ("", "none"):
+        raise DeltaProtocolError(
+            f"columnMapping.mode={cm!r} is not supported (physical "
+            "column names would be misread as logical)"
+        )
+    if (meta["format"] or {"provider": "parquet"})[
+        "provider"
+    ] != "parquet":
+        raise DeltaProtocolError(
+            f"format {meta['format']['provider']!r} != parquet"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta["partitionColumns"] or [])
+
+    adds = _live_adds(actions)
+    dv_count = (
+        adds.where(F.col("add.deletionVector").isNotNull())
+        .limit(1)
+        .count()
+    )
+    if dv_count:
+        raise DeltaProtocolError(
+            "live files carry deletion vectors; reading them as "
+            "plain parquet would resurrect deleted rows"
+        )
+    # file list + partition tuples: O(files) strings on the driver,
+    # the same scale every Spark scan's file index holds
+    rows = adds.select(
+        F.col("add.path").alias("p"),
+        F.col("add.partitionValues").alias("pv"),
+    ).collect()
+    if not rows:
+        return spark.createDataFrame([], schema)
+    files = [os.path.join(path, unquote(r["p"])) for r in rows]
+
+    file_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    if not pcols:
+        return spark.read.schema(schema).parquet(*files)
+
+    # hive fast path: every file sits under dirs that spell out its
+    # partitionValues — one basePath scan, partition types from the
+    # declared schema
+    def hive_ok(r) -> bool:
+        rel = unquote(r["p"])
+        pv = dict(r["pv"] or {})
+        segs = dict(
+            s.split("=", 1) for s in rel.split("/")[:-1] if "=" in s
+        )
+        for c in pcols:
+            want = (
+                DEFAULT_PARTITION
+                if pv.get(c) is None
+                else hive_part_str(pv.get(c))
+            )
+            if segs.get(c) != want:
+                return False
+        return True
+
+    if all(hive_ok(r) for r in rows):
+        return (
+            spark.read.schema(schema)
+            .option("basePath", path)
+            .parquet(*files)
+        )
+
+    # general fallback: group by partition tuple, tag, union
+    groups: dict[tuple, list[str]] = {}
+    for r in rows:
+        pv = dict(r["pv"] or {})
+        key = tuple(pv.get(c) for c in pcols)
+        groups.setdefault(key, []).append(
+            os.path.join(path, unquote(r["p"]))
+        )
+    parts = []
+    by_name = {f.name: f for f in schema.fields}
+    for key, fs in sorted(groups.items()):
+        df = spark.read.schema(file_schema).parquet(*fs)
+        for c, val in zip(pcols, key):
+            df = df.withColumn(
+                c, F.lit(val).cast(by_name[c].dataType)
+            )
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delta_last_txn(
+    spark: SparkSession, path: str, app_id: str
+) -> int:
+    """Delta's (txnAppId -> version) idempotent-writer watermark
+    from the log (-1 = none) — the read half of `txn` actions."""
+    log_dir = os.path.join(path, _LOG_DIR)
+    _target, ckpt_files, tail = _replay_plan(log_dir)
+    actions = _read_actions(spark, ckpt_files, tail)
+    row = (
+        actions.where(
+            F.col("txn.appId").isNotNull()
+            & (F.col("txn.appId") == app_id)
+        )
+        .agg(F.max("txn.version").alias("v"))
+        .collect()
+    )
+    return -1 if not row or row[0]["v"] is None else int(row[0]["v"])

@@ -24,7 +24,15 @@ the same clause conditions (see ``operators/merge.py`` docstring),
 ``vacuum`` ≙ ``VACUUM``, ``read_version`` ≙ ``versionAsOf``,
 ``read_changes`` ≙ change data feed. ``HAS_DELTA`` below reports
 whether delta-spark is importable so a deployment can choose the
-backend explicitly at store-construction time.
+backend explicitly at store-construction time. Independent of that
+swap-in, ``sources/deltalog.export_delta_log`` mirrors a store's
+retained history into a spec-shaped ``_delta_log`` (JSON entries +
+parquet checkpoint per the public PROTOCOL.md) so STOCK Delta
+clients (delta-spark, delta-rs, Trino, DuckDB-delta) can read the
+table — including ``VERSION AS OF`` aligned with ``vNNNNN`` — and
+``deltalog.read_delta`` replays a foreign ``_delta_log`` with
+plain Spark, so Delta-written tables are readable here without
+delta-spark.
 
 Scale note: a full-snapshot rewrite per merge is O(table), which is
 the same asymptotic cost as Delta MERGE's worst case (every file
