@@ -951,6 +951,148 @@ def read_delta(
     return out
 
 
+def convert_from_delta(
+    spark: SparkSession,
+    path: str,
+    store_path: str,
+    keys: list[str],
+):
+    """Adopt a stock Delta table as a MergeStore — the inbound half
+    of ``CONVERT`` (the outbound, plain-dir half is
+    ``MergeStore.convert``). The LIVE file set from log replay is
+    hardlinked into a staged ``v00000`` (removed-but-unvacuumed
+    files are correctly left behind — a directory walk would adopt
+    them and resurrect deleted data), laid out hive-style from each
+    add's ``partitionValues`` regardless of the source layout, and
+    committed under the store's normal claim discipline. Table
+    features travel: CHECK constraints (``delta.constraints.*``),
+    generated columns (``delta.generationExpression`` field
+    metadata), and identity columns — whose Delta high-water mark
+    seeds the commit record so the first append cannot re-allocate
+    existing values. Data files are NOT copied (same-filesystem
+    hardlinks; cross-device falls back to copy). The source's
+    ``_delta_log`` and data files stay untouched — this is a
+    file-reference adoption at a NEW path, not an in-place flip
+    (two commit protocols over one directory would fight).
+
+    Per-app ``txn`` watermarks are not imported: MergeStore commit
+    records carry one (app, version) pair per commit, and a
+    restarted stream writer owns its own checkpoint anyway.
+    """
+    import shutil
+
+    from .store import MergeStore
+
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+    _target, ckpt_files, tail = _replay_plan(log_dir)
+    actions = _read_actions(spark, ckpt_files, tail)
+    _check_protocol(_latest_single(actions, "protocol"))
+    meta = _latest_single(actions, "metaData")
+    if meta is None:
+        raise DeltaProtocolError("log has no metaData action")
+    cfg = dict(meta["configuration"] or {})
+    cm = cfg.get("delta.columnMapping.mode", "none")
+    if cm not in ("", "none"):
+        raise DeltaProtocolError(
+            f"columnMapping.mode={cm!r} is not supported"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta["partitionColumns"] or [])
+    if len(pcols) > 1:
+        raise DeltaProtocolError(
+            f"MergeStore supports one partition column; table has "
+            f"{pcols}"
+        )
+    pcol = pcols[0] if pcols else None
+    adds = _live_adds(actions)
+    if (
+        adds.where(F.col("add.deletionVector").isNotNull())
+        .limit(1)
+        .count()
+    ):
+        raise DeltaProtocolError(
+            "live files carry deletion vectors; run REORG/purge on "
+            "the Delta side before converting"
+        )
+    rows = adds.select(
+        F.col("add.path").alias("p"),
+        F.col("add.partitionValues").alias("pv"),
+    ).collect()
+
+    gens = {}
+    idents = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "delta.generationExpression" in md:
+            gens[f.name] = md["delta.generationExpression"]
+        if "delta.identity.start" in md:
+            idents[f.name] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1)),
+                "hwm": md.get("delta.identity.highWaterMark"),
+            }
+
+    store = MergeStore(spark, store_path, keys, partition_by=pcol)
+    if store.exists():
+        return store  # idempotent, like convert()
+    os.makedirs(store.path, exist_ok=True)
+    extra: dict = {"operation": "convert-from-delta"}
+    hwms = {
+        name: int(spec["hwm"])
+        for name, spec in idents.items()
+        if spec.get("hwm") is not None
+    }
+    if hwms:
+        extra["identity_hwm"] = hwms
+    if not store._claim_version("v00000", expiry_s=300.0, extra=extra):
+        store._await_advance(beyond="")
+        return store
+    os.makedirs(store._staging_dir(), exist_ok=True)
+    staging = os.path.join(store._staging_dir(), uuid.uuid4().hex)
+    os.makedirs(staging, exist_ok=True)
+    for i, r in enumerate(rows):
+        src = os.path.join(path, unquote(r["p"]))
+        ddir = staging
+        if pcol is not None:
+            val = dict(r["pv"] or {}).get(pcol)
+            sub = (
+                DEFAULT_PARTITION
+                if val is None
+                else hive_part_str(val)
+            )
+            ddir = os.path.join(staging, f"{pcol}={sub}")
+            os.makedirs(ddir, exist_ok=True)
+        # index prefix: distinct source subdirs may reuse basenames
+        dst = os.path.join(
+            ddir, f"c{i:05d}-{os.path.basename(src)}"
+        )
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+    MergeStore._write_snapshot_schema(staging, schema)
+    MergeStore._write_file_manifest(staging)
+    with open(store._schema_path(), "w") as f:
+        json.dump(schema.jsonValue(), f)
+    store._write_table_meta()
+    os.rename(staging, store._version_dir("v00000"))
+    store._set_current("v00000")
+    for name, expr in gens.items():
+        store.add_generated_column(name, expr)
+    for name, spec in idents.items():
+        store.add_identity_column(
+            name, start=spec["start"], step=spec["step"]
+        )
+    for key, expr in cfg.items():
+        if key.startswith("delta.constraints."):
+            store.add_constraint(
+                key[len("delta.constraints."):], expr
+            )
+    return store
+
+
 def delta_last_txn(
     spark: SparkSession, path: str, app_id: str
 ) -> int:

@@ -474,3 +474,167 @@ def test_read_timestamp_time_travel_uses_log_mtime(spark, tmp_path):
     assert sorted(r.k for r in got.collect()) == [1, 2]
     with pytest.raises(DeltaProtocolError, match="at or before"):
         read_delta(spark, tbl, timestamp=10)
+
+
+# -- convert_from_delta ------------------------------------------------
+
+
+def test_convert_from_delta_roundtrip_and_mergeable(spark, tmp_path):
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        convert_from_delta,
+    )
+
+    src = _mk(spark, tmp_path, name="src")
+    src.merge(spark.createDataFrame([(4, 1, "d")], ["k", "p", "v"]))
+    export_delta_log(src)
+    store = convert_from_delta(
+        spark, src.path, str(tmp_path / "adopted"), keys=["k"]
+    )
+    assert _rows(store.read()) == _rows(src.read())
+    # the adopted store is a full citizen: merge, history, vacuum
+    store.merge(spark.createDataFrame([(9, 0, "z")], ["k", "p", "v"]))
+    assert (9, 0, "z") in _rows(store.read())
+    # idempotent re-convert just opens it
+    again = convert_from_delta(
+        spark, src.path, str(tmp_path / "adopted"), keys=["k"]
+    )
+    assert _rows(again.read()) == _rows(store.read())
+
+
+def test_convert_from_delta_excludes_removed_files(spark, tmp_path):
+    """Only the LIVE file set is adopted: a removed-but-unvacuumed
+    file on disk must not resurrect."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        convert_from_delta,
+    )
+
+    f1 = _write_parquet_file(spark, tmp_path, [(1, "a")], ["k", "v"], "p0.parquet")
+    f2 = _write_parquet_file(spark, tmp_path, [(2, "dead")], ["k", "v"], "p1.parquet")
+    tbl = str(tmp_path / "tbl")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("k", "long"), ("v", "string")),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+            {"add": {"path": "p0.parquet", "partitionValues": {}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "p1.parquet", "partitionValues": {}, "size": os.path.getsize(f2), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    _log_write(
+        tbl, 1,
+        [{"remove": {"path": "p1.parquet", "deletionTimestamp": 1, "dataChange": True}}],
+    )
+    store = convert_from_delta(
+        spark, tbl, str(tmp_path / "adopted"), keys=["k"]
+    )
+    assert sorted((r.k, r.v) for r in store.read().collect()) == [(1, "a")]
+
+
+def test_convert_from_delta_partitioned_relayout(spark, tmp_path):
+    """partitionValues drive the adopted hive layout even when the
+    source paths are flat (non-hive) — and the partitioned store's
+    pruned merges keep working."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        convert_from_delta,
+    )
+
+    f1 = _write_parquet_file(spark, tmp_path, [("x",)], ["v"], "f1.parquet")
+    f2 = _write_parquet_file(spark, tmp_path, [("y",)], ["v"], "f2.parquet")
+    tbl = str(tmp_path / "tbl")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("v", "string"), ("p", "integer")),
+        "partitionColumns": ["p"],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+            {"add": {"path": "f1.parquet", "partitionValues": {"p": "1"}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "f2.parquet", "partitionValues": {"p": "2"}, "size": os.path.getsize(f2), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    store = convert_from_delta(
+        spark, tbl, str(tmp_path / "adopted"), keys=["v"]
+    )
+    assert sorted((r.v, r.p) for r in store.read().collect()) == [
+        ("x", 1),
+        ("y", 2),
+    ]
+    vdir = store._version_dir("v00000")
+    assert sorted(
+        e for e in os.listdir(vdir) if e.startswith("p=")
+    ) == ["p=1", "p=2"]
+
+
+def test_convert_from_delta_imports_table_features(spark, tmp_path):
+    """Constraints and generated columns round-trip through the log:
+    export -> convert -> still declared AND still enforced."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        convert_from_delta,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        ConstraintViolationError,
+    )
+
+    path = str(tmp_path / "feat")
+    src = MergeStore(spark, path, keys=["k"])
+    src.add_generated_column("amt2", "amt * 2")
+    df = spark.createDataFrame([(1, 5)], ["k", "amt"])
+    src.create_if_absent(df)
+    src.merge(df)
+    src.add_constraint("amt_pos", "amt > 0")
+    src.merge(spark.createDataFrame([(2, 7)], ["k", "amt"]))
+    export_delta_log(src)
+    store = convert_from_delta(
+        spark, path, str(tmp_path / "adopted"), keys=["k"]
+    )
+    assert store.generated_columns() == {"amt2": "amt * 2"}
+    assert store.constraints() == {"amt_pos": "amt > 0"}
+    with pytest.raises(ConstraintViolationError):
+        store.merge(spark.createDataFrame([(3, -1)], ["k", "amt"]))
+    store.merge(spark.createDataFrame([(3, 4)], ["k", "amt"]))
+    assert sorted((r.k, r.amt, r.amt2) for r in store.read().collect()) == [
+        (1, 5, 10),
+        (2, 7, 14),
+        (3, 4, 8),
+    ]
+
+
+def test_convert_from_delta_seeds_identity_hwm(spark, tmp_path):
+    """An identity column's Delta high-water mark must seed the
+    adopted store so the first append allocates ABOVE the existing
+    values, never colliding."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        convert_from_delta,
+    )
+
+    path = str(tmp_path / "ident")
+    src = MergeStore(spark, path, keys=["k"])
+    src.add_identity_column("id", start=10, step=5)
+    df = spark.createDataFrame([("a",), ("b",)], ["k"])
+    src.create_if_absent(df.limit(0))
+    src.append(df)
+    export_delta_log(src)
+    store = convert_from_delta(
+        spark, path, str(tmp_path / "adopted"), keys=["k"]
+    )
+    assert store.identity_columns() == {
+        "id": {"start": 10, "step": 5}
+    }
+    old_ids = {r.id for r in store.read().collect()}
+    store.append(spark.createDataFrame([("c",)], ["k"]))
+    new_ids = {r.id for r in store.read().collect()} - old_ids
+    assert new_ids and min(new_ids) > max(old_ids)
