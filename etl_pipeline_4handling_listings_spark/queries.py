@@ -11212,7 +11212,15 @@ def events_weekly_active_mix(spark, sf_dir):
     "is the last k where prefix_k + (n-k)*d_k fits capacity (pure "
     "BIGINT comparison), and the level is ONE exact IEEE division "
     "(C - prefix_k)/(n - k). Allocations compare the RAW level "
-    "(bit-identical both engines) and are quantized 1e-6.",
+    "(bit-identical both engines) and are quantized 1e-6. "
+    "Rank/prefix over the tenant frame use the two-level scan "
+    "(operators/prefix.py pattern): the only globally-ordered "
+    "window runs over the DISTINCT-demand-value frame (bounded by "
+    "max events per tenant, not tenant count); within a demand "
+    "value every row carries the same d, so the prefix collapses "
+    "to rank*d and the rank comes from user_id-bucketed windows "
+    "of at most 8192 rows each — no single-partition sort of the "
+    "per-tenant frame anywhere in the plan.",
 )
 def fairshare_waterfill(spark, sf_dir):
     e = tbl_events(spark, sf_dir)
@@ -11221,15 +11229,52 @@ def fairshare_waterfill(spark, sf_dir):
         F.expr("sum(d) div 2").cast("long").alias("c"),
         F.count("*").cast("long").alias("n"),
     )
-    wr = Window.orderBy("d", "user_id")
-    ranked = demand.select(
-        "user_id",
+    # level 1: per-demand-value totals; exclusive cumulative over the
+    # distinct-d frame (aggregate-cardinality, tiny)
+    per_d = demand.groupBy("d").agg(F.count("*").cast("long").alias("_cnt"))
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    d_offs = per_d.select(
         "d",
-        F.row_number().over(wr).cast("long").alias("rk"),
-        F.sum("d")
-        .over(wr.rowsBetween(Window.unboundedPreceding, 0))
+        F.coalesce(F.sum("_cnt").over(wd), F.lit(0))
         .cast("long")
-        .alias("pfx"),
+        .alias("_rk0"),
+        F.coalesce(F.sum(F.col("_cnt") * F.col("d")).over(wd), F.lit(0))
+        .cast("long")
+        .alias("_pfx0"),
+    )
+    # level 2: within a d-group all demands equal d, so prefix = rank*d;
+    # the within-d rank of user_id comes from bucketed windows (each
+    # window partition at most _B rows) plus per-bucket count offsets
+    _B = 8192
+    tagged = demand.withColumn("_ub", (F.col("user_id") / _B).cast("bigint"))
+    pb = tagged.groupBy("d", "_ub").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wb = (
+        Window.partitionBy("d")
+        .orderBy("_ub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b_offs = pb.select(
+        "d",
+        "_ub",
+        F.coalesce(F.sum("_c").over(wb), F.lit(0))
+        .cast("long")
+        .alias("_boff"),
+    )
+    wu = Window.partitionBy("d", "_ub").orderBy("user_id")
+    rk_in_d = F.col("_boff") + F.row_number().over(wu)
+    ranked = (
+        tagged.join(b_offs, ["d", "_ub"])
+        .join(F.broadcast(d_offs), "d")
+        .select(
+            "user_id",
+            "d",
+            (F.col("_rk0") + rk_in_d).cast("long").alias("rk"),
+            (F.col("_pfx0") + rk_in_d * F.col("d"))
+            .cast("long")
+            .alias("pfx"),
+        )
     )
     fits = F.col("pfx") + (F.col("n") - F.col("rk")) * F.col("d") <= F.col(
         "c"
@@ -11780,6 +11825,270 @@ def attribution_linear_multi_touch(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 additions — registered BEHIND the certification window
+# (appended to the back of _DRIVER_ORDER, never ahead of slot 50).
+# =====================================================================
+
+_QUALITY_SQL = sql_r(
+    """(
+        (CASE WHEN LENGTH(text) > 0
+              THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)
+              ELSE 0.0 END)
+      + (CASE WHEN LENGTH(text) > 0
+              THEN 1.0 - CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / LENGTH(text)
+              ELSE 0.0 END)
+      + LEAST(LENGTH(text) / 200.0, 1.0)
+    ) / 3.0""",
+    6,
+)
+
+
+@query(
+    "quality_lr_score",
+    oracle="""
+    WITH feats AS (
+        SELECT lang,
+               CASE WHEN LENGTH(text) > 0
+                    THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                    ELSE 0.0 END AS f_alpha,
+               CASE WHEN LENGTH(text) > 0
+                    THEN CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                    ELSE 0.0 END AS f_digit,
+               LEAST(LENGTH(text) / 500.0, 1.0) AS f_len
+        FROM documents
+    ), scored AS (
+        SELECT lang,
+               LEAST(GREATEST(
+                   0.5 + (-0.4 + 2.2 * f_alpha - 3.0 * f_digit
+                          + 1.1 * f_len) / 4.0, 0.0), 1.0) AS p
+        FROM feats
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(FLOOR(AVG(p) * 1000000 + 0.5) / 1000000 AS DOUBLE)
+               AS avg_p
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    doc="Classifier-style quality scoring: a linear model over "
+    "cheap text features (alphabetic ratio, digit ratio, length "
+    "saturation) squashed through the TANGENT-LINE logistic "
+    "clamp(0.5 + z/4, 0, 1) — piecewise-rational on purpose, so "
+    "the score is bit-reproducible across engines (libm exp() "
+    "differs in the last ulp between JVM and DuckDB, which a "
+    "threshold would amplify into row flips). The fastText-style "
+    "keep/drop gate of a training-data pipeline: per-language "
+    "keep counts and mean scores, one scan, all JVM expressions — "
+    "at 100 TB this is scan-bound with zero shuffles beyond the "
+    "per-language partial agg. Weights are illustrative "
+    "(a real deployment loads learned ones as literals).",
+)
+def quality_lr_score(spark, sf_dir):
+    d = tbl_wide(spark, sf_dir, "documents")
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    f_alpha = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    f_digit = F.when(n > 0, digit / n).otherwise(F.lit(0.0))
+    f_len = F.least(n / F.lit(500.0), F.lit(1.0))
+    z = F.lit(-0.4) + 2.2 * f_alpha - 3.0 * f_digit + 1.1 * f_len
+    p = F.least(F.greatest(F.lit(0.5) + z / 4.0, F.lit(0.0)), F.lit(1.0))
+    return (
+        d.select("lang", p.alias("p"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("p") >= 0.6, 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+            r(F.avg("p"), 6).alias("avg_p"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_shingle_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_WORD_SHINGLES} AS shingles FROM documents
+        WHERE doc_id < 400
+    ), ex AS (
+        SELECT doc_id, s FROM sh, UNNEST(shingles) AS t(s)
+    ), keepers AS (
+        SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 50
+    ), kept AS (
+        SELECT ex.doc_id, ex.s FROM ex JOIN keepers USING (s)
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM kept GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_common,
+           {sql_r('CAST(n_common AS DOUBLE) / sz', 6)} AS containment
+    FROM inter JOIN sizes ON sizes.doc_id = id_a
+    WHERE sz >= 5
+      AND CAST(n_common AS DOUBLE) / sz >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    doc="Shingle CONTAINMENT (asymmetric Jaccard, Broder): "
+    "|S(A) ∩ S(B)| / |S(A)| — catches A-quoted-inside-B and "
+    "near-subset duplication that resemblance misses (a tweet "
+    "pasted into a long article scores ~0 Jaccard but ~1 "
+    "containment). Inverted-index join on shared shingles, never "
+    "all-pairs; shingles appearing in >50 docs are dropped from "
+    "the index (boilerplate carries no identity signal and its "
+    "posting lists are the quadratic blowup) — the cap is part of "
+    "the CONTRACT, mirrored in the oracle. At 100 TB add banded "
+    "minhash in front (dedup_minhash_lsh) and verify candidates "
+    "with this exact counter.",
+)
+def text_shingle_containment(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.functions.text import (
+        word_shingles,
+    )
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", word_shingles("text", 3).alias("shingles"))
+    )
+    ex = d.select("doc_id", F.explode("shingles").alias("s"))
+    keepers = ex.groupBy("s").count().filter(F.col("count") <= 50).select("s")
+    kept = ex.join(F.broadcast(keepers), "s")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "s")
+    b = kept.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("id_a"), "sz"
+            ),
+            "id_a",
+        )
+        .filter(
+            (F.col("sz") >= 5)
+            & (F.col("n_common").cast("double") / F.col("sz") >= 0.8)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            r(
+                F.col("n_common").cast("double") / F.col("sz"), 6
+            ).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {_DUCK_WORD_SHINGLES} AS shingles FROM documents
+        WHERE doc_id < 600
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {sql_r('CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)'
+                     ' / len(list_distinct(list_concat(a.shingles, b.shingles)))', 6)} >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), tc(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT tc.a, e.b FROM tc JOIN edges e ON tc.b = e.a
+    ), comp AS (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(tc.b), d.doc_id)) AS cluster_id
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 600) d
+        LEFT JOIN tc ON tc.a = d.doc_id
+        GROUP BY d.doc_id
+    ), scored AS (
+        SELECT comp.doc_id, comp.cluster_id, {_QUALITY_SQL} AS quality
+        FROM comp JOIN documents USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members, quality
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY quality DESC, doc_id ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM scored
+    ) WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+    doc="Quality-aware dedup: near-dup clusters (MinHash-LSH pairs "
+    "-> connected components, same contract as dedup_clusters) "
+    "keep their HIGHEST-QUALITY member, not the minimum id — the "
+    "policy real corpus pipelines want (duplicates differ by "
+    "boilerplate/truncation; keep the cleanest copy). One window "
+    "over the component-labeled frame on top of the clustering "
+    "cost; oracle = recursive-CTE transitive closure + the same "
+    "argmax.",
+)
+def dedup_keep_best(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.functions.text import (
+        quality_score,
+        word_shingles,
+    )
+    from etl_pipeline_4handling_listings_spark.operators.clustering import (
+        dedup_representatives,
+    )
+    from etl_pipeline_4handling_listings_spark.operators.dedup_approx import (
+        minhash_dedup_pairs,
+    )
+
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", word_shingles("text", 3), threshold=0.5,
+        num_hashes=64, bands=32,
+    )
+    labeled = dedup_representatives(d, pairs).withColumnRenamed(
+        "cluster_rep", "cluster_id"
+    )
+    scored = labeled.join(
+        d.select("doc_id", quality_score("text").alias("quality")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.select(
+            "*",
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(wc).alias("n_members"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "quality",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# =====================================================================
 # Driver-certification rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries
@@ -12017,6 +12326,10 @@ _DRIVER_ORDER = [
     "events_concurrent_sessions",
     "privacy_l_diversity",
     "fraud_duplicate_payments",
+    # round-6 additions: behind the certification window
+    "quality_lr_score",
+    "text_shingle_containment",
+    "dedup_keep_best",
 ]
 
 def _rotate_registry() -> None:

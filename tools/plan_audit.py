@@ -219,9 +219,12 @@ AUDIT = {
     "events_lateness_profile": {"expect": ["HashAggregate", "Window"], "forbid": ["SortMergeJoin"]},
     "price_elasticity_by_brand": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["Window", "SortMergeJoin"]},
     "events_weekly_active_mix": {"expect": ["HashAggregate"], "forbid": ["Window", "BroadcastNestedLoopJoin"]},
-    # demand sort runs once over the tenant-bounded aggregate; the
-    # level/threshold scalars broadcast back
-    "fairshare_waterfill": {"expect": ["HashAggregate", "Window"], "forbid": ["SortMergeJoin"]},
+    # rank/prefix must be the two-level scan: the within-d window is
+    # partitioned by (d, user_id-bucket). A windowspecdefinition
+    # ORDERING by (d, user_id) with no partition columns is the old
+    # global sort of the whole tenant frame sneaking back in (the
+    # surviving d-ordered window runs on the distinct-d frame only).
+    "fairshare_waterfill": {"expect": ["HashAggregate", "Window"], "forbid": ["SortMergeJoin", r"windowspecdefinition\(d#\d+L? ASC NULLS FIRST, user_id#\d+L? ASC"]},
     "events_power_users_gini": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
     "orders_backlog_aging": {"expect": ["HashAggregate", "PushedFilters: \\[.*o_orderstatus"], "forbid": ["Window"]},
     # trailing-window actives via bounded explode, never a RANGE window
