@@ -1114,6 +1114,13 @@ def _plan_diff_partitions(
     for n in range(start_v, end_v):
         v_old, v_new = f"v{n:05d}", f"v{n + 1:05d}"
         rec = _commit_record(path, v_new)
+        if rec.get("data_change") is False:
+            # row-preserving rewrite (OPTIMIZE bin-packing): Delta
+            # CDF's dataChange=false — no change rows by definition,
+            # so skip the step instead of whole-snapshot-diffing a
+            # commit that cannot emit anything. Only an EXPLICIT
+            # false skips; missing/unattributed records diff.
+            continue
         touched = rec.get("touched")
         if touched:
             rels = _manifest_relpaths(path, v_new)

@@ -3268,8 +3268,18 @@ class MergeStore:
                 if self.partition_by
                 else None
             )
-            if self._claim_version(nxt, claim_expiry_s, touched=touched):
-                if self._finalize_commit(staging, nxt, touched=touched):
+            # bin-packing (DV application included: soft-deleted rows
+            # were already invisible) preserves the visible row set —
+            # mark the commit dataChange=false so CDC feeds skip it
+            # entirely (Delta CDF semantics) instead of paying a
+            # whole-snapshot diff to discover zero changes
+            extra = {"operation": "optimize", "data_change": False}
+            if self._claim_version(
+                nxt, claim_expiry_s, touched=touched, extra=extra
+            ):
+                if self._finalize_commit(
+                    staging, nxt, touched=touched, extra=extra
+                ):
                     return nxt
                 shutil.rmtree(staging, ignore_errors=True)
                 self._await_advance(beyond=base)

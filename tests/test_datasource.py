@@ -170,6 +170,56 @@ def test_cdc_partitioned_diffs_only_touched(spark, tmp_path):
     assert rows == {(3, "insert")}
 
 
+def test_cdc_stream_skips_optimize_commit(spark, tmp_path):
+    """OPTIMIZE composes with the change feed: bin-packing is a
+    row-preserving rewrite (Delta CDF ``dataChange=false``), so a
+    stream spanning append -> optimize -> append emits exactly the
+    two appends' rows, nothing attributed to the optimize version —
+    and the planner SKIPS the optimize step rather than paying a
+    whole-snapshot diff to discover zero changes."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        _plan_diff_partitions,
+    )
+
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b")])  # v1
+    assert store.append(
+        spark.createDataFrame([(3, "c")], ["k", "v"])
+    ) == "v00002"
+    assert store.optimize(min_files=2) == "v00003"  # bin-pack only
+    assert store.append(
+        spark.createDataFrame([(4, "d")], ["k", "v"])
+    ) == "v00004"
+    register(spark)
+    q = (
+        spark.readStream.format("mergestore_cdc")
+        .option("keys", "k")
+        .option("startingVersion", 0)
+        .load(store.path)
+        .writeStream.format("memory")
+        .queryName("cdc_opt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("select * from cdc_opt").collect()
+    }
+    assert rows == {
+        (1, "insert", "v00001"),
+        (2, "insert", "v00001"),
+        (3, "insert", "v00002"),
+        (4, "insert", "v00004"),
+    }
+    # planner-level: the optimize step is absent, not merely empty
+    steps = {
+        p.v_new for p in _plan_diff_partitions(store.path, 0, 4, ["k"])
+    }
+    assert steps == {"v00001", "v00002", "v00004"}
+    # the compacted snapshot still reads complete (nothing lost)
+    assert store.read().count() == 4
+
+
 def test_datasource_write_append_path(spark, tmp_path):
     """df.write.format('mergestore').mode('append'): executors write
     Arrow->parquet scratch, the driver commit rides the store's OCC
