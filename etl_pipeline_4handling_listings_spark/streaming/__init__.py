@@ -1,4 +1,5 @@
 from etl_pipeline_4handling_listings_spark.streaming.pipeline import (  # noqa: F401
+    foreach_batch_cdc_apply,
     foreach_batch_sketch_merge,
     foreach_batch_upsert,
     stream_dedup_redelivery,

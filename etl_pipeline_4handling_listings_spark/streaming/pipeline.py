@@ -117,6 +117,68 @@ def stream_ohlc_bars(
     )
 
 
+def _app_marker(store_path: str, txn_app_id: str):
+    """Per-app-id applied-batch watermark for ``foreachBatch`` sinks
+    whose write is key-idempotent (a replay re-produces the same
+    snapshot, so the marker only avoids version churn — the append
+    sinks, which are NOT replay-safe, ride the commit manifest's
+    txn fields instead).
+
+    One FILE per ``txn_app_id`` (``_LAST_BATCH.<app-id>``) — Delta's
+    (txnAppId, txnVersion) scheme, not a bare batch id: a second
+    streaming query writing the same store, or a restart with a
+    reset checkpoint (batch ids restart at 0), must not have its
+    real batches dropped as "replays" of another query's ids. Each
+    update is a self-contained atomic replace, so concurrent app
+    ids can never erase each other's markers. Returns
+    ``(applied, record)``: the highest applied batch id (-1 = none)
+    and the recorder."""
+    import hashlib
+    import json
+    import os
+    import re
+
+    legacy_marker = os.path.join(store_path, "_LAST_BATCH")
+    # filesystem-safe, collision-safe name for the app's own marker:
+    # readable prefix + short digest (two app ids that sanitize to
+    # the same prefix still get distinct files)
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", txn_app_id)[:40]
+    digest = hashlib.sha256(txn_app_id.encode()).hexdigest()[:8]
+    marker = f"{legacy_marker}.{safe}-{digest}"
+
+    def applied() -> int:
+        """Highest batch id THIS app id has applied (-1 = none).
+        The per-app file wins; the legacy shared marker (plain int
+        or JSON map) is only consulted when the per-app file does
+        not exist yet, so pre-migration stores resume correctly."""
+        try:
+            with open(marker) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+        try:
+            with open(legacy_marker) as f:
+                d = json.loads(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+        if isinstance(d, dict):
+            v = d.get(txn_app_id, -1)
+            return v if isinstance(v, int) else -1
+        if isinstance(d, int) and txn_app_id == "default":
+            return d  # legacy plain-int marker ("7" IS json)
+        return -1
+
+    def record(batch_id: int) -> None:
+        # atomic self-contained replace: no read-modify-write of
+        # shared state, so concurrent app ids can't erase each other
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    return applied, record
+
+
 def foreach_batch_upsert(
     store: MergeStore,
     keys: Sequence[str],
@@ -167,40 +229,7 @@ def foreach_batch_upsert(
     re-merging. Optimize failures never fail the batch (the data is
     already committed); they surface on the next cycle.
     """
-    import hashlib
-    import json
-    import os
-    import re
-
-    legacy_marker = os.path.join(store.path, "_LAST_BATCH")
-    # filesystem-safe, collision-safe name for the app's own marker:
-    # readable prefix + short digest (two app ids that sanitize to
-    # the same prefix still get distinct files)
-    safe = re.sub(r"[^A-Za-z0-9._-]", "_", txn_app_id)[:40]
-    digest = hashlib.sha256(txn_app_id.encode()).hexdigest()[:8]
-    marker = f"{legacy_marker}.{safe}-{digest}"
-
-    def _applied() -> int:
-        """Highest batch id THIS app id has applied (-1 = none).
-        The per-app file wins; the legacy shared marker (plain int
-        or JSON map) is only consulted when the per-app file does
-        not exist yet, so pre-migration stores resume correctly."""
-        try:
-            with open(marker) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            pass
-        try:
-            with open(legacy_marker) as f:
-                d = json.loads(f.read().strip())
-        except (OSError, ValueError):
-            return -1
-        if isinstance(d, dict):
-            v = d.get(txn_app_id, -1)
-            return v if isinstance(v, int) else -1
-        if isinstance(d, int) and txn_app_id == "default":
-            return d  # legacy plain-int marker ("7" IS json)
-        return -1
+    _applied, _record = _app_marker(store.path, txn_app_id)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= _applied():
@@ -209,12 +238,7 @@ def foreach_batch_upsert(
         deduped = latest_record(batch, keys, cols)
         store.create_if_absent(deduped)
         store.merge(deduped)
-        # atomic self-contained replace: no read-modify-write of
-        # shared state, so concurrent app ids can't erase each other
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, marker)
+        _record(batch_id)
         if (
             auto_optimize_every
             and (batch_id + 1) % auto_optimize_every == 0
@@ -265,6 +289,75 @@ def foreach_batch_append(
                 store.optimize()
             except Exception:
                 pass  # data already committed; retry next cycle
+
+    return sink
+
+
+def foreach_batch_cdc_apply(
+    target: MergeStore,
+    keys: Sequence[str],
+    txn_app_id: str = "cdc",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink that REPLAYS a ``mergestore_cdc`` change
+    feed into a downstream store — the bronze→silver medallion hop:
+
+        (spark.readStream.format("mergestore_cdc")
+              .option("keys", "k").load(bronze.path)
+              .writeStream.foreachBatch(
+                  foreach_batch_cdc_apply(silver, ["k"]))
+              .option("checkpointLocation", ...).start())
+
+    Batches carry ``_change_type`` / ``_commit_version`` columns. A
+    micro-batch may span several upstream commits, so changes first
+    collapse to the LAST change per key (commit versions are
+    zero-padded — lexicographic max IS the latest), then apply in
+    one MERGE: postimages upsert, deletes delete. Order within the
+    batch therefore never matters, and the per-key collapse keeps
+    the merge source unique per key (the Delta MERGE precondition).
+
+    Exactly-once: the merge is key-idempotent (replaying a batch of
+    postimages/deletes reproduces the same snapshot), so the per-app
+    marker file only prevents replay version churn — same contract
+    as :func:`foreach_batch_upsert`. Transformations between feed
+    and sink are fine as long as they are row-wise (filter/project):
+    anything that re-aggregates across keys should land in its own
+    store via :func:`foreach_batch_upsert` instead.
+
+    Scale: cost per batch is O(changed keys), never O(table) — the
+    downstream table follows a 100 TB upstream at the write rate,
+    not the table size; with both stores partitioned by the same
+    key function the merge prunes to the touched partitions.
+    """
+    _applied, _record = _app_marker(target.path, txn_app_id)
+    meta = ("_change_type", "_commit_version")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _applied():
+            return  # replayed, already applied by THIS query
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("_commit_version")
+        )
+        last = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_commit_version")
+        )
+        data_cols = [c for c in last.columns if c not in meta]
+        target.create_if_absent(last.select(*data_cols))
+        # merge_upsert clause order evaluates update BEFORE delete,
+        # so the conditions must be mutually exclusive on the flag
+        target.merge(
+            last,
+            update_condition=lambda t, s: s["_change_type"]
+            != F.lit("delete"),
+            delete_condition=lambda t, s: s["_change_type"]
+            == F.lit("delete"),
+            insert_condition=lambda t, s: s["_change_type"]
+            != F.lit("delete"),
+        )
+        _record(batch_id)
 
     return sink
 

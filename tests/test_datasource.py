@@ -220,6 +220,59 @@ def test_cdc_stream_skips_optimize_commit(spark, tmp_path):
     assert store.read().count() == 4
 
 
+def test_cdc_apply_chains_stores_medallion(spark, tmp_path):
+    """Bronze→silver chaining: a silver store follows a bronze store
+    through the streaming change feed + foreach_batch_cdc_apply —
+    upserts land as upserts, deletes as deletes, multi-commit batches
+    collapse to the last change per key, and a restart resumes from
+    the checkpoint without re-churning silver versions."""
+    from etl_pipeline_4handling_listings_spark.streaming import (
+        foreach_batch_cdc_apply,
+    )
+
+    bronze = _mk(spark, tmp_path, [(1, "a"), (2, "b")])  # v1
+    bronze.merge(
+        spark.createDataFrame([(1, "A"), (3, "c")], ["k", "v"])
+    )  # v2
+    bronze.delete("k = 2")  # v3
+    silver = MergeStore(spark, str(tmp_path / "silver"), keys=["k"])
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("mergestore_cdc")
+            .option("keys", "k")
+            .option("startingVersion", 0)
+            .load(bronze.path)
+            .writeStream.foreachBatch(
+                foreach_batch_cdc_apply(silver, ["k"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    assert {(r["k"], r["v"]) for r in silver.read().collect()} == {
+        (1, "A"),
+        (3, "c"),
+    }
+    # more upstream commits, then resume from the same checkpoint
+    bronze.merge(spark.createDataFrame([(4, "d")], ["k", "v"]))  # v4
+    bronze.delete("k = 1")  # v5
+    run()
+    assert {(r["k"], r["v"]) for r in silver.read().collect()} == {
+        (3, "c"),
+        (4, "d"),
+    }
+    # replay safety: nothing new upstream -> no silver version churn
+    before = silver.current_version()
+    run()
+    assert silver.current_version() == before
+
+
 def test_datasource_write_append_path(spark, tmp_path):
     """df.write.format('mergestore').mode('append'): executors write
     Arrow->parquet scratch, the driver commit rides the store's OCC
