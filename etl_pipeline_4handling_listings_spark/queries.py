@@ -8546,6 +8546,135 @@ def graph_kcore(spark, sf_dir):
     )
 
 
+def _duck_pr_round(prev: str, nxt: str) -> str:
+    """One unrolled power-iteration round for the PageRank oracle —
+    pure BIGINT arithmetic (integer division for the per-neighbor
+    share, 17/20 for the 0.85 damping), so the result is exact and
+    identical regardless of aggregation order in either engine."""
+    return f"""
+    {nxt} AS MATERIALIZED (
+        SELECT dirs.dst AS node,
+               CAST((SELECT (3 * 1000000000000) // (20 * n) FROM nn)
+                    + (17 * SUM(p.pr // deg.d)) // 20 AS BIGINT) AS pr
+        FROM {prev} p
+        JOIN deg ON deg.node = p.node
+        JOIN dirs ON dirs.src = p.node
+        GROUP BY dirs.dst
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH pres AS (
+        SELECT DISTINCT user_id, event_type, epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    e0 AS MATERIALIZED (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM pres a JOIN pres b
+          ON a.event_type = b.event_type AND a.h = b.h
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    dirs AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v, u FROM e0
+    ),
+    deg AS MATERIALIZED (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM dirs GROUP BY src
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    p0 AS MATERIALIZED (
+        SELECT node, CAST(1000000000000 // n AS BIGINT) AS pr
+        FROM deg, nn
+    ),
+    {_duck_pr_round('p0', 'p1')},
+    {_duck_pr_round('p1', 'p2')},
+    {_duck_pr_round('p2', 'p3')},
+    {_duck_pr_round('p3', 'p4')},
+    {_duck_pr_round('p4', 'p5')},
+    {_duck_pr_round('p5', 'p6')}
+    SELECT p6.node AS user_id, deg.d AS degree,
+           CAST(p6.pr AS BIGINT) AS pr_e12,
+           CAST(p6.pr AS DOUBLE) / 1000000000000.0 AS pagerank
+    FROM p6 JOIN deg ON deg.node = p6.node
+    ORDER BY pr_e12 DESC, user_id ASC
+    LIMIT 20
+    """,
+    doc="PageRank over the co-presence graph (6 power-iteration "
+    "rounds, damping 0.85): the node-centrality twin of "
+    "textrank_keywords' word-graph rank, at USER scale — influence/"
+    "bot-hub scoring for the events graph. Determinism contract: "
+    "rank mass is a BIGINT on a 1e-12 grid — per-neighbor shares "
+    "use integer division (pr div deg), damping is exactly 17/20 — "
+    "so every engine computes the identical integer no matter the "
+    "aggregation order (same spirit as the cents() money contract; "
+    "a float PageRank would drift per-iteration across partial-agg "
+    "orders). The final double is pr_e12/1e12: one exact IEEE op "
+    "on identical integers. Fixed 6 rounds, self-describing in the "
+    "column name; production at 100 TB would add a convergence "
+    "probe (sum |delta|) per round — each round is one join keyed "
+    "on node + one shuffle on dst, both map-side combinable; the "
+    "edge frame comes from the shared cached co-presence build and "
+    "lineage is truncated mid-loop.",
+)
+def graph_pagerank(spark, sf_dir):
+    edges = _copresence_edges_cached(spark, sf_dir)
+    dirs = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = (
+        dirs.groupBy("src")
+        .agg(F.count("*").cast("long").alias("d"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, degree bigint, pr_e12 bigint, pagerank double",
+        )
+    scale = 10**12
+    base = (3 * scale) // (20 * n)  # (1-d)/N on the integer grid
+    pr = deg.select("node", F.lit(scale // n).cast("long").alias("pr"))
+    for _it in range(6):
+        contrib = pr.join(deg, "node").select(
+            F.col("node").alias("src"), F.expr("pr div d").alias("c")
+        )
+        pr = (
+            dirs.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.expr("(17 * s) div 20"))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+        if _it == 2:
+            # truncate the nested join lineage halfway (planning
+            # time grows superlinearly with depth; same trick as
+            # textrank's power loop)
+            pr = pr.localCheckpoint(eager=True)
+    return (
+        pr.join(deg, "node")
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("d").alias("degree"),
+            F.col("pr").alias("pr_e12"),
+            (F.col("pr").cast("double") / F.lit(1000000000000.0)).alias(
+                "pagerank"
+            ),
+        )
+        .orderBy(F.desc("pr_e12"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
 @query(
     "hier_subtree_rollup",
     oracle="""
@@ -12330,6 +12459,7 @@ _DRIVER_ORDER = [
     "quality_lr_score",
     "text_shingle_containment",
     "dedup_keep_best",
+    "graph_pagerank",
 ]
 
 def _rotate_registry() -> None:
