@@ -424,6 +424,66 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         )
         return store.optimize(zorder_by=zcols)
 
+    m = re.match(
+        r"^restore table (\w+) to timestamp as of (.+)$", stmt, re.I
+    )
+    if m:
+        store = _get_table(tables, m.group(1))
+        ts = unmask(m.group(2)).strip().strip("'\"")
+        return store.restore(store.version_as_of(ts))
+
+    m = re.match(r"^reorg table (\w+) apply \(\s*purge\s*\)$", stmt, re.I)
+    if m:
+        return _get_table(tables, m.group(1)).optimize(purge=True)
+
+    m = re.match(
+        r"^alter table (\w+) add constraint (\w+) check \((.+)\)$",
+        stmt,
+        re.I,
+    )
+    if m:
+        store = _get_table(tables, m.group(1))
+        store.add_constraint(m.group(2), unmask(m.group(3)))
+        return None
+
+    m = re.match(
+        r"^alter table (\w+) drop constraint (\w+)$", stmt, re.I
+    )
+    if m:
+        _get_table(tables, m.group(1)).drop_constraint(m.group(2))
+        return None
+
+    m = re.match(
+        r"^alter table (\w+) cluster by (?:none|\(([\w, ]+)\))$",
+        stmt,
+        re.I,
+    )
+    if m:
+        store = _get_table(tables, m.group(1))
+        cols = (
+            [c.strip() for c in m.group(2).split(",")]
+            if m.group(2)
+            else []
+        )
+        store.set_clustering(cols)
+        return None
+
+    m = re.match(
+        r"^alter table (\w+) add columns? \((.+)\)$", stmt, re.I
+    )
+    if m:
+        store = _get_table(tables, m.group(1))
+        cols: dict[str, str] = {}
+        for part in _split_top_level(m.group(2)):
+            cm = re.match(r"^\s*(\w+)\s+([\w()<>, ]+?)\s*$", part)
+            if not cm:
+                raise DMLParseError(
+                    f"cannot parse column definition {part!r} "
+                    "(expected: name TYPE)"
+                )
+            cols[cm.group(1)] = cm.group(2)
+        return store.add_columns(cols)
+
     m = re.match(r"^create table (\w+) clone (\w+)$", stmt, re.I)
     if m:
         target = _get_table(tables, m.group(1))
@@ -435,8 +495,11 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
 
     raise DMLParseError(
         f"unsupported statement {unmask(stmt)[:80]!r}; supported: MERGE INTO, "
-        "DELETE FROM, UPDATE, INSERT INTO, VACUUM, RESTORE TABLE, "
-        "OPTIMIZE [ZORDER BY], CREATE TABLE ... CLONE, "
+        "DELETE FROM, UPDATE, INSERT INTO, VACUUM, "
+        "RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF, "
+        "OPTIMIZE [ZORDER BY], REORG TABLE ... APPLY (PURGE), "
+        "CREATE TABLE ... CLONE, ALTER TABLE ... ADD COLUMNS | "
+        "ADD/DROP CONSTRAINT | CLUSTER BY, "
         "DESCRIBE HISTORY, DESCRIBE DETAIL"
     )
 

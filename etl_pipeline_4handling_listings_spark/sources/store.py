@@ -89,7 +89,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from etl_pipeline_4handling_listings_spark.operators.merge import Cond, merge_upsert
 from etl_pipeline_4handling_listings_spark.sources.hivepath import hive_part_str
@@ -1990,9 +1990,10 @@ class MergeStore:
             ).load(files)
         return reader.load(self._version_dir(version))
 
-    def read_as_of(self, ts) -> DataFrame:
-        """Time travel by TIMESTAMP (Delta ``timestampAsOf``): read
-        the newest retained snapshot committed at or before ``ts``.
+    def version_as_of(self, ts) -> str:
+        """Resolve a timestamp to the newest retained snapshot
+        committed at or before it — the lookup behind both
+        :meth:`read_as_of` and ``RESTORE TABLE ... TO TIMESTAMP``.
 
         ``ts`` may be an epoch-seconds number, a ``datetime``, or an
         ISO string (naive strings are taken as UTC, matching the
@@ -2019,7 +2020,14 @@ class MergeStore:
                 f"no retained snapshot at {self.path} committed at or "
                 f"before {ts} (oldest retained: {self.list_versions()})"
             )
-        return self.read_version(best)
+        return best
+
+    def read_as_of(self, ts) -> DataFrame:
+        """Time travel by TIMESTAMP (Delta ``timestampAsOf``): read
+        the newest retained snapshot committed at or before ``ts``
+        (see :meth:`version_as_of` for accepted forms and the
+        refusal contract)."""
+        return self.read_version(self.version_as_of(ts))
 
     def _manifest_ts(self, version: str) -> float | None:
         manifest = os.path.join(self._commits_dir(), f"{version}.json")
@@ -2253,6 +2261,75 @@ class MergeStore:
         raise RuntimeError(
             f"restore at {self.path} lost {max_retries + 1} straight "
             "commit races; raise max_retries or pause ingest"
+        )
+
+    def add_columns(
+        self,
+        cols: dict[str, str],
+        claim_expiry_s: float = 300.0,
+        max_retries: int = 5,
+    ) -> str:
+        """``ALTER TABLE ... ADD COLUMNS`` (Delta analogue): commit a
+        NEW version whose data files are the current snapshot's
+        (hardlinked, O(1) per file) under a WIDENED snapshot schema —
+        existing rows read NULL for the new columns, exactly like
+        merge/append ``schema_evolution`` but without needing a data
+        batch to ride on. ``cols`` maps name -> Spark SQL type string
+        (``{"score": "double"}``); new columns are nullable.
+
+        Metadata-only by construction, so the commit is stamped
+        ``data_change=false`` — CDC feeds skip it (no phantom
+        "every row updated to NULL" diff), and time travel to older
+        versions keeps their narrower schema (per-snapshot
+        ``_SCHEMA.json``). Returns the committed version.
+        """
+        from pyspark.sql.types import _parse_datatype_string
+
+        self._check_write_protocol()
+        if not cols:
+            raise ValueError("add_columns requires at least one column")
+        new_fields = [
+            StructField(name, _parse_datatype_string(t), True)
+            for name, t in cols.items()
+        ]
+        extra = {"operation": "add columns", "data_change": False}
+        for _attempt in range(max_retries + 1):
+            self._repair_pointer()
+            base = self.current_version()
+            if base is None:
+                raise FileNotFoundError(
+                    f"MergeStore at {self.path} does not exist"
+                )
+            schema = self._version_schema(base)
+            if schema is None:
+                schema = self.read_version(base).schema
+            have = {f.name for f in schema.fields}
+            dup = [f.name for f in new_fields if f.name in have]
+            if dup:
+                raise ValueError(
+                    f"columns {dup} already exist at {self.path} "
+                    f"(have {sorted(have)})"
+                )
+            widened = StructType(list(schema.fields) + new_fields)
+            nxt = f"v{int(base[1:]) + 1:05d}"
+            os.makedirs(self._staging_dir(), exist_ok=True)
+            staging = os.path.join(self._staging_dir(), uuid.uuid4().hex)
+            try:
+                _link_tree(self._version_dir(base), staging)
+            except OSError:
+                # base vacuumed mid-link: re-resolve and retry
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+                continue
+            self._write_snapshot_schema(staging, widened)
+            if self._claim_version(nxt, claim_expiry_s, extra=extra):
+                if self._finalize_commit(staging, nxt, extra=extra):
+                    return nxt
+            shutil.rmtree(staging, ignore_errors=True)
+            self._await_advance(beyond=base)
+        raise RuntimeError(
+            f"add_columns at {self.path} lost {max_retries + 1} "
+            "straight commit races; raise max_retries or pause ingest"
         )
 
     def detail(self) -> DataFrame:

@@ -498,3 +498,119 @@ def test_merge_unconditional_then_conditional_same_side_rejected(
             """,
             tables={"destination": store},
         )
+
+
+def test_alter_table_constraints_and_clustering(spark, tmp_path):
+    store = _mk(spark, tmp_path, BASE)
+    t = {"t": store}
+    run_dml(
+        spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (price > 0)", t
+    )
+    assert "pos" in store.constraints()
+    # the constraint is live: a violating merge must abort
+    spark.createDataFrame(
+        [("Z", 9, -5, "bad")], ["mls", "lid", "price", "status"]
+    ).createOrReplaceTempView("viol")
+    with pytest.raises(Exception, match="pos|constraint"):
+        run_dml(
+            spark,
+            "merge into t using viol on t.mls = viol.mls and "
+            "t.lid = viol.lid when not matched then insert *",
+            t,
+        )
+    run_dml(spark, "ALTER TABLE t DROP CONSTRAINT pos", t)
+    assert "pos" not in store.constraints()
+    run_dml(spark, "ALTER TABLE t CLUSTER BY (price)", t)
+    assert store.clustering() == ["price"]
+    run_dml(spark, "ALTER TABLE t CLUSTER BY NONE", t)
+    assert store.clustering() == []
+
+
+def test_alter_table_add_columns_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD COLUMNS: a metadata-only commit — existing
+    rows read NULL for the new columns, time travel keeps the old
+    narrow schema, and the change feed skips the commit
+    (data_change=false: no phantom all-rows-updated diff)."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        _plan_diff_partitions,
+    )
+
+    store = _mk(spark, tmp_path, BASE)  # v1
+    v = run_dml(
+        spark, "ALTER TABLE t ADD COLUMNS (score double, tag string)", t := {"t": store}
+    )
+    assert v == "v00002"
+    out = store.read()
+    assert dict(out.dtypes)["score"] == "double"
+    assert dict(out.dtypes)["tag"] == "string"
+    assert out.filter(F.col("score").isNull()).count() == len(BASE)
+    # time travel: the old snapshot keeps its narrower schema
+    assert "score" not in store.read_version("v00001").columns
+    # duplicate add is a named error
+    with pytest.raises(ValueError, match="already exist"):
+        store.add_columns({"score": "double"})
+    # CDC: the metadata commit is absent from the diff plan
+    steps = {p.v_new for p in _plan_diff_partitions(store.path, 0, 2, ["mls", "lid"])}
+    assert steps == {"v00001"}
+    # the widened schema is writable: a merge filling the column
+    spark.createDataFrame(
+        [("A", 1, 100, "open", 0.9, "kept")],
+        ["mls", "lid", "price", "status", "score", "tag"],
+    ).createOrReplaceTempView("fills")
+    run_dml(
+        spark,
+        "merge into t using fills on t.mls = fills.mls and "
+        "t.lid = fills.lid when matched then update set *",
+        t,
+    )
+    got = {
+        (r["mls"], r["lid"]): (r["score"], r["tag"])
+        for r in store.read().collect()
+    }
+    assert got[("A", 1)] == (0.9, "kept")
+    assert got[("B", 1)] == (None, None)
+
+
+def test_restore_to_timestamp_and_reorg_purge(spark, tmp_path):
+    store = _mk(spark, tmp_path, BASE)  # v1
+    import json
+    import os
+    import time
+
+    # pin v1's manifest timestamp well in the past so the boundary
+    # is unambiguous without sleeping
+    c1 = os.path.join(store.path, "_COMMITS", "v00001.json")
+    rec = json.load(open(c1))
+    rec["ts"] = time.time() - 3600
+    with open(c1, "w") as f:
+        json.dump(rec, f)
+    cutoff = time.time() - 1800
+    spark.createDataFrame(
+        [("A", 1, 999, "hot")], ["mls", "lid", "price", "status"]
+    ).createOrReplaceTempView("s2")
+    run_dml(
+        spark,
+        "merge into t using s2 on t.mls = s2.mls and t.lid = s2.lid "
+        "when matched then update set *",
+        {"t": store},
+    )  # v2 (now)
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(
+        cutoff, tz=dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    v = run_dml(
+        spark,
+        f"RESTORE TABLE t TO TIMESTAMP AS OF '{iso}'",
+        {"t": store},
+    )
+    assert v == "v00003"
+    prices = {
+        (r["mls"], r["lid"]): r["price"] for r in store.read().collect()
+    }
+    assert prices[("A", 1)] == 100  # v1 content restored
+    # REORG APPLY (PURGE): rewrites DV-holding partitions
+    store.delete("lid = 2")
+    v = run_dml(spark, "REORG TABLE t APPLY (PURGE)", {"t": store})
+    assert v is None or v.startswith("v")
+    assert store.read().filter("lid = 2").count() == 0
