@@ -8426,6 +8426,111 @@ def stats_cuped_adjust(spark, sf_dir):
     ).orderBy("variant")
 
 
+@query(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, user_id % 2 AS variant,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ), g AS (
+        SELECT event_type, variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM e GROUP BY 1, 2
+    ), w AS (
+        SELECT a.event_type AS event_type,
+               a.n AS n_a, b.n AS n_b,
+               CAST(a.s AS DOUBLE) / a.n AS ma,
+               CAST(b.s AS DOUBLE) / b.n AS mb,
+               (a.ss - (CAST(a.s AS DOUBLE) / a.n) * a.s)
+                   / (a.n - 1) AS va,
+               (b.ss - (CAST(b.s AS DOUBLE) / b.n) * b.s)
+                   / (b.n - 1) AS vb
+        FROM g a JOIN g b ON a.event_type = b.event_type
+         AND a.variant = 0 AND b.variant = 1
+        WHERE a.n > 1 AND b.n > 1
+    )
+    SELECT event_type, n_a, n_b,
+           {sql_r('ma / 100.0', 6)} AS mean_a,
+           {sql_r('mb / 100.0', 6)} AS mean_b,
+           {sql_r('(ma - mb) / sqrt(va / n_a + vb / n_b)', 6)} AS t_stat,
+           {sql_r('((va / n_a + vb / n_b) * (va / n_a + vb / n_b))'
+                  ' / ((va / n_a) * (va / n_a) / (n_a - 1)'
+                  '    + (vb / n_b) * (vb / n_b) / (n_b - 1))', 6)}
+               AS df_welch,
+           ABS((ma - mb) / sqrt(va / n_a + vb / n_b)) >= 1.96
+               AS significant
+    FROM w ORDER BY event_type
+    """,
+    doc="Welch's unequal-variance t-test per event_type (variant = "
+    "user_id parity — the same hash split the CUPED query uses): "
+    "the A/B significance readout, with Welch-Satterthwaite "
+    "degrees of freedom. Completes the frequentist family next to "
+    "stats_mannwhitney_u / stats_ks_test / stats_cuped_adjust. "
+    "Exactness contract: per-group (n, sum, sum-of-squares) are "
+    "BIGINT over integer cents — exact under any aggregation "
+    "order — and every downstream mean/variance/t/df is the same "
+    "closed-form IEEE expression over those identical integers in "
+    "both engines (the formulas are written structurally "
+    "identically on purpose). One scan, one partial-agg shuffle "
+    "on (event_type, variant), then scalar math on an "
+    "event-type-cardinality frame.",
+)
+def stats_welch_ttest(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    g = (
+        e.select(
+            "event_type",
+            (F.col("user_id") % 2).alias("variant"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+    )
+    a = g.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = g.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    j = a.join(b, "event_type").filter(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    )
+    ma = F.col("s_a").cast("double") / F.col("n_a")
+    mb = F.col("s_b").cast("double") / F.col("n_b")
+    va = (F.col("ss_a") - ma * F.col("s_a")) / (F.col("n_a") - 1)
+    vb = (F.col("ss_b") - mb * F.col("s_b")) / (F.col("n_b") - 1)
+    se2 = va / F.col("n_a") + vb / F.col("n_b")
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (va / F.col("n_a")) * (va / F.col("n_a")) / (F.col("n_a") - 1)
+        + (vb / F.col("n_b")) * (vb / F.col("n_b")) / (F.col("n_b") - 1)
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        r(ma / 100.0, 6).alias("mean_a"),
+        r(mb / 100.0, 6).alias("mean_b"),
+        r(t, 6).alias("t_stat"),
+        r(df, 6).alias("df_welch"),
+        (F.abs(t) >= 1.96).alias("significant"),
+    ).orderBy("event_type")
+
+
 def _duck_kcore_round(e_prev: str, e_next: str) -> str:
     """One unrolled peel round for the k-core oracle: drop nodes
     whose degree in ``e_prev`` is below k, keep edges with both
@@ -10759,6 +10864,109 @@ def privacy_l_diversity(spark, sf_dir):
 
 
 @query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+    ), gseg AS (
+        SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS gs
+        FROM customer GROUP BY 1
+    ), cls AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cs
+        FROM customer GROUP BY 1, 2, 3
+    ), sz AS (
+        SELECT c_nationkey, bal_band, CAST(SUM(cs) AS BIGINT) AS class_size
+        FROM cls GROUP BY 1, 2
+    ), num AS (
+        SELECT cls.c_nationkey, cls.bal_band,
+               CAST(SUM(ABS(cls.cs * tot.n - gseg.gs * sz.class_size)
+                        - gseg.gs * sz.class_size) AS BIGINT) AS adj
+        FROM cls
+        JOIN gseg ON gseg.seg = cls.seg
+        JOIN sz ON sz.c_nationkey = cls.c_nationkey
+               AND sz.bal_band = cls.bal_band
+        CROSS JOIN tot
+        GROUP BY 1, 2
+    )
+    SELECT num.c_nationkey AS nation, num.bal_band AS bal_band,
+           sz.class_size AS class_size,
+           {sql_r('CAST(tot.n * sz.class_size + num.adj AS DOUBLE)'
+                  ' / (2.0 * sz.class_size * tot.n)', 6)} AS t_closeness
+    FROM num
+    JOIN sz ON sz.c_nationkey = num.c_nationkey
+           AND sz.bal_band = num.bal_band
+    CROSS JOIN tot
+    ORDER BY t_closeness DESC, nation, bal_band
+    LIMIT 20
+    """,
+    doc="t-closeness audit, completing the k-anonymity / "
+    "l-diversity trio: per quasi-identifier class (nation, balance "
+    "band), the total-variation distance between the class's "
+    "sensitive-attribute distribution (market segment) and the "
+    "GLOBAL one — a class may be k-anonymous AND l-diverse yet "
+    "still leak by skew (90% of one segment where the population "
+    "is 20%). Worst 20 classes reported. Exactness contract: TVD "
+    "= (N*sz + SUM_present(|cs*N - gs*sz| - gs*sz)) / (2*sz*N) — "
+    "the numerator is pure BIGINT (absent segments folded in "
+    "closed form, so only PRESENT (class, segment) rows are "
+    "touched), and the single final division of identical "
+    "integers is bit-identical in any engine. Two hash aggregates "
+    "+ a 5-row broadcast; no window, no explode over the domain.",
+)
+def privacy_t_closeness(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    tot = c.agg(F.count("*").cast("long").alias("n"))
+    glob = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").cast("long").alias("gs")
+    )
+    cls = c.groupBy(
+        "c_nationkey", band.alias("bal_band"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").cast("long").alias("cs"))
+    sz = cls.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("cs").cast("long").alias("class_size")
+    )
+    num = (
+        cls.join(F.broadcast(glob), "seg")
+        .join(sz, ["c_nationkey", "bal_band"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cs") * F.col("n")
+                    - F.col("gs") * F.col("class_size")
+                )
+                - F.col("gs") * F.col("class_size")
+            )
+            .cast("long")
+            .alias("adj")
+        )
+    )
+    return (
+        num.join(sz, ["c_nationkey", "bal_band"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            "bal_band",
+            "class_size",
+            r(
+                (F.col("n") * F.col("class_size") + F.col("adj")).cast(
+                    "double"
+                )
+                / (2.0 * F.col("class_size") * F.col("n")),
+                6,
+            ).alias("t_closeness"),
+        )
+        .orderBy(F.desc("t_closeness"), "nation", "bal_band")
+        .limit(20)
+    )
+
+
+@query(
     "fraud_duplicate_payments",
     oracle="""
     WITH e AS (
@@ -12460,6 +12668,8 @@ _DRIVER_ORDER = [
     "text_shingle_containment",
     "dedup_keep_best",
     "graph_pagerank",
+    "privacy_t_closeness",
+    "stats_welch_ttest",
 ]
 
 def _rotate_registry() -> None:
