@@ -468,6 +468,10 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         store.set_clustering(cols)
         return None
 
+    m = re.match(r"^alter table (\w+) drop column (\w+)$", stmt, re.I)
+    if m:
+        return _get_table(tables, m.group(1)).drop_column(m.group(2))
+
     m = re.match(
         r"^alter table (\w+) add columns? \((.+)\)$", stmt, re.I
     )
@@ -499,7 +503,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         "RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF, "
         "OPTIMIZE [ZORDER BY], REORG TABLE ... APPLY (PURGE), "
         "CREATE TABLE ... CLONE, ALTER TABLE ... ADD COLUMNS | "
-        "ADD/DROP CONSTRAINT | CLUSTER BY, "
+        "DROP COLUMN | ADD/DROP CONSTRAINT | CLUSTER BY, "
         "DESCRIBE HISTORY, DESCRIBE DETAIL"
     )
 

@@ -82,6 +82,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -2310,6 +2311,20 @@ class MergeStore:
                     f"columns {dup} already exist at {self.path} "
                     f"(have {sorted(have)})"
                 )
+            dead = [
+                f.name
+                for f in new_fields
+                if f.name in self.dropped_columns()
+            ]
+            if dead:
+                raise ValueError(
+                    f"columns {dead} were previously dropped and their "
+                    "bytes still live in retained data files — "
+                    "re-adding the name would resurrect stale values "
+                    "through the explicit-schema read. Use a new name "
+                    "(Delta reuses names only under column mapping, "
+                    "which this store does not fake)."
+                )
             widened = StructType(list(schema.fields) + new_fields)
             nxt = f"v{int(base[1:]) + 1:05d}"
             os.makedirs(self._staging_dir(), exist_ok=True)
@@ -2329,6 +2344,121 @@ class MergeStore:
             self._await_advance(beyond=base)
         raise RuntimeError(
             f"add_columns at {self.path} lost {max_retries + 1} "
+            "straight commit races; raise max_retries or pause ingest"
+        )
+
+    def _tombstones_path(self) -> str:
+        return os.path.join(self.path, "_TOMBSTONES.json")
+
+    def dropped_columns(self) -> list[str]:
+        """Names logically dropped by :meth:`drop_column` — retired
+        permanently (see there for why)."""
+        try:
+            with open(self._tombstones_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return []
+
+    def drop_column(
+        self,
+        name: str,
+        claim_expiry_s: float = 300.0,
+        max_retries: int = 5,
+    ) -> str:
+        """``ALTER TABLE ... DROP COLUMN`` (logical drop): commit a
+        NEW version whose data files are the current snapshot's
+        (hardlinked) under a NARROWED snapshot schema — the column
+        vanishes from every read path (engine, data source, CDC,
+        Delta-log export all read through the per-snapshot schema),
+        while time travel to older versions still sees it. Stamped
+        ``data_change=false``: no row changed, CDC feeds skip it.
+
+        The name is retired PERMANENTLY (recorded in
+        ``_TOMBSTONES.json``; :meth:`add_columns` refuses it): the
+        bytes still live in old data files, so re-adding the name
+        would silently resurrect stale values through the
+        explicit-schema read. Delta solves name reuse with column
+        mapping (physical UUID names); without it Delta refuses
+        DROP COLUMN entirely — this store does the logical drop but
+        keeps the honest restriction. Refuses to drop the partition
+        column, a merge key, or a column referenced by CHECK
+        constraints, generated columns, identity columns, or the
+        clustering spec (same guards Delta applies).
+        """
+        self._check_write_protocol()
+        if name == self.partition_by:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        if name in self.keys:
+            raise ValueError(f"cannot drop merge key {name!r}")
+        if name in self.clustering():
+            raise ValueError(
+                f"cannot drop clustering column {name!r}; "
+                "run set_clustering without it first"
+            )
+        if name in self.identity_columns():
+            raise ValueError(f"cannot drop identity column {name!r}")
+        for gname, expr in self.generated_columns().items():
+            if name == gname or re.search(
+                rf"\b{re.escape(name)}\b", expr
+            ):
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by generated "
+                    f"column {gname!r}"
+                )
+        for cname, expr in self.constraints().items():
+            if re.search(rf"\b{re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by CHECK "
+                    f"constraint {cname!r}"
+                )
+        extra = {"operation": "drop column", "data_change": False}
+        for _attempt in range(max_retries + 1):
+            self._repair_pointer()
+            base = self.current_version()
+            if base is None:
+                raise FileNotFoundError(
+                    f"MergeStore at {self.path} does not exist"
+                )
+            schema = self._version_schema(base)
+            if schema is None:
+                schema = self.read_version(base).schema
+            if name not in {f.name for f in schema.fields}:
+                raise ValueError(
+                    f"column {name!r} not in the store schema "
+                    f"(have {sorted(f.name for f in schema.fields)})"
+                )
+            narrowed = StructType(
+                [f for f in schema.fields if f.name != name]
+            )
+            nxt = f"v{int(base[1:]) + 1:05d}"
+            os.makedirs(self._staging_dir(), exist_ok=True)
+            staging = os.path.join(self._staging_dir(), uuid.uuid4().hex)
+            try:
+                _link_tree(self._version_dir(base), staging)
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)
+                self._await_advance(beyond=base)
+                continue
+            self._write_snapshot_schema(staging, narrowed)
+            if self._claim_version(nxt, claim_expiry_s, extra=extra):
+                if self._finalize_commit(staging, nxt, extra=extra):
+                    # tombstone AFTER the commit: a crash before this
+                    # point leaves the schema narrowed but the name
+                    # unretired — the add-columns guard below is
+                    # belt-and-suspenders against resurrection, and
+                    # the commit itself is already correct
+                    stones = self.dropped_columns()
+                    if name not in stones:
+                        stones.append(name)
+                        tmp = self._tombstones_path() + "." + uuid.uuid4().hex
+                        with open(tmp, "w") as f:
+                            json.dump(sorted(stones), f)
+                        os.replace(tmp, self._tombstones_path())
+                    return nxt
+            shutil.rmtree(staging, ignore_errors=True)
+            self._await_advance(beyond=base)
+        raise RuntimeError(
+            f"drop_column at {self.path} lost {max_retries + 1} "
             "straight commit races; raise max_retries or pause ingest"
         )
 
@@ -2361,6 +2491,7 @@ class MergeStore:
                 sorted(self.generated_columns())
             ),
             "identity_columns": ",".join(sorted(self.identity_columns())),
+            "dropped_columns": ",".join(self.dropped_columns()),
             "clustering": ",".join(self.clustering()),
             "reader_features": ",".join(proto["reader_features"]),
             "writer_features": ",".join(proto["writer_features"]),
@@ -2371,7 +2502,8 @@ class MergeStore:
             "format string, location string, current_version string, "
             "num_files bigint, size_bytes bigint, partition_by string, "
             "keys string, constraints string, generated_columns string, "
-            "identity_columns string, clustering string, "
+            "identity_columns string, dropped_columns string, "
+            "clustering string, "
             "reader_features string, writer_features string, "
             "retained_versions bigint",
         )

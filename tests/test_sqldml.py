@@ -614,3 +614,53 @@ def test_restore_to_timestamp_and_reorg_purge(spark, tmp_path):
     v = run_dml(spark, "REORG TABLE t APPLY (PURGE)", {"t": store})
     assert v is None or v.startswith("v")
     assert store.read().filter("lid = 2").count() == 0
+
+
+def test_alter_table_drop_column(spark, tmp_path):
+    """Logical DROP COLUMN: metadata-only commit, column gone from
+    every read path, old versions keep it, the name is retired
+    against resurrection, guards refuse structural columns, and the
+    change feed skips the commit."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        _plan_diff_partitions,
+    )
+
+    store = _mk(spark, tmp_path, BASE)  # v1
+    t = {"t": store}
+    v = run_dml(spark, "ALTER TABLE t DROP COLUMN status", t)
+    assert v == "v00002"
+    assert "status" not in store.read().columns
+    assert "status" in store.read_version("v00001").columns
+    # CDC: metadata-only, absent from the diff plan
+    steps = {
+        p.v_new
+        for p in _plan_diff_partitions(store.path, 0, 2, ["mls", "lid"])
+    }
+    assert steps == {"v00001"}
+    # resurrection guard
+    with pytest.raises(ValueError, match="previously dropped"):
+        store.add_columns({"status": "string"})
+    # a different name is fine
+    assert store.add_columns({"state": "string"}) == "v00003"
+    # guards: merge keys and referenced columns refuse
+    with pytest.raises(ValueError, match="merge key"):
+        store.drop_column("mls")
+    store.add_constraint("pp", "price >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        store.drop_column("price")
+    # a merge against the narrowed schema round-trips
+    spark.createDataFrame(
+        [("A", 1, 111, "ok")], ["mls", "lid", "price", "state"]
+    ).createOrReplaceTempView("nstate")
+    run_dml(
+        spark,
+        "merge into t using nstate on t.mls = nstate.mls and "
+        "t.lid = nstate.lid when matched then update set *",
+        t,
+    )
+    got = {
+        (r["mls"], r["lid"]): (r["price"], r["state"])
+        for r in store.read().collect()
+    }
+    assert got[("A", 1)] == (111, "ok")
+    assert got[("B", 1)] == (300, None)
