@@ -170,6 +170,34 @@ def test_cdc_partitioned_diffs_only_touched(spark, tmp_path):
     assert rows == {(3, "insert")}
 
 
+def test_batch_read_after_add_and_drop_columns(spark, tmp_path):
+    """ALTER TABLE metadata commits flow through the data source:
+    an added column reads NULL (the Arrow plane aligns per-file
+    schemas), a dropped column disappears (extra physical bytes are
+    projected out, never resurrected), and time travel by version
+    keeps each snapshot's own schema."""
+    store = _mk(spark, tmp_path, [(1, "a"), (2, "b")])  # v1
+    store.add_columns({"score": "double"})  # v2
+    store.drop_column("v")  # v3
+    register(spark)
+    out = spark.read.format("mergestore").load(store.path)
+    assert [f.name for f in out.schema.fields] == ["k", "score"]
+    assert {(r["k"], r["score"]) for r in out.collect()} == {
+        (1, None),
+        (2, None),
+    }
+    old = (
+        spark.read.format("mergestore")
+        .option("version", 1)
+        .load(store.path)
+    )
+    assert [f.name for f in old.schema.fields] == ["k", "v"]
+    assert {(r["k"], r["v"]) for r in old.collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
 def test_cdc_stream_skips_optimize_commit(spark, tmp_path):
     """OPTIMIZE composes with the change feed: bin-packing is a
     row-preserving rewrite (Delta CDF ``dataChange=false``), so a

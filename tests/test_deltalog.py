@@ -638,3 +638,57 @@ def test_convert_from_delta_seeds_identity_hwm(spark, tmp_path):
     store.append(spark.createDataFrame([("c",)], ["k"]))
     new_ids = {r.id for r in store.read().collect()} - old_ids
     assert new_ids and min(new_ids) > max(old_ids)
+
+
+def test_export_after_add_and_drop_columns(spark, tmp_path):
+    """ALTER TABLE metadata commits flow through the export: the
+    exported metaData schemaString widens after add_columns and
+    narrows after drop_column, and the plain-Spark Delta reader
+    sees the current logical schema (dropped bytes never leak)."""
+    store = _mk(spark, tmp_path)
+    store.add_columns({"score": "double"})
+    log_dir = export_delta_log(store)
+    meta = _latest_meta(log_dir)
+    names = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    assert "score" in names
+    got = read_delta(spark, store.path)
+    assert "score" in got.columns
+    assert got.filter(F.col("score").isNull()).count() == 3
+
+    store.drop_column("v")
+    export_delta_log(store)
+    meta = _latest_meta(log_dir)
+    names = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    assert "v" not in names and "score" in names
+    got = read_delta(spark, store.path)
+    assert "v" not in got.columns
+    assert sorted(r.k for r in got.collect()) == [1, 2, 3]
+
+
+def _latest_meta(log_dir):
+    """The newest metaData action across checkpoint + JSON entries."""
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+        last = json.load(f)
+    t = pq.read_table(
+        os.path.join(
+            log_dir, f"{last['version']:020d}.checkpoint.parquet"
+        )
+    )
+    meta = None
+    for m in t.column("metaData").to_pylist():
+        if m:
+            meta = m
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".json") and name != "_last_checkpoint":
+            with open(os.path.join(log_dir, name)) as f:
+                for line in f.read().splitlines():
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        meta = a["metaData"]
+    return meta
