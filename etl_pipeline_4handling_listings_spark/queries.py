@@ -2247,6 +2247,68 @@ def sample_hash_split(spark, sf_dir):
     )
 
 
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    WITH rated AS (
+        SELECT lang,
+               CAST(concat('0x', substr(md5(concat_ws('|', doc_id)), 1, 15))
+                    AS BIGINT) % 1000000 AS h,
+               CASE lang WHEN 'en' THEN 500000
+                         WHEN 'zh' THEN 300000
+                         ELSE 150000 END AS cut
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN h < cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(FLOOR(CAST(SUM(CASE WHEN h < cut THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+                / 1000000 AS DOUBLE) AS realized_rate
+    FROM rated GROUP BY lang ORDER BY lang
+    """,
+    doc="Stratified DETERMINISTIC sampling — per-language keep rates "
+    "(en 50%, zh 30%, rest 15%: the language-rebalancing move "
+    "every multilingual corpus build makes) decided by a content "
+    "hash, "
+    "not a seeded RNG: the same document keeps/drops forever, "
+    "under any partitioning, on any engine, and incremental corpus "
+    "growth never reshuffles earlier decisions (a sampleBy seed "
+    "does all three). Portable md5-derived 60-bit hash (operators/"
+    "sampling.portable_hash60) compared against per-stratum "
+    "cutoffs; one scan, one partial agg, zero shuffles beyond the "
+    "per-language rollup. Realized rates converge on the targets "
+    "as strata grow.",
+)
+def sample_stratified_hash(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        BUCKETS,
+        portable_hash60,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    h = portable_hash60([F.col("doc_id")]) % F.lit(BUCKETS)
+    cut = (
+        F.when(F.col("lang") == "en", int(0.5 * BUCKETS))
+        .when(F.col("lang") == "zh", int(0.3 * BUCKETS))
+        .otherwise(int(0.15 * BUCKETS))
+    )
+    kept = F.when(h < cut, 1).otherwise(0)
+    return (
+        d.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            r(
+                F.sum("kept").cast("double") / F.count("*"), 6
+            ).alias("realized_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 # =====================================================================
 # Semi/anti joins + data profiling (engine completeness beyond the
 # reference's join inventory — SURVEY §2.3 notes it has none)
@@ -12670,6 +12732,7 @@ _DRIVER_ORDER = [
     "graph_pagerank",
     "privacy_t_closeness",
     "stats_welch_ttest",
+    "sample_stratified_hash",
 ]
 
 def _rotate_registry() -> None:
