@@ -8792,13 +8792,19 @@ def graph_pagerank(spark, sf_dir):
     dirs = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    deg = (
-        dirs.groupBy("src")
-        .agg(F.count("*").cast("long").alias("d"))
-        .withColumnRenamed("src", "node")
+    deg = dirs.groupBy("src").agg(
+        F.count("*").cast("long").alias("d")
+    ).withColumnRenamed("src", "node")
+    # attach the source degree to the edge frame ONCE, so each power
+    # step is exactly one join (edges x rank on src) + one partial
+    # agg on dst — the pr frame stays (node, pr) and never re-joins
+    # the degree table; the materialized frame is the loop invariant
+    dirs_d = (
+        dirs.join(deg.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", "d")
         .localCheckpoint(eager=True)
     )
-    n = deg.count()
+    n = dirs_d.select("src").distinct().count()
     if n == 0:
         return spark.createDataFrame(
             [],
@@ -8806,15 +8812,16 @@ def graph_pagerank(spark, sf_dir):
         )
     scale = 10**12
     base = (3 * scale) // (20 * n)  # (1-d)/N on the integer grid
-    pr = deg.select("node", F.lit(scale // n).cast("long").alias("pr"))
+    pr = (
+        dirs_d.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(scale // n).cast("long").alias("pr"))
+    )
     for _it in range(6):
-        contrib = pr.join(deg, "node").select(
-            F.col("node").alias("src"), F.expr("pr div d").alias("c")
-        )
         pr = (
-            dirs.join(contrib, "src")
+            dirs_d.join(pr.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+            .agg(F.sum(F.expr("pr div d")).alias("s"))
             .select(
                 F.col("dst").alias("node"),
                 (F.lit(base) + F.expr("(17 * s) div 20"))
@@ -8827,8 +8834,11 @@ def graph_pagerank(spark, sf_dir):
             # time grows superlinearly with depth; same trick as
             # textrank's power loop)
             pr = pr.localCheckpoint(eager=True)
+    top = pr.orderBy(F.desc("pr"), F.asc("node")).limit(20)
+    # degree re-attaches to the 20 survivors only (broadcast), not
+    # to the full rank frame
     return (
-        pr.join(deg, "node")
+        deg.join(F.broadcast(top), "node")
         .select(
             F.col("node").alias("user_id"),
             F.col("d").alias("degree"),
@@ -8838,7 +8848,6 @@ def graph_pagerank(spark, sf_dir):
             ),
         )
         .orderBy(F.desc("pr_e12"), F.asc("user_id"))
-        .limit(20)
     )
 
 
