@@ -218,11 +218,11 @@ def test_money_sums_partition_invariant(spark_sess):
 def test_driver_order_hygiene():
     """_DRIVER_ORDER is the driver-certification contract: it must
     cover the registry exactly (no dups, no strays) and keep the
-    round-5 rotation's certification window intact: slots 1-50 are
-    the 50 oldest never-driver-certified queries (agg_cube ..
-    fraud_duplicate_payments), converting the r1-r4 judge-verified
-    backlog into driver-certified rows; every name in the window
-    must have NO green row in any CORRECTNESS_r01-r04 ledger."""
+    round-6 rotation's certification window intact: slots 1-14 are
+    the 14 queries never driver-certified through r5 (closing the
+    backlog), slots 15-50 re-observe already-certified names, and
+    round-6 registry additions (no ledger rows at all) sit BEHIND
+    slot 50 so they never displace certification slots."""
     import glob
     import json
     import os
@@ -235,25 +235,44 @@ def test_driver_order_hygiene():
     assert len(_DRIVER_ORDER) == len(set(_DRIVER_ORDER)), "duplicate names"
     assert sorted(_DRIVER_ORDER) == sorted(REGISTRY)
     assert list(REGISTRY) == _DRIVER_ORDER, "registry iteration order drifted"
-    assert _DRIVER_ORDER[0] == "agg_cube"
-    assert _DRIVER_ORDER[49] == "fraud_duplicate_payments"
-    # window = exactly the never-certified set (first 50 of it)
     # certified = GREEN rows only (same rule as tools/rotate_registry):
     # the ledgers record failures too, and a red row must be ELIGIBLE
     # for the window (that's how it gets re-observed), not excluded
     certified = set()
+    observed = set()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for ledger in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-4].json"))):
+    for ledger in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-5].json"))):
         with open(ledger) as f:
             for name, row in json.load(f).items():
+                observed.add(name)
                 if all(
                     row.get(k)
                     for k in ("rows_match", "schema_match", "hash_match")
                 ):
                     certified.add(name)
-    window = _DRIVER_ORDER[:50]
-    overlap = certified & set(window)
-    assert not overlap, f"already-certified names in the window: {overlap}"
+    # slots 1-14: exactly the r5-era backlog (the 14 registered in
+    # rounds 4-5 whose certification slots never came up; pinned —
+    # this IS the committed schedule the r5 verdict prescribed)
+    r5_backlog = {
+        "attribution_linear_multi_touch", "discount_effectiveness",
+        "dq_reconciliation", "events_behavior_entropy",
+        "events_bot_heuristics", "events_dau_wau_stickiness",
+        "events_lateness_profile", "events_power_users_gini",
+        "events_weekly_active_mix", "fairshare_waterfill",
+        "orders_backlog_aging", "price_elasticity_by_brand",
+        "revenue_bridge_decomposition", "segment_migration_matrix",
+    }
+    assert set(_DRIVER_ORDER[:14]) == r5_backlog
+    assert not (r5_backlog & certified), "backlog name already green?"
+    # slots 15-50: re-observation of certified names only
+    for name in _DRIVER_ORDER[14:50]:
+        assert name in certified, (
+            f"uncertified name {name!r} in the re-observation slots"
+        )
+    # round-6 additions (never in any ledger) stay behind slot 50
+    fresh = set(REGISTRY) - observed - r5_backlog
+    ahead = fresh & set(_DRIVER_ORDER[:50])
+    assert not ahead, f"fresh round-6 queries inside the window: {ahead}"
 
 
 token_sets = st.lists(
