@@ -66,23 +66,50 @@ def merge_upsert(
     precondition Delta MERGE enforces).
 
     ``*_condition`` callables receive the (target, source) row
-    structs, e.g. ``lambda t, s: s["ts"] > t["ts"]``. The source must
-    contain every target column; it may carry extra columns (e.g. a
-    changed-flag) usable in conditions — they are dropped from the
-    merged output.
+    structs, e.g. ``lambda t, s: s["ts"] > t["ts"]``. The source may
+    carry extra columns (e.g. a changed-flag) usable in conditions —
+    they are dropped from the merged output. A source MISSING target
+    columns (a narrow pre-evolution writer merging into a widened
+    table) follows Delta's star-clause expansion: UPDATE touches
+    only the source's columns (the target's values carry for the
+    rest), INSERT fills the missing ones with NULL. Merge keys must
+    always be present.
     """
     t_cols = target.columns
+    missing = [c for c in t_cols if c not in source.columns]
+    absent_keys = [k for k in keys if k in missing]
+    if absent_keys:
+        raise ValueError(
+            f"merge source lacks key column(s) {absent_keys}; "
+            f"source has {source.columns}"
+        )
     t = target.select(
         F.struct(*t_cols).alias("_t"),
         F.lit(True).alias("_t_present"),
         *[F.col(k).alias(f"_tk_{k}") for k in keys],
     )
+    if missing:
+        # Delta star-clause parity for narrow sources: the update
+        # image takes the TARGET's value for absent columns (filled
+        # per-row after the join), the insert image takes NULL —
+        # both cast to the target's type so the CASE branches stay
+        # one struct type
+        s_out_fields = [
+            (
+                F.col(c)
+                if c not in missing
+                else F.lit(None).cast(target.schema[c].dataType)
+            ).alias(c)
+            for c in t_cols
+        ]
+    else:
+        s_out_fields = [F.col(c) for c in t_cols]
     s = source.select(
         F.struct(*source.columns).alias("_s"),
         # projection of the source onto the target schema, used for
         # the update/insert result so both CASE branches are the
         # same struct type even when the source has extra columns
-        F.struct(*t_cols).alias("_s_out"),
+        F.struct(*s_out_fields).alias("_s_out"),
         F.lit(True).alias("_s_present"),
         *[F.col(k).alias(f"_sk_{k}") for k in keys],
     )
@@ -104,9 +131,24 @@ def merge_upsert(
     dele = F.lit(False) if delete_condition is None else delete_condition(t_row, s_row)
     ins = F.lit(when_not_matched_insert) & _cond(insert_condition)
 
+    if missing:
+        # matched-update image: source columns from the source, the
+        # absent ones carried from the matched TARGET row (Delta
+        # UPDATE SET * never nulls columns the source doesn't have)
+        upd_out = F.struct(
+            *[
+                (
+                    s_out[c] if c not in missing else t_row[c]
+                ).alias(c)
+                for c in t_cols
+            ]
+        )
+    else:
+        upd_out = s_out
+
     # pick the surviving row struct; NULL struct = row deleted/dropped
     result = (
-        F.when(matched & upd, s_out)
+        F.when(matched & upd, upd_out)
         .when(matched & dele, F.lit(None).cast(t.schema["_t"].dataType))
         .when(matched, t_row)
         .when(t_only, t_row)

@@ -129,6 +129,29 @@ def test_merge_delete_clause(spark):
     assert rows == {2: "X"}  # key 1 deleted (unchanged), key 2 updated
 
 
+def test_merge_narrow_source_star_semantics(spark):
+    """Delta star-clause expansion for a source MISSING target
+    columns (narrow pre-evolution writer into a widened table):
+    UPDATE touches only the source's columns — the target's values
+    carry for the rest — and INSERT fills the missing ones with
+    NULL. Keys must be present (named error)."""
+    import pytest as _pytest
+
+    target = spark.createDataFrame(
+        [(1, "a", 0.7), (2, "b", 0.2)], ["k", "v", "score"]
+    )
+    source = spark.createDataFrame([(1, "A"), (3, "c")], ["k", "v"])
+    out = {
+        r["k"]: (r["v"], r["score"])
+        for r in merge_upsert(target, source, ["k"]).collect()
+    }
+    assert out == {1: ("A", 0.7), 2: ("b", 0.2), 3: ("c", None)}
+    with _pytest.raises(ValueError, match="lacks key column"):
+        merge_upsert(
+            target, spark.createDataFrame([("x",)], ["v"]), ["k"]
+        )
+
+
 def test_merge_insert_condition(spark):
     target = spark.createDataFrame([(1, "a")], ["k", "v"])
     source = spark.createDataFrame([(2, "ok"), (3, "skip")], ["k", "v"])
