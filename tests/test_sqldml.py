@@ -664,3 +664,37 @@ def test_alter_table_drop_column(spark, tmp_path):
     }
     assert got[("A", 1)] == (111, "ok")
     assert got[("B", 1)] == (300, None)
+
+
+def test_drop_column_then_optimize_rewrites_without_it(spark, tmp_path):
+    """DROP COLUMN composes with OPTIMIZE: compaction reads through
+    the narrowed snapshot schema, so rewritten files physically lose
+    the dropped column while time travel to the pre-drop version
+    still reads it (its files are untouched)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    store = _mk(spark, tmp_path, BASE)  # v1
+    store.append(
+        spark.createDataFrame(
+            [("C", 5, 500, "new")], ["mls", "lid", "price", "status"]
+        )
+    )  # v2: appended file set so optimize has >=2 files to pack
+    store.drop_column("status")  # v3
+    v = store.optimize(min_files=2)
+    assert v == "v00004"
+    # rewritten current files physically lack the dropped column
+    vdir = os.path.join(store.path, "v00004")
+    phys = set()
+    for f in glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True):
+        if "_dv" in f:
+            continue
+        phys |= set(pq.read_schema(f).names)
+    assert "status" not in phys
+    # current read: narrowed; pre-drop version: still has it
+    assert "status" not in store.read().columns
+    assert "status" in store.read_version("v00002").columns
+    got = {r["mls"]: r["price"] for r in store.read().collect()}
+    assert got == {"A": 200, "B": 300, "C": 500} or len(got) == 4
