@@ -802,6 +802,29 @@ class MergeStore:
                 "covers that dimension, and its values live in "
                 "directory names, not data files"
             )
+        # fail a non-integer-castable column NOW with the real error:
+        # left undetected it surfaces as an ANSI NumberFormatException
+        # inside EVERY subsequent write's Morton cast (columns not yet
+        # in the schema are skipped — declare-then-evolve stays legal)
+        cur = self.current_version() if self.exists() else None
+        if cur is not None and cols:
+            schema = self._version_schema(cur)
+            if schema is None:
+                schema = self.read_version(cur).schema
+            kinds = {f.name: f.dataType.simpleString() for f in schema.fields}
+            castable = {"tinyint", "smallint", "int", "bigint",
+                        "float", "double", "boolean"}
+            bad = [
+                c for c in cols
+                if c in kinds and kinds[c] not in castable
+            ]
+            if bad:
+                raise ValueError(
+                    f"clustering columns {bad} are not integer-castable "
+                    f"({ {c: kinds[c] for c in bad} }); the Morton key "
+                    "bit-interleaves bigint casts — cluster on keys, "
+                    "buckets, or numeric dimensions"
+                )
         os.makedirs(self.path, exist_ok=True)
         tmp = self._clustering_path() + "." + uuid.uuid4().hex
         with open(tmp, "w") as f:
@@ -2183,6 +2206,20 @@ class MergeStore:
         if gens:
             with open(target._generated_path(), "w") as f:
                 json.dump(gens, f)
+        idents = self.identity_columns()
+        if idents:
+            with open(target._identity_path(), "w") as f:
+                json.dump(idents, f)
+        cluster = self.clustering()
+        if cluster:
+            target.set_clustering(cluster)
+        # dropped-column tombstones MUST travel: the clone hardlinks
+        # the source's data files, so re-adding a dropped name on the
+        # clone would resurrect the source's stale bytes
+        stones = self.dropped_columns()
+        if stones:
+            with open(target._tombstones_path(), "w") as f:
+                json.dump(stones, f)
         target._write_table_meta()
         # the clone's v00000 carries the source's feature-bearing
         # state (DV sidecars, evolved schemas), so its protocol

@@ -501,3 +501,45 @@ def test_clustered_table_layout_enables_skipping(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition column"):
         p2.set_clustering(["p"])
+
+
+def test_clone_carries_tombstones_identity_clustering(spark, tmp_path):
+    """CLONE must carry the table-level declarations the data files
+    imply: dropped-column tombstones (the clone hardlinks the
+    source's files, so re-adding a dropped name would resurrect
+    stale bytes), identity columns, and the clustering spec."""
+    import pytest as _pytest
+
+    src = MergeStore(spark, str(tmp_path / "src"), keys=["k"])
+    df = spark.createDataFrame([(1, 7, 5)], ["k", "n", "x"])
+    src.create_if_absent(df)
+    src.merge(df)
+    src.drop_column("x")
+    src.add_identity_column("rid", start=10, step=2)
+    src.set_clustering(["n"])
+    clone = src.clone(str(tmp_path / "cl"))
+    assert clone.dropped_columns() == ["x"]
+    with _pytest.raises(ValueError, match="previously dropped"):
+        clone.add_columns({"x": "bigint"})
+    assert clone.identity_columns() == {"rid": {"start": 10, "step": 2}}
+    assert clone.clustering() == ["n"]
+    # identity allocation actually works on the clone
+    clone.append(spark.createDataFrame([(2, 8)], ["k", "n"]))
+    rids = [r.rid for r in clone.read().filter("k = 2").collect()]
+    assert rids and rids[0] is not None and rids[0] >= 10
+
+
+def test_set_clustering_rejects_non_castable_column(spark, tmp_path):
+    """A string clustering column must fail AT DECLARATION with a
+    named error, not as an ANSI NumberFormatException inside every
+    later write's Morton cast."""
+    import pytest as _pytest
+
+    s = MergeStore(spark, str(tmp_path / "t"), keys=["k"])
+    df = spark.createDataFrame([(1, "a", 5)], ["k", "v", "n"])
+    s.create_if_absent(df)
+    s.merge(df)
+    with _pytest.raises(ValueError, match="integer-castable"):
+        s.set_clustering(["v"])
+    s.set_clustering(["n"])  # numeric: fine
+    assert s.clustering() == ["n"]
