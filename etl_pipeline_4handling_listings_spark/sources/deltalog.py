@@ -409,6 +409,12 @@ def export_delta_log(store) -> str:
 
     if have_last != ckpt_v or not os.path.exists(ckpt_path):
         n_rows = _write_checkpoint(store, exportable[0], ckpt_path)
+        ck_ts = _commit_record(store, exportable[0]).get("ts")
+        if ck_ts is not None:
+            # timestamp time travel resolves by log-file mtime (both
+            # this module's reader and stock delta-spark): stamp the
+            # checkpoint with its COMMIT time, not the export time
+            os.utime(ckpt_path, (float(ck_ts), float(ck_ts)))
         tmp = last_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": ckpt_v, "size": n_rows}, f)
@@ -426,6 +432,16 @@ def export_delta_log(store) -> str:
                 os.remove(os.path.join(log_dir, entry))
 
     prev_schema: str | None = None
+    adds_memo: dict[str, list[dict]] = {}
+
+    def _adds(version: str) -> list[dict]:
+        # each version is needed twice (as vname, then as the next
+        # entry's prev) — memoize so the parquet footers (num_rows
+        # stats) are read once per version, not twice
+        if version not in adds_memo:
+            adds_memo[version] = _version_adds(store, version)
+        return adds_memo[version]
+
     for prev, vname in zip(exportable, exportable[1:]):
         n = _vnum(vname)
         entry = os.path.join(log_dir, f"{n:020d}.json")
@@ -467,7 +483,7 @@ def export_delta_log(store) -> str:
             lines.append({"metaData": _meta_action(store, vname)})
         prev_schema = this_schema
         ts_ms = int(float(rec.get("ts", time.time())) * 1000)
-        for add in _version_adds(store, prev):
+        for add in _adds(prev):
             lines.append(
                 {
                     "remove": {
@@ -477,12 +493,16 @@ def export_delta_log(store) -> str:
                     }
                 }
             )
-        for add in _version_adds(store, vname):
+        for add in _adds(vname):
             lines.append({"add": add})
         tmp = entry + "." + uuid.uuid4().hex
         with open(tmp, "w") as f:
             f.write("\n".join(json.dumps(l) for l in lines) + "\n")
         os.replace(tmp, entry)
+        if rec.get("ts") is not None:
+            # commit-time mtime: TIMESTAMP AS OF must agree with the
+            # store's own read_as_of on the same history
+            os.utime(entry, (float(rec["ts"]), float(rec["ts"])))
     return log_dir
 
 
@@ -938,7 +958,14 @@ def read_delta(
         )
     parts = []
     by_name = {f.name: f for f in schema.fields}
-    for key, fs in sorted(groups.items()):
+    # None-safe deterministic order: a null partition value must not
+    # TypeError against a string one (None sorts first per column)
+    for key, fs in sorted(
+        groups.items(),
+        key=lambda kv: tuple(
+            (v is not None, str(v)) for v in kv[0]
+        ),
+    ):
         df = spark.read.schema(file_schema).parquet(*fs)
         for c, val in zip(pcols, key):
             df = df.withColumn(

@@ -2180,10 +2180,22 @@ class MergeStore:
         if target.exists():
             raise FileExistsError(f"store already exists at {new_path}")
         os.makedirs(new_path, exist_ok=True)
+        clone_extra: dict = {"operation": "clone", "clone_of": self.path}
+        # identity high-water marks ride commit records, and the clone
+        # starts a FRESH log — seed the source's marks into v00000 or
+        # the clone's first append would re-allocate ids that already
+        # exist in the cloned data (same seeding convert_from_delta does)
+        hwms = {
+            name: self._identity_hwm(name)
+            for name in self.identity_columns()
+        }
+        hwms = {n: v for n, v in hwms.items() if v is not None}
+        if hwms:
+            clone_extra["identity_hwm"] = hwms
         if not target._claim_version(
             "v00000",
             expiry_s=300.0,
-            extra={"operation": "clone", "clone_of": self.path},
+            extra=clone_extra,
         ):
             target._await_advance(beyond="")
             return target
@@ -2216,10 +2228,8 @@ class MergeStore:
         # dropped-column tombstones MUST travel: the clone hardlinks
         # the source's data files, so re-adding a dropped name on the
         # clone would resurrect the source's stale bytes
-        stones = self.dropped_columns()
-        if stones:
-            with open(target._tombstones_path(), "w") as f:
-                json.dump(stones, f)
+        for stone in self.dropped_columns():
+            target._write_tombstone(stone)
         target._write_table_meta()
         # the clone's v00000 carries the source's feature-bearing
         # state (DV sidecars, evolved schemas), so its protocol
@@ -2387,14 +2397,40 @@ class MergeStore:
     def _tombstones_path(self) -> str:
         return os.path.join(self.path, "_TOMBSTONES.json")
 
+    def _tombstones_dir(self) -> str:
+        return os.path.join(self.path, "_TOMBSTONES")
+
     def dropped_columns(self) -> list[str]:
         """Names logically dropped by :meth:`drop_column` — retired
-        permanently (see there for why)."""
+        permanently (see there for why). One empty FILE per name
+        under ``_TOMBSTONES/`` (each create is atomic — no
+        read-modify-write for concurrent drops to race); the legacy
+        JSON list is still read for stores written before the
+        format change."""
+        names = set()
+        try:
+            names.update(
+                n
+                for n in os.listdir(self._tombstones_dir())
+                if not n.startswith(".")  # crashed-write temp files
+            )
+        except FileNotFoundError:
+            pass
         try:
             with open(self._tombstones_path()) as f:
-                return json.load(f)
+                names.update(json.load(f))
         except (FileNotFoundError, ValueError):
-            return []
+            pass
+        return sorted(names)
+
+    def _write_tombstone(self, name: str) -> None:
+        os.makedirs(self._tombstones_dir(), exist_ok=True)
+        tmp = os.path.join(
+            self._tombstones_dir(), f".{name}.{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w"):
+            pass
+        os.replace(tmp, os.path.join(self._tombstones_dir(), name))
 
     def drop_column(
         self,
@@ -2477,20 +2513,19 @@ class MergeStore:
                 self._await_advance(beyond=base)
                 continue
             self._write_snapshot_schema(staging, narrowed)
+            # tombstone BEFORE the commit: the tombstone is the ONLY
+            # guard against add_columns resurrecting the dropped
+            # bytes, so a crash between commit and tombstone must be
+            # impossible. Over-claiming is safe — a tombstone for a
+            # drop that never commits only blocks re-ADDING a name
+            # after it is eventually dropped for real, and while the
+            # column still exists add_columns refuses it as a
+            # duplicate anyway. One atomic file per name: concurrent
+            # drops of different columns cannot lose each other's
+            # entries (no read-modify-write).
+            self._write_tombstone(name)
             if self._claim_version(nxt, claim_expiry_s, extra=extra):
                 if self._finalize_commit(staging, nxt, extra=extra):
-                    # tombstone AFTER the commit: a crash before this
-                    # point leaves the schema narrowed but the name
-                    # unretired — the add-columns guard below is
-                    # belt-and-suspenders against resurrection, and
-                    # the commit itself is already correct
-                    stones = self.dropped_columns()
-                    if name not in stones:
-                        stones.append(name)
-                        tmp = self._tombstones_path() + "." + uuid.uuid4().hex
-                        with open(tmp, "w") as f:
-                            json.dump(sorted(stones), f)
-                        os.replace(tmp, self._tombstones_path())
                     return nxt
             shutil.rmtree(staging, ignore_errors=True)
             self._await_advance(beyond=base)

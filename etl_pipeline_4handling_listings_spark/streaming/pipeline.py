@@ -296,7 +296,7 @@ def foreach_batch_append(
 def foreach_batch_cdc_apply(
     target: MergeStore,
     keys: Sequence[str],
-    txn_app_id: str = "cdc",
+    txn_app_id: str,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink that REPLAYS a ``mergestore_cdc`` change
     feed into a downstream store — the bronze→silver medallion hop:
@@ -304,8 +304,14 @@ def foreach_batch_cdc_apply(
         (spark.readStream.format("mergestore_cdc")
               .option("keys", "k").load(bronze.path)
               .writeStream.foreachBatch(
-                  foreach_batch_cdc_apply(silver, ["k"]))
+                  foreach_batch_cdc_apply(silver, ["k"], "br-to-ag"))
               .option("checkpointLocation", ...).start())
+
+    ``txn_app_id`` is REQUIRED, one distinct id per (query,
+    checkpoint): batch-id watermarks are per app id, so two feeds
+    writing the same target under a shared id would silently drop
+    each other's batches as replays (the same failure the anonymous
+    stream-sink identity was banned for in the data source).
 
     Batches carry ``_change_type`` / ``_commit_version`` columns. A
     micro-batch may span several upstream commits, so changes first
@@ -334,16 +340,9 @@ def foreach_batch_cdc_apply(
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= _applied():
             return  # replayed, already applied by THIS query
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*keys).orderBy(
-            F.desc("_commit_version")
-        )
-        last = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_commit_version")
-        )
+        last = latest_record(
+            batch, keys, [F.desc("_commit_version")]
+        ).drop("_commit_version")
         data_cols = [c for c in last.columns if c not in meta]
         target.create_if_absent(last.select(*data_cols))
         # merge_upsert clause order evaluates update BEFORE delete,

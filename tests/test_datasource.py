@@ -274,7 +274,7 @@ def test_cdc_apply_chains_stores_medallion(spark, tmp_path):
             .option("startingVersion", 0)
             .load(bronze.path)
             .writeStream.foreachBatch(
-                foreach_batch_cdc_apply(silver, ["k"])
+                foreach_batch_cdc_apply(silver, ["k"], "bronze-to-silver")
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)

@@ -692,3 +692,23 @@ def _latest_meta(log_dir):
                     if "metaData" in a:
                         meta = a["metaData"]
     return meta
+
+
+def test_export_timestamp_time_travel_matches_store(spark, tmp_path):
+    """TIMESTAMP AS OF over the exported log must agree with the
+    store's own read_as_of on the same history: entries carry their
+    COMMIT time as file mtime (Delta resolves timestamps by log-file
+    modification time), not the export time."""
+    import time as _time
+
+    store = _mk(spark, tmp_path)  # v1
+    t_after_v1 = _time.time() + 0.05
+    _time.sleep(0.12)
+    store.merge(
+        spark.createDataFrame([(1, 0, "X")], ["k", "p", "v"])
+    )  # v2
+    export_delta_log(store)
+    old = read_delta(spark, store.path, timestamp=t_after_v1)
+    assert {r.k: r.v for r in old.collect()}[1] == "a"
+    now = read_delta(spark, store.path, timestamp=_time.time())
+    assert {r.k: r.v for r in now.collect()}[1] == "X"

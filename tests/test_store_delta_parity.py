@@ -523,7 +523,17 @@ def test_clone_carries_tombstones_identity_clustering(spark, tmp_path):
         clone.add_columns({"x": "bigint"})
     assert clone.identity_columns() == {"rid": {"start": 10, "step": 2}}
     assert clone.clustering() == ["n"]
-    # identity allocation actually works on the clone
+    # the identity HIGH-WATER MARK travels too: ids allocated on the
+    # clone must continue ABOVE the source's, never re-allocate
+    src.append(spark.createDataFrame([(5, 9)], ["k", "n"]))
+    src_hwm = src._identity_hwm("rid")
+    assert src_hwm is not None
+    clone2 = src.clone(str(tmp_path / "cl2"))
+    clone2.append(spark.createDataFrame([(2, 8)], ["k", "n"]))
+    rids = [r.rid for r in clone2.read().filter("k = 2").collect()]
+    assert rids and rids[0] is not None and rids[0] > src_hwm
+    # and the first clone (no allocations in the source yet) starts
+    # at the declared start
     clone.append(spark.createDataFrame([(2, 8)], ["k", "n"]))
     rids = [r.rid for r in clone.read().filter("k = 2").collect()]
     assert rids and rids[0] is not None and rids[0] >= 10
