@@ -346,10 +346,18 @@ def _commit_record(store, version: str) -> dict:
             return {}
 
 
-def export_delta_log(store) -> str:
+def export_delta_log(
+    store, max_checkpoint_part_rows: int | None = None
+) -> str:
     """Write/refresh a stock-readable ``_delta_log`` for ``store``.
 
-    Layout: a classic parquet checkpoint at the oldest exportable
+    ``max_checkpoint_part_rows`` switches the checkpoint to
+    PROTOCOL.md's MULTI-PART layout when the action count exceeds
+    it — the 100 TB path, where one driver-side parquet holding
+    millions of add rows is the export bottleneck (stock readers
+    and :func:`read_delta` both accept multi-part).
+
+    Layout: a parquet checkpoint at the oldest exportable
     version (protocol + metaData + txn watermarks + every add of
     that snapshot) with ``_last_checkpoint`` pointing at it, then
     one JSON entry per later retained version (full remove+add
@@ -407,17 +415,32 @@ def export_delta_log(store) -> str:
     except (OSError, ValueError, TypeError):
         pass
 
-    if have_last != ckpt_v or not os.path.exists(ckpt_path):
-        n_rows = _write_checkpoint(store, exportable[0], ckpt_path)
+    have_ckpt = os.path.exists(ckpt_path) or any(
+        _CKPT_RE.match(e) and int(_CKPT_RE.match(e).group(1)) == ckpt_v
+        for e in os.listdir(log_dir)
+    )
+    if have_last != ckpt_v or not have_ckpt:
+        n_rows, n_parts = _write_checkpoint(
+            store, exportable[0], ckpt_path, max_checkpoint_part_rows
+        )
         ck_ts = _commit_record(store, exportable[0]).get("ts")
         if ck_ts is not None:
             # timestamp time travel resolves by log-file mtime (both
             # this module's reader and stock delta-spark): stamp the
             # checkpoint with its COMMIT time, not the export time
-            os.utime(ckpt_path, (float(ck_ts), float(ck_ts)))
+            for e in os.listdir(log_dir):
+                m = _CKPT_RE.match(e)
+                if m and int(m.group(1)) == ckpt_v:
+                    os.utime(
+                        os.path.join(log_dir, e),
+                        (float(ck_ts), float(ck_ts)),
+                    )
+        last_rec: dict = {"version": ckpt_v, "size": n_rows}
+        if n_parts > 1:
+            last_rec["parts"] = n_parts
         tmp = last_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": ckpt_v, "size": n_rows}, f)
+            json.dump(last_rec, f)
         os.replace(tmp, last_path)
         # log cleanup: JSON entries at/below the new checkpoint and
         # superseded checkpoints are expired history (their data may
@@ -510,10 +533,14 @@ def _vnum(version: str) -> int:
     return int(version[1:])
 
 
-def _write_checkpoint(store, version: str, ckpt_path: str) -> int:
-    """Classic single-file parquet checkpoint via Arrow: one row per
-    action, top-level nullable structs (txn/add/remove/metaData/
-    protocol) exactly as PROTOCOL.md specifies."""
+def _write_checkpoint(
+    store, version: str, ckpt_path: str, max_part_rows: int | None = None
+) -> tuple[int, int]:
+    """Parquet checkpoint via Arrow: one row per action, top-level
+    nullable structs (txn/add/remove/metaData/protocol) exactly as
+    PROTOCOL.md specifies. Single classic file by default; with
+    ``max_part_rows`` set and exceeded, the PROTOCOL.md MULTI-PART
+    layout. Returns ``(n_rows, n_parts)``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -626,10 +653,26 @@ def _write_checkpoint(store, version: str, ckpt_path: str) -> int:
             "protocol": col("protocol", proto_t),
         }
     )
-    tmp = ckpt_path + "." + uuid.uuid4().hex
-    pq.write_table(table, tmp)
-    os.replace(tmp, ckpt_path)
-    return len(rows)
+    if max_part_rows is None or len(rows) <= max_part_rows:
+        tmp = ckpt_path + "." + uuid.uuid4().hex
+        pq.write_table(table, tmp)
+        os.replace(tmp, ckpt_path)
+        return len(rows), 1
+    # multi-part checkpoint (PROTOCOL.md): n files named
+    # <v>.checkpoint.<i>.<n>.parquet, actions split across parts —
+    # the 100 TB path, where a single driver-side parquet of
+    # millions of add rows is the bottleneck. Parts are written
+    # before _last_checkpoint flips, same crash discipline as the
+    # single-file path (readers only trust a named checkpoint).
+    n_parts = (len(rows) + max_part_rows - 1) // max_part_rows
+    base = ckpt_path[: -len(".parquet")]
+    for i in range(n_parts):
+        part = table.slice(i * max_part_rows, max_part_rows)
+        part_path = f"{base}.{i + 1:010d}.{n_parts:010d}.parquet"
+        tmp = part_path + "." + uuid.uuid4().hex
+        pq.write_table(part, tmp)
+        os.replace(tmp, part_path)
+    return len(rows), n_parts
 
 
 # ---------------------------------------------------------------------

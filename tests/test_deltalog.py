@@ -712,3 +712,24 @@ def test_export_timestamp_time_travel_matches_store(spark, tmp_path):
     assert {r.k: r.v for r in old.collect()}[1] == "a"
     now = read_delta(spark, store.path, timestamp=_time.time())
     assert {r.k: r.v for r in now.collect()}[1] == "X"
+
+
+def test_export_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """The 100 TB checkpoint path: export with a part-row cap writes
+    the PROTOCOL.md multi-part layout (N files named
+    v.checkpoint.i.N.parquet, _last_checkpoint carrying parts=N) and
+    the plain-Spark reader reassembles it."""
+    import glob as _glob
+
+    store = _mk(spark, tmp_path)
+    store.merge(spark.createDataFrame([(4, 1, "d")], ["k", "p", "v"]))
+    log_dir = export_delta_log(store, max_checkpoint_part_rows=2)
+    parts = _glob.glob(
+        os.path.join(log_dir, "*.checkpoint.*.parquet")
+    )
+    assert len(parts) >= 2
+    with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+        last = json.load(f)
+    assert last["parts"] == len(parts)
+    got = read_delta(spark, store.path)
+    assert _rows(got) == _rows(store.read())
