@@ -468,10 +468,18 @@ def export_delta_log(
     for prev, vname in zip(exportable, exportable[1:]):
         n = _vnum(vname)
         entry = os.path.join(log_dir, f"{n:020d}.json")
+        rec = _commit_record(store, vname)
         if os.path.exists(entry):
             prev_schema = None  # unknown here; recomputed below
+            adds_memo.pop(prev, None)
+            if rec.get("ts") is not None:
+                # heal entries written by the pre-mtime exporter
+                # (export-time mtimes): restamp to the COMMIT time
+                # so TIMESTAMP AS OF resolves correctly on old logs
+                ts = float(rec["ts"])
+                if abs(os.path.getmtime(entry) - ts) > 1.0:
+                    os.utime(entry, (ts, ts))
             continue
-        rec = _commit_record(store, vname)
         lines: list[dict] = [
             {
                 "commitInfo": {
@@ -518,14 +526,20 @@ def export_delta_log(
             )
         for add in _adds(vname):
             lines.append({"add": add})
+        # prev's adds are never needed again — evict, or a long
+        # history holds (versions x files) dicts on the driver at
+        # exactly the scale the multi-part checkpoint targets
+        adds_memo.pop(prev, None)
         tmp = entry + "." + uuid.uuid4().hex
         with open(tmp, "w") as f:
             f.write("\n".join(json.dumps(l) for l in lines) + "\n")
-        os.replace(tmp, entry)
         if rec.get("ts") is not None:
             # commit-time mtime: TIMESTAMP AS OF must agree with the
-            # store's own read_as_of on the same history
-            os.utime(entry, (float(rec["ts"]), float(rec["ts"])))
+            # store's own read_as_of on the same history. Stamped on
+            # the tmp file BEFORE the rename — no crash window where
+            # a visible entry carries the export-time mtime.
+            os.utime(tmp, (float(rec["ts"]), float(rec["ts"])))
+        os.replace(tmp, entry)
     return log_dir
 
 

@@ -808,15 +808,20 @@ class MergeStore:
         # in the schema are skipped — declare-then-evolve stays legal)
         cur = self.current_version() if self.exists() else None
         if cur is not None and cols:
-            schema = self._version_schema(cur)
-            if schema is None:
-                schema = self.read_version(cur).schema
+            schema = self._snapshot_schema(cur)
             kinds = {f.name: f.dataType.simpleString() for f in schema.fields}
             castable = {"tinyint", "smallint", "int", "bigint",
-                        "float", "double", "boolean"}
+                        "float", "double", "boolean", "timestamp",
+                        "timestamp_ntz"}
+
+            def _ok(t: str) -> bool:
+                # decimal(p,s) and timestamps cast to bigint legally;
+                # strings are the landmine the guard exists for
+                return t in castable or t.startswith("decimal")
+
             bad = [
                 c for c in cols
-                if c in kinds and kinds[c] not in castable
+                if c in kinds and not _ok(kinds[c])
             ]
             if bad:
                 raise ValueError(
@@ -1287,6 +1292,7 @@ class MergeStore:
             # disagree on columns is only correct under the committed
             # _SCHEMA.json, and readers must know to honor it
             self._require_feature("snapshot-schema")
+            self._refuse_tombstoned(source)
         source = self._apply_generated(source)
         src = F.broadcast(source) if broadcast_source else source
         self.merge_recomputes = 0
@@ -1620,6 +1626,7 @@ class MergeStore:
             extra = {"txn_app": str(app_id), "txn_ver": int(txn_ver)}
         if schema_evolution:
             self._require_feature("snapshot-schema")
+            self._refuse_tombstoned(source)
         base0 = self.current_version()
         if base0 is None:
             raise FileNotFoundError(
@@ -2348,9 +2355,7 @@ class MergeStore:
                 raise FileNotFoundError(
                     f"MergeStore at {self.path} does not exist"
                 )
-            schema = self._version_schema(base)
-            if schema is None:
-                schema = self.read_version(base).schema
+            schema = self._snapshot_schema(base)
             have = {f.name for f in schema.fields}
             dup = [f.name for f in new_fields if f.name in have]
             if dup:
@@ -2423,6 +2428,35 @@ class MergeStore:
             pass
         return sorted(names)
 
+    def _refuse_tombstoned(self, source: DataFrame) -> None:
+        """Schema evolution must not re-add a dropped column: the
+        bytes still live in retained (hardlinked) data files, so the
+        union schema would RESURRECT stale values for every
+        pre-drop row — the same hazard :meth:`add_columns` guards.
+        (A tombstoned name is never in the current schema — drop
+        removes it, add refuses it — so any source occurrence is a
+        re-add attempt.)"""
+        dead = sorted(
+            set(source.columns) & set(self.dropped_columns())
+        )
+        if dead:
+            raise ValueError(
+                f"schema evolution would re-add dropped column(s) "
+                f"{dead}: their bytes still live in retained data "
+                "files and would resurrect through the explicit-"
+                "schema read. Rename the source column(s)."
+            )
+
+    def _snapshot_schema(self, version: str) -> StructType:
+        """The schema ``version`` commits to: the per-snapshot /
+        table-level ``_SCHEMA.json`` when present, else inferred
+        from the snapshot's files — the shared fallback the ALTER
+        surface and clustering validation all resolve through."""
+        schema = self._version_schema(version)
+        if schema is None:
+            schema = self.read_version(version).schema
+        return schema
+
     def _write_tombstone(self, name: str) -> None:
         os.makedirs(self._tombstones_dir(), exist_ok=True)
         tmp = os.path.join(
@@ -2492,9 +2526,7 @@ class MergeStore:
                 raise FileNotFoundError(
                     f"MergeStore at {self.path} does not exist"
                 )
-            schema = self._version_schema(base)
-            if schema is None:
-                schema = self.read_version(base).schema
+            schema = self._snapshot_schema(base)
             if name not in {f.name for f in schema.fields}:
                 raise ValueError(
                     f"column {name!r} not in the store schema "

@@ -553,3 +553,22 @@ def test_set_clustering_rejects_non_castable_column(spark, tmp_path):
         s.set_clustering(["v"])
     s.set_clustering(["n"])  # numeric: fine
     assert s.clustering() == ["n"]
+
+
+def test_schema_evolution_refuses_tombstoned_column(spark, tmp_path):
+    """Every evolution door is guarded: merge and append with
+    schema_evolution=True must refuse re-adding a dropped name (the
+    stale bytes in hardlinked files would resurrect), same as
+    add_columns."""
+    store = _mk(spark, tmp_path, [(1, "a")])
+    store.add_columns({"x": "bigint"})
+    store.drop_column("x")
+    wide = spark.createDataFrame([(2, "b", 9)], ["k", "v", "x"])
+    with pytest.raises(ValueError, match="resurrect"):
+        store.merge(wide, schema_evolution=True)
+    with pytest.raises(ValueError, match="resurrect"):
+        store.append(wide, schema_evolution=True)
+    # a renamed column evolves fine
+    renamed = spark.createDataFrame([(2, "b", 9)], ["k", "v", "x2"])
+    store.merge(renamed, schema_evolution=True)
+    assert "x2" in store.read().columns
