@@ -32,8 +32,16 @@ never a silent misparse):
 - ``UPDATE <t> SET a = e[, ...] [WHERE c]``
 - ``INSERT INTO <t> <select ...>`` / ``INSERT INTO <t> TABLE <view>``
 - ``VACUUM <t> [RETAIN <n> VERSIONS] [DRY RUN]``
-- ``RESTORE TABLE <t> TO VERSION AS OF <n>``
-- ``DESCRIBE HISTORY <t>``
+- ``RESTORE TABLE <t> TO VERSION AS OF <n>`` /
+  ``TO TIMESTAMP AS OF '<ts>'``
+- ``OPTIMIZE <t> [ZORDER BY (cols)]`` /
+  ``REORG TABLE <t> APPLY (PURGE)``
+- ``CREATE TABLE <t2> CLONE <t>``
+- ``ALTER TABLE <t> ADD COLUMNS (name type, ...)`` /
+  ``DROP COLUMN <c>`` / ``RENAME COLUMN <a> TO <b>`` /
+  ``ADD CONSTRAINT <n> CHECK (expr)`` / ``DROP CONSTRAINT <n>`` /
+  ``CLUSTER BY (cols)`` / ``CLUSTER BY NONE``
+- ``DESCRIBE HISTORY <t>`` / ``DESCRIBE DETAIL <t>``
 
 ``UPDATE SET *`` / ``INSERT *`` are the only merge assignment forms
 (the only forms the reference uses); column-list assignments inside
@@ -473,6 +481,14 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         return _get_table(tables, m.group(1)).drop_column(m.group(2))
 
     m = re.match(
+        r"^alter table (\w+) rename column (\w+) to (\w+)$", stmt, re.I
+    )
+    if m:
+        return _get_table(tables, m.group(1)).rename_column(
+            m.group(2), m.group(3)
+        )
+
+    m = re.match(
         r"^alter table (\w+) add columns? \((.+)\)$", stmt, re.I
     )
     if m:
@@ -503,7 +519,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         "RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF, "
         "OPTIMIZE [ZORDER BY], REORG TABLE ... APPLY (PURGE), "
         "CREATE TABLE ... CLONE, ALTER TABLE ... ADD COLUMNS | "
-        "DROP COLUMN | ADD/DROP CONSTRAINT | CLUSTER BY, "
+        "DROP COLUMN | RENAME COLUMN ... TO | ADD/DROP CONSTRAINT | CLUSTER BY, "
         "DESCRIBE HISTORY, DESCRIBE DETAIL"
     )
 

@@ -2566,6 +2566,115 @@ class MergeStore:
             "straight commit races; raise max_retries or pause ingest"
         )
 
+    def rename_column(
+        self,
+        old: str,
+        new: str,
+        claim_expiry_s: float = 300.0,
+        max_retries: int = 5,
+    ) -> str:
+        """``ALTER TABLE ... RENAME COLUMN`` — as an EXPLICIT-COST
+        whole-snapshot rewrite: the current snapshot is re-written
+        with the column renamed (one scan + one write, deletion
+        vectors applied in passing), the old name is tombstoned, and
+        the commit is ``data_change=false`` (rows preserved — CDC
+        feeds skip it). Delta renames metadata-only via column
+        mapping (stable physical names); this store does not fake
+        that — the rewrite is the honest price, stated here rather
+        than hidden, and it runs through the same claim protocol as
+        every commit. Refuses the same structural columns as
+        :meth:`drop_column`, plus a ``new`` name that already exists
+        or was previously dropped.
+        """
+        self._check_write_protocol()
+        if old == self.partition_by:
+            raise ValueError(f"cannot rename partition column {old!r}")
+        if old in self.keys:
+            raise ValueError(f"cannot rename merge key {old!r}")
+        if old in self.clustering():
+            raise ValueError(
+                f"cannot rename clustering column {old!r}; "
+                "run set_clustering without it first"
+            )
+        if old in self.identity_columns():
+            raise ValueError(f"cannot rename identity column {old!r}")
+        for gname, expr in self.generated_columns().items():
+            if old == gname or re.search(rf"\b{re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"cannot rename {old!r}: referenced by generated "
+                    f"column {gname!r}"
+                )
+        for cname, expr in self.constraints().items():
+            if re.search(rf"\b{re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"cannot rename {old!r}: referenced by CHECK "
+                    f"constraint {cname!r}"
+                )
+        if new in self.dropped_columns():
+            raise ValueError(
+                f"target name {new!r} was previously dropped and its "
+                "bytes still live in retained data files — pick "
+                "another name"
+            )
+        extra = {"operation": "rename column", "data_change": False}
+        for _attempt in range(max_retries + 1):
+            self._repair_pointer()
+            base = self.current_version()
+            if base is None:
+                raise FileNotFoundError(
+                    f"MergeStore at {self.path} does not exist"
+                )
+            schema = self._snapshot_schema(base)
+            names = {f.name for f in schema.fields}
+            if old not in names:
+                raise ValueError(
+                    f"column {old!r} not in the store schema "
+                    f"(have {sorted(names)})"
+                )
+            if new in names:
+                raise ValueError(
+                    f"target name {new!r} already exists "
+                    f"(have {sorted(names)})"
+                )
+            renamed_schema = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            os.makedirs(self._staging_dir(), exist_ok=True)
+            staging = os.path.join(self._staging_dir(), uuid.uuid4().hex)
+            try:
+                df = self.read_version(base).withColumnRenamed(old, new)
+                writer = df.write.mode("overwrite").format(self.fmt)
+                if self.partition_by:
+                    writer = writer.partitionBy(self.partition_by)
+                writer.save(staging)
+            except Exception:
+                shutil.rmtree(staging, ignore_errors=True)
+                # base vacuumed mid-scan is a lost race; anything
+                # else is a real error — distinguish by pointer
+                self._repair_pointer()
+                if self.current_version() == base:
+                    raise
+                self._await_advance(beyond=base)
+                continue
+            self._write_snapshot_schema(staging, renamed_schema)
+            self._write_file_manifest(staging)
+            self._write_tombstone(old)
+            nxt = f"v{int(base[1:]) + 1:05d}"
+            if self._claim_version(nxt, claim_expiry_s, extra=extra):
+                if self._finalize_commit(staging, nxt, extra=extra):
+                    return nxt
+            shutil.rmtree(staging, ignore_errors=True)
+            self._await_advance(beyond=base)
+        raise RuntimeError(
+            f"rename_column at {self.path} lost {max_retries + 1} "
+            "straight commit races; raise max_retries or pause ingest"
+        )
+
     def detail(self) -> DataFrame:
         """One-row table summary (Delta ``DESCRIBE DETAIL``
         analogue): format, current version, file count and bytes

@@ -698,3 +698,51 @@ def test_drop_column_then_optimize_rewrites_without_it(spark, tmp_path):
     assert "status" in store.read_version("v00002").columns
     got = {r["mls"]: r["price"] for r in store.read().collect()}
     assert got == {"A": 200, "B": 300, "C": 500} or len(got) == 4
+
+
+def test_alter_table_rename_column(spark, tmp_path):
+    """RENAME COLUMN: explicit-cost rewrite — data carries to the new
+    name, the old name is tombstoned (no resurrection through
+    ADD COLUMNS), CDC skips the row-preserving commit, old versions
+    keep the old name, and structural columns refuse."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        _plan_diff_partitions,
+    )
+
+    store = _mk(spark, tmp_path, BASE)  # v1
+    t = {"t": store}
+    v = run_dml(spark, "ALTER TABLE t RENAME COLUMN status TO state", t)
+    assert v == "v00002"
+    out = store.read()
+    assert "state" in out.columns and "status" not in out.columns
+    got = {(r["mls"], r["lid"]): r["state"] for r in out.collect()}
+    assert got == {("A", 1): "open", ("A", 2): "open", ("B", 1): "open"}
+    # time travel keeps the old name
+    assert "status" in store.read_version("v00001").columns
+    # old name is retired
+    with pytest.raises(ValueError, match="previously dropped"):
+        store.add_columns({"status": "string"})
+    # the rename commit is invisible to the change feed
+    steps = {
+        p.v_new
+        for p in _plan_diff_partitions(store.path, 0, 2, ["mls", "lid"])
+    }
+    assert steps == {"v00001"}
+    # guards
+    with pytest.raises(ValueError, match="merge key"):
+        store.rename_column("mls", "mls2")
+    with pytest.raises(ValueError, match="already exists"):
+        store.rename_column("price", "state")
+    # merges keep working against the renamed schema
+    spark.createDataFrame(
+        [("A", 1, 110, "sold")], ["mls", "lid", "price", "state"]
+    ).createOrReplaceTempView("rsrc")
+    run_dml(
+        spark,
+        "merge into t using rsrc on t.mls = rsrc.mls and "
+        "t.lid = rsrc.lid when matched then update set *",
+        t,
+    )
+    assert {
+        r["state"] for r in store.read().filter("lid = 1 and mls = 'A'").collect()
+    } == {"sold"}
