@@ -572,3 +572,32 @@ def test_schema_evolution_refuses_tombstoned_column(spark, tmp_path):
     renamed = spark.createDataFrame([(2, "b", 9)], ["k", "v", "x2"])
     store.merge(renamed, schema_evolution=True)
     assert "x2" in store.read().columns
+
+
+def test_concurrent_drop_columns_both_retire(spark, tmp_path):
+    """Two drop_columns racing on different columns: per-name atomic
+    tombstone files mean neither loses the other's entry, and the
+    OCC loop serializes the two metadata commits — final schema has
+    neither column, both names are retired."""
+    import threading
+
+    path = str(tmp_path / "race")
+    s = MergeStore(spark, path, keys=["k"])
+    df = spark.createDataFrame([(1, "v", 1, 2)], ["k", "v", "a", "b"])
+    s.create_if_absent(df)
+    s.merge(df)
+    errs = []
+
+    def dropper(col):
+        try:
+            MergeStore(spark, path, keys=["k"]).drop_column(col)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    t1 = threading.Thread(target=dropper, args=("a",))
+    t2 = threading.Thread(target=dropper, args=("b",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert set(s.read().columns) == {"k", "v"}
+    assert s.dropped_columns() == ["a", "b"]
+    assert s.current_version() == "v00003"
