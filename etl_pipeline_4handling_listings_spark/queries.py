@@ -12366,8 +12366,15 @@ def text_shingle_containment(spark, sf_dir):
         .select("doc_id", word_shingles("text", 3).alias("shingles"))
     )
     ex = d.select("doc_id", F.explode("shingles").alias("s"))
-    keepers = ex.groupBy("s").count().filter(F.col("count") <= 50).select("s")
-    kept = ex.join(F.broadcast(keepers), "s")
+    # Drop hot shingles by broadcasting the SMALL side: the >50-doc
+    # boilerplate set is bounded by corpus_size/50 distinct values by
+    # construction, while the <=50 "keepers" complement is nearly the
+    # whole shingle vocabulary (rare shingles dominate any shingle
+    # distribution) and would be a driver OOM at 100 TB. Same rows as
+    # an inner join with the keeper set — left_anti against the hot
+    # set — but the broadcast is bounded by the boilerplate count.
+    hot = ex.groupBy("s").count().filter(F.col("count") > 50).select("s")
+    kept = ex.join(F.broadcast(hot), "s", "left_anti")
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = kept.select(F.col("doc_id").alias("id_a"), "s")
     b = kept.select(F.col("doc_id").alias("id_b"), "s")
@@ -12521,62 +12528,24 @@ def dedup_keep_best(spark, sf_dir):
 # evidence. This window closes the certification backlog: after a
 # green r6, all 207 queries have a driver row.
 #
-# r7 schedule (planned now): no never/red backlog expected, so the
-# window is pure re-observation — slots 1-50 = the 50 stalest
-# greens as rotate_registry.py emits them after r06 lands.
+# Round-7 window (rotated at round start; r06 was 50/50 green,
+# closing the pre-r6 backlog): slots 1-7 = the 7 queries added
+# after the r6 driver run (quality_lr_score .. sample_stratified_hash
+# — all judge-verified in the r6 session and green on the local
+# oracle sweep), slots 8-50 = the 43 STALEST-certified greens
+# (r01/r02-era observations) per rotate_registry.py's age ordering.
+# A green r7 makes every one of the 214 registry queries
+# driver-certified, with certification-age ceiling dropping to r03.
 # =====================================================================
 
 _DRIVER_ORDER = [
-    "events_bot_heuristics",
-    "revenue_bridge_decomposition",
-    "dq_reconciliation",
-    "events_lateness_profile",
-    "price_elasticity_by_brand",
-    "events_weekly_active_mix",
-    "fairshare_waterfill",
-    "events_power_users_gini",
-    "orders_backlog_aging",
-    "events_dau_wau_stickiness",
-    "events_behavior_entropy",
-    "discount_effectiveness",
-    "segment_migration_matrix",
-    "attribution_linear_multi_touch",
-    "scalar_cleaning_suite",
-    "s1_scan_filter",
-    "s2_union_scan",
-    "p1_prefix_rename",
-    "p6_isin_filter",
-    "v_validation_flags",
-    "p7_reject_split",
-    "j1_broadcast_dim_join",
-    "j2_disjunctive_join",
-    "j3_multikey_join",
-    "j5_coalesce_fallback_join",
-    "w1_latest_record",
-    "w1_superseded_records",
-    "w2_partition_minmax",
-    "w6_lead_changed",
-    "w7_group_representative",
-    "o1_priority_topk",
-    "m1_merge_upsert",
-    "m3_merge_changed_only",
-    "x1_enrich_lookup",
-    "scalar_string_suite",
-    "scalar_date_suite",
-    "scalar_numeric_suite",
-    "scalar_json_extract",
-    "a1_distinct",
-    "q1_pricing_summary",
-    "q3_topk_join_agg",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "text_token_count",
-    "text_fingerprint",
-    "text_quality_score",
-    "dedup_exact",
-    "flagship_curated",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "quality_lr_score",
+    "text_shingle_containment",
+    "dedup_keep_best",
+    "graph_pagerank",
+    "privacy_t_closeness",
+    "stats_welch_ttest",
+    "sample_stratified_hash",
     "dedup_simhash",
     "ann_cosine_topk",
     "text_langid",
@@ -12734,14 +12703,56 @@ _DRIVER_ORDER = [
     "events_concurrent_sessions",
     "privacy_l_diversity",
     "fraud_duplicate_payments",
-    # round-6 additions: behind the certification window
-    "quality_lr_score",
-    "text_shingle_containment",
-    "dedup_keep_best",
-    "graph_pagerank",
-    "privacy_t_closeness",
-    "stats_welch_ttest",
-    "sample_stratified_hash",
+    "events_bot_heuristics",
+    "revenue_bridge_decomposition",
+    "dq_reconciliation",
+    "events_lateness_profile",
+    "price_elasticity_by_brand",
+    "events_weekly_active_mix",
+    "fairshare_waterfill",
+    "events_power_users_gini",
+    "orders_backlog_aging",
+    "events_dau_wau_stickiness",
+    "events_behavior_entropy",
+    "discount_effectiveness",
+    "segment_migration_matrix",
+    "attribution_linear_multi_touch",
+    "scalar_cleaning_suite",
+    "s1_scan_filter",
+    "s2_union_scan",
+    "p1_prefix_rename",
+    "p6_isin_filter",
+    "v_validation_flags",
+    "p7_reject_split",
+    "j1_broadcast_dim_join",
+    "j2_disjunctive_join",
+    "j3_multikey_join",
+    "j5_coalesce_fallback_join",
+    "w1_latest_record",
+    "w1_superseded_records",
+    "w2_partition_minmax",
+    "w6_lead_changed",
+    "w7_group_representative",
+    "o1_priority_topk",
+    "m1_merge_upsert",
+    "m3_merge_changed_only",
+    "x1_enrich_lookup",
+    "scalar_string_suite",
+    "scalar_date_suite",
+    "scalar_numeric_suite",
+    "scalar_json_extract",
+    "a1_distinct",
+    "q1_pricing_summary",
+    "q3_topk_join_agg",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "text_token_count",
+    "text_fingerprint",
+    "text_quality_score",
+    "dedup_exact",
+    "flagship_curated",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
 ]
 
 def _rotate_registry() -> None:

@@ -234,6 +234,10 @@ AUDIT = {
     "segment_migration_matrix": {"expect": ["Window", "HashAggregate", "FullOuter"], "forbid": []},
     # purchase-x-touch match must be the binned hash range join
     "attribution_linear_multi_touch": {"expect": ["HashJoin", "Window"], "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
+    # hot-shingle removal must broadcast the SMALL (>50-doc hot) set
+    # as a LeftAnti — broadcasting the keeper complement (≈ the whole
+    # shingle vocabulary) is the r6 judge's driver-OOM finding
+    "text_shingle_containment": {"expect": [r"BroadcastHashJoin .*LeftAnti"], "forbid": []},
 }
 
 
