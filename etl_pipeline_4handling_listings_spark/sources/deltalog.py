@@ -492,7 +492,15 @@ def export_delta_log(
                 }
             }
         ]
-        if rec.get("txn_app") is not None:
+        # txn only from manifests the store itself trusts: a
+        # breaker-raced manifest (_OWNER mismatch) carries the
+        # staller's content under the breaker's txn — exporting it
+        # would make a stock client drop the breaker's retried batch
+        if rec.get("txn_app") is not None and (
+            store._commit_record_materialized(
+                vname, rec, _vnum(store.current_version())
+            )
+        ):
             lines.append(
                 {
                     "txn": {
@@ -562,19 +570,16 @@ def _write_checkpoint(
         {"protocol": _protocol_action(store)},
         {"metaData": _meta_action(store, version)},
     ]
-    # txn watermarks: every app id ever committed, from the same
-    # records last_txn_version trusts
+    # txn watermarks: every app id ever committed, from EXACTLY the
+    # records last_txn_version trusts (store.committed_txn_records —
+    # compacted + masked live manifests + vacuumed-at-or-below-pointer
+    # manifests). Re-deriving the set here from list_versions() +
+    # _compacted missed vacuumed-but-not-compacted manifests (too-LOW
+    # watermark → stock client re-applies a batch) and included
+    # breaker-raced manifests whose _OWNER stamp mismatches (too-HIGH
+    # watermark → stock client drops a real batch).
     apps: dict[str, int] = {}
-    commits = store._commits_dir()
-    recs: list[dict] = []
-    try:
-        with open(os.path.join(commits, "_compacted.json")) as f:
-            recs.extend(json.load(f).values())
-    except (OSError, ValueError):
-        pass
-    for v in store.list_versions():
-        recs.append(_commit_record(store, v))
-    for rec in recs:
+    for rec in store.committed_txn_records():
         app = rec.get("txn_app")
         if app is not None:
             try:

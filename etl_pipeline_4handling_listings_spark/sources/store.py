@@ -1528,6 +1528,27 @@ class MergeStore:
         Compacted records are committed by definition (compaction
         folds only versions older than the oldest retained)."""
         best = -1
+        for rec in self.committed_txn_records():
+            if rec.get("txn_app") == app_id:
+                try:
+                    best = max(best, int(rec.get("txn_ver", -1)))
+                except (TypeError, ValueError):
+                    continue
+        return best
+
+    def committed_txn_records(self) -> list[dict]:
+        """Commit records trusted as MATERIALIZED — the single
+        source of truth behind :meth:`last_txn_version` and the
+        Delta-log export's checkpoint ``txn`` watermarks
+        (``deltalog._write_checkpoint``). The two MUST agree: a
+        watermark built from a superset of these records (e.g. an
+        orphan claim past the pointer, or a breaker-raced manifest
+        whose ``_OWNER`` stamp mismatches) overstates the version
+        and makes a stock Delta client silently drop a real batch;
+        a subset (e.g. missing a vacuumed-but-not-yet-compacted
+        manifest) understates it and re-applies an already-applied
+        batch as duplicates. Masking rules documented on
+        :meth:`last_txn_version`."""
         commits = self._commits_dir()
         records: list[dict] = []
         try:
@@ -1550,25 +1571,31 @@ class MergeStore:
             except (OSError, ValueError):
                 continue
             version = str(rec.get("version") or entry[:-5])
-            vdir = self._version_dir(version)
-            if os.path.isdir(vdir):
-                try:
-                    with open(os.path.join(vdir, self._OWNER)) as f:
-                        stamped = f.read().strip()
-                except OSError:
-                    stamped = None
-                if stamped is not None and rec.get("owner") != stamped:
-                    continue  # arbiter raced: content isn't this txn's
-            elif _vnum(version) > cur_n:
-                continue  # orphan claim: txn never committed
-            records.append(rec)
-        for rec in records:
-            if rec.get("txn_app") == app_id:
-                try:
-                    best = max(best, int(rec.get("txn_ver", -1)))
-                except (TypeError, ValueError):
-                    continue
-        return best
+            if self._commit_record_materialized(version, rec, cur_n):
+                records.append(rec)
+        return records
+
+    def _commit_record_materialized(
+        self, version: str, rec: dict, cur_n: int
+    ) -> bool:
+        """True when ``version``'s manifest describes content that
+        actually committed (masking rules on
+        :meth:`last_txn_version`). Shared by
+        :meth:`committed_txn_records` and the Delta-log export's
+        per-entry txn emission, which must never trust a manifest
+        this predicate rejects."""
+        vdir = self._version_dir(version)
+        if os.path.isdir(vdir):
+            try:
+                with open(os.path.join(vdir, self._OWNER)) as f:
+                    stamped = f.read().strip()
+            except OSError:
+                return True  # pre-stamp legacy
+            # arbiter raced: content isn't this manifest's txn
+            return rec.get("owner") == stamped
+        # dir gone: vacuum only removes committed versions; an
+        # orphan claim is always numbered past the pointer
+        return _vnum(version) <= cur_n
 
     def append(
         self,
@@ -2405,19 +2432,50 @@ class MergeStore:
     def _tombstones_dir(self) -> str:
         return os.path.join(self.path, "_TOMBSTONES")
 
+    def _tombstones_enc_dir(self) -> str:
+        # percent-encoded tombstones live in their own subdir so
+        # decode is unambiguous: a root-level entry is ALWAYS a
+        # legacy raw name, an enc/ entry ALWAYS decodes. (Encoding
+        # in-place would make a legacy column literally named like
+        # an encoded string indistinguishable from the encoding.)
+        return os.path.join(self._tombstones_dir(), "enc")
+
+    @staticmethod
+    def _encode_tombstone_name(name: str) -> str:
+        from urllib.parse import quote
+
+        # quote(safe="") leaves '.' raw (unreserved); encode it too
+        # so no filename can start with '.' or carry a '.tmp' marker
+        return quote(name, safe="").replace(".", "%2E")
+
     def dropped_columns(self) -> list[str]:
         """Names logically dropped by :meth:`drop_column` — retired
         permanently (see there for why). One empty FILE per name
-        under ``_TOMBSTONES/`` (each create is atomic — no
-        read-modify-write for concurrent drops to race); the legacy
-        JSON list is still read for stores written before the
-        format change."""
+        under ``_TOMBSTONES/enc/``, percent-encoded so EVERY legal
+        Spark column name round-trips (backtick names may start
+        with '.' — which the legacy layout silently confused with
+        its crashed-write temp files, voiding the resurrection
+        guard — or contain '/', which would escape the directory).
+        Each create is atomic — no read-modify-write for concurrent
+        drops to race. Legacy layouts (raw names at the dir root,
+        the older JSON list) are still read."""
+        from urllib.parse import unquote
+
         names = set()
+        try:
+            names.update(
+                unquote(n)
+                for n in os.listdir(self._tombstones_enc_dir())
+                if ".tmp" not in n  # crashed-write temp files
+            )
+        except FileNotFoundError:
+            pass
         try:
             names.update(
                 n
                 for n in os.listdir(self._tombstones_dir())
                 if not n.startswith(".")  # crashed-write temp files
+                and n != "enc"
             )
         except FileNotFoundError:
             pass
@@ -2433,12 +2491,20 @@ class MergeStore:
         bytes still live in retained (hardlinked) data files, so the
         union schema would RESURRECT stale values for every
         pre-drop row — the same hazard :meth:`add_columns` guards.
-        (A tombstoned name is never in the current schema — drop
-        removes it, add refuses it — so any source occurrence is a
-        re-add attempt.)"""
-        dead = sorted(
-            set(source.columns) & set(self.dropped_columns())
-        )
+        (A tombstoned name is normally never in the current schema —
+        drop removes it, add refuses it. The exception is a STALE
+        tombstone: drop_column writes the stone before its commit,
+        so a drop that permanently failed leaves the name tombstoned
+        while the column still lives in the schema. Such a name is
+        an ordinary source column, not a re-add — refusing it would
+        wedge every evolving merge on the store forever.)"""
+        dead = set(source.columns) & set(self.dropped_columns())
+        if dead:
+            cur = self.current_version()
+            if cur is not None:
+                live = {f.name for f in self._snapshot_schema(cur).fields}
+                dead -= live  # stale stones: never-committed drops
+        dead = sorted(dead)
         if dead:
             raise ValueError(
                 f"schema evolution would re-add dropped column(s) "
@@ -2458,13 +2524,14 @@ class MergeStore:
         return schema
 
     def _write_tombstone(self, name: str) -> None:
-        os.makedirs(self._tombstones_dir(), exist_ok=True)
+        os.makedirs(self._tombstones_enc_dir(), exist_ok=True)
+        enc = self._encode_tombstone_name(name)
         tmp = os.path.join(
-            self._tombstones_dir(), f".{name}.{uuid.uuid4().hex}"
+            self._tombstones_enc_dir(), f"{enc}.tmp{uuid.uuid4().hex}"
         )
         with open(tmp, "w"):
             pass
-        os.replace(tmp, os.path.join(self._tombstones_dir(), name))
+        os.replace(tmp, os.path.join(self._tombstones_enc_dir(), enc))
 
     def drop_column(
         self,
@@ -2610,12 +2677,6 @@ class MergeStore:
                     f"cannot rename {old!r}: referenced by CHECK "
                     f"constraint {cname!r}"
                 )
-        if new in self.dropped_columns():
-            raise ValueError(
-                f"target name {new!r} was previously dropped and its "
-                "bytes still live in retained data files — pick "
-                "another name"
-            )
         extra = {"operation": "rename column", "data_change": False}
         for _attempt in range(max_retries + 1):
             self._repair_pointer()
@@ -2635,6 +2696,19 @@ class MergeStore:
                 raise ValueError(
                     f"target name {new!r} already exists "
                     f"(have {sorted(names)})"
+                )
+            # checked against THIS snapshot's names: a tombstone for
+            # a name still in the schema is stale (drop_column writes
+            # the stone before its commit, so a permanently-failed
+            # drop over-claims) — such a name already failed the
+            # duplicate check above; only a genuinely-absent dropped
+            # name blocks the rename forever (its bytes live in
+            # retained data files)
+            if new in self.dropped_columns():
+                raise ValueError(
+                    f"target name {new!r} was previously dropped and "
+                    "its bytes still live in retained data files — "
+                    "pick another name"
                 )
             renamed_schema = StructType(
                 [

@@ -315,11 +315,14 @@ def foreach_batch_cdc_apply(
 
     Batches carry ``_change_type`` / ``_commit_version`` columns. A
     micro-batch may span several upstream commits, so changes first
-    collapse to the LAST change per key (commit versions are
-    zero-padded — lexicographic max IS the latest), then apply in
-    one MERGE: postimages upsert, deletes delete. Order within the
-    batch therefore never matters, and the per-key collapse keeps
-    the merge source unique per key (the Delta MERGE precondition).
+    collapse to the LAST change per key — ordered by the NUMERIC
+    commit number, never the raw string: versions format as
+    ``v{n:05d}``, so past 99,999 commits ``v100000`` sorts
+    lexicographically BEFORE ``v99999`` and a string max would pick
+    a stale change — then apply in one MERGE: postimages upsert,
+    deletes delete. Order within the batch therefore never matters,
+    and the per-key collapse keeps the merge source unique per key
+    (the Delta MERGE precondition).
 
     Exactly-once: the merge is key-idempotent (replaying a batch of
     postimages/deletes reproduces the same snapshot), so the per-app
@@ -341,7 +344,12 @@ def foreach_batch_cdc_apply(
         if batch_id <= _applied():
             return  # replayed, already applied by THIS query
         last = latest_record(
-            batch, keys, [F.desc("_commit_version")]
+            batch,
+            keys,
+            # numeric order: strip the 'v' prefix and cast — the
+            # %05d zero-padding only sorts correctly below 100,000
+            # commits, and this sink must not inherit that ceiling
+            [F.desc(F.substring("_commit_version", 2, 18).cast("long"))],
         ).drop("_commit_version")
         data_cols = [c for c in last.columns if c not in meta]
         target.create_if_absent(last.select(*data_cols))

@@ -301,6 +301,35 @@ def test_cdc_apply_chains_stores_medallion(spark, tmp_path):
     assert silver.current_version() == before
 
 
+def test_cdc_apply_collapse_is_numeric_past_version_99999(
+    spark, tmp_path
+):
+    """The per-key collapse must order commits NUMERICALLY: %05d
+    zero-padding stops sorting lexicographically at 100,000 commits
+    ('v100000' < 'v99999' as strings), and a string max would apply
+    the stale change. Drive the sink directly with a fabricated
+    two-commit batch straddling the ceiling."""
+    from etl_pipeline_4handling_listings_spark.streaming import (
+        foreach_batch_cdc_apply,
+    )
+
+    silver = MergeStore(spark, str(tmp_path / "silver"), keys=["k"])
+    sink = foreach_batch_cdc_apply(silver, ["k"], "ceiling-probe")
+    batch = spark.createDataFrame(
+        [
+            (1, "stale", "update_postimage", "v99999"),
+            (1, "fresh", "update_postimage", "v100000"),
+            (2, "gone", "delete", "v100000"),
+            (2, "older", "update_postimage", "v99999"),
+        ],
+        ["k", "v", "_change_type", "_commit_version"],
+    )
+    sink(batch, 0)
+    assert {(r["k"], r["v"]) for r in silver.read().collect()} == {
+        (1, "fresh")
+    }
+
+
 def test_datasource_write_append_path(spark, tmp_path):
     """df.write.format('mergestore').mode('append'): executors write
     Arrow->parquet scratch, the driver commit rides the store's OCC

@@ -153,6 +153,68 @@ def test_export_txn_watermarks_roundtrip(spark, tmp_path):
     assert delta_last_txn(spark, store.path, "nobody") == -1
 
 
+def test_checkpoint_txn_watermark_survives_uncompacted_vacuum(
+    spark, tmp_path
+):
+    """A txn whose version dir was vacuumed but whose manifest has
+    NOT been folded into _compacted.json yet must still reach the
+    exported checkpoint watermark — last_txn_version counts it
+    (dir-gone-and-version<=pointer), so a checkpoint that missed it
+    would tell a stock client the batch never ran (duplicates on
+    replay). The export is built FRESH after vacuum so the txn can
+    only arrive via the checkpoint, not a tail JSON entry."""
+    store = _mk(spark, tmp_path)
+    store.append(
+        spark.createDataFrame([(6, 0, "f")], ["k", "p", "v"]),
+        txn=("loader", 7),
+    )
+    for i in range(3):
+        store.merge(
+            spark.createDataFrame([(10 + i, 0, "x")], ["k", "p", "v"])
+        )
+    store.vacuum(keep=2)
+    # precondition: the txn version is gone but uncompacted, and the
+    # store itself still counts it
+    assert store.last_txn_version("loader") == 7
+    log_dir = export_delta_log(store)
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    assert delta_last_txn(spark, store.path, "loader") == 7
+
+
+def test_export_skips_breaker_raced_txn(spark, tmp_path):
+    """A manifest whose version dir's _OWNER stamp mismatches is the
+    breaker-race case: the dir holds the STALLER's content and the
+    breaker retries its batch. Exporting that manifest's txn would
+    overstate the watermark and a stock client would silently drop
+    the retried batch — both the tail JSON entry and the checkpoint
+    must mask it, exactly as last_txn_version does."""
+    store = _mk(spark, tmp_path)
+    store.append(
+        spark.createDataFrame([(6, 0, "f")], ["k", "p", "v"]),
+        txn=("loader", 7),
+    )
+    vtxn = store.current_version()
+    assert store.last_txn_version("loader") == 7
+    with open(os.path.join(store._version_dir(vtxn), store._OWNER), "w") as f:
+        f.write("somebody-else")
+    assert store.last_txn_version("loader") == -1
+    # tail-entry path: the raced version is a live exportable entry
+    export_delta_log(store)
+    assert delta_last_txn(spark, store.path, "loader") == -1
+    # checkpoint path after more history: whatever the store trusts
+    # (vacuum may erase the owner evidence — then BOTH sides count
+    # the manifest again), the export must agree exactly
+    for i in range(3):
+        store.merge(
+            spark.createDataFrame([(10 + i, 0, "x")], ["k", "p", "v"])
+        )
+    store.vacuum(keep=2)
+    export_delta_log(store)
+    assert delta_last_txn(
+        spark, store.path, "loader"
+    ) == store.last_txn_version("loader")
+
+
 def test_export_refuses_live_deletion_vectors(spark, tmp_path):
     store = _mk(spark, tmp_path)
     store.delete(F.col("k") == 2)  # MOR path writes a DV

@@ -574,6 +574,67 @@ def test_schema_evolution_refuses_tombstoned_column(spark, tmp_path):
     assert "x2" in store.read().columns
 
 
+def test_tombstone_guard_holds_for_hostile_column_names(spark, tmp_path):
+    """Tombstone filenames are percent-encoded: a column whose name
+    starts with '.' (legal in Spark via backticks) must not vanish
+    into the crashed-write temp-file filter, and a name containing
+    '/' must not write outside _TOMBSTONES/. Both stay guarded
+    against re-add, and legacy raw-name stones still read."""
+    import os
+
+    store = _mk(spark, tmp_path, [(1, "a")])
+    for hostile in [".hidden", "a/b", "x%2Ey", "sp ace"]:
+        store.add_columns({hostile: "bigint"})
+        store.drop_column(hostile)
+        assert hostile in store.dropped_columns(), hostile
+        with pytest.raises(ValueError, match="previously dropped"):
+            store.add_columns({hostile: "bigint"})
+    # nothing escaped the tombstone dir
+    root = str(tmp_path / "store")
+    assert not os.path.exists(os.path.join(root, "_TOMBSTONES", "a"))
+    # legacy layout: a raw name at the dir root is still honored
+    with open(
+        os.path.join(root, "_TOMBSTONES", "legacy_col"), "w"
+    ):
+        pass
+    assert "legacy_col" in store.dropped_columns()
+
+
+def test_stale_tombstone_does_not_wedge_store(spark, tmp_path):
+    """drop_column writes its tombstone BEFORE the commit, so a drop
+    that permanently fails leaves the name tombstoned while the
+    column still lives in the schema. That stale stone must not (a)
+    refuse every schema-evolving merge whose source naturally
+    carries the column, nor (b) make rename refuse the name with
+    the misleading 'previously dropped' error — the accurate
+    duplicate refusal fires instead. A GENUINE tombstone (column
+    absent) still blocks both."""
+    import os
+
+    store = _mk(spark, tmp_path, [(1, "a")])
+    store.add_columns({"x": "bigint"})
+    # simulate the failed drop: stone written, commit never happened
+    store._write_tombstone("x")
+    assert "x" in store.dropped_columns()
+    assert "x" in store.read().columns
+    # (a) evolving merge with the still-live column passes
+    wide = spark.createDataFrame([(2, "b", 9)], ["k", "v", "x"])
+    store.merge(wide, schema_evolution=True)
+    assert [r.x for r in store.read().filter("k = 2").collect()] == [9]
+    # (b) rename TO the still-live name: duplicate refusal, not the
+    # permanent 'previously dropped' one
+    store.add_columns({"y": "bigint"})
+    with pytest.raises(ValueError, match="already exists"):
+        store.rename_column("y", "x")
+    # a real drop keeps the guard permanent
+    store.drop_column("x")
+    assert "x" not in store.read().columns
+    with pytest.raises(ValueError, match="previously dropped"):
+        store.rename_column("y", "x")
+    with pytest.raises(ValueError, match="resurrect"):
+        store.merge(wide, schema_evolution=True)
+
+
 def test_concurrent_drop_columns_both_retire(spark, tmp_path):
     """Two drop_columns racing on different columns: per-name atomic
     tombstone files mean neither loses the other's entry, and the
