@@ -95,6 +95,10 @@ _ACTION_SCHEMA = T.StructType(
                                 T.StructField(
                                     "pathOrInlineDv", T.StringType()
                                 ),
+                                T.StructField("offset", T.IntegerType()),
+                                T.StructField(
+                                    "sizeInBytes", T.IntegerType()
+                                ),
                                 T.StructField(
                                     "cardinality", T.LongType()
                                 ),
@@ -180,7 +184,7 @@ _ACTION_SCHEMA = T.StructType(
 
 # reader-version-3 table features this replay implements; anything
 # else in readerFeatures is a named refusal
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 
 
 # ---------------------------------------------------------------------
@@ -906,6 +910,98 @@ def _check_protocol(proto) -> None:
         )
 
 
+def _physical_schema(dt: T.DataType) -> T.DataType:
+    """Schema with every field renamed to its column-mapping
+    physical name (``delta.columnMapping.physicalName`` field
+    metadata) — what the parquet files actually spell. Pure
+    metadata, recursive through structs/arrays/maps."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    ),
+                    _physical_schema(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _physical_schema(dt.elementType), dt.containsNull
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_schema(dt.keyType),
+            _physical_schema(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+# strip the URI scheme so _metadata.file_path ("file:///x/y") and a
+# driver-side os.path.abspath ("/x/y") key the same file
+_FP_NORM = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+"
+
+
+def _norm_fp_col():
+    return F.regexp_replace(F.col("_metadata.file_path"), _FP_NORM, "/")
+
+
+def _apply_dvs(spark, table_path: str, df, dv_descs: list) -> "DataFrame":
+    """Anti-filter deleted rows: decode each descriptor to its row
+    indexes on EXECUTORS (mapInPandas over the descriptor frame —
+    total deleted-row cardinality is data-scale and never lands on
+    the driver) and left_anti join the scan on (file, row_index).
+    The scan must already carry ``__fp``/``__ri`` from its parquet
+    ``_metadata``. The doom side is sized by deleted rows, so AQE
+    broadcasts it when small; the scan side never shuffles in that
+    (common) case."""
+    from .dvcodec import load_dv_indexes
+
+    desc_df = spark.createDataFrame(
+        [
+            (
+                os.path.abspath(f),
+                d["storageType"],
+                d["pathOrInlineDv"],
+                d["offset"],
+                d["sizeInBytes"],
+            )
+            for f, d in dv_descs
+        ],
+        "__fp string, st string, pod string, off int, sz int",
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            # name=None: leading-underscore columns (__fp) would be
+            # mangled to positional names by named itertuples
+            for fp, st, pod, off, sz in pdf.itertuples(
+                index=False, name=None
+            ):
+                idxs = load_dv_indexes(
+                    table_path,
+                    st,
+                    pod,
+                    None if pd.isna(off) else int(off),
+                    None if pd.isna(sz) else int(sz),
+                )
+                yield pd.DataFrame(
+                    {"__fp": fp, "__ri": pd.Series(idxs, dtype="int64")}
+                )
+
+    doom = desc_df.repartition(
+        min(len(dv_descs), 64)
+    ).mapInPandas(decode, "__fp string, __ri long")
+    keep = [c for c in df.columns if c not in ("__fp", "__ri")]
+    return df.join(doom, ["__fp", "__ri"], "left_anti").select(*keep)
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -917,10 +1013,18 @@ def read_delta(
 
     ``version`` / ``timestamp`` give Delta time travel (``VERSION
     AS OF`` / ``TIMESTAMP AS OF``; timestamp resolution = log-file
-    modification time, Delta's own default). Unsupported protocol
-    features (deletion vectors in any live add, column mapping,
-    unknown reader features) raise :class:`DeltaProtocolError` by
-    name.
+    modification time, Delta's own default).
+
+    Deletion vectors are APPLIED (spec decode in ``dvcodec``:
+    Z85 + portable RoaringBitmap + the DV file framing) as a
+    row-index anti-join against the parquet ``_metadata``
+    (file_path, row_index) pair — only scans of DV-carrying tables
+    pay for the metadata columns. Column mapping mode ``name`` is
+    honored as pure metadata: files are read under their physical
+    names and renamed to logical on the way out (struct casts
+    rename nested fields positionally). Mode ``id`` (parquet
+    field-id resolution) and unknown reader features stay NAMED
+    refusals.
 
     The scan pushes the reconstructed file list straight into the
     parquet reader. For hive-laid-out tables (what Spark/delta-spark
@@ -943,10 +1047,11 @@ def read_delta(
         raise DeltaProtocolError("log has no metaData action")
     cfg = dict(meta["configuration"] or {})
     cm = cfg.get("delta.columnMapping.mode", "none")
-    if cm not in ("", "none"):
+    if cm not in ("", "none", "name"):
         raise DeltaProtocolError(
-            f"columnMapping.mode={cm!r} is not supported (physical "
-            "column names would be misread as logical)"
+            f"columnMapping.mode={cm!r} is not supported (id mode "
+            "resolves columns by parquet field id, which this "
+            "plain-parquet scan cannot honor)"
         )
     if (meta["format"] or {"provider": "parquet"})[
         "provider"
@@ -954,35 +1059,66 @@ def read_delta(
         raise DeltaProtocolError(
             f"format {meta['format']['provider']!r} != parquet"
         )
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    pcols = list(meta["partitionColumns"] or [])
+    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    mapped = cm == "name"
+    schema = (
+        _physical_schema(logical) if mapped else logical
+    )
+    # partitionColumns are logical names; partitionValues maps (and
+    # hive dir names) carry PHYSICAL names under column mapping
+    phys_of = {
+        lf.name: pf.name
+        for lf, pf in zip(logical.fields, schema.fields)
+    }
+    pcols = [phys_of[c] for c in (meta["partitionColumns"] or [])]
+
+    def _logicalize(df):
+        if not mapped:
+            return df
+        return df.select(
+            *[
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for lf, pf in zip(logical.fields, schema.fields)
+            ]
+        )
 
     adds = _live_adds(actions)
-    dv_count = (
-        adds.where(F.col("add.deletionVector").isNotNull())
-        .limit(1)
-        .count()
-    )
-    if dv_count:
-        raise DeltaProtocolError(
-            "live files carry deletion vectors; reading them as "
-            "plain parquet would resurrect deleted rows"
-        )
     # file list + partition tuples: O(files) strings on the driver,
     # the same scale every Spark scan's file index holds
     rows = adds.select(
         F.col("add.path").alias("p"),
         F.col("add.partitionValues").alias("pv"),
+        F.col("add.deletionVector").alias("dv"),
     ).collect()
     if not rows:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], logical)
     files = [os.path.join(path, unquote(r["p"])) for r in rows]
+    dv_descs = [
+        (os.path.join(path, unquote(r["p"])), r["dv"])
+        for r in rows
+        if r["dv"] is not None and r["dv"]["storageType"] is not None
+    ]
+
+    def _scan(reader, *fs):
+        df = reader.parquet(*fs)
+        if dv_descs:
+            df = df.select(
+                "*",
+                _norm_fp_col().alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        return df
+
+    def _finish(df):
+        if dv_descs:
+            df = _apply_dvs(spark, path, df, dv_descs)
+        return _logicalize(df)
 
     file_schema = T.StructType(
         [f for f in schema.fields if f.name not in pcols]
     )
     if not pcols:
-        return spark.read.schema(schema).parquet(*files)
+        return _finish(_scan(spark.read.schema(schema), *files))
 
     # hive fast path: every file sits under dirs that spell out its
     # partitionValues — one basePath scan, partition types from the
@@ -1004,10 +1140,11 @@ def read_delta(
         return True
 
     if all(hive_ok(r) for r in rows):
-        return (
-            spark.read.schema(schema)
-            .option("basePath", path)
-            .parquet(*files)
+        return _finish(
+            _scan(
+                spark.read.schema(schema).option("basePath", path),
+                *files,
+            )
         )
 
     # general fallback: group by partition tuple, tag, union
@@ -1028,16 +1165,19 @@ def read_delta(
             (v is not None, str(v)) for v in kv[0]
         ),
     ):
-        df = spark.read.schema(file_schema).parquet(*fs)
+        df = _scan(spark.read.schema(file_schema), *fs)
         for c, val in zip(pcols, key):
             df = df.withColumn(
                 c, F.lit(val).cast(by_name[c].dataType)
             )
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        cols = [f.name for f in schema.fields]
+        if dv_descs:
+            cols += ["__fp", "__ri"]
+        parts.append(df.select(*cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _finish(out)
 
 
 def convert_from_delta(
@@ -1083,7 +1223,7 @@ def convert_from_delta(
         raise DeltaProtocolError("log has no metaData action")
     cfg = dict(meta["configuration"] or {})
     cm = cfg.get("delta.columnMapping.mode", "none")
-    if cm not in ("", "none"):
+    if cm not in ("", "none", "name"):
         raise DeltaProtocolError(
             f"columnMapping.mode={cm!r} is not supported"
         )
@@ -1096,19 +1236,22 @@ def convert_from_delta(
         )
     pcol = pcols[0] if pcols else None
     adds = _live_adds(actions)
-    if (
-        adds.where(F.col("add.deletionVector").isNotNull())
-        .limit(1)
-        .count()
-    ):
-        raise DeltaProtocolError(
-            "live files carry deletion vectors; run REORG/purge on "
-            "the Delta side before converting"
-        )
     rows = adds.select(
         F.col("add.path").alias("p"),
         F.col("add.partitionValues").alias("pv"),
+        F.col("add.deletionVector").alias("dv"),
     ).collect()
+    has_dv = any(
+        r["dv"] is not None and r["dv"]["storageType"] is not None
+        for r in rows
+    )
+    # name-mapped files spell physical column names, so adopting
+    # them by reference would leave a store whose files disagree
+    # with its logical schema — materialize through read_delta
+    # (which renames and applies DVs) instead of hardlinking.
+    # DV-carrying files in an unmapped table are materialized the
+    # same way below; clean files still adopt by hardlink.
+    materialize_all = cm == "name"
 
     gens = {}
     idents = {}
@@ -1141,7 +1284,12 @@ def convert_from_delta(
     os.makedirs(store._staging_dir(), exist_ok=True)
     staging = os.path.join(store._staging_dir(), uuid.uuid4().hex)
     os.makedirs(staging, exist_ok=True)
-    for i, r in enumerate(rows):
+    link_rows = [] if materialize_all else [
+        r
+        for r in rows
+        if r["dv"] is None or r["dv"]["storageType"] is None
+    ]
+    for i, r in enumerate(link_rows):
         src = os.path.join(path, unquote(r["p"]))
         ddir = staging
         if pcol is not None:
@@ -1161,6 +1309,69 @@ def convert_from_delta(
             os.link(src, dst)
         except OSError:
             shutil.copy2(src, dst)
+    if materialize_all:
+        # column mapping: one distributed job rewrites the whole
+        # table under logical names (read_delta renames and applies
+        # any DVs); a by-reference adoption would leave files whose
+        # physical names disagree with the store's logical schema
+        writer = read_delta(spark, path).write.mode("append").format(
+            "parquet"
+        )
+        if pcol is not None:
+            writer = writer.partitionBy(pcol)
+        writer.save(staging)
+    elif has_dv:
+        # only the DV-carrying files are rewritten (their deleted
+        # rows must not travel; a hardlink would resurrect them) —
+        # clean files above adopted by reference, so the job is
+        # sized by the DV'd subset, not the table
+        dv_rows = [
+            r
+            for r in rows
+            if r["dv"] is not None and r["dv"]["storageType"] is not None
+        ]
+        dv_descs = [
+            (os.path.join(path, unquote(r["p"])), r["dv"])
+            for r in dv_rows
+        ]
+        file_schema = T.StructType(
+            [f for f in schema.fields if f.name != pcol]
+        )
+        scan = (
+            spark.read.schema(file_schema)
+            .parquet(*[f for f, _ in dv_descs])
+            .select(
+                "*",
+                _norm_fp_col().alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        )
+        if pcol is not None:
+            ptype = next(
+                f.dataType for f in schema.fields if f.name == pcol
+            )
+            pv_df = spark.createDataFrame(
+                [
+                    (
+                        os.path.abspath(
+                            os.path.join(path, unquote(r["p"]))
+                        ),
+                        dict(r["pv"] or {}).get(pcol),
+                    )
+                    for r in dv_rows
+                ],
+                "__fp string, __pv string",
+            )
+            scan = (
+                scan.join(F.broadcast(pv_df), "__fp")
+                .withColumn(pcol, F.col("__pv").cast(ptype))
+                .drop("__pv")
+            )
+        clean = _apply_dvs(spark, path, scan, dv_descs)
+        writer = clean.write.mode("append").format("parquet")
+        if pcol is not None:
+            writer = writer.partitionBy(pcol)
+        writer.save(staging)
     MergeStore._write_snapshot_schema(staging, schema)
     MergeStore._write_file_manifest(staging)
     with open(store._schema_path(), "w") as f:

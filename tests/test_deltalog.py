@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_4handling_listings_spark.sources.deltalog import (
     DeltaProtocolError,
+    convert_from_delta,
     delta_last_txn,
     export_delta_log,
     read_delta,
@@ -408,7 +409,7 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
         "format": {"provider": "parquet", "options": {}},
         "schemaString": _schema_string(("k", "long")),
         "partitionColumns": [],
-        "configuration": {"delta.columnMapping.mode": "name"},
+        "configuration": {"delta.columnMapping.mode": "id"},
         "createdTime": 0,
     }
     _log_write(
@@ -420,9 +421,12 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
             {"add": {"path": "p0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True}},
         ],
     )
+    # id mode resolves by parquet field id — still a named refusal
+    # (name mode is now READ, tested separately)
     with pytest.raises(DeltaProtocolError, match="columnMapping"):
         read_delta(spark, tbl)
-    # unsupported reader feature
+    # unsupported reader feature (deletionVectors itself is now
+    # implemented, so probe with a genuinely-unknown one)
     tbl2 = str(tmp_path / "tbl2")
     os.makedirs(tbl2, exist_ok=True)
     meta2 = dict(base_meta, configuration={})
@@ -430,13 +434,13 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
         tbl2,
         0,
         [
-            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["v2Checkpoint"], "writerFeatures": ["v2Checkpoint"]}},
             {"metaData": meta2},
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta(spark, tbl2)
-    # live add carrying a DV
+    # unknown DV storage type is a decode-time error, named
     tbl3 = str(tmp_path / "tbl3")
     _log_write(
         tbl3,
@@ -444,11 +448,268 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
         [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
             {"metaData": meta2},
-            {"add": {"path": "p0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True, "deletionVector": {"storageType": "u", "pathOrInlineDv": "x", "cardinality": 1}}},
+            {"add": {"path": "p0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True, "deletionVector": {"storageType": "z", "pathOrInlineDv": "x", "offset": None, "sizeInBytes": 1, "cardinality": 1}}},
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        read_delta(spark, tbl3)
+    import shutil as _sh
+
+    _sh.copy(f1, os.path.join(tbl3, "p0.parquet"))
+    with pytest.raises(Exception, match="storageType"):
+        read_delta(spark, tbl3).collect()
+
+
+def test_read_foreign_deletion_vectors_all_storage_types(
+    spark, tmp_path
+):
+    """DVs written in the spec's on-disk format ('u' file under the
+    table root, inline 'i') are APPLIED as a row-index anti-filter:
+    the deleted rows vanish, clean files are untouched, and the
+    protocol feature gate accepts readerFeatures=[deletionVectors]."""
+    from etl_pipeline_4handling_listings_spark.sources.dvcodec import (
+        inline_dv_descriptor,
+        write_dv_file,
+    )
+
+    rows_a = [(i, f"a{i}") for i in range(5)]
+    rows_b = [(i + 10, f"b{i}") for i in range(3)]
+    rows_c = [(i + 20, f"c{i}") for i in range(2)]
+    fa = _write_parquet_file(spark, tmp_path, rows_a, ["k", "v"], "a.parquet")
+    fb = _write_parquet_file(spark, tmp_path, rows_b, ["k", "v"], "b.parquet")
+    fc = _write_parquet_file(spark, tmp_path, rows_c, ["k", "v"], "c.parquet")
+    tbl = str(tmp_path / "tbl")
+    dv_a = write_dv_file(tbl, [1, 3], prefix="xy")  # drop a1, a3
+    dv_b = inline_dv_descriptor([0])  # drop b0
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("k", "long"), ("v", "string")),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}},
+            {"metaData": meta},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": os.path.getsize(fa), "modificationTime": 0, "dataChange": True, "deletionVector": dv_a}},
+            {"add": {"path": "b.parquet", "partitionValues": {}, "size": os.path.getsize(fb), "modificationTime": 0, "dataChange": True, "deletionVector": dv_b}},
+            {"add": {"path": "c.parquet", "partitionValues": {}, "size": os.path.getsize(fc), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [
+        (0, "a0"), (2, "a2"), (4, "a4"),
+        (11, "b1"), (12, "b2"),
+        (20, "c0"), (21, "c1"),
+    ]
+
+
+def test_read_foreign_dv_partitioned_hive(spark, tmp_path):
+    """DV anti-filter composes with the hive fast path: partition
+    columns still come from dir names in ONE basePath scan and the
+    per-file row indexes drop the right rows."""
+    from etl_pipeline_4handling_listings_spark.sources.dvcodec import (
+        write_dv_file,
+    )
+
+    f1 = _write_parquet_file(
+        spark, tmp_path, [(1, "a"), (2, "b")], ["k", "v"],
+        "p=10/f1.parquet",
+    )
+    f2 = _write_parquet_file(
+        spark, tmp_path, [(3, "c"), (4, "d")], ["k", "v"],
+        "p=20/f2.parquet",
+    )
+    tbl = str(tmp_path / "tbl")
+    dv = write_dv_file(tbl, [0])  # drops (1, "a")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(
+            ("k", "long"), ("v", "string"), ("p", "integer")
+        ),
+        "partitionColumns": ["p"],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}},
+            {"metaData": meta},
+            {"add": {"path": "p=10/f1.parquet", "partitionValues": {"p": "10"}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True, "deletionVector": dv}},
+            {"add": {"path": "p=20/f2.parquet", "partitionValues": {"p": "20"}, "size": os.path.getsize(f2), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    got = sorted(
+        (r.k, r.v, r.p) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(2, "b", 10), (3, "c", 20), (4, "d", 20)]
+
+
+def _mapped_schema_string() -> str:
+    """Logical (k, v, p) with column-mapping physical names, the way
+    delta-spark records them."""
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa111",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbb222",
+                    },
+                },
+                {
+                    "name": "p",
+                    "type": "integer",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": "col-ccc333",
+                    },
+                },
+            ],
+        }
+    )
+
+
+def test_read_foreign_column_mapping_name_mode(spark, tmp_path):
+    """columnMapping.mode=name is pure metadata: files spell the
+    physical names, partitionValues and hive dirs key by physical
+    names, and the reader hands back LOGICAL columns."""
+    f1 = _write_parquet_file(
+        spark, tmp_path, [(1, "a"), (2, "b")],
+        ["col-aaa111", "col-bbb222"], "col-ccc333=10/f1.parquet",
+    )
+    tbl = str(tmp_path / "tbl")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _mapped_schema_string(),
+        "partitionColumns": ["p"],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"add": {"path": "col-ccc333=10/f1.parquet", "partitionValues": {"col-ccc333": "10"}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    got = read_delta(spark, tbl)
+    assert sorted(got.columns) == ["k", "p", "v"]
+    assert sorted((r.k, r.v, r.p) for r in got.collect()) == [
+        (1, "a", 10),
+        (2, "b", 10),
+    ]
+    assert dict(got.dtypes)["p"] == "int"
+
+
+def test_convert_from_delta_applies_dvs(spark, tmp_path):
+    """Adopting a DV-carrying table: clean files hardlink by
+    reference, DV'd files are REWRITTEN minus their deleted rows —
+    never adopted as-is (the deleted rows would resurrect)."""
+    from etl_pipeline_4handling_listings_spark.sources.dvcodec import (
+        write_dv_file,
+    )
+
+    rows_a = [(i, f"a{i}") for i in range(4)]
+    rows_b = [(i + 10, f"b{i}") for i in range(2)]
+    fa = _write_parquet_file(spark, tmp_path, rows_a, ["k", "v"], "a.parquet")
+    fb = _write_parquet_file(spark, tmp_path, rows_b, ["k", "v"], "b.parquet")
+    tbl = str(tmp_path / "tbl")
+    dv = write_dv_file(tbl, [0, 2])  # drop a0, a2
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("k", "long"), ("v", "string")),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}},
+            {"metaData": meta},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": os.path.getsize(fa), "modificationTime": 0, "dataChange": True, "deletionVector": dv}},
+            {"add": {"path": "b.parquet", "partitionValues": {}, "size": os.path.getsize(fb), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    store = convert_from_delta(
+        spark, tbl, str(tmp_path / "adopted"), keys=["k"]
+    )
+    got = sorted((r.k, r.v) for r in store.read().collect())
+    assert got == [(1, "a1"), (3, "a3"), (10, "b0"), (11, "b1")]
+    # the clean file really is a hardlink (adoption by reference)
+    assert os.stat(fb).st_nlink > 1
+    # the DV'd file was NOT linked (it was rewritten)
+    assert os.stat(fa).st_nlink == 1
+    # and the adopted store keeps working as a store
+    store.merge(spark.createDataFrame([(1, "A1")], ["k", "v"]))
+    assert dict(
+        (r.k, r.v) for r in store.read().collect()
+    )[1] == "A1"
+
+
+def test_convert_from_delta_column_mapping_materializes(
+    spark, tmp_path
+):
+    """name-mode tables adopt by full materialization (their files
+    spell physical names, which would disagree with the store's
+    logical schema) — rows and logical columns come through."""
+    f1 = _write_parquet_file(
+        spark, tmp_path, [(1, "a"), (2, "b")],
+        ["col-aaa111", "col-bbb222"], "col-ccc333=10/f1.parquet",
+    )
+    tbl = str(tmp_path / "tbl")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _mapped_schema_string(),
+        "partitionColumns": ["p"],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"add": {"path": "col-ccc333=10/f1.parquet", "partitionValues": {"col-ccc333": "10"}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    store = convert_from_delta(
+        spark, tbl, str(tmp_path / "adopted"), keys=["k"]
+    )
+    got = store.read()
+    assert sorted(got.columns) == ["k", "p", "v"]
+    assert sorted((r.k, r.v, r.p) for r in got.collect()) == [
+        (1, "a", 10),
+        (2, "b", 10),
+    ]
+    assert os.stat(f1).st_nlink == 1  # materialized, not linked
 
 
 def test_read_foreign_checkpoint_plus_tail(spark, tmp_path):
