@@ -23,11 +23,15 @@ with stock Delta clients. This module closes that:
   timestamp-based time travel use Delta's own resolution rules
   (log-entry file modification time).
 
-Unsupported protocol features fail by NAME (:class:`DeltaProtocolError`),
-never by silently misreading: deletion vectors, column mapping,
-reader features beyond the supported set. Export refuses versions
-carrying live MergeStore deletion vectors — ``optimize(purge=True)``
-(the REORG analogue) materializes them first.
+Deletion vectors in foreign logs are APPLIED (spec decode in
+``dvcodec``, row-index anti-join on parquet ``_metadata``), and
+``columnMapping.mode=name`` reads under physical names and returns
+logical columns. Unsupported protocol features still fail by NAME
+(:class:`DeltaProtocolError`), never by silently misreading:
+id-mode column mapping, reader features beyond the supported set.
+Export refuses versions carrying live MergeStore deletion vectors —
+``optimize(purge=True)`` (the REORG analogue) materializes them
+first.
 
 Scale notes: export walks only the per-snapshot ``_FILES.json``
 manifests (metadata-scale, no directory LIST) and writes the
@@ -1377,7 +1381,9 @@ def convert_from_delta(
     with open(store._schema_path(), "w") as f:
         json.dump(schema.jsonValue(), f)
     store._write_table_meta()
-    os.rename(staging, store._version_dir("v00000"))
+    store.log_store.publish_snapshot(
+        staging, store._version_dir("v00000")
+    )
     store._set_current("v00000")
     for name, expr in gens.items():
         store.add_generated_column(name, expr)

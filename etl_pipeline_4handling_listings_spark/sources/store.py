@@ -227,12 +227,20 @@ class MergeStore:
         keys: Sequence[str],
         fmt: str = "parquet",
         partition_by: str | None = None,
+        log_store=None,
     ) -> None:
+        from .logstore import PosixLogStore
+
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.fmt = fmt
         self.partition_by = partition_by
+        # storage strategy for the four commit primitives (claim
+        # create/break, publish, vacuum) — POSIX rename semantics by
+        # default; object-store backends swap in a conditional-PUT
+        # pointer write (sources/logstore.py)
+        self.log_store = log_store or PosixLogStore()
         # per-merge instrumentation (reset by each merge() call):
         # how many times the merge computation ran vs how many lost
         # races were absorbed by the partition-disjoint fast-forward
@@ -255,26 +263,19 @@ class MergeStore:
         backwards. A writer paused between the commit rename and its
         pointer flip must not overwrite the pointer after a NEWER
         version committed (that would serve stale snapshots until the
-        next repair); checking current-on-disk at write time and again
-        immediately before the atomic replace closes all but the
-        instant of ``os.replace`` itself — and any writer that does
-        lose that instant is corrected by the next
+        next repair); the current-on-disk check closes all but the
+        instant of the atomic replace itself — and any writer that
+        does lose that instant is corrected by the next
         ``_repair_pointer``, which routes through here and therefore
-        can also only advance. Unique tmp names keep racing flippers
-        from clobbering each other's staging file. Comparisons are
+        can also only advance. The backend's ``replace_file`` uses
+        unique tmp names, so racing flippers never clobber each
+        other's staging file. Comparisons are
         numeric (``_vnum``): lexical order inverts at v99999 ->
         v100000 and would freeze the pointer forever."""
         cur = self.current_version()
         if cur is not None and _vnum(cur) >= _vnum(version):
             return
-        tmp = self._pointer_path() + "." + uuid.uuid4().hex + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-        cur = self.current_version()
-        if cur is not None and _vnum(cur) >= _vnum(version):
-            os.remove(tmp)
-            return
-        os.replace(tmp, self._pointer_path())
+        self.log_store.replace_file(self._pointer_path(), version)
 
     def _version_dir(self, version: str) -> str:
         return os.path.join(self.path, version)
@@ -416,23 +417,15 @@ class MergeStore:
         if extra:
             record.update(extra)
         payload = json.dumps(record)
-        try:
-            fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
+        if self.log_store.create_exclusive(manifest, payload):
             self._claim_owner = record["owner"]
             return True
-        except FileExistsError:
-            pass
         try:
             age = time.time() - os.path.getmtime(manifest)
         except OSError:
             return False
         if age > expiry_s and not os.path.isdir(self._version_dir(version)):
-            tmp = manifest + "." + uuid.uuid4().hex
-            with open(tmp, "w") as f:
-                f.write(payload)
-            os.replace(tmp, manifest)
+            self.log_store.replace_file(manifest, payload)
             self._claim_owner = record["owner"]
             return True
         return False
@@ -500,10 +493,7 @@ class MergeStore:
             record["touched"] = sorted(touched)
         if extra:
             record.update(extra)
-        tmp = manifest + "." + uuid.uuid4().hex
-        with open(tmp, "w") as f:
-            f.write(json.dumps(record))
-        os.replace(tmp, manifest)
+        self.log_store.replace_file(manifest, json.dumps(record))
 
     def _finalize_commit(
         self,
@@ -517,9 +507,9 @@ class MergeStore:
         arbiter to a broken-claim racer; the caller treats it exactly
         like a lost claim (drop staging, await, retry)."""
         self._stamp_owner(staging)
-        try:
-            os.rename(staging, self._version_dir(version))
-        except OSError:
+        if not self.log_store.publish_snapshot(
+            staging, self._version_dir(version)
+        ):
             return False
         self._reassert_manifest(version, touched=touched, extra=extra)
         self._set_current(version)
@@ -2180,7 +2170,9 @@ class MergeStore:
         with open(store._schema_path(), "w") as f:
             json.dump(schema.jsonValue(), f)
         store._write_table_meta()
-        os.rename(staging, store._version_dir("v00000"))
+        store.log_store.publish_snapshot(
+            staging, store._version_dir("v00000")
+        )
         store._set_current("v00000")
         # unlink the originals — the inodes live on in v00000
         for entry in adopted:
@@ -2239,7 +2231,9 @@ class MergeStore:
         os.makedirs(target._staging_dir(), exist_ok=True)
         staging = os.path.join(target._staging_dir(), uuid.uuid4().hex)
         _link_tree(self._version_dir(cur), staging)
-        os.rename(staging, target._version_dir("v00000"))
+        target.log_store.publish_snapshot(
+            staging, target._version_dir("v00000")
+        )
         schema = self._version_schema(cur)
         if schema is not None:
             with open(target._schema_path(), "w") as f:
@@ -3945,7 +3939,7 @@ class MergeStore:
         if dry_run:
             return doomed
         for v in doomed:
-            shutil.rmtree(self._version_dir(v), ignore_errors=True)
+            self.log_store.remove_snapshot(self._version_dir(v))
         # abandoned staging dirs (crashed writers) age out here too;
         # live writers hold theirs for well under the expiry
         staging = self._staging_dir()
