@@ -174,3 +174,96 @@ def member_pairs(
             F.slice(F.col("_us"), F.col("_i") + 2, F.size("_us"))
         ).alias("v"),
     )
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    eps_e12: int = 10**6,
+    max_rounds: int = 40,
+) -> tuple[DataFrame, int, bool]:
+    """PageRank to CONVERGENCE on the 1e-12 integer grid — the
+    production probe the fixed-round query (`queries.graph_pagerank`)
+    documents: iterate the same bit-reproducible power step (integer
+    per-neighbor shares ``pr div d``, damping exactly 17/20) until
+    ``sum |Δpr| < eps_e12`` or ``max_rounds``.
+
+    Returns ``(rank_frame(node, pr), rounds_run, converged)``; the
+    rank frame's ``pr`` is the e12-scaled integer. Because every
+    round is exact integer arithmetic, the delta probe is itself
+    deterministic — no float tolerance games across partial-agg
+    orders. Per round: one join keyed on src + one
+    map-side-combinable shuffle on dst, materialized ONCE by an
+    eager localCheckpoint that both the delta probe and the next
+    round read (without it the probe's action and round r+1 would
+    each re-execute round r's plan, doubling every round) — lineage
+    therefore also stays flat. The probe's full-outer join also
+    counts mass parked on rank-sink nodes (in-degree 0 after a
+    round) as delta, so "converged" means the whole vector moved
+    less than eps, not just the surviving keys.
+    """
+    dirs = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = (
+        dirs.groupBy("src")
+        .agg(F.count("*").cast("long").alias("d"))
+        .withColumnRenamed("src", "node")
+    )
+    dirs_d = (
+        dirs.join(deg.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", "d")
+        .localCheckpoint(eager=True)
+    )
+    n = dirs_d.select("src").distinct().count()
+    spark = edges.sparkSession
+    if n == 0:
+        return (
+            spark.createDataFrame([], "node bigint, pr bigint"),
+            0,
+            True,
+        )
+    scale = 10**12
+    base = (3 * scale) // (20 * n)
+    pr = (
+        dirs_d.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(scale // n).cast("long").alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    converged = False
+    for _it in range(max_rounds):
+        nxt = (
+            dirs_d.join(pr.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr div d")).alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.expr("(17 * s) div 20"))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        rounds += 1
+        delta = (
+            nxt.withColumnRenamed("pr", "pr_new")
+            .join(
+                pr.withColumnRenamed("pr", "pr_old"), "node", "full_outer"
+            )
+            .select(
+                F.abs(
+                    F.coalesce("pr_new", F.lit(0))
+                    - F.coalesce("pr_old", F.lit(0))
+                ).alias("dlt")
+            )
+            .agg(F.sum("dlt").alias("total"))
+            .collect()[0]["total"]
+        )
+        pr = nxt
+        if delta is not None and int(delta) < int(eps_e12):
+            converged = True
+            break
+    return pr, rounds, converged

@@ -8781,8 +8781,10 @@ def _duck_pr_round(prev: str, nxt: str) -> str:
     "a float PageRank would drift per-iteration across partial-agg "
     "orders). The final double is pr_e12/1e12: one exact IEEE op "
     "on identical integers. Fixed 6 rounds, self-describing in the "
-    "column name; production at 100 TB would add a convergence "
-    "probe (sum |delta|) per round — each round is one join keyed "
+    "column name; the production convergence probe exists as "
+    "operators.graph.pagerank_converged (sum |delta| per round on "
+    "the same integer grid, eps + max-round cap) — each round is "
+    "one join keyed "
     "on node + one shuffle on dst, both map-side combinable; the "
     "edge frame comes from the shared cached co-presence build and "
     "lineage is truncated mid-loop.",
