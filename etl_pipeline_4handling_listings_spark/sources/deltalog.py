@@ -23,15 +23,15 @@ with stock Delta clients. This module closes that:
   timestamp-based time travel use Delta's own resolution rules
   (log-entry file modification time).
 
-Deletion vectors in foreign logs are APPLIED (spec decode in
-``dvcodec``, row-index anti-join on parquet ``_metadata``), and
-``columnMapping.mode=name`` reads under physical names and returns
-logical columns. Unsupported protocol features still fail by NAME
-(:class:`DeltaProtocolError`), never by silently misreading:
-id-mode column mapping, reader features beyond the supported set.
-Export refuses versions carrying live MergeStore deletion vectors —
-``optimize(purge=True)`` (the REORG analogue) materializes them
-first.
+Deletion vectors round-trip BOTH directions: foreign logs' DVs are
+APPLIED on read (spec decode in ``dvcodec``, row-index anti-join on
+parquet ``_metadata``), and MergeStore's own (file, row_index) DVs
+EXPORT as spec descriptors (inline or ``_dv_export/`` files) under
+a table-features protocol. ``columnMapping.mode=name`` reads under
+physical names and returns logical columns. Unsupported protocol
+features still fail by NAME (:class:`DeltaProtocolError`), never by
+silently misreading: id-mode column mapping, reader features beyond
+the supported set.
 
 Scale notes: export walks only the per-snapshot ``_FILES.json``
 manifests (metadata-scale, no directory LIST) and writes the
@@ -257,19 +257,34 @@ def _schema_with_delta_metadata(store, version: str) -> dict:
     return payload
 
 
-def _protocol_action(store) -> dict:
-    """minReaderVersion stays 1 (every exported feature is
-    writer-side); minWriterVersion per the PROTOCOL.md feature
+def _protocol_action(store, with_dvs: bool = False) -> dict:
+    """Without DVs, minReaderVersion stays 1 (every exported feature
+    is writer-side); minWriterVersion per the PROTOCOL.md feature
     table: 2 base (appendOnly/invariants), 3 CHECK constraints,
-    4 generated columns, 6 identity columns."""
+    4 generated columns, 6 identity columns. Exporting deletion
+    vectors forces TABLE-FEATURES mode (reader 3 / writer 7), where
+    the spec requires every in-use feature — including the legacy
+    ones the old writer version implied — spelled out by name."""
     w = 2
+    feats = ["appendOnly", "invariants"]
     if store.constraints():
         w = max(w, 3)
+        feats.append("checkConstraints")
     if store.generated_columns():
         w = max(w, 4)
+        feats.append("generatedColumns")
     if store.identity_columns():
         w = max(w, 6)
-    return {"minReaderVersion": 1, "minWriterVersion": w}
+        feats.append("identityColumns")
+    if not with_dvs:
+        return {"minReaderVersion": 1, "minWriterVersion": w}
+    feats.append("deletionVectors")
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": sorted(feats),
+    }
 
 
 def _meta_action(store, version: str) -> dict:
@@ -298,11 +313,77 @@ def _meta_action(store, version: str) -> dict:
     }
 
 
+_DV_EXPORT_DIR = "_dv_export"
+# above this many deleted rows per file the DV goes to a 'u' file
+# instead of riding inline in the JSON/checkpoint action (Z85 blows
+# up ~5/4; inline keeps the log self-contained for the common case)
+_DV_INLINE_MAX = 50_000
+
+
+def _export_dv_descriptor(store, version: str, rel_snap: str, positions):
+    """Spec deletionVector descriptor for one file's deleted row
+    indexes. Deterministic 'u' filenames (uuid5 of store/version/
+    file) make re-export idempotent — the same DV maps to the same
+    ``.bin`` and is never rewritten."""
+    from .dvcodec import inline_dv_descriptor, serialize_dv, z85_encode
+
+    idxs = sorted(int(p) for p in positions)
+    if len(idxs) <= _DV_INLINE_MAX:
+        return inline_dv_descriptor(idxs)
+    import struct
+    import zlib
+
+    u = uuid.uuid5(
+        uuid.NAMESPACE_URL,
+        f"{os.path.abspath(store.path)}#{version}#{rel_snap}",
+    )
+    ddir = os.path.join(store.path, _DV_EXPORT_DIR)
+    os.makedirs(ddir, exist_ok=True)
+    fpath = os.path.join(ddir, f"deletion_vector_{u}.bin")
+    blob = serialize_dv(idxs)
+    if not os.path.exists(fpath):
+        tmp = fpath + "." + uuid.uuid4().hex
+        with open(tmp, "wb") as f:
+            f.write(bytes([1]))
+            f.write(struct.pack(">i", len(blob)))
+            f.write(blob)
+            f.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+        os.replace(tmp, fpath)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": _DV_EXPORT_DIR + z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(blob),
+        "cardinality": len(idxs),
+    }
+
+
+def _version_dv_map(store, version: str) -> dict[str, list[int]]:
+    """rel-file -> deleted row indexes for ``version``'s MergeStore
+    DV sidecar (empty when none). Collected to the driver: sized by
+    the snapshot's DELETED rows — the export is an explicit interop
+    operation and this matches the driver-side cost its checkpoint
+    write already pays per live file."""
+    dv = store._dv_frame(version)
+    if dv is None:
+        return {}
+    rows = (
+        dv.groupBy("_dv_file")
+        .agg(F.collect_list("_dv_pos").alias("ps"))
+        .collect()
+    )
+    return {r["_dv_file"]: list(r["ps"]) for r in rows}
+
+
 def _version_adds(store, version: str) -> list[dict]:
     """One add action per data file of ``version``, paths relative
     to the TABLE root (``vNNNNN/...``) — legal per PROTOCOL.md
     (readers resolve relative paths against the table root, and
-    subdirectories are exactly how Delta lays out partitions)."""
+    subdirectories are exactly how Delta lays out partitions).
+    MergeStore deletion vectors attach as spec descriptors (inline
+    for small counts, ``_dv_export/`` files above the threshold) —
+    their (file, row_index) model is exactly Delta's."""
+    dv_map = _version_dv_map(store, version)
     sizes = store._manifest_sizes(version)
     if sizes is None:
         # pre-manifest snapshot: walk once (export-time only)
@@ -335,6 +416,10 @@ def _version_adds(store, version: str) -> list[dict]:
         n = _num_records(full)
         if n is not None:
             add["stats"] = json.dumps({"numRecords": n})
+        if rel_snap in dv_map:
+            add["deletionVector"] = _export_dv_descriptor(
+                store, version, rel_snap, dv_map[rel_snap]
+            )
         adds.append(add)
     return adds
 
@@ -377,11 +462,13 @@ def export_delta_log(
 
     Vacuumed history starts AFTER the checkpoint by construction
     (same as stock Delta: cleaned-up log + checkpoint). Versions
-    carrying live deletion vectors cannot be described as plain
-    adds — rows would resurrect — so export covers the newest
-    DV-free contiguous suffix of the history and REFUSES outright
-    when the CURRENT version has DVs (``optimize(purge=True)``
-    materializes them). Re-export after new commits is incremental:
+    carrying live MergeStore deletion vectors export them as SPEC
+    deletion vectors (inline descriptors for small counts,
+    ``_dv_export/`` files above ``_DV_INLINE_MAX``) under a
+    table-features protocol (reader 3 / writer 7 +
+    ``deletionVectors``) — the store's (file, row_index) DV model is
+    exactly Delta's, so nothing resurrects and stock DV-aware
+    readers agree. Re-export after new commits is incremental:
     existing entries are kept, missing ones appended, the
     checkpoint advanced only when vacuum moved the history start.
 
@@ -394,20 +481,7 @@ def export_delta_log(
         raise FileNotFoundError(
             f"MergeStore at {store.path} does not exist"
         )
-    cur = versions[-1]
-    if store._dv_files(cur):
-        raise DeltaProtocolError(
-            "current version has live deletion vectors; a plain-"
-            "parquet _delta_log cannot express them (rows would "
-            "resurrect). Run store.optimize(purge=True) first"
-        )
-    # newest contiguous DV-free suffix
-    start_i = 0
-    for i in range(len(versions) - 1, -1, -1):
-        if store._dv_files(versions[i]):
-            start_i = i + 1
-            break
-    exportable = versions[start_i:]
+    exportable = versions
     # the log lives IN the table root: add paths are relative to it
     log_dir = os.path.join(store.path, _LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
@@ -540,7 +614,17 @@ def export_delta_log(
                     }
                 }
             )
-        for add in _adds(vname):
+        this_adds = _adds(vname)
+        if any(a.get("deletionVector") for a in this_adds):
+            # the entry that introduces DVs must also upgrade the
+            # protocol to table-features mode — a reader replaying
+            # from an older checkpoint (protocol 1/2) would
+            # otherwise skip the feature gate and misread. Repeats
+            # are legal (readers take the latest protocol action).
+            lines.insert(
+                1, {"protocol": _protocol_action(store, with_dvs=True)}
+            )
+        for add in this_adds:
             lines.append({"add": add})
         # prev's adds are never needed again — evict, or a long
         # history holds (versions x files) dicts on the driver at
@@ -574,8 +658,9 @@ def _write_checkpoint(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    any_dvs = any(store._dv_files(v) for v in store.list_versions())
     rows: list[dict] = [
-        {"protocol": _protocol_action(store)},
+        {"protocol": _protocol_action(store, with_dvs=any_dvs)},
         {"metaData": _meta_action(store, version)},
     ]
     # txn watermarks: every app id ever committed, from EXACTLY the
@@ -601,6 +686,15 @@ def _write_checkpoint(
         rows.append({"add": add})
 
     map_t = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -609,6 +703,7 @@ def _write_checkpoint(
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_t),
         ]
     )
     remove_t = pa.struct(
@@ -632,6 +727,8 @@ def _write_checkpoint(
         [
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
         ]
     )
     txn_t = pa.struct(
@@ -657,6 +754,7 @@ def _write_checkpoint(
             "modificationTime": a["modificationTime"],
             "dataChange": a["dataChange"],
             "stats": a.get("stats"),
+            "deletionVector": a.get("deletionVector"),
         }
 
     def conv_meta(m):

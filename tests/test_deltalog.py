@@ -216,13 +216,41 @@ def test_export_skips_breaker_raced_txn(spark, tmp_path):
     ) == store.last_txn_version("loader")
 
 
-def test_export_refuses_live_deletion_vectors(spark, tmp_path):
+def test_export_live_deletion_vectors_roundtrip(spark, tmp_path):
+    """MergeStore's MOR deletion vectors export as SPEC DVs (the
+    (file, row_index) models are identical): read_delta applies
+    them and agrees with store.read(), the protocol upgrades to
+    table-features mode, and time travel to the pre-delete version
+    still shows the row."""
+    import json as _json
+
     store = _mk(spark, tmp_path)
     store.delete(F.col("k") == 2)  # MOR path writes a DV
     if not store._dv_files(store.current_version()):
-        pytest.skip("delete chose copy-on-write; no DV to refuse")
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        export_delta_log(store)
+        pytest.skip("delete chose copy-on-write; no DV to export")
+    log_dir = export_delta_log(store)
+    assert _rows(read_delta(spark, store.path)) == _rows(store.read())
+    assert (2, 1, "b") not in _rows(read_delta(spark, store.path))
+    # the DV-introducing entry carries the protocol upgrade + the
+    # descriptor
+    vdel = store.current_version()
+    entry = os.path.join(log_dir, f"{int(vdel[1:]):020d}.json")
+    acts = [
+        _json.loads(line) for line in open(entry).read().splitlines()
+    ]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+    dvs = [
+        a["add"]["deletionVector"]
+        for a in acts
+        if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert dvs and dvs[0]["cardinality"] == 1
+    # time travel: the pre-delete version still has the row
+    pre = read_delta(spark, store.path, version=int(vdel[1:]) - 1)
+    assert (2, 1, "b") in _rows(pre)
+    # purge (REORG) then re-export still agrees
     store.optimize(purge=True)
     export_delta_log(store)
     assert _rows(read_delta(spark, store.path)) == _rows(store.read())
