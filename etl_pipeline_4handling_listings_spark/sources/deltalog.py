@@ -68,6 +68,10 @@ _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 _ENTRY_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(
+    # classic, multi-part, and V2 (UUID-named) checkpoint files
+    r"^(\d{20})\.checkpoint(?:\.\d{10}\.\d{10}|\.[0-9a-zA-Z_-]+)?\.parquet$"
+)
+_CKPT_CLASSIC_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet$"
 )
 
@@ -187,8 +191,15 @@ _ACTION_SCHEMA = T.StructType(
 )
 
 # reader-version-3 table features this replay implements; anything
-# else in readerFeatures is a named refusal
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+# else in readerFeatures is a named refusal. columnMapping is listed
+# because NAME mode is fully read — id mode still refuses, by the
+# mode check (a named refusal on the mode string, after the gate)
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "deletionVectors",
+    "columnMapping",
+    "v2Checkpoint",
+}
 
 
 # ---------------------------------------------------------------------
@@ -889,7 +900,29 @@ def _replay_plan(
                 f"log entry {v:020d}.json is missing (cleaned up?); "
                 "cannot reconstruct the requested version"
             )
-    return target, (ckpts.get(base, []) if base is not None else []), tail
+    files = _select_ckpt_files(ckpts.get(base, [])) if base is not None else []
+    return target, files, tail
+
+
+def _select_ckpt_files(files: list[str]) -> list[str]:
+    """One coherent checkpoint from the files sharing a version:
+    classic/multi-part parts together; otherwise V2 (UUID-named)
+    files are each COMPLETE checkpoints, so exactly one UUID group
+    is taken (mixing two would duplicate every action)."""
+    classic = [
+        f
+        for f in files
+        if _CKPT_CLASSIC_RE.match(os.path.basename(f))
+    ]
+    if classic:
+        return sorted(classic)
+    by_uid: dict[str, list[str]] = {}
+    for f in files:
+        uid = os.path.basename(f).split(".")[2]
+        by_uid.setdefault(uid, []).append(f)
+    if not by_uid:
+        return sorted(files)
+    return sorted(by_uid[sorted(by_uid)[0]])
 
 
 def _conform(
@@ -919,29 +952,55 @@ def _conform(
     return F.col(path).cast(want)
 
 
+def _conformed_actions(ck: DataFrame, ckv: int) -> DataFrame:
+    avail = {f.name: f.dataType for f in ck.schema.fields}
+    return ck.select(
+        F.lit(ckv).alias("_commit"),
+        *[
+            _conform(avail.get(f), f, _ACTION_SCHEMA[f].dataType).alias(f)
+            for f in _ACTION_SCHEMA.fieldNames()
+        ],
+    )
+
+
 def _read_actions(
     spark: SparkSession, ckpt_files: list[str], tail: list[str]
 ) -> DataFrame:
     """Every action with its commit version, as ONE DataFrame:
     checkpoint rows at the checkpoint version, JSON rows at the
-    version their file name carries. Distributed — no collect."""
+    version their file name carries. Distributed — no collect.
+
+    V2 (UUID-named) checkpoints may hold their file actions in
+    SIDECAR parquet files under ``_delta_log/_sidecars/`` — the
+    ``sidecar`` actions name them (metadata-scale, one per sidecar
+    file); their add/remove rows join the replay at the checkpoint
+    version exactly like inline ones."""
     frames = []
     if ckpt_files:
         ck = spark.read.parquet(*ckpt_files)
-        avail = {f.name: f.dataType for f in ck.schema.fields}
         m = _CKPT_RE.match(os.path.basename(ckpt_files[0]))
         ckv = int(m.group(1))
-        frames.append(
-            ck.select(
-                F.lit(ckv).alias("_commit"),
-                *[
-                    _conform(
-                        avail.get(f), f, _ACTION_SCHEMA[f].dataType
-                    ).alias(f)
-                    for f in _ACTION_SCHEMA.fieldNames()
-                ],
-            )
-        )
+        frames.append(_conformed_actions(ck, ckv))
+        if "sidecar" in ck.columns:
+            log_dir = os.path.dirname(ckpt_files[0])
+            sc_paths = [
+                r["p"]
+                for r in ck.where(F.col("sidecar.path").isNotNull())
+                .select(F.col("sidecar.path").alias("p"))
+                .collect()
+            ]
+            sc_files = [
+                p
+                if "://" in p or os.path.isabs(p)
+                else os.path.join(log_dir, "_sidecars", unquote(p))
+                for p in sc_paths
+            ]
+            if sc_files:
+                frames.append(
+                    _conformed_actions(
+                        spark.read.parquet(*sc_files), ckv
+                    )
+                )
     if tail:
         txt = spark.read.text(tail).select(
             F.from_json("value", _ACTION_SCHEMA).alias("a"),

@@ -453,8 +453,9 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
     # (name mode is now READ, tested separately)
     with pytest.raises(DeltaProtocolError, match="columnMapping"):
         read_delta(spark, tbl)
-    # unsupported reader feature (deletionVectors itself is now
-    # implemented, so probe with a genuinely-unknown one)
+    # unsupported reader feature (deletionVectors / columnMapping /
+    # v2Checkpoint are now implemented, so probe with a
+    # genuinely-unknown one)
     tbl2 = str(tmp_path / "tbl2")
     os.makedirs(tbl2, exist_ok=True)
     meta2 = dict(base_meta, configuration={})
@@ -462,11 +463,11 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
         tbl2,
         0,
         [
-            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["v2Checkpoint"], "writerFeatures": ["v2Checkpoint"]}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["typeWidening"], "writerFeatures": ["typeWidening"]}},
             {"metaData": meta2},
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta(spark, tbl2)
     # unknown DV storage type is a decode-time error, named
     tbl3 = str(tmp_path / "tbl3")
@@ -650,6 +651,21 @@ def test_read_foreign_column_mapping_name_mode(spark, tmp_path):
         (2, "b", 10),
     ]
     assert dict(got.dtypes)["p"] == "int"
+    # a table-features writer declares the columnMapping READER
+    # feature explicitly — the gate must accept it for name mode
+    # (the mode check still refuses id)
+    _log_write(
+        tbl,
+        1,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["columnMapping"], "writerFeatures": ["columnMapping"]}},
+        ],
+    )
+    got2 = read_delta(spark, tbl)
+    assert sorted((r.k, r.v, r.p) for r in got2.collect()) == [
+        (1, "a", 10),
+        (2, "b", 10),
+    ]
 
 
 def test_convert_from_delta_applies_dvs(spark, tmp_path):
@@ -738,6 +754,149 @@ def test_convert_from_delta_column_mapping_materializes(
         (2, "b", 10),
     ]
     assert os.stat(f1).st_nlink == 1  # materialized, not linked
+
+
+def test_read_foreign_v2_checkpoint_with_sidecar(spark, tmp_path):
+    """A V2 (UUID-named) checkpoint whose file actions live in a
+    _sidecars/ parquet replays like a classic one: the sidecar's
+    adds join at the checkpoint version, the readerFeatures gate
+    accepts v2Checkpoint, and a classic checkpoint at the same
+    version (if both exist) is preferred without duplicating
+    actions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f1 = _write_parquet_file(spark, tmp_path, [(1, "a")], ["k", "v"], "a.parquet")
+    f2 = _write_parquet_file(spark, tmp_path, [(2, "b")], ["k", "v"], "b.parquet")
+    tbl = str(tmp_path / "tbl")
+    log_dir = os.path.join(tbl, "_delta_log")
+    sc_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+
+    def add_row(rel, f):
+        return {
+            "path": rel,
+            "partitionValues": [],
+            "size": os.path.getsize(f),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+
+    pq.write_table(
+        pa.table({"add": pa.array(
+            [add_row("a.parquet", f1), add_row("b.parquet", f2)],
+            type=add_t,
+        )}),
+        os.path.join(sc_dir, "sc1.parquet"),
+    )
+
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    sidecar_t = pa.struct(
+        [("path", pa.string()), ("sizeInBytes", pa.int64())]
+    )
+    ckpt = pa.table(
+        {
+            "protocol": pa.array(
+                [
+                    {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                        "writerFeatures": ["v2Checkpoint"],
+                    },
+                    None,
+                    None,
+                ],
+                type=proto_t,
+            ),
+            "metaData": pa.array(
+                [
+                    None,
+                    {
+                        "id": "abc",
+                        "format": {"provider": "parquet"},
+                        "schemaString": _schema_string(
+                            ("k", "long"), ("v", "string")
+                        ),
+                        "partitionColumns": [],
+                        "configuration": [],
+                        "createdTime": 0,
+                    },
+                    None,
+                ],
+                type=meta_t,
+            ),
+            "sidecar": pa.array(
+                [
+                    None,
+                    None,
+                    {
+                        "path": "sc1.parquet",
+                        "sizeInBytes": os.path.getsize(
+                            os.path.join(sc_dir, "sc1.parquet")
+                        ),
+                    },
+                ],
+                type=sidecar_t,
+            ),
+        }
+    )
+    import uuid as _uuid
+
+    uid = str(_uuid.uuid4())
+    pq.write_table(
+        ckpt,
+        os.path.join(
+            log_dir, f"{0:020d}.checkpoint.{uid}.parquet"
+        ),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0}, f)
+
+    got = read_delta(spark, tbl)
+    assert sorted((r.k, r.v) for r in got.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # a tail entry after the v2 checkpoint composes normally
+    _log_write(
+        tbl,
+        1,
+        [
+            {"commitInfo": {"operation": "DELETE"}},
+            {"remove": {"path": "b.parquet", "deletionTimestamp": 1, "dataChange": True}},
+        ],
+    )
+    assert sorted(
+        (r.k, r.v) for r in read_delta(spark, tbl).collect()
+    ) == [(1, "a")]
 
 
 def test_read_foreign_checkpoint_plus_tail(spark, tmp_path):
