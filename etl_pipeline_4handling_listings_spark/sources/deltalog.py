@@ -28,10 +28,11 @@ APPLIED on read (spec decode in ``dvcodec``, row-index anti-join on
 parquet ``_metadata``), and MergeStore's own (file, row_index) DVs
 EXPORT as spec descriptors (inline or ``_dv_export/`` files) under
 a table-features protocol. ``columnMapping.mode=name`` reads under
-physical names and returns logical columns. Unsupported protocol
-features still fail by NAME (:class:`DeltaProtocolError`), never by
-silently misreading: id-mode column mapping, reader features beyond
-the supported set.
+physical names and returns logical columns; mode ``id`` additionally
+resolves by parquet field id (Spark's native fieldId read path).
+Unsupported protocol features still fail by NAME
+(:class:`DeltaProtocolError`), never by silently misreading: reader
+features beyond the supported set.
 
 Scale notes: export walks only the per-snapshot ``_FILES.json``
 manifests (metadata-scale, no directory LIST) and writes the
@@ -191,9 +192,9 @@ _ACTION_SCHEMA = T.StructType(
 )
 
 # reader-version-3 table features this replay implements; anything
-# else in readerFeatures is a named refusal. columnMapping is listed
-# because NAME mode is fully read — id mode still refuses, by the
-# mode check (a named refusal on the mode string, after the gate)
+# else in readerFeatures is a named refusal. columnMapping covers
+# both name mode (pure-metadata rename) and id mode (parquet
+# field-id resolution via Spark's native fieldId read path)
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
@@ -1071,32 +1072,47 @@ def _check_protocol(proto) -> None:
         )
 
 
-def _physical_schema(dt: T.DataType) -> T.DataType:
+def _physical_schema(
+    dt: T.DataType, field_ids: bool = False
+) -> T.DataType:
     """Schema with every field renamed to its column-mapping
     physical name (``delta.columnMapping.physicalName`` field
     metadata) — what the parquet files actually spell. Pure
-    metadata, recursive through structs/arrays/maps."""
+    metadata, recursive through structs/arrays/maps.
+
+    With ``field_ids`` (columnMapping.mode=id), each field also
+    carries ``parquet.field.id`` copied from
+    ``delta.columnMapping.id`` so Spark's parquet reader resolves
+    columns by field id instead of name
+    (``spark.sql.parquet.fieldId.read.enabled``) — per spec, id-mode
+    files may spell ANY name; only the id is authoritative."""
     if isinstance(dt, T.StructType):
-        return T.StructType(
-            [
+        fields = []
+        for f in dt.fields:
+            md = f.metadata or {}
+            fmd = (
+                {"parquet.field.id": int(md["delta.columnMapping.id"])}
+                if field_ids and "delta.columnMapping.id" in md
+                else None
+            )
+            fields.append(
                 T.StructField(
-                    (f.metadata or {}).get(
-                        "delta.columnMapping.physicalName", f.name
-                    ),
-                    _physical_schema(f.dataType),
+                    md.get("delta.columnMapping.physicalName", f.name),
+                    _physical_schema(f.dataType, field_ids),
                     f.nullable,
+                    fmd,
                 )
-                for f in dt.fields
-            ]
-        )
+            )
+        return T.StructType(fields)
     if isinstance(dt, T.ArrayType):
         return T.ArrayType(
-            _physical_schema(dt.elementType), dt.containsNull
+            _physical_schema(dt.elementType, field_ids),
+            dt.containsNull,
         )
     if isinstance(dt, T.MapType):
         return T.MapType(
-            _physical_schema(dt.keyType),
-            _physical_schema(dt.valueType),
+            _physical_schema(dt.keyType, field_ids),
+            _physical_schema(dt.valueType, field_ids),
             dt.valueContainsNull,
         )
     return dt
@@ -1183,9 +1199,12 @@ def read_delta(
     pay for the metadata columns. Column mapping mode ``name`` is
     honored as pure metadata: files are read under their physical
     names and renamed to logical on the way out (struct casts
-    rename nested fields positionally). Mode ``id`` (parquet
-    field-id resolution) and unknown reader features stay NAMED
-    refusals.
+    rename nested fields positionally). Mode ``id`` additionally
+    resolves columns by parquet field id (Spark's native
+    ``spark.sql.parquet.fieldId.read.enabled`` path, which this
+    call turns on for the session — a no-op for id-less read
+    schemas, i.e. every other scan). Unknown reader features stay
+    NAMED refusals.
 
     The scan pushes the reconstructed file list straight into the
     parquet reader. For hive-laid-out tables (what Spark/delta-spark
@@ -1208,11 +1227,9 @@ def read_delta(
         raise DeltaProtocolError("log has no metaData action")
     cfg = dict(meta["configuration"] or {})
     cm = cfg.get("delta.columnMapping.mode", "none")
-    if cm not in ("", "none", "name"):
+    if cm not in ("", "none", "name", "id"):
         raise DeltaProtocolError(
-            f"columnMapping.mode={cm!r} is not supported (id mode "
-            "resolves columns by parquet field id, which this "
-            "plain-parquet scan cannot honor)"
+            f"columnMapping.mode={cm!r} is not supported"
         )
     if (meta["format"] or {"provider": "parquet"})[
         "provider"
@@ -1221,10 +1238,21 @@ def read_delta(
             f"format {meta['format']['provider']!r} != parquet"
         )
     logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    mapped = cm == "name"
+    mapped = cm in ("name", "id")
     schema = (
-        _physical_schema(logical) if mapped else logical
+        _physical_schema(logical, field_ids=(cm == "id"))
+        if mapped
+        else logical
     )
+    if cm == "id":
+        # id mode resolves columns by parquet field id, not by the
+        # names files happen to spell. Spark's reader does this
+        # natively when the read schema carries parquet.field.id
+        # metadata AND this conf is on. The conf is consulted at
+        # EXECUTION time, so it must stay set for the returned
+        # (lazy) DataFrame's lifetime — it is a no-op for read
+        # schemas without field-id metadata, i.e. every other scan.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     # partitionColumns are logical names; partitionValues maps (and
     # hive dir names) carry PHYSICAL names under column mapping
     phys_of = {
@@ -1384,7 +1412,7 @@ def convert_from_delta(
         raise DeltaProtocolError("log has no metaData action")
     cfg = dict(meta["configuration"] or {})
     cm = cfg.get("delta.columnMapping.mode", "none")
-    if cm not in ("", "none", "name"):
+    if cm not in ("", "none", "name", "id"):
         raise DeltaProtocolError(
             f"columnMapping.mode={cm!r} is not supported"
         )
@@ -1406,13 +1434,14 @@ def convert_from_delta(
         r["dv"] is not None and r["dv"]["storageType"] is not None
         for r in rows
     )
-    # name-mapped files spell physical column names, so adopting
+    # column-mapped files spell physical column names (and, in id
+    # mode, are only resolvable by parquet field id), so adopting
     # them by reference would leave a store whose files disagree
     # with its logical schema — materialize through read_delta
     # (which renames and applies DVs) instead of hardlinking.
     # DV-carrying files in an unmapped table are materialized the
     # same way below; clean files still adopt by hardlink.
-    materialize_all = cm == "name"
+    materialize_all = cm in ("name", "id")
 
     gens = {}
     idents = {}
@@ -1538,9 +1567,13 @@ def convert_from_delta(
     with open(store._schema_path(), "w") as f:
         json.dump(schema.jsonValue(), f)
     store._write_table_meta()
-    store.log_store.publish_snapshot(
+    if not store.log_store.publish_snapshot(
         staging, store._version_dir("v00000")
-    )
+    ):
+        raise RuntimeError(
+            f"convert_from_delta lost the v00000 publish race at "
+            f"{store_path}"
+        )
     store._set_current("v00000")
     for name, expr in gens.items():
         store.add_generated_column(name, expr)

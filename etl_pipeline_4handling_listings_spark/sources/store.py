@@ -2170,9 +2170,16 @@ class MergeStore:
         with open(store._schema_path(), "w") as f:
             json.dump(schema.jsonValue(), f)
         store._write_table_meta()
-        store.log_store.publish_snapshot(
+        if not store.log_store.publish_snapshot(
             staging, store._version_dir("v00000")
-        )
+        ):
+            # only reachable when a >expiry-stalled claim was broken
+            # and the breaker published first; its content is now
+            # v00000 — surfacing beats silently unlinking originals
+            # whose content never became the snapshot
+            raise RuntimeError(
+                f"convert lost the v00000 publish race at {path}"
+            )
         store._set_current("v00000")
         # unlink the originals — the inodes live on in v00000
         for entry in adopted:
@@ -2231,9 +2238,12 @@ class MergeStore:
         os.makedirs(target._staging_dir(), exist_ok=True)
         staging = os.path.join(target._staging_dir(), uuid.uuid4().hex)
         _link_tree(self._version_dir(cur), staging)
-        target.log_store.publish_snapshot(
+        if not target.log_store.publish_snapshot(
             staging, target._version_dir("v00000")
-        )
+        ):
+            raise RuntimeError(
+                f"clone lost the v00000 publish race at {new_path}"
+            )
         schema = self._version_schema(cur)
         if schema is not None:
             with open(target._schema_path(), "w") as f:

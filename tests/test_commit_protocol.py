@@ -397,3 +397,34 @@ def test_pointer_backend_crash_before_flip_repairs(spark, tmp_path):
     fresh._repair_pointer()
     assert fresh.current_version() == "v00001"
     assert {r["k"] for r in fresh.read().collect()} == {1}
+
+
+def test_convert_lost_publish_race_raises(spark, tmp_path, monkeypatch):
+    """convert must surface a lost v00000 publish (broken-claim
+    breaker won) instead of silently unlinking originals whose
+    content never became the snapshot."""
+    src = str(tmp_path / "plain")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).coalesce(
+        1
+    ).write.parquet(src)
+    monkeypatch.setattr(
+        PosixLogStore, "publish_snapshot", lambda self, s, f: False
+    )
+    with pytest.raises(RuntimeError, match="publish race"):
+        MergeStore.convert(spark, src, keys=["k"])
+    # originals untouched — nothing was unlinked
+    assert any(
+        n.endswith(".parquet") for n in os.listdir(src)
+    )
+
+
+def test_clone_lost_publish_race_raises(spark, tmp_path, monkeypatch):
+    store = _mk(spark, tmp_path / "t")
+    store.create_if_absent(
+        spark.createDataFrame([(1, "a")], ["k", "v"])
+    )
+    monkeypatch.setattr(
+        PosixLogStore, "publish_snapshot", lambda self, s, f: False
+    )
+    with pytest.raises(RuntimeError, match="publish race"):
+        store.clone(str(tmp_path / "c"))

@@ -437,7 +437,7 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
         "format": {"provider": "parquet", "options": {}},
         "schemaString": _schema_string(("k", "long")),
         "partitionColumns": [],
-        "configuration": {"delta.columnMapping.mode": "id"},
+        "configuration": {"delta.columnMapping.mode": "unknown-mode"},
         "createdTime": 0,
     }
     _log_write(
@@ -449,8 +449,8 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
             {"add": {"path": "p0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True}},
         ],
     )
-    # id mode resolves by parquet field id — still a named refusal
-    # (name mode is now READ, tested separately)
+    # an unrecognized mapping mode is a named refusal (name and id
+    # modes are now READ, tested separately)
     with pytest.raises(DeltaProtocolError, match="columnMapping"):
         read_delta(spark, tbl)
     # unsupported reader feature (deletionVectors / columnMapping /
@@ -744,6 +744,92 @@ def test_convert_from_delta_column_mapping_materializes(
             {"add": {"path": "col-ccc333=10/f1.parquet", "partitionValues": {"col-ccc333": "10"}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True}},
         ],
     )
+    store = convert_from_delta(
+        spark, tbl, str(tmp_path / "adopted"), keys=["k"]
+    )
+    got = store.read()
+    assert sorted(got.columns) == ["k", "p", "v"]
+    assert sorted((r.k, r.v, r.p) for r in got.collect()) == [
+        (1, "a", 10),
+        (2, "b", 10),
+    ]
+    assert os.stat(f1).st_nlink == 1  # materialized, not linked
+
+
+def _write_id_mode_table(tmp_path) -> str:
+    """An id-mode table whose parquet file deliberately spells
+    names matching NEITHER the logical nor the recorded physical
+    names — only the parquet field ids line up (legal per spec:
+    in id mode, only the id is authoritative)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "tbl")
+    pdir = os.path.join(tbl, "col-ccc333=10")
+    os.makedirs(pdir, exist_ok=True)
+    sch = pa.schema(
+        [
+            pa.field(
+                "whatever-1",
+                pa.int64(),
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+            pa.field(
+                "whatever-2",
+                pa.string(),
+                metadata={b"PARQUET:field_id": b"2"},
+            ),
+        ]
+    )
+    f1 = os.path.join(pdir, "f1.parquet")
+    pq.write_table(
+        pa.table(
+            {"whatever-1": [1, 2], "whatever-2": ["a", "b"]},
+            schema=sch,
+        ),
+        f1,
+    )
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _mapped_schema_string(),
+        "partitionColumns": ["p"],
+        "configuration": {"delta.columnMapping.mode": "id"},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"add": {"path": "col-ccc333=10/f1.parquet", "partitionValues": {"col-ccc333": "10"}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    return tbl
+
+
+def test_read_foreign_column_mapping_id_mode(spark, tmp_path):
+    """columnMapping.mode=id resolves data columns by parquet field
+    id via Spark's native fieldId read path; partition values still
+    key by physical name in the log/dirs; output columns are
+    logical."""
+    tbl = _write_id_mode_table(tmp_path)
+    got = read_delta(spark, tbl)
+    assert sorted(got.columns) == ["k", "p", "v"]
+    assert sorted((r.k, r.v, r.p) for r in got.collect()) == [
+        (1, "a", 10),
+        (2, "b", 10),
+    ]
+    assert dict(got.dtypes)["p"] == "int"
+
+
+def test_convert_from_delta_id_mode_materializes(spark, tmp_path):
+    """id-mode tables adopt by full materialization (their files
+    are only resolvable by field id) — rows and logical columns
+    come through; source files are not hardlinked."""
+    tbl = _write_id_mode_table(tmp_path)
+    f1 = os.path.join(tbl, "col-ccc333=10", "f1.parquet")
     store = convert_from_delta(
         spark, tbl, str(tmp_path / "adopted"), keys=["k"]
     )
