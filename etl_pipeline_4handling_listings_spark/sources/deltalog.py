@@ -926,6 +926,74 @@ def _select_ckpt_files(files: list[str]) -> list[str]:
     return sorted(by_uid[sorted(by_uid)[0]])
 
 
+def _latest_log_version(log_dir: str) -> int:
+    """Newest version the log can reconstruct (JSON entries or
+    checkpoints) — one directory LIST, no replay."""
+    entries, ckpts = _list_log(log_dir)
+    latest = max([*entries.keys(), *ckpts.keys()], default=None)
+    if latest is None:
+        raise FileNotFoundError(f"no log entries in {log_dir}")
+    return latest
+
+
+def _py_actions(
+    log_dir: str, version: int | None = None
+) -> tuple[int, list[tuple[int, dict]]]:
+    """Pure-Python (driver-side) replay: (resolved version,
+    [(commit_version, action_dict), ...] in replay order). Used by
+    the streaming tail source (sources/deltastream.py), whose
+    ``schema()``/offset planning runs where no SparkSession is
+    guaranteed. Metadata-scale: one dict per action — the same
+    driver-side cardinality Spark's own file index holds; the DATA
+    files are never touched here. Checkpoint map columns
+    (partitionValues) arrive as pyarrow key/value pair lists and are
+    normalized to dicts."""
+    import pyarrow.parquet as pq
+
+    target, ckpt_files, tail = _replay_plan(log_dir, version, None)
+    out: list[tuple[int, dict]] = []
+
+    def norm(v):
+        if isinstance(v, list) and all(
+            isinstance(e, tuple) and len(e) == 2 for e in v
+        ):
+            return dict(v)
+        return v
+
+    def emit_ckpt(f: str, ckv: int) -> None:
+        for row in pq.read_table(f).to_pylist():
+            for k in ("protocol", "metaData", "add", "remove", "txn"):
+                a = row.get(k)
+                if a is not None:
+                    if isinstance(a, dict):
+                        a = {kk: norm(vv) for kk, vv in a.items()}
+                    out.append((ckv, {k: a}))
+            sc = row.get("sidecar")
+            if sc and sc.get("path"):
+                p = sc["path"]
+                sp = (
+                    p
+                    if "://" in p or os.path.isabs(p)
+                    else os.path.join(log_dir, "_sidecars", unquote(p))
+                )
+                emit_ckpt(sp, ckv)
+
+    if ckpt_files:
+        ckv = int(
+            _CKPT_RE.match(os.path.basename(ckpt_files[0])).group(1)
+        )
+        for f in ckpt_files:
+            emit_ckpt(f, ckv)
+    for f in tail:
+        v = int(_ENTRY_RE.match(os.path.basename(f)).group(1))
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    out.append((v, json.loads(line)))
+    return target, out
+
+
 def _conform(
     avail: T.DataType | None, path: str, want: T.DataType
 ):

@@ -1,0 +1,345 @@
+"""Streaming source over a FOREIGN Delta table — tail-follow any
+client's ``_delta_log`` with plain PySpark, no delta-spark.
+
+``spark.readStream.format("delta_tail").load(path)`` mirrors the
+semantics of Delta's own streaming source (reference usage: the
+curated pipeline consumes its store through the Delta binary —
+mls_listings_curated.py:321-368 — and a stock deployment streams
+from it):
+
+- **Initial batch** = the full snapshot at the starting version
+  (live adds after log replay, deletion vectors APPLIED), then each
+  micro-batch carries the adds of newly committed versions.
+  ``.option("startingVersion", n)`` skips the snapshot and tails
+  from version ``n`` onward instead.
+- **Append-only discipline** (Delta's default): a tailed commit that
+  REMOVES data with ``dataChange=true`` is a named error —
+  ``.option("ignoreDeletes", "true")`` skips delete-only commits,
+  ``.option("ignoreChanges", "true")`` additionally re-emits the
+  rewritten files of update/merge commits (duplicates downstream,
+  exactly like Delta's option of the same name).
+- **dataChange=false commits (OPTIMIZE/clustering) are skipped**
+  entirely — rewrites carry no new rows by definition.
+
+Scale: offset planning and schema derivation use the pure-Python
+metadata replay (``deltalog._py_actions`` — one dict per action,
+the cardinality Spark's own file index holds); row reads happen on
+EXECUTORS, one input partition per data file, pyarrow-batched.
+Exactly-once comes from Spark's offset checkpointing: offsets are
+``{"version": n, "snap": bool}`` and replay of a committed range
+reproduces the same files.
+
+Column mapping: ``name`` mode is honored (fields are projected from
+their physical parquet names into logical ones, partitionValues key
+by physical name); ``id`` mode is a named refusal here (the batch
+reader ``read_delta`` supports it via Spark's fieldId scan — the
+pure-pyarrow row path does not resolve ids).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from .deltalog import (
+    _latest_log_version,
+    _LOG_DIR,
+    _py_actions,
+    DeltaProtocolError,
+    _SUPPORTED_READER_FEATURES,
+)
+
+# id mode needs parquet field-id resolution, which the pyarrow row
+# path here does not implement (read_delta's Spark scan does)
+_STREAM_MAPPING_MODES = ("", "none", "name")
+
+
+def _py_check_protocol(proto: dict) -> None:
+    mrv = int(proto.get("minReaderVersion") or 1)
+    if mrv <= 2:
+        return
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise DeltaProtocolError(
+            f"table requires reader features {sorted(unsupported)} "
+            "this engine does not implement"
+        )
+
+
+def _py_snapshot(log_dir: str, version: int | None):
+    """(resolved version, metaData dict, live add dicts) — pure
+    Python, metadata-scale."""
+    target, actions = _py_actions(log_dir, version)
+    meta = None
+    proto = None
+    live: dict[str, dict] = {}
+    for _v, a in actions:
+        if "metaData" in a:
+            meta = a["metaData"]
+        elif "protocol" in a:
+            proto = a["protocol"]
+        elif "add" in a:
+            live[a["add"]["path"]] = a["add"]
+        elif "remove" in a and a["remove"].get("path"):
+            live.pop(a["remove"]["path"], None)
+    if proto is not None:
+        _py_check_protocol(proto)
+    if meta is None:
+        raise DeltaProtocolError("log has no metaData action")
+    return target, meta, list(live.values())
+
+
+def _logical_schema(meta: dict) -> StructType:
+    cm = dict(meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if cm not in _STREAM_MAPPING_MODES:
+        raise DeltaProtocolError(
+            f"columnMapping.mode={cm!r} is not supported by the "
+            "streaming tail source (use read_delta for id-mode "
+            "batch reads)"
+        )
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _phys_names(meta: dict) -> dict[str, str]:
+    """logical field name -> physical parquet/partitionValues name
+    (identity when unmapped)."""
+    fields = json.loads(meta["schemaString"])["fields"]
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in fields
+    }
+
+
+def _pv_convert(field, raw):
+    """Delta partitionValues serialization -> Python value for the
+    field's type (spec: decimal strings for numbers, ISO dates,
+    'true'/'false'; null partition values are map nulls)."""
+    if raw is None:
+        return None
+    t = field.dataType.simpleString()
+    if t in ("bigint", "int", "smallint", "tinyint"):
+        return int(raw)
+    if t in ("double", "float"):
+        return float(raw)
+    if t == "boolean":
+        return str(raw).lower() == "true"
+    if t == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if t.startswith("timestamp"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
+    return raw
+
+
+class _TailPartition(InputPartition):
+    """One data file of one emitted commit: absolute path, the add's
+    partitionValues (PHYSICAL names), its deletionVector descriptor
+    (or None), and the logical->physical name map."""
+
+    def __init__(self, table_path, abs_path, pv, dv, phys):
+        self.table_path = table_path
+        self.abs_path = abs_path
+        self.pv = pv or {}
+        self.dv = dv
+        self.phys = phys
+
+
+def _add_partition(table_path: str, add: dict, phys) -> _TailPartition:
+    from urllib.parse import unquote
+
+    rel = unquote(add["path"])
+    abs_path = (
+        rel
+        if "://" in rel or os.path.isabs(rel)
+        else os.path.join(table_path, rel)
+    )
+    dv = add.get("deletionVector")
+    if dv is not None and dv.get("storageType") is None:
+        dv = None
+    return _TailPartition(
+        table_path, abs_path, add.get("partitionValues"), dv, phys
+    )
+
+
+def _entry_actions(log_dir: str, v: int) -> list[dict]:
+    p = os.path.join(log_dir, f"{v:020d}.json")
+    if not os.path.isfile(p):
+        raise DeltaProtocolError(
+            f"log entry {v:020d}.json is missing (vacuumed?); the "
+            "stream cannot reconstruct the commit range — restart "
+            "with a fresh checkpoint or startingVersion"
+        )
+    with open(p) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
+
+
+class DeltaTailStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.path = options["path"]
+        self.log_dir = os.path.join(self.path, _LOG_DIR)
+        self.ignore_deletes = (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        )
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        start = options.get(
+            "startingversion", options.get("startingVersion")
+        )
+        target, meta, _unused = _py_snapshot(self.log_dir, None)
+        self.phys = _phys_names(meta)
+        if start is not None:
+            # tail-only from `start`: snapshot skipped, exactly
+            # Delta's startingVersion contract
+            self._initial = {"version": int(start) - 1, "snap": True}
+        else:
+            self._initial = {"version": target, "snap": False}
+
+    def initialOffset(self) -> dict:
+        return self._initial
+
+    def latestOffset(self) -> dict:
+        return {
+            "version": _latest_log_version(self.log_dir),
+            "snap": True,
+        }
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[_TailPartition] = []
+        if not start.get("snap", True):
+            _t, _m, adds = _py_snapshot(
+                self.log_dir, start["version"]
+            )
+            parts.extend(
+                _add_partition(self.path, a, self.phys) for a in adds
+            )
+        for v in range(start["version"] + 1, end["version"] + 1):
+            parts.extend(self._commit_adds(v))
+        return parts
+
+    def _commit_adds(self, v: int) -> list[_TailPartition]:
+        adds: list[dict] = []
+        data_removes = False
+        for a in _entry_actions(self.log_dir, v):
+            if "add" in a and a["add"] is not None:
+                if a["add"].get("dataChange") is not False:
+                    adds.append(a["add"])
+            elif "remove" in a and a["remove"] is not None:
+                if a["remove"].get("dataChange") is not False:
+                    data_removes = True
+            elif "protocol" in a and a["protocol"] is not None:
+                # a mid-stream protocol upgrade can introduce reader
+                # features this replay does not implement — re-gate,
+                # never misread
+                _py_check_protocol(a["protocol"])
+            elif "metaData" in a and a["metaData"] is not None:
+                _logical_schema(a["metaData"])  # mapping-mode gate
+        if not data_removes:
+            return [
+                _add_partition(self.path, a, self.phys) for a in adds
+            ]
+        if not adds:  # delete-only commit
+            if self.ignore_deletes or self.ignore_changes:
+                return []
+            raise DeltaProtocolError(
+                f"commit {v} deletes data; the stream is append-only "
+                "by default. Set .option('ignoreDeletes','true') to "
+                "skip delete-only commits, or "
+                ".option('ignoreChanges','true') to also re-emit "
+                "rewrites"
+            )
+        # rewrite commit (update/merge/DV delete): emits whole
+        # rewritten files, i.e. duplicates — opt-in only
+        if self.ignore_changes:
+            return [
+                _add_partition(self.path, a, self.phys) for a in adds
+            ]
+        raise DeltaProtocolError(
+            f"commit {v} rewrites data (adds + removes); set "
+            ".option('ignoreChanges','true') to re-emit rewritten "
+            "files (downstream must tolerate duplicates)"
+        )
+
+    def read(self, partition: _TailPartition) -> Iterator:
+        if partition is None:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        from .dvcodec import load_dv_indexes
+
+        table = pq.read_table(partition.abs_path)
+        rows = table.to_pylist()
+        if partition.dv is not None:
+            d = partition.dv
+            doomed = set(
+                load_dv_indexes(
+                    partition.table_path,
+                    d["storageType"],
+                    d["pathOrInlineDv"],
+                    d.get("offset"),
+                    d.get("sizeInBytes"),
+                )
+            )
+            rows = [
+                r for i, r in enumerate(rows) if i not in doomed
+            ]
+        fields = self.schema_.fields
+        phys = partition.phys
+        pv = partition.pv
+
+        def emit():
+            for r in rows:
+                out = []
+                for f in fields:
+                    p = phys.get(f.name, f.name)
+                    if p in pv:
+                        out.append(_pv_convert(f, pv[p]))
+                    else:
+                        out.append(r.get(p))
+                yield tuple(out)
+
+        return emit()
+
+
+class DeltaTailDataSource(DataSource):
+    """``spark.readStream.format("delta_tail")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_tail"
+
+    def schema(self):
+        log_dir = os.path.join(self.options["path"], _LOG_DIR)
+        _t, meta, _a = _py_snapshot(log_dir, None)
+        return _logical_schema(meta)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        log_dir = os.path.join(self.options["path"], _LOG_DIR)
+        _t, meta, _a = _py_snapshot(log_dir, None)
+        _logical_schema(meta)  # mapping-mode gate for user schemas
+        return DeltaTailStreamReader(schema, self.options)
+
+
+def register_delta_tail(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(DeltaTailDataSource)

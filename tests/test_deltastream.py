@@ -1,0 +1,288 @@
+"""Streaming tail source over a foreign Delta log (``delta_tail``).
+
+Reference behavior mirrored: a stock deployment streams from the
+curated Delta store (mls_listings_curated.py:321-368) with Delta's
+own streaming-source semantics — initial snapshot then append
+tailing, append-only discipline with ignoreDeletes/ignoreChanges
+escape hatches, OPTIMIZE (dataChange=false) commits skipped.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import SparkSession
+
+from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+    DeltaProtocolError,
+)
+from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+    register_delta_tail,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("deltastream-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def _write_parquet_file(spark, tbl_dir, rows, cols, rel):
+    staging = os.path.join(tbl_dir, "__stage")
+    spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    part = next(
+        n for n in os.listdir(staging) if n.endswith(".parquet")
+    )
+    dst = os.path.join(tbl_dir, rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(os.path.join(staging, part), dst)
+    return dst
+
+
+def _schema_string(*fields):
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in fields
+            ],
+        }
+    )
+
+
+def _log_write(tbl, version, actions):
+    log_dir = os.path.join(tbl, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(
+        os.path.join(log_dir, f"{version:020d}.json"), "w"
+    ) as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def _meta(schema_string, pcols=(), cfg=None):
+    return {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": list(pcols),
+        "configuration": cfg or {},
+        "createdTime": 0,
+    }
+
+
+def _add(rel, f, pv=None):
+    return {
+        "path": rel,
+        "partitionValues": pv or {},
+        "size": os.path.getsize(f),
+        "modificationTime": 0,
+        "dataChange": True,
+    }
+
+
+def _mk_table(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl, exist_ok=True)
+    f1 = _write_parquet_file(spark, tbl, [(1, "a")], ["k", "v"], "f1.parquet")
+    f2 = _write_parquet_file(spark, tbl, [(2, "b")], ["k", "v"], "f2.parquet")
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": _meta(_schema_string(("k", "long"), ("v", "string")))},
+            {"add": _add("f1.parquet", f1)},
+            {"add": _add("f2.parquet", f2)},
+        ],
+    )
+    return tbl
+
+
+def _run_pass(spark, tbl, out, ckpt, **opts):
+    """One availableNow pass into a parquet sink (supports restart
+    recovery from the checkpoint, unlike the memory sink). Returns
+    the CUMULATIVE sink contents."""
+    reader = spark.readStream.format("delta_tail")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ex = q.exception()
+    if ex is not None:
+        raise ex
+    return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+
+def test_snapshot_then_appends(spark, tmp_path):
+    """First pass: the full snapshot. After a new append commit, a
+    restart from the SAME checkpoint emits ONLY the new rows
+    (exactly-once; sink contents are cumulative)."""
+    tbl = _mk_table(spark, tmp_path)
+    register_delta_tail(spark)
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    got = _run_pass(spark, tbl, out, ckpt)
+    assert got == {(1, "a"), (2, "b")}
+    f3 = _write_parquet_file(
+        spark, tbl, [(3, "c")], ["k", "v"], "f3.parquet"
+    )
+    _log_write(tbl, 1, [{"add": _add("f3.parquet", f3)}])
+    got = _run_pass(spark, tbl, out, ckpt)
+    # cumulative: snapshot rows NOT re-emitted, only the append
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_starting_version_skips_snapshot(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path)
+    f3 = _write_parquet_file(
+        spark, tbl, [(3, "c")], ["k", "v"], "f3.parquet"
+    )
+    _log_write(tbl, 1, [{"add": _add("f3.parquet", f3)}])
+    register_delta_tail(spark)
+    got = _run_pass(
+        spark,
+        tbl,
+        str(tmp_path / "out_sv"),
+        str(tmp_path / "ck_sv"),
+        startingVersion=1,
+    )
+    assert got == {(3, "c")}
+
+
+def test_delete_commit_refused_then_skipped(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path)
+    _log_write(
+        tbl,
+        1,
+        [{"remove": {"path": "f2.parquet", "deletionTimestamp": 1, "dataChange": True}}],
+    )
+    register_delta_tail(spark)
+    with pytest.raises(Exception, match="ignoreDeletes"):
+        _run_pass(
+            spark,
+            tbl,
+            str(tmp_path / "out_d"),
+            str(tmp_path / "ck_d"),
+            startingVersion=1,
+        )
+    got = _run_pass(
+        spark,
+        tbl,
+        str(tmp_path / "out_d2"),
+        str(tmp_path / "ck_d2"),
+        ignoreDeletes="true",
+    )
+    # fresh checkpoint: snapshot at CURRENT latest version already
+    # excludes the removed file; the delete-only commit is skipped
+    assert got == {(1, "a")}
+
+
+def test_rewrite_commit_needs_ignore_changes(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path)
+    register_delta_tail(spark)
+    ckpt, out = str(tmp_path / "ck_rw"), str(tmp_path / "out_rw")
+    assert _run_pass(spark, tbl, out, ckpt) == {(1, "a"), (2, "b")}
+    f2b = _write_parquet_file(
+        spark, tbl, [(2, "B")], ["k", "v"], "f2b.parquet"
+    )
+    _log_write(
+        tbl,
+        1,
+        [
+            {"remove": {"path": "f2.parquet", "deletionTimestamp": 1, "dataChange": True}},
+            {"add": _add("f2b.parquet", f2b)},
+        ],
+    )
+    with pytest.raises(Exception, match="ignoreChanges"):
+        _run_pass(spark, tbl, out, ckpt)
+    got = _run_pass(spark, tbl, out, ckpt, ignoreChanges="true")
+    # the rewritten file re-emitted on top of the earlier snapshot
+    assert got == {(1, "a"), (2, "b"), (2, "B")}
+
+
+def test_optimize_commit_skipped(spark, tmp_path):
+    """dataChange=false rewrites (OPTIMIZE) carry no new rows and
+    are skipped without any option."""
+    tbl = _mk_table(spark, tmp_path)
+    register_delta_tail(spark)
+    ckpt, out = str(tmp_path / "ck_opt"), str(tmp_path / "out_opt")
+    _run_pass(spark, tbl, out, ckpt)
+    fc = _write_parquet_file(
+        spark, tbl, [(1, "a"), (2, "b")], ["k", "v"], "compact.parquet"
+    )
+    _log_write(
+        tbl,
+        1,
+        [
+            {"remove": {"path": "f1.parquet", "deletionTimestamp": 1, "dataChange": False}},
+            {"remove": {"path": "f2.parquet", "deletionTimestamp": 1, "dataChange": False}},
+            {"add": dict(_add("compact.parquet", fc), dataChange=False)},
+        ],
+    )
+    got = _run_pass(spark, tbl, out, ckpt)
+    # no duplicates from the compaction — cumulative is unchanged
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_partitioned_snapshot_injects_partition_values(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl, exist_ok=True)
+    f1 = _write_parquet_file(spark, tbl, [(1, "a")], ["k", "v"], "p=10/f1.parquet")
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": _meta(
+                _schema_string(("k", "long"), ("v", "string"), ("p", "integer")),
+                pcols=["p"],
+            )},
+            {"add": _add("p=10/f1.parquet", f1, pv={"p": "10"})},
+        ],
+    )
+    register_delta_tail(spark)
+    got = _run_pass(
+        spark, tbl, str(tmp_path / "out_pv"), str(tmp_path / "ck_pv")
+    )
+    assert got == {(1, "a", 10)}
+
+
+def test_id_mode_refused_by_name(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl, exist_ok=True)
+    f1 = _write_parquet_file(spark, tbl, [(1,)], ["k"], "f1.parquet")
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": _meta(
+                _schema_string(("k", "long")),
+                cfg={"delta.columnMapping.mode": "id"},
+            )},
+            {"add": _add("f1.parquet", f1)},
+        ],
+    )
+    register_delta_tail(spark)
+    with pytest.raises(Exception, match="columnMapping"):
+        _run_pass(
+            spark,
+            tbl,
+            str(tmp_path / "out_id"),
+            str(tmp_path / "ck_id"),
+        )
