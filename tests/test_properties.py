@@ -218,11 +218,12 @@ def test_money_sums_partition_invariant(spark_sess):
 def test_driver_order_hygiene():
     """_DRIVER_ORDER is the driver-certification contract: it must
     cover the registry exactly (no dups, no strays) and keep the
-    round-6 rotation's certification window intact: slots 1-14 are
-    the 14 queries never driver-certified through r5 (closing the
-    backlog), slots 15-50 re-observe already-certified names, and
-    round-6 registry additions (no ledger rows at all) sit BEHIND
-    slot 50 so they never displace certification slots."""
+    round-7 rotation's certification window intact: slots 1-7 are
+    the 7 queries registered after the r6 driver run (the only
+    never-certified names — a green r7 makes the whole registry
+    driver-certified), slots 8-50 re-observe already-certified
+    names, and any later registry additions (no ledger rows at all)
+    sit BEHIND slot 50 so they never displace certification slots."""
     import glob
     import json
     import os
@@ -241,7 +242,7 @@ def test_driver_order_hygiene():
     certified = set()
     observed = set()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for ledger in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-5].json"))):
+    for ledger in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-6].json"))):
         with open(ledger) as f:
             for name, row in json.load(f).items():
                 observed.add(name)
@@ -250,29 +251,24 @@ def test_driver_order_hygiene():
                     for k in ("rows_match", "schema_match", "hash_match")
                 ):
                     certified.add(name)
-    # slots 1-14: exactly the r5-era backlog (the 14 registered in
-    # rounds 4-5 whose certification slots never came up; pinned —
-    # this IS the committed schedule the r5 verdict prescribed)
-    r5_backlog = {
-        "attribution_linear_multi_touch", "discount_effectiveness",
-        "dq_reconciliation", "events_behavior_entropy",
-        "events_bot_heuristics", "events_dau_wau_stickiness",
-        "events_lateness_profile", "events_power_users_gini",
-        "events_weekly_active_mix", "fairshare_waterfill",
-        "orders_backlog_aging", "price_elasticity_by_brand",
-        "revenue_bridge_decomposition", "segment_migration_matrix",
+    # slots 1-7: exactly the post-r6 additions (pinned — this IS the
+    # committed schedule the r6 verdict prescribed)
+    r6_additions = {
+        "quality_lr_score", "text_shingle_containment",
+        "dedup_keep_best", "graph_pagerank", "privacy_t_closeness",
+        "stats_welch_ttest", "sample_stratified_hash",
     }
-    assert set(_DRIVER_ORDER[:14]) == r5_backlog
-    assert not (r5_backlog & certified), "backlog name already green?"
-    # slots 15-50: re-observation of certified names only
-    for name in _DRIVER_ORDER[14:50]:
+    assert set(_DRIVER_ORDER[:7]) == r6_additions
+    assert not (r6_additions & certified), "backlog name already green?"
+    # slots 8-50: re-observation of certified names only
+    for name in _DRIVER_ORDER[7:50]:
         assert name in certified, (
             f"uncertified name {name!r} in the re-observation slots"
         )
-    # round-6 additions (never in any ledger) stay behind slot 50
-    fresh = set(REGISTRY) - observed - r5_backlog
+    # later additions (never in any ledger) stay behind slot 50
+    fresh = set(REGISTRY) - observed - r6_additions
     ahead = fresh & set(_DRIVER_ORDER[:50])
-    assert not ahead, f"fresh round-6 queries inside the window: {ahead}"
+    assert not ahead, f"fresh queries inside the window: {ahead}"
 
 
 token_sets = st.lists(
