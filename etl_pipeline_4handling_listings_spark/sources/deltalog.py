@@ -424,6 +424,11 @@ def _version_adds(store, version: str) -> list[dict]:
             "size": int(sizes[full]),
             "modificationTime": int(os.path.getmtime(full) * 1000),
             "dataChange": True,
+            # private carry-detection keys (stripped before any add
+            # is written): snapshots hardlink carried files, so the
+            # inode identifies "same bytes as prev version"
+            "_rel": rel_snap,
+            "_ino": os.stat(full).st_ino,
         }
         n = _num_records(full)
         if n is not None:
@@ -434,6 +439,26 @@ def _version_adds(store, version: str) -> list[dict]:
             )
         adds.append(add)
     return adds
+
+
+def _public_add(add: dict) -> dict:
+    return {k: v for k, v in add.items() if not k.startswith("_")}
+
+
+def _carried(prev_add: dict | None, this_add: dict | None) -> bool:
+    """True when the two adds are the SAME data: same relative name,
+    same inode (MergeStore commits hardlink carried files), same
+    deletion vector. Such a pair is a pure path rename across
+    version dirs — spec dataChange=false (rearrangement), which lets
+    stock streaming/CDF consumers see exported APPEND commits as
+    appends instead of full rewrites."""
+    return (
+        prev_add is not None
+        and this_add is not None
+        and prev_add["_ino"] == this_add["_ino"]
+        and prev_add.get("deletionVector")
+        == this_add.get("deletionVector")
+    )
 
 
 def _commit_record(store, version: str) -> dict:
@@ -469,8 +494,15 @@ def export_delta_log(
     rewrite — MergeStore snapshots hardlink files under new version
     dirs, so every commit changes every path; the checkpoint keeps
     replay O(live files + tail entries), which is exactly Delta's
-    own answer to long histories). Delta log version N == MergeStore
-    ``vNNNNN``, so ``VERSION AS OF`` agrees between engines.
+    own answer to long histories). CARRIED files (same relative
+    name + inode + DV as the previous snapshot) flag their
+    remove/re-add pair ``dataChange=false`` — spec "row-preserving
+    rearrangement" — so stock streaming/CDF consumers see an
+    exported APPEND as an append (only new files true), a
+    partition-rewriting MERGE as a rewrite of exactly the touched
+    files, and a store OPTIMIZE as all-false. Delta log version N ==
+    MergeStore ``vNNNNN``, so ``VERSION AS OF`` agrees between
+    engines.
 
     Vacuumed history starts AFTER the checkpoint by construction
     (same as stock Delta: cleaned-up log + checkpoint). Versions
@@ -616,17 +648,33 @@ def export_delta_log(
             lines.append({"metaData": _meta_action(store, vname)})
         prev_schema = this_schema
         ts_ms = int(float(rec.get("ts", time.time())) * 1000)
-        for add in _adds(prev):
+        prev_adds = _adds(prev)
+        this_adds = _adds(vname)
+        # dataChange semantics (spec: false = row-preserving
+        # rearrangement): a carried file (same rel name + inode +
+        # DV) is the SAME data under a new version-dir path, so its
+        # remove/re-add pair is flagged false — stock streaming/CDF
+        # consumers then see an exported APPEND as an append (only
+        # the new files dataChange=true), a partition-rewriting
+        # MERGE as a rewrite of exactly the touched files, and a
+        # store OPTIMIZE (commit record data_change=False) as
+        # all-false, exactly like Delta's own OPTIMIZE.
+        store_dc = rec.get("data_change") is not False
+        prev_by_rel = {a["_rel"]: a for a in prev_adds}
+        this_by_rel = {a["_rel"]: a for a in this_adds}
+        for add in prev_adds:
+            dc = store_dc and not _carried(
+                add, this_by_rel.get(add["_rel"])
+            )
             lines.append(
                 {
                     "remove": {
                         "path": add["path"],
                         "deletionTimestamp": ts_ms,
-                        "dataChange": True,
+                        "dataChange": dc,
                     }
                 }
             )
-        this_adds = _adds(vname)
         if any(a.get("deletionVector") for a in this_adds):
             # the entry that introduces DVs must also upgrade the
             # protocol to table-features mode — a reader replaying
@@ -637,7 +685,12 @@ def export_delta_log(
                 1, {"protocol": _protocol_action(store, with_dvs=True)}
             )
         for add in this_adds:
-            lines.append({"add": add})
+            dc = store_dc and not _carried(
+                prev_by_rel.get(add["_rel"]), add
+            )
+            lines.append(
+                {"add": dict(_public_add(add), dataChange=dc)}
+            )
         # prev's adds are never needed again — evict, or a long
         # history holds (versions x files) dicts on the driver at
         # exactly the scale the multi-part checkpoint targets
@@ -695,7 +748,7 @@ def _write_checkpoint(
     for app, ver in sorted(apps.items()):
         rows.append({"txn": {"appId": app, "version": ver}})
     for add in _version_adds(store, version):
-        rows.append({"add": add})
+        rows.append({"add": _public_add(add)})
 
     map_t = pa.map_(pa.string(), pa.string())
     dv_t = pa.struct(
@@ -1093,8 +1146,12 @@ def _read_actions(
 
 def _live_adds(actions: DataFrame) -> DataFrame:
     """Reconcile add/remove by path: the latest action per path
-    wins (within one commit a path legally appears at most once).
-    Pure window over the distributed union."""
+    wins. Within ONE commit a path may legally appear in BOTH a
+    remove and an add (delta-spark's DV delete re-adds the same
+    file with a new deletionVector and removes the old incarnation)
+    — per the spec's reconciliation the add defines the new state,
+    so the tie-break prefers the add row. Pure window over the
+    distributed union."""
     fa = actions.select(
         "_commit",
         F.coalesce(F.col("add.path"), F.col("remove.path")).alias(
@@ -1102,7 +1159,9 @@ def _live_adds(actions: DataFrame) -> DataFrame:
         ),
         F.col("add").alias("add"),
     ).where(F.col("path").isNotNull())
-    w = Window.partitionBy("path").orderBy(F.col("_commit").desc())
+    w = Window.partitionBy("path").orderBy(
+        F.col("_commit").desc(), F.col("add").isNotNull().desc()
+    )
     return (
         fa.withColumn("_rn", F.row_number().over(w))
         .where((F.col("_rn") == 1) & F.col("add").isNotNull())

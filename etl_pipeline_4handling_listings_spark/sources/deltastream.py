@@ -82,14 +82,26 @@ def _py_snapshot(log_dir: str, version: int | None):
     meta = None
     proto = None
     live: dict[str, dict] = {}
-    for _v, a in actions:
-        if "metaData" in a:
+    # stable-sort removes before adds WITHIN a commit: a commit may
+    # remove and re-add the same path (delta-spark DV deletes); the
+    # add defines the new state per the spec's reconciliation, so it
+    # must apply last regardless of line order in the entry
+    ordered = sorted(
+        enumerate(actions),
+        key=lambda ia: (ia[1][0], 1 if "add" in ia[1][1] else 0, ia[0]),
+    )
+    for _i, (_v, a) in ordered:
+        if "metaData" in a and a["metaData"] is not None:
             meta = a["metaData"]
-        elif "protocol" in a:
+        elif "protocol" in a and a["protocol"] is not None:
             proto = a["protocol"]
-        elif "add" in a:
+        elif "add" in a and a["add"] is not None:
             live[a["add"]["path"]] = a["add"]
-        elif "remove" in a and a["remove"].get("path"):
+        elif (
+            "remove" in a
+            and a["remove"] is not None
+            and a["remove"].get("path")
+        ):
             live.pop(a["remove"]["path"], None)
     if proto is not None:
         _py_check_protocol(proto)

@@ -1329,3 +1329,46 @@ def test_export_multipart_checkpoint_roundtrip(spark, tmp_path):
     assert last["parts"] == len(parts)
     got = read_delta(spark, store.path)
     assert _rows(got) == _rows(store.read())
+
+
+def test_same_commit_remove_and_readd_keeps_file_live(spark, tmp_path):
+    """delta-spark's DV delete removes a path and re-adds the SAME
+    path (new deletionVector) in ONE commit: per the spec's
+    reconciliation the add defines the new state, so the file stays
+    live with the DV applied — written add-BEFORE-remove to prove
+    line order inside the entry does not decide."""
+    from etl_pipeline_4handling_listings_spark.sources.dvcodec import (
+        inline_dv_descriptor,
+    )
+
+    rows = [(i, f"a{i}") for i in range(4)]
+    fa = _write_parquet_file(spark, tmp_path, rows, ["k", "v"], "a.parquet")
+    tbl = str(tmp_path / "tbl")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("k", "long"), ("v", "string")),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": os.path.getsize(fa), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    dv = inline_dv_descriptor([1, 3])
+    _log_write(
+        tbl,
+        1,
+        [
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": os.path.getsize(fa), "modificationTime": 0, "dataChange": True, "deletionVector": dv}},
+            {"remove": {"path": "a.parquet", "deletionTimestamp": 1, "dataChange": True}},
+        ],
+    )
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [(0, "a0"), (2, "a2")]

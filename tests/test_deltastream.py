@@ -286,3 +286,57 @@ def test_id_mode_refused_by_name(spark, tmp_path):
             str(tmp_path / "out_id"),
             str(tmp_path / "ck_id"),
         )
+
+
+def test_tail_streams_mergestore_exported_log(spark, tmp_path):
+    """Full interop loop: a MergeStore's exported _delta_log is
+    streamable by the tail source — snapshot first, then a store
+    APPEND re-exported as a new log entry arrives as exactly its
+    rows (what a stock Delta streaming consumer of the exported
+    table would see)."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        export_delta_log,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+    )
+
+    store = MergeStore(spark, str(tmp_path / "store"), keys=["k"])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)
+    export_delta_log(store)
+    register_delta_tail(spark)
+    ckpt, out = str(tmp_path / "ck_ms"), str(tmp_path / "out_ms")
+    got = _run_pass(spark, store.path, out, ckpt)
+    assert got == {(1, "a"), (2, "b")}
+    store.append(spark.createDataFrame([(3, "c")], ["k", "v"]))
+    export_delta_log(store)
+    got = _run_pass(spark, store.path, out, ckpt)
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_py_snapshot_same_commit_remove_and_readd(spark, tmp_path):
+    """The pure-Python replay applies the spec's reconciliation:
+    within one commit the add wins over the remove of the same path,
+    regardless of line order in the entry."""
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        _py_snapshot,
+    )
+
+    tbl = _mk_table(spark, tmp_path)
+    _log_write(
+        tbl,
+        1,
+        [
+            {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1, "modificationTime": 5, "dataChange": True}},
+            {"remove": {"path": "f1.parquet", "deletionTimestamp": 1, "dataChange": True}},
+        ],
+    )
+    target, _meta_d, adds = _py_snapshot(
+        os.path.join(tbl, "_delta_log"), None
+    )
+    assert target == 1
+    by_path = {a["path"]: a for a in adds}
+    assert set(by_path) == {"f1.parquet", "f2.parquet"}
+    assert by_path["f1.parquet"]["modificationTime"] == 5  # the re-add
