@@ -1303,6 +1303,11 @@ class MergeStoreCDCDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Register both sources on a session (idempotent)."""
+    """Register the engine's Python data sources on a session
+    (idempotent): the MergeStore batch/stream source, its CDC
+    source, and the foreign-Delta streaming tail."""
+    from .deltastream import DeltaTailDataSource
+
     spark.dataSource.register(MergeStoreDataSource)
     spark.dataSource.register(MergeStoreCDCDataSource)
+    spark.dataSource.register(DeltaTailDataSource)

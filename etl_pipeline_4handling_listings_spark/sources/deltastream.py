@@ -20,6 +20,13 @@ from it):
   exactly like Delta's option of the same name).
 - **dataChange=false commits (OPTIMIZE/clustering) are skipped**
   entirely — rewrites carry no new rows by definition.
+- **Rate limiting**: ``.option("maxCommitsPerTrigger", n)`` caps how
+  many commits one micro-batch drains (Delta's maxFilesPerTrigger
+  analogue at commit granularity) — a restarted stream facing a
+  long backlog catches up in bounded batches instead of one giant
+  plan. The first batch after a checkpoint restart is planned
+  before the reader learns its position and is therefore uncapped;
+  every later batch is bounded.
 
 Scale: offset planning and schema derivation use the pure-Python
 metadata replay (``deltalog._py_actions`` — one dict per action,
@@ -215,6 +222,16 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         start = options.get(
             "startingversion", options.get("startingVersion")
         )
+        mct = options.get(
+            "maxcommitspertrigger", options.get("maxCommitsPerTrigger")
+        )
+        # rate limiting (Delta's maxFilesPerTrigger analogue, at
+        # commit granularity): a restarted stream facing a 10,000-
+        # commit backlog must not plan one giant batch — cap how far
+        # latestOffset advances past the last COMMITTED offset. The
+        # initial snapshot stays one batch (it is one log replay,
+        # the same cost read_delta pays once).
+        self.max_commits = int(mct) if mct is not None else None
         target, meta, _unused = _py_snapshot(self.log_dir, None)
         self.phys = _phys_names(meta)
         if start is not None:
@@ -223,20 +240,32 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             self._initial = {"version": int(start) - 1, "snap": True}
         else:
             self._initial = {"version": target, "snap": False}
+        self._committed = dict(self._initial)
 
     def initialOffset(self) -> dict:
         return self._initial
 
     def latestOffset(self) -> dict:
-        return {
-            "version": _latest_log_version(self.log_dir),
-            "snap": True,
-        }
+        latest = _latest_log_version(self.log_dir)
+        if self.max_commits is not None:
+            cap = self._committed["version"] + self.max_commits
+            # when the snapshot batch is still pending, the cap
+            # budget is spent on it (version stays put)
+            if not self._committed.get("snap", True):
+                cap = self._committed["version"]
+            latest = min(latest, max(cap, self._committed["version"]))
+        return {"version": latest, "snap": True}
 
     def commit(self, end: dict) -> None:
-        pass
+        self._committed = dict(end)
 
     def partitions(self, start: dict, end: dict):
+        # `start` is authoritative committed progress (on restart it
+        # comes from the checkpoint, which __init__ cannot see) —
+        # adopt it so the NEXT latestOffset cap measures from the
+        # true position. The first post-restart batch itself is
+        # planned before this runs and is therefore uncapped.
+        self._committed = dict(start)
         parts: list[_TailPartition] = []
         if not start.get("snap", True):
             _t, _m, adds = _py_snapshot(

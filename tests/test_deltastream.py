@@ -340,3 +340,26 @@ def test_py_snapshot_same_commit_remove_and_readd(spark, tmp_path):
     by_path = {a["path"]: a for a in adds}
     assert set(by_path) == {"f1.parquet", "f2.parquet"}
     assert by_path["f1.parquet"]["modificationTime"] == 5  # the re-add
+
+
+def test_max_commits_per_trigger_bounds_batches(spark, tmp_path):
+    """Rate limiting: with maxCommitsPerTrigger=1 a 2-commit backlog
+    drains one commit per query pass instead of one giant batch
+    (Delta's maxFilesPerTrigger analogue at commit granularity)."""
+    tbl = _mk_table(spark, tmp_path)
+    f3 = _write_parquet_file(spark, tbl, [(3, "c")], ["k", "v"], "f3.parquet")
+    f4 = _write_parquet_file(spark, tbl, [(4, "d")], ["k", "v"], "f4.parquet")
+    _log_write(tbl, 1, [{"add": _add("f3.parquet", f3)}])
+    _log_write(tbl, 2, [{"add": _add("f4.parquet", f4)}])
+    register_delta_tail(spark)
+    ckpt, out = str(tmp_path / "ck_mc"), str(tmp_path / "out_mc")
+    got = _run_pass(
+        spark, tbl, out, ckpt,
+        startingVersion=1, maxCommitsPerTrigger=1,
+    )
+    assert got == {(3, "c")}  # commit 1 only — backlog held back
+    got = _run_pass(
+        spark, tbl, out, ckpt,
+        startingVersion=1, maxCommitsPerTrigger=1,
+    )
+    assert got == {(3, "c"), (4, "d")}  # commit 2 on the next pass
