@@ -12505,6 +12505,261 @@ def dedup_keep_best(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_epoch_shuffle",
+    oracle="""
+    SELECT CAST(pos AS BIGINT) AS pos, doc_id
+    FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY h, doc_id) AS pos
+        FROM (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(concat_ws('|',
+                        doc_id, 'epoch3')), 1, 15)) AS BIGINT) AS h
+            FROM documents
+        )
+    )
+    WHERE pos <= 100
+    ORDER BY pos
+    """,
+    doc="Deterministic training-epoch shuffle: global example order "
+    "= rank of a salted portable content hash "
+    "(operators/sampling.portable_hash60; the salt is the epoch "
+    "number, so each epoch is a fresh permutation that every "
+    "re-run, engine, and partitioning reproduces bit-for-bit — a "
+    "seeded RNG shuffle is partition-layout-dependent and "
+    "unrepairable after a crash mid-epoch). The demo surfaces the "
+    "first 100 positions via TakeOrdered (distributed top-k, no "
+    "global sort); writing the FULL epoch at 100 TB is "
+    "repartitionByRange(h) + sortWithinPartitions — the range "
+    "exchange is the one shuffle the operation fundamentally "
+    "needs, and file boundaries land on hash ranges so resuming a "
+    "half-written epoch re-emits only missing ranges.",
+)
+def corpus_epoch_shuffle(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        portable_hash60,
+    )
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    h = portable_hash60([F.col("doc_id"), F.lit("epoch3")])
+    head = (
+        d.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+    )
+    # the window runs on the 100 surviving rows, not the corpus
+    w = Window.orderBy("h", "doc_id")
+    return (
+        head.select(
+            F.row_number().over(w).cast("long").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("pos")
+    )
+
+
+@query(
+    "text_zipf_exponent",
+    oracle=r"""
+    WITH counts AS (
+        SELECT word, COUNT(*) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\s+')) AS word
+            FROM documents
+        )
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 1000
+    ),
+    ranked AS (
+        SELECT CAST(FLOOR(ln(ROW_NUMBER() OVER
+                   (ORDER BY n DESC, word ASC)) * 10000) AS BIGINT)
+                   AS lr,
+               CAST(FLOOR(ln(n) * 10000) AS BIGINT) AS lf
+        FROM counts
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nw,
+               CAST(SUM(lr) AS BIGINT) AS sx,
+               CAST(SUM(lf) AS BIGINT) AS sy,
+               CAST(SUM(lr * lf) AS BIGINT) AS sxy,
+               CAST(SUM(lr * lr) AS BIGINT) AS sxx
+        FROM ranked
+    )
+    SELECT nw AS n_words,
+           CAST(FLOOR(CAST(nw * sxy - sx * sy AS DOUBLE)
+                / CAST(nw * sxx - sx * sx AS DOUBLE) * 10000 + 0.5)
+                / 10000 AS DOUBLE) AS zipf_slope
+    FROM m
+    """,
+    doc="Zipf-law exponent of the corpus word distribution: OLS "
+    "slope of log(freq) on log(rank) over the top-1000 words — "
+    "the standard corpus-health probe (natural text ~ -1; "
+    "boilerplate/spam corpora bend it). Cross-engine exact by the "
+    "repo's integer-moment pattern: ln values quantized to 1e-4 "
+    "BIGINT units per ROW, all five OLS moments exact integer "
+    "sums (partial-agg order cannot move them), one final "
+    "division. Tokenize -> count -> top-1000 TakeOrdered; the "
+    "rank window runs on the 1000 survivors, never the corpus.",
+)
+def text_zipf_exponent(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(1000)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    q = counts.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 10000)
+        .cast("long")
+        .alias("lr"),
+        F.floor(F.log(F.col("n").cast("double")) * 10000)
+        .cast("long")
+        .alias("lf"),
+    )
+    m = q.agg(
+        F.count("*").cast("long").alias("nw"),
+        F.sum("lr").alias("sx"),
+        F.sum("lf").alias("sy"),
+        F.sum(F.col("lr") * F.col("lf")).alias("sxy"),
+        F.sum(F.col("lr") * F.col("lr")).alias("sxx"),
+    )
+    num = (F.col("nw") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("nw") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("nw").alias("n_words"),
+        r(num / den, 4).alias("zipf_slope"),
+    )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT user_id, event_type,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    edges AS (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM pres a JOIN pres b
+          ON a.event_type = b.event_type AND a.h = b.h
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    dirs AS (
+        SELECT u AS a, v AS b FROM edges
+        UNION ALL SELECT v AS a, u AS b FROM edges
+    ),
+    deg AS (
+        SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM dirs GROUP BY a
+    ),
+    j AS (
+        SELECT da.d AS x, db.d AS y
+        FROM dirs
+        JOIN deg da ON da.node = dirs.a
+        JOIN deg db ON db.node = dirs.b
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM j
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE))
+                * 1000000 + 0.5) / 1000000 AS DOUBLE)
+               AS assortativity
+    FROM m
+    """,
+    doc="Degree assortativity of the user co-activity graph: "
+    "Pearson correlation of endpoint degrees over the directed "
+    "edge list (positive = hubs attach to hubs; social graphs "
+    "positive, bot/spam topologies strongly negative — a cheap "
+    "structural anomaly probe). Shares the cached co-presence "
+    "edge build with the other graph queries (one build per "
+    "session); degrees are one map-side-combinable agg, endpoint "
+    "attachment two broadcast-or-shuffle hash joins, and all five "
+    "correlation moments are EXACT BIGINT sums (integer degrees), "
+    "so partial-agg order cannot move the result — one final "
+    "double expression, floor-rounded to 1e-6 on both engines. At "
+    "100 TB the moment agg is a single reduce; only the degree "
+    "join shuffles, keyed the same way the edge build already "
+    "partitioned.",
+)
+def graph_degree_assortativity(spark, sf_dir):
+    e = _copresence_edges_cached(spark, sf_dir)
+    dirs = e.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = dirs.groupBy("a").agg(
+        F.count("*").cast("long").alias("d")
+    ).withColumnRenamed("a", "node")
+    j = (
+        dirs.join(
+            deg.select(
+                F.col("node").alias("a"), F.col("d").alias("x")
+            ),
+            "a",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("b"), F.col("d").alias("y")
+            ),
+            "b",
+        )
+        .select("x", "y")
+    )
+    m = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # one-row census frames cross-joined in-plan (no driver action)
+    m = m.crossJoin(
+        deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    ).crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "n_nodes",
+        "n_edges",
+        r(num / den, 6).alias("assortativity"),
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -12755,6 +13010,12 @@ _DRIVER_ORDER = [
     "flagship_curated",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # round-7 additions: behind the certification window (the
+    # registry-growth discipline — they front the r8 never-certified
+    # slots via tools/rotate_registry.py)
+    "corpus_epoch_shuffle",
+    "text_zipf_exponent",
+    "graph_degree_assortativity",
 ]
 
 def _rotate_registry() -> None:

@@ -238,6 +238,15 @@ AUDIT = {
     # as a LeftAnti — broadcasting the keeper complement (≈ the whole
     # shingle vocabulary) is the r6 judge's driver-OOM finding
     "text_shingle_containment": {"expect": [r"BroadcastHashJoin .*LeftAnti"], "forbid": []},
+    # epoch shuffle surfaces its prefix via distributed top-k, never a
+    # global sort exchange
+    "corpus_epoch_shuffle": {"expect": ["TakeOrderedAndProject"], "forbid": []},
+    # zipf: top-1000 via TakeOrdered; the rank window runs on the
+    # survivors only
+    "text_zipf_exponent": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": []},
+    # the two one-row census frames cross-join via BNLJ — the right
+    # plan for scalar attachment, so only CartesianProduct is banned
+    "graph_degree_assortativity": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
 }
 
 
