@@ -27,7 +27,11 @@ Deletion vectors round-trip BOTH directions: foreign logs' DVs are
 APPLIED on read (spec decode in ``dvcodec``, row-index anti-join on
 parquet ``_metadata``), and MergeStore's own (file, row_index) DVs
 EXPORT as spec descriptors (inline or ``_dv_export/`` files) under
-a table-features protocol. ``columnMapping.mode=name`` reads under
+a table-features protocol. The Change Data Feed round-trips too:
+``export_delta_log(change_data=True)`` materializes spec
+``_change_data/`` files + ``cdc`` actions (insert-only commits
+derive from adds, per spec), and :func:`read_delta_changes` is the
+``table_changes`` analogue over ANY client's log. ``columnMapping.mode=name`` reads under
 physical names and returns logical columns; mode ``id`` additionally
 resolves by parquet field id (Spark's native fieldId read path).
 Unsupported protocol features still fail by NAME
@@ -299,11 +303,15 @@ def _protocol_action(store, with_dvs: bool = False) -> dict:
     }
 
 
-def _meta_action(store, version: str) -> dict:
+def _meta_action(
+    store, version: str, change_data: bool = False
+) -> dict:
     cfg = {
         f"delta.constraints.{name}": expr
         for name, expr in store.constraints().items()
     }
+    if change_data:
+        cfg["delta.enableChangeDataFeed"] = "true"
     if store.clustering():
         # liquid clustering is a full table feature; the column
         # list is informational config here (stock readers ignore
@@ -461,6 +469,99 @@ def _carried(prev_add: dict | None, this_add: dict | None) -> bool:
     )
 
 
+_CHANGE_DATA_DIR = "_change_data"
+
+
+def _write_change_data(store, prev: str, vname: str) -> list[dict]:
+    """Materialize the row-level change feed of ``prev -> vname`` as
+    spec CDF files under ``_change_data/<vname>/`` and return their
+    ``cdc`` actions. Per the public spec, insert-only commits may
+    derive their feed from add actions, so this returns ``[]`` for
+    them (no files written); any update/delete forces files carrying
+    ALL of the commit's changes — readers use ONLY cdc files for a
+    commit that has them. Change types: insert / update_preimage /
+    update_postimage / delete, exactly delta-spark's. Cost: one
+    full-outer key join of the two snapshots per exported version —
+    data-scale, which is why change_data is OPT-IN on export; Delta
+    itself pays the equivalent at WRITE time for every CDF commit."""
+    spark = store.spark
+    keys = list(store.keys)
+    new = store.read_version(vname)
+    old = store.read_version(prev)
+    fields = {f.name: f.dataType for f in new.schema.fields}
+    old_aligned = old.select(
+        *[
+            (
+                F.col(c)
+                if c in old.columns
+                else F.lit(None).cast(fields[c])
+            ).alias(c)
+            for c in new.columns
+        ]
+    )
+    nonkey = [c for c in new.columns if c not in keys]
+    o = old_aligned.select(
+        *keys, F.struct(*[F.col(c) for c in nonkey]).alias("_o")
+    )
+    n = new.select(
+        *keys, F.struct(*[F.col(c) for c in nonkey]).alias("_n")
+    )
+    j = o.join(n, keys, "full_outer")
+    has_o = F.col("_o").isNotNull()
+    has_n = F.col("_n").isNotNull()
+
+    def flat(side, ctype):
+        return [
+            *[F.col(k) for k in keys],
+            *[F.col(f"{side}.{c}").alias(c) for c in nonkey],
+            F.lit(ctype).alias("_change_type"),
+        ]
+
+    inserts = j.where(~has_o & has_n).select(*flat("_n", "insert"))
+    deletes = j.where(has_o & ~has_n).select(*flat("_o", "delete"))
+    upd = j.where(
+        has_o & has_n & ~F.col("_o").eqNullSafe(F.col("_n"))
+    )
+    pre = upd.select(*flat("_o", "update_preimage"))
+    post = upd.select(*flat("_n", "update_postimage"))
+    changes = inserts.unionByName(deletes).unionByName(pre).unionByName(
+        post
+    )
+    n_noninsert = (
+        deletes.limit(1).count() + upd.limit(1).count()
+    )
+    if n_noninsert == 0:
+        return []  # insert-only: readers derive the feed from adds
+    out_dir = os.path.join(store.path, _CHANGE_DATA_DIR, vname)
+    writer = changes.write.mode("overwrite").format("parquet")
+    if store.partition_by:
+        writer = writer.partitionBy(store.partition_by)
+    writer.save(out_dir)
+    actions = []
+    for root, dirs, names in os.walk(out_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for name in sorted(names):
+            if name.startswith(("_", ".")) or not name.endswith(
+                ".parquet"
+            ):
+                continue
+            full = os.path.join(root, name)
+            rel_out = os.path.relpath(full, out_dir)
+            actions.append(
+                {
+                    "path": _encode_path(
+                        f"{_CHANGE_DATA_DIR}/{vname}/{rel_out}"
+                    ),
+                    "partitionValues": dict(
+                        _partition_values(rel_out, store.partition_by)
+                    ),
+                    "size": int(os.path.getsize(full)),
+                    "dataChange": False,
+                }
+            )
+    return actions
+
+
 def _commit_record(store, version: str) -> dict:
     manifest = os.path.join(store._commits_dir(), f"{version}.json")
     try:
@@ -477,7 +578,9 @@ def _commit_record(store, version: str) -> dict:
 
 
 def export_delta_log(
-    store, max_checkpoint_part_rows: int | None = None
+    store,
+    max_checkpoint_part_rows: int | None = None,
+    change_data: bool = False,
 ) -> str:
     """Write/refresh a stock-readable ``_delta_log`` for ``store``.
 
@@ -547,7 +650,11 @@ def export_delta_log(
     )
     if have_last != ckpt_v or not have_ckpt:
         n_rows, n_parts = _write_checkpoint(
-            store, exportable[0], ckpt_path, max_checkpoint_part_rows
+            store,
+            exportable[0],
+            ckpt_path,
+            max_checkpoint_part_rows,
+            change_data=change_data,
         )
         ck_ts = _commit_record(store, exportable[0]).get("ts")
         if ck_ts is not None:
@@ -645,7 +752,9 @@ def export_delta_log(
             _schema_with_delta_metadata(store, vname)
         )
         if this_schema != prev_schema:
-            lines.append({"metaData": _meta_action(store, vname)})
+            lines.append(
+                {"metaData": _meta_action(store, vname, change_data)}
+            )
         prev_schema = this_schema
         ts_ms = int(float(rec.get("ts", time.time())) * 1000)
         prev_adds = _adds(prev)
@@ -691,6 +800,9 @@ def export_delta_log(
             lines.append(
                 {"add": dict(_public_add(add), dataChange=dc)}
             )
+        if change_data and store_dc:
+            for cdc in _write_change_data(store, prev, vname):
+                lines.append({"cdc": cdc})
         # prev's adds are never needed again — evict, or a long
         # history holds (versions x files) dicts on the driver at
         # exactly the scale the multi-part checkpoint targets
@@ -713,7 +825,11 @@ def _vnum(version: str) -> int:
 
 
 def _write_checkpoint(
-    store, version: str, ckpt_path: str, max_part_rows: int | None = None
+    store,
+    version: str,
+    ckpt_path: str,
+    max_part_rows: int | None = None,
+    change_data: bool = False,
 ) -> tuple[int, int]:
     """Parquet checkpoint via Arrow: one row per action, top-level
     nullable structs (txn/add/remove/metaData/protocol) exactly as
@@ -726,7 +842,7 @@ def _write_checkpoint(
     any_dvs = any(store._dv_files(v) for v in store.list_versions())
     rows: list[dict] = [
         {"protocol": _protocol_action(store, with_dvs=any_dvs)},
-        {"metaData": _meta_action(store, version)},
+        {"metaData": _meta_action(store, version, change_data)},
     ]
     # txn watermarks: every app id ever committed, from EXACTLY the
     # records last_txn_version trusts (store.committed_txn_records —
@@ -977,6 +1093,21 @@ def _select_ckpt_files(files: list[str]) -> list[str]:
     if not by_uid:
         return sorted(files)
     return sorted(by_uid[sorted(by_uid)[0]])
+
+
+def _py_check_protocol(proto: dict) -> None:
+    """Pure-Python twin of :func:`_check_protocol` for paths with no
+    SparkSession in scope (streaming tail source, CDF reader)."""
+    mrv = int(proto.get("minReaderVersion") or 1)
+    if mrv <= 2:
+        return
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise DeltaProtocolError(
+            f"table requires reader features {sorted(unsupported)} "
+            "this engine does not implement"
+        )
 
 
 def _latest_log_version(log_dir: str) -> int:
@@ -1714,6 +1845,186 @@ def convert_from_delta(
                 key[len("delta.constraints."):], expr
             )
     return store
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed read (Delta ``table_changes`` analogue) over
+    ANY client's log, plain Spark: rows changed in commits
+    ``[starting_version, ending_version]`` with the spec's three
+    metadata columns ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp``.
+
+    Per the public spec, a commit that logged ``cdc`` actions is
+    read EXCLUSIVELY from its ``_change_data/`` files (they carry
+    ``_change_type``, including update pre/postimages); a commit
+    without them derives its feed from file actions —
+    ``dataChange=true`` adds as inserts, ``dataChange=true`` removes
+    as deletes (the removed files must still exist, i.e. not yet
+    vacuumed — Delta's own constraint). A DV-carrying add in a
+    cdc-less commit is a NAMED refusal (its row-level delta needs
+    the writer's cdc files). ``dataChange=false`` commits (OPTIMIZE)
+    contribute nothing. Scale: one driver-side JSON entry per commit
+    (metadata-scale); all row reads are Spark parquet scans, one per
+    (commit, partition-tuple) group."""
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+    end = (
+        _latest_log_version(log_dir)
+        if ending_version is None
+        else int(ending_version)
+    )
+    start = int(starting_version)
+    if start > end:
+        raise ValueError(
+            f"starting_version {start} > ending_version {end}"
+        )
+    # schema + protocol/mapping gates from the pure-Python replay at
+    # the range end (metadata-scale)
+    _t, all_actions = _py_actions(log_dir, end)
+    meta = proto = None
+    for _v, a in all_actions:
+        if a.get("metaData") is not None:
+            meta = a["metaData"]
+        elif a.get("protocol") is not None:
+            proto = a["protocol"]
+    if proto is not None:
+        _py_check_protocol(proto)
+    if meta is None:
+        raise DeltaProtocolError("log has no metaData action")
+    cm = dict(meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if cm not in ("", "none"):
+        raise DeltaProtocolError(
+            f"columnMapping.mode={cm!r} is not supported by the "
+            "change-feed reader"
+        )
+    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta["partitionColumns"] or [])
+    by_name = {f.name: f for f in logical.fields}
+    file_schema = T.StructType(
+        [f for f in logical.fields if f.name not in pcols]
+    )
+    cdc_schema = T.StructType(
+        file_schema.fields
+        + [T.StructField("_change_type", T.StringType())]
+    )
+    out_cols = [f.name for f in logical.fields] + ["_change_type"]
+
+    def scan_group(
+        files: list[str], schema, pv: dict, ctype: str | None
+    ) -> DataFrame:
+        df = spark.read.schema(schema).parquet(*files)
+        if ctype is not None:
+            df = df.withColumn("_change_type", F.lit(ctype))
+        for c in pcols:
+            df = df.withColumn(
+                c, F.lit(pv.get(c)).cast(by_name[c].dataType)
+            )
+        return df.select(*out_cols)
+
+    def scan_actions(
+        acts: list[dict], schema, ctype: str | None
+    ) -> list[DataFrame]:
+        groups: dict[tuple, list[str]] = {}
+        pv_of: dict[tuple, dict] = {}
+        for a in acts:
+            pv = dict(a.get("partitionValues") or {})
+            key = tuple(pv.get(c) for c in pcols)
+            rel = unquote(a["path"])
+            full = (
+                rel
+                if "://" in rel or os.path.isabs(rel)
+                else os.path.join(path, rel)
+            )
+            groups.setdefault(key, []).append(full)
+            pv_of[key] = pv
+        return [
+            scan_group(fs, schema, pv_of[key], ctype)
+            for key, fs in sorted(
+                groups.items(),
+                key=lambda kv: tuple(
+                    (v is not None, str(v)) for v in kv[0]
+                ),
+            )
+        ]
+
+    frames: list[DataFrame] = []
+    for v in range(start, end + 1):
+        entry = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.isfile(entry):
+            raise DeltaProtocolError(
+                f"log entry {v:020d}.json is missing (cleaned up?); "
+                "the change feed cannot reconstruct this range"
+            )
+        with open(entry) as fh:
+            acts = [json.loads(ln) for ln in fh if ln.strip()]
+        ts_ms = None
+        for a in acts:
+            ci = a.get("commitInfo")
+            if ci and ci.get("timestamp") is not None:
+                ts_ms = int(ci["timestamp"])
+        if ts_ms is None:
+            ts_ms = int(os.path.getmtime(entry) * 1000)
+        cdcs = [a["cdc"] for a in acts if a.get("cdc")]
+        if cdcs:
+            vframes = scan_actions(cdcs, cdc_schema, None)
+        else:
+            adds = [
+                a["add"]
+                for a in acts
+                if a.get("add")
+                and a["add"].get("dataChange") is not False
+            ]
+            for a in adds:
+                dv = a.get("deletionVector")
+                if dv is not None and dv.get("storageType"):
+                    raise DeltaProtocolError(
+                        f"commit {v} adds a deletion-vector file "
+                        "without cdc actions; its row-level change "
+                        "feed requires writer-produced _change_data"
+                    )
+            removes = [
+                a["remove"]
+                for a in acts
+                if a.get("remove")
+                and a["remove"].get("dataChange") is not False
+            ]
+            vframes = scan_actions(
+                adds, file_schema, "insert"
+            ) + scan_actions(removes, file_schema, "delete")
+        for df in vframes:
+            frames.append(
+                df.select(
+                    "*",
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.expr(
+                        f"timestamp_millis({ts_ms})"
+                    ).alias("_commit_timestamp"),
+                )
+            )
+    if not frames:
+        empty = T.StructType(
+            logical.fields
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField(
+                    "_commit_timestamp", T.TimestampType()
+                ),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def delta_last_txn(

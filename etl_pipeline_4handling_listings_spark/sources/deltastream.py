@@ -60,26 +60,13 @@ from .deltalog import (
     _latest_log_version,
     _LOG_DIR,
     _py_actions,
+    _py_check_protocol,
     DeltaProtocolError,
-    _SUPPORTED_READER_FEATURES,
 )
 
 # id mode needs parquet field-id resolution, which the pyarrow row
 # path here does not implement (read_delta's Spark scan does)
 _STREAM_MAPPING_MODES = ("", "none", "name")
-
-
-def _py_check_protocol(proto: dict) -> None:
-    mrv = int(proto.get("minReaderVersion") or 1)
-    if mrv <= 2:
-        return
-    feats = set(proto.get("readerFeatures") or [])
-    unsupported = feats - _SUPPORTED_READER_FEATURES
-    if unsupported:
-        raise DeltaProtocolError(
-            f"table requires reader features {sorted(unsupported)} "
-            "this engine does not implement"
-        )
 
 
 def _py_snapshot(log_dir: str, version: int | None):

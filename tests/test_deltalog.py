@@ -1372,3 +1372,136 @@ def test_same_commit_remove_and_readd_keeps_file_live(spark, tmp_path):
     )
     got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
     assert got == [(0, "a0"), (2, "a2")]
+
+
+def test_cdf_export_and_read_roundtrip(spark, tmp_path):
+    """export_delta_log(change_data=True) + read_delta_changes: the
+    spec Change Data Feed loop. Insert-only commits derive from adds
+    (no _change_data written — spec-allowed); update and DV-delete
+    commits write cdc files carrying pre/postimages, which the
+    reader uses EXCLUSIVELY for those commits."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        read_delta_changes,
+    )
+
+    store = _mk(spark, tmp_path)  # v00000 template, v00001 inserts
+    store.merge(
+        spark.createDataFrame([(2, 1, "B"), (4, 1, "d")], ["k", "p", "v"])
+    )  # v00002: update k=2, insert k=4
+    store.delete("k = 1")  # v00003: DV delete
+    export_delta_log(store, change_data=True)
+
+    ch = read_delta_changes(spark, store.path, 1, 3)
+    got = sorted(
+        (r._commit_version, r._change_type, r.k, r.v)
+        for r in ch.collect()
+    )
+    assert got == [
+        (1, "insert", 1, "a"),
+        (1, "insert", 2, "b"),
+        (1, "insert", 3, "c"),
+        (2, "insert", 4, "d"),
+        (2, "update_postimage", 2, "B"),
+        (2, "update_preimage", 2, "b"),
+        (3, "delete", 1, "a"),
+    ]
+    assert ch.schema["_commit_timestamp"].dataType.typeName().startswith(
+        "timestamp"
+    )
+    # insert-only v1 derived (no cdc dir); v2/v3 materialized
+    cd = os.path.join(store.path, "_change_data")
+    assert sorted(os.listdir(cd)) == ["v00002", "v00003"]
+    # a fresh-range read composes with ending_version defaulting to
+    # the log head
+    tail = read_delta_changes(spark, store.path, 3)
+    assert [(r._change_type, r.k) for r in tail.collect()] == [
+        ("delete", 1)
+    ]
+
+
+def test_cdf_foreign_fallback_derivation(spark, tmp_path):
+    """A foreign log WITHOUT cdc actions: dataChange=true adds read
+    as inserts, dataChange=true removes as deletes (files not yet
+    vacuumed), dataChange=false (OPTIMIZE) commits contribute
+    nothing."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        read_delta_changes,
+    )
+
+    f1 = _write_parquet_file(
+        spark, tmp_path, [(1, "a"), (2, "b")], ["k", "v"], "a.parquet"
+    )
+    fc = _write_parquet_file(
+        spark, tmp_path, [(1, "a"), (2, "b")], ["k", "v"], "c.parquet"
+    )
+    tbl = str(tmp_path / "tbl")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("k", "long"), ("v", "string")),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    # v1: OPTIMIZE-shaped rewrite — nothing in the feed
+    _log_write(
+        tbl,
+        1,
+        [
+            {"commitInfo": {"operation": "OPTIMIZE", "timestamp": 1000}},
+            {"remove": {"path": "a.parquet", "deletionTimestamp": 1, "dataChange": False}},
+            {"add": {"path": "c.parquet", "partitionValues": {}, "size": os.path.getsize(fc), "modificationTime": 0, "dataChange": False}},
+        ],
+    )
+    # v2: delete-only commit
+    _log_write(
+        tbl,
+        2,
+        [
+            {"remove": {"path": "c.parquet", "deletionTimestamp": 2, "dataChange": True}},
+        ],
+    )
+    got = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in read_delta_changes(spark, tbl, 0, 2).collect()
+    )
+    assert got == [
+        (0, "insert", 1),
+        (0, "insert", 2),
+        (2, "delete", 1),
+        (2, "delete", 2),
+    ]
+
+
+def test_cdf_partitioned_store_injects_partition_values(spark, tmp_path):
+    """CDF files of a partitioned store land under hive dirs without
+    the partition column in the file; the reader re-injects it from
+    the cdc action's partitionValues."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        read_delta_changes,
+    )
+
+    store = _mk(spark, tmp_path, name="pt", partition_by="p")
+    store.merge(
+        spark.createDataFrame([(2, 1, "B")], ["k", "p", "v"])
+    )  # v00002: update inside p=1
+    export_delta_log(store, change_data=True)
+    got = sorted(
+        (r._change_type, r.k, r.p, r.v)
+        for r in read_delta_changes(
+            spark, store.path, 2, 2
+        ).collect()
+    )
+    assert got == [
+        ("update_postimage", 2, 1, "B"),
+        ("update_preimage", 2, 1, "b"),
+    ]
