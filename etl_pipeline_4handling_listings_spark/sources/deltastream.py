@@ -20,6 +20,14 @@ from it):
   exactly like Delta's option of the same name).
 - **dataChange=false commits (OPTIMIZE/clustering) are skipped**
   entirely — rewrites carry no new rows by definition.
+- **Change feed**: ``.option("readChangeFeed", "true")`` streams the
+  spec CDF instead of raw appends — the initial snapshot as inserts,
+  then per commit: writer-produced ``_change_data`` files when the
+  log carries ``cdc`` actions (update pre/postimages, e.g. a
+  MergeStore export with ``change_data=True``), else the spec
+  derivation (dataChange=true adds as inserts, removes as deletes).
+  Delete/rewrite commits need no ignore options here; output gains
+  ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``.
 - **Rate limiting**: ``.option("maxCommitsPerTrigger", n)`` caps how
   many commits one micro-batch drains (Delta's maxFilesPerTrigger
   analogue at commit granularity) — a restarted stream facing a
@@ -156,17 +164,37 @@ def _pv_convert(field, raw):
 class _TailPartition(InputPartition):
     """One data file of one emitted commit: absolute path, the add's
     partitionValues (PHYSICAL names), its deletionVector descriptor
-    (or None), and the logical->physical name map."""
+    (or None), and the logical->physical name map. In change-feed
+    mode (``cdf``), ``ctype`` labels derived rows ('insert' /
+    'delete'; None = the file itself carries ``_change_type``) and
+    ``commit_version`` / ``ts_ms`` feed the spec metadata columns."""
 
-    def __init__(self, table_path, abs_path, pv, dv, phys):
+    def __init__(
+        self,
+        table_path,
+        abs_path,
+        pv,
+        dv,
+        phys,
+        cdf=False,
+        ctype=None,
+        commit_version=None,
+        ts_ms=None,
+    ):
         self.table_path = table_path
         self.abs_path = abs_path
         self.pv = pv or {}
         self.dv = dv
         self.phys = phys
+        self.cdf = cdf
+        self.ctype = ctype
+        self.commit_version = commit_version
+        self.ts_ms = ts_ms
 
 
-def _add_partition(table_path: str, add: dict, phys) -> _TailPartition:
+def _add_partition(
+    table_path: str, add: dict, phys, **cdf_kw
+) -> _TailPartition:
     from urllib.parse import unquote
 
     rel = unquote(add["path"])
@@ -179,7 +207,12 @@ def _add_partition(table_path: str, add: dict, phys) -> _TailPartition:
     if dv is not None and dv.get("storageType") is None:
         dv = None
     return _TailPartition(
-        table_path, abs_path, add.get("partitionValues"), dv, phys
+        table_path,
+        abs_path,
+        add.get("partitionValues"),
+        dv,
+        phys,
+        **cdf_kw,
     )
 
 
@@ -205,6 +238,10 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         )
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.cdf = (
+            str(options.get("readchangefeed", "false")).lower()
+            == "true"
         )
         start = options.get(
             "startingversion", options.get("startingVersion")
@@ -255,14 +292,87 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self._committed = dict(start)
         parts: list[_TailPartition] = []
         if not start.get("snap", True):
-            _t, _m, adds = _py_snapshot(
-                self.log_dir, start["version"]
+            sv = start["version"]
+            _t, _m, adds = _py_snapshot(self.log_dir, sv)
+            kw = (
+                dict(
+                    cdf=True,
+                    ctype="insert",
+                    commit_version=sv,
+                    ts_ms=self._version_ts_ms(sv),
+                )
+                if self.cdf
+                else {}
             )
             parts.extend(
-                _add_partition(self.path, a, self.phys) for a in adds
+                _add_partition(self.path, a, self.phys, **kw)
+                for a in adds
             )
         for v in range(start["version"] + 1, end["version"] + 1):
-            parts.extend(self._commit_adds(v))
+            parts.extend(
+                self._commit_changes(v)
+                if self.cdf
+                else self._commit_adds(v)
+            )
+        return parts
+
+    def _version_ts_ms(self, v: int) -> int:
+        p = os.path.join(self.log_dir, f"{v:020d}.json")
+        try:
+            return int(os.path.getmtime(p) * 1000)
+        except OSError:
+            return int(os.path.getmtime(self.log_dir) * 1000)
+
+    def _commit_changes(self, v: int) -> list[_TailPartition]:
+        """Change-feed partitions for one commit: writer-produced
+        cdc files when present (they carry ``_change_type``, incl.
+        update pre/postimages); otherwise the spec derivation —
+        dataChange=true adds as inserts, dataChange=true removes as
+        deletes (files must not be vacuumed yet). No append-only
+        refusals here: the feed REPRESENTS deletes/updates instead
+        of erroring on them."""
+        acts = _entry_actions(self.log_dir, v)
+        ts_ms = None
+        for a in acts:
+            ci = a.get("commitInfo")
+            if ci and ci.get("timestamp") is not None:
+                ts_ms = int(ci["timestamp"])
+            elif a.get("protocol") is not None:
+                _py_check_protocol(a["protocol"])
+            elif a.get("metaData") is not None:
+                _logical_schema(a["metaData"])  # mapping-mode gate
+        if ts_ms is None:
+            ts_ms = self._version_ts_ms(v)
+        kw = dict(cdf=True, commit_version=v, ts_ms=ts_ms)
+        cdcs = [a["cdc"] for a in acts if a.get("cdc")]
+        if cdcs:
+            return [
+                _add_partition(self.path, c, self.phys, ctype=None, **kw)
+                for c in cdcs
+            ]
+        parts: list[_TailPartition] = []
+        for a in acts:
+            add = a.get("add")
+            if add is not None and add.get("dataChange") is not False:
+                dv = add.get("deletionVector")
+                if dv is not None and dv.get("storageType"):
+                    raise DeltaProtocolError(
+                        f"commit {v} adds a deletion-vector file "
+                        "without cdc actions; its row-level change "
+                        "feed requires writer-produced _change_data"
+                    )
+                parts.append(
+                    _add_partition(
+                        self.path, add, self.phys, ctype="insert", **kw
+                    )
+                )
+            rem = a.get("remove")
+            if rem is not None and rem.get("dataChange") is not False:
+                parts.append(
+                    _add_partition(
+                        self.path, rem, self.phys, ctype="delete", **kw
+                    )
+                )
         return parts
 
     def _commit_adds(self, v: int) -> list[_TailPartition]:
@@ -334,19 +444,55 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         fields = self.schema_.fields
         phys = partition.phys
         pv = partition.pv
+        ts = None
+        if partition.cdf:
+            import datetime
+
+            ts = datetime.datetime.fromtimestamp(
+                partition.ts_ms / 1000.0, tz=datetime.timezone.utc
+            )
 
         def emit():
             for r in rows:
                 out = []
                 for f in fields:
-                    p = phys.get(f.name, f.name)
-                    if p in pv:
-                        out.append(_pv_convert(f, pv[p]))
+                    if f.name == "_change_type":
+                        out.append(
+                            r.get("_change_type")
+                            if partition.ctype is None
+                            else partition.ctype
+                        )
+                    elif f.name == "_commit_version":
+                        out.append(partition.commit_version)
+                    elif f.name == "_commit_timestamp":
+                        out.append(ts)
                     else:
-                        out.append(r.get(p))
+                        p = phys.get(f.name, f.name)
+                        if p in pv:
+                            out.append(_pv_convert(f, pv[p]))
+                        else:
+                            out.append(r.get(p))
                 yield tuple(out)
 
         return emit()
+
+
+def _cdf_schema(base: StructType) -> StructType:
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        TimestampType,
+    )
+
+    return StructType(
+        base.fields
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+            StructField("_commit_timestamp", TimestampType()),
+        ]
+    )
 
 
 class DeltaTailDataSource(DataSource):
@@ -359,7 +505,13 @@ class DeltaTailDataSource(DataSource):
     def schema(self):
         log_dir = os.path.join(self.options["path"], _LOG_DIR)
         _t, meta, _a = _py_snapshot(log_dir, None)
-        return _logical_schema(meta)
+        base = _logical_schema(meta)
+        if (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        ):
+            return _cdf_schema(base)
+        return base
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         log_dir = os.path.join(self.options["path"], _LOG_DIR)

@@ -313,16 +313,22 @@ def foreach_batch_cdc_apply(
     each other's batches as replays (the same failure the anonymous
     stream-sink identity was banned for in the data source).
 
-    Batches carry ``_change_type`` / ``_commit_version`` columns. A
-    micro-batch may span several upstream commits, so changes first
-    collapse to the LAST change per key — ordered by the NUMERIC
-    commit number, never the raw string: versions format as
-    ``v{n:05d}``, so past 99,999 commits ``v100000`` sorts
-    lexicographically BEFORE ``v99999`` and a string max would pick
-    a stale change — then apply in one MERGE: postimages upsert,
-    deletes delete. Order within the batch therefore never matters,
-    and the per-key collapse keeps the merge source unique per key
-    (the Delta MERGE precondition).
+    The sink consumes EITHER feed shape: ``mergestore_cdc``
+    (``_commit_version`` as ``vNNNNN`` strings) or a spec Change
+    Data Feed such as ``delta_tail`` with ``readChangeFeed`` (LONG
+    ``_commit_version``, plus ``_commit_timestamp`` and
+    ``update_preimage`` rows — preimages are dropped before the
+    collapse, since a preimage sharing its postimage's key AND
+    version could otherwise win the tie and upsert the stale
+    value). A micro-batch may span several upstream commits, so
+    changes first collapse to the LAST change per key — ordered by
+    the NUMERIC commit number, never the raw string: versions
+    format as ``v{n:05d}``, so past 99,999 commits ``v100000``
+    sorts lexicographically BEFORE ``v99999`` and a string max
+    would pick a stale change — then apply in one MERGE: postimages
+    upsert, deletes delete. Order within the batch therefore never
+    matters, and the per-key collapse keeps the merge source unique
+    per key (the Delta MERGE precondition).
 
     Exactly-once: the merge is key-idempotent (replaying a batch of
     postimages/deletes reproduces the same snapshot), so the per-app
@@ -338,19 +344,27 @@ def foreach_batch_cdc_apply(
     key function the merge prunes to the touched partitions.
     """
     _applied, _record = _app_marker(target.path, txn_app_id)
-    meta = ("_change_type", "_commit_version")
+    meta = ("_change_type", "_commit_version", "_commit_timestamp")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= _applied():
             return  # replayed, already applied by THIS query
-        last = latest_record(
-            batch,
-            keys,
-            # numeric order: strip the 'v' prefix and cast — the
-            # %05d zero-padding only sorts correctly below 100,000
-            # commits, and this sink must not inherit that ceiling
-            [F.desc(F.substring("_commit_version", 2, 18).cast("long"))],
-        ).drop("_commit_version")
+        batch = batch.where(
+            F.col("_change_type") != F.lit("update_preimage")
+        )
+        # numeric order for either feed shape: LONG versions (spec
+        # CDF) cast directly; 'vNNNNN' strings strip the prefix —
+        # the %05d zero-padding only sorts correctly below 100,000
+        # commits, and this sink must not inherit that ceiling
+        vtype = dict(batch.dtypes).get("_commit_version", "string")
+        vnum = (
+            F.col("_commit_version").cast("long")
+            if vtype in ("bigint", "int", "long")
+            else F.substring("_commit_version", 2, 18).cast("long")
+        )
+        last = latest_record(batch, keys, [F.desc(vnum)]).drop(
+            "_commit_version"
+        )
         data_cols = [c for c in last.columns if c not in meta]
         target.create_if_absent(last.select(*data_cols))
         # merge_upsert clause order evaluates update BEFORE delete,

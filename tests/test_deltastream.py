@@ -363,3 +363,112 @@ def test_max_commits_per_trigger_bounds_batches(spark, tmp_path):
         startingVersion=1, maxCommitsPerTrigger=1,
     )
     assert got == {(3, "c"), (4, "d")}  # commit 2 on the next pass
+
+
+def test_read_change_feed_stream(spark, tmp_path):
+    """readChangeFeed=true streams the spec CDF: the initial
+    snapshot arrives as inserts, a writer-produced cdc commit
+    (MergeStore export with change_data) delivers update
+    pre/postimages, and delete commits need NO ignore options — the
+    feed represents them."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        export_delta_log,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+    )
+
+    store = MergeStore(spark, str(tmp_path / "store"), keys=["k"])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)  # v00001
+    export_delta_log(store, change_data=True)
+    register_delta_tail(spark)
+    ckpt, out = str(tmp_path / "ck_cdf"), str(tmp_path / "out_cdf")
+    got = _run_pass(spark, store.path, out, ckpt, readChangeFeed="true")
+    assert {(r[0], r[1], r[2], r[3]) for r in got} == {
+        (1, "a", "insert", 1),
+        (2, "b", "insert", 1),
+    }
+    store.merge(spark.createDataFrame([(2, "B")], ["k", "v"]))  # v2
+    store.delete("k = 1")  # v3 (DV delete -> cdc files)
+    export_delta_log(store, change_data=True)
+    got = _run_pass(spark, store.path, out, ckpt, readChangeFeed="true")
+    assert {(r[0], r[1], r[2], r[3]) for r in got} == {
+        (1, "a", "insert", 1),
+        (2, "b", "insert", 1),
+        (2, "b", "update_preimage", 2),
+        (2, "B", "update_postimage", 2),
+        (1, "a", "delete", 3),
+    }
+
+
+def test_read_change_feed_foreign_derivation(spark, tmp_path):
+    """A cdc-less foreign log under readChangeFeed: adds derive as
+    inserts and a delete-only commit as deletes — the rows of the
+    removed (not-yet-vacuumed) file."""
+    tbl = _mk_table(spark, tmp_path)
+    _log_write(
+        tbl,
+        1,
+        [{"remove": {"path": "f2.parquet", "deletionTimestamp": 1, "dataChange": True}}],
+    )
+    register_delta_tail(spark)
+    got = _run_pass(
+        spark,
+        tbl,
+        str(tmp_path / "out_fcdf"),
+        str(tmp_path / "ck_fcdf"),
+        readChangeFeed="true",
+        startingVersion=0,
+    )
+    assert {(r[0], r[1], r[2], r[3]) for r in got} == {
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (2, "b", "delete", 1),
+    }
+
+
+def test_change_feed_applies_into_mergestore(spark, tmp_path):
+    """Full medallion hop across ENGINES: a stock-shaped Delta table
+    (MergeStore export with change_data) streams its CDF through
+    delta_tail and foreach_batch_cdc_apply replays it into a second
+    MergeStore — final downstream snapshot == upstream state,
+    updates and deletes included, preimages dropped."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        export_delta_log,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+    )
+    from etl_pipeline_4handling_listings_spark.streaming.pipeline import (
+        foreach_batch_cdc_apply,
+    )
+
+    up = MergeStore(spark, str(tmp_path / "up"), keys=["k"])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    up.create_if_absent(df)
+    up.merge(df)  # v1
+    up.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    up.delete("k = 1")  # v3
+    export_delta_log(up, change_data=True)
+
+    down = MergeStore(spark, str(tmp_path / "down"), keys=["k"])
+    register_delta_tail(spark)
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(up.path)
+        .writeStream.foreachBatch(
+            foreach_batch_cdc_apply(down, ["k"], "tail-to-down")
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_apply"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = sorted((r.k, r.v) for r in down.read().collect())
+    assert got == sorted((r.k, r.v) for r in up.read().collect())
+    assert got == [(2, "B"), (3, "c")]
