@@ -686,6 +686,21 @@ def export_delta_log(
             m = _CKPT_RE.match(entry)
             if m and int(m.group(1)) < ckpt_v:
                 os.remove(os.path.join(log_dir, entry))
+        # change-feed files of expired entries are unreferenced once
+        # their cdc actions are cleaned up (the checkpoint carries no
+        # cdc rows, per spec) — reclaim, exactly like Delta's vacuum
+        # of aged _change_data
+        cd_root = os.path.join(store.path, _CHANGE_DATA_DIR)
+        if os.path.isdir(cd_root):
+            import shutil as _sh
+
+            for d in os.listdir(cd_root):
+                if d.startswith("v") and d[1:].isdigit() and int(
+                    d[1:]
+                ) <= ckpt_v:
+                    _sh.rmtree(
+                        os.path.join(cd_root, d), ignore_errors=True
+                    )
 
     prev_schema: str | None = None
     adds_memo: dict[str, list[dict]] = {}
@@ -1935,6 +1950,16 @@ def read_delta_changes(
         groups: dict[tuple, list[str]] = {}
         pv_of: dict[tuple, dict] = {}
         for a in acts:
+            if pcols and a.get("partitionValues") is None:
+                # spec: remove.partitionValues is OPTIONAL — a
+                # partitioned delete without them cannot be labeled
+                # correctly, so refuse by name instead of emitting
+                # null partition columns
+                raise DeltaProtocolError(
+                    "change-feed action lacks partitionValues on a "
+                    "partitioned table; row-level feed needs "
+                    "writer-produced _change_data"
+                )
             pv = dict(a.get("partitionValues") or {})
             key = tuple(pv.get(c) for c in pcols)
             rel = unquote(a["path"])

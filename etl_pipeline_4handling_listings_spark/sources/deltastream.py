@@ -258,6 +258,7 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self.max_commits = int(mct) if mct is not None else None
         target, meta, _unused = _py_snapshot(self.log_dir, None)
         self.phys = _phys_names(meta)
+        self.pcols = list(meta.get("partitionColumns") or [])
         if start is not None:
             # tail-only from `start`: snapshot skipped, exactly
             # Delta's startingVersion contract
@@ -368,6 +369,17 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                 )
             rem = a.get("remove")
             if rem is not None and rem.get("dataChange") is not False:
+                if self.pcols and rem.get("partitionValues") is None:
+                    # spec: remove.partitionValues is OPTIONAL — a
+                    # partitioned delete without them cannot be
+                    # labeled correctly; refuse by name instead of
+                    # emitting null partition columns
+                    raise DeltaProtocolError(
+                        f"commit {v} removes data without "
+                        "partitionValues on a partitioned table; "
+                        "its change feed requires writer-produced "
+                        "_change_data"
+                    )
                 parts.append(
                     _add_partition(
                         self.path, rem, self.phys, ctype="delete", **kw

@@ -1505,3 +1505,33 @@ def test_cdf_partitioned_store_injects_partition_values(spark, tmp_path):
         ("update_postimage", 2, 1, "B"),
         ("update_preimage", 2, 1, "b"),
     ]
+
+
+def test_cdf_files_cleaned_with_expired_entries(spark, tmp_path):
+    """Vacuum advances the exported checkpoint past old versions;
+    their cdc actions are removed with the expired JSON entries, so
+    their _change_data/<v> dirs are unreferenced and reclaimed."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        read_delta_changes,
+    )
+
+    store = _mk(spark, tmp_path)
+    store.merge(
+        spark.createDataFrame([(2, 1, "B")], ["k", "p", "v"])
+    )  # v00002: update -> cdc files
+    export_delta_log(store, change_data=True)
+    cd = os.path.join(store.path, "_change_data")
+    assert os.path.isdir(os.path.join(cd, "v00002"))
+    for i in range(3):
+        store.merge(
+            spark.createDataFrame([(8 + i, 0, "h")], ["k", "p", "v"])
+        )
+    store.vacuum(keep=2)
+    export_delta_log(store, change_data=True)
+    assert not os.path.exists(os.path.join(cd, "v00002"))
+    # the still-live range reads fine
+    live = store.list_versions()
+    got = read_delta_changes(
+        spark, store.path, int(live[-1][1:]), int(live[-1][1:])
+    )
+    assert got.count() >= 1
