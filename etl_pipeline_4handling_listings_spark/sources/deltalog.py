@@ -500,12 +500,17 @@ def _write_change_data(store, prev: str, vname: str) -> list[dict]:
         ]
     )
     nonkey = [c for c in new.columns if c not in keys]
-    o = old_aligned.select(
-        *keys, F.struct(*[F.col(c) for c in nonkey]).alias("_o")
+    # keys-only tables (dedup sets) have no non-key attributes: a
+    # TRUE literal still detects side presence through the full-outer
+    # join (null where the side is absent) and can never differ, so
+    # such tables produce only inserts/deletes — correct by schema
+    payload = (
+        F.struct(*[F.col(c) for c in nonkey])
+        if nonkey
+        else F.lit(True)
     )
-    n = new.select(
-        *keys, F.struct(*[F.col(c) for c in nonkey]).alias("_n")
-    )
+    o = old_aligned.select(*keys, payload.alias("_o"))
+    n = new.select(*keys, payload.alias("_n"))
     j = o.join(n, keys, "full_outer")
     has_o = F.col("_o").isNotNull()
     has_n = F.col("_n").isNotNull()

@@ -1535,3 +1535,28 @@ def test_cdf_files_cleaned_with_expired_entries(spark, tmp_path):
         spark, store.path, int(live[-1][1:]), int(live[-1][1:])
     )
     assert got.count() >= 1
+
+
+def test_cdf_keys_only_table(spark, tmp_path):
+    """A keys-only store (dedup set: no non-key attributes) exports
+    a pure insert/delete feed — presence detection must not depend
+    on non-key columns existing."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        read_delta_changes,
+    )
+
+    store = MergeStore(spark, str(tmp_path / "ks"), keys=["k"])
+    df = spark.createDataFrame([(1,), (2,)], ["k"])
+    store.create_if_absent(df)
+    store.merge(df)  # v00001 inserts
+    store.delete("k = 1")  # v00002
+    export_delta_log(store, change_data=True)
+    got = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in read_delta_changes(spark, store.path, 1, 2).collect()
+    )
+    assert got == [
+        (1, "insert", 1),
+        (1, "insert", 2),
+        (2, "delete", 1),
+    ]
