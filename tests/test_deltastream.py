@@ -472,3 +472,30 @@ def test_change_feed_applies_into_mergestore(spark, tmp_path):
     got = sorted((r.k, r.v) for r in down.read().collect())
     assert got == sorted((r.k, r.v) for r in up.read().collect())
     assert got == [(2, "B"), (3, "c")]
+
+
+def test_change_feed_composes_with_rate_limit(spark, tmp_path):
+    """readChangeFeed and maxCommitsPerTrigger compose: a 2-commit
+    backlog drains one commit of changes per pass."""
+    tbl = _mk_table(spark, tmp_path)
+    f3 = _write_parquet_file(spark, tbl, [(3, "c")], ["k", "v"], "f3.parquet")
+    _log_write(tbl, 1, [{"add": _add("f3.parquet", f3)}])
+    _log_write(
+        tbl,
+        2,
+        [{"remove": {"path": "f1.parquet", "deletionTimestamp": 2, "dataChange": True}}],
+    )
+    register_delta_tail(spark)
+    ckpt, out = str(tmp_path / "ck_rlcdf"), str(tmp_path / "out_rlcdf")
+    opts = dict(
+        readChangeFeed="true",
+        startingVersion=1,
+        maxCommitsPerTrigger=1,
+    )
+    got = _run_pass(spark, tbl, out, ckpt, **opts)
+    assert {(r[0], r[2], r[3]) for r in got} == {(3, "insert", 1)}
+    got = _run_pass(spark, tbl, out, ckpt, **opts)
+    assert {(r[0], r[2], r[3]) for r in got} == {
+        (3, "insert", 1),
+        (1, "delete", 2),
+    }
