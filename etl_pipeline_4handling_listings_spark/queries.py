@@ -12793,59 +12793,21 @@ def graph_degree_assortativity(spark, sf_dir):
 # (r01/r02-era observations) per rotate_registry.py's age ordering.
 # A green r7 makes every one of the 214 registry queries
 # driver-certified, with certification-age ceiling dropping to r03.
+#
+# Round-8 window (rotated at round start; r07 was 50/50 green —
+# fourth consecutive fully-green window): slots 1-3 = the 3 queries
+# added after the r7 driver run (corpus_epoch_shuffle,
+# text_zipf_exponent, graph_degree_assortativity — all judge-verified
+# in the r7 session and green on the local oracle sweep), slots 4-50
+# = the 47 STALEST-certified greens (r02/r03-era observations) per
+# rotate_registry.py's age ordering. A green r8 makes the full
+# 217-query registry driver-certified with zero backlog.
 # =====================================================================
 
 _DRIVER_ORDER = [
-    "quality_lr_score",
-    "text_shingle_containment",
-    "dedup_keep_best",
-    "graph_pagerank",
-    "privacy_t_closeness",
-    "stats_welch_ttest",
-    "sample_stratified_hash",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "text_langid",
-    "m2_history_merge",
-    "s8_reject_json",
-    "p2_prefix_strip",
-    "a3_distinct_count",
-    "u3_priority_source_rerank",
-    "q5_multi_join_agg",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "dedup_embedding_cosine",
-    "events_user_trend",
-    "events_daily_gapfill",
-    "text_chunking",
-    "centroid_assignment",
-    "events_locf_fill",
-    "u_intersect",
-    "u_except_all",
-    "agg_grouping_sets",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "w_range_frame",
-    "text_keyword_search",
-    "tfidf_top_terms",
-    "bm25_search",
-    "pmi_bigrams",
-    "text_token_entropy",
-    "agg_histogram",
-    "outlier_zscore",
-    "corpus_token_budget",
-    "agg_argmax",
-    "textrank_keywords",
-    "sample_weighted",
-    "agg_unpivot",
-    "j_nullsafe_join",
-    "agg_bitwise",
-    "agg_collect_sorted",
-    "corpus_pack_sequences",
-    "events_streaks",
-    "agg_ntile_stats",
-    "dedup_decontaminate",
-    "text_unigram_logprob",
+    "corpus_epoch_shuffle",
+    "text_zipf_exponent",
+    "graph_degree_assortativity",
     "udf_pandas_scalar",
     "udf_grouped_ols",
     "outlier_mad",
@@ -13010,12 +12972,56 @@ _DRIVER_ORDER = [
     "flagship_curated",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    # round-7 additions: behind the certification window (the
-    # registry-growth discipline — they front the r8 never-certified
-    # slots via tools/rotate_registry.py)
-    "corpus_epoch_shuffle",
-    "text_zipf_exponent",
-    "graph_degree_assortativity",
+    "quality_lr_score",
+    "text_shingle_containment",
+    "dedup_keep_best",
+    "graph_pagerank",
+    "privacy_t_closeness",
+    "stats_welch_ttest",
+    "sample_stratified_hash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_langid",
+    "m2_history_merge",
+    "s8_reject_json",
+    "p2_prefix_strip",
+    "a3_distinct_count",
+    "u3_priority_source_rerank",
+    "q5_multi_join_agg",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "dedup_embedding_cosine",
+    "events_user_trend",
+    "events_daily_gapfill",
+    "text_chunking",
+    "centroid_assignment",
+    "events_locf_fill",
+    "u_intersect",
+    "u_except_all",
+    "agg_grouping_sets",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "w_range_frame",
+    "text_keyword_search",
+    "tfidf_top_terms",
+    "bm25_search",
+    "pmi_bigrams",
+    "text_token_entropy",
+    "agg_histogram",
+    "outlier_zscore",
+    "corpus_token_budget",
+    "agg_argmax",
+    "textrank_keywords",
+    "sample_weighted",
+    "agg_unpivot",
+    "j_nullsafe_join",
+    "agg_bitwise",
+    "agg_collect_sorted",
+    "corpus_pack_sequences",
+    "events_streaks",
+    "agg_ntile_stats",
+    "dedup_decontaminate",
+    "text_unigram_logprob",
 ]
 
 def _rotate_registry() -> None:

@@ -218,10 +218,10 @@ def test_money_sums_partition_invariant(spark_sess):
 def test_driver_order_hygiene():
     """_DRIVER_ORDER is the driver-certification contract: it must
     cover the registry exactly (no dups, no strays) and keep the
-    round-7 rotation's certification window intact: slots 1-7 are
-    the 7 queries registered after the r6 driver run (the only
-    never-certified names — a green r7 makes the whole registry
-    driver-certified), slots 8-50 re-observe already-certified
+    round-8 rotation's certification window intact: slots 1-3 are
+    the 3 queries registered after the r7 driver run (the only
+    never-certified names — a green r8 makes the whole registry
+    driver-certified), slots 4-50 re-observe already-certified
     names, and any later registry additions (no ledger rows at all)
     sit BEHIND slot 50 so they never displace certification slots."""
     import glob
@@ -242,7 +242,7 @@ def test_driver_order_hygiene():
     certified = set()
     observed = set()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for ledger in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-6].json"))):
+    for ledger in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-7].json"))):
         with open(ledger) as f:
             for name, row in json.load(f).items():
                 observed.add(name)
@@ -251,22 +251,21 @@ def test_driver_order_hygiene():
                     for k in ("rows_match", "schema_match", "hash_match")
                 ):
                     certified.add(name)
-    # slots 1-7: exactly the post-r6 additions (pinned — this IS the
-    # committed schedule the r6 verdict prescribed)
-    r6_additions = {
-        "quality_lr_score", "text_shingle_containment",
-        "dedup_keep_best", "graph_pagerank", "privacy_t_closeness",
-        "stats_welch_ttest", "sample_stratified_hash",
+    # slots 1-3: exactly the post-r7 additions (pinned — this IS the
+    # committed schedule the r7 verdict prescribed)
+    r7_additions = {
+        "corpus_epoch_shuffle", "text_zipf_exponent",
+        "graph_degree_assortativity",
     }
-    assert set(_DRIVER_ORDER[:7]) == r6_additions
-    assert not (r6_additions & certified), "backlog name already green?"
-    # slots 8-50: re-observation of certified names only
-    for name in _DRIVER_ORDER[7:50]:
+    assert set(_DRIVER_ORDER[:3]) == r7_additions
+    assert not (r7_additions & certified), "backlog name already green?"
+    # slots 4-50: re-observation of certified names only
+    for name in _DRIVER_ORDER[3:50]:
         assert name in certified, (
             f"uncertified name {name!r} in the re-observation slots"
         )
     # later additions (never in any ledger) stay behind slot 50
-    fresh = set(REGISTRY) - observed - r6_additions
+    fresh = set(REGISTRY) - observed - r7_additions
     ahead = fresh & set(_DRIVER_ORDER[:50])
     assert not ahead, f"fresh queries inside the window: {ahead}"
 
