@@ -273,19 +273,31 @@ def _schema_with_delta_metadata(store, version: str) -> dict:
     return payload
 
 
-def _protocol_action(store, with_dvs: bool = False) -> dict:
+def _protocol_action(
+    store, with_dvs: bool = False, change_data: bool = False
+) -> dict:
     """Without DVs, minReaderVersion stays 1 (every exported feature
     is writer-side); minWriterVersion per the PROTOCOL.md feature
     table: 2 base (appendOnly/invariants), 3 CHECK constraints,
-    4 generated columns, 6 identity columns. Exporting deletion
-    vectors forces TABLE-FEATURES mode (reader 3 / writer 7), where
-    the spec requires every in-use feature — including the legacy
-    ones the old writer version implied — spelled out by name."""
+    4 generated columns + Change Data Feed, 6 identity columns.
+    Exporting deletion vectors forces TABLE-FEATURES mode (reader 3 /
+    writer 7), where the spec requires every in-use feature —
+    including the legacy ones the old writer version implied —
+    spelled out by name; ``change_data`` adds ``changeDataFeed``
+    there (a writer v7 client honors ONLY the listed features, so an
+    omitted name means it would commit without producing
+    ``_change_data`` and silently break the exported feed)."""
     w = 2
     feats = ["appendOnly", "invariants"]
     if store.constraints():
         w = max(w, 3)
         feats.append("checkConstraints")
+    if change_data:
+        # spec: delta.enableChangeDataFeed requires writer 4 (legacy)
+        # or the changeDataFeed table feature — a stock writer
+        # admitted at writer 2 would commit without _change_data
+        w = max(w, 4)
+        feats.append("changeDataFeed")
     if store.generated_columns():
         w = max(w, 4)
         feats.append("generatedColumns")
@@ -795,15 +807,23 @@ def export_delta_log(
             dc = store_dc and not _carried(
                 add, this_by_rel.get(add["_rel"])
             )
-            lines.append(
-                {
-                    "remove": {
-                        "path": add["path"],
-                        "deletionTimestamp": ts_ms,
-                        "dataChange": dc,
-                    }
-                }
-            )
+            # spec remove: extendedFileMetadata carries the removed
+            # incarnation's partitionValues/size, and deletionVector
+            # names the DV it was removed WITH — a cdc-less CDF
+            # derivation (ours or a stock client's) must anti-filter
+            # those rows or it re-emits already-DV-deleted rows as
+            # spurious deletes
+            remove = {
+                "path": add["path"],
+                "deletionTimestamp": ts_ms,
+                "dataChange": dc,
+                "extendedFileMetadata": True,
+                "partitionValues": add.get("partitionValues") or {},
+                "size": add.get("size"),
+            }
+            if add.get("deletionVector"):
+                remove["deletionVector"] = add["deletionVector"]
+            lines.append({"remove": remove})
         if any(a.get("deletionVector") for a in this_adds):
             # the entry that introduces DVs must also upgrade the
             # protocol to table-features mode — a reader replaying
@@ -811,7 +831,12 @@ def export_delta_log(
             # otherwise skip the feature gate and misread. Repeats
             # are legal (readers take the latest protocol action).
             lines.insert(
-                1, {"protocol": _protocol_action(store, with_dvs=True)}
+                1,
+                {
+                    "protocol": _protocol_action(
+                        store, with_dvs=True, change_data=change_data
+                    )
+                },
             )
         for add in this_adds:
             dc = store_dc and not _carried(
@@ -861,7 +886,11 @@ def _write_checkpoint(
 
     any_dvs = any(store._dv_files(v) for v in store.list_versions())
     rows: list[dict] = [
-        {"protocol": _protocol_action(store, with_dvs=any_dvs)},
+        {
+            "protocol": _protocol_action(
+                store, with_dvs=any_dvs, change_data=change_data
+            )
+        },
         {"metaData": _meta_action(store, version, change_data)},
     ]
     # txn watermarks: every app id ever committed, from EXACTLY the
@@ -1478,11 +1507,20 @@ def read_delta(
     honored as pure metadata: files are read under their physical
     names and renamed to logical on the way out (struct casts
     rename nested fields positionally). Mode ``id`` additionally
-    resolves columns by parquet field id (Spark's native
-    ``spark.sql.parquet.fieldId.read.enabled`` path, which this
-    call turns on for the session — a no-op for id-less read
-    schemas, i.e. every other scan). Unknown reader features stay
-    NAMED refusals.
+    resolves columns by parquet field id via Spark's native path.
+
+    .. note:: SESSION-LEVEL SIDE EFFECT — an id-mode read sets
+       ``spark.sql.parquet.fieldId.read.enabled=true`` for the whole
+       session and does NOT restore it (the conf is consulted at
+       execution time, so it must outlive this call for the returned
+       lazy DataFrame). This is a no-op for read schemas without
+       field-id metadata (every other scan in this package), but it
+       changes resolution for any OTHER code in the session that
+       scans field-id-annotated parquet with an id-annotated read
+       schema and expected name resolution; such callers can restore
+       the previous value themselves after materializing this read.
+
+    Unknown reader features stay NAMED refusals.
 
     The scan pushes the reconstructed file list straight into the
     parquet reader. For hive-laid-out tables (what Spark/delta-spark
@@ -1887,10 +1925,13 @@ def read_delta_changes(
     as deletes (the removed files must still exist, i.e. not yet
     vacuumed — Delta's own constraint). A DV-carrying add in a
     cdc-less commit is a NAMED refusal (its row-level delta needs
-    the writer's cdc files). ``dataChange=false`` commits (OPTIMIZE)
-    contribute nothing. Scale: one driver-side JSON entry per commit
-    (metadata-scale); all row reads are Spark parquet scans, one per
-    (commit, partition-tuple) group."""
+    the writer's cdc files); a DV-carrying REMOVE has its deletion
+    vector APPLIED (``_apply_dvs`` anti-join, same as the streaming
+    twin) so rows the DV already deleted at the previous version are
+    not re-emitted as spurious deletes. ``dataChange=false`` commits
+    (OPTIMIZE) contribute nothing. Scale: one driver-side JSON entry
+    per commit (metadata-scale); all row reads are Spark parquet
+    scans, one per (commit, partition-tuple) group."""
     log_dir = os.path.join(path, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"{path} has no _delta_log")
@@ -1937,8 +1978,17 @@ def read_delta_changes(
     )
     out_cols = [f.name for f in logical.fields] + ["_change_type"]
 
+    def _full_path(rel_quoted: str) -> str:
+        rel = unquote(rel_quoted)
+        return (
+            rel
+            if "://" in rel or os.path.isabs(rel)
+            else os.path.join(path, rel)
+        )
+
     def scan_group(
-        files: list[str], schema, pv: dict, ctype: str | None
+        files: list[str], schema, pv: dict, ctype: str | None,
+        with_meta: bool = False,
     ) -> DataFrame:
         df = spark.read.schema(schema).parquet(*files)
         if ctype is not None:
@@ -1947,10 +1997,21 @@ def read_delta_changes(
             df = df.withColumn(
                 c, F.lit(pv.get(c)).cast(by_name[c].dataType)
             )
-        return df.select(*out_cols)
+        cols = list(out_cols)
+        if with_meta:
+            # carried only while a remove-side DV anti-join is
+            # pending; _apply_dvs drops them
+            df = df.select(
+                *cols,
+                _norm_fp_col().alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+            return df
+        return df.select(*cols)
 
     def scan_actions(
-        acts: list[dict], schema, ctype: str | None
+        acts: list[dict], schema, ctype: str | None,
+        with_meta: bool = False,
     ) -> list[DataFrame]:
         groups: dict[tuple, list[str]] = {}
         pv_of: dict[tuple, dict] = {}
@@ -1967,16 +2028,10 @@ def read_delta_changes(
                 )
             pv = dict(a.get("partitionValues") or {})
             key = tuple(pv.get(c) for c in pcols)
-            rel = unquote(a["path"])
-            full = (
-                rel
-                if "://" in rel or os.path.isabs(rel)
-                else os.path.join(path, rel)
-            )
-            groups.setdefault(key, []).append(full)
+            groups.setdefault(key, []).append(_full_path(a["path"]))
             pv_of[key] = pv
         return [
-            scan_group(fs, schema, pv_of[key], ctype)
+            scan_group(fs, schema, pv_of[key], ctype, with_meta)
             for key, fs in sorted(
                 groups.items(),
                 key=lambda kv: tuple(
@@ -2026,9 +2081,39 @@ def read_delta_changes(
                 if a.get("remove")
                 and a["remove"].get("dataChange") is not False
             ]
+            # a removed file whose prior incarnation carried a DV
+            # must not re-emit the DV-deleted rows as deletes —
+            # apply the remove's deletionVector exactly like the
+            # streaming twin (deltastream read() anti-filter)
+            rm_dvs = [
+                (
+                    _full_path(r["path"]),
+                    {
+                        # normalize: spec marks offset optional
+                        # (absent on inline descriptors) but
+                        # _apply_dvs indexes all four fields
+                        "storageType": dv["storageType"],
+                        "pathOrInlineDv": dv["pathOrInlineDv"],
+                        "offset": dv.get("offset"),
+                        "sizeInBytes": dv.get("sizeInBytes"),
+                    },
+                )
+                for r in removes
+                for dv in [r.get("deletionVector") or {}]
+                if dv.get("storageType")
+            ]
+            del_frames = scan_actions(
+                removes, file_schema, "delete",
+                with_meta=bool(rm_dvs),
+            )
+            if rm_dvs:
+                del_frames = [
+                    _apply_dvs(spark, path, df, rm_dvs)
+                    for df in del_frames
+                ]
             vframes = scan_actions(
                 adds, file_schema, "insert"
-            ) + scan_actions(removes, file_schema, "delete")
+            ) + del_frames
         for df in vframes:
             frames.append(
                 df.select(

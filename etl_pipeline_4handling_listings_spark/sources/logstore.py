@@ -47,7 +47,15 @@ class LogStore:
     def create_exclusive(self, path: str, payload: str) -> bool:
         raise NotImplementedError
 
-    def replace_file(self, path: str, payload: str) -> None:
+    def replace_file(self, path: str, payload: str, guard=None) -> None:
+        """Atomic overwrite. ``guard`` (optional zero-arg callable)
+        is evaluated IMMEDIATELY before the atomic swap, after any
+        staging writes; a False return aborts without touching
+        ``path``. This is the conditional-replace primitive the
+        advance-only pointer needs: re-checking only before staging
+        leaves the whole tmp-write open as a regression window on
+        slow storage. Object-store backends can map it to a
+        conditional PUT precondition instead."""
         raise NotImplementedError
 
     def publish_snapshot(self, staging: str, final: str) -> bool:
@@ -70,10 +78,13 @@ class PosixLogStore(LogStore):
             f.write(payload)
         return True
 
-    def replace_file(self, path: str, payload: str) -> None:
+    def replace_file(self, path: str, payload: str, guard=None) -> None:
         tmp = path + "." + uuid.uuid4().hex
         with open(tmp, "w") as f:
             f.write(payload)
+        if guard is not None and not guard():
+            os.remove(tmp)
+            return
         os.replace(tmp, path)
 
     def publish_snapshot(self, staging: str, final: str) -> bool:
@@ -107,8 +118,8 @@ class PointerLogStore(LogStore):
     def create_exclusive(self, path: str, payload: str) -> bool:
         return self._posix.create_exclusive(path, payload)
 
-    def replace_file(self, path: str, payload: str) -> None:
-        self._posix.replace_file(path, payload)
+    def replace_file(self, path: str, payload: str, guard=None) -> None:
+        self._posix.replace_file(path, payload, guard)
 
     def publish_snapshot(self, staging: str, final: str) -> bool:
         objects_root = os.path.join(

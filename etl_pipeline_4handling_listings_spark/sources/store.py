@@ -263,19 +263,27 @@ class MergeStore:
         backwards. A writer paused between the commit rename and its
         pointer flip must not overwrite the pointer after a NEWER
         version committed (that would serve stale snapshots until the
-        next repair); the current-on-disk check closes all but the
-        instant of the atomic replace itself — and any writer that
-        does lose that instant is corrected by the next
-        ``_repair_pointer``, which routes through here and therefore
-        can also only advance. The backend's ``replace_file`` uses
-        unique tmp names, so racing flippers never clobber each
-        other's staging file. Comparisons are
-        numeric (``_vnum``): lexical order inverts at v99999 ->
+        next repair). Two checks enforce that: the early check here
+        skips the staging write entirely, and the backend re-runs the
+        ``guard`` IMMEDIATELY before its atomic swap — so the
+        regression window is the instant of the swap itself, not the
+        whole tmp-write on slow storage. A writer that loses that
+        instant is corrected by the next ``_repair_pointer``, which
+        routes through here and therefore can also only advance. The
+        backend's ``replace_file`` uses unique tmp names, so racing
+        flippers never clobber each other's staging file. Comparisons
+        are numeric (``_vnum``): lexical order inverts at v99999 ->
         v100000 and would freeze the pointer forever."""
-        cur = self.current_version()
-        if cur is not None and _vnum(cur) >= _vnum(version):
+
+        def _behind() -> bool:
+            cur = self.current_version()
+            return cur is None or _vnum(cur) < _vnum(version)
+
+        if not _behind():
             return
-        self.log_store.replace_file(self._pointer_path(), version)
+        self.log_store.replace_file(
+            self._pointer_path(), version, guard=_behind
+        )
 
     def _version_dir(self, version: str) -> str:
         return os.path.join(self.path, version)

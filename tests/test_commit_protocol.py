@@ -428,3 +428,51 @@ def test_clone_lost_publish_race_raises(spark, tmp_path, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="publish race"):
         store.clone(str(tmp_path / "c"))
+
+
+def test_pointer_guard_closes_the_staging_window(spark, tmp_path):
+    """ADVICE r7: the advance-only check must be re-evaluated
+    IMMEDIATELY before the atomic swap, not only before staging —
+    on slow storage the tmp-write is a wide window where a paused
+    flipper could regress the pointer past a newer committed
+    version. The LogStore `guard` hook restores the old (pre-
+    refactor) guarantee: a newer version landing mid-staging makes
+    the slow flipper a no-op."""
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    path = str(tmp_path / "guarded")
+    store = _mk(spark, path)
+    store.create_if_absent(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    store.merge(spark.createDataFrame([(1, "a")], ["k", "v"]))
+
+    class RacingLogStore(PosixLogStore):
+        """Lands a NEWER pointer between a flipper's staging write
+        and its atomic swap (the exact widened window)."""
+
+        def __init__(self):
+            self.raced = False
+
+        def replace_file(self, p, payload, guard=None):
+            if guard is not None and not self.raced:
+                self.raced = True
+                PosixLogStore.replace_file(self, p, "v99999")
+            PosixLogStore.replace_file(self, p, payload, guard)
+
+    racing = RacingLogStore()
+    store.log_store = racing
+    store._set_current("v00007")  # slow flipper: stale by race time
+    assert racing.raced
+    assert store.current_version() == "v99999", (
+        "pointer regressed: guard did not re-check inside the swap"
+    )
+
+    # and the primitive itself: guard=False aborts without touching
+    # the target or leaking the staging file
+    tgt = os.path.join(path, "probe")
+    PosixLogStore().replace_file(tgt, "one")
+    PosixLogStore().replace_file(tgt, "two", guard=lambda: False)
+    with open(tgt) as f:
+        assert f.read() == "one"
+    assert [n for n in os.listdir(path) if n.startswith("probe.")] == []

@@ -1560,3 +1560,132 @@ def test_cdf_keys_only_table(spark, tmp_path):
         (1, "insert", 2),
         (2, "delete", 1),
     ]
+
+
+def test_cdf_protocol_declares_change_data_feed(spark, tmp_path):
+    """change_data export must be protocol-visible (ADVICE r7):
+    legacy mode needs minWriterVersion >= 4 for Change Data Feed;
+    table-features mode (DVs present) must list 'changeDataFeed' in
+    writerFeatures — a stock writer admitted at writer 2, or one
+    honoring only the listed features, would commit WITHOUT producing
+    _change_data and silently break the exported feed."""
+    import pyarrow.parquet as pq
+
+    def _ckpt_protocol(log_dir):
+        with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+            last = json.load(f)
+        t = pq.read_table(
+            os.path.join(
+                log_dir, f"{last['version']:020d}.checkpoint.parquet"
+            )
+        )
+        return next(p for p in t.column("protocol").to_pylist() if p)
+
+    # legacy (no DVs): writer version gate
+    store = _mk(spark, tmp_path)
+    store.merge(spark.createDataFrame([(4, 1, "d")], ["k", "p", "v"]))
+    proto = _ckpt_protocol(export_delta_log(store, change_data=True))
+    assert proto["minWriterVersion"] >= 4
+    # ... and withOUT change_data the base store stays at writer 2
+    store2 = _mk(spark, tmp_path, name="t2")
+    store2.merge(spark.createDataFrame([(4, 1, "d")], ["k", "p", "v"]))
+    proto2 = _ckpt_protocol(export_delta_log(store2))
+    assert proto2["minWriterVersion"] == 2
+
+    # table-features (DVs): the feature must be spelled by name
+    store3 = _mk(spark, tmp_path, name="t3")
+    store3.delete("k = 2")  # merge-on-read: DV sidecar
+    proto3 = _ckpt_protocol(export_delta_log(store3, change_data=True))
+    assert proto3["minWriterVersion"] == 7
+    assert "changeDataFeed" in proto3["writerFeatures"]
+    assert "deletionVectors" in proto3["writerFeatures"]
+
+
+def test_cdf_fallback_remove_dv_is_applied(spark, tmp_path):
+    """A cdc-less commit removing a DV-carrying file must NOT re-emit
+    the already-DV-deleted rows as deletes (ADVICE r7): the remove's
+    deletionVector is applied as an anti-filter, mirroring the
+    streaming twin, so only rows live at the PREVIOUS version appear
+    in the feed."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        read_delta_changes,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.dvcodec import (
+        inline_dv_descriptor,
+        write_dv_file,
+    )
+
+    rows = [(i, f"a{i}") for i in range(5)]
+    fa = _write_parquet_file(spark, tmp_path, rows, ["k", "v"], "a.parquet")
+    fb = _write_parquet_file(
+        spark, tmp_path, [(10, "b0"), (11, "b1")], ["k", "v"], "b.parquet"
+    )
+    tbl = str(tmp_path / "tbl")
+    dv_a = inline_dv_descriptor([1, 3])  # a1, a3 already dead
+    dv_b = write_dv_file(tbl, [0])  # b0 already dead (file-backed DV)
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("k", "long"), ("v", "string")),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}},
+            {"metaData": meta},
+            {"add": {"path": "a.parquet", "partitionValues": {}, "size": os.path.getsize(fa), "modificationTime": 0, "dataChange": True, "deletionVector": dv_a}},
+            {"add": {"path": "b.parquet", "partitionValues": {}, "size": os.path.getsize(fb), "modificationTime": 0, "dataChange": True, "deletionVector": dv_b}},
+        ],
+    )
+    # v1: whole-file deletes of both DV-carrying files, no cdc
+    _log_write(
+        tbl,
+        1,
+        [
+            {"remove": {"path": "a.parquet", "deletionTimestamp": 1, "dataChange": True, "deletionVector": dv_a}},
+            {"remove": {"path": "b.parquet", "deletionTimestamp": 1, "dataChange": True, "deletionVector": dv_b}},
+        ],
+    )
+    got = sorted(
+        (r._change_type, r.k)
+        for r in read_delta_changes(spark, tbl, 1, 1).collect()
+    )
+    assert got == [
+        ("delete", 0),
+        ("delete", 2),
+        ("delete", 4),
+        ("delete", 11),
+    ]
+
+
+def test_export_remove_carries_dv_and_extended_metadata(spark, tmp_path):
+    """Exported remove actions carry the spec's optional fields:
+    extendedFileMetadata with partitionValues/size, and the
+    deletionVector the file was removed with — so a cdc-less CDF
+    derivation (ours or a stock client's) can anti-filter rows the
+    DV had already deleted."""
+    store = _mk(spark, tmp_path)
+    store.delete("k = 2")  # DV on the live file(s)
+    # rewrite: the DV-carrying incarnation is removed
+    store.merge(spark.createDataFrame([(1, 0, "A")], ["k", "p", "v"]))
+    log_dir = export_delta_log(store)
+    removes = []
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".json") and name != "_last_checkpoint":
+            with open(os.path.join(log_dir, name)) as f:
+                for ln in f.read().splitlines():
+                    a = json.loads(ln)
+                    if "remove" in a:
+                        removes.append(a["remove"])
+    assert removes
+    assert all(r["extendedFileMetadata"] is True for r in removes)
+    assert all("partitionValues" in r and "size" in r for r in removes)
+    dv_removes = [r for r in removes if r.get("deletionVector")]
+    assert dv_removes, "the DV-carrying incarnation's remove lost its DV"
+    assert all(
+        r["deletionVector"].get("storageType") for r in dv_removes
+    )
