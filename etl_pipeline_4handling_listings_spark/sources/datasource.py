@@ -31,8 +31,11 @@ Design, scale-first:
   metadata bounds the diff to the partitions that commit actually
   rewrote, and executors diff the old/new content of one partition
   with pyarrow. An unpartitioned (or unattributed) commit degrades
-  to one whole-snapshot diff — correct, but the partitioned path is
-  the 100 TB one, same trade the store's fast-forward makes.
+  to a whole-snapshot diff that is KEY-HASH BUCKETED: the planner
+  sizes ``n_buckets`` from the manifests' byte counts (64 MB of
+  parquet per task by default, ``maxBytesPerDiffPartition`` to
+  override) so one task never holds two full snapshot sides — each
+  side is re-read per bucket, trading I/O for bounded state.
   Requires the streamed versions to still be retained: ``vacuum``
   retention must exceed stream lag (Delta CDF has the identical
   constraint).
@@ -1084,16 +1087,67 @@ class _DiffPartition(InputPartition):
         v_new: str,
         prefix: str,
         keys: list,
+        bucket: int = 0,
+        n_buckets: int = 1,
     ):
         self.path = path
         self.v_old = v_old
         self.v_new = v_new
         self.prefix = prefix  # "pcol=value/" or "" (whole snapshot)
         self.keys = keys
+        # key-hash bucket this task owns: bounds worker state to
+        # ~1/n_buckets of the two snapshot sides even when the store
+        # is unpartitioned / the commit is unattributed
+        self.bucket = bucket
+        self.n_buckets = n_buckets
+
+
+# one diff task holds BOTH snapshot sides of its key-hash bucket as
+# Python dicts — size buckets so a side stays well under executor
+# memory (parquet bytes expand ~5-10x as Python objects)
+_DIFF_TARGET_BYTES = 64 << 20
+
+
+def _key_bucket(key: tuple, n: int) -> int:
+    """Deterministic (across workers/restarts — NOT Python hash(),
+    which is salted per process) bucket of a merge-key tuple."""
+    import zlib
+
+    return zlib.crc32(repr(key).encode("utf-8", "surrogatepass")) % n
+
+
+def _prefix_bytes(path: str, versions, prefix: str) -> int:
+    """Manifest-listed data bytes of both diff sides under a prefix
+    (driver-side getsize over the manifests — metadata-scale;
+    hardlinked files double-count, which only splits finer)."""
+    total = 0
+    for v in versions:
+        vdir = _version_dir(path, v)
+        for rel in _manifest_relpaths(path, v):
+            if prefix and not rel.startswith(prefix):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(vdir, rel))
+            except OSError:
+                pass
+    return total
+
+
+def _bucketed(path, v_old, v_new, prefix, keys, target_bytes):
+    side_bytes = _prefix_bytes(path, (v_old, v_new), prefix)
+    n = max(1, min(256, -(-side_bytes // max(1, target_bytes))))
+    return [
+        _DiffPartition(path, v_old, v_new, prefix, keys, b, n)
+        for b in range(n)
+    ]
 
 
 def _plan_diff_partitions(
-    path: str, start_v: int, end_v: int, keys: list
+    path: str,
+    start_v: int,
+    end_v: int,
+    keys: list,
+    target_bytes: int = _DIFF_TARGET_BYTES,
 ) -> list:
     """One diff partition per (commit step, touched partition) — the
     commit manifest's conflict metadata bounds CDC work to what the
@@ -1140,28 +1194,40 @@ def _plan_diff_partitions(
                     if "/" in r
                 }
                 if all(f"{pcol}={val}" in dirs for val in touched):
-                    parts.extend(
-                        _DiffPartition(
-                            path, v_old, v_new, f"{pcol}={val}/", keys
+                    for val in touched:
+                        parts.extend(
+                            _bucketed(
+                                path,
+                                v_old,
+                                v_new,
+                                f"{pcol}={val}/",
+                                keys,
+                                target_bytes,
+                            )
                         )
-                        for val in touched
-                    )
                     continue
-        parts.append(_DiffPartition(path, v_old, v_new, "", keys))
+        parts.extend(
+            _bucketed(path, v_old, v_new, "", keys, target_bytes)
+        )
     return parts
 
 
 def _diff_side(partition: _DiffPartition, version: str, fields) -> dict:
     """One side of the diff: key tuple -> schema-projected row dict,
-    restricted to the partition prefix, DVs applied."""
+    restricted to the partition prefix and (when bucketed) to this
+    task's key-hash bucket, DVs applied."""
     dv = _dv_map(partition.path, version)
     vdir = _version_dir(partition.path, version)
+    nb = getattr(partition, "n_buckets", 1)
     rows: dict = {}
     for rel in _manifest_relpaths(partition.path, version):
         if partition.prefix and not rel.startswith(partition.prefix):
             continue
         for d in _read_file_dicts(vdir, rel, dv.get(rel, set()), fields):
-            rows[tuple(d[k] for k in partition.keys)] = d
+            key = tuple(d[k] for k in partition.keys)
+            if nb > 1 and _key_bucket(key, nb) != partition.bucket:
+                continue
+            rows[key] = d
     return rows
 
 
@@ -1223,11 +1289,20 @@ def _cdc_schema(path: str) -> StructType:
     )
 
 
+def _diff_target_bytes(options: dict) -> int:
+    raw = options.get(
+        "maxbytesperdiffpartition",
+        options.get("maxBytesPerDiffPartition"),
+    )
+    return int(raw) if raw is not None else _DIFF_TARGET_BYTES
+
+
 class MergeStoreCDCStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
         self.path = options["path"]
         self.keys = _cdc_keys(options)
+        self.target_bytes = _diff_target_bytes(options)
         start = options.get("startingversion", options.get("startingVersion"))
         self._initial = (
             int(str(start).lstrip("v"))
@@ -1243,7 +1318,11 @@ class MergeStoreCDCStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         return _plan_diff_partitions(
-            self.path, start["version"], end["version"], self.keys
+            self.path,
+            start["version"],
+            end["version"],
+            self.keys,
+            self.target_bytes,
         )
 
     def commit(self, end: dict) -> None:
@@ -1270,10 +1349,11 @@ class MergeStoreCDCBatchReader(DataSourceReader):
             )
         self.start = int(str(start).lstrip("v"))
         self.end = end  # resolved once by the DataSource
+        self.target_bytes = _diff_target_bytes(options)
 
     def partitions(self):
         return _plan_diff_partitions(
-            self.path, self.start, self.end, self.keys
+            self.path, self.start, self.end, self.keys, self.target_bytes
         )
 
     def read(self, partition: _DiffPartition) -> Iterator:

@@ -32,23 +32,36 @@ from it):
   many commits one micro-batch drains (Delta's maxFilesPerTrigger
   analogue at commit granularity) — a restarted stream facing a
   long backlog catches up in bounded batches instead of one giant
-  plan. The first batch after a checkpoint restart is planned
-  before the reader learns its position and is therefore uncapped;
-  every later batch is bounded.
+  plan. The Python stream-reader API plans the first post-restart
+  batch before the reader learns its checkpointed position, so that
+  batch is uncapped UNLESS ``.option("offsetStateDir", dir)`` names
+  a directory the reader may own: ``commit()`` then persists the
+  last committed offset there and a cold start caps from it. One
+  state dir per (table, checkpoint) pair — sharing it across
+  queries only loosens/tightens the cap, never loses data (the
+  checkpoint stays the source of truth for WHAT replays).
+- **Schema changes stop the stream** (Delta-source behavior): a
+  tailed commit whose ``metaData`` changes the field set/types
+  raises a named error telling the user to restart; the restart
+  re-resolves the (new) schema and pre-change files project with
+  nulls for added columns.
 
 Scale: offset planning and schema derivation use the pure-Python
 metadata replay (``deltalog._py_actions`` — one dict per action,
 the cardinality Spark's own file index holds); row reads happen on
-EXECUTORS, one input partition per data file, pyarrow-batched.
+EXECUTORS, one input partition per data file, emitted as pyarrow
+RecordBatches (DV mask via ``take``, physical->logical projection,
+partition values and CDF metadata as constant Arrow columns — no
+per-row Python).
 Exactly-once comes from Spark's offset checkpointing: offsets are
 ``{"version": n, "snap": bool}`` and replay of a committed range
 reproduces the same files.
 
-Column mapping: ``name`` mode is honored (fields are projected from
-their physical parquet names into logical ones, partitionValues key
-by physical name); ``id`` mode is a named refusal here (the batch
-reader ``read_delta`` supports it via Spark's fieldId scan — the
-pure-pyarrow row path does not resolve ids).
+Column mapping: ``name`` mode projects fields from their physical
+parquet names into logical ones (partitionValues key by physical
+name); ``id`` mode resolves data columns by parquet field id
+(``PARQUET:field_id`` metadata) with physical-name fallback for
+pre-annotation files, mirroring the batch reader ``read_delta``.
 """
 
 from __future__ import annotations
@@ -72,9 +85,7 @@ from .deltalog import (
     DeltaProtocolError,
 )
 
-# id mode needs parquet field-id resolution, which the pyarrow row
-# path here does not implement (read_delta's Spark scan does)
-_STREAM_MAPPING_MODES = ("", "none", "name")
+_STREAM_MAPPING_MODES = ("", "none", "name", "id")
 
 
 def _py_snapshot(log_dir: str, version: int | None):
@@ -119,8 +130,7 @@ def _logical_schema(meta: dict) -> StructType:
     if cm not in _STREAM_MAPPING_MODES:
         raise DeltaProtocolError(
             f"columnMapping.mode={cm!r} is not supported by the "
-            "streaming tail source (use read_delta for id-mode "
-            "batch reads)"
+            "streaming tail source"
         )
     return StructType.fromJson(json.loads(meta["schemaString"]))
 
@@ -137,37 +147,45 @@ def _phys_names(meta: dict) -> dict[str, str]:
     }
 
 
-def _pv_convert(field, raw):
-    """Delta partitionValues serialization -> Python value for the
-    field's type (spec: decimal strings for numbers, ISO dates,
-    'true'/'false'; null partition values are map nulls)."""
-    if raw is None:
+def _field_ids(meta: dict) -> dict[str, int] | None:
+    """logical field name -> column-mapping id, or None unless the
+    table is in ``id`` mode (spec: ids are authoritative only
+    there; name mode resolves by physicalName even when ids are
+    also recorded)."""
+    cm = dict(meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if cm != "id":
         return None
-    t = field.dataType.simpleString()
-    if t in ("bigint", "int", "smallint", "tinyint"):
-        return int(raw)
-    if t in ("double", "float"):
-        return float(raw)
-    if t == "boolean":
-        return str(raw).lower() == "true"
-    if t == "date":
-        import datetime
+    fields = json.loads(meta["schemaString"])["fields"]
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.id"
+        )
+        for f in fields
+    }
 
-        return datetime.date.fromisoformat(raw)
-    if t.startswith("timestamp"):
-        import datetime
 
-        return datetime.datetime.fromisoformat(raw)
-    return raw
+def _schema_sig(meta: dict):
+    """Order-insensitive (name, type) signature of the logical
+    schema — the thing a mid-stream metaData action must not change
+    (column-mapping metadata / nullability tweaks are not data
+    changes and do not trip the gate)."""
+    fields = json.loads(meta["schemaString"])["fields"]
+    return frozenset(
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in fields
+    )
 
 
 class _TailPartition(InputPartition):
     """One data file of one emitted commit: absolute path, the add's
     partitionValues (PHYSICAL names), its deletionVector descriptor
-    (or None), and the logical->physical name map. In change-feed
-    mode (``cdf``), ``ctype`` labels derived rows ('insert' /
-    'delete'; None = the file itself carries ``_change_type``) and
-    ``commit_version`` / ``ts_ms`` feed the spec metadata columns."""
+    (or None), the logical->physical name map, and (id mode) the
+    logical->field-id map. In change-feed mode (``cdf``), ``ctype``
+    labels derived rows ('insert' / 'delete'; None = the file itself
+    carries ``_change_type``) and ``commit_version`` / ``ts_ms``
+    feed the spec metadata columns."""
 
     def __init__(
         self,
@@ -176,6 +194,7 @@ class _TailPartition(InputPartition):
         pv,
         dv,
         phys,
+        ids=None,
         cdf=False,
         ctype=None,
         commit_version=None,
@@ -186,6 +205,7 @@ class _TailPartition(InputPartition):
         self.pv = pv or {}
         self.dv = dv
         self.phys = phys
+        self.ids = ids
         self.cdf = cdf
         self.ctype = ctype
         self.commit_version = commit_version
@@ -256,9 +276,21 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         # initial snapshot stays one batch (it is one log replay,
         # the same cost read_delta pays once).
         self.max_commits = int(mct) if mct is not None else None
+        self.state_dir = options.get(
+            "offsetstatedir", options.get("offsetStateDir")
+        )
         target, meta, _unused = _py_snapshot(self.log_dir, None)
         self.phys = _phys_names(meta)
+        self.ids = _field_ids(meta)
         self.pcols = list(meta.get("partitionColumns") or [])
+        # schema-change gate state: the stream's resolved signature
+        # and the version it was resolved at — metaData replayed at
+        # or below _resolved_at is historical (tolerated; old files
+        # project with nulls for later-added columns), a DIFFERING
+        # metaData above it is a live change that must stop the
+        # stream (Delta-source behavior: restart re-resolves)
+        self._sig = _schema_sig(meta)
+        self._resolved_at = target
         if start is not None:
             # tail-only from `start`: snapshot skipped, exactly
             # Delta's startingVersion contract
@@ -266,6 +298,24 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         else:
             self._initial = {"version": target, "snap": False}
         self._committed = dict(self._initial)
+        # cold-start rate limiting: the engine plans the first
+        # post-restart batch before partitions() reveals the
+        # checkpointed position — seed the cap from the sidecar the
+        # last run's commit() left behind (absent/corrupt = the
+        # documented uncapped first batch; a stale sidecar only
+        # tightens the cap, the checkpoint still owns correctness)
+        if self.state_dir:
+            try:
+                with open(
+                    os.path.join(self.state_dir, "offset.json")
+                ) as fh:
+                    side = json.load(fh)
+                self._committed = {
+                    "version": int(side["version"]),
+                    "snap": bool(side.get("snap", True)),
+                }
+            except (OSError, ValueError, KeyError, TypeError):
+                pass
 
     def initialOffset(self) -> dict:
         return self._initial
@@ -283,17 +333,33 @@ class DeltaTailStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._committed = dict(end)
+        if self.state_dir:
+            os.makedirs(self.state_dir, exist_ok=True)
+            tmp = os.path.join(self.state_dir, "offset.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(end, fh)
+            os.replace(
+                tmp, os.path.join(self.state_dir, "offset.json")
+            )
 
     def partitions(self, start: dict, end: dict):
         # `start` is authoritative committed progress (on restart it
         # comes from the checkpoint, which __init__ cannot see) —
         # adopt it so the NEXT latestOffset cap measures from the
         # true position. The first post-restart batch itself is
-        # planned before this runs and is therefore uncapped.
+        # planned before this runs and is uncapped unless
+        # offsetStateDir seeded the position.
         self._committed = dict(start)
         parts: list[_TailPartition] = []
+        lo = start["version"]
         if not start.get("snap", True):
-            sv = start["version"]
+            # clamp the snapshot to the batch's logged END: a fresh
+            # checkpoint whose latestOffset was seeded by a STALE
+            # sidecar can log end < the initial snapshot version —
+            # snapshotting past the logged end would make the next
+            # batches re-emit commits the snapshot already covered
+            sv = min(start["version"], end["version"])
+            lo = sv
             _t, _m, adds = _py_snapshot(self.log_dir, sv)
             kw = (
                 dict(
@@ -306,16 +372,32 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                 else {}
             )
             parts.extend(
-                _add_partition(self.path, a, self.phys, **kw)
+                _add_partition(
+                    self.path, a, self.phys, ids=self.ids, **kw
+                )
                 for a in adds
             )
-        for v in range(start["version"] + 1, end["version"] + 1):
+        for v in range(lo + 1, end["version"] + 1):
             parts.extend(
                 self._commit_changes(v)
                 if self.cdf
                 else self._commit_adds(v)
             )
         return parts
+
+    def _gate_meta(self, meta: dict, v: int) -> None:
+        """A replayed metaData action: always re-gate the mapping
+        mode; a field-set/type change ABOVE the version the stream
+        resolved its schema at stops the stream by name (restart
+        re-resolves the new schema — silently projecting would drop
+        the added/renamed column for every row after v)."""
+        _logical_schema(meta)  # mapping-mode gate
+        if v > self._resolved_at and _schema_sig(meta) != self._sig:
+            raise DeltaProtocolError(
+                f"schema changed at version {v}; the tail stream "
+                "reads with the schema resolved at start — restart "
+                "the stream to pick up the new schema"
+            )
 
     def _version_ts_ms(self, v: int) -> int:
         p = os.path.join(self.log_dir, f"{v:020d}.json")
@@ -341,14 +423,17 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             elif a.get("protocol") is not None:
                 _py_check_protocol(a["protocol"])
             elif a.get("metaData") is not None:
-                _logical_schema(a["metaData"])  # mapping-mode gate
+                self._gate_meta(a["metaData"], v)
         if ts_ms is None:
             ts_ms = self._version_ts_ms(v)
         kw = dict(cdf=True, commit_version=v, ts_ms=ts_ms)
         cdcs = [a["cdc"] for a in acts if a.get("cdc")]
         if cdcs:
             return [
-                _add_partition(self.path, c, self.phys, ctype=None, **kw)
+                _add_partition(
+                    self.path, c, self.phys, ids=self.ids,
+                    ctype=None, **kw
+                )
                 for c in cdcs
             ]
         parts: list[_TailPartition] = []
@@ -364,7 +449,8 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                     )
                 parts.append(
                     _add_partition(
-                        self.path, add, self.phys, ctype="insert", **kw
+                        self.path, add, self.phys,
+                        ids=self.ids, ctype="insert", **kw
                     )
                 )
             rem = a.get("remove")
@@ -382,7 +468,8 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                     )
                 parts.append(
                     _add_partition(
-                        self.path, rem, self.phys, ctype="delete", **kw
+                        self.path, rem, self.phys,
+                        ids=self.ids, ctype="delete", **kw
                     )
                 )
         return parts
@@ -403,10 +490,11 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                 # never misread
                 _py_check_protocol(a["protocol"])
             elif "metaData" in a and a["metaData"] is not None:
-                _logical_schema(a["metaData"])  # mapping-mode gate
+                self._gate_meta(a["metaData"], v)
         if not data_removes:
             return [
-                _add_partition(self.path, a, self.phys) for a in adds
+                _add_partition(self.path, a, self.phys, ids=self.ids)
+                for a in adds
             ]
         if not adds:  # delete-only commit
             if self.ignore_deletes or self.ignore_changes:
@@ -422,7 +510,8 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         # rewritten files, i.e. duplicates — opt-in only
         if self.ignore_changes:
             return [
-                _add_partition(self.path, a, self.phys) for a in adds
+                _add_partition(self.path, a, self.phys, ids=self.ids)
+                for a in adds
             ]
         raise DeltaProtocolError(
             f"commit {v} rewrites data (adds + removes); set "
@@ -431,14 +520,21 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         )
 
     def read(self, partition: _TailPartition) -> Iterator:
+        """Arrow data plane (no per-row Python): the file's record
+        batches with the DV mask applied via ``take``, columns
+        resolved physical->logical (field-id resolution in id mode,
+        physical-name fallback for pre-annotation files), partition
+        values and the CDF metadata columns injected as constant
+        Arrow arrays, the whole batch cast to the stream schema."""
         if partition is None:
-            return iter(())
+            return
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         from .dvcodec import load_dv_indexes
 
-        table = pq.read_table(partition.abs_path)
-        rows = table.to_pylist()
+        doomed = None
         if partition.dv is not None:
             d = partition.dv
             doomed = set(
@@ -450,43 +546,113 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                     d.get("sizeInBytes"),
                 )
             )
-            rows = [
-                r for i, r in enumerate(rows) if i not in doomed
-            ]
-        fields = self.schema_.fields
-        phys = partition.phys
-        pv = partition.pv
-        ts = None
-        if partition.cdf:
-            import datetime
+        arrow_schema = to_arrow_schema(self.schema_)
+        pf = pq.ParquetFile(partition.abs_path)
+        # id mode: parquet field_id -> column name, once per file
+        by_id = {}
+        if partition.ids is not None:
+            for f in pf.schema_arrow:
+                fid = (f.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = f.name
+        offset = 0
+        for batch in pf.iter_batches():
+            tbl = pa.Table.from_batches([batch])
+            n_in = tbl.num_rows
+            if doomed:
+                keep = [
+                    i
+                    for i in range(n_in)
+                    if (offset + i) not in doomed
+                ]
+                if len(keep) < n_in:
+                    tbl = tbl.take(pa.array(keep, type=pa.int64()))
+            offset += n_in
+            yield from self._project_batch(
+                tbl, partition, arrow_schema, by_id
+            ).to_batches()
 
-            ts = datetime.datetime.fromtimestamp(
-                partition.ts_ms / 1000.0, tz=datetime.timezone.utc
-            )
+    def _project_batch(self, tbl, partition, arrow_schema, by_id):
+        """One Arrow table -> the stream schema: resolve each
+        logical field to a file column / partition-value constant /
+        CDF constant / nulls (schema evolution)."""
+        import pyarrow as pa
 
-        def emit():
-            for r in rows:
-                out = []
-                for f in fields:
-                    if f.name == "_change_type":
-                        out.append(
-                            r.get("_change_type")
-                            if partition.ctype is None
-                            else partition.ctype
-                        )
-                    elif f.name == "_commit_version":
-                        out.append(partition.commit_version)
-                    elif f.name == "_commit_timestamp":
-                        out.append(ts)
-                    else:
-                        p = phys.get(f.name, f.name)
-                        if p in pv:
-                            out.append(_pv_convert(f, pv[p]))
-                        else:
-                            out.append(r.get(p))
-                yield tuple(out)
+        n = tbl.num_rows
+        cols = []
+        for field in arrow_schema:
+            name = field.name
+            if name == "_commit_version":
+                cols.append(
+                    pa.array(
+                        [partition.commit_version] * n,
+                        type=pa.int64(),
+                    ).cast(field.type)
+                )
+                continue
+            if name == "_commit_timestamp":
+                cols.append(
+                    pa.array(
+                        [partition.ts_ms] * n,
+                        type=pa.timestamp("ms", tz="UTC"),
+                    ).cast(field.type)
+                )
+                continue
+            if name == "_change_type" and partition.ctype is not None:
+                cols.append(
+                    pa.array([partition.ctype] * n, type=pa.string())
+                )
+                continue
+            # data column: id mode resolves by field id first (the
+            # spec's authority there), physical name covers cdc/
+            # pre-annotation files, logical name covers unmapped
+            # tables and the _change_type column of _change_data
+            phys = partition.phys.get(name, name)
+            src = None
+            if partition.ids is not None:
+                src = by_id.get(partition.ids.get(name))
+            if src is None or src not in tbl.column_names:
+                src = (
+                    phys
+                    if phys in tbl.column_names
+                    else (name if name in tbl.column_names else None)
+                )
+            if phys in partition.pv:
+                v = _pv_convert_field(field, partition.pv[phys])
+                cols.append(pa.array([v] * n).cast(field.type))
+            elif src is not None:
+                cols.append(tbl.column(src))
+            else:  # pre-evolution file: later-added column as nulls
+                cols.append(pa.nulls(n, type=field.type))
+        return pa.table(
+            cols, names=[f.name for f in arrow_schema]
+        ).cast(arrow_schema)
 
-        return emit()
+
+def _pv_convert_field(arrow_field, raw):
+    """Delta partitionValues serialization -> Python value for an
+    ARROW field's type (spec: decimal strings for numbers, ISO
+    dates, 'true'/'false'; null partition values are map nulls)."""
+    import pyarrow.types as pt
+
+    if raw is None:
+        return None
+    t = arrow_field.type
+    if pt.is_integer(t):
+        return int(raw)
+    if pt.is_floating(t):
+        return float(raw)
+    if pt.is_boolean(t):
+        return str(raw).lower() == "true"
+    if pt.is_date(t):
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if pt.is_timestamp(t):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
+    return raw
 
 
 def _cdf_schema(base: StructType) -> StructType:

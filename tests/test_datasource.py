@@ -144,6 +144,61 @@ def test_batch_read_change_feed(spark, tmp_path):
     } == {(1, "update_postimage")}
 
 
+def test_cdc_diff_bucketing_bounds_state(spark, tmp_path):
+    """An UNPARTITIONED store's snapshot diff must not hold two full
+    table versions in one Python task: with a small
+    maxBytesPerDiffPartition the planner key-hash-buckets each diff
+    step (n_buckets > 1) and the bucketed feed equals the
+    single-task feed exactly."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        _plan_diff_partitions,
+    )
+
+    rows = [(i, f"v{i}") for i in range(40)]
+    store = _mk(spark, tmp_path, rows)  # v1: inserts
+    store.merge(
+        spark.createDataFrame(
+            [(i, f"V{i}") for i in range(0, 40, 7)], ["k", "v"]
+        )
+    )  # v2: updates
+    store.delete("k >= 35")  # v3: deletes
+    # planner: forced-small target splits every step into buckets
+    # that tile the full bucket space
+    parts = _plan_diff_partitions(store.path, 1, 3, ["k"], target_bytes=1)
+    by_step: dict = {}
+    for p in parts:
+        by_step.setdefault((p.v_old, p.v_new), []).append(p)
+    for step, ps in by_step.items():
+        n = ps[0].n_buckets
+        assert n > 1, step
+        assert sorted(q.bucket for q in ps) == list(range(n))
+        assert all(q.n_buckets == n for q in ps)
+    register(spark)
+
+    def feed(**extra):
+        reader = (
+            spark.read.format("mergestore")
+            .option("readChangeFeed", "true")
+            .option("keys", "k")
+            .option("startingVersion", 1)
+        )
+        for k, v in extra.items():
+            reader = reader.option(k, v)
+        return {
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in reader.load(store.path).collect()
+        }
+
+    single = feed()
+    bucketed = feed(maxBytesPerDiffPartition="1")
+    assert bucketed == single
+    assert {
+        (k, c) for k, _v, c, _cv in single if c != "insert"
+    } == {(i, "update_postimage") for i in range(0, 40, 7)} | {
+        (i, "delete") for i in range(35, 40)
+    }
+
+
 def test_cdc_partitioned_diffs_only_touched(spark, tmp_path):
     rows = [(1, "a", 0), (2, "b", 1)]
     store = _mk(spark, tmp_path, rows, partition_by="p")

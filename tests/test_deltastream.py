@@ -262,30 +262,226 @@ def test_partitioned_snapshot_injects_partition_values(spark, tmp_path):
     assert got == {(1, "a", 10)}
 
 
-def test_id_mode_refused_by_name(spark, tmp_path):
+def _id_mode_schema_string():
+    """Logical (k, v) whose column-mapping metadata records ids and
+    physical names, the way delta-spark writes id-mode tables."""
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbb",
+                    },
+                },
+            ],
+        }
+    )
+
+
+def _write_id_mode_file(tbl, rel, ks, vs):
+    """A parquet file whose column names match NEITHER the logical
+    nor the recorded physical names — only the parquet field ids
+    line up (legal per spec: in id mode, only the id is
+    authoritative)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sch = pa.schema(
+        [
+            pa.field(
+                "whatever-1",
+                pa.int64(),
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+            pa.field(
+                "whatever-2",
+                pa.string(),
+                metadata={b"PARQUET:field_id": b"2"},
+            ),
+        ]
+    )
+    dst = os.path.join(tbl, rel)
+    os.makedirs(os.path.dirname(dst) or tbl, exist_ok=True)
+    pq.write_table(
+        pa.table({"whatever-1": ks, "whatever-2": vs}, schema=sch),
+        dst,
+    )
+    return dst
+
+
+def test_id_mode_streams_by_field_id(spark, tmp_path):
+    """columnMapping.mode=id: the tail source resolves data columns
+    by parquet field id (file names match neither logical nor
+    physical names) and a tailed append commit round-trips too."""
     tbl = str(tmp_path / "tbl")
     os.makedirs(tbl, exist_ok=True)
-    f1 = _write_parquet_file(spark, tbl, [(1,)], ["k"], "f1.parquet")
+    f1 = _write_id_mode_file(tbl, "f1.parquet", [1, 2], ["a", "b"])
     _log_write(
         tbl,
         0,
         [
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
             {"metaData": _meta(
-                _schema_string(("k", "long")),
+                _id_mode_schema_string(),
                 cfg={"delta.columnMapping.mode": "id"},
             )},
             {"add": _add("f1.parquet", f1)},
         ],
     )
     register_delta_tail(spark)
-    with pytest.raises(Exception, match="columnMapping"):
-        _run_pass(
-            spark,
-            tbl,
-            str(tmp_path / "out_id"),
-            str(tmp_path / "ck_id"),
+    ckpt, out = str(tmp_path / "ck_id"), str(tmp_path / "out_id")
+    got = _run_pass(spark, tbl, out, ckpt)
+    assert got == {(1, "a"), (2, "b")}
+    f2 = _write_id_mode_file(tbl, "f2.parquet", [3], ["c"])
+    _log_write(tbl, 1, [{"add": _add("f2.parquet", f2)}])
+    got = _run_pass(spark, tbl, out, ckpt)
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_schema_change_stops_stream_then_restart_resolves(
+    spark, tmp_path
+):
+    """A metaData that ADDS a column while the stream is RUNNING
+    stops it by name with the commit version (Delta-source behavior
+    — silent projection would drop the new column for every row
+    after it); a RESTART re-resolves the new schema and keeps going,
+    pre-change files projecting nulls for the added column."""
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        DeltaTailStreamReader,
+    )
+
+    tbl = _mk_table(spark, tmp_path)
+    register_delta_tail(spark)
+    ckpt, out = str(tmp_path / "ck_sc"), str(tmp_path / "out_sc")
+    assert _run_pass(spark, tbl, out, ckpt) == {(1, "a"), (2, "b")}
+    # a RUNNING reader, resolved at v0, sees the change land at v1
+    running = DeltaTailStreamReader(None, {"path": tbl})
+    f3 = _write_parquet_file(
+        spark, tbl, [(3, "c", 9)], ["k", "v", "extra"], "f3.parquet"
+    )
+    _log_write(
+        tbl,
+        1,
+        [
+            {"metaData": _meta(_schema_string(
+                ("k", "long"), ("v", "string"), ("extra", "long")
+            ))},
+            {"add": _add("f3.parquet", f3)},
+        ],
+    )
+    with pytest.raises(
+        DeltaProtocolError, match="schema changed at version 1"
+    ):
+        running.partitions(
+            {"version": 0, "snap": True}, {"version": 1, "snap": True}
         )
+    # restart (new query -> new reader) resolves the post-change
+    # schema and delivers the new rows; the sink now holds
+    # mixed-width files — mergeSchema to inspect
+    q = (
+        spark.readStream.format("delta_tail")
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        tuple(r)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .collect()
+    }
+    assert (3, "c", 9) in got
+
+
+def test_config_only_metadata_does_not_stop_stream(spark, tmp_path):
+    """A metaData action that only changes table CONFIGURATION (no
+    field-set change) is not a schema change — the stream keeps
+    going (the gate compares (name, type) signatures)."""
+    tbl = _mk_table(spark, tmp_path)
+    register_delta_tail(spark)
+    ckpt, out = str(tmp_path / "ck_cfg"), str(tmp_path / "out_cfg")
+    _run_pass(spark, tbl, out, ckpt)
+    f3 = _write_parquet_file(
+        spark, tbl, [(3, "c")], ["k", "v"], "f3.parquet"
+    )
+    _log_write(
+        tbl,
+        1,
+        [
+            {"metaData": _meta(
+                _schema_string(("k", "long"), ("v", "string")),
+                cfg={"delta.appendOnly": "true"},
+            )},
+            {"add": _add("f3.parquet", f3)},
+        ],
+    )
+    got = _run_pass(spark, tbl, out, ckpt)
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_offset_state_dir_caps_first_restart_batch(spark, tmp_path):
+    """Cold-start rate limiting: with offsetStateDir the reader
+    seeds its position from the sidecar the previous run's commit()
+    wrote, so the FIRST post-restart latestOffset is already capped;
+    without it the first batch is uncapped (documented)."""
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        DeltaTailStreamReader,
+    )
+
+    tbl = _mk_table(spark, tmp_path)
+    sd = str(tmp_path / "state")
+    opts = {
+        "path": tbl,
+        "maxcommitspertrigger": "1",
+        "offsetstatedir": sd,
+    }
+    r1 = DeltaTailStreamReader(None, opts)
+    # the engine commits the snapshot batch -> sidecar persists it
+    r1.commit({"version": 0, "snap": True})
+    # table grows a 3-commit backlog while the stream is down
+    for v in (1, 2, 3):
+        f = _write_parquet_file(
+            spark, tbl, [(10 + v, "x")], ["k", "v"], f"g{v}.parquet"
+        )
+        _log_write(tbl, v, [{"add": _add(f"g{v}.parquet", f)}])
+    # restart WITH the sidecar: first batch capped at one commit
+    r2 = DeltaTailStreamReader(None, opts)
+    assert r2.latestOffset() == {"version": 1, "snap": True}
+    # restart WITHOUT it: the first batch is uncapped (init resolves
+    # at the current latest and the checkpointed position is unseen)
+    r3 = DeltaTailStreamReader(
+        None, {"path": tbl, "maxcommitspertrigger": "1"}
+    )
+    assert r3.latestOffset()["version"] == 3
+
+
+def test_read_path_is_arrow_batched():
+    """The data plane must stay Arrow: no whole-file to_pylist /
+    per-row Python emit in the streaming tail source."""
+    import etl_pipeline_4handling_listings_spark.sources.deltastream as m
+
+    src = open(m.__file__).read()
+    assert "to_pylist" not in src
+    assert "iter_batches" in src
 
 
 def test_tail_streams_mergestore_exported_log(spark, tmp_path):
