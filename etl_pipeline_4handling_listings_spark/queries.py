@@ -12760,6 +12760,256 @@ def graph_degree_assortativity(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Round-8 additions (appended to the back of _DRIVER_ORDER, never
+# ahead of slot 50): corpus/statistics probes a training-data
+# pipeline runs alongside dedup — the token frequency-of-frequency
+# spectrum (Good-Turing smoothing input, OOV-rate estimator), a
+# ties-correct Spearman rank correlation (robust association on
+# skewed columns where Pearson misleads), and cross-source n-gram
+# novelty (how much unique content each source contributes to a
+# corpus mix).
+# ---------------------------------------------------------------------
+
+
+@query(
+    "text_freq_spectrum",
+    oracle=f"""
+    WITH counts AS (
+        SELECT word, COUNT(*) AS c FROM (
+            SELECT {_TOKENIZE_SQL} AS word FROM documents
+        ) GROUP BY word
+    ),
+    spec AS (
+        SELECT CAST(c AS BIGINT) AS freq,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM counts GROUP BY c
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM counts)
+    SELECT freq, n_types,
+           {sql_r('CAST(n_types AS DOUBLE) / CAST(tot.n AS DOUBLE)', 6)}
+               AS type_share
+    FROM spec CROSS JOIN tot
+    ORDER BY freq ASC
+    LIMIT 15
+    """,
+    doc="Token frequency-of-frequencies spectrum (Good-Turing "
+    "N_c): for the 15 lowest occurrence counts, how many word "
+    "TYPES occur exactly c times, plus each band's share of the "
+    "vocabulary — the standard smoothing input and a corpus-health "
+    "probe (hapax share ~40-60%% in natural text; far lower means "
+    "boilerplate). Exact integer counts end-to-end (the only "
+    "double is the final share), over the session-cached token "
+    "stream; the spectrum agg is map-side combinable and its "
+    "output is at most |distinct counts| rows.",
+)
+def text_freq_spectrum(spark, sf_dir):
+    counts = (
+        _tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    spec = counts.groupBy(F.col("c").alias("freq")).agg(
+        F.count("*").cast("long").alias("n_types")
+    )
+    tot = counts.agg(F.count("*").cast("long").alias("n"))
+    return (
+        spec.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("freq").cast("long").alias("freq"),
+            "n_types",
+            r(
+                F.col("n_types").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("type_share"),
+        )
+        .orderBy(F.asc("freq"))
+        .limit(15)
+    )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT l_returnflag AS flag,
+               2 * RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity)
+                 + COUNT(*) OVER (PARTITION BY l_returnflag,
+                                  l_quantity) - 1 AS rx2,
+               2 * RANK() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice)
+                 + COUNT(*) OVER (PARTITION BY l_returnflag,
+                                  l_extendedprice) - 1 AS ry2
+        FROM lineitem
+    ),
+    m AS (
+        SELECT flag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx2) AS BIGINT) AS sx,
+               CAST(SUM(ry2) AS BIGINT) AS sy,
+               CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+               CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+               CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+        FROM ranked GROUP BY flag
+    )
+    SELECT flag, n,
+           {sql_r('(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
+                  ' - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+                  ' / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)'
+                  ' - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))'
+                  ' * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)'
+                  ' - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))', 6)}
+               AS spearman
+    FROM m
+    ORDER BY flag
+    """,
+    doc="Spearman rank correlation with ties-correct AVERAGE ranks "
+    "(quantity vs price per return flag): avg rank = min-rank + "
+    "(tie-count-1)/2, DOUBLED so every rank is an exact integer — "
+    "Pearson is scale-invariant, so corr(2r_x, 2r_y) = corr(r_x, "
+    "r_y) and all five moments are exact BIGINT sums no "
+    "partial-agg order can move (the repo's integer-moment "
+    "pattern; a naive corr() over doubles is order-dependent). "
+    "Two rank windows per group partition once on the flag; the "
+    "moment agg is a single map-side-combinable reduce.",
+)
+def stats_spearman_corr(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cq = Window.partitionBy("l_returnflag", "l_quantity")
+    cp = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (
+            2 * F.rank().over(wq).cast("long")
+            + F.count("*").over(cq).cast("long")
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(wp).cast("long")
+            + F.count("*").over(cp).cast("long")
+            - 1
+        ).alias("ry2"),
+    )
+    m = ranked.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast(
+        "double"
+    ) - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return m.select(
+        "flag", "n", r(num / den, 6).alias("spearman")
+    ).orderBy("flag")
+
+
+@query(
+    "corpus_ngram_novelty",
+    oracle=r"""
+    WITH arrs AS (
+        SELECT source,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+    ),
+    grams AS (
+        SELECT DISTINCT source,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+        FROM arrs, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    spread AS (
+        SELECT g, COUNT(*) AS nsrc FROM grams GROUP BY g
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS unique_grams,
+           FLOOR(CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000 AS novelty
+    FROM grams JOIN spread USING (g)
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Cross-source n-gram novelty: per source, the share of its "
+    "DISTINCT word 3-grams that appear in no other source — the "
+    "mix-curation probe for how much unique content each source "
+    "actually contributes (a mirror/scrape of another source "
+    "scores ~0). Trigrams via an index-sequence transform (no "
+    "self-join), distinct + spread + attribution all hash-shuffle "
+    "on the gram key, so the three stages reuse one partitioning "
+    "and nothing is ever all-pairs; counts are exact integers with "
+    "one final floor-rounded ratio.",
+)
+def corpus_ngram_novelty(spark, sf_dir):
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"),
+        )
+        # Spark's sequence(0, n) is DESCENDING for n < 0 — gate short
+        # docs out before the transform (DuckDB mirrors the filter;
+        # sub-3-token docs contribute no trigrams either way)
+        .filter(F.size("ws") >= 3)
+    )
+    grams = (
+        d.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat(ws[i], ' ', ws[i + 1], ' ',"
+                    " ws[i + 2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    spread = grams.groupBy("g").agg(F.count("*").alias("nsrc"))
+    return (
+        grams.join(spread, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("nsrc") == 1, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("unique_grams"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "unique_grams",
+            r(
+                F.col("unique_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -13022,6 +13272,11 @@ _DRIVER_ORDER = [
     "agg_ntile_stats",
     "dedup_decontaminate",
     "text_unigram_logprob",
+    # round-8 additions (behind slot 50 per the registry-growth
+    # discipline: never ahead of queries awaiting certification)
+    "text_freq_spectrum",
+    "stats_spearman_corr",
+    "corpus_ngram_novelty",
 ]
 
 def _rotate_registry() -> None:

@@ -202,6 +202,10 @@ def test_money_sums_partition_invariant(spark_sess):
         "events_concurrent_sessions",
         "abc_classification",
         "fairshare_waterfill",
+        # round-8: doubled average ranks make all five Spearman
+        # moments exact integers — the final division is the only
+        # float and must not move with partial-agg order
+        "stats_spearman_corr",
     ]:
         fn = REGISTRY[name].fn
         base = sorted(map(tuple, fn(spark_sess, sf).collect()))

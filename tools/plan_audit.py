@@ -247,6 +247,13 @@ AUDIT = {
     # the two one-row census frames cross-join via BNLJ — the right
     # plan for scalar attachment, so only CartesianProduct is banned
     "graph_degree_assortativity": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    # r8 additions: spectrum ends in a tiny top-15 TakeOrdered over
+    # the count-of-counts agg; spearman is two windows + one
+    # integer-moment reduce; novelty re-shuffles on the gram key
+    # only (distinct -> spread -> attribution), never all-pairs
+    "text_freq_spectrum": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": []},
+    "stats_spearman_corr": {"expect": ["Window", "HashAggregate"], "forbid": []},
+    "corpus_ngram_novelty": {"expect": ["HashAggregate"], "forbid": []},
 }
 
 
