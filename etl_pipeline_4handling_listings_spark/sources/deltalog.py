@@ -196,14 +196,20 @@ _ACTION_SCHEMA = T.StructType(
 )
 
 # reader-version-3 table features this replay implements; anything
-# else in readerFeatures is a named refusal. columnMapping covers
-# both name mode (pure-metadata rename) and id mode (parquet
-# field-id resolution via Spark's native fieldId read path)
+# else in readerFeatures is a named refusal (typeWidening and
+# variantType stay refused until their read paths exist).
+# columnMapping covers both name mode (pure-metadata rename) and id
+# mode (parquet field-id resolution via Spark's native fieldId read
+# path). vacuumProtocolCheck imposes NO read-time requirements per
+# the spec (it only changes how VACUUM implementations behave), but
+# Databricks-managed tables routinely list it — refusing it by name
+# would reject perfectly readable tables.
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
+    "vacuumProtocolCheck",
 }
 
 

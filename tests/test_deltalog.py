@@ -487,6 +487,49 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
         read_delta(spark, tbl3).collect()
 
 
+def test_vacuum_protocol_check_feature_is_readable(spark, tmp_path):
+    """vacuumProtocolCheck imposes no read-time requirements per the
+    spec (it only changes VACUUM behavior), and Databricks-managed
+    tables routinely list it — both the Spark and pure-Python
+    protocol gates must accept it instead of refusing a perfectly
+    readable table."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        _py_check_protocol,
+    )
+
+    f1 = _write_parquet_file(
+        spark, tmp_path, [(1, "a")], ["k", "v"], "f1.parquet"
+    )
+    tbl = str(tmp_path / "tbl")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("k", "long"), ("v", "string")),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["vacuumProtocolCheck"],
+        "writerFeatures": ["vacuumProtocolCheck"],
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": proto},
+            {"metaData": meta},
+            {"add": {"path": "f1.parquet", "partitionValues": {}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    assert [(r.k, r.v) for r in read_delta(spark, tbl).collect()] == [
+        (1, "a")
+    ]
+    _py_check_protocol(proto)  # streaming-path twin: no raise
+
+
 def test_read_foreign_deletion_vectors_all_storage_types(
     spark, tmp_path
 ):
