@@ -331,13 +331,29 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             latest = min(latest, max(cap, self._committed["version"]))
         return {"version": latest, "snap": True}
 
+    @staticmethod
+    def _further(a: dict, b: dict) -> dict:
+        """The more-advanced of two offsets (higher version wins;
+        at equal versions snap=True means the snapshot batch is
+        already consumed, i.e. further along)."""
+        if (a["version"], a.get("snap", True)) >= (
+            b["version"],
+            b.get("snap", True),
+        ):
+            return a
+        return b
+
     def commit(self, end: dict) -> None:
-        self._committed = dict(end)
+        # monotonic: a stale-sidecar cold start can produce an `end`
+        # BELOW the checkpointed position partitions() adopted —
+        # regressing to it would re-tighten the cap under the true
+        # position and wedge the stream in empty batches
+        self._committed = self._further(dict(end), self._committed)
         if self.state_dir:
             os.makedirs(self.state_dir, exist_ok=True)
             tmp = os.path.join(self.state_dir, "offset.json.tmp")
             with open(tmp, "w") as fh:
-                json.dump(end, fh)
+                json.dump(self._committed, fh)
             os.replace(
                 tmp, os.path.join(self.state_dir, "offset.json")
             )

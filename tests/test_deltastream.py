@@ -474,6 +474,52 @@ def test_offset_state_dir_caps_first_restart_batch(spark, tmp_path):
     assert r3.latestOffset()["version"] == 3
 
 
+def test_stale_sidecar_below_starting_version_cannot_wedge(
+    spark, tmp_path
+):
+    """A sidecar BELOW the startingVersion position (reused state
+    dir after the user moved startingVersion forward) must not
+    wedge the stream: the first capped end lands below the true
+    start, partitions() adopts the checkpointed start, and commit()
+    is position-MONOTONIC so the stale end cannot regress it — the
+    next latestOffset makes progress."""
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        DeltaTailStreamReader,
+    )
+
+    tbl = _mk_table(spark, tmp_path)
+    for v in (1, 2, 3):
+        f = _write_parquet_file(
+            spark, tbl, [(10 + v, "x")], ["k", "v"], f"h{v}.parquet"
+        )
+        _log_write(tbl, v, [{"add": _add(f"h{v}.parquet", f)}])
+    sd = str(tmp_path / "state")
+    os.makedirs(sd)
+    with open(os.path.join(sd, "offset.json"), "w") as fh:
+        json.dump({"version": 0, "snap": True}, fh)
+    r = DeltaTailStreamReader(
+        None,
+        {
+            "path": tbl,
+            "startingversion": "3",
+            "maxcommitspertrigger": "1",
+            "offsetstatedir": sd,
+        },
+    )
+    # cold-start cap seeded from the stale sidecar: below the start
+    end1 = r.latestOffset()
+    assert end1["version"] == 1
+    # the engine's checkpointed start (startingVersion contract) is
+    # ahead — the planned batch is empty, not an error
+    assert r.partitions({"version": 2, "snap": True}, end1) == []
+    r.commit(end1)  # monotonic: must NOT regress below version 2
+    assert r._committed["version"] == 2
+    end2 = r.latestOffset()
+    assert end2["version"] == 3  # progress resumed
+    parts = r.partitions({"version": 2, "snap": True}, end2)
+    assert len(parts) == 1  # commit 3's file
+
+
 def test_read_path_is_arrow_batched():
     """The data plane must stay Arrow: no whole-file to_pylist /
     per-row Python emit in the streaming tail source."""
