@@ -13010,6 +13010,202 @@ def corpus_ngram_novelty(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_prefix_overlap_matrix",
+    oracle=r"""
+    WITH h AS (
+        SELECT DISTINCT source,
+               array_to_string(
+                   regexp_split_to_array(trim(lower(text)),
+                                         '\s+')[1:5], ' ') AS pre
+        FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_prefixes
+    FROM h a JOIN h b ON a.pre = b.pre AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY shared_prefixes DESC, src_a, src_b
+    """,
+    doc="Cross-source boilerplate matrix: for every source pair, "
+    "how many distinct 5-token opening prefixes they SHARE — the "
+    "template/mirror detector curation teams run before mixing "
+    "sources (exact-hash cross-source dupes are often zero while "
+    "shared openings expose scraped/boilerplate lineage). The "
+    "self-join keys on the prefix hash bucket, so pair fan-out per "
+    "prefix is bounded by the source count (C(n_src,2)), never "
+    "all-docs-pairs; counts are exact integers.",
+)
+def dedup_prefix_overlap_matrix(spark, sf_dir):
+    h = (
+        tbl(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.array_join(
+                F.slice(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    1,
+                    5,
+                ),
+                " ",
+            ).alias("pre"),
+        )
+        .distinct()
+    )
+    a = h.select(F.col("source").alias("src_a"), "pre")
+    b = h.select(F.col("source").alias("src_b"), "pre")
+    return (
+        a.join(b, "pre")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("shared_prefixes"))
+        .orderBy(F.desc("shared_prefixes"), "src_a", "src_b")
+    )
+
+
+@query(
+    "events_burstiness_fano",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM hourly GROUP BY user_id
+    )
+    SELECT user_id, n_hours, s1 AS n_events,
+           FLOOR(CAST(n_hours * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(n_hours * s1 AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000 AS fano
+    FROM m
+    ORDER BY user_id
+    """,
+    doc="Burstiness (Fano factor = variance/mean of a user's "
+    "active-hour event counts): ~1 for Poisson-like traffic, large "
+    "for bursty/bot-like traffic — a behavioral-health probe next "
+    "to the bot heuristics. Population variance over the user's "
+    "active hours from exact integer moments (n, sum c, sum c^2): "
+    "fano = (n*s2 - s1^2)/(n*s1), one floor-rounded double at the "
+    "end, so partial-agg order cannot move it. Two "
+    "map-side-combinable aggs sharing the user_id shuffle key.",
+)
+def events_burstiness_fano(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    hourly = e.groupBy(
+        "user_id", F.expr("ts_us div 3600000000").alias("h")
+    ).agg(F.count("*").cast("long").alias("c"))
+    m = hourly.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    fano = (
+        F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1")
+    ).cast("double") / (F.col("n_hours") * F.col("s1")).cast("double")
+    return m.select(
+        "user_id",
+        "n_hours",
+        F.col("s1").alias("n_events"),
+        r(fano, 6).alias("fano"),
+    ).orderBy("user_id")
+
+
+@query(
+    "text_kl_source_divergence",
+    oracle=f"""
+    WITH uni AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT source, {_TOKENIZE_SQL} AS word FROM documents
+        ) GROUP BY source, word
+    ),
+    ns AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+        FROM uni GROUP BY source
+    ),
+    corpus AS (
+        SELECT word, CAST(SUM(c) AS BIGINT) AS cw FROM uni GROUP BY word
+    ),
+    tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_c FROM corpus),
+    terms AS (
+        SELECT uni.source,
+               uni.c * CAST(FLOOR(LN(
+                   (CAST(uni.c AS DOUBLE) * CAST(tot.n_c AS DOUBLE))
+                   / (CAST(ns.n_s AS DOUBLE)
+                      * CAST(corpus.cw AS DOUBLE))) * 10000)
+                   AS BIGINT) AS t
+        FROM uni
+        JOIN ns USING (source)
+        JOIN corpus USING (word)
+        CROSS JOIN tot
+    )
+    SELECT source,
+           FLOOR(CAST(SUM(t) AS DOUBLE)
+                 / CAST(MAX(ns.n_s) AS DOUBLE) / 10000
+                 * 1000000 + 0.5) / 1000000 AS kl_bits_nat
+    FROM terms JOIN ns USING (source)
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source KL divergence from the corpus unigram mix "
+    "(how distinctive each source's vocabulary is — near-zero "
+    "means the source adds no distributional information to the "
+    "mix, large means domain shift). The repo's integer-moment "
+    "discipline applied to an entropy sum: each word's log-ratio "
+    "is quantized to 1e-4 BIGINT units per ROW and weighted by the "
+    "exact integer count, so the per-source SUM is an exact "
+    "integer no aggregation order can move; one final division. "
+    "Count aggs and the term join all shuffle on (source, word) / "
+    "word keys; the corpus marginal is |vocab| rows.",
+)
+def text_kl_source_divergence(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    uni = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ns = uni.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corpus = uni.groupBy("word").agg(F.sum("c").alias("cw"))
+    tot = corpus.agg(F.sum("cw").alias("n_c"))
+    ratio = (F.col("c").cast("double") * F.col("n_c").cast("double")) / (
+        F.col("n_s").cast("double") * F.col("cw").cast("double")
+    )
+    terms = (
+        uni.join(F.broadcast(ns), "source")
+        .join(corpus, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            (
+                F.col("c")
+                * F.floor(F.log(ratio) * 10000).cast("long")
+            ).alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            r(
+                F.sum("t").cast("double")
+                / F.max("n_s").cast("double")
+                / 10000.0,
+                6,
+            ).alias("kl_bits_nat")
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -13277,6 +13473,9 @@ _DRIVER_ORDER = [
     "text_freq_spectrum",
     "stats_spearman_corr",
     "corpus_ngram_novelty",
+    "dedup_prefix_overlap_matrix",
+    "events_burstiness_fano",
+    "text_kl_source_divergence",
 ]
 
 def _rotate_registry() -> None:

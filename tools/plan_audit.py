@@ -254,6 +254,13 @@ AUDIT = {
     "text_freq_spectrum": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": []},
     "stats_spearman_corr": {"expect": ["Window", "HashAggregate"], "forbid": []},
     "corpus_ngram_novelty": {"expect": ["HashAggregate"], "forbid": []},
+    # r8 batch 2: prefix matrix self-joins on the prefix key (hash
+    # join, bounded per-key fan-out); fano is two chained aggs on
+    # one user_id shuffle; KL weights quantized log-ratios — the
+    # small per-source marginal must broadcast, never sort-merge
+    "dedup_prefix_overlap_matrix": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    "events_burstiness_fano": {"expect": ["HashAggregate"], "forbid": []},
+    "text_kl_source_divergence": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": []},
 }
 
 
