@@ -1303,20 +1303,39 @@ class MergeStoreCDCStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.keys = _cdc_keys(options)
         self.target_bytes = _diff_target_bytes(options)
+        mct = options.get(
+            "maxcommitspertrigger", options.get("maxCommitsPerTrigger")
+        )
+        # rate limiting at commit granularity (the delta_tail
+        # analogue): a long backlog drains in bounded batches. The
+        # first post-restart batch is planned before partitions()
+        # reveals the checkpointed position and is uncapped — every
+        # later batch measures from adopted progress.
+        self.max_commits = int(mct) if mct is not None else None
         start = options.get("startingversion", options.get("startingVersion"))
         self._initial = (
             int(str(start).lstrip("v"))
             if start is not None
             else int(_current_version(self.path)[1:])
         )
+        self._committed = self._initial
 
     def initialOffset(self) -> dict:
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
-        return {"version": int(_current_version(self.path)[1:])}
+        latest = int(_current_version(self.path)[1:])
+        if self.max_commits is not None:
+            latest = min(
+                latest,
+                max(self._committed + self.max_commits, self._committed),
+            )
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        # adopt checkpointed progress so the next cap measures from
+        # the true position (mirrors DeltaTailStreamReader)
+        self._committed = max(self._committed, start["version"])
         return _plan_diff_partitions(
             self.path,
             start["version"],
@@ -1326,7 +1345,7 @@ class MergeStoreCDCStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        self._committed = max(self._committed, end["version"])
 
     def read(self, partition: _DiffPartition) -> Iterator:
         if partition is None:  # planner placeholder: empty batch

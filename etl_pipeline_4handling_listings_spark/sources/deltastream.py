@@ -30,7 +30,10 @@ from it):
   ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``.
 - **Rate limiting**: ``.option("maxCommitsPerTrigger", n)`` caps how
   many commits one micro-batch drains (Delta's maxFilesPerTrigger
-  analogue at commit granularity) — a restarted stream facing a
+  analogue at commit granularity) and
+  ``.option("maxBytesPerTrigger", n)`` is Delta's soft byte cap —
+  commits are admitted until their cumulative add sizes exceed the
+  budget, always at least one — so a restarted stream facing a
   long backlog catches up in bounded batches instead of one giant
   plan. The Python stream-reader API plans the first post-restart
   batch before the reader learns its checkpointed position, so that
@@ -269,6 +272,10 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         mct = options.get(
             "maxcommitspertrigger", options.get("maxCommitsPerTrigger")
         )
+        mbt = options.get(
+            "maxbytespertrigger", options.get("maxBytesPerTrigger")
+        )
+        self.max_bytes = int(mbt) if mbt is not None else None
         # rate limiting (Delta's maxFilesPerTrigger analogue, at
         # commit granularity): a restarted stream facing a 10,000-
         # commit backlog must not plan one giant batch — cap how far
@@ -322,13 +329,38 @@ class DeltaTailStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = _latest_log_version(self.log_dir)
+        pos = self._committed["version"]
         if self.max_commits is not None:
-            cap = self._committed["version"] + self.max_commits
+            cap = pos + self.max_commits
             # when the snapshot batch is still pending, the cap
             # budget is spent on it (version stays put)
             if not self._committed.get("snap", True):
-                cap = self._committed["version"]
-            latest = min(latest, max(cap, self._committed["version"]))
+                cap = pos
+            latest = min(latest, max(cap, pos))
+        if (
+            self.max_bytes is not None
+            and self._committed.get("snap", True)
+            and latest > pos
+        ):
+            # Delta's maxBytesPerTrigger analogue: admit commits
+            # until their cumulative add sizes exceed the soft cap,
+            # always at least one (else no progress). Driver cost:
+            # one JSON entry read per candidate commit, bounded by
+            # the cap window — metadata-scale.
+            budget = self.max_bytes
+            v = pos
+            while v < latest:
+                nxt = v + 1
+                size = sum(
+                    int(a["add"].get("size") or 0)
+                    for a in _entry_actions(self.log_dir, nxt)
+                    if a.get("add") is not None
+                )
+                if v > pos and size > budget:
+                    break
+                budget -= size
+                v = nxt
+            latest = v
         return {"version": latest, "snap": True}
 
     @staticmethod

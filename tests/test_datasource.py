@@ -144,6 +144,53 @@ def test_batch_read_change_feed(spark, tmp_path):
     } == {(1, "update_postimage")}
 
 
+def test_cdc_stream_rate_limit_bounds_batches(spark, tmp_path):
+    """maxCommitsPerTrigger on the native CDC stream: a 3-commit
+    backlog drains one commit of changes per availableNow pass, and
+    the cap can never wedge the stream below checkpointed progress
+    (commit() is position-monotonic)."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        MergeStoreCDCStreamReader,
+    )
+
+    store = _mk(spark, tmp_path, [(1, "a")])  # v1
+    store.merge(spark.createDataFrame([(2, "b")], ["k", "v"]))  # v2
+    store.merge(spark.createDataFrame([(3, "c")], ["k", "v"]))  # v3
+    opts = {
+        "path": store.path,
+        "keys": "k",
+        "startingversion": "0",
+        "maxcommitspertrigger": "1",
+    }
+    r = MergeStoreCDCStreamReader(None, opts)
+    assert r.latestOffset() == {"version": 1}
+    r.commit({"version": 1})
+    assert r.latestOffset() == {"version": 2}
+    # stale end below adopted progress cannot regress the position
+    r.partitions({"version": 2}, {"version": 2})
+    r.commit({"version": 1})
+    assert r.latestOffset() == {"version": 3}
+    # e2e: each availableNow pass drains one commit
+    register(spark)
+    q = (
+        spark.readStream.format("mergestore_cdc")
+        .option("keys", "k")
+        .option("startingVersion", 0)
+        .option("maxCommitsPerTrigger", 1)
+        .load(store.path)
+        .writeStream.format("memory")
+        .queryName("cdc_rl")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r_["k"], r_["_change_type"], r_["_commit_version"])
+        for r_ in spark.sql("select * from cdc_rl").collect()
+    }
+    assert got == {(1, "insert", "v00001")}
+
+
 def test_cdc_diff_bucketing_bounds_state(spark, tmp_path):
     """An UNPARTITIONED store's snapshot diff must not hold two full
     table versions in one Python task: with a small

@@ -520,6 +520,46 @@ def test_stale_sidecar_below_starting_version_cannot_wedge(
     assert len(parts) == 1  # commit 3's file
 
 
+def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
+    """maxBytesPerTrigger (Delta's soft byte cap): commits are
+    admitted until their cumulative add sizes exceed the budget,
+    always at least one."""
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        DeltaTailStreamReader,
+    )
+
+    tbl = _mk_table(spark, tmp_path)
+    sizes = {}
+    for v in (1, 2, 3):
+        f = _write_parquet_file(
+            spark, tbl, [(10 + v, "x")], ["k", "v"], f"b{v}.parquet"
+        )
+        sizes[v] = os.path.getsize(f)
+        _log_write(tbl, v, [{"add": _add(f"b{v}.parquet", f)}])
+    # budget = commit 1 + commit 2 exactly: commit 3 must wait
+    r = DeltaTailStreamReader(
+        None,
+        {
+            "path": tbl,
+            "startingversion": "1",
+            "maxbytespertrigger": str(sizes[1] + sizes[2]),
+        },
+    )
+    r._committed = {"version": 0, "snap": True}
+    assert r.latestOffset() == {"version": 2, "snap": True}
+    # a budget smaller than any single commit still admits one
+    r2 = DeltaTailStreamReader(
+        None,
+        {
+            "path": tbl,
+            "startingversion": "1",
+            "maxbytespertrigger": "1",
+        },
+    )
+    r2._committed = {"version": 0, "snap": True}
+    assert r2.latestOffset() == {"version": 1, "snap": True}
+
+
 def test_read_path_is_arrow_batched():
     """The data plane must stay Arrow: no whole-file to_pylist /
     per-row Python emit in the streaming tail source."""
