@@ -13206,6 +13206,293 @@ def text_kl_source_divergence(spark, sf_dir):
     )
 
 
+@query(
+    "text_heaps_exponent",
+    oracle=f"""
+    WITH dr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+               CAST(len(regexp_split_to_array(trim(lower(text)),
+                                              '\\s+')) AS BIGINT)
+                   AS ntok
+        FROM documents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM dr),
+    firsts AS (
+        SELECT word, MIN(dr.rk) AS fr
+        FROM (
+            SELECT doc_id, {_TOKENIZE_SQL} AS word FROM documents
+        ) t JOIN dr USING (doc_id)
+        GROUP BY word
+    ),
+    ck AS (
+        SELECT k, (k * nd) // 10 AS nk
+        FROM generate_series(1, 10) AS g(k), nn
+    ),
+    pts AS (
+        SELECT k,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+                WHERE fr <= nk) AS v,
+               (SELECT CAST(SUM(ntok) AS BIGINT) FROM dr
+                WHERE rk <= nk) AS t
+        FROM ck
+    ),
+    q AS (
+        SELECT CAST(FLOOR(ln(t) * 10000) AS BIGINT) AS lx,
+               CAST(FLOOR(ln(v) * 10000) AS BIGINT) AS ly
+        FROM pts
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(lx) AS BIGINT) AS sx,
+               CAST(SUM(ly) AS BIGINT) AS sy,
+               CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+               CAST(SUM(lx * lx) AS BIGINT) AS sxx
+        FROM q
+    )
+    SELECT (SELECT MAX(v) FROM pts) AS vocab,
+           (SELECT MAX(t) FROM pts) AS tokens,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * 10000 + 0.5)
+                / 10000 AS DOUBLE) AS heaps_beta
+    FROM m
+    """,
+    doc="Heaps'-law exponent (vocabulary growth V ~ T^beta, "
+    "natural text beta ~0.4-0.6): each word's FIRST occurrence is "
+    "one min-agg over doc rank, V and T at 10 corpus-prefix "
+    "checkpoints come from <=-joins against that tiny table, and "
+    "the log-log OLS uses the repo's 1e-4-quantized integer-moment "
+    "pattern — exact under any aggregation order. Complements the "
+    "Zipf probe: together they fingerprint whether a corpus grows "
+    "vocabulary like natural language or like boilerplate. The "
+    "only global window ranks DOCUMENTS (metadata-scale next to "
+    "the token stream).",
+)
+def text_heaps_exponent(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    dr = d.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy("doc_id"))
+        .cast("long")
+        .alias("rk"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("ntok"),
+    )
+    nn = dr.agg(F.count("*").cast("long").alias("nd"))
+    firsts = (
+        _tokens(spark, sf_dir)
+        .join(dr.select("doc_id", "rk"), "doc_id")
+        .groupBy("word")
+        .agg(F.min("rk").alias("fr"))
+    )
+    ck = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(nn))
+        .select("k", ((F.col("k") * F.col("nd")) / 10).cast("long").alias("nk"))
+    )
+    v = (
+        firsts.join(F.broadcast(ck), F.col("fr") <= F.col("nk"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    t = (
+        dr.join(F.broadcast(ck), F.col("rk") <= F.col("nk"))
+        .groupBy("k")
+        .agg(F.sum("ntok").cast("long").alias("t"))
+    )
+    pts = v.join(t, "k")
+    q = pts.select(
+        F.floor(F.log(F.col("t").cast("double")) * 10000)
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("v").cast("double")) * 10000)
+        .cast("long")
+        .alias("ly"),
+    )
+    m = q.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    ).crossJoin(
+        F.broadcast(
+            pts.agg(
+                F.max("v").cast("long").alias("vocab"),
+                F.max("t").cast("long").alias("tokens"),
+            )
+        )
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return m.select("vocab", "tokens", r(slope, 4).alias("heaps_beta"))
+
+
+@query(
+    "events_autocorr_lag",
+    oracle="""
+    WITH hc AS (
+        SELECT epoch_us(ts) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    span AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
+    dense AS (
+        SELECT g.h, COALESCE(hc.c, 0) AS c
+        FROM (SELECT unnest(generate_series(lo, hi)) AS h
+              FROM span) g
+        LEFT JOIN hc USING (h)
+    ),
+    lagged AS (
+        SELECT l.k, a.c AS x, b.c AS y
+        FROM (VALUES (1), (2), (3), (6), (12), (24)) l(k)
+        JOIN dense a ON TRUE
+        JOIN dense b ON b.h = a.h + l.k
+    ),
+    m AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM lagged GROUP BY k
+    )
+    SELECT k AS lag_hours, n AS n_pairs,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS autocorr
+    FROM m
+    ORDER BY k
+    """,
+    doc="Lag-k autocorrelation of the ZERO-FILLED hourly event "
+    "series (k = 1,2,3,6,12,24 — the 24h lag exposes daily "
+    "seasonality): the dense series comes from one sequence-"
+    "explode over the hour span (bounded by wall-clock time, not "
+    "data volume), the lag pairing is a self-equi-join on h+k, "
+    "and all correlation moments are exact BIGINT sums of integer "
+    "counts. The k values ride an in-plan array explode (no "
+    "cartesian lag join) and the final Pearson is one rounded "
+    "double per lag.",
+)
+def events_autocorr_lag(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    hc = e.groupBy(
+        F.expr("ts_us div 3600000000").alias("h")
+    ).agg(F.count("*").cast("long").alias("c"))
+    span = hc.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    dense = (
+        span.select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"))
+            ).alias("h")
+        )
+        .join(hc, "h", "left")
+        .select("h", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    a = dense.withColumn(
+        "k",
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 6, 12, 24)])),
+    ).select("k", F.col("h").alias("ha"), F.col("c").alias("x"))
+    b = dense.select(F.col("h").alias("hb"), F.col("c").alias("y"))
+    lagged = a.join(b, F.col("hb") == F.col("ha") + F.col("k"))
+    m = lagged.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        F.col("k").alias("lag_hours"),
+        F.col("n").alias("n_pairs"),
+        r(num / den, 6).alias("autocorr"),
+    ).orderBy("lag_hours")
+
+
+@query(
+    "agg_decay_weighted",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+    w AS (
+        SELECT event_type,
+               CAST(FLOOR(EXP(-(CAST(mx.m - epoch_us(ts) AS DOUBLE)
+                               / 86400000000.0) / 30.0) * 1000000)
+                    AS BIGINT) AS wq,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events CROSS JOIN mx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR(CAST(SUM(wq) AS DOUBLE) / 1000000.0 * 10000 + 0.5)
+               / 10000 AS decayed_count,
+           FLOOR(CAST(SUM(wq * vc) AS DOUBLE) / 100000000.0 * 100
+                 + 0.5) / 100 AS decayed_value
+    FROM w GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Exponential time-decay aggregates (30-day half-life-style "
+    "recency weighting, the standard feature-store freshness "
+    "kernel): each row's weight exp(-age_days/30) is quantized to "
+    "1e-6 BIGINT units and its money value to integer cents "
+    "PER ROW, so both decayed sums are exact integer sums — "
+    "aggregation order cannot move them (a raw SUM(exp(..)*value) "
+    "drifts with partition count). Age is measured from the "
+    "data's own max timestamp, so the result is deterministic "
+    "with no wall-clock dependence; one map-side-combinable agg.",
+)
+def agg_decay_weighted(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    mx = e.agg(F.max("ts_us").alias("m"))
+    w = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.floor(
+            F.exp(
+                -((F.col("m") - F.col("ts_us")).cast("double") / 86400000000.0)
+                / 30.0
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("wq"),
+        cents("value").alias("vc"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            r(F.sum("wq").cast("double") / 1000000.0, 4).alias(
+                "decayed_count"
+            ),
+            r(
+                F.sum(F.col("wq") * F.col("vc")).cast("double")
+                / 100000000.0,
+                2,
+            ).alias("decayed_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -13476,6 +13763,9 @@ _DRIVER_ORDER = [
     "dedup_prefix_overlap_matrix",
     "events_burstiness_fano",
     "text_kl_source_divergence",
+    "text_heaps_exponent",
+    "events_autocorr_lag",
+    "agg_decay_weighted",
 ]
 
 def _rotate_registry() -> None:

@@ -261,6 +261,13 @@ AUDIT = {
     "dedup_prefix_overlap_matrix": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
     "events_burstiness_fano": {"expect": ["HashAggregate"], "forbid": []},
     "text_kl_source_divergence": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": []},
+    # r8 batch 3: heaps joins the tiny checkpoint table broadcast;
+    # autocorr's lag pairing must be an equi hash join on h+k (an
+    # inequality/cartesian lag join would explode); decay is one
+    # map-side-combinable agg over a broadcast max-ts row
+    "text_heaps_exponent": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    "events_autocorr_lag": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    "agg_decay_weighted": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
 }
 
 
