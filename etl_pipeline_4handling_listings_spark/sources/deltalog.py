@@ -1057,6 +1057,23 @@ def _list_log(log_dir: str) -> tuple[dict[int, str], dict[int, list]]:
     return entries, ckpts
 
 
+def _entry_commit_ts(path: str) -> float:
+    """Commit time of one log entry in epoch SECONDS:
+    ``commitInfo.inCommitTimestamp`` when the writer recorded one
+    (spec: it is the first action of the commit and authoritative
+    under the inCommitTimestamps feature), else the file mtime."""
+    try:
+        with open(path) as fh:
+            first = fh.readline()
+        ci = (json.loads(first) or {}).get("commitInfo") or {}
+        ict = ci.get("inCommitTimestamp")
+        if ict is not None:
+            return int(ict) / 1000.0
+    except (OSError, ValueError, AttributeError):
+        pass
+    return os.path.getmtime(path)
+
+
 def _resolve_version(
     log_dir: str,
     entries: dict[int, str],
@@ -1080,10 +1097,14 @@ def _resolve_version(
             ts = timestamp.timestamp()
         else:
             ts = float(timestamp)
-        # Delta's rule: latest entry whose log-file mtime <= ts
+        # Delta's rule: latest entry whose commit time <= ts. With
+        # the inCommitTimestamps feature the spec makes commitInfo.
+        # inCommitTimestamp (the entry's FIRST action) authoritative
+        # — file mtimes lie after log copies; entries without one
+        # (pre-enablement or foreign writers) fall back to mtime.
         best = None
         for v, p in sorted(entries.items()):
-            if os.path.getmtime(p) <= ts:
+            if _entry_commit_ts(p) <= ts:
                 best = v
         for v in sorted(ckpts):
             if (
@@ -1502,8 +1523,11 @@ def read_delta(
     replay per PROTOCOL.md, no delta-spark dependency.
 
     ``version`` / ``timestamp`` give Delta time travel (``VERSION
-    AS OF`` / ``TIMESTAMP AS OF``; timestamp resolution = log-file
-    modification time, Delta's own default).
+    AS OF`` / ``TIMESTAMP AS OF``; timestamp resolution prefers a
+    commit's ``commitInfo.inCommitTimestamp`` when the writer
+    recorded one — the inCommitTimestamps feature makes it
+    authoritative — falling back to log-file modification time,
+    Delta's classic default).
 
     Deletion vectors are APPLIED (spec decode in ``dvcodec``:
     Z85 + portable RoaringBitmap + the DV file framing) as a
@@ -2059,7 +2083,15 @@ def read_delta_changes(
         ts_ms = None
         for a in acts:
             ci = a.get("commitInfo")
-            if ci and ci.get("timestamp") is not None:
+            if ci is None:
+                continue
+            # spec: with the inCommitTimestamps writer feature, the
+            # monotonic inCommitTimestamp is THE commit time (file
+            # modification times can disagree after log copies);
+            # prefer it whenever a writer recorded one
+            if ci.get("inCommitTimestamp") is not None:
+                ts_ms = int(ci["inCommitTimestamp"])
+            elif ci.get("timestamp") is not None:
                 ts_ms = int(ci["timestamp"])
         if ts_ms is None:
             ts_ms = int(os.path.getmtime(entry) * 1000)

@@ -466,8 +466,14 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         ts_ms = None
         for a in acts:
             ci = a.get("commitInfo")
-            if ci and ci.get("timestamp") is not None:
-                ts_ms = int(ci["timestamp"])
+            if ci is not None:
+                # spec: the inCommitTimestamps feature's monotonic
+                # timestamp is THE commit time — prefer it over the
+                # best-effort wall-clock timestamp
+                if ci.get("inCommitTimestamp") is not None:
+                    ts_ms = int(ci["inCommitTimestamp"])
+                elif ci.get("timestamp") is not None:
+                    ts_ms = int(ci["timestamp"])
             elif a.get("protocol") is not None:
                 _py_check_protocol(a["protocol"])
             elif a.get("metaData") is not None:

@@ -530,6 +530,59 @@ def test_vacuum_protocol_check_feature_is_readable(spark, tmp_path):
     _py_check_protocol(proto)  # streaming-path twin: no raise
 
 
+def test_timestamp_travel_prefers_in_commit_timestamp(
+    spark, tmp_path
+):
+    """timestampAsOf resolution: an entry carrying
+    commitInfo.inCommitTimestamp (the inCommitTimestamps feature)
+    resolves by THAT time, not the log file's mtime — mtimes lie
+    after log copies/restores."""
+    f1 = _write_parquet_file(
+        spark, tmp_path, [(1, "a")], ["k", "v"], "f1.parquet"
+    )
+    f2 = _write_parquet_file(
+        spark, tmp_path, [(2, "b")], ["k", "v"], "f2.parquet"
+    )
+    tbl = str(tmp_path / "tbl")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("k", "long"), ("v", "string")),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    # v0 committed (per ICT) at t=1,000,000s; v1 at t=2,000,000s —
+    # regardless of what the files' mtimes say (both are "now")
+    _log_write(
+        tbl,
+        0,
+        [
+            {"commitInfo": {"inCommitTimestamp": 1_000_000_000}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+            {"add": {"path": "f1.parquet", "partitionValues": {}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    _log_write(
+        tbl,
+        1,
+        [
+            {"commitInfo": {"inCommitTimestamp": 2_000_000_000}},
+            {"add": {"path": "f2.parquet", "partitionValues": {}, "size": os.path.getsize(f2), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    # t between the two in-commit times -> v0 only (mtime would
+    # have said "no commit at or before" or resolved both)
+    got = read_delta(spark, tbl, timestamp=1_500_000)
+    assert sorted((r.k, r.v) for r in got.collect()) == [(1, "a")]
+    got = read_delta(spark, tbl, timestamp=2_000_001)
+    assert sorted((r.k, r.v) for r in got.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
 def test_read_foreign_deletion_vectors_all_storage_types(
     spark, tmp_path
 ):

@@ -560,6 +560,35 @@ def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
     assert r2.latestOffset() == {"version": 1, "snap": True}
 
 
+def test_in_commit_timestamp_preferred_for_cdf(spark, tmp_path):
+    """With the inCommitTimestamps writer feature, the monotonic
+    commitInfo.inCommitTimestamp is THE commit time per spec — the
+    change-feed metadata must prefer it over the best-effort
+    wall-clock timestamp field."""
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        DeltaTailStreamReader,
+    )
+
+    tbl = _mk_table(spark, tmp_path)
+    f3 = _write_parquet_file(
+        spark, tbl, [(3, "c")], ["k", "v"], "f3.parquet"
+    )
+    _log_write(
+        tbl,
+        1,
+        [
+            {"commitInfo": {"timestamp": 1111, "inCommitTimestamp": 2222}},
+            {"add": _add("f3.parquet", f3)},
+        ],
+    )
+    r = DeltaTailStreamReader(
+        None, {"path": tbl, "readchangefeed": "true"}
+    )
+    parts = r._commit_changes(1)
+    assert len(parts) == 1
+    assert parts[0].ts_ms == 2222
+
+
 def test_read_path_is_arrow_batched():
     """The data plane must stay Arrow: no whole-file to_pylist /
     per-row Python emit in the streaming tail source."""
