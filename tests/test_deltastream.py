@@ -627,6 +627,50 @@ def test_tail_streams_mergestore_exported_log(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (3, "c")}
 
 
+def test_tail_checkpointed_log_with_cleaned_json(spark, tmp_path):
+    """The realistic long-lived foreign table: the log has a parquet
+    checkpoint and the pre-checkpoint JSON entries were cleaned up
+    (Delta's metadata retention). The snapshot batch replays from
+    the checkpoint (pure-Python, no delta-spark), and the stream
+    then tails new commits appended after it."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        export_delta_log,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+    )
+
+    store = MergeStore(spark, str(tmp_path / "store"), keys=["k"])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)  # v1
+    store.append(spark.createDataFrame([(3, "c")], ["k", "v"]))  # v2
+    export_delta_log(store)
+    log_dir = os.path.join(store.path, "_delta_log")
+    ckpts = [
+        n for n in os.listdir(log_dir) if n.endswith(".checkpoint.parquet")
+    ]
+    assert ckpts, "export should have produced a classic checkpoint"
+    ckv = int(ckpts[0].split(".")[0])
+    # the exported log already has Delta's retained shape: history
+    # at/below the checkpoint exists ONLY in the checkpoint parquet
+    # (no JSON entries to fall back to)
+    assert not [
+        n
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and int(n.split(".")[0]) < ckv
+    ]
+    register_delta_tail(spark)
+    ckpt, out = str(tmp_path / "ck_ckpt"), str(tmp_path / "out_ckpt")
+    got = _run_pass(spark, store.path, out, ckpt)
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # a commit appended after the checkpoint tails normally
+    store.append(spark.createDataFrame([(4, "d")], ["k", "v"]))
+    export_delta_log(store)
+    got = _run_pass(spark, store.path, out, ckpt)
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+
 def test_py_snapshot_same_commit_remove_and_readd(spark, tmp_path):
     """The pure-Python replay applies the spec's reconciliation:
     within one commit the add wins over the remove of the same path,
