@@ -1231,6 +1231,173 @@ def _diff_side(partition: _DiffPartition, version: str, fields) -> dict:
     return rows
 
 
+def _read_side_table(partition: _DiffPartition, version: str, fields):
+    """One side of the diff as a single Arrow table aligned to
+    ``fields`` (DVs applied, partition value injected, missing
+    columns as nulls, bucket filter applied per FILE so peak memory
+    is one file plus this bucket's survivors)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(fields)
+    dv = _dv_map(partition.path, version)
+    vdir = _version_dir(partition.path, version)
+    nb = getattr(partition, "n_buckets", 1)
+    chunks = []
+    for rel in _manifest_relpaths(partition.path, version):
+        if partition.prefix and not rel.startswith(partition.prefix):
+            continue
+        table = pq.read_table(os.path.join(vdir, rel))
+        dead = dv.get(rel, set())
+        if dead:
+            keep = [i for i in range(table.num_rows) if i not in dead]
+            table = table.take(pa.array(keep, type=pa.int64()))
+        head = os.path.dirname(rel)
+        pcol_name = pcol_val = None
+        if "=" in head:
+            name, raw = os.path.basename(head).split("=", 1)
+            pcol_name = name
+            f = next(
+                (f for f in fields.fields if f.name == name), None
+            )
+            pcol_val = _partition_value(f, raw) if f is not None else raw
+        n = table.num_rows
+        cols = []
+        for field in arrow_schema:
+            if field.name in table.column_names:
+                cols.append(table.column(field.name))
+            elif field.name == pcol_name:
+                cols.append(pa.array([pcol_val] * n).cast(field.type))
+            else:  # schema evolution: pre-evolution file lacks it
+                cols.append(pa.nulls(n, type=field.type))
+        aligned = pa.table(
+            cols, names=[f.name for f in arrow_schema]
+        ).cast(arrow_schema)
+        if nb > 1 and n:
+            keycols = [
+                aligned.column(k).to_pylist() for k in partition.keys
+            ]
+            mask = pa.array(
+                _key_bucket(key, nb) == partition.bucket
+                for key in zip(*keycols)
+            )
+            aligned = aligned.filter(mask)
+        chunks.append(aligned)
+    if not chunks:
+        return arrow_schema.empty_table()
+    return pa.concat_tables(chunks)
+
+
+def _diff_rows_arrow(partition: _DiffPartition, cdc_schema: StructType):
+    """Arrow data plane for one diff partition: full-outer join the
+    two snapshot sides on the merge keys, classify
+    insert/update_postimage/delete with vectorized null- and
+    NaN-safe comparisons, and yield RecordBatches — no per-row
+    Python. Requires scalar (non-nested) columns and unique keys
+    per side (the store's merge invariant; the dict fallback
+    collapses duplicate keys last-wins instead)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    fields = StructType(cdc_schema.fields[:-2])
+    keys = partition.keys
+    names = [f.name for f in fields.fields]
+    vals = [n for n in names if n not in keys]
+    old = _read_side_table(partition, partition.v_old, fields)
+    new = _read_side_table(partition, partition.v_new, fields)
+    old = old.append_column(
+        "__o", pa.array([True] * old.num_rows, type=pa.bool_())
+    )
+    new = new.append_column(
+        "__n", pa.array([True] * new.num_rows, type=pa.bool_())
+    )
+    j = old.join(
+        new,
+        keys=keys,
+        join_type="full outer",
+        left_suffix="__L",
+        right_suffix="__R",
+        coalesce_keys=True,
+    )
+    if j.num_rows == 0:
+        return
+    in_old = pc.fill_null(j.column("__o"), False)
+    in_new = pc.fill_null(j.column("__n"), False)
+
+    def col(name, side):
+        suffixed = f"{name}__{side}"
+        return j.column(
+            suffixed if suffixed in j.column_names else name
+        )
+
+    def nullsafe_eq(a, b):
+        eq = pc.fill_null(pc.equal(a, b), False)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        out = pc.or_(eq, both_null)
+        if pa.types.is_floating(a.type):
+            # NaN != NaN but the row is unchanged
+            nan_a = pc.fill_null(pc.is_nan(a), False)
+            nan_b = pc.fill_null(pc.is_nan(b), False)
+            out = pc.or_(out, pc.and_(nan_a, nan_b))
+        return out
+
+    changed = pa.array([False] * j.num_rows, type=pa.bool_())
+    for n in vals:
+        a = col(n, "L").combine_chunks()
+        b = col(n, "R").combine_chunks()
+        changed = pc.or_(changed, pc.invert(nullsafe_eq(a, b)))
+    classes = [
+        ("insert", pc.and_(pc.invert(in_old), in_new), "R"),
+        (
+            "update_postimage",
+            pc.and_(pc.and_(in_old, in_new), changed),
+            "R",
+        ),
+        ("delete", pc.and_(in_old, pc.invert(in_new)), "L"),
+    ]
+    out_schema = to_arrow_schema(cdc_schema)
+    for ctype, mask, side in classes:
+        sub = j.filter(mask)
+        if sub.num_rows == 0:
+            continue
+        cols = []
+        for f in fields.fields:
+            src = (
+                sub.column(f.name)
+                if f.name in keys
+                else sub.column(
+                    f"{f.name}__{side}"
+                    if f"{f.name}__{side}" in sub.column_names
+                    else f.name
+                )
+            )
+            cols.append(src)
+        m = sub.num_rows
+        cols.append(pa.array([ctype] * m, type=pa.string()))
+        cols.append(
+            pa.array([partition.v_new] * m, type=pa.string())
+        )
+        out = pa.table(
+            cols, names=[f.name for f in out_schema]
+        ).cast(out_schema)
+        yield from out.to_batches()
+
+
+def _arrow_diffable(cdc_schema: StructType) -> bool:
+    """The Arrow diff needs every column comparable/joinable by
+    acero: scalar types only — nested columns fall back to the
+    dict-based diff (correct, Python-speed)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    return not any(
+        isinstance(f.dataType, (ArrayType, MapType, _St))
+        for f in cdc_schema.fields
+    )
+
+
 def _diff_rows(partition: _DiffPartition, cdc_schema: StructType):
     """insert/update_postimage/delete tuples for one diff partition
     (``cdc_schema`` ends with _change_type, _commit_version)."""
@@ -1350,6 +1517,8 @@ class MergeStoreCDCStreamReader(DataSourceStreamReader):
     def read(self, partition: _DiffPartition) -> Iterator:
         if partition is None:  # planner placeholder: empty batch
             return iter(())
+        if _arrow_diffable(self.schema_):
+            return _diff_rows_arrow(partition, self.schema_)
         return _diff_rows(partition, self.schema_)
 
 
@@ -1381,6 +1550,8 @@ class MergeStoreCDCBatchReader(DataSourceReader):
             # (startingVersion == endingVersion: a legitimate empty
             # range, not an error)
             return iter(())
+        if _arrow_diffable(self.schema_):
+            return _diff_rows_arrow(partition, self.schema_)
         return _diff_rows(partition, self.schema_)
 
 

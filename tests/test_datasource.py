@@ -191,7 +191,67 @@ def test_cdc_stream_rate_limit_bounds_batches(spark, tmp_path):
     assert got == {(1, "insert", "v00001")}
 
 
-def test_cdc_diff_bucketing_bounds_state(spark, tmp_path):
+def test_cdc_arrow_diff_matches_dict_diff_and_nested_falls_back(
+    spark, tmp_path
+):
+    """The Arrow full-outer-join diff and the dict diff must agree
+    row-for-row on scalar schemas (incl. null and NaN transitions),
+    and a NESTED column schema routes to the dict fallback."""
+    from pyspark.sql.types import ArrayType
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        _arrow_diffable,
+        _cdc_schema,
+        _diff_rows,
+        _diff_rows_arrow,
+        _plan_diff_partitions,
+    )
+
+    rows = [
+        (1, "a", 1.0),
+        (2, None, float("nan")),
+        (3, "c", 3.0),
+        (4, "d", None),
+    ]
+    store2 = MergeStore(spark, str(tmp_path / "s2"), keys=["k"])
+    df = spark.createDataFrame(rows, ["k", "v", "x"])
+    store2.create_if_absent(df)
+    store2.merge(df)  # v1
+    store2.merge(
+        spark.createDataFrame(
+            [
+                (1, "a", 1.0),            # unchanged
+                (2, None, float("nan")),  # unchanged (NaN == NaN)
+                (3, None, 3.0),           # update: value -> null
+                (5, "e", 5.0),            # insert
+            ],
+            ["k", "v", "x"],
+        )
+    )  # v2
+    store2.delete("k = 4")  # v3
+    schema = _cdc_schema(store2.path)
+    assert _arrow_diffable(schema)
+    for part in _plan_diff_partitions(store2.path, 1, 3, ["k"]):
+        via_dict = set(_diff_rows(part, schema))
+        via_arrow = set()
+        for batch in _diff_rows_arrow(part, schema):
+            for r_ in batch.to_pylist():
+                via_arrow.add(tuple(r_.values()))
+
+        def norm(ts):
+            # NaN != NaN breaks set comparison — canonicalize
+            return {
+                tuple(
+                    "NaN" if isinstance(c, float) and c != c else c
+                    for c in t
+                )
+                for t in ts
+            }
+
+        assert norm(via_arrow) == norm(via_dict)
+    # nested column -> fallback (correct, Python-speed)
+    nested = _cdc_schema(store2.path)
+    nested.fields[1].dataType = ArrayType(nested.fields[1].dataType)
+    assert not _arrow_diffable(nested)
     """An UNPARTITIONED store's snapshot diff must not hold two full
     table versions in one Python task: with a small
     maxBytesPerDiffPartition the planner key-hash-buckets each diff
