@@ -193,8 +193,12 @@ def _manifest_relpaths(path: str, version: str) -> list[str]:
         return sorted(rels)
 
 
-def _dv_map(path: str, version: str) -> dict[str, set]:
-    """file relpath -> set of soft-deleted row positions."""
+def _dv_map(path: str, version: str, prefix: str = "") -> dict[str, set]:
+    """file relpath -> set of soft-deleted row positions. ``prefix``
+    restricts the map to one partition directory so a
+    partition-scoped task never holds the whole table's DV state
+    (the unpartitioned case still loads it all — bounded by
+    not-yet-compacted deletes, which OPTIMIZE folds away)."""
     import pyarrow.parquet as pq
 
     dvdir = os.path.join(_version_dir(path, version), _DV)
@@ -213,6 +217,8 @@ def _dv_map(path: str, version: str) -> dict[str, set]:
             t.column("_dv_file").to_pylist(),
             t.column("_dv_pos").to_pylist(),
         ):
+            if prefix and not rel.startswith(prefix):
+                continue
             out.setdefault(rel, set()).add(pos)
     return out
 
@@ -1216,7 +1222,7 @@ def _diff_side(partition: _DiffPartition, version: str, fields) -> dict:
     """One side of the diff: key tuple -> schema-projected row dict,
     restricted to the partition prefix and (when bucketed) to this
     task's key-hash bucket, DVs applied."""
-    dv = _dv_map(partition.path, version)
+    dv = _dv_map(partition.path, version, partition.prefix)
     vdir = _version_dir(partition.path, version)
     nb = getattr(partition, "n_buckets", 1)
     rows: dict = {}
@@ -1241,7 +1247,7 @@ def _read_side_table(partition: _DiffPartition, version: str, fields):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(fields)
-    dv = _dv_map(partition.path, version)
+    dv = _dv_map(partition.path, version, partition.prefix)
     vdir = _version_dir(partition.path, version)
     nb = getattr(partition, "n_buckets", 1)
     chunks = []
