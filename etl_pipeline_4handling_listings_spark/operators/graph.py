@@ -61,6 +61,46 @@ def orient_edges(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     )
 
 
+def node_triangles(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Per-node triangle counts of an undirected graph — the same
+    compact-forward (degree-oriented, map-side intersection) plan
+    as :func:`triangle_stats`, with each closed triangle EXPLODED
+    to its three member vertices before one count agg. Nodes in no
+    triangle are absent (join + coalesce at the caller). The
+    orientation keeps out-adjacency arrays O(sqrt(2m)) so the
+    explode fan-out is exactly 3x the triangle count, never a
+    wedge enumeration."""
+    oriented = orient_edges(edges, src, dst)
+    adj = oriented.groupBy("a").agg(
+        F.array_sort(F.collect_list("b")).alias("nbrs")
+    )
+    closed = (
+        oriented.select("a", "b")
+        .join(
+            adj.select(F.col("a").alias("_ja"), F.col("nbrs").alias("na")),
+            F.col("a") == F.col("_ja"),
+        )
+        .join(
+            adj.select(F.col("a").alias("_jb"), F.col("nbrs").alias("nb")),
+            F.col("b") == F.col("_jb"),
+        )
+        .select(
+            "a",
+            "b",
+            F.explode(F.array_intersect("na", "nb")).alias("c"),
+        )
+    )
+    return (
+        closed.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+
+
 def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """Global triangle census of an undirected graph.
 

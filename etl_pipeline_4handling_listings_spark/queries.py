@@ -13493,6 +13493,153 @@ def agg_decay_weighted(spark, sf_dir):
     )
 
 
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT user_id, event_type,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events
+    ),
+    edges AS (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM pres a JOIN pres b
+          ON a.event_type = b.event_type AND a.h = b.h
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pertri AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y AS node FROM tri
+            UNION ALL SELECT z AS node FROM tri
+        ) GROUP BY node
+    )
+    SELECT deg.node, deg.degree,
+           COALESCE(pertri.triangles, 0) AS triangles,
+           FLOOR(CAST(2 * COALESCE(pertri.triangles, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS clustering
+    FROM deg LEFT JOIN pertri USING (node)
+    WHERE deg.degree >= 2
+    ORDER BY deg.degree DESC, deg.node
+    LIMIT 20
+    """,
+    doc="Local clustering coefficient (2*triangles / d*(d-1)) of "
+    "the 20 highest-degree users in the co-activity graph — the "
+    "community-density probe next to the triangle census. Spark "
+    "side reuses the session-cached co-presence edges and the "
+    "compact-forward per-node triangle operator "
+    "(operators/graph.node_triangles: degree orientation bounds "
+    "out-adjacency at O(sqrt(2m)), each closed triangle explodes "
+    "to exactly its 3 members — never a wedge enumeration, unlike "
+    "the oracle's triple join which is fine at oracle scale). "
+    "Integer counts until one final rounded ratio.",
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.graph import (
+        _degrees,
+        node_triangles,
+    )
+
+    e = _copresence_edges_cached(spark, sf_dir)
+    deg = _degrees(e, "u", "v").select(
+        "node", F.col("deg").cast("long").alias("degree")
+    )
+    tri = node_triangles(e, "u", "v")
+    coeff = (2 * F.coalesce(F.col("triangles"), F.lit(0))).cast(
+        "double"
+    ) / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+    return (
+        deg.join(tri, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias(
+                "triangles"
+            ),
+            r(coeff, 6).alias("clustering"),
+        )
+        .orderBy(F.desc("degree"), "node")
+        .limit(20)
+    )
+
+
+@query(
+    "text_sentence_len_profile",
+    oracle=r"""
+    WITH sent AS (
+        SELECT source, trim(s) AS s FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+            FROM documents
+        ) WHERE trim(s) <> ''
+    ),
+    w AS (
+        SELECT source,
+               CAST(len(regexp_split_to_array(s, '\s+')) AS BIGINT)
+                   AS nw
+        FROM sent
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(nw) AS BIGINT) AS n_words,
+           FLOOR(CAST(SUM(nw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS avg_words,
+           CAST(MAX(nw) AS BIGINT) AS max_words
+    FROM w GROUP BY source ORDER BY source
+    """,
+    doc="Sentence-length profile per source (split on [.!?]+, "
+    "empty fragments dropped): sentence and word counts are exact "
+    "integers, the mean is one final floored ratio — the "
+    "readability/quality probe curation teams run next to the "
+    "repetition and entropy signals (machine-generated or OCR "
+    "text shows degenerate sentence lengths). One map-side "
+    "explode, one agg keyed by source.",
+)
+def text_sentence_len_profile(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    sent = (
+        d.select(
+            "source",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s0"),
+        )
+        .select("source", F.trim(F.col("s0")).alias("s"))
+        .filter(F.col("s") != "")
+    )
+    w = sent.select(
+        "source",
+        F.size(F.split(F.col("s"), r"\s+")).cast("long").alias("nw"),
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.sum("nw").cast("long").alias("n_words"),
+            r(
+                F.sum("nw").cast("double")
+                / F.count("*").cast("double"),
+                4,
+            ).alias("avg_words"),
+            F.max("nw").cast("long").alias("max_words"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -13766,6 +13913,8 @@ _DRIVER_ORDER = [
     "text_heaps_exponent",
     "events_autocorr_lag",
     "agg_decay_weighted",
+    "graph_clustering_coefficient",
+    "text_sentence_len_profile",
 ]
 
 def _rotate_registry() -> None:

@@ -268,6 +268,12 @@ AUDIT = {
     "text_heaps_exponent": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
     "events_autocorr_lag": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
     "agg_decay_weighted": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
+    # r8 batch 4: clustering reuses the cached oriented edge build —
+    # per-node triangles must stay the compact-forward shape (top-20
+    # TakeOrdered at the end); the sentence profile is one explode +
+    # one keyed agg
+    "graph_clustering_coefficient": {"expect": ["TakeOrderedAndProject"], "forbid": ["CartesianProduct"]},
+    "text_sentence_len_profile": {"expect": ["HashAggregate", "Generate"], "forbid": []},
 }
 
 
