@@ -13685,56 +13685,17 @@ def text_sentence_len_profile(spark, sf_dir):
 # =====================================================================
 
 _DRIVER_ORDER = [
-    "corpus_epoch_shuffle",
-    "text_zipf_exponent",
-    "graph_degree_assortativity",
-    "udf_pandas_scalar",
-    "udf_grouped_ols",
-    "outlier_mad",
-    "text_repetition_signals",
-    "layout_zorder",
-    "incr_agg_merge",
-    "events_sliding_distinct",
-    "scalar_struct_suite",
-    "scd2_intervals",
-    "scd2_point_in_time",
-    "dedup_crossdoc_spans",
-    "corpus_mix_weights",
-    "ann_rp_lsh",
-    "ann_ivf",
-    "skew_salted_agg",
-    "embedding_label_centroids",
-    "scalar_map_suite",
-    "scalar_array_setops",
-    "s10_schema_enforce",
-    "snapshot_column_diff",
-    "q2_min_cost_supplier",
-    "events_ohlc_bars",
-    "sql_interface",
-    "text_token_count_bpe",
-    "doc_corpus_rollup",
-    "sample_per_key_quota",
-    "sample_hash_split",
-    "j_semi_join",
-    "j_anti_join",
-    "profile_table",
-    "dedup_clusters",
-    "corpus_curation",
-    "events_top_users",
-    "events_funnel",
-    "agg_rollup",
-    "agg_pivot",
-    "agg_percentiles",
-    "q10_returned_items",
-    "q12_conditional_buckets",
-    "q14_promo_share",
-    "q19_disjunctive_predicates",
-    "w_moving_average",
-    "w_rank_family",
-    "text_word_count_top20",
-    "q22_dormant_customers",
-    "mm_binary_metadata",
-    "asof_backward_join",
+    "text_freq_spectrum",
+    "stats_spearman_corr",
+    "corpus_ngram_novelty",
+    "dedup_prefix_overlap_matrix",
+    "events_burstiness_fano",
+    "text_kl_source_divergence",
+    "text_heaps_exponent",
+    "events_autocorr_lag",
+    "agg_decay_weighted",
+    "graph_clustering_coefficient",
+    "text_sentence_len_profile",
     "asof_forward_join",
     "range_interval_join",
     "q4_order_priority",
@@ -13902,19 +13863,56 @@ _DRIVER_ORDER = [
     "agg_ntile_stats",
     "dedup_decontaminate",
     "text_unigram_logprob",
-    # round-8 additions (behind slot 50 per the registry-growth
-    # discipline: never ahead of queries awaiting certification)
-    "text_freq_spectrum",
-    "stats_spearman_corr",
-    "corpus_ngram_novelty",
-    "dedup_prefix_overlap_matrix",
-    "events_burstiness_fano",
-    "text_kl_source_divergence",
-    "text_heaps_exponent",
-    "events_autocorr_lag",
-    "agg_decay_weighted",
-    "graph_clustering_coefficient",
-    "text_sentence_len_profile",
+    "corpus_epoch_shuffle",
+    "text_zipf_exponent",
+    "graph_degree_assortativity",
+    "udf_pandas_scalar",
+    "udf_grouped_ols",
+    "outlier_mad",
+    "text_repetition_signals",
+    "layout_zorder",
+    "incr_agg_merge",
+    "events_sliding_distinct",
+    "scalar_struct_suite",
+    "scd2_intervals",
+    "scd2_point_in_time",
+    "dedup_crossdoc_spans",
+    "corpus_mix_weights",
+    "ann_rp_lsh",
+    "ann_ivf",
+    "skew_salted_agg",
+    "embedding_label_centroids",
+    "scalar_map_suite",
+    "scalar_array_setops",
+    "s10_schema_enforce",
+    "snapshot_column_diff",
+    "q2_min_cost_supplier",
+    "events_ohlc_bars",
+    "sql_interface",
+    "text_token_count_bpe",
+    "doc_corpus_rollup",
+    "sample_per_key_quota",
+    "sample_hash_split",
+    "j_semi_join",
+    "j_anti_join",
+    "profile_table",
+    "dedup_clusters",
+    "corpus_curation",
+    "events_top_users",
+    "events_funnel",
+    "agg_rollup",
+    "agg_pivot",
+    "agg_percentiles",
+    "q10_returned_items",
+    "q12_conditional_buckets",
+    "q14_promo_share",
+    "q19_disjunctive_predicates",
+    "w_moving_average",
+    "w_rank_family",
+    "text_word_count_top20",
+    "q22_dormant_customers",
+    "mm_binary_metadata",
+    "asof_backward_join",
 ]
 
 def _rotate_registry() -> None:
