@@ -12832,27 +12832,45 @@ def text_freq_spectrum(spark, sf_dir):
 @query(
     "stats_spearman_corr",
     oracle=f"""
-    WITH ranked AS (
-        SELECT l_returnflag AS flag,
-               2 * RANK() OVER (PARTITION BY l_returnflag
-                                ORDER BY l_quantity)
-                 + COUNT(*) OVER (PARTITION BY l_returnflag,
-                                  l_quantity) - 1 AS rx2,
-               2 * RANK() OVER (PARTITION BY l_returnflag
-                                ORDER BY l_extendedprice)
-                 + COUNT(*) OVER (PARTITION BY l_returnflag,
-                                  l_extendedprice) - 1 AS ry2
-        FROM lineitem
+    WITH joint AS (
+        SELECT l_returnflag AS flag, l_quantity AS qv,
+               l_extendedprice AS pv, COUNT(*) AS cnt
+        FROM lineitem GROUP BY flag, qv, pv
+    ),
+    hx AS (
+        SELECT flag, qv, SUM(cnt) AS c FROM joint GROUP BY flag, qv
+    ),
+    rx AS (
+        SELECT flag, qv,
+               2 * COALESCE(SUM(c) OVER (
+                   PARTITION BY flag ORDER BY qv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + c + 1 AS rx2
+        FROM hx
+    ),
+    hy AS (
+        SELECT flag, pv, SUM(cnt) AS c FROM joint GROUP BY flag, pv
+    ),
+    ry AS (
+        SELECT flag, pv,
+               2 * COALESCE(SUM(c) OVER (
+                   PARTITION BY flag ORDER BY pv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + c + 1 AS ry2
+        FROM hy
     ),
     m AS (
         SELECT flag,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(rx2) AS BIGINT) AS sx,
-               CAST(SUM(ry2) AS BIGINT) AS sy,
-               CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
-               CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
-               CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
-        FROM ranked GROUP BY flag
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               SUM(CAST(cnt AS HUGEINT) * rx2) AS sx,
+               SUM(CAST(cnt AS HUGEINT) * ry2) AS sy,
+               SUM(CAST(cnt AS HUGEINT) * rx2 * ry2) AS sxy,
+               SUM(CAST(cnt AS HUGEINT) * rx2 * rx2) AS sxx,
+               SUM(CAST(cnt AS HUGEINT) * ry2 * ry2) AS syy
+        FROM joint
+        JOIN rx USING (flag, qv)
+        JOIN ry USING (flag, pv)
+        GROUP BY flag
     )
     SELECT flag, n,
            {sql_r('(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
@@ -12866,41 +12884,79 @@ def text_freq_spectrum(spark, sf_dir):
     ORDER BY flag
     """,
     doc="Spearman rank correlation with ties-correct AVERAGE ranks "
-    "(quantity vs price per return flag): avg rank = min-rank + "
-    "(tie-count-1)/2, DOUBLED so every rank is an exact integer — "
-    "Pearson is scale-invariant, so corr(2r_x, 2r_y) = corr(r_x, "
-    "r_y) and all five moments are exact BIGINT sums no "
-    "partial-agg order can move (the repo's integer-moment "
-    "pattern; a naive corr() over doubles is order-dependent). "
-    "Two rank windows per group partition once on the flag; the "
-    "moment agg is a single map-side-combinable reduce.",
+    "(quantity vs price per return flag). Scale design (the "
+    "stats_mannwhitney_u histogram pattern): ranks are NEVER "
+    "assigned to the raw row stream — the scan collapses to an "
+    "exact joint (flag, quantity, price) count histogram first "
+    "(map-side-combinable), both marginal rank maps derive from "
+    "that histogram with cumulative-count windows whose frame is "
+    "bounded by the VALUE GRID (50 quantities / the price grid "
+    "per flag), not the data, and the rank maps join back onto "
+    "the joint histogram, so no task ever sorts or carries the "
+    "row stream. Doubled avg rank 2*cb+c+1 keeps every rank an "
+    "exact integer (Pearson is scale-invariant, corr(2rx,2ry) = "
+    "corr(rx,ry)); the five moments accumulate in DECIMAL(38,0) "
+    "(HUGEINT on the oracle side) because sum(cnt*rx2^2) grows "
+    "like 4n^3 and exceeds BIGINT near n~1.9M rows per flag — "
+    "exact to n~1e12, and partial-agg order cannot move integer "
+    "sums. The only float is the final Pearson expression, "
+    "mirrored op-for-op and quantized at 1e-6.",
 )
 def stats_spearman_corr(spark, sf_dir):
-    li = tbl(spark, sf_dir, "lineitem")
-    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    cq = Window.partitionBy("l_returnflag", "l_quantity")
-    cp = Window.partitionBy("l_returnflag", "l_extendedprice")
-    ranked = li.select(
-        F.col("l_returnflag").alias("flag"),
-        (
-            2 * F.rank().over(wq).cast("long")
-            + F.count("*").over(cq).cast("long")
-            - 1
-        ).alias("rx2"),
-        (
-            2 * F.rank().over(wp).cast("long")
-            + F.count("*").over(cp).cast("long")
-            - 1
-        ).alias("ry2"),
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        persist_slot,
     )
-    m = ranked.groupBy("flag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("rx2").alias("sx"),
-        F.sum("ry2").alias("sy"),
-        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
-        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qv"),
+        F.col("l_extendedprice").alias("pv"),
+    )
+    # one scan: the joint histogram feeds three branches (both
+    # marginal rank maps and the moment join) — persist it so the
+    # lineitem scan and the joint agg run once, not three times
+    joint = persist_slot(
+        "spearman_joint",
+        li.groupBy("flag", "qv", "pv").agg(F.count("*").alias("cnt")),
+    )
+    wb = lambda col: (  # noqa: E731 — cumulative count BELOW the value
+        Window.partitionBy("flag")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hx = joint.groupBy("flag", "qv").agg(F.sum("cnt").alias("c"))
+    rx = hx.select(
+        "flag",
+        "qv",
+        (
+            2 * F.coalesce(F.sum("c").over(wb("qv")), F.lit(0))
+            + F.col("c")
+            + 1
+        ).cast("long").alias("rx2"),
+    )
+    hy = joint.groupBy("flag", "pv").agg(F.sum("cnt").alias("c"))
+    ry = hy.select(
+        "flag",
+        "pv",
+        (
+            2 * F.coalesce(F.sum("c").over(wb("pv")), F.lit(0))
+            + F.col("c")
+            + 1
+        ).cast("long").alias("ry2"),
+    )
+    cw = F.col("cnt").cast("decimal(38,0)")
+    m = (
+        joint.join(rx, ["flag", "qv"])
+        .join(ry, ["flag", "pv"])
+        .groupBy("flag")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(cw * F.col("rx2")).alias("sx"),
+            F.sum(cw * F.col("ry2")).alias("sy"),
+            F.sum(cw * F.col("rx2") * F.col("ry2")).alias("sxy"),
+            F.sum(cw * F.col("rx2") * F.col("rx2")).alias("sxx"),
+            F.sum(cw * F.col("ry2") * F.col("ry2")).alias("syy"),
+        )
     )
     num = F.col("n").cast("double") * F.col("sxy").cast(
         "double"

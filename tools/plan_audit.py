@@ -248,9 +248,12 @@ AUDIT = {
     # plan for scalar attachment, so only CartesianProduct is banned
     "graph_degree_assortativity": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
     # r8 additions: spectrum ends in a tiny top-15 TakeOrdered over
-    # the count-of-counts agg; spearman is two windows + one
-    # integer-moment reduce; novelty re-shuffles on the gram key
-    # only (distinct -> spread -> attribution), never all-pairs
+    # the count-of-counts agg; spearman (re-shaped r9) collapses to
+    # a joint value histogram FIRST, so its two rank windows run on
+    # the histogram frame — the plan must show the pre-window
+    # HashAggregate — then one integer-moment reduce; novelty
+    # re-shuffles on the gram key only (distinct -> spread ->
+    # attribution), never all-pairs
     "text_freq_spectrum": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": []},
     "stats_spearman_corr": {"expect": ["Window", "HashAggregate"], "forbid": []},
     "corpus_ngram_novelty": {"expect": ["HashAggregate"], "forbid": []},
