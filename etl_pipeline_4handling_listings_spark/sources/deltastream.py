@@ -11,7 +11,11 @@ from it):
   (live adds after log replay, deletion vectors APPLIED), then each
   micro-batch carries the adds of newly committed versions.
   ``.option("startingVersion", n)`` skips the snapshot and tails
-  from version ``n`` onward instead.
+  from version ``n`` onward instead;
+  ``.option("startingTimestamp", ts)`` resolves ``n`` as the
+  earliest commit at or after ``ts`` via the authoritative commit
+  time (``inCommitTimestamp`` when recorded, else entry mtime —
+  the ``timestampAsOf`` resolver).
 - **Append-only discipline** (Delta's default): a tailed commit that
   REMOVES data with ``dataChange=true`` is a named error —
   ``.option("ignoreDeletes", "true")`` skips delete-only commits,
@@ -31,11 +35,17 @@ from it):
 - **Rate limiting**: ``.option("maxCommitsPerTrigger", n)`` caps how
   many commits one micro-batch drains (Delta's maxFilesPerTrigger
   analogue at commit granularity) and
-  ``.option("maxBytesPerTrigger", n)`` is Delta's soft byte cap —
-  commits are admitted until their cumulative add sizes exceed the
-  budget, always at least one — so a restarted stream facing a
-  long backlog catches up in bounded batches instead of one giant
-  plan. The Python stream-reader API plans the first post-restart
+  ``.option("maxBytesPerTrigger", n)`` is Delta's soft byte cap at
+  FILE granularity: files are admitted in commit order until their
+  cumulative sizes reach the budget (the file that crosses it is
+  still admitted — soft cap, always at least one), and the cut may
+  land INSIDE a commit — the offset then carries an intra-commit
+  ``index``, exactly Delta's own ``(reservoirVersion, index)``
+  model, so one giant backfill commit (50k files) streams as many
+  bounded batches instead of one giant plan. In change-feed mode
+  the sizes counted are the emitted units' (cdc files / derived
+  insert+delete files), so delete-heavy cdc streams are capped
+  too. The Python stream-reader API plans the first post-restart
   batch before the reader learns its checkpointed position, so that
   batch is uncapped UNLESS ``.option("offsetStateDir", dir)`` names
   a directory the reader may own: ``commit()`` then persists the
@@ -57,8 +67,11 @@ RecordBatches (DV mask via ``take``, physical->logical projection,
 partition values and CDF metadata as constant Arrow columns — no
 per-row Python).
 Exactly-once comes from Spark's offset checkpointing: offsets are
-``{"version": n, "snap": bool}`` and replay of a committed range
-reproduces the same files.
+``{"version": n, "snap": bool}`` plus an optional intra-commit
+``"index"`` (the count of version n's emitted units already
+consumed; absent = the commit is fully consumed), and replay of a
+committed range reproduces the same files — the per-commit unit
+list is the deterministic order of the commit's log entry.
 
 Column mapping: ``name`` mode projects fields from their physical
 parquet names into logical ones (partitionValues key by physical
@@ -81,6 +94,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from .deltalog import (
+    _first_version_at_or_after,
     _latest_log_version,
     _LOG_DIR,
     _py_actions,
@@ -229,7 +243,7 @@ def _add_partition(
     dv = add.get("deletionVector")
     if dv is not None and dv.get("storageType") is None:
         dv = None
-    return _TailPartition(
+    part = _TailPartition(
         table_path,
         abs_path,
         add.get("partitionValues"),
@@ -237,6 +251,11 @@ def _add_partition(
         phys,
         **cdf_kw,
     )
+    # planner metadata: the action's recorded file size feeds the
+    # maxBytesPerTrigger walk (add/cdc carry it per spec; remove's
+    # is optional — 0 then, the cap stays soft)
+    part.size = int(add.get("size") or 0)
+    return part
 
 
 def _entry_actions(log_dir: str, v: int) -> list[dict]:
@@ -269,6 +288,20 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         start = options.get(
             "startingversion", options.get("startingVersion")
         )
+        sts = options.get(
+            "startingtimestamp", options.get("startingTimestamp")
+        )
+        if sts is not None:
+            if start is not None:
+                raise ValueError(
+                    "pass startingVersion OR startingTimestamp, "
+                    "not both"
+                )
+            # Delta's streaming-source rule: earliest commit at or
+            # after the timestamp (before-all -> earliest entry),
+            # resolved through the inCommitTimestamp-aware commit
+            # time; then behaves exactly like startingVersion
+            start = _first_version_at_or_after(self.log_dir, sts)
         mct = options.get(
             "maxcommitspertrigger", options.get("maxCommitsPerTrigger")
         )
@@ -321,6 +354,8 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                     "version": int(side["version"]),
                     "snap": bool(side.get("snap", True)),
                 }
+                if side.get("index") is not None:
+                    self._committed["index"] = int(side["index"])
             except (OSError, ValueError, KeyError, TypeError):
                 pass
 
@@ -330,8 +365,13 @@ class DeltaTailStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         latest = _latest_log_version(self.log_dir)
         pos = self._committed["version"]
+        pos_idx = self._committed.get("index")
         if self.max_commits is not None:
             cap = pos + self.max_commits
+            if pos_idx is not None:
+                # position is INSIDE commit `pos`: finishing it
+                # counts as the first commit of the trigger budget
+                cap -= 1
             # when the snapshot batch is still pending, the cap
             # budget is spent on it (version stays put)
             if not self._committed.get("snap", True):
@@ -340,40 +380,59 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         if (
             self.max_bytes is not None
             and self._committed.get("snap", True)
-            and latest > pos
+            and (latest > pos or pos_idx is not None)
         ):
-            # Delta's maxBytesPerTrigger analogue: admit commits
-            # until their cumulative add sizes exceed the soft cap,
-            # always at least one (else no progress). Driver cost:
-            # one JSON entry read per candidate commit, bounded by
-            # the cap window — metadata-scale.
+            # Delta's maxBytesPerTrigger: admit emitted units (add /
+            # cdc / derived-delete files) in commit order until the
+            # cumulative sizes reach the soft cap — the unit that
+            # crosses it is still admitted, so there is always
+            # progress, and the cut may land INSIDE a commit (the
+            # offset then carries the intra-commit unit index,
+            # Delta's own (reservoirVersion, index) model). Driver
+            # cost: one JSON entry read per candidate commit,
+            # bounded by the cap window — metadata-scale.
             budget = self.max_bytes
-            v = pos
-            while v < latest:
-                nxt = v + 1
-                size = sum(
-                    int(a["add"].get("size") or 0)
-                    for a in _entry_actions(self.log_dir, nxt)
-                    if a.get("add") is not None
-                )
-                if v > pos and size > budget:
+            v, idx = pos, pos_idx
+            progressed = False
+            while True:
+                if idx is None:
+                    if v >= latest:
+                        break
+                    v += 1
+                    idx = 0
+                sizes = [p.size for p in self._commit_parts(v)]
+                while idx < len(sizes) and (
+                    budget > 0 or not progressed
+                ):
+                    budget -= sizes[idx]
+                    idx += 1
+                    progressed = True
+                if idx >= len(sizes):
+                    idx = None  # commit fully admitted
+                if budget <= 0 and progressed:
                     break
-                budget -= size
-                v = nxt
-            latest = v
+            if idx is not None:
+                return {"version": v, "snap": True, "index": idx}
+            return {"version": v, "snap": True}
         return {"version": latest, "snap": True}
 
     @staticmethod
-    def _further(a: dict, b: dict) -> dict:
-        """The more-advanced of two offsets (higher version wins;
-        at equal versions snap=True means the snapshot batch is
-        already consumed, i.e. further along)."""
-        if (a["version"], a.get("snap", True)) >= (
-            b["version"],
-            b.get("snap", True),
-        ):
-            return a
-        return b
+    def _offset_key(o: dict):
+        """Total order over offsets: higher version wins; at equal
+        versions snap=True (snapshot consumed) is further; a
+        complete commit (no index) is further than any partial
+        index into the same version."""
+        idx = o.get("index")
+        return (
+            o["version"],
+            o.get("snap", True),
+            float("inf") if idx is None else idx,
+        )
+
+    @classmethod
+    def _further(cls, a: dict, b: dict) -> dict:
+        """The more-advanced of two offsets."""
+        return a if cls._offset_key(a) >= cls._offset_key(b) else b
 
     def commit(self, end: dict) -> None:
         # monotonic: a stale-sidecar cold start can produce an `end`
@@ -400,6 +459,7 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self._committed = dict(start)
         parts: list[_TailPartition] = []
         lo = start["version"]
+        s_idx = start.get("index")
         if not start.get("snap", True):
             # clamp the snapshot to the batch's logged END: a fresh
             # checkpoint whose latestOffset was seeded by a STALE
@@ -408,6 +468,7 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             # batches re-emit commits the snapshot already covered
             sv = min(start["version"], end["version"])
             lo = sv
+            s_idx = None
             _t, _m, adds = _py_snapshot(self.log_dir, sv)
             kw = (
                 dict(
@@ -425,13 +486,32 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                 )
                 for a in adds
             )
+        elif s_idx is not None:
+            # finish the partially-drained commit `lo` first: its
+            # units before s_idx were consumed by earlier batches
+            if end["version"] < lo:
+                return parts  # stale-sidecar guard: empty batch
+            units = self._commit_parts(lo)
+            hi = end.get("index") if end["version"] == lo else None
+            stop = len(units) if hi is None else hi
+            parts.extend(units[s_idx:stop])
+            if end["version"] == lo:
+                return parts
         for v in range(lo + 1, end["version"] + 1):
-            parts.extend(
-                self._commit_changes(v)
-                if self.cdf
-                else self._commit_adds(v)
-            )
+            units = self._commit_parts(v)
+            if v == end["version"] and end.get("index") is not None:
+                units = units[: end["index"]]
+            parts.extend(units)
         return parts
+
+    def _commit_parts(self, v: int) -> list[_TailPartition]:
+        """One commit's emitted units, in the DETERMINISTIC order of
+        its log entry — the sequence both the byte-cap planner and
+        partitions() slice, so an intra-commit offset index always
+        resolves to the same files across restarts."""
+        return (
+            self._commit_changes(v) if self.cdf else self._commit_adds(v)
+        )
 
     def _gate_meta(self, meta: dict, v: int) -> None:
         """A replayed metaData action: always re-gate the mapping

@@ -520,6 +520,228 @@ def test_stale_sidecar_below_starting_version_cannot_wedge(
     assert len(parts) == 1  # commit 3's file
 
 
+def test_starting_timestamp_resolves_start_version(spark, tmp_path):
+    """startingTimestamp mirrors Delta's streaming source: the
+    stream tails from the earliest commit at or after the timestamp
+    (inCommitTimestamp-aware commit time, entry-mtime fallback);
+    before-all resolves to the earliest entry, after-latest is a
+    named error, and combining it with startingVersion is refused."""
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        DeltaTailStreamReader,
+    )
+
+    tbl = _mk_table(spark, tmp_path)
+    for v, ict_ms in ((1, 10_000), (2, 20_000)):
+        f = _write_parquet_file(
+            spark, tbl, [(10 + v, "t")], ["k", "v"], f"ts{v}.parquet"
+        )
+        _log_write(
+            tbl,
+            v,
+            [
+                {"commitInfo": {"inCommitTimestamp": ict_ms}},
+                {"add": _add(f"ts{v}.parquet", f)},
+            ],
+        )
+    # commit 0 has no inCommitTimestamp: pin its mtime fallback
+    # below the probe timestamps (a fresh file's mtime is "now")
+    os.utime(
+        os.path.join(tbl, "_delta_log", f"{0:020d}.json"), (5, 5)
+    )
+    r = DeltaTailStreamReader(
+        None, {"path": tbl, "startingtimestamp": "15"}
+    )
+    # resolved to version 2 (first commit at/after 15s), i.e. the
+    # same initial offset startingVersion=2 produces
+    assert r._initial == {"version": 1, "snap": True}
+    parts = r.partitions(r._initial, {"version": 2, "snap": True})
+    assert [os.path.basename(p.abs_path) for p in parts] == [
+        "ts2.parquet"
+    ]
+    # before every commit -> earliest entry (version 0)
+    r0 = DeltaTailStreamReader(
+        None, {"path": tbl, "startingtimestamp": "0"}
+    )
+    assert r0._initial == {"version": -1, "snap": True}
+    with pytest.raises(DeltaProtocolError):
+        DeltaTailStreamReader(
+            None, {"path": tbl, "startingtimestamp": "99"}
+        )
+    with pytest.raises(ValueError):
+        DeltaTailStreamReader(
+            None,
+            {
+                "path": tbl,
+                "startingversion": "1",
+                "startingtimestamp": "15",
+            },
+        )
+
+
+def test_max_bytes_splits_one_giant_commit(spark, tmp_path):
+    """A single commit whose add list exceeds maxBytesPerTrigger
+    must stream as MULTIPLE capped batches (Delta's own
+    (reservoirVersion, index) offset model): the offset gains an
+    intra-commit index, consecutive batches slice disjoint file
+    ranges, and the drain covers every file exactly once —
+    restart-safe at any batch boundary because the unit order is
+    the commit's deterministic log-entry order."""
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        DeltaTailStreamReader,
+    )
+
+    tbl = _mk_table(spark, tmp_path)
+    adds = []
+    for i in range(4):
+        f = _write_parquet_file(
+            spark, tbl, [(100 + i, "g")], ["k", "v"], f"g{i}.parquet"
+        )
+        adds.append({"add": _add(f"g{i}.parquet", f)})
+    _log_write(tbl, 1, adds)
+    one = int(adds[0]["add"]["size"])
+    r = DeltaTailStreamReader(
+        None,
+        {
+            "path": tbl,
+            "startingversion": "1",
+            # budget ~1.5 files: each batch admits the file that
+            # crosses the cap (soft), i.e. exactly 2 per batch
+            "maxbytespertrigger": str(one + one // 2),
+        },
+    )
+    seen: list[str] = []
+    ends = []
+    start = dict(r._committed)
+    for _ in range(10):
+        end = r.latestOffset()
+        if r._offset_key(end) <= r._offset_key(start):
+            break
+        parts = r.partitions(start, end)
+        seen.extend(os.path.basename(p.abs_path) for p in parts)
+        r.commit(end)
+        ends.append(end)
+        start = end
+    assert seen == [f"g{i}.parquet" for i in range(4)]
+    # the cut landed INSIDE the commit: first end is a partial offset
+    assert ends[0] == {"version": 1, "snap": True, "index": 2}
+    assert ends[-1] == {"version": 1, "snap": True}
+    # restart mid-commit: a fresh reader replaying the committed
+    # range reproduces exactly the same slice
+    r2 = DeltaTailStreamReader(
+        None, {"path": tbl, "startingversion": "1"}
+    )
+    replay = r2.partitions(
+        {"version": 0, "snap": True}, {"version": 1, "snap": True, "index": 2}
+    )
+    assert [os.path.basename(p.abs_path) for p in replay] == [
+        "g0.parquet", "g1.parquet",
+    ]
+    tail = r2.partitions(
+        {"version": 1, "snap": True, "index": 2},
+        {"version": 1, "snap": True},
+    )
+    assert [os.path.basename(p.abs_path) for p in tail] == [
+        "g2.parquet", "g3.parquet",
+    ]
+
+
+def test_intra_commit_split_end_to_end(spark, tmp_path):
+    """End-to-end: a giant commit streams through a real query with
+    a byte cap and the cumulative sink holds every row exactly once
+    — offsets with an intra-commit index checkpoint/restore through
+    Spark's offset log unchanged (they are plain JSON)."""
+    register_delta_tail(spark)
+    tbl = _mk_table(spark, tmp_path)
+    adds = []
+    for i in range(4):
+        f = _write_parquet_file(
+            spark, tbl, [(200 + i, "e")], ["k", "v"], f"e{i}.parquet"
+        )
+        adds.append({"add": _add(f"e{i}.parquet", f)})
+    _log_write(tbl, 1, adds)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # budget = one file: every capped batch carries exactly one of
+    # the commit's four files (each availableNow pass = one batch
+    # for a Python source, restarting from the checkpoint — i.e.
+    # every pass boundary IS a mid-commit restart)
+    opts = dict(
+        startingVersion="1",
+        maxBytesPerTrigger=str(int(adds[0]["add"]["size"])),
+    )
+    sizes = []
+    got = set()
+    for _ in range(8):
+        prev = len(got)
+        got = _run_pass(spark, tbl, out, ckpt, **opts)
+        sizes.append(len(got) - prev)
+        if len(got) == 4:
+            break
+    assert got == {(200 + i, "e") for i in range(4)}
+    assert len(sizes) > 1, "commit was not split across batches"
+    # restart from the checkpoint after one more multi-file commit
+    adds2 = []
+    for i in range(3):
+        f = _write_parquet_file(
+            spark, tbl, [(300 + i, "f")], ["k", "v"], f"ee{i}.parquet"
+        )
+        adds2.append({"add": _add(f"ee{i}.parquet", f)})
+    _log_write(tbl, 2, adds2)
+    for _ in range(6):
+        got = _run_pass(spark, tbl, out, ckpt, **opts)
+        if len(got) == 7:
+            break
+    assert got == {(200 + i, "e") for i in range(4)} | {
+        (300 + i, "f") for i in range(3)
+    }
+
+
+def test_cdf_byte_cap_counts_cdc_sizes(spark, tmp_path):
+    """In change-feed mode the byte cap must count the EMITTED
+    units' sizes (cdc files), not add actions — a cdc-only commit
+    stream (delete-heavy feeds) was previously uncapped because its
+    add-byte total is zero."""
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        DeltaTailStreamReader,
+    )
+
+    tbl = _mk_table(spark, tmp_path)
+    for v in (1, 2):
+        f = _write_parquet_file(
+            spark,
+            tbl,
+            [(v, "d", "delete")],
+            ["k", "v", "_change_type"],
+            f"_change_data/c{v}.parquet",
+        )
+        _log_write(
+            tbl,
+            v,
+            [
+                {
+                    "cdc": {
+                        "path": f"_change_data/c{v}.parquet",
+                        "partitionValues": {},
+                        "size": os.path.getsize(f),
+                        "dataChange": False,
+                    }
+                }
+            ],
+        )
+    r = DeltaTailStreamReader(
+        None,
+        {
+            "path": tbl,
+            "startingversion": "1",
+            "readchangefeed": "true",
+            "maxbytespertrigger": "1",
+        },
+    )
+    r._committed = {"version": 0, "snap": True}
+    # one cdc commit per trigger, not both
+    assert r.latestOffset() == {"version": 1, "snap": True}
+
+
 def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
     """maxBytesPerTrigger (Delta's soft byte cap): commits are
     admitted until their cumulative add sizes exceed the budget,
