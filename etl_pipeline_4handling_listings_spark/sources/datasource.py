@@ -1114,12 +1114,23 @@ class _DiffPartition(InputPartition):
 _DIFF_TARGET_BYTES = 64 << 20
 
 
-def _key_bucket(key: tuple, n: int) -> int:
-    """Deterministic (across workers/restarts — NOT Python hash(),
-    which is salted per process) bucket of a merge-key tuple."""
-    import zlib
+def _bucket_ids(key_cols, names, n):
+    """VECTORIZED deterministic bucket id per row for a batch of
+    typed Arrow merge-key columns — no per-row Python. pandas'
+    ``hash_pandas_object`` (fixed siphash key — process- and
+    restart-independent, unlike Python's salted ``hash()``) combines
+    the columns row-wise; both diff paths build their key columns as
+    Arrow arrays of the SAME schema types before calling this, so
+    the Arrow plane and the dict fallback slice the identical
+    keyspace and a per-partition degrade can never double-emit or
+    drop a key."""
+    import pandas as pd
+    import pyarrow as pa
 
-    return zlib.crc32(repr(key).encode("utf-8", "surrogatepass")) % n
+    df = pa.table(dict(zip(names, key_cols))).to_pandas()
+    return (
+        pd.util.hash_pandas_object(df, index=False).to_numpy() % n
+    )
 
 
 def _prefix_bytes(path: str, versions, prefix: str) -> int:
@@ -1221,19 +1232,44 @@ def _plan_diff_partitions(
 def _diff_side(partition: _DiffPartition, version: str, fields) -> dict:
     """One side of the diff: key tuple -> schema-projected row dict,
     restricted to the partition prefix and (when bucketed) to this
-    task's key-hash bucket, DVs applied."""
+    task's key-hash bucket, DVs applied. The bucket filter runs
+    VECTORIZED per file through the same ``_bucket_ids`` the Arrow
+    plane uses (key values re-typed to the schema's Arrow types so
+    the hashes agree exactly)."""
     dv = _dv_map(partition.path, version, partition.prefix)
     vdir = _version_dir(partition.path, version)
     nb = getattr(partition, "n_buckets", 1)
+    key_types = None
+    if nb > 1:
+        import pyarrow  # noqa: F401 — fail fast before the loop
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        aschema = to_arrow_schema(fields)
+        key_types = [
+            aschema.field(k).type for k in partition.keys
+        ]
     rows: dict = {}
     for rel in _manifest_relpaths(partition.path, version):
         if partition.prefix and not rel.startswith(partition.prefix):
             continue
-        for d in _read_file_dicts(vdir, rel, dv.get(rel, set()), fields):
-            key = tuple(d[k] for k in partition.keys)
-            if nb > 1 and _key_bucket(key, nb) != partition.bucket:
-                continue
-            rows[key] = d
+        ds = list(
+            _read_file_dicts(vdir, rel, dv.get(rel, set()), fields)
+        )
+        if nb > 1 and ds:
+            import pyarrow as pa
+
+            key_cols = [
+                pa.array([d[k] for d in ds], type=t)
+                for k, t in zip(partition.keys, key_types)
+            ]
+            ids = _bucket_ids(key_cols, partition.keys, nb)
+            ds = [
+                d
+                for d, b in zip(ds, ids)
+                if b == partition.bucket
+            ]
+        for d in ds:
+            rows[tuple(d[k] for k in partition.keys)] = d
     return rows
 
 
@@ -1281,14 +1317,14 @@ def _read_side_table(partition: _DiffPartition, version: str, fields):
             cols, names=[f.name for f in arrow_schema]
         ).cast(arrow_schema)
         if nb > 1 and n:
-            keycols = [
-                aligned.column(k).to_pylist() for k in partition.keys
-            ]
-            mask = pa.array(
-                _key_bucket(key, nb) == partition.bucket
-                for key in zip(*keycols)
+            ids = _bucket_ids(
+                [aligned.column(k) for k in partition.keys],
+                partition.keys,
+                nb,
             )
-            aligned = aligned.filter(mask)
+            aligned = aligned.filter(
+                pa.array(ids == partition.bucket)
+            )
         chunks.append(aligned)
     if not chunks:
         return arrow_schema.empty_table()
@@ -1300,9 +1336,11 @@ def _diff_rows_arrow(partition: _DiffPartition, cdc_schema: StructType):
     two snapshot sides on the merge keys, classify
     insert/update_postimage/delete with vectorized null- and
     NaN-safe comparisons, and yield RecordBatches — no per-row
-    Python. Requires scalar (non-nested) columns and unique keys
-    per side (the store's merge invariant; the dict fallback
-    collapses duplicate keys last-wins instead)."""
+    Python. Requires scalar (non-nested) columns, NON-NULL merge
+    keys (a null-keyed batch degrades to the dict diff — Acero's
+    join would mis-classify it) and unique keys per side (the
+    store's merge invariant; the dict fallback collapses duplicate
+    keys last-wins instead)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -1313,6 +1351,17 @@ def _diff_rows_arrow(partition: _DiffPartition, cdc_schema: StructType):
     vals = [n for n in names if n not in keys]
     old = _read_side_table(partition, partition.v_old, fields)
     new = _read_side_table(partition, partition.v_new, fields)
+    if any(
+        old.column(k).null_count or new.column(k).null_count
+        for k in keys
+    ):
+        # Acero's hash join never matches null keys, so a null-keyed
+        # row present unchanged on both sides would emit a phantom
+        # delete+insert. Degrade THIS partition to the dict diff
+        # (tuple equality matches null keys — correct, Python-speed);
+        # safe under bucketing because both paths share _bucket_ids.
+        yield from _diff_rows(partition, cdc_schema)
+        return
     old = old.append_column(
         "__o", pa.array([True] * old.num_rows, type=pa.bool_())
     )
@@ -1506,9 +1555,13 @@ class MergeStoreCDCStreamReader(DataSourceStreamReader):
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
-        # adopt checkpointed progress so the next cap measures from
-        # the true position (mirrors DeltaTailStreamReader)
-        self._committed = max(self._committed, start["version"])
+        # adopt checkpointed progress VERBATIM (mirrors
+        # DeltaTailStreamReader): after a restart without
+        # startingVersion, __init__ pinned _committed at the
+        # init-time current version — max() would keep measuring the
+        # maxCommitsPerTrigger cap from ahead of true progress; the
+        # checkpoint is the source of truth for position
+        self._committed = start["version"]
         return _plan_diff_partitions(
             self.path,
             start["version"],

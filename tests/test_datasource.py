@@ -252,6 +252,9 @@ def test_cdc_arrow_diff_matches_dict_diff_and_nested_falls_back(
     nested = _cdc_schema(store2.path)
     nested.fields[1].dataType = ArrayType(nested.fields[1].dataType)
     assert not _arrow_diffable(nested)
+
+
+def test_cdc_bucketed_diff_equals_single_task_feed(spark, tmp_path):
     """An UNPARTITIONED store's snapshot diff must not hold two full
     table versions in one Python task: with a small
     maxBytesPerDiffPartition the planner key-hash-buckets each diff
@@ -304,6 +307,84 @@ def test_cdc_arrow_diff_matches_dict_diff_and_nested_falls_back(
     } == {(i, "update_postimage") for i in range(0, 40, 7)} | {
         (i, "delete") for i in range(35, 40)
     }
+
+
+def test_cdc_diff_bucket_filter_is_vectorized():
+    """The Arrow diff plane (side read + join/classify + bucket
+    mask) must stay vectorized — no to_pylist / per-row hashing in
+    it. (The dict fallback and the DV map are per-row by design.)"""
+    import inspect
+
+    from etl_pipeline_4handling_listings_spark.sources import (
+        datasource as m,
+    )
+
+    for fn in (m._read_side_table, m._diff_rows_arrow, m._bucket_ids):
+        assert "to_pylist" not in inspect.getsource(fn), fn.__name__
+    assert "_bucket_ids" in inspect.getsource(m._read_side_table)
+    assert "_bucket_ids" in inspect.getsource(m._diff_side)
+
+
+def test_cdc_null_merge_keys_degrade_to_dict_diff(spark, tmp_path):
+    """A null merge-key row present UNCHANGED on both sides must
+    emit nothing (Acero's hash join never matches null keys, so the
+    Arrow plane would emit a phantom delete+insert — it must detect
+    nulls and degrade to the dict diff), and the degrade must stay
+    correct under bucketing because both paths share _bucket_ids."""
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        _arrow_diffable,
+        _cdc_schema,
+        _diff_rows_arrow,
+        _plan_diff_partitions,
+    )
+
+    rows = [(i, "k" if i else None, f"v{i}") for i in range(20)]
+    store = _mk2(spark, tmp_path, rows)
+    store.merge(
+        spark.createDataFrame(
+            [(0, None, "v0"), (1, "k", "CHANGED")], ["k", "s", "v"]
+        )
+    )  # v2: null-keyed row 0 unchanged, row 1 updated
+    schema = _cdc_schema(store.path)
+    assert _arrow_diffable(schema)
+    got = set()
+    for part in _plan_diff_partitions(store.path, 1, 2, ["k", "s"]):
+        for item in _diff_rows_arrow(part, schema):
+            if isinstance(item, tuple):  # degraded dict-diff rows
+                got.add(item)
+            else:
+                got |= {
+                    tuple(r_.values()) for r_ in item.to_pylist()
+                }
+    assert got == {(1, "k", "CHANGED", "update_postimage", "v00002")}
+    # bucketed: same result, keys tiled by the shared bucket hash
+    got_b = set()
+    for part in _plan_diff_partitions(
+        store.path, 1, 2, ["k", "s"], target_bytes=1
+    ):
+        assert part.n_buckets > 1
+        for item in _diff_rows_arrow(part, schema):
+            if isinstance(item, tuple):
+                got_b.add(item)
+            else:
+                got_b |= {
+                    tuple(r_.values()) for r_ in item.to_pylist()
+                }
+    assert got_b == got
+
+
+def _mk2(spark, tmp_path, rows):
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+    )
+
+    store = MergeStore(
+        spark, str(tmp_path / "s_null"), keys=["k", "s"]
+    )
+    df = spark.createDataFrame(rows, ["k", "s", "v"])
+    store.create_if_absent(df)
+    store.merge(df)  # v1
+    return store
 
 
 def test_cdc_partitioned_diffs_only_touched(spark, tmp_path):
