@@ -1074,6 +1074,63 @@ def _entry_commit_ts(path: str) -> float:
     return os.path.getmtime(path)
 
 
+def _parse_user_ts(timestamp) -> float:
+    """User-supplied timestamp (ISO string, datetime, or epoch
+    number/numeric string) -> epoch seconds."""
+    import datetime
+
+    if isinstance(timestamp, str):
+        try:
+            return datetime.datetime.fromisoformat(
+                timestamp
+            ).timestamp()
+        except ValueError:
+            return float(timestamp)
+    if isinstance(timestamp, datetime.datetime):
+        return timestamp.timestamp()
+    return float(timestamp)
+
+
+def _first_version_at_or_after(log_dir: str, timestamp) -> int:
+    """Delta's ``startingTimestamp`` rule for change feeds and the
+    streaming source: the EARLIEST commit whose authoritative commit
+    time (``inCommitTimestamp`` when the writer recorded one, else
+    the entry mtime) is at or after the timestamp. A timestamp
+    before every commit resolves to the earliest entry (Delta's
+    documented behavior); one after the latest commit is a named
+    error — there is nothing to read yet."""
+    entries, _ck = _list_log(log_dir)
+    if not entries:
+        raise FileNotFoundError(f"no log entries in {log_dir}")
+    ts = _parse_user_ts(timestamp)
+    for v in sorted(entries):
+        if _entry_commit_ts(entries[v]) >= ts:
+            return v
+    raise DeltaProtocolError(
+        f"no commit at or after timestamp {timestamp!r} (latest is "
+        f"version {max(entries)})"
+    )
+
+
+def _last_version_at_or_before(log_dir: str, timestamp) -> int:
+    """Delta's ``endingTimestamp`` rule: the LATEST commit whose
+    authoritative commit time is at or before the timestamp (the
+    same rule ``timestampAsOf`` uses, restricted to live entries —
+    a change feed must read the commit's actions, so checkpoint-only
+    history cannot serve as the bound)."""
+    entries, _ck = _list_log(log_dir)
+    ts = _parse_user_ts(timestamp)
+    best = None
+    for v in sorted(entries):
+        if _entry_commit_ts(entries[v]) <= ts:
+            best = v
+    if best is None:
+        raise DeltaProtocolError(
+            f"no commit at or before timestamp {timestamp!r}"
+        )
+    return best
+
+
 def _resolve_version(
     log_dir: str,
     entries: dict[int, str],
@@ -1089,14 +1146,7 @@ def _resolve_version(
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
-        import datetime
-
-        if isinstance(timestamp, str):
-            ts = datetime.datetime.fromisoformat(timestamp).timestamp()
-        elif isinstance(timestamp, datetime.datetime):
-            ts = timestamp.timestamp()
-        else:
-            ts = float(timestamp)
+        ts = _parse_user_ts(timestamp)
         # Delta's rule: latest entry whose commit time <= ts. With
         # the inCommitTimestamps feature the spec makes commitInfo.
         # inCommitTimestamp (the entry's FIRST action) authoritative
@@ -1938,8 +1988,10 @@ def convert_from_delta(
 def read_delta_changes(
     spark: SparkSession,
     path: str,
-    starting_version: int,
+    starting_version: int | None = None,
     ending_version: int | None = None,
+    starting_timestamp=None,
+    ending_timestamp=None,
 ) -> DataFrame:
     """Change Data Feed read (Delta ``table_changes`` analogue) over
     ANY client's log, plain Spark: rows changed in commits
@@ -1961,16 +2013,37 @@ def read_delta_changes(
     not re-emitted as spurious deletes. ``dataChange=false`` commits
     (OPTIMIZE) contribute nothing. Scale: one driver-side JSON entry
     per commit (metadata-scale); all row reads are Spark parquet
-    scans, one per (commit, partition-tuple) group."""
+    scans, one per (commit, partition-tuple) group.
+
+    Bounds are versions OR timestamps (Delta's ``table_changes``
+    surface): ``starting_timestamp`` resolves to the earliest commit
+    at or after it, ``ending_timestamp`` to the latest commit at or
+    before it — both through the authoritative commit time
+    (``commitInfo.inCommitTimestamp`` when recorded, else the entry
+    mtime, the same resolver ``timestampAsOf`` uses)."""
     log_dir = os.path.join(path, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"{path} has no _delta_log")
-    end = (
-        _latest_log_version(log_dir)
-        if ending_version is None
-        else int(ending_version)
+    if (starting_version is None) == (starting_timestamp is None):
+        raise ValueError(
+            "pass exactly one of starting_version / "
+            "starting_timestamp"
+        )
+    if ending_version is not None and ending_timestamp is not None:
+        raise ValueError(
+            "pass at most one of ending_version / ending_timestamp"
+        )
+    if ending_timestamp is not None:
+        end = _last_version_at_or_before(log_dir, ending_timestamp)
+    elif ending_version is not None:
+        end = int(ending_version)
+    else:
+        end = _latest_log_version(log_dir)
+    start = (
+        int(starting_version)
+        if starting_version is not None
+        else _first_version_at_or_after(log_dir, starting_timestamp)
     )
-    start = int(starting_version)
     if start > end:
         raise ValueError(
             f"starting_version {start} > ending_version {end}"

@@ -1578,6 +1578,143 @@ def test_cdf_foreign_fallback_derivation(spark, tmp_path):
     ]
 
 
+def test_cdf_timestamp_bounds_in_commit_timestamp(spark, tmp_path):
+    """starting_timestamp / ending_timestamp resolve through the
+    authoritative commit time — commitInfo.inCommitTimestamp when
+    the writer recorded one (file mtimes lie after log copies): the
+    earliest commit at-or-after / latest at-or-before rules, Delta's
+    table_changes surface."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        DeltaProtocolError,
+        read_delta_changes,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("k", "long"), ("v", "string")),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+        ],
+    )
+    for v, ict_ms in ((1, 10_000), (2, 20_000), (3, 30_000)):
+        f = _write_parquet_file(
+            spark, tmp_path, [(v, "x")], ["k", "v"], f"t{v}.parquet"
+        )
+        _log_write(
+            tbl,
+            v,
+            [
+                {"commitInfo": {"inCommitTimestamp": ict_ms}},
+                {
+                    "add": {
+                        "path": f"t{v}.parquet",
+                        "partitionValues": {},
+                        "size": os.path.getsize(f),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                },
+            ],
+        )
+    # commit 0 has no inCommitTimestamp: pin its mtime fallback
+    # below the probe timestamps (a fresh file's mtime is "now")
+    os.utime(
+        os.path.join(tbl, "_delta_log", f"{0:020d}.json"), (5, 5)
+    )
+    got = sorted(
+        (r._commit_version, r.k)
+        for r in read_delta_changes(
+            spark, tbl, starting_timestamp=15, ending_timestamp=25
+        ).collect()
+    )
+    assert got == [(2, 2)]
+    # before-all start -> earliest (v0, no data rows); exact-match
+    # bounds are inclusive (v3's 30s end admits it)
+    got = sorted(
+        r._commit_version
+        for r in read_delta_changes(
+            spark, tbl, starting_timestamp=1, ending_timestamp=30
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+    with pytest.raises(DeltaProtocolError):
+        read_delta_changes(spark, tbl, starting_timestamp=31)
+    with pytest.raises(ValueError):
+        read_delta_changes(
+            spark, tbl, starting_version=1, starting_timestamp=15
+        )
+    with pytest.raises(ValueError):
+        read_delta_changes(
+            spark, tbl, starting_version=1,
+            ending_version=2, ending_timestamp=25,
+        )
+
+
+def test_cdf_timestamp_bounds_plain_mtime_log(spark, tmp_path):
+    """A plain foreign log without inCommitTimestamp falls back to
+    entry mtimes for both timestamp bounds."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        read_delta_changes,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    meta = {
+        "id": "abc",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(("k", "long"), ("v", "string")),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+        ],
+    )
+    for v in (1, 2, 3):
+        f = _write_parquet_file(
+            spark, tmp_path, [(v, "y")], ["k", "v"], f"m{v}.parquet"
+        )
+        _log_write(
+            tbl,
+            v,
+            [
+                {
+                    "add": {
+                        "path": f"m{v}.parquet",
+                        "partitionValues": {},
+                        "size": os.path.getsize(f),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            ],
+        )
+    log_dir = os.path.join(tbl, "_delta_log")
+    for v, ts in ((0, 50), (1, 100), (2, 200), (3, 300)):
+        os.utime(os.path.join(log_dir, f"{v:020d}.json"), (ts, ts))
+    got = sorted(
+        (r._commit_version, r.k)
+        for r in read_delta_changes(
+            spark, tbl, starting_timestamp=150, ending_timestamp=250
+        ).collect()
+    )
+    assert got == [(2, 2)]
+
+
 def test_cdf_partitioned_store_injects_partition_values(spark, tmp_path):
     """CDF files of a partitioned store land under hive dirs without
     the partition column in the file; the reader re-injects it from
