@@ -220,8 +220,11 @@ _SUPPORTED_READER_FEATURES = {
 
 def _encode_path(rel: str) -> str:
     """add.path is an RFC 2396-encoded path RELATIVE to the table
-    root; '/' separates unencoded segments."""
-    return quote(rel, safe="/")
+    root; '/' separates unencoded segments and '=' is a valid
+    pchar stock writers (Hadoop Path URIs) leave literal — escaping
+    it is spec-legal but needlessly diverges from delta-spark's
+    partition-dir paths (``p=1/part-...``)."""
+    return quote(rel, safe="/=")
 
 
 def _partition_values(rel: str, pcol: str | None) -> dict:
@@ -741,6 +744,12 @@ def export_delta_log(
         entry = os.path.join(log_dir, f"{n:020d}.json")
         rec = _commit_record(store, vname)
         if os.path.exists(entry):
+            # an occupied slot must BE a prior export (idempotent
+            # re-export); a foreign commit there (append_to_delta /
+            # a stock writer claimed it first) means log and store
+            # histories diverged — refuse by name, never publish a
+            # log whose version n is not store vn
+            _assert_export_owned(entry, n)
             prev_schema = None  # unknown here; recomputed below
             adds_memo.pop(prev, None)
             if rec.get("ts") is not None:
@@ -759,7 +768,7 @@ def export_delta_log(
                     ),
                     "operation": "WRITE",
                     "operationParameters": {},
-                    "engineInfo": "mergestore-deltalog-export",
+                    "engineInfo": _EXPORT_ENGINE,
                 }
             }
         ]
@@ -864,11 +873,45 @@ def export_delta_log(
         if rec.get("ts") is not None:
             # commit-time mtime: TIMESTAMP AS OF must agree with the
             # store's own read_as_of on the same history. Stamped on
-            # the tmp file BEFORE the rename — no crash window where
+            # the tmp file BEFORE the link — no crash window where
             # a visible entry carries the export-time mtime.
             os.utime(tmp, (float(rec["ts"]), float(rec["ts"])))
-        os.replace(tmp, entry)
+        try:
+            # CLAIM, not overwrite: the exists-check above leaves a
+            # window in which append_to_delta (or a racing exporter)
+            # can take this slot — os.link fails on an existing name
+            # (the create-if-absent primitive), so a raced slot is
+            # re-validated instead of silently clobbered
+            os.link(tmp, entry)
+        except FileExistsError:
+            _assert_export_owned(entry, n)
+        finally:
+            os.remove(tmp)
     return log_dir
+
+
+_EXPORT_ENGINE = "mergestore-deltalog-export"
+
+
+def _assert_export_owned(entry: str, n: int) -> None:
+    """Raise when a log entry occupying an export slot was written
+    by anything other than this exporter (foreign writers make the
+    exported log's lineage diverge from the store's)."""
+    try:
+        with open(entry) as fh:
+            ci = (json.loads(fh.readline()) or {}).get(
+                "commitInfo"
+            ) or {}
+    except (OSError, ValueError):
+        ci = {}
+    if ci.get("engineInfo") != _EXPORT_ENGINE:
+        raise DeltaProtocolError(
+            f"_delta_log version {n} was committed by a foreign "
+            f"writer ({ci.get('engineInfo') or 'unknown'}); the "
+            "exported log has diverged from the store history — "
+            "route new rows through the store's merge instead of "
+            "appending into its exported log"
+        )
 
 
 def _vnum(version: str) -> int:
@@ -2270,3 +2313,251 @@ def delta_last_txn(
         .collect()
     )
     return -1 if not row or row[0]["v"] is None else int(row[0]["v"])
+
+
+# ---------------------------------------------------------------------
+# write: append a DataFrame INTO a foreign (stock-owned) _delta_log
+# ---------------------------------------------------------------------
+
+# Writer features an APPEND can satisfy. Presence-gated features
+# (invariants / checkConstraints / generatedColumns / identity) are
+# additionally scanned below: the feature name is accepted, a LIVE
+# use of it in the schema/configuration is refused — the writer
+# would have to enforce semantics it does not implement. Features
+# that impose obligations only on other operations (deletionVectors
+# on deletes, v2Checkpoint on checkpoint writes, vacuumProtocolCheck
+# on vacuum) are safe to accept for a blind append. changeDataFeed
+# is safe because insert-only commits derive their feed from add
+# actions per spec (delta-spark itself writes no cdc for appends).
+_SUPPORTED_APPEND_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "changeDataFeed",
+    "generatedColumns",
+    "identityColumns",
+    "deletionVectors",
+    "timestampNtz",
+    "inCommitTimestamp",
+    "vacuumProtocolCheck",
+    "v2Checkpoint",
+}
+
+
+def _check_append_writable(proto: dict, meta: dict) -> None:
+    """Refuse BY NAME any table an append cannot be written to
+    correctly: unsupported writer features/versions, column mapping
+    (data files would need physical names + field ids), and live
+    uses of enforcement features (invariants, CHECK constraints,
+    generated/identity columns) whose semantics this writer does
+    not implement."""
+    cfg = dict(meta.get("configuration") or {})
+    cm = cfg.get("delta.columnMapping.mode", "none")
+    if cm not in ("", "none"):
+        raise DeltaProtocolError(
+            f"append into a columnMapping.mode={cm!r} table is not "
+            "supported (data files need physical names / field ids)"
+        )
+    if any(k.startswith("delta.constraints.") for k in cfg):
+        raise DeltaProtocolError(
+            "table declares CHECK constraints; this writer does not "
+            "enforce them — refusing the append"
+        )
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if "delta.invariants" in md:
+            raise DeltaProtocolError(
+                f"column {f['name']!r} declares an invariant; this "
+                "writer does not enforce invariants"
+            )
+        if "delta.generationExpression" in md:
+            raise DeltaProtocolError(
+                f"column {f['name']!r} is a generated column; this "
+                "writer does not enforce generation expressions"
+            )
+        if any(k.startswith("delta.identity.") for k in md):
+            raise DeltaProtocolError(
+                f"column {f['name']!r} is an identity column; this "
+                "writer does not assign identity values"
+            )
+    mwv = int(proto.get("minWriterVersion") or 1)
+    if mwv >= 7:
+        feats = set(proto.get("writerFeatures") or [])
+        unsupported = feats - _SUPPORTED_APPEND_WRITER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                "table requires writer features "
+                f"{sorted(unsupported)} this engine does not "
+                "implement"
+            )
+
+
+def _staged_partition_values(rel: str, pcols: list) -> dict:
+    """partitionValues from a staged file's hive dir segments
+    (Spark's own writer layout: one ``pcol=value`` dir per
+    partition column, in partitionBy order)."""
+    from .hivepath import unescape_path_name
+
+    segs = rel.split("/")[:-1]
+    pv: dict = {}
+    for col, seg in zip(pcols, segs):
+        pfx = f"{col}="
+        if not seg.startswith(pfx):
+            raise DeltaProtocolError(
+                f"staged file {rel!r} does not follow the "
+                f"partition layout {pcols}"
+            )
+        raw = seg[len(pfx):]
+        pv[col] = (
+            None
+            if raw == DEFAULT_PARTITION
+            else unescape_path_name(raw)
+        )
+    return pv
+
+
+def append_to_delta(
+    df: DataFrame,
+    path: str,
+    log_store=None,
+    max_retries: int = 50,
+) -> int:
+    """Append ``df`` INTO a foreign Delta table — a table a STOCK
+    client owns and keeps writing (the one interop direction beyond
+    read / stream / convert / export): stage the rows as parquet
+    under the table directory with Spark's writer (partitioned
+    tables get the hive layout the table declares), then commit one
+    ``add``-actions entry by CLAIMING the next log version with the
+    LogStore's create-if-absent primitive — Delta's next-log-entry
+    OCC rule, the same serialization point stock writers use.
+    Returns the committed version.
+
+    Correctness gates (all refusals are BY NAME, never a silent
+    miswrite): reader+writer protocol support incl. the
+    table-features allowlist, live invariants / CHECK constraints /
+    generated / identity columns, column mapping, and an exact
+    schema match (same field names and types as the table's logical
+    schema; column order is normalized). A lost claim race retries
+    against the NEW head — re-resolving metadata and re-running
+    every gate, because the winner may have changed the schema —
+    while the staged files never move again (they are invisible
+    until an entry references them; on terminal failure they are
+    orphans a vacuum reclaims, Delta's own crash story). Tables
+    with ``delta.enableInCommitTimestamps`` get a monotonic
+    ``commitInfo.inCommitTimestamp`` as the entry's first action,
+    per spec.
+
+    Reference: the curated pipeline's Delta store is consumed AND
+    fed by stock deployments (mls_listings_curated.py:321-368);
+    PROTOCOL.md (public spec) for the commit/OCC rules.
+    """
+    from .logstore import PosixLogStore
+
+    store = log_store or PosixLogStore()
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+
+    def resolve():
+        target, actions = _py_actions(log_dir)
+        meta = proto = None
+        for _v, a in actions:
+            if a.get("metaData") is not None:
+                meta = a["metaData"]
+            elif a.get("protocol") is not None:
+                proto = a["protocol"]
+        if meta is None:
+            raise DeltaProtocolError("log has no metaData action")
+        proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+        _py_check_protocol(proto)
+        _check_append_writable(proto, meta)
+        logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        want = {f.name: f.dataType.simpleString() for f in logical.fields}
+        have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if want != have:
+            raise DeltaProtocolError(
+                f"schema mismatch: table {sorted(want.items())} vs "
+                f"DataFrame {sorted(have.items())}"
+            )
+        return target, meta, logical
+
+    target, meta, logical = resolve()
+    pcols = list(meta.get("partitionColumns") or [])
+
+    # stage the data files: Spark writes them under a dot-dir the
+    # log never references, then each file moves to its final
+    # table-relative location BEFORE the commit (invisible until an
+    # entry names it — Delta's write-then-commit order)
+    staging = os.path.join(path, f".append-{uuid.uuid4().hex}")
+    writer = df.select(*[f.name for f in logical.fields]).write
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    adds: list[dict] = []
+    try:
+        for root, dirs, names in os.walk(staging):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in sorted(names):
+                if not n.endswith(".parquet") or n.startswith(("_", ".")):
+                    continue
+                src = os.path.join(root, n)
+                nrec = _num_records(src)
+                if nrec == 0:
+                    # Spark writes one empty part file for an empty
+                    # frame/partition — referencing it would be a
+                    # no-op add; skip (staging cleanup removes it)
+                    continue
+                rel = os.path.relpath(src, staging)
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                add = {
+                    "path": _encode_path(rel),
+                    "partitionValues": _staged_partition_values(rel, pcols),
+                    "size": os.path.getsize(dst),
+                    "modificationTime": int(os.path.getmtime(dst) * 1000),
+                    "dataChange": True,
+                }
+                if nrec is not None:
+                    add["stats"] = json.dumps({"numRecords": nrec})
+                adds.append(add)
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(staging, ignore_errors=True)
+    if not adds:  # empty DataFrame: nothing to commit
+        return target
+
+    ict_mode = str(
+        dict(meta.get("configuration") or {}).get(
+            "delta.enableInCommitTimestamps", "false"
+        )
+    ).lower() == "true"
+    for _attempt in range(max_retries):
+        head = _latest_log_version(log_dir)
+        ver = head + 1
+        now_ms = int(time.time() * 1000)
+        ci = {
+            "timestamp": now_ms,
+            "operation": "WRITE",
+            "operationParameters": {"mode": "Append"},
+            "engineInfo": "mergestore-deltalog-append",
+        }
+        if ict_mode:
+            # spec: monotonically increasing, first action of the
+            # entry; never at or below the previous commit's
+            prev = _entry_commit_ts(
+                os.path.join(log_dir, f"{head:020d}.json")
+            )
+            ci["inCommitTimestamp"] = max(now_ms, int(prev * 1000) + 1)
+        lines = [{"commitInfo": ci}] + [{"add": a} for a in adds]
+        payload = "\n".join(json.dumps(ln) for ln in lines) + "\n"
+        entry = os.path.join(log_dir, f"{ver:020d}.json")
+        if store.create_exclusive(entry, payload):
+            return ver
+        # lost the next-entry race: the winner may have changed the
+        # protocol or schema — re-resolve and re-gate before retrying
+        resolve()
+    raise DeltaProtocolError(
+        f"lost the commit race {max_retries} times at {log_dir}"
+    )

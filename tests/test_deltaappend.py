@@ -1,0 +1,329 @@
+"""Foreign-Delta APPEND write (``append_to_delta``).
+
+The one interop direction beyond read / stream / convert / export:
+a stock pipeline owns the table (reference: the curated Delta store
+a stock deployment keeps writing, mls_listings_curated.py:321-368)
+and this engine contributes rows — data files staged under the
+table dir, one add-actions entry claimed via the LogStore
+create-if-absent primitive (Delta's next-log-entry OCC rule).
+"""
+
+import json
+import os
+
+import pytest
+
+from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+    DeltaProtocolError,
+    append_to_delta,
+    read_delta,
+)
+
+
+def _schema_string(*fields):
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": n,
+                    "type": t,
+                    "nullable": True,
+                    "metadata": {},
+                }
+                for n, t in fields
+            ],
+        }
+    )
+
+
+def _log_write(tbl, version, actions):
+    log_dir = os.path.join(tbl, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(
+        os.path.join(log_dir, f"{version:020d}.json"), "w"
+    ) as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def _mk_foreign(tmp_path, pcols=(), cfg=None, protocol=None, name="tbl"):
+    """A stock-style table: protocol + metaData at version 0, no
+    data yet (the appends under test provide it)."""
+    tbl = str(tmp_path / name)
+    os.makedirs(tbl, exist_ok=True)
+    fields = [("k", "long"), ("v", "string")]
+    if pcols:
+        fields += [(c, "long") for c in pcols]
+    meta = {
+        "id": "foreign-1",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _schema_string(*fields),
+        "partitionColumns": list(pcols),
+        "configuration": cfg or {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {
+                "protocol": protocol
+                or {"minReaderVersion": 1, "minWriterVersion": 2}
+            },
+            {"metaData": meta},
+        ],
+    )
+    return tbl
+
+
+def _entry_lines(tbl, v):
+    with open(
+        os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+    ) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
+
+
+def test_append_roundtrip_unpartitioned(spark, tmp_path):
+    """Append -> stock-shaped entry -> read_delta (the stock-reader
+    stand-in) sees exactly the appended rows; a second append
+    composes; an empty append commits nothing."""
+    tbl = _mk_foreign(tmp_path)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    assert append_to_delta(df1, tbl) == 1
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [(1, "a"), (2, "b")]
+    lines = _entry_lines(tbl, 1)
+    assert lines[0]["commitInfo"]["operation"] == "WRITE"
+    adds = [ln["add"] for ln in lines[1:]]
+    assert adds and all(a["dataChange"] is True for a in adds)
+    assert all("/" not in a["path"] for a in adds)  # root-relative
+    assert sum(
+        json.loads(a["stats"])["numRecords"] for a in adds
+    ) == 2
+    # every referenced file exists under the table root
+    for a in adds:
+        assert os.path.isfile(os.path.join(tbl, a["path"]))
+    assert append_to_delta(
+        spark.createDataFrame([(3, "c")], ["k", "v"]), tbl
+    ) == 2
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # empty append: no entry claimed
+    empty = spark.createDataFrame([], "k long, v string")
+    assert append_to_delta(empty, tbl) == 2
+
+
+def test_append_partitioned_records_partition_values(spark, tmp_path):
+    tbl = _mk_foreign(tmp_path, pcols=("p",))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 10)], ["k", "v", "p"]
+    )
+    assert append_to_delta(df, tbl) == 1
+    adds = [ln["add"] for ln in _entry_lines(tbl, 1)[1:]]
+    assert {a["partitionValues"]["p"] for a in adds} == {"10", "20"}
+    assert all(a["path"].startswith("p=") for a in adds)
+    got = sorted(
+        (r.k, r.v, r.p) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, "a", 10), (2, "b", 20), (3, "c", 10)]
+
+
+def test_append_refusals_are_named(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    # column mapping
+    cm = _mk_foreign(
+        tmp_path,
+        cfg={"delta.columnMapping.mode": "name"},
+        name="cm",
+    )
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        append_to_delta(df, cm)
+    # unsupported writer feature
+    rt = _mk_foreign(
+        tmp_path,
+        protocol={
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "rowTracking"],
+        },
+        name="rt",
+    )
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        append_to_delta(df, rt)
+    # live CHECK constraint
+    cc = _mk_foreign(
+        tmp_path,
+        cfg={"delta.constraints.positive": "k > 0"},
+        name="cc",
+    )
+    with pytest.raises(DeltaProtocolError, match="constraints"):
+        append_to_delta(df, cc)
+    # schema mismatch
+    ok = _mk_foreign(tmp_path, name="ok")
+    with pytest.raises(DeltaProtocolError, match="schema mismatch"):
+        append_to_delta(
+            spark.createDataFrame([(1,)], ["k"]), ok
+        )
+    # a supported feature set under table features is accepted
+    feat = _mk_foreign(
+        tmp_path,
+        protocol={
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "changeDataFeed"],
+        },
+        cfg={"delta.appendOnly": "true"},
+        name="feat",
+    )
+    assert append_to_delta(df, feat) == 1
+
+
+def test_append_live_invariant_refused(spark, tmp_path):
+    tbl = str(tmp_path / "inv")
+    os.makedirs(tbl, exist_ok=True)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "k",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.invariants": '{"expression":{"expression":"k > 0"}}'
+                },
+            }
+        ],
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "x",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            },
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="invariant"):
+        append_to_delta(spark.createDataFrame([(1,)], ["k"]), tbl)
+
+
+def test_append_in_commit_timestamp_monotonic(spark, tmp_path):
+    """A table with delta.enableInCommitTimestamps gets a monotonic
+    commitInfo.inCommitTimestamp as the entry's first action — even
+    when the previous commit's ict is in the future."""
+    future_ms = int(4e12)  # ~2096
+    tbl = _mk_foreign(
+        tmp_path, cfg={"delta.enableInCommitTimestamps": "true"}
+    )
+    # overwrite v0 to carry the future ict (first action per spec)
+    _log_write(
+        tbl,
+        0,
+        [{"commitInfo": {"inCommitTimestamp": future_ms}}]
+        + _entry_lines(tbl, 0),
+    )
+    append_to_delta(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), tbl
+    )
+    ci = _entry_lines(tbl, 1)[0]["commitInfo"]
+    assert ci["inCommitTimestamp"] == future_ms + 1
+
+
+def test_append_occ_lost_race_retries_next_slot(spark, tmp_path):
+    """A claim lost to a concurrent stock writer retries against
+    the new head: both commits land, neither clobbered."""
+    from etl_pipeline_4handling_listings_spark.sources import (
+        deltalog as m,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    tbl = _mk_foreign(tmp_path)
+
+    class RacingStore(PosixLogStore):
+        """Simulates a stock writer winning the first claim: just
+        before our create, version 1 appears."""
+
+        def __init__(self):
+            self.raced = False
+
+        def create_exclusive(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                # the rival's commit: an independent add entry
+                rival = os.path.join(
+                    os.path.dirname(path), f"{1:020d}.json"
+                )
+                staged = os.path.join(tbl, "rival.parquet")
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                pq.write_table(
+                    pa.table({"k": [99], "v": ["rival"]}), staged
+                )
+                with open(rival, "w") as fh:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "add": {
+                                    "path": "rival.parquet",
+                                    "partitionValues": {},
+                                    "size": os.path.getsize(staged),
+                                    "modificationTime": 0,
+                                    "dataChange": True,
+                                }
+                            }
+                        )
+                        + "\n"
+                    )
+            return super().create_exclusive(path, payload)
+
+    v = append_to_delta(
+        spark.createDataFrame([(1, "a")], ["k", "v"]),
+        tbl,
+        log_store=RacingStore(),
+    )
+    assert v == 2  # slot 1 was lost to the rival
+    got = sorted(
+        (r.k, r.v) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, "a"), (99, "rival")]
+
+
+def test_exporter_refuses_diverged_log(spark, tmp_path):
+    """Racing an exporter: a foreign append into a store-exported
+    log claims the slot the NEXT export needs — the exporter must
+    refuse by name (silently skipping would publish a log whose
+    version n is not store vn), while re-export without foreign
+    writers stays idempotent."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        export_delta_log,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.store import (
+        MergeStore,
+    )
+
+    store = MergeStore(spark, str(tmp_path / "s"), keys=["k"])
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    store.create_if_absent(df)
+    store.merge(df)  # v1
+    export_delta_log(store)
+    export_delta_log(store)  # idempotent re-export: fine
+    # foreign append claims the next slot (version 2)
+    v = append_to_delta(
+        spark.createDataFrame([(2, "b")], ["k", "v"]), store.path
+    )
+    assert v == 2
+    # the store commits v2 independently -> next export collides
+    store.merge(spark.createDataFrame([(3, "c")], ["k", "v"]))
+    with pytest.raises(DeltaProtocolError, match="diverged"):
+        export_delta_log(store)
