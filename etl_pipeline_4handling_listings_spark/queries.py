@@ -8953,11 +8953,12 @@ def hier_subtree_rollup(spark, sf_dir):
     "(metric, user tiebreak) so both engines assign identical "
     "scores; monetary in exact integer cents. Scale note: NTILE "
     "here ranks the USER-level aggregate (one row per user). For "
-    "billions of users the exact-rank window becomes the "
-    "documented sketch path — derive the three cut-points from "
-    "approx percentiles (sketch_approx_percentile) and score by "
-    "comparison, which drops the global sort entirely; the "
-    "quartile-score contract is unchanged.",
+    "billions of users the exact-rank window becomes the sketch "
+    "path — operators/quantile.ntile_by_sketch (mergeable "
+    "percentile_approx cut points broadcast against the frame, "
+    "buckets by comparison, exercised by sketch_ntile_balance) "
+    "drops the global sort entirely; the quartile-score contract "
+    "is unchanged up to the sketch's rank error.",
 )
 def events_rfm_segments(spark, sf_dir):
     e = tbl_events(spark, sf_dir)
@@ -10033,9 +10034,10 @@ def stats_psi_drift(spark, sf_dir):
     "assignment is bit-determined. The rank/cumsum window runs "
     "over the per-part AGGREGATE frame (bounded by the part "
     "dimension, not lineitem); for billion-key dimensions the "
-    "documented sketch path derives the two cut-points from "
-    "approx percentiles and classifies by comparison, dropping "
-    "the global sort (same note as events_rfm_segments).",
+    "sketch path (operators/quantile.ntile_by_sketch, exercised "
+    "by sketch_ntile_balance) derives the cut-points from "
+    "mergeable approx percentiles and classifies by comparison, "
+    "dropping the global sort (same note as events_rfm_segments).",
 )
 def abc_classification(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
@@ -13696,6 +13698,73 @@ def text_sentence_len_profile(spark, sf_dir):
     )
 
 
+# Round-9 additions (appended to the back of _DRIVER_ORDER, never
+# ahead of slot 50, per the growth discipline).
+
+
+@query(
+    "sketch_ntile_balance",
+    oracle="""
+    WITH tot AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_total
+        FROM events
+    )
+    SELECT s AS score, n_users_total, TRUE AS balance_ok
+    FROM (SELECT UNNEST(generate_series(1, 4)) AS s), tot
+    ORDER BY score
+    """,
+    doc="Sketch-derived NTILE (operators/quantile.ntile_by_sketch) "
+    "— the billion-key path events_rfm_segments'/"
+    "abc_classification's scale notes promise, now an exercised "
+    "operator: per-user monetary quartiles from mergeable "
+    "percentile_approx cut points broadcast against the frame, "
+    "buckets by COMPARISON — no global sort, no window over the "
+    "row stream (the plan audit pins Window/Sort absence). The "
+    "bucketing itself is engine-specific (sketch rank error, "
+    "value-determined ties), so the contract is the recall-gate "
+    "pattern: every quartile's population must land within "
+    "max(2, 5%) of n/4, emitted as an oracle-checkable boolean; "
+    "the exact distinct-user total grounds the frame against the "
+    "real data on both engines.",
+)
+def sketch_ntile_balance(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.quantile import (
+        ntile_by_sketch,
+    )
+
+    e = tbl_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents("value")).cast("bigint").alias("mon_c")
+    )
+    scored = ntile_by_sketch(per_user, "mon_c", 4, descending=True)
+    counts = scored.groupBy(
+        F.col("mon_c_score").alias("score")
+    ).agg(F.count("*").alias("_n"))
+    tot = per_user.agg(
+        F.count("*").cast("long").alias("n_users_total")
+    )
+    grid = spark.range(1, 5).select(F.col("id").alias("score"))
+    return (
+        grid.join(counts, "score", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").cast("long").alias("score"),
+            "n_users_total",
+            (
+                F.abs(
+                    F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+                    - F.col("n_users_total").cast("double") / 4.0
+                )
+                <= F.greatest(
+                    F.lit(2.0),
+                    0.05 * F.col("n_users_total").cast("double"),
+                )
+            ).alias("balance_ok"),
+        )
+        .orderBy("score")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -13969,6 +14038,7 @@ _DRIVER_ORDER = [
     "q22_dormant_customers",
     "mm_binary_metadata",
     "asof_backward_join",
+    "sketch_ntile_balance",
 ]
 
 def _rotate_registry() -> None:

@@ -277,6 +277,11 @@ AUDIT = {
     # one keyed agg
     "graph_clustering_coefficient": {"expect": ["TakeOrderedAndProject"], "forbid": ["CartesianProduct"]},
     "text_sentence_len_profile": {"expect": ["HashAggregate", "Generate"], "forbid": []},
+    # r9: sketch NTILE — the whole point is NO global-sort window
+    # over the per-user frame; cut points broadcast (BNLJ is the
+    # right shape for one-row attachment, only CartesianProduct is
+    # banned globally)
+    "sketch_ntile_balance": {"expect": ["HashAggregate", "BroadcastExchange"], "forbid": ["Window"]},
 }
 
 
