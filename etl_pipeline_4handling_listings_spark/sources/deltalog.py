@@ -2545,10 +2545,14 @@ def append_to_delta(
         }
         if ict_mode:
             # spec: monotonically increasing, first action of the
-            # entry; never at or below the previous commit's
-            prev = _entry_commit_ts(
-                os.path.join(log_dir, f"{head:020d}.json")
-            )
+            # entry; never at or below the previous commit's. A
+            # checkpoint-only head has no entry file — its mtime
+            # stands in (same fallback the timestamp resolver uses)
+            prev_path = os.path.join(log_dir, f"{head:020d}.json")
+            try:
+                prev = _entry_commit_ts(prev_path)
+            except OSError:
+                prev = 0.0
             ci["inCommitTimestamp"] = max(now_ms, int(prev * 1000) + 1)
         lines = [{"commitInfo": ci}] + [{"add": a} for a in adds]
         payload = "\n".join(json.dumps(ln) for ln in lines) + "\n"

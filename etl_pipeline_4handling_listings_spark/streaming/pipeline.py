@@ -571,3 +571,180 @@ def foreach_batch_histogram(
         ),
         merge_histograms,
     )
+
+
+_LATENESS_BANDS: tuple[tuple[str, int | None], ...] = (
+    ("0_in_order", 0),
+    ("1_lt_1s", 1_000_000),
+    ("2_lt_1m", 60_000_000),
+    ("3_lt_10m", 600_000_000),
+    ("4_lt_1h", 3_600_000_000),
+    ("5_ge_1h", None),
+)
+
+
+def foreach_batch_lateness_profile(
+    path: str,
+    ts_us_col: str,
+    bands: Sequence[tuple[str, int | None]] = _LATENESS_BANDS,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining a LIVE event-time lateness
+    profile — the streaming twin of query
+    ``events_lateness_profile`` and THE measurement that sizes a
+    Structured Streaming watermark from the stream itself (pick the
+    smallest band boundary whose cumulative share meets the loss
+    target; :func:`suggest_watermark_us`).
+
+    Semantics match the engine being sized, not the batch query:
+    Spark advances the watermark at micro-batch BOUNDARIES, so each
+    event's lateness is measured against the high-watermark (max
+    event time) of all PRIOR batches — "would a watermark of X have
+    dropped this row". Rows of the first batch are in_order by
+    definition, exactly as a fresh stream's watermark starts at
+    zero. State is one tiny frame (one row per band + the carried
+    high-watermark), merged counter-wise per batch; crash safety +
+    replay idempotency use the same rename-versioned scheme as
+    :func:`_versioned_merge_sink` (a replayed batch_id is a no-op,
+    so counts are exactly-once).
+
+    ``ts_us_col``: event time in integer MICROSECONDS (the events
+    convention) — integer arithmetic end to end, no tz hazards.
+    ``bands``: ascending ``(label, upper_bound_us)`` with a final
+    ``(label, None)`` catch-all; labels are lexicographically
+    ordered by construction so the profile reads sorted.
+    """
+    import os
+    import shutil
+
+    labels = [b[0] for b in bands]
+    uppers = [b[1] for b in bands]
+    if uppers[-1] is not None or any(u is None for u in uppers[:-1]):
+        raise ValueError(
+            "bands must end with the single (label, None) catch-all"
+        )
+
+    def band_col(late: Column) -> Column:
+        expr = F.lit(labels[-1])
+        for label, upper in reversed(list(zip(labels[:-1], uppers[:-1]))):
+            cond = (
+                (late <= 0) if upper == 0 else (late < F.lit(upper))
+            )
+            expr = F.when(cond, label).otherwise(expr)
+        return expr
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        final = os.path.join(path, f"v{batch_id}")
+        if os.path.isdir(final):
+            return  # replay of an already-committed batch
+        spark = batch.sparkSession
+        current = None
+        versions = (
+            sorted(
+                int(d[1:])
+                for d in os.listdir(path)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+            if os.path.isdir(path)
+            else []
+        )
+        if versions:
+            current = spark.read.parquet(
+                os.path.join(path, f"v{versions[-1]}")
+            )
+        hw_prev = (
+            None
+            if current is None
+            else current.agg(F.max("hw_us")).collect()[0][0]
+        )
+        ts = F.col(ts_us_col).cast("long")
+        late = (
+            F.lit(0).cast("long")
+            if hw_prev is None
+            else F.when(ts >= F.lit(hw_prev), F.lit(0).cast("long"))
+            .otherwise(F.lit(hw_prev) - ts)
+        )
+        prof = batch.select(
+            late.alias("_late"), ts.alias("_ts")
+        ).agg(
+            *[
+                F.sum(
+                    F.when(band_col(F.col("_late")) == lb, 1).otherwise(0)
+                ).cast("long").alias(f"_n_{i}")
+                for i, lb in enumerate(labels)
+            ],
+            F.max(
+                F.when(F.col("_late") > 0, F.col("_late")).otherwise(0)
+            ).cast("long").alias("_maxl"),
+            F.max("_ts").cast("long").alias("_bmax"),
+        )
+        [row] = prof.collect()  # one row — the profile IS tiny state
+        new_hw = max(
+            v for v in (hw_prev, row["_bmax"], 0) if v is not None
+        )
+        rows = [
+            (
+                lb,
+                int(row[f"_n_{i}"] or 0),
+                int(row["_maxl"] or 0),
+                int(new_hw),
+            )
+            for i, lb in enumerate(labels)
+        ]
+        merged = spark.createDataFrame(
+            rows, "band string, n_events long, max_late_us long, hw_us long"
+        )
+        # max_late_us belongs to the profile, not a band — carry the
+        # running max on every row (merge = max), like hw_us
+        if current is not None:
+            prev_max = current.agg(F.max("max_late_us")).collect()[0][0] or 0
+            prev_counts = {
+                r["band"]: r["n_events"] for r in current.collect()
+            }
+            rows = [
+                (
+                    lb,
+                    n + int(prev_counts.get(lb, 0)),
+                    max(m, int(prev_max)),
+                    hw,
+                )
+                for (lb, n, m, hw) in rows
+            ]
+            merged = spark.createDataFrame(
+                rows,
+                "band string, n_events long, max_late_us long, hw_us long",
+            )
+        tmp = os.path.join(path, f"_tmp_v{batch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, final)
+
+    return sink
+
+
+def suggest_watermark_us(
+    profile: DataFrame,
+    coverage: float = 0.99,
+    bands: Sequence[tuple[str, int | None]] = _LATENESS_BANDS,
+) -> int | None:
+    """Watermark sizing from a lateness profile (the consumer of
+    :func:`foreach_batch_lateness_profile`): the smallest band
+    upper bound whose cumulative event share reaches ``coverage``.
+    None means only the unbounded catch-all reaches it — the stream
+    is too disordered for a finite watermark at that target (raise
+    the target's loss tolerance or fix the source). Driver-side on
+    the n_bands-row profile — never touches the stream."""
+    rows = sorted(
+        (r["band"], int(r["n_events"]))
+        for r in profile.select("band", "n_events").collect()
+    )
+    total = sum(n for _b, n in rows)
+    if total == 0:
+        return 0
+    uppers = {b[0]: b[1] for b in bands}
+    cum = 0
+    for band, n in rows:
+        cum += n
+        if cum >= coverage * total:
+            upper = uppers.get(band, None)
+            return upper if upper is not None else None
+    return None

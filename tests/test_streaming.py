@@ -729,3 +729,52 @@ def test_foreach_batch_upsert_marker_is_per_app_id(spark, tmp_path):
         spark.createDataFrame([(3, 1, "c")], ["k", "o", "v"]), 8
     )
     assert len(store.list_versions()) == n_versions + 1
+
+
+def test_lateness_profile_sink_and_watermark_sizing(spark, tmp_path):
+    """Streaming twin of events_lateness_profile: lateness measures
+    against the PRE-BATCH high-watermark (Spark advances watermarks
+    at micro-batch boundaries — this is exactly 'would a watermark
+    of X have dropped this row'), counts accumulate exactly-once
+    under replay, and suggest_watermark_us sizes the delay from the
+    profile."""
+    import os
+
+    from etl_pipeline_4handling_listings_spark.streaming import (
+        foreach_batch_lateness_profile,
+        suggest_watermark_us,
+    )
+
+    path = str(tmp_path / "late")
+    sink = foreach_batch_lateness_profile(path, "ts_us")
+    # batch 0: everything in_order by definition (fresh stream)
+    sink(
+        spark.createDataFrame([(100,), (200,), (300,)], ["ts_us"]), 0
+    )
+    # batch 1 vs hw=300: 400 advances (in_order), 250 is 50us late
+    sink(spark.createDataFrame([(400,), (250,)], ["ts_us"]), 1)
+    prof = spark.read.parquet(os.path.join(path, "v1"))
+    counts = {r["band"]: r["n_events"] for r in prof.collect()}
+    assert counts["0_in_order"] == 4
+    assert counts["1_lt_1s"] == 1
+    assert prof.agg({"hw_us": "max"}).collect()[0][0] == 400
+    assert prof.agg({"max_late_us": "max"}).collect()[0][0] == 50
+    # replay of a committed batch is a no-op (exactly-once counts)
+    sink(spark.createDataFrame([(400,), (250,)], ["ts_us"]), 1)
+    again = spark.read.parquet(os.path.join(path, "v1"))
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, prof.collect())
+    )
+    # batch 2: one event 2 minutes behind hw=400 -> lt_10m band
+    sink(spark.createDataFrame([(400 - 120_000_000,)], ["ts_us"]), 2)
+    prof2 = spark.read.parquet(os.path.join(path, "v2"))
+    counts2 = {r["band"]: r["n_events"] for r in prof2.collect()}
+    assert counts2["3_lt_10m"] == 1
+    assert counts2["0_in_order"] == 4
+    # hw never regresses on late data
+    assert prof2.agg({"hw_us": "max"}).collect()[0][0] == 400
+    # sizing: 99% coverage needs the lt_10m bound; 80% only lt_1s
+    assert suggest_watermark_us(prof2, coverage=0.99) == 600_000_000
+    assert suggest_watermark_us(prof2, coverage=0.80) == 1_000_000
+    # all-in-order profile sizes to a zero-delay watermark
+    assert suggest_watermark_us(prof, coverage=0.80) == 0
