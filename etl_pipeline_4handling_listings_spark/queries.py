@@ -13765,6 +13765,214 @@ def sketch_ntile_balance(spark, sf_dir):
     )
 
 
+@query(
+    "events_watermark_fit",
+    oracle="""
+    WITH perturbed AS (
+        SELECT event_id,
+               epoch_us(ts) - CASE
+                   WHEN event_id % 17 = 3 THEN 7200000000
+                   WHEN event_id % 17 = 5 THEN 1800000000
+                   WHEN event_id % 17 = 11 THEN 90000000
+                   ELSE 0 END AS ev_ts
+        FROM events
+    ),
+    arr AS (
+        SELECT ev_ts,
+               MAX(ev_ts) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS hw
+        FROM perturbed
+    ),
+    late AS (
+        SELECT CASE WHEN hw IS NULL OR ev_ts >= hw THEN 0
+                    ELSE hw - ev_ts END AS late_us
+        FROM arr
+    ),
+    banded AS (
+        SELECT CASE WHEN late_us = 0 THEN '0_in_order'
+                    WHEN late_us < 1000000 THEN '1_lt_1s'
+                    WHEN late_us < 60000000 THEN '2_lt_1m'
+                    WHEN late_us < 600000000 THEN '3_lt_10m'
+                    WHEN late_us < 3600000000 THEN '4_lt_1h'
+                    ELSE '5_ge_1h' END AS band
+        FROM late
+    ),
+    prof AS (
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM banded GROUP BY band
+    ),
+    cum AS (
+        SELECT band, n_events,
+               SUM(n_events) OVER (ORDER BY band) AS c,
+               SUM(n_events) OVER () AS t
+        FROM prof
+    )
+    SELECT band, n_events,
+           FLOOR(CAST(c AS DOUBLE) / CAST(t AS DOUBLE) * 1000000
+                 + 0.5) / 1000000 AS cum_share,
+           (100 * c >= 99 * t
+            AND COALESCE(100 * (c - n_events) < 99 * t, TRUE))
+               AS p99_cut
+    FROM cum ORDER BY band
+    """,
+    doc="Watermark sizing as a batch query — the exact twin of the "
+    "streaming foreach_batch_lateness_profile + "
+    "suggest_watermark_us pair: lateness of every event vs the "
+    "running event-time high-watermark (arrival order = event_id; "
+    "the same two-level distributed running max as "
+    "events_lateness_profile), bucketed into the streaming twin's "
+    "exponential bands, with cumulative coverage and the p99 cut "
+    "band — the smallest watermark delay that would lose under 1% "
+    "of rows. The synthetic events arrive perfectly in order, so "
+    "(the text_pii_redaction precedent) a DETERMINISTIC delay is "
+    "injected on ~18% of events (90s / 30min / 2h by event_id mod "
+    "17 — pure integer microseconds, identical on both engines) to "
+    "exercise every band. The cut test compares exact integers "
+    "(100*cum vs 99*total), never a float threshold, so the chosen "
+    "band is bit-determined; cum_share is the only float and "
+    "rounds at 1e-6.",
+)
+def events_watermark_fit(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    delay = (
+        F.when(F.col("event_id") % 17 == 3, 7_200_000_000)
+        .when(F.col("event_id") % 17 == 5, 1_800_000_000)
+        .when(F.col("event_id") % 17 == 11, 90_000_000)
+        .otherwise(0)
+    )
+    tagged = e.select(
+        "event_id", (F.col("ts_us") - delay).alias("ev_ts")
+    ).withColumn("_pb", F.expr("event_id div 8192"))
+    per_bucket = tagged.groupBy("_pb").agg(F.max("ev_ts").alias("_bm"))
+    wb = Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_pb", F.max("_bm").over(wb).alias("_prior_max")
+    )
+    ww = (
+        Window.partitionBy("_pb")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = tagged.join(F.broadcast(offsets), "_pb").select(
+        "ev_ts",
+        F.greatest(
+            F.max("ev_ts").over(ww), F.col("_prior_max")
+        ).alias("hw"),
+    )
+    late = arr.select(
+        F.when(
+            F.col("hw").isNull() | (F.col("ev_ts") >= F.col("hw")), 0
+        )
+        .otherwise(F.col("hw") - F.col("ev_ts"))
+        .alias("late_us")
+    )
+    band = (
+        F.when(F.col("late_us") == 0, "0_in_order")
+        .when(F.col("late_us") < 1_000_000, "1_lt_1s")
+        .when(F.col("late_us") < 60_000_000, "2_lt_1m")
+        .when(F.col("late_us") < 600_000_000, "3_lt_10m")
+        .when(F.col("late_us") < 3_600_000_000, "4_lt_1h")
+        .otherwise("5_ge_1h")
+    )
+    prof = late.groupBy(band.alias("band")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    wc = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = prof.select(
+        "band",
+        "n_events",
+        F.sum("n_events").over(wc).alias("_c"),
+        F.sum("n_events").over(wt).alias("_t"),
+    )
+    return cum.select(
+        "band",
+        "n_events",
+        r(F.col("_c").cast("double") / F.col("_t").cast("double"), 6).alias(
+            "cum_share"
+        ),
+        (
+            (100 * F.col("_c") >= 99 * F.col("_t"))
+            & F.coalesce(
+                100 * (F.col("_c") - F.col("n_events")) < 99 * F.col("_t"),
+                F.lit(True),
+            )
+        ).alias("p99_cut"),
+    ).orderBy("band")
+
+
+@query(
+    "sketch_hll_union",
+    oracle="""
+    WITH per_source AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events GROUP BY event_type
+    ),
+    whole AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total
+        FROM events
+    )
+    SELECT event_type, exact_users, exact_total, TRUE AS union_ok
+    FROM per_source, whole
+    ORDER BY event_type
+    """,
+    doc="Mergeable HLL sketch UNION (Apache DataSketches via "
+    "hll_sketch_agg / hll_union_agg / hll_sketch_estimate): one "
+    "binary sketch per event_type, union'd into the corpus-wide "
+    "distinct-user estimate — the incremental-distinct maintenance "
+    "path (keep one small sketch per source/day; the union answers "
+    "'distinct across any subset' without rescanning, which a "
+    "plain approx_count_distinct cannot). Users overlap across "
+    "types, so the union MUST dedupe across sketches — comparing "
+    "the union estimate to the exact overall count (within 5%) is "
+    "the gate that it does; per-type estimates gate at 5% too. "
+    "Fixed ~KB state per sketch, map-side combinable, no distinct "
+    "shuffle of the key set at 100 TB.",
+)
+def sketch_hll_union(spark, sf_dir):
+    e = tbl_events(spark, sf_dir)
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("_sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    union = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_total")
+    )
+    whole = e.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_total")
+    )
+    return (
+        per.crossJoin(F.broadcast(union))
+        .crossJoin(F.broadcast(whole))
+        .select(
+            "event_type",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            "exact_total",
+            (
+                (
+                    F.abs(
+                        F.hll_sketch_estimate(F.col("_sk"))
+                        - F.col("exact_users")
+                    )
+                    <= 0.05 * F.col("exact_users")
+                )
+                & (
+                    F.abs(F.col("_est_total") - F.col("exact_total"))
+                    <= 0.05 * F.col("exact_total")
+                )
+            ).alias("union_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -14039,6 +14247,8 @@ _DRIVER_ORDER = [
     "mm_binary_metadata",
     "asof_backward_join",
     "sketch_ntile_balance",
+    "events_watermark_fit",
+    "sketch_hll_union",
 ]
 
 def _rotate_registry() -> None:

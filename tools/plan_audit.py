@@ -282,6 +282,13 @@ AUDIT = {
     # right shape for one-row attachment, only CartesianProduct is
     # banned globally)
     "sketch_ntile_balance": {"expect": ["HashAggregate", "BroadcastExchange"], "forbid": ["Window"]},
+    # watermark fit: the same two-level running-max shape as
+    # events_lateness_profile (bucket window + broadcast offsets),
+    # never a sort-merge join of the offset frame; HLL union: two
+    # tiny one-row broadcasts attach to the 5-row per-type frame,
+    # no window anywhere
+    "events_watermark_fit": {"expect": ["HashAggregate", "Window"], "forbid": ["SortMergeJoin"]},
+    "sketch_hll_union": {"expect": ["HashAggregate", "BroadcastExchange"], "forbid": ["Window"]},
 }
 
 
