@@ -12839,27 +12839,18 @@ def text_freq_spectrum(spark, sf_dir):
                l_extendedprice AS pv, COUNT(*) AS cnt
         FROM lineitem GROUP BY flag, qv, pv
     ),
-    hx AS (
-        SELECT flag, qv, SUM(cnt) AS c FROM joint GROUP BY flag, qv
-    ),
-    rx AS (
-        SELECT flag, qv,
-               2 * COALESCE(SUM(c) OVER (
+    ranked AS (
+        SELECT cnt,
+               2 * SUM(cnt) OVER (
                    PARTITION BY flag ORDER BY qv
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) + c + 1 AS rx2
-        FROM hx
-    ),
-    hy AS (
-        SELECT flag, pv, SUM(cnt) AS c FROM joint GROUP BY flag, pv
-    ),
-    ry AS (
-        SELECT flag, pv,
-               2 * COALESCE(SUM(c) OVER (
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - SUM(cnt) OVER (PARTITION BY flag, qv) + 1 AS rx2,
+               2 * SUM(cnt) OVER (
                    PARTITION BY flag ORDER BY pv
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) + c + 1 AS ry2
-        FROM hy
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - SUM(cnt) OVER (PARTITION BY flag, pv) + 1 AS ry2,
+               flag
+        FROM joint
     ),
     m AS (
         SELECT flag,
@@ -12869,10 +12860,7 @@ def text_freq_spectrum(spark, sf_dir):
                SUM(CAST(cnt AS HUGEINT) * rx2 * ry2) AS sxy,
                SUM(CAST(cnt AS HUGEINT) * rx2 * rx2) AS sxx,
                SUM(CAST(cnt AS HUGEINT) * ry2 * ry2) AS syy
-        FROM joint
-        JOIN rx USING (flag, qv)
-        JOIN ry USING (flag, pv)
-        GROUP BY flag
+        FROM ranked GROUP BY flag
     )
     SELECT flag, n,
            {sql_r('(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
@@ -12890,75 +12878,59 @@ def text_freq_spectrum(spark, sf_dir):
     "stats_mannwhitney_u histogram pattern): ranks are NEVER "
     "assigned to the raw row stream — the scan collapses to an "
     "exact joint (flag, quantity, price) count histogram first "
-    "(map-side-combinable), both marginal rank maps derive from "
-    "that histogram with cumulative-count windows whose frame is "
-    "bounded by the VALUE GRID (50 quantities / the price grid "
-    "per flag), not the data, and the rank maps join back onto "
-    "the joint histogram, so no task ever sorts or carries the "
-    "row stream. Doubled avg rank 2*cb+c+1 keeps every rank an "
-    "exact integer (Pearson is scale-invariant, corr(2rx,2ry) = "
-    "corr(rx,ry)); the five moments accumulate in DECIMAL(38,0) "
-    "(HUGEINT on the oracle side) because sum(cnt*rx2^2) grows "
-    "like 4n^3 and exceeds BIGINT near n~1.9M rows per flag — "
-    "exact to n~1e12, and partial-agg order cannot move integer "
-    "sums. The only float is the final Pearson expression, "
-    "mirrored op-for-op and quantized at 1e-6.",
+    "(map-side-combinable), and both doubled rank columns come "
+    "from RANGE-frame cumulative-count windows DIRECTLY on that "
+    "histogram (2*le - c + 1: peers included by the range frame, "
+    "tie mass from the per-value partition — no marginal join "
+    "back), so the only sorts are two passes over the frame "
+    "bounded by the VALUE GRID (quantity x part-price combos), "
+    "not the row count, sharing one flag exchange. Doubled avg "
+    "ranks keep every rank an exact integer (Pearson is "
+    "scale-invariant, corr(2rx,2ry) = corr(rx,ry)); the five "
+    "moments accumulate in DECIMAL(38,0) (HUGEINT on the oracle "
+    "side) because sum(cnt*rx2^2) grows like 4n^3 and exceeds "
+    "BIGINT near n~1.9M rows per flag — exact to n~1e12, and "
+    "partial-agg order cannot move integer sums. The only float "
+    "is the final Pearson expression, mirrored op-for-op and "
+    "quantized at 1e-6.",
 )
 def stats_spearman_corr(spark, sf_dir):
-    from etl_pipeline_4handling_listings_spark.operators.sampling import (
-        persist_slot,
-    )
-
     li = tbl(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_quantity").alias("qv"),
         F.col("l_extendedprice").alias("pv"),
     )
-    # one scan: the joint histogram feeds three branches (both
-    # marginal rank maps and the moment join) — persist it so the
-    # lineitem scan and the joint agg run once, not three times
-    joint = persist_slot(
-        "spearman_joint",
-        li.groupBy("flag", "qv", "pv").agg(F.count("*").alias("cnt")),
+    joint = li.groupBy("flag", "qv", "pv").agg(
+        F.count("*").alias("cnt")
     )
-    wb = lambda col: (  # noqa: E731 — cumulative count BELOW the value
-        Window.partitionBy("flag")
-        .orderBy(col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    hx = joint.groupBy("flag", "qv").agg(F.sum("cnt").alias("c"))
-    rx = hx.select(
+    # doubled avg rank 2*cb + c + 1 == 2*le - c + 1, where le = the
+    # RANGE-frame cumulative count (peers included, so the window
+    # needs no marginal-histogram join back) and c = the tie mass —
+    # both windows share the flag partitioning (one exchange, two
+    # sorts of the COMPRESSED joint frame)
+    def rank2(col: str) -> Column:
+        le = F.sum("cnt").over(
+            Window.partitionBy("flag")
+            .orderBy(col)
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        c = F.sum("cnt").over(Window.partitionBy("flag", col))
+        return (2 * le - c + 1).cast("long")
+
+    ranked = joint.select(
         "flag",
-        "qv",
-        (
-            2 * F.coalesce(F.sum("c").over(wb("qv")), F.lit(0))
-            + F.col("c")
-            + 1
-        ).cast("long").alias("rx2"),
-    )
-    hy = joint.groupBy("flag", "pv").agg(F.sum("cnt").alias("c"))
-    ry = hy.select(
-        "flag",
-        "pv",
-        (
-            2 * F.coalesce(F.sum("c").over(wb("pv")), F.lit(0))
-            + F.col("c")
-            + 1
-        ).cast("long").alias("ry2"),
+        "cnt",
+        rank2("qv").alias("rx2"),
+        rank2("pv").alias("ry2"),
     )
     cw = F.col("cnt").cast("decimal(38,0)")
-    m = (
-        joint.join(rx, ["flag", "qv"])
-        .join(ry, ["flag", "pv"])
-        .groupBy("flag")
-        .agg(
-            F.sum("cnt").cast("long").alias("n"),
-            F.sum(cw * F.col("rx2")).alias("sx"),
-            F.sum(cw * F.col("ry2")).alias("sy"),
-            F.sum(cw * F.col("rx2") * F.col("ry2")).alias("sxy"),
-            F.sum(cw * F.col("rx2") * F.col("rx2")).alias("sxx"),
-            F.sum(cw * F.col("ry2") * F.col("ry2")).alias("syy"),
-        )
+    m = ranked.groupBy("flag").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(cw * F.col("rx2")).alias("sx"),
+        F.sum(cw * F.col("ry2")).alias("sy"),
+        F.sum(cw * F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(cw * F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(cw * F.col("ry2") * F.col("ry2")).alias("syy"),
     )
     num = F.col("n").cast("double") * F.col("sxy").cast(
         "double"
