@@ -61,3 +61,48 @@ def keyed_prefix_sum(
         )
         .drop("_pb", "_off")
     )
+
+
+def keyed_prefix_max(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    out_col: str = "prefix_max",
+    bucket_size: int = 8192,
+) -> DataFrame:
+    """Append ``out_col`` = max of ``value_col`` over all rows with
+    a strictly smaller ``key`` (EXCLUSIVE running max — null when no
+    prior row exists), same two-level shape as
+    :func:`keyed_prefix_sum` with max as the monoid. This is the
+    high-watermark kernel: with ``key`` = arrival sequence and
+    ``value_col`` = event time, ``out_col`` is the event-time
+    watermark each row faced on arrival (consumers:
+    ``queries.events_lateness_profile`` / ``events_watermark_fit``
+    and the streaming ``foreach_batch_lateness_profile``)."""
+    tagged = df.withColumn(
+        "_pb", (F.col(key) / bucket_size).cast("bigint")
+    )
+    per_bucket = tagged.groupBy("_pb").agg(
+        F.max(value_col).alias("_bm")
+    )
+    wb = Window.orderBy("_pb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "_pb", F.max("_bm").over(wb).alias("_prior")
+    )
+    ww = (
+        Window.partitionBy("_pb")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "_pb")
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.max(value_col).over(ww), F.col("_prior")
+            ),
+        )
+        .drop("_pb", "_prior")
+    )

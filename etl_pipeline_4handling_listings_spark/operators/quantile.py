@@ -63,11 +63,22 @@ def _bucket_expr(col: str, cuts: str, descending: bool) -> Column:
     NTILE's boundary when the cut is the bucket's max). Descending
     (bucket 1 = the largest values, ``NTILE(n) OVER (ORDER BY col
     DESC)``): 1 + #cuts at or above the value — the same tie side,
-    so the two orientations assign mirror buckets."""
-    cmp = "<=" if descending else ">"
-    return F.expr(
-        f"aggregate({cuts}, 1, (acc, c) -> acc + "
-        f"(CASE WHEN {col} {cmp} c THEN 1 ELSE 0 END))"
+    so the two orientations assign mirror buckets.
+
+    Built with the FUNCTIONAL aggregate API, not an F.expr SQL
+    lambda: pyspark generates unique lambda-variable names, so a
+    data column named ``acc`` or ``c`` can never shadow the lambda
+    arguments (with a textual lambda, ``CASE WHEN c > c`` resolved
+    both sides to the lambda variable and silently scored every
+    row into bucket 1)."""
+    value = F.col(col)
+
+    def step(acc: Column, cut: Column) -> Column:
+        hit = (value <= cut) if descending else (value > cut)
+        return acc + F.when(hit, 1).otherwise(0)
+
+    return F.aggregate(
+        F.col(cuts), F.lit(1).cast("int"), step
     ).cast("long")
 
 
@@ -85,17 +96,9 @@ def ntile_by_sketch(
     ``descending=True`` matches ``NTILE(n) OVER (ORDER BY c DESC)``
     (bucket 1 = top values), the RFM orientation. Multiple columns
     share ONE sketch pass and ONE broadcast (the RFM case: three
-    metrics, two scans total instead of three global sorts).
-
-    ``cols`` entries must be plain column names (they interpolate
-    into a SQL lambda)."""
+    metrics, two scans total instead of three global sorts)."""
     if isinstance(cols, str):
         cols = [cols]
-    for c in cols:
-        if not c.isidentifier():
-            raise ValueError(
-                f"cols entries must be plain column names, got {c!r}"
-            )
     cuts = sketch_cutpoints(df, cols, n, accuracy)
     out = df.crossJoin(F.broadcast(cuts))
     for c in cols:

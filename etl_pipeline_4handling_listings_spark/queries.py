@@ -11408,28 +11408,20 @@ def dq_reconciliation(spark, sf_dir):
     "integer microsecond arithmetic.",
 )
 def events_lateness_profile(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.prefix import (
+        keyed_prefix_max,
+    )
+
     e = tbl_events(spark, sf_dir)
     # two-level running max keyed on arrival order (event_id):
-    # per-bucket maxes -> tiny offset frame -> bucket-bounded window
-    tagged = e.select(
-        "event_id", F.col("ts_us").alias("ev_ts")
-    ).withColumn("_pb", F.expr("event_id div 8192"))
-    per_bucket = tagged.groupBy("_pb").agg(F.max("ev_ts").alias("_bm"))
-    wb = Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_bucket.select(
-        "_pb", F.max("_bm").over(wb).alias("_prior_max")
-    )
-    ww = (
-        Window.partitionBy("_pb")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    arr = tagged.join(F.broadcast(offsets), "_pb").select(
+    # operators/prefix.keyed_prefix_max (per-bucket maxes -> tiny
+    # offset frame -> bucket-bounded window)
+    arr = keyed_prefix_max(
+        e.select("event_id", F.col("ts_us").alias("ev_ts")),
+        "event_id",
         "ev_ts",
-        F.greatest(
-            F.max("ev_ts").over(ww), F.col("_prior_max")
-        ).alias("high_watermark"),
-    )
+        out_col="high_watermark",
+    ).select("ev_ts", "high_watermark")
     late = arr.select(
         F.when(
             F.col("high_watermark").isNull()
@@ -13807,6 +13799,10 @@ def sketch_ntile_balance(spark, sf_dir):
     "rounds at 1e-6.",
 )
 def events_watermark_fit(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.prefix import (
+        keyed_prefix_max,
+    )
+
     e = tbl_events(spark, sf_dir)
     delay = (
         F.when(F.col("event_id") % 17 == 3, 7_200_000_000)
@@ -13814,25 +13810,14 @@ def events_watermark_fit(spark, sf_dir):
         .when(F.col("event_id") % 17 == 11, 90_000_000)
         .otherwise(0)
     )
-    tagged = e.select(
-        "event_id", (F.col("ts_us") - delay).alias("ev_ts")
-    ).withColumn("_pb", F.expr("event_id div 8192"))
-    per_bucket = tagged.groupBy("_pb").agg(F.max("ev_ts").alias("_bm"))
-    wb = Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_bucket.select(
-        "_pb", F.max("_bm").over(wb).alias("_prior_max")
-    )
-    ww = (
-        Window.partitionBy("_pb")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    arr = tagged.join(F.broadcast(offsets), "_pb").select(
+    arr = keyed_prefix_max(
+        e.select(
+            "event_id", (F.col("ts_us") - delay).alias("ev_ts")
+        ),
+        "event_id",
         "ev_ts",
-        F.greatest(
-            F.max("ev_ts").over(ww), F.col("_prior_max")
-        ).alias("hw"),
-    )
+        out_col="hw",
+    ).select("ev_ts", "hw")
     late = arr.select(
         F.when(
             F.col("hw").isNull() | (F.col("ev_ts") >= F.col("hw")), 0

@@ -53,6 +53,7 @@ in for).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
@@ -265,16 +266,14 @@ def _partition_value(field, raw: str):
 
 def _read_file_dicts(
     vdir: str, rel: str, dv_positions: set, schema: StructType
-) -> list[dict]:
-    """One data file as schema-projected row dicts: DV positions
-    dropped, partition value injected, missing columns (schema
-    evolution: old hardlinked partitions) as None."""
+):
+    """One data file as a STREAM of schema-projected row dicts
+    (record-batch granularity, never the whole file as Python
+    objects at once — parquet bytes expand ~5-10x as dicts): DV
+    positions dropped, partition value injected, missing columns
+    (schema evolution: old hardlinked partitions) as None."""
     import pyarrow.parquet as pq
 
-    table = pq.read_table(os.path.join(vdir, rel))
-    rows = table.to_pylist()
-    if dv_positions:
-        rows = [r for i, r in enumerate(rows) if i not in dv_positions]
     head = os.path.dirname(rel)
     pcol_name = pcol_val = None
     if "=" in head:
@@ -282,13 +281,19 @@ def _read_file_dicts(
         pcol_name = name
         f = next((f for f in schema.fields if f.name == name), None)
         pcol_val = _partition_value(f, raw) if f is not None else raw
-    out = []
-    for r in rows:
-        d = {f.name: r.get(f.name) for f in schema.fields}
-        if pcol_name is not None:
-            d[pcol_name] = pcol_val
-        out.append(d)
-    return out
+    offset = 0
+    for batch in pq.ParquetFile(
+        os.path.join(vdir, rel)
+    ).iter_batches():
+        rows = batch.to_pylist()
+        for i, r in enumerate(rows):
+            if dv_positions and (offset + i) in dv_positions:
+                continue
+            d = {f.name: r.get(f.name) for f in schema.fields}
+            if pcol_name is not None:
+                d[pcol_name] = pcol_val
+            yield d
+        offset += len(rows)
 
 
 # -- batch source -------------------------------------------------------
@@ -1123,11 +1128,36 @@ def _bucket_ids(key_cols, names, n):
     Arrow arrays of the SAME schema types before calling this, so
     the Arrow plane and the dict fallback slice the identical
     keyspace and a per-partition degrade can never double-emit or
-    drop a key."""
+    drop a key.
+
+    VALUE PURITY: a key's bucket must depend only on its value,
+    never on which BATCH it arrives in — an int64 batch containing
+    a null would convert to float64 in pandas (object for bool/
+    temporal) and hash every other key of the batch differently
+    from a null-free batch of the same file set, splitting one key
+    across buckets (phantom delete+insert pairs). Non-string/binary
+    columns therefore canonicalize through Arrow's deterministic
+    string cast first: the pandas dtype is then `object` with or
+    without nulls, so the hash of a non-null key is batch-
+    independent. String/binary columns are already object-dtype
+    either way and pass through untouched."""
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    df = pa.table(dict(zip(names, key_cols))).to_pandas()
+    cols = {}
+    for name, col in zip(names, key_cols):
+        t = col.type
+        if (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
+            cols[name] = col
+        else:
+            cols[name] = pc.cast(col, pa.string())
+    df = pa.table(cols).to_pandas()
     return (
         pd.util.hash_pandas_object(df, index=False).to_numpy() % n
     )
@@ -1252,24 +1282,30 @@ def _diff_side(partition: _DiffPartition, version: str, fields) -> dict:
     for rel in _manifest_relpaths(partition.path, version):
         if partition.prefix and not rel.startswith(partition.prefix):
             continue
-        ds = list(
-            _read_file_dicts(vdir, rel, dv.get(rel, set()), fields)
-        )
-        if nb > 1 and ds:
-            import pyarrow as pa
+        it = _read_file_dicts(vdir, rel, dv.get(rel, set()), fields)
+        # bucket-filter in bounded CHUNKS: materializing the whole
+        # file as Python dicts before filtering would multiply peak
+        # task memory by the file/bucket ratio — exactly what the
+        # bucketing exists to bound
+        while True:
+            ds = list(itertools.islice(it, 8192))
+            if not ds:
+                break
+            if nb > 1:
+                import pyarrow as pa
 
-            key_cols = [
-                pa.array([d[k] for d in ds], type=t)
-                for k, t in zip(partition.keys, key_types)
-            ]
-            ids = _bucket_ids(key_cols, partition.keys, nb)
-            ds = [
-                d
-                for d, b in zip(ds, ids)
-                if b == partition.bucket
-            ]
-        for d in ds:
-            rows[tuple(d[k] for k in partition.keys)] = d
+                key_cols = [
+                    pa.array([d[k] for d in ds], type=t)
+                    for k, t in zip(partition.keys, key_types)
+                ]
+                ids = _bucket_ids(key_cols, partition.keys, nb)
+                ds = [
+                    d
+                    for d, b in zip(ds, ids)
+                    if b == partition.bucket
+                ]
+            for d in ds:
+                rows[tuple(d[k] for k in partition.keys)] = d
     return rows
 
 

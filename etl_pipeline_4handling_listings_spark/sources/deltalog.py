@@ -2483,6 +2483,28 @@ def append_to_delta(
 
     target, meta, logical = resolve()
     pcols = list(meta.get("partitionColumns") or [])
+    # nullability is part of the table contract (top-level fields):
+    # the name/type gate above ignores it, and silently appending
+    # nulls into a nullable=false column corrupts the table for
+    # stock readers (IsNotNull-based pruning returns wrong results).
+    # Spark frames are usually nullable-typed even when null-free,
+    # so gate on the DATA, not the schema: one aggregate pass over
+    # the declared non-null columns, refusal by name on any hit.
+    nn = [f.name for f in logical.fields if not f.nullable]
+    if nn:
+        [probe] = df.agg(
+            *[
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
+                for c in nn
+            ]
+        ).collect()
+        bad = [c for c in nn if (probe[c] or 0) > 0]
+        if bad:
+            raise DeltaProtocolError(
+                f"columns {bad} are declared non-nullable by the "
+                "table but the DataFrame contains NULLs there — "
+                "refusing the append"
+            )
 
     # stage the data files: Spark writes them under a dot-dir the
     # log never references, then each file moves to its final
@@ -2528,11 +2550,13 @@ def append_to_delta(
     if not adds:  # empty DataFrame: nothing to commit
         return target
 
-    ict_mode = str(
-        dict(meta.get("configuration") or {}).get(
-            "delta.enableInCommitTimestamps", "false"
-        )
-    ).lower() == "true"
+    def ict_on(m: dict) -> bool:
+        return str(
+            dict(m.get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps", "false"
+            )
+        ).lower() == "true"
+
     for _attempt in range(max_retries):
         head = _latest_log_version(log_dir)
         ver = head + 1
@@ -2543,25 +2567,47 @@ def append_to_delta(
             "operationParameters": {"mode": "Append"},
             "engineInfo": "mergestore-deltalog-append",
         }
-        if ict_mode:
+        if ict_on(meta):
             # spec: monotonically increasing, first action of the
-            # entry; never at or below the previous commit's. A
-            # checkpoint-only head has no entry file — its mtime
-            # stands in (same fallback the timestamp resolver uses)
+            # entry; never at or below the previous commit's. Read
+            # the previous ict in INTEGER ms (a float-seconds round
+            # trip loses 1 ms for ~0.8% of values, which can emit
+            # an EQUAL ict under clock skew); a checkpoint-only
+            # head has no entry file — its mtime stands in
             prev_path = os.path.join(log_dir, f"{head:020d}.json")
+            prev_ms = 0
             try:
-                prev = _entry_commit_ts(prev_path)
-            except OSError:
-                prev = 0.0
-            ci["inCommitTimestamp"] = max(now_ms, int(prev * 1000) + 1)
+                with open(prev_path) as fh:
+                    pci = (json.loads(fh.readline()) or {}).get(
+                        "commitInfo"
+                    ) or {}
+                if pci.get("inCommitTimestamp") is not None:
+                    prev_ms = int(pci["inCommitTimestamp"])
+                else:
+                    prev_ms = int(os.path.getmtime(prev_path) * 1000)
+            except (OSError, ValueError, AttributeError):
+                try:
+                    prev_ms = int(os.path.getmtime(prev_path) * 1000)
+                except OSError:
+                    prev_ms = 0
+            ci["inCommitTimestamp"] = max(now_ms, prev_ms + 1)
         lines = [{"commitInfo": ci}] + [{"add": a} for a in adds]
         payload = "\n".join(json.dumps(ln) for ln in lines) + "\n"
         entry = os.path.join(log_dir, f"{ver:020d}.json")
         if store.create_exclusive(entry, payload):
             return ver
         # lost the next-entry race: the winner may have changed the
-        # protocol or schema — re-resolve and re-gate before retrying
-        resolve()
+        # protocol, schema, layout, or ict config — re-resolve, ADOPT
+        # the new metadata (so ict_on reflects it), and refuse when
+        # the staged files' partition layout no longer matches
+        _t2, meta, _l2 = resolve()
+        new_pcols = list(meta.get("partitionColumns") or [])
+        if new_pcols != pcols:
+            raise DeltaProtocolError(
+                "a concurrent commit changed partitionColumns "
+                f"{pcols} -> {new_pcols}; the staged files follow "
+                "the old layout — re-run the append"
+            )
     raise DeltaProtocolError(
         f"lost the commit race {max_retries} times at {log_dir}"
     )

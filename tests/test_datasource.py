@@ -914,3 +914,31 @@ def test_datasource_streaming_sink_requires_query_identity(spark, tmp_path):
         spark.conf.unset(conf_key)
         if q is not None:
             q.stop()
+
+
+def test_bucket_ids_are_value_pure_under_null_siblings():
+    """A key's bucket must depend only on its VALUE, never on which
+    batch it arrives in: an int64 batch containing a null used to
+    convert to float64 in pandas and hash every other key of the
+    batch differently from a null-free batch — the same key then
+    landed in different buckets on the two diff sides (phantom
+    delete+insert pairs). The string-canonicalized hash is
+    batch-independent for every non-string type."""
+    import pyarrow as pa
+
+    from etl_pipeline_4handling_listings_spark.sources.datasource import (
+        _bucket_ids,
+    )
+
+    cases = [
+        (pa.int64(), [5, 7, 9], [5, None, 9]),
+        (pa.bool_(), [True, False, True], [True, None, True]),
+        (pa.float64(), [1.5, 2.5, 3.5], [1.5, None, 3.5]),
+        (pa.date32(), [1, 2, 3], [1, None, 3]),
+        (pa.string(), ["a", "b", "c"], ["a", None, "c"]),
+    ]
+    for t, clean_vals, nully_vals in cases:
+        clean = _bucket_ids([pa.array(clean_vals, type=t)], ["k"], 8)
+        nully = _bucket_ids([pa.array(nully_vals, type=t)], ["k"], 8)
+        assert clean[0] == nully[0], (t, clean[0], nully[0])
+        assert clean[2] == nully[2], (t, clean[2], nully[2])

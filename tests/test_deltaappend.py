@@ -327,3 +327,119 @@ def test_exporter_refuses_diverged_log(spark, tmp_path):
     store.merge(spark.createDataFrame([(3, "c")], ["k", "v"]))
     with pytest.raises(DeltaProtocolError, match="diverged"):
         export_delta_log(store)
+
+
+def test_append_non_nullable_column_with_nulls_refused(spark, tmp_path):
+    """nullable=false is part of the table contract: appending NULLs
+    there would corrupt the table for stock readers — the gate runs
+    on the DATA (Spark frames are nullable-typed even when
+    null-free), so a null-free frame passes and a null-carrying one
+    is refused by name."""
+    tbl = str(tmp_path / "nn")
+    os.makedirs(tbl, exist_ok=True)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": False, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "x",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            },
+        ],
+    )
+    ok = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert append_to_delta(ok, tbl) == 1
+    bad = spark.createDataFrame([(None, "b")], "k long, v string")
+    with pytest.raises(DeltaProtocolError, match="non-nullable"):
+        append_to_delta(bad, tbl)
+
+
+def test_append_lost_race_adopts_winner_metadata(spark, tmp_path):
+    """A lost claim whose winner ENABLED inCommitTimestamps must be
+    reflected in the retried entry (a monotonic ict above the
+    winner's), and a winner that changed partitionColumns refuses
+    by name — the staged files follow the old layout."""
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    tbl = _mk_foreign(tmp_path, name="ict_race")
+    meta_lines = _entry_lines(tbl, 0)
+    winner_meta = dict(meta_lines[1]["metaData"])
+    winner_meta["configuration"] = {
+        "delta.enableInCommitTimestamps": "true"
+    }
+
+    class Racer(PosixLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def create_exclusive(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                rival = os.path.join(
+                    os.path.dirname(path), f"{1:020d}.json"
+                )
+                with open(rival, "w") as fh:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "commitInfo": {
+                                    "inCommitTimestamp": int(9e12)
+                                }
+                            }
+                        )
+                        + "\n"
+                        + json.dumps({"metaData": winner_meta})
+                        + "\n"
+                    )
+            return super().create_exclusive(path, payload)
+
+    v = append_to_delta(
+        spark.createDataFrame([(1, "a")], ["k", "v"]),
+        tbl,
+        log_store=Racer(),
+    )
+    assert v == 2
+    ci = _entry_lines(tbl, 2)[0]["commitInfo"]
+    assert ci["inCommitTimestamp"] == int(9e12) + 1
+
+    # partition-layout change by the winner -> named refusal
+    tbl2 = _mk_foreign(tmp_path, name="pcol_race")
+    meta2 = dict(_entry_lines(tbl2, 0)[1]["metaData"])
+    meta2["partitionColumns"] = ["v"]
+
+    class LayoutRacer(PosixLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def create_exclusive(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                rival = os.path.join(
+                    os.path.dirname(path), f"{1:020d}.json"
+                )
+                with open(rival, "w") as fh:
+                    fh.write(json.dumps({"metaData": meta2}) + "\n")
+            return super().create_exclusive(path, payload)
+
+    with pytest.raises(DeltaProtocolError, match="partitionColumns"):
+        append_to_delta(
+            spark.createDataFrame([(1, "a")], ["k", "v"]),
+            tbl2,
+            log_store=LayoutRacer(),
+        )

@@ -265,6 +265,39 @@ def test_keyed_prefix_sum_matches_naive(spark):
     assert got == want
 
 
+def test_keyed_prefix_max_matches_naive(spark):
+    """Exclusive running max == naive global window (null for the
+    first row), across sparse keys, bucket boundaries, and
+    non-monotone values; small bucket_size forces many buckets."""
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_pipeline_4handling_listings_spark.operators.prefix import (
+        keyed_prefix_max,
+    )
+
+    rng = random.Random(13)
+    keys = sorted(rng.sample(range(0, 5000), 400)) + [8192, 8193, 16384]
+    rows = [(k, rng.randrange(-100, 100)) for k in keys]
+    df = spark.createDataFrame(rows, "k LONG, w LONG")
+    got = {
+        r.k: r.prefix_max
+        for r in keyed_prefix_max(
+            df, key="k", value_col="w", bucket_size=64
+        ).collect()
+    }
+    naive = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.k: r.p
+        for r in df.select(
+            "k", F.max("w").over(naive).alias("p")
+        ).collect()
+    }
+    assert got == want
+    assert want[min(want)] is None  # first arrival faced no watermark
+
+
 def test_association_rules_metrics_and_megabasket_guard(spark):
     from etl_pipeline_4handling_listings_spark.operators.assoc import (
         association_rules,

@@ -89,7 +89,7 @@ def test_multi_column_one_sketch_pass_and_no_window(spark):
         assert s1 >= s2, (v1, s1, v2, s2)
 
 
-def test_nulls_score_null_and_name_guard(spark):
+def test_nulls_score_null_and_n_guard(spark):
     df = spark.createDataFrame(
         [(0, 1.0), (1, None), (2, 3.0)], ["id", "x"]
     )
@@ -98,10 +98,27 @@ def test_nulls_score_null_and_name_guard(spark):
         got.filter(F.col("id") == 1).select("x_score").collect()[0][0]
         is None
     )
-    with pytest.raises(ValueError, match="plain column names"):
-        ntile_by_sketch(df, ["x); DROP"], 2)
     with pytest.raises(ValueError, match="n must be"):
         sketch_cutpoints(df, ["x"], 1)
+
+
+def test_short_column_names_do_not_shadow_lambda_vars(spark):
+    """Columns named 'c' or 'acc' must bucket correctly — a textual
+    SQL lambda would shadow them with its own variables ('CASE WHEN
+    c > c' is always false) and silently score every row 1; the
+    functional API generates unique lambda names."""
+    from collections import Counter
+
+    for name in ("c", "acc"):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], ["id", name]
+        )
+        got = ntile_by_sketch(df, name, 4)
+        counts = Counter(
+            r[f"{name}_score"]
+            for r in got.select(f"{name}_score").collect()
+        )
+        assert set(counts) == {1, 2, 3, 4}, (name, counts)
 
 
 def test_cutpoints_near_exact_quantiles(spark):
