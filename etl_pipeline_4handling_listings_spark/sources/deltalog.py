@@ -2334,6 +2334,7 @@ _SUPPORTED_APPEND_WRITER_FEATURES = {
     "invariants",
     "checkConstraints",
     "changeDataFeed",
+    "columnMapping",
     "generatedColumns",
     "identityColumns",
     "deletionVectors",
@@ -2346,18 +2347,36 @@ _SUPPORTED_APPEND_WRITER_FEATURES = {
 
 def _check_append_writable(proto: dict, meta: dict) -> None:
     """Refuse BY NAME any table an append cannot be written to
-    correctly: unsupported writer features/versions, column mapping
-    (data files would need physical names + field ids), and live
-    uses of enforcement features (invariants, CHECK constraints,
+    correctly: unsupported writer features/versions, and live uses
+    of enforcement features (invariants, CHECK constraints,
     generated/identity columns) whose semantics this writer does
-    not implement."""
+    not implement. Column mapping (name AND id mode) is SUPPORTED
+    for flat schemas — data files get physical names + parquet
+    field ids; nested columns under mapping are refused (the write
+    path does not implement recursive physical renames)."""
     cfg = dict(meta.get("configuration") or {})
     cm = cfg.get("delta.columnMapping.mode", "none")
-    if cm not in ("", "none"):
+    if cm not in ("", "none", "name", "id"):
         raise DeltaProtocolError(
             f"append into a columnMapping.mode={cm!r} table is not "
-            "supported (data files need physical names / field ids)"
+            "supported"
         )
+    if cm in ("name", "id"):
+        for f in json.loads(meta["schemaString"])["fields"]:
+            if isinstance(f["type"], dict):
+                raise DeltaProtocolError(
+                    f"append into a column-mapped table with the "
+                    f"NESTED column {f['name']!r} is not supported "
+                    "(physical renames are top-level only on the "
+                    "write path)"
+                )
+            md = f.get("metadata") or {}
+            if md.get("delta.columnMapping.id") is None:
+                raise DeltaProtocolError(
+                    f"column {f['name']!r} has no "
+                    "delta.columnMapping.id; a mapped table's "
+                    "appends must write parquet field ids"
+                )
     if any(k.startswith("delta.constraints.") for k in cfg):
         raise DeltaProtocolError(
             "table declares CHECK constraints; this writer does not "
@@ -2435,9 +2454,13 @@ def append_to_delta(
     Correctness gates (all refusals are BY NAME, never a silent
     miswrite): reader+writer protocol support incl. the
     table-features allowlist, live invariants / CHECK constraints /
-    generated / identity columns, column mapping, and an exact
-    schema match (same field names and types as the table's logical
-    schema; column order is normalized). A lost claim race retries
+    generated / identity columns, NULLs aimed at non-nullable
+    columns, and an exact schema match (same field names and types
+    as the table's logical schema; column order is normalized).
+    Column-mapped tables (name AND id mode, flat schemas) are
+    written per spec: data files spell PHYSICAL column names and
+    carry parquet field ids, partitionValues and hive dirs key by
+    physical name. A lost claim race retries
     against the NEW head — re-resolving metadata and re-running
     every gate, because the winner may have changed the schema —
     while the staged files never move again (they are invisible
@@ -2483,6 +2506,34 @@ def append_to_delta(
 
     target, meta, logical = resolve()
     pcols = list(meta.get("partitionColumns") or [])
+    # column mapping: data files spell PHYSICAL names and carry
+    # parquet field ids (spec writer requirement); partitionValues
+    # and hive dirs key by physical name too
+    cm = dict(meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    phys_of: dict[str, str] = {}
+    fid_of: dict[str, int] = {}
+    if cm in ("name", "id"):
+        for fj in json.loads(meta["schemaString"])["fields"]:
+            md = fj.get("metadata") or {}
+            phys_of[fj["name"]] = md.get(
+                "delta.columnMapping.physicalName", fj["name"]
+            )
+            fid_of[fj["name"]] = int(md["delta.columnMapping.id"])
+        if (
+            str(
+                df.sparkSession.conf.get(
+                    "spark.sql.parquet.fieldId.write.enabled", "true"
+                )
+            ).lower()
+            == "false"
+        ):
+            raise DeltaProtocolError(
+                "appending into a column-mapped table requires "
+                "spark.sql.parquet.fieldId.write.enabled (the "
+                "session has it disabled)"
+            )
     # nullability is part of the table contract (top-level fields):
     # the name/type gate above ignores it, and silently appending
     # nulls into a nullable=false column corrupts the table for
@@ -2511,9 +2562,19 @@ def append_to_delta(
     # table-relative location BEFORE the commit (invisible until an
     # entry names it — Delta's write-then-commit order)
     staging = os.path.join(path, f".append-{uuid.uuid4().hex}")
-    writer = df.select(*[f.name for f in logical.fields]).write
+    sel = []
+    for f in logical.fields:
+        c = F.col(f.name)
+        if f.name in phys_of:
+            c = c.alias(
+                phys_of[f.name],
+                metadata={"parquet.field.id": fid_of[f.name]},
+            )
+        sel.append(c)
+    part_dirs = [phys_of.get(c, c) for c in pcols]
+    writer = df.select(*sel).write
     if pcols:
-        writer = writer.partitionBy(*pcols)
+        writer = writer.partitionBy(*part_dirs)
     writer.parquet(staging)
     adds: list[dict] = []
     try:
@@ -2535,7 +2596,9 @@ def append_to_delta(
                 os.replace(src, dst)
                 add = {
                     "path": _encode_path(rel),
-                    "partitionValues": _staged_partition_values(rel, pcols),
+                    "partitionValues": _staged_partition_values(
+                        rel, part_dirs
+                    ),
                     "size": os.path.getsize(dst),
                     "modificationTime": int(os.path.getmtime(dst) * 1000),
                     "dataChange": True,
@@ -2607,6 +2670,18 @@ def append_to_delta(
                 "a concurrent commit changed partitionColumns "
                 f"{pcols} -> {new_pcols}; the staged files follow "
                 "the old layout — re-run the append"
+            )
+        new_phys = {
+            fj["name"]: (fj.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", fj["name"]
+            )
+            for fj in json.loads(meta["schemaString"])["fields"]
+        } if phys_of else {}
+        if phys_of and new_phys != phys_of:
+            raise DeltaProtocolError(
+                "a concurrent commit changed the column mapping; "
+                "the staged files spell the old physical names — "
+                "re-run the append"
             )
     raise DeltaProtocolError(
         f"lost the commit race {max_retries} times at {log_dir}"

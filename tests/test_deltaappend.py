@@ -443,3 +443,135 @@ def test_append_lost_race_adopts_winner_metadata(spark, tmp_path):
             tbl2,
             log_store=LayoutRacer(),
         )
+
+
+def _mk_mapped(tmp_path, mode, name):
+    """Stock-style column-mapped table: logical (k, v), partitioned
+    by v, physical names + ids the way delta-spark records them."""
+    tbl = str(tmp_path / name)
+    os.makedirs(tbl, exist_ok=True)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "k",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa111",
+                },
+            },
+            {
+                "name": "v",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-bbb222",
+                },
+            },
+        ],
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "m1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": ["v"],
+                    "configuration": {
+                        "delta.columnMapping.mode": mode,
+                        "delta.columnMapping.maxColumnId": "2",
+                    },
+                    "createdTime": 0,
+                }
+            },
+        ],
+    )
+    return tbl
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_append_column_mapped_table(spark, tmp_path, mode):
+    """Appends into a column-mapped table write PHYSICAL column
+    names + parquet field ids, key partitionValues and hive dirs by
+    physical name, and round-trip through the mapped reader."""
+    import pyarrow.parquet as pq
+
+    tbl = _mk_mapped(tmp_path, mode, f"map_{mode}")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], ["k", "v"]
+    )
+    assert append_to_delta(df, tbl) == 1
+    adds = [ln["add"] for ln in _entry_lines(tbl, 1)[1:]]
+    # spec: physical names everywhere the file layer is concerned
+    assert all(a["path"].startswith("col-bbb222=") for a in adds)
+    assert {a["partitionValues"]["col-bbb222"] for a in adds} == {
+        "x", "y",
+    }
+    pf = pq.ParquetFile(os.path.join(tbl, adds[0]["path"]))
+    [field] = [f for f in pf.schema_arrow if f.name == "col-aaa111"]
+    assert field.metadata[b"PARQUET:field_id"] == b"1"
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [(1, "x"), (2, "y"), (3, "x")]
+    # second append composes
+    assert append_to_delta(
+        spark.createDataFrame([(4, "z")], ["k", "v"]), tbl
+    ) == 2
+    assert read_delta(spark, tbl).count() == 4
+
+
+def test_append_mapped_nested_refused(spark, tmp_path):
+    tbl = str(tmp_path / "map_nested")
+    os.makedirs(tbl, exist_ok=True)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "s",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "a",
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-s",
+                },
+            }
+        ],
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "m2",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name"
+                    },
+                    "createdTime": 0,
+                }
+            },
+        ],
+    )
+    df = spark.createDataFrame([((1,),)], "s struct<a: long>")
+    with pytest.raises(DeltaProtocolError, match="NESTED"):
+        append_to_delta(df, tbl)
