@@ -196,20 +196,32 @@ _ACTION_SCHEMA = T.StructType(
 )
 
 # reader-version-3 table features this replay implements; anything
-# else in readerFeatures is a named refusal (typeWidening and
-# variantType stay refused until their read paths exist).
+# else in readerFeatures is a named refusal (variantType stays
+# refused until its read path exists).
 # columnMapping covers both name mode (pure-metadata rename) and id
 # mode (parquet field-id resolution via Spark's native fieldId read
 # path). vacuumProtocolCheck imposes NO read-time requirements per
 # the spec (it only changes how VACUUM implementations behave), but
 # Databricks-managed tables routinely list it — refusing it by name
-# would reject perfectly readable tables.
+# would reject perfectly readable tables. typeWidening (and its
+# Databricks preview name): the reader requirement is up-casting
+# files written with the PRE-WIDENING narrower type to the current
+# schema — both read planes do that natively for the spec's whole
+# matrix (probed on this runtime: int8->16->32->64, int->double,
+# float->double, int/decimal->wider decimal, date->timestampNtz):
+# every Spark scan here applies the declared schema
+# (spark.read.schema(...), SPARK-40876 widening promotions), and
+# the streaming tail source casts each Arrow batch to the stream
+# schema (pyarrow safe cast). Verified by
+# tests/test_deltalog.py::test_read_type_widened_table.
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
     "vacuumProtocolCheck",
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 

@@ -454,8 +454,8 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="columnMapping"):
         read_delta(spark, tbl)
     # unsupported reader feature (deletionVectors / columnMapping /
-    # v2Checkpoint are now implemented, so probe with a
-    # genuinely-unknown one)
+    # v2Checkpoint / typeWidening are now implemented, so probe with
+    # a genuinely-unknown one)
     tbl2 = str(tmp_path / "tbl2")
     os.makedirs(tbl2, exist_ok=True)
     meta2 = dict(base_meta, configuration={})
@@ -463,11 +463,11 @@ def test_read_foreign_refusals_are_named(spark, tmp_path):
         tbl2,
         0,
         [
-            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["typeWidening"], "writerFeatures": ["typeWidening"]}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["variantType"], "writerFeatures": ["variantType"]}},
             {"metaData": meta2},
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="variantType"):
         read_delta(spark, tbl2)
     # unknown DV storage type is a decode-time error, named
     tbl3 = str(tmp_path / "tbl3")
@@ -1922,3 +1922,139 @@ def test_export_remove_carries_dv_and_extended_metadata(spark, tmp_path):
     assert all(
         r["deletionVector"].get("storageType") for r in dv_removes
     )
+
+
+def test_read_type_widened_table(spark, tmp_path):
+    """typeWidening (+ the Databricks preview name): files written
+    with the PRE-WIDENING narrower physical type must up-cast to the
+    current logical schema on read. v0's file spells int32/float32/
+    decimal(10,2); the schema (after widening) declares long/double/
+    decimal(12,2); v1 appends a file already in the wide types. The
+    batch reader, the CDF derivation, and the streaming tail (Arrow
+    cast plane) must all return the widened values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from decimal import Decimal
+
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        read_delta,
+        read_delta_changes,
+    )
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        DeltaTailStreamReader,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl, exist_ok=True)
+    narrow = os.path.join(tbl, "narrow.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int32()),
+                "x": pa.array([1.5, 2.5], pa.float32()),
+                "m": pa.array(
+                    [Decimal("1.25"), Decimal("2.50")],
+                    pa.decimal128(10, 2),
+                ),
+            }
+        ),
+        narrow,
+    )
+    wide = os.path.join(tbl, "wide.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([3], pa.int64()),
+                "x": pa.array([3.5], pa.float64()),
+                "m": pa.array([Decimal("3.75")], pa.decimal128(12, 2)),
+            }
+        ),
+        wide,
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "k",
+                "type": "long",
+                "nullable": True,
+                # spec: the widening history lands in field metadata
+                "metadata": {
+                    "delta.typeChanges": [
+                        {"fromType": "integer", "toType": "long"}
+                    ]
+                },
+            },
+            {"name": "x", "type": "double", "nullable": True, "metadata": {}},
+            {
+                "name": "m",
+                "type": "decimal(12,2)",
+                "nullable": True,
+                "metadata": {},
+            },
+        ],
+    }
+    meta = {
+        "id": "tw",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(schema),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["typeWidening"], "writerFeatures": ["typeWidening"]}},
+            {"metaData": meta},
+            {"add": {"path": "narrow.parquet", "partitionValues": {}, "size": os.path.getsize(narrow), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    _log_write(
+        tbl,
+        1,
+        [
+            {"add": {"path": "wide.parquet", "partitionValues": {}, "size": os.path.getsize(wide), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    want = [
+        (1, 1.5, Decimal("1.25")),
+        (2, 2.5, Decimal("2.50")),
+        (3, 3.5, Decimal("3.75")),
+    ]
+    got = read_delta(spark, tbl)
+    assert dict(got.dtypes) == {
+        "k": "bigint",
+        "x": "double",
+        "m": "decimal(12,2)",
+    }
+    assert sorted((r.k, r.x, r.m) for r in got.collect()) == want
+    # CDF derivation reads the narrow file as the wide schema too
+    ch = read_delta_changes(spark, tbl, 0, 0)
+    assert sorted((r.k, r.x, r.m) for r in ch.collect()) == want[:2]
+    # streaming tail: the Arrow cast plane up-casts per batch
+    from pyspark.sql.types import StructType as _St
+
+    r = DeltaTailStreamReader(
+        _St.fromJson(schema), {"path": tbl}
+    )
+    parts = r.partitions(
+        {"version": 0, "snap": False}, {"version": 1, "snap": True}
+    )
+    rows = []
+    for p in parts:
+        for batch in r.read(p):
+            rows.extend(batch.to_pylist())
+    assert sorted(
+        (d["k"], d["x"], d["m"]) for d in rows
+    ) == want
+    # the preview feature name is accepted too
+    _log_write(
+        tbl,
+        2,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["typeWidening-preview"], "writerFeatures": ["typeWidening-preview"]}},
+        ],
+    )
+    assert read_delta(spark, tbl).count() == 3
