@@ -2354,6 +2354,11 @@ _SUPPORTED_APPEND_WRITER_FEATURES = {
     "inCommitTimestamp",
     "vacuumProtocolCheck",
     "v2Checkpoint",
+    # an append at the EXACT current schema trivially satisfies
+    # typeWidening's writer duties: it never writes a type narrower
+    # than the schema and never edits delta.typeChanges
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 
@@ -2421,6 +2426,63 @@ def _check_append_writable(proto: dict, meta: dict) -> None:
                 f"{sorted(unsupported)} this engine does not "
                 "implement"
             )
+
+
+def _qcol(name: str):
+    """Column reference by EXACT name (backtick-quoted): logical
+    names with dots — common on column-mapped tables, where special
+    characters are the point — must not parse as nested-field
+    paths."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _mapping_of(meta: dict):
+    """(mode, logical->physicalName, logical->field-id) from ONE
+    parse of the schemaString; empty maps when unmapped. The single
+    source for every column-mapping view the append takes, so the
+    staging-time and race-revalidation views cannot diverge."""
+    cm = dict(meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    phys: dict[str, str] = {}
+    fids: dict[str, int] = {}
+    if cm in ("name", "id"):
+        for fj in json.loads(meta["schemaString"])["fields"]:
+            md = fj.get("metadata") or {}
+            phys[fj["name"]] = md.get(
+                "delta.columnMapping.physicalName", fj["name"]
+            )
+            fids[fj["name"]] = int(md["delta.columnMapping.id"])
+    return cm, phys, fids
+
+
+def _staged_null_columns(src: str, names: set) -> list:
+    """Which of ``names`` (physical parquet column names) contain
+    NULLs in the staged file — parquet footer null_count statistics
+    first (free), a single-column Arrow read when a row group lacks
+    them (bounded by the file)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(src)
+    md = pf.metadata
+    idx_of = {
+        md.schema.column(i).name: i for i in range(md.num_columns)
+    }
+    bad = []
+    for c in names & set(idx_of):
+        nulls = 0
+        missing_stats = False
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx_of[c]).statistics
+            if st is None or st.null_count is None:
+                missing_stats = True
+                break
+            nulls += st.null_count
+        if missing_stats:
+            nulls = pf.read(columns=[c]).column(0).null_count
+        if nulls:
+            bad.append(c)
+    return bad
 
 
 def _staged_partition_values(rel: str, pcols: list) -> dict:
@@ -2521,52 +2583,50 @@ def append_to_delta(
     # column mapping: data files spell PHYSICAL names and carry
     # parquet field ids (spec writer requirement); partitionValues
     # and hive dirs key by physical name too
-    cm = dict(meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
+    cm, phys_of, fid_of = _mapping_of(meta)
+    if phys_of and (
+        str(
+            df.sparkSession.conf.get(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        ).lower()
+        == "false"
+    ):
+        raise DeltaProtocolError(
+            "appending into a column-mapped table requires "
+            "spark.sql.parquet.fieldId.write.enabled (the "
+            "session has it disabled)"
+        )
+    layout_sig = (
+        tuple(pcols),
+        cm,
+        tuple(sorted(phys_of.items())),
+        tuple(sorted(fid_of.items())),
     )
-    phys_of: dict[str, str] = {}
-    fid_of: dict[str, int] = {}
-    if cm in ("name", "id"):
-        for fj in json.loads(meta["schemaString"])["fields"]:
-            md = fj.get("metadata") or {}
-            phys_of[fj["name"]] = md.get(
-                "delta.columnMapping.physicalName", fj["name"]
-            )
-            fid_of[fj["name"]] = int(md["delta.columnMapping.id"])
-        if (
-            str(
-                df.sparkSession.conf.get(
-                    "spark.sql.parquet.fieldId.write.enabled", "true"
-                )
-            ).lower()
-            == "false"
-        ):
+
+    def revalidate():
+        """Re-run EVERY gate against the current head and refuse
+        when the table layout moved under the staged files — called
+        whenever the head is newer than the last-validated version,
+        which covers both commits that land DURING staging and lost
+        claim races (the winner may have changed the schema, the
+        partition layout, the column mapping, or the ict config —
+        the adopted ``meta`` keeps ict_on fresh)."""
+        nonlocal meta
+        _t, meta, _l = resolve()
+        n_pcols = list(meta.get("partitionColumns") or [])
+        n_cm, n_phys, n_fid = _mapping_of(meta)
+        n_sig = (
+            tuple(n_pcols),
+            n_cm,
+            tuple(sorted(n_phys.items())),
+            tuple(sorted(n_fid.items())),
+        )
+        if n_sig != layout_sig:
             raise DeltaProtocolError(
-                "appending into a column-mapped table requires "
-                "spark.sql.parquet.fieldId.write.enabled (the "
-                "session has it disabled)"
-            )
-    # nullability is part of the table contract (top-level fields):
-    # the name/type gate above ignores it, and silently appending
-    # nulls into a nullable=false column corrupts the table for
-    # stock readers (IsNotNull-based pruning returns wrong results).
-    # Spark frames are usually nullable-typed even when null-free,
-    # so gate on the DATA, not the schema: one aggregate pass over
-    # the declared non-null columns, refusal by name on any hit.
-    nn = [f.name for f in logical.fields if not f.nullable]
-    if nn:
-        [probe] = df.agg(
-            *[
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
-                for c in nn
-            ]
-        ).collect()
-        bad = [c for c in nn if (probe[c] or 0) > 0]
-        if bad:
-            raise DeltaProtocolError(
-                f"columns {bad} are declared non-nullable by the "
-                "table but the DataFrame contains NULLs there — "
-                "refusing the append"
+                "a concurrent commit changed the table layout "
+                f"({layout_sig} -> {n_sig}); the staged files "
+                "follow the old shape — re-run the append"
             )
 
     # stage the data files: Spark writes them under a dot-dir the
@@ -2576,7 +2636,7 @@ def append_to_delta(
     staging = os.path.join(path, f".append-{uuid.uuid4().hex}")
     sel = []
     for f in logical.fields:
-        c = F.col(f.name)
+        c = _qcol(f.name)
         if f.name in phys_of:
             c = c.alias(
                 phys_of[f.name],
@@ -2589,7 +2649,22 @@ def append_to_delta(
         writer = writer.partitionBy(*part_dirs)
     writer.parquet(staging)
     adds: list[dict] = []
+    # nullability is part of the table contract: the name/type gate
+    # ignores it, and silently appending NULLs into a
+    # nullable=false column corrupts the table for stock readers
+    # (IsNotNull-based pruning returns wrong results). Validate the
+    # STAGED parquet itself — footer null_count statistics, column
+    # read fallback — which checks the exact bytes being committed
+    # (a pre-write scan of df is a TOCTOU: Spark recomputes the
+    # frame for the write, so a non-deterministic source could pass
+    # the probe and still write NULLs) and costs no extra scan.
+    nn_phys = {
+        phys_of.get(f.name, f.name): f.name
+        for f in logical.fields
+        if not f.nullable
+    }
     try:
+        staged: list[tuple[str, str, int | None]] = []
         for root, dirs, names in os.walk(staging):
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for n in sorted(names):
@@ -2602,22 +2677,41 @@ def append_to_delta(
                     # frame/partition — referencing it would be a
                     # no-op add; skip (staging cleanup removes it)
                     continue
-                rel = os.path.relpath(src, staging)
-                dst = os.path.join(path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(src, dst)
-                add = {
-                    "path": _encode_path(rel),
-                    "partitionValues": _staged_partition_values(
-                        rel, part_dirs
-                    ),
-                    "size": os.path.getsize(dst),
-                    "modificationTime": int(os.path.getmtime(dst) * 1000),
-                    "dataChange": True,
-                }
-                if nrec is not None:
-                    add["stats"] = json.dumps({"numRecords": nrec})
-                adds.append(add)
+                staged.append((src, os.path.relpath(src, staging), nrec))
+        if nn_phys:
+            for src, rel, _nrec in staged:
+                bad = _staged_null_columns(src, set(nn_phys))
+                # partition columns live in dir names, not files —
+                # a null there surfaces as the hive default dir
+                for seg in rel.split("/")[:-1]:
+                    if "=" in seg:
+                        c, raw = seg.split("=", 1)
+                        if c in nn_phys and raw == DEFAULT_PARTITION:
+                            bad.append(c)
+                if bad:
+                    raise DeltaProtocolError(
+                        f"columns {sorted(nn_phys[c] for c in bad)} "
+                        "are declared non-nullable by the table but "
+                        "the staged data contains NULLs there — "
+                        "refusing the append"
+                    )
+        # validation BEFORE any move: a refusal leaves zero orphans
+        for src, rel, nrec in staged:
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            add = {
+                "path": _encode_path(rel),
+                "partitionValues": _staged_partition_values(
+                    rel, part_dirs
+                ),
+                "size": os.path.getsize(dst),
+                "modificationTime": int(os.path.getmtime(dst) * 1000),
+                "dataChange": True,
+            }
+            if nrec is not None:
+                add["stats"] = json.dumps({"numRecords": nrec})
+            adds.append(add)
     finally:
         import shutil as _sh
 
@@ -2632,8 +2726,14 @@ def append_to_delta(
             )
         ).lower() == "true"
 
+    validated_at = target
     for _attempt in range(max_retries):
         head = _latest_log_version(log_dir)
+        if head != validated_at:
+            # the head moved past the last validation — during
+            # staging, or because the previous claim was lost
+            revalidate()
+            validated_at = head
         ver = head + 1
         now_ms = int(time.time() * 1000)
         ci = {
@@ -2671,30 +2771,6 @@ def append_to_delta(
         entry = os.path.join(log_dir, f"{ver:020d}.json")
         if store.create_exclusive(entry, payload):
             return ver
-        # lost the next-entry race: the winner may have changed the
-        # protocol, schema, layout, or ict config — re-resolve, ADOPT
-        # the new metadata (so ict_on reflects it), and refuse when
-        # the staged files' partition layout no longer matches
-        _t2, meta, _l2 = resolve()
-        new_pcols = list(meta.get("partitionColumns") or [])
-        if new_pcols != pcols:
-            raise DeltaProtocolError(
-                "a concurrent commit changed partitionColumns "
-                f"{pcols} -> {new_pcols}; the staged files follow "
-                "the old layout — re-run the append"
-            )
-        new_phys = {
-            fj["name"]: (fj.get("metadata") or {}).get(
-                "delta.columnMapping.physicalName", fj["name"]
-            )
-            for fj in json.loads(meta["schemaString"])["fields"]
-        } if phys_of else {}
-        if phys_of and new_phys != phys_of:
-            raise DeltaProtocolError(
-                "a concurrent commit changed the column mapping; "
-                "the staged files spell the old physical names — "
-                "re-run the append"
-            )
     raise DeltaProtocolError(
         f"lost the commit race {max_retries} times at {log_dir}"
     )

@@ -437,7 +437,7 @@ def test_append_lost_race_adopts_winner_metadata(spark, tmp_path):
                     fh.write(json.dumps({"metaData": meta2}) + "\n")
             return super().create_exclusive(path, payload)
 
-    with pytest.raises(DeltaProtocolError, match="partitionColumns"):
+    with pytest.raises(DeltaProtocolError, match="table layout"):
         append_to_delta(
             spark.createDataFrame([(1, "a")], ["k", "v"]),
             tbl2,
@@ -575,3 +575,128 @@ def test_append_mapped_nested_refused(spark, tmp_path):
     df = spark.createDataFrame([((1,),)], "s struct<a: long>")
     with pytest.raises(DeltaProtocolError, match="NESTED"):
         append_to_delta(df, tbl)
+
+
+def test_append_revalidates_commits_landed_during_staging(
+    spark, tmp_path, monkeypatch
+):
+    """A commit that lands BETWEEN resolve() and a FIRST-TRY
+    successful claim (no lost race) must still be re-validated: the
+    winner here enables delta.enableInCommitTimestamps, and the
+    append's entry must carry a monotonic ict above the winner's —
+    the loop re-gates whenever the head moved past the last
+    validated version, not only after a lost claim."""
+    from etl_pipeline_4handling_listings_spark.sources import (
+        deltalog as m,
+    )
+
+    tbl = _mk_foreign(tmp_path, name="during")
+    meta = dict(_entry_lines(tbl, 0)[1]["metaData"])
+    meta["configuration"] = {"delta.enableInCommitTimestamps": "true"}
+    orig = m._latest_log_version
+    state = {"fired": False}
+
+    def hooked(log_dir):
+        if not state["fired"] and log_dir.startswith(tbl):
+            state["fired"] = True
+            # the rival commit lands before our first head read
+            # inside the claim loop (i.e. "during staging")
+            with open(
+                os.path.join(log_dir, f"{1:020d}.json"), "w"
+            ) as fh:
+                fh.write(
+                    json.dumps(
+                        {"commitInfo": {"inCommitTimestamp": int(8e12)}}
+                    )
+                    + "\n"
+                    + json.dumps({"metaData": meta})
+                    + "\n"
+                )
+        return orig(log_dir)
+
+    monkeypatch.setattr(m, "_latest_log_version", hooked)
+    # make the hook fire only in the claim loop, after resolve:
+    # resolve() goes through _py_actions, not _latest_log_version
+    v = append_to_delta(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), tbl
+    )
+    assert v == 2
+    ci = _entry_lines(tbl, 2)[0]["commitInfo"]
+    assert ci["inCommitTimestamp"] == int(8e12) + 1
+
+
+def test_append_dotted_logical_names(spark, tmp_path):
+    """Logical names with dots (the reason column mapping exists)
+    must not parse as nested-field paths anywhere on the append
+    path."""
+    tbl = str(tmp_path / "dotted")
+    os.makedirs(tbl, exist_ok=True)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "a.b",
+                "type": "long",
+                "nullable": False,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-dot1",
+                },
+            },
+            {
+                "name": "v",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-dot2",
+                },
+            },
+        ],
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "d1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name"
+                    },
+                    "createdTime": 0,
+                }
+            },
+        ],
+    )
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["a.b", "v"])
+    assert append_to_delta(df, tbl) == 1
+    got = read_delta(spark, tbl)
+    assert sorted(got.columns) == ["a.b", "v"]
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (1, "x"), (2, "y"),
+    ]
+
+
+def test_append_type_widened_table_accepted(spark, tmp_path):
+    """A table whose protocol lists the typeWidening writer feature
+    accepts appends at the exact current schema (the append never
+    writes narrower types nor edits delta.typeChanges)."""
+    tbl = _mk_foreign(
+        tmp_path,
+        protocol={
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
+        },
+        name="tw",
+    )
+    assert append_to_delta(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), tbl
+    ) == 1
+    assert read_delta(spark, tbl).count() == 1
