@@ -13975,56 +13975,9 @@ def sketch_hll_union(spark, sf_dir):
 # =====================================================================
 
 _DRIVER_ORDER = [
-    "text_freq_spectrum",
-    "stats_spearman_corr",
-    "corpus_ngram_novelty",
-    "dedup_prefix_overlap_matrix",
-    "events_burstiness_fano",
-    "text_kl_source_divergence",
-    "text_heaps_exponent",
-    "events_autocorr_lag",
-    "agg_decay_weighted",
-    "graph_clustering_coefficient",
-    "text_sentence_len_profile",
-    "asof_forward_join",
-    "range_interval_join",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q11_important_stock",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    "sketch_hll_distinct",
-    "sketch_approx_percentile",
-    "text_pii_redaction",
-    "scalar_array_suite",
-    "agg_cube",
-    "fuzzy_source_pairs",
-    "graph_triangle_count",
-    "sketch_countmin_heavy",
-    "incr_sketch_merge",
-    "j_bloom_prefilter",
-    "events_time_weighted_avg",
-    "text_bpe_pair_counts",
-    "events_daily_drift",
-    "sparse_cosine_topk",
-    "dedup_setsim_prefix",
-    "scalar_url_suite",
-    "stats_chi2_assoc",
-    "agg_weighted_median",
-    "mm_frame_sample",
-    "embedding_cluster_quality",
-    "text_bpe_learn_merges",
-    "stats_corr_matrix",
-    "events_interval_coverage",
-    "stats_theilsen_trend",
-    "events_seasonal_profile",
-    "geo_grid_radius_join",
+    "sketch_ntile_balance",
+    "events_watermark_fit",
+    "sketch_hll_union",
     "stats_cuped_adjust",
     "graph_kcore",
     "hier_subtree_rollup",
@@ -14203,9 +14156,56 @@ _DRIVER_ORDER = [
     "q22_dormant_customers",
     "mm_binary_metadata",
     "asof_backward_join",
-    "sketch_ntile_balance",
-    "events_watermark_fit",
-    "sketch_hll_union",
+    "text_freq_spectrum",
+    "stats_spearman_corr",
+    "corpus_ngram_novelty",
+    "dedup_prefix_overlap_matrix",
+    "events_burstiness_fano",
+    "text_kl_source_divergence",
+    "text_heaps_exponent",
+    "events_autocorr_lag",
+    "agg_decay_weighted",
+    "graph_clustering_coefficient",
+    "text_sentence_len_profile",
+    "asof_forward_join",
+    "range_interval_join",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q11_important_stock",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "sketch_hll_distinct",
+    "sketch_approx_percentile",
+    "text_pii_redaction",
+    "scalar_array_suite",
+    "agg_cube",
+    "fuzzy_source_pairs",
+    "graph_triangle_count",
+    "sketch_countmin_heavy",
+    "incr_sketch_merge",
+    "j_bloom_prefilter",
+    "events_time_weighted_avg",
+    "text_bpe_pair_counts",
+    "events_daily_drift",
+    "sparse_cosine_topk",
+    "dedup_setsim_prefix",
+    "scalar_url_suite",
+    "stats_chi2_assoc",
+    "agg_weighted_median",
+    "mm_frame_sample",
+    "embedding_cluster_quality",
+    "text_bpe_learn_merges",
+    "stats_corr_matrix",
+    "events_interval_coverage",
+    "stats_theilsen_trend",
+    "events_seasonal_profile",
+    "geo_grid_radius_join",
 ]
 
 def _rotate_registry() -> None:

@@ -222,10 +222,10 @@ def test_money_sums_partition_invariant(spark_sess):
 def test_driver_order_hygiene():
     """_DRIVER_ORDER is the driver-certification contract: it must
     cover the registry exactly (no dups, no strays) and keep the
-    round-9 rotation's certification window intact: slots 1-11 are
-    the 11 queries registered after the r8 driver run (the only
-    never-certified names — a green r9 makes the whole registry
-    driver-certified), slots 12-50 re-observe already-certified
+    round-10 rotation's certification window intact: slots 1-3 are
+    the 3 queries registered after the r9 driver run (the only
+    never-certified names — a green r10 makes the whole registry
+    driver-certified), slots 4-50 re-observe already-certified
     names, and any later registry additions (no ledger rows at all)
     sit BEHIND slot 50 so they never displace certification slots."""
     import glob
@@ -246,7 +246,7 @@ def test_driver_order_hygiene():
     certified = set()
     observed = set()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for ledger in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-8].json"))):
+    for ledger in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json"))):
         with open(ledger) as f:
             for name, row in json.load(f).items():
                 observed.add(name)
@@ -255,25 +255,21 @@ def test_driver_order_hygiene():
                     for k in ("rows_match", "schema_match", "hash_match")
                 ):
                     certified.add(name)
-    # slots 1-11: exactly the post-r8 additions (pinned — this IS the
-    # committed schedule the r8 verdict prescribed)
-    r8_additions = {
-        "text_freq_spectrum", "stats_spearman_corr",
-        "corpus_ngram_novelty", "dedup_prefix_overlap_matrix",
-        "events_burstiness_fano", "text_kl_source_divergence",
-        "text_heaps_exponent", "events_autocorr_lag",
-        "agg_decay_weighted", "graph_clustering_coefficient",
-        "text_sentence_len_profile",
+    # slots 1-3: exactly the post-r9 additions (pinned — this IS the
+    # committed schedule the r9 verdict prescribed)
+    r9_additions = {
+        "sketch_ntile_balance", "events_watermark_fit",
+        "sketch_hll_union",
     }
-    assert set(_DRIVER_ORDER[:11]) == r8_additions
-    assert not (r8_additions & certified), "backlog name already green?"
-    # slots 12-50: re-observation of certified names only
-    for name in _DRIVER_ORDER[11:50]:
+    assert set(_DRIVER_ORDER[:3]) == r9_additions
+    assert not (r9_additions & certified), "backlog name already green?"
+    # slots 4-50: re-observation of certified names only
+    for name in _DRIVER_ORDER[3:50]:
         assert name in certified, (
             f"uncertified name {name!r} in the re-observation slots"
         )
     # later additions (never in any ledger) stay behind slot 50
-    fresh = set(REGISTRY) - observed - r8_additions
+    fresh = set(REGISTRY) - observed - r9_additions
     ahead = fresh & set(_DRIVER_ORDER[:50])
     assert not ahead, f"fresh queries inside the window: {ahead}"
 
