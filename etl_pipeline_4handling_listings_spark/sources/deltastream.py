@@ -252,9 +252,19 @@ def _add_partition(
         **cdf_kw,
     )
     # planner metadata: the action's recorded file size feeds the
-    # maxBytesPerTrigger walk (add/cdc carry it per spec; remove's
-    # is optional — 0 then, the cap stays soft)
-    part.size = int(add.get("size") or 0)
+    # maxBytesPerTrigger walk. add/cdc carry it per spec; remove's
+    # is OPTIONAL — writers that omit it would make delete-derived
+    # units weigh 0, silently uncapping exactly the delete-heavy
+    # backlog the option exists for, so fall back to stat()ing the
+    # referenced data file (still on disk until vacuum; a already-
+    # reclaimed file keeps 0 — the unit reads empty anyway)
+    sz = add.get("size")
+    if not sz:
+        try:
+            sz = os.path.getsize(abs_path)
+        except OSError:
+            sz = 0
+    part.size = int(sz)
     return part
 
 

@@ -70,12 +70,27 @@ class PosixLogStore(LogStore):
     dir rename (the commit point), rmtree."""
 
     def create_exclusive(self, path: str, payload: str) -> bool:
+        # write-then-link, NOT open(O_EXCL)-then-write: the name is
+        # the publication point (a claimed _delta_log entry is read
+        # by concurrent stock clients the instant it exists), so it
+        # must appear with its COMPLETE content — an exclusive open
+        # followed by a write exposes an empty/truncated entry to a
+        # racing reader. The tmp lives in the same directory (same
+        # filesystem for link) under a dot-name every Delta listing
+        # ignores; os.link fails atomically when the name exists,
+        # preserving the create-if-absent claim semantics.
+        d, base = os.path.split(path)
+        tmp = os.path.join(d, f".{base}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
+        finally:
+            os.remove(tmp)
         return True
 
     def replace_file(self, path: str, payload: str, guard=None) -> None:

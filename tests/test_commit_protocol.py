@@ -476,3 +476,50 @@ def test_pointer_guard_closes_the_staging_window(spark, tmp_path):
     with open(tgt) as f:
         assert f.read() == "one"
     assert [n for n in os.listdir(path) if n.startswith("probe.")] == []
+
+
+def test_create_exclusive_claims_with_complete_content(tmp_path):
+    """The claim name is the PUBLICATION point (a claimed _delta_log
+    entry is read by concurrent clients the instant it exists), so
+    create_exclusive must make the name appear only with its full
+    payload — write-then-link, not open(O_EXCL)-then-write. Racing
+    claimers: exactly one wins, the published content is the
+    winner's COMPLETE payload, losers leave no tmp residue and never
+    truncate the winner."""
+    import threading
+
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    ls = PosixLogStore()
+    path = str(tmp_path / "claims" / "00000000000000000007.json")
+    os.makedirs(os.path.dirname(path))
+    payloads = {
+        tag: (f"payload-{tag}-" + "x" * 256_000 + "\n") * 4
+        for tag in "abcdefgh"
+    }
+    results: dict[str, bool] = {}
+    barrier = threading.Barrier(len(payloads))
+
+    def claim(tag):
+        barrier.wait()
+        results[tag] = ls.create_exclusive(path, payloads[tag])
+
+    threads = [
+        threading.Thread(target=claim, args=(t,)) for t in payloads
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [t for t, won in results.items() if won]
+    assert len(winners) == 1
+    assert open(path).read() == payloads[winners[0]]
+    # no tmp residue from winner or losers
+    assert os.listdir(os.path.dirname(path)) == [
+        os.path.basename(path)
+    ]
+    # a later claim on the same name loses and changes nothing
+    assert ls.create_exclusive(path, "late") is False
+    assert open(path).read() == payloads[winners[0]]

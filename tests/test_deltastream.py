@@ -1076,3 +1076,53 @@ def test_change_feed_composes_with_rate_limit(spark, tmp_path):
         (3, "insert", 1),
         (1, "delete", 2),
     }
+
+
+def test_max_bytes_counts_sizeless_removes(spark, tmp_path):
+    """``remove.size`` is OPTIONAL per spec — a delete-derived
+    change-feed unit whose writer omitted it must still weigh its
+    file's actual bytes in the maxBytesPerTrigger walk (stat() of
+    the still-on-disk data file), otherwise a delete-heavy backlog
+    admits unbounded units exactly in the heavy case the cap exists
+    for."""
+    from etl_pipeline_4handling_listings_spark.sources.deltastream import (
+        DeltaTailStreamReader,
+    )
+
+    tbl = _mk_table(spark, tmp_path)
+    f1 = _write_parquet_file(
+        spark, tbl, [(1, "a")], ["k", "v"], "r1.parquet"
+    )
+    _log_write(tbl, 1, [{"add": _add("r1.parquet", f1)}])
+    # commit 2 removes it WITHOUT a size; commit 3 adds more data
+    _log_write(
+        tbl,
+        2,
+        [
+            {
+                "remove": {
+                    "path": "r1.parquet",
+                    "dataChange": True,
+                    "partitionValues": {},
+                }
+            }
+        ],
+    )
+    f3 = _write_parquet_file(
+        spark, tbl, [(3, "c")], ["k", "v"], "r3.parquet"
+    )
+    _log_write(tbl, 3, [{"add": _add("r3.parquet", f3)}])
+    r = DeltaTailStreamReader(
+        None,
+        {
+            "path": tbl,
+            "startingversion": "2",
+            "readchangefeed": "true",
+            "maxbytespertrigger": "1",
+        },
+    )
+    r._committed = {"version": 1, "snap": True}
+    # the sizeless remove must exhaust the 1-byte budget by itself:
+    # commit 3 waits for the next trigger (a 0-weight remove would
+    # have admitted it too)
+    assert r.latestOffset() == {"version": 2, "snap": True}
