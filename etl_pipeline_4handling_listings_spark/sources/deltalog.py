@@ -1131,17 +1131,34 @@ def _entry_commit_ts(path: str) -> float:
 
 def _parse_user_ts(timestamp) -> float:
     """User-supplied timestamp (ISO string, datetime, or epoch
-    number/numeric string) -> epoch seconds."""
+    number/numeric string) -> epoch seconds. Naive ISO strings and
+    naive datetimes are read as UTC — a deterministic rule, so a
+    timestamp bound never shifts with the host timezone (delta-spark
+    resolves via the session timezone; an engine-side helper has no
+    session, and UTC is the one zone every caller can reproduce).
+    A string that is neither ISO-8601 nor numeric raises a named
+    error instead of surfacing float()'s conversion message."""
     import datetime
 
+    utc = datetime.timezone.utc
     if isinstance(timestamp, str):
         try:
-            return datetime.datetime.fromisoformat(
-                timestamp
-            ).timestamp()
+            dt = datetime.datetime.fromisoformat(timestamp)
         except ValueError:
-            return float(timestamp)
+            try:
+                return float(timestamp)
+            except ValueError:
+                raise DeltaProtocolError(
+                    f"unparseable timestamp {timestamp!r}: expected "
+                    "an ISO-8601 string (naive = UTC) or epoch "
+                    "seconds"
+                ) from None
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=utc)
+        return dt.timestamp()
     if isinstance(timestamp, datetime.datetime):
+        if timestamp.tzinfo is None:
+            timestamp = timestamp.replace(tzinfo=utc)
         return timestamp.timestamp()
     return float(timestamp)
 
@@ -1712,12 +1729,35 @@ def read_delta(
     }
     pcols = [phys_of[c] for c in (meta["partitionColumns"] or [])]
 
+    def _relax(dt):
+        """``dt`` with every nested field nullable: the rename cast
+        below is positional metadata only, and a logical tree with
+        NOT NULL nested fields would not resolve as a cast target —
+        Spark's file relations surface parquet columns as nullable
+        regardless of the declared schema."""
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, _relax(f.dataType), True)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_relax(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                _relax(dt.keyType),
+                _relax(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
     def _logicalize(df):
         if not mapped:
             return df
         return df.select(
             *[
-                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                F.col(pf.name).cast(_relax(lf.dataType)).alias(lf.name)
                 for lf, pf in zip(logical.fields, schema.fields)
             ]
         )
@@ -2368,9 +2408,9 @@ def _check_append_writable(proto: dict, meta: dict) -> None:
     of enforcement features (invariants, CHECK constraints,
     generated/identity columns) whose semantics this writer does
     not implement. Column mapping (name AND id mode) is SUPPORTED
-    for flat schemas — data files get physical names + parquet
-    field ids; nested columns under mapping are refused (the write
-    path does not implement recursive physical renames)."""
+    for flat AND nested schemas — data files get physical names +
+    parquet field ids at every nesting level (struct members,
+    structs inside arrays/maps)."""
     cfg = dict(meta.get("configuration") or {})
     cm = cfg.get("delta.columnMapping.mode", "none")
     if cm not in ("", "none", "name", "id"):
@@ -2379,43 +2419,74 @@ def _check_append_writable(proto: dict, meta: dict) -> None:
             "supported"
         )
     if cm in ("name", "id"):
-        for f in json.loads(meta["schemaString"])["fields"]:
-            if isinstance(f["type"], dict):
-                raise DeltaProtocolError(
-                    f"append into a column-mapped table with the "
-                    f"NESTED column {f['name']!r} is not supported "
-                    "(physical renames are top-level only on the "
-                    "write path)"
-                )
-            md = f.get("metadata") or {}
-            if md.get("delta.columnMapping.id") is None:
-                raise DeltaProtocolError(
-                    f"column {f['name']!r} has no "
-                    "delta.columnMapping.id; a mapped table's "
-                    "appends must write parquet field ids"
-                )
+        # every NAMED field — top-level and nested (struct members,
+        # incl. inside arrays/maps) — must carry a columnMapping id:
+        # the staging writer spells physical names and parquet field
+        # ids at every level, so a field without one cannot be
+        # written per spec
+        def _walk(t, prefix):
+            if not isinstance(t, dict):
+                return
+            tt = t.get("type")
+            if tt == "struct":
+                for fj in t["fields"]:
+                    md = fj.get("metadata") or {}
+                    qual = prefix + fj["name"]
+                    if md.get("delta.columnMapping.id") is None:
+                        raise DeltaProtocolError(
+                            f"column {qual!r} has no "
+                            "delta.columnMapping.id; a mapped "
+                            "table's appends must write parquet "
+                            "field ids"
+                        )
+                    _walk(fj["type"], qual + ".")
+            elif tt == "array":
+                _walk(t["elementType"], prefix)
+            elif tt == "map":
+                _walk(t["keyType"], prefix)
+                _walk(t["valueType"], prefix)
+
+        _walk(json.loads(meta["schemaString"]), "")
     if any(k.startswith("delta.constraints.") for k in cfg):
         raise DeltaProtocolError(
             "table declares CHECK constraints; this writer does not "
             "enforce them — refusing the append"
         )
-    for f in json.loads(meta["schemaString"])["fields"]:
-        md = f.get("metadata") or {}
-        if "delta.invariants" in md:
-            raise DeltaProtocolError(
-                f"column {f['name']!r} declares an invariant; this "
-                "writer does not enforce invariants"
-            )
-        if "delta.generationExpression" in md:
-            raise DeltaProtocolError(
-                f"column {f['name']!r} is a generated column; this "
-                "writer does not enforce generation expressions"
-            )
-        if any(k.startswith("delta.identity.") for k in md):
-            raise DeltaProtocolError(
-                f"column {f['name']!r} is an identity column; this "
-                "writer does not assign identity values"
-            )
+    def _scan_live(t, prefix):
+        """Live enforcement features can sit on NESTED fields too
+        (delta.invariants is per-field in the spec) — scan the
+        whole tree, not just the top level."""
+        if not isinstance(t, dict):
+            return
+        tt = t.get("type")
+        if tt == "struct":
+            for fj in t["fields"]:
+                md = fj.get("metadata") or {}
+                qual = prefix + fj["name"]
+                if "delta.invariants" in md:
+                    raise DeltaProtocolError(
+                        f"column {qual!r} declares an invariant; "
+                        "this writer does not enforce invariants"
+                    )
+                if "delta.generationExpression" in md:
+                    raise DeltaProtocolError(
+                        f"column {qual!r} is a generated column; "
+                        "this writer does not enforce generation "
+                        "expressions"
+                    )
+                if any(k.startswith("delta.identity.") for k in md):
+                    raise DeltaProtocolError(
+                        f"column {qual!r} is an identity column; "
+                        "this writer does not assign identity values"
+                    )
+                _scan_live(fj["type"], qual + ".")
+        elif tt == "array":
+            _scan_live(t["elementType"], prefix)
+        elif tt == "map":
+            _scan_live(t["keyType"], prefix)
+            _scan_live(t["valueType"], prefix)
+
+    _scan_live(json.loads(meta["schemaString"]), "")
     mwv = int(proto.get("minWriterVersion") or 1)
     if mwv >= 7:
         feats = set(proto.get("writerFeatures") or [])
@@ -2456,17 +2527,120 @@ def _mapping_of(meta: dict):
     return cm, phys, fids
 
 
+def _phys_type(tbl_dt, df_dt=None):
+    """The PHYSICAL DataType for one logical (table-schema) type
+    under column mapping: every named field — at any nesting level,
+    incl. structs inside arrays/maps — renamed to its
+    ``delta.columnMapping.physicalName`` and annotated with
+    ``parquet.field.id`` metadata, which Spark's parquet writer
+    honors recursively (probed on 4.1). Nullability is taken from
+    ``df_dt`` (the DataFrame's own tree — a cast target stricter
+    than the input type would not resolve) when given, else from
+    the table tree (the canonical form the layout signature hashes).
+    ``df_dt`` is shape-identical by construction: the append's
+    schema gate compares ``simpleString`` which spells nested field
+    names, types and order."""
+    if isinstance(tbl_dt, T.StructType):
+        dfs = df_dt.fields if df_dt is not None else tbl_dt.fields
+        out = []
+        for tf, dfl in zip(tbl_dt.fields, dfs):
+            md = tf.metadata or {}
+            if md.get("delta.columnMapping.id") is None:
+                raise DeltaProtocolError(
+                    f"nested column {tf.name!r} has no "
+                    "delta.columnMapping.id; a mapped table's "
+                    "appends must write parquet field ids"
+                )
+            out.append(
+                T.StructField(
+                    md.get(
+                        "delta.columnMapping.physicalName", tf.name
+                    ),
+                    _phys_type(tf.dataType, dfl.dataType),
+                    dfl.nullable,
+                    {
+                        "parquet.field.id": int(
+                            md["delta.columnMapping.id"]
+                        )
+                    },
+                )
+            )
+        return T.StructType(out)
+    if isinstance(tbl_dt, T.ArrayType):
+        return T.ArrayType(
+            _phys_type(
+                tbl_dt.elementType,
+                df_dt.elementType if df_dt is not None else None,
+            ),
+            (df_dt if df_dt is not None else tbl_dt).containsNull,
+        )
+    if isinstance(tbl_dt, T.MapType):
+        return T.MapType(
+            _phys_type(
+                tbl_dt.keyType,
+                df_dt.keyType if df_dt is not None else None,
+            ),
+            _phys_type(
+                tbl_dt.valueType,
+                df_dt.valueType if df_dt is not None else None,
+            ),
+            (df_dt if df_dt is not None else tbl_dt).valueContainsNull,
+        )
+    return df_dt if df_dt is not None else tbl_dt
+
+
+def _nn_leaf_paths(logical: "T.StructType") -> dict:
+    """Dotted PHYSICAL parquet leaf path -> dotted LOGICAL path for
+    every non-nullable field the parquet footer can actually
+    enforce: primitive leaves whose ancestor chain (if any) is
+    all-non-nullable structs. Under such a chain a nonzero leaf
+    ``null_count`` proves a violation SOMEWHERE on the chain
+    (parquet definition levels fold parent nulls into the leaf
+    count, and no ancestor is allowed to be null). A non-nullable
+    leaf under a NULLABLE ancestor is skipped — the footer cannot
+    distinguish a legal parent-null from an illegal leaf-null — as
+    are array/map-typed fields, whose parquet leaves live below
+    repetition nodes where null_count conflates null entries with
+    null containers."""
+    out: dict[str, str] = {}
+
+    def walk(fields, ppre, lpre):
+        for f in fields:
+            md = f.metadata or {}
+            pn = md.get("delta.columnMapping.physicalName", f.name)
+            ppath, lpath = ppre + pn, lpre + f.name
+            if isinstance(f.dataType, T.StructType):
+                if not f.nullable:
+                    walk(
+                        f.dataType.fields, ppath + ".", lpath + "."
+                    )
+                continue
+            if f.nullable or isinstance(
+                f.dataType, (T.ArrayType, T.MapType)
+            ):
+                continue
+            out[ppath] = lpath
+
+    walk(logical.fields, "", "")
+    return out
+
+
 def _staged_null_columns(src: str, names: set) -> list:
-    """Which of ``names`` (physical parquet column names) contain
-    NULLs in the staged file — parquet footer null_count statistics
-    first (free), a single-column Arrow read when a row group lacks
-    them (bounded by the file)."""
+    """Which of ``names`` (dotted physical parquet LEAF paths; a
+    flat column's path is its name) contain NULLs in the staged
+    file — parquet footer null_count statistics first (free), a
+    single-top-level-column Arrow read when a row group lacks them
+    (bounded by the file). The leaf count folds parent-struct nulls
+    in — exactly the semantics :func:`_nn_leaf_paths` selects paths
+    for (all-non-nullable ancestor chains, where any fold-in is
+    itself a violation)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(src)
     md = pf.metadata
     idx_of = {
-        md.schema.column(i).name: i for i in range(md.num_columns)
+        md.schema.column(i).path: i for i in range(md.num_columns)
     }
     bad = []
     for c in names & set(idx_of):
@@ -2479,7 +2653,14 @@ def _staged_null_columns(src: str, names: set) -> list:
                 break
             nulls += st.null_count
         if missing_stats:
-            nulls = pf.read(columns=[c]).column(0).null_count
+            segs = c.split(".")
+            col = pf.read(columns=[segs[0]]).column(0)
+            if len(segs) > 1:
+                # struct_field propagates parent nulls into the
+                # child count — the same fold-in the footer stat
+                # reports, so the two paths agree
+                col = pc.struct_field(col, segs[1:])
+            nulls = col.null_count
         if nulls:
             bad.append(c)
     return bad
@@ -2597,12 +2778,53 @@ def append_to_delta(
             "spark.sql.parquet.fieldId.write.enabled (the "
             "session has it disabled)"
         )
-    layout_sig = (
-        tuple(pcols),
-        cm,
-        tuple(sorted(phys_of.items())),
-        tuple(sorted(fid_of.items())),
-    )
+    def _sig_of(meta_, logical_):
+        """Everything about the table layout the staged parquet
+        bytes BAKE IN: partition columns, mapping mode, and the
+        full physical schema tree — names, field ids, types AND
+        per-field nullability at every nesting level (a concurrent
+        nullable -> non-nullable tightening must force a re-run:
+        the staged-NULL gate below validated against the OLD
+        contract). Comments/user metadata are excluded (the mapped
+        tree is rebuilt with field-id metadata only; the unmapped
+        tree is stripped) so a concurrent comment-only commit does
+        not refuse a perfectly valid append."""
+        n_cm, _p, _f = _mapping_of(meta_)
+
+        def strip(dt):
+            if isinstance(dt, T.StructType):
+                return T.StructType(
+                    [
+                        T.StructField(
+                            f.name, strip(f.dataType), f.nullable
+                        )
+                        for f in dt.fields
+                    ]
+                )
+            if isinstance(dt, T.ArrayType):
+                return T.ArrayType(
+                    strip(dt.elementType), dt.containsNull
+                )
+            if isinstance(dt, T.MapType):
+                return T.MapType(
+                    strip(dt.keyType),
+                    strip(dt.valueType),
+                    dt.valueContainsNull,
+                )
+            return dt
+
+        tree = (
+            _phys_type(logical_)
+            if n_cm in ("name", "id")
+            else strip(logical_)
+        )
+        return (
+            tuple(meta_.get("partitionColumns") or []),
+            n_cm,
+            tree.json(),
+        )
+
+    layout_sig = _sig_of(meta, logical)
 
     def revalidate():
         """Re-run EVERY gate against the current head and refuse
@@ -2610,23 +2832,17 @@ def append_to_delta(
         whenever the head is newer than the last-validated version,
         which covers both commits that land DURING staging and lost
         claim races (the winner may have changed the schema, the
-        partition layout, the column mapping, or the ict config —
-        the adopted ``meta`` keeps ict_on fresh)."""
+        partition layout, the column mapping, the nullability
+        contract, or the ict config — the adopted ``meta`` keeps
+        ict_on fresh)."""
         nonlocal meta
-        _t, meta, _l = resolve()
-        n_pcols = list(meta.get("partitionColumns") or [])
-        n_cm, n_phys, n_fid = _mapping_of(meta)
-        n_sig = (
-            tuple(n_pcols),
-            n_cm,
-            tuple(sorted(n_phys.items())),
-            tuple(sorted(n_fid.items())),
-        )
-        if n_sig != layout_sig:
+        _t, meta, n_logical = resolve()
+        if _sig_of(meta, n_logical) != layout_sig:
             raise DeltaProtocolError(
                 "a concurrent commit changed the table layout "
-                f"({layout_sig} -> {n_sig}); the staged files "
-                "follow the old shape — re-run the append"
+                "(partitioning, column mapping, physical schema or "
+                "nullability); the staged files follow the old "
+                "shape — re-run the append"
             )
 
     # stage the data files: Spark writes them under a dot-dir the
@@ -2638,6 +2854,16 @@ def append_to_delta(
     for f in logical.fields:
         c = _qcol(f.name)
         if f.name in phys_of:
+            # nested physical names + field ids ride a struct cast:
+            # the cast's target tree (built from the TABLE's mapping
+            # metadata, with the DataFrame's own nullability so the
+            # cast resolves) renames struct members at every level
+            # and carries parquet.field.id metadata Spark's writer
+            # honors recursively; the top level is a plain alias
+            dfl = df.schema[f.name]
+            pt = _phys_type(f.dataType, dfl.dataType)
+            if pt != dfl.dataType:
+                c = c.cast(pt)
             c = c.alias(
                 phys_of[f.name],
                 metadata={"parquet.field.id": fid_of[f.name]},
@@ -2658,11 +2884,9 @@ def append_to_delta(
     # (a pre-write scan of df is a TOCTOU: Spark recomputes the
     # frame for the write, so a non-deterministic source could pass
     # the probe and still write NULLs) and costs no extra scan.
-    nn_phys = {
-        phys_of.get(f.name, f.name): f.name
-        for f in logical.fields
-        if not f.nullable
-    }
+    # Covers nested leaves too, where the footer can prove a
+    # violation (all-non-nullable ancestor chains — _nn_leaf_paths).
+    nn_phys = _nn_leaf_paths(logical)
     try:
         staged: list[tuple[str, str, int | None]] = []
         for root, dirs, names in os.walk(staging):
@@ -2743,34 +2967,421 @@ def append_to_delta(
             "engineInfo": "mergestore-deltalog-append",
         }
         if ict_on(meta):
-            # spec: monotonically increasing, first action of the
-            # entry; never at or below the previous commit's. Read
-            # the previous ict in INTEGER ms (a float-seconds round
-            # trip loses 1 ms for ~0.8% of values, which can emit
-            # an EQUAL ict under clock skew); a checkpoint-only
-            # head has no entry file — its mtime stands in
-            prev_path = os.path.join(log_dir, f"{head:020d}.json")
-            prev_ms = 0
-            try:
-                with open(prev_path) as fh:
-                    pci = (json.loads(fh.readline()) or {}).get(
-                        "commitInfo"
-                    ) or {}
-                if pci.get("inCommitTimestamp") is not None:
-                    prev_ms = int(pci["inCommitTimestamp"])
-                else:
-                    prev_ms = int(os.path.getmtime(prev_path) * 1000)
-            except (OSError, ValueError, AttributeError):
-                try:
-                    prev_ms = int(os.path.getmtime(prev_path) * 1000)
-                except OSError:
-                    prev_ms = 0
-            ci["inCommitTimestamp"] = max(now_ms, prev_ms + 1)
+            ci["inCommitTimestamp"] = max(
+                now_ms, _prev_commit_ms(log_dir, head) + 1
+            )
         lines = [{"commitInfo": ci}] + [{"add": a} for a in adds]
         payload = "\n".join(json.dumps(ln) for ln in lines) + "\n"
         entry = os.path.join(log_dir, f"{ver:020d}.json")
         if store.create_exclusive(entry, payload):
             return ver
+    raise DeltaProtocolError(
+        f"lost the commit race {max_retries} times at {log_dir}"
+    )
+
+
+def _prev_commit_ms(log_dir: str, head: int) -> int:
+    """Previous commit's authoritative time in INTEGER ms for the
+    monotonic inCommitTimestamp rule (spec: never at or below the
+    previous commit's; a float-seconds round trip loses 1 ms for
+    ~0.8% of values, which can emit an EQUAL ict under clock skew).
+    A checkpoint-only head has no entry file — its mtime stands in;
+    a missing file entirely yields 0 (now wins)."""
+    prev_path = os.path.join(log_dir, f"{head:020d}.json")
+    try:
+        with open(prev_path) as fh:
+            pci = (json.loads(fh.readline()) or {}).get(
+                "commitInfo"
+            ) or {}
+        if pci.get("inCommitTimestamp") is not None:
+            return int(pci["inCommitTimestamp"])
+        return int(os.path.getmtime(prev_path) * 1000)
+    except (OSError, ValueError, AttributeError):
+        try:
+            return int(os.path.getmtime(prev_path) * 1000)
+        except OSError:
+            return 0
+
+
+# Writer features a row-DELETE can satisfy. A delete creates no new
+# rows, so row-shape enforcement features (invariants / CHECK
+# constraints / generated / identity) stay trivially satisfied by
+# the surviving rows and need no live-use refusal — unlike append.
+# Presence-conditional refusals live in _check_delete_writable:
+# delta.appendOnly=true forbids dataChange removes outright, a LIVE
+# changeDataFeed table requires writer-produced _change_data this
+# writer does not emit, and columnMapping mode name/id is refused on
+# the delete path (the rewrite would have to re-spell physical
+# names; append grew that machinery, delete has not yet).
+_SUPPORTED_DELETE_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "changeDataFeed",
+    "columnMapping",
+    "generatedColumns",
+    "identityColumns",
+    "deletionVectors",
+    "timestampNtz",
+    "inCommitTimestamp",
+    "vacuumProtocolCheck",
+    "v2Checkpoint",
+    "typeWidening",
+    "typeWidening-preview",
+}
+
+
+def _check_delete_writable(proto: dict, meta: dict) -> None:
+    """Refuse BY NAME any table a row-DELETE cannot be written to
+    correctly (mirror of _check_append_writable with delete
+    obligations): appendOnly tables, live change-data-feed tables
+    (a non-insert commit must write _change_data per spec),
+    column-mapped tables (the rewrite path does not re-spell
+    physical names yet), and unsupported writer features."""
+    cfg = dict(meta.get("configuration") or {})
+    if str(cfg.get("delta.appendOnly", "false")).lower() == "true":
+        raise DeltaProtocolError(
+            "table is append-only (delta.appendOnly=true); removes "
+            "with dataChange are forbidden — refusing the delete"
+        )
+    if (
+        str(cfg.get("delta.enableChangeDataFeed", "false")).lower()
+        == "true"
+    ):
+        raise DeltaProtocolError(
+            "table has the change data feed enabled; a DELETE "
+            "commit must write _change_data files per spec, which "
+            "this writer does not — refusing the delete"
+        )
+    cm = cfg.get("delta.columnMapping.mode", "none")
+    if cm not in ("", "none"):
+        raise DeltaProtocolError(
+            f"delete on a columnMapping.mode={cm!r} table is not "
+            "supported (the rewrite path does not re-spell "
+            "physical names)"
+        )
+    mwv = int(proto.get("minWriterVersion") or 1)
+    if mwv >= 7:
+        feats = set(proto.get("writerFeatures") or [])
+        unsupported = feats - _SUPPORTED_DELETE_WRITER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                "table requires writer features "
+                f"{sorted(unsupported)} this engine does not "
+                "implement for deletes"
+            )
+
+
+def _py_live_adds(actions: list) -> dict:
+    """Live file set from a driver-side action replay: rel path ->
+    latest add action. Replay rule: within one commit, removes apply
+    BEFORE adds (a rewrite commit removes and re-adds the same path;
+    the add must win), across commits the later action wins."""
+    live: dict[str, dict] = {}
+    by_version: dict[int, list] = {}
+    for v, a in actions:
+        by_version.setdefault(v, []).append(a)
+    for v in sorted(by_version):
+        acts = by_version[v]
+        for a in acts:
+            rm = a.get("remove")
+            if rm is not None and rm.get("path"):
+                live.pop(rm["path"], None)
+        for a in acts:
+            ad = a.get("add")
+            if ad is not None and ad.get("path"):
+                live[ad["path"]] = ad
+    return live
+
+
+def delete_from_delta(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    log_store=None,
+    max_retries: int = 50,
+) -> tuple[int, int]:
+    """DELETE rows matching ``predicate`` (a SQL boolean expression
+    over the table's logical columns; NULL never matches, Delta's
+    own rule) FROM a foreign Delta table — the second interop write
+    direction after :func:`append_to_delta`, for the day a GDPR
+    delete lands on a table a stock client owns. Returns
+    ``(committed_version, rows_deleted)``; a predicate matching
+    nothing commits nothing and returns the current version.
+
+    Shape: ONE distributed scan of the live files (partition columns
+    re-attached from partitionValues, Delta's layout rule) counts
+    matches per file; files with no match are untouched, files where
+    every row matches become full-file ``remove`` actions (no data
+    read beyond the count), partially-matching files are REWRITTEN —
+    kept rows staged exactly like an append (hive layout, empty-file
+    skip) — and the commit pairs their removes with the new adds.
+    The commit itself goes through the same claim/OCC machinery as
+    append: LogStore create-if-absent on the next version, and on a
+    moved head EVERY gate re-runs plus a conflict check that each
+    file this delete removes is STILL live (a concurrent
+    delete/rewrite of the same file is Delta's
+    ConcurrentDeleteDelete conflict — named error, caller re-runs);
+    concurrent blind APPENDS commit freely and are simply not seen
+    by this predicate (Delta's WriteSerializable default).
+
+    Named refusals (never a silent miswrite): appendOnly tables,
+    live change-data-feed tables (spec requires writer _change_data
+    on non-insert commits), column-mapped tables, tables with a live
+    deletion vector on any file (merging masks is not implemented —
+    a rewrite that ignored the DV would RESURRECT deleted rows),
+    and unsupported writer features.
+
+    Reference: the curated pipeline's Delta store is consumed AND
+    fed by stock deployments (mls_listings_curated.py:321-368);
+    PROTOCOL.md (public spec) for commit/OCC and the appendOnly /
+    CDF writer obligations.
+    """
+    import shutil as _sh
+
+    from .logstore import PosixLogStore
+
+    store = log_store or PosixLogStore()
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+
+    def resolve():
+        target, actions = _py_actions(log_dir)
+        meta = proto = None
+        for _v, a in actions:
+            if a.get("metaData") is not None:
+                meta = a["metaData"]
+            elif a.get("protocol") is not None:
+                proto = a["protocol"]
+        if meta is None:
+            raise DeltaProtocolError("log has no metaData action")
+        proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+        _py_check_protocol(proto)
+        _check_delete_writable(proto, meta)
+        logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        live = _py_live_adds(actions)
+        for rel, ad in live.items():
+            dv = ad.get("deletionVector")
+            if dv is not None and dv.get("storageType"):
+                raise DeltaProtocolError(
+                    f"file {rel!r} carries a deletion vector; "
+                    "rewriting it without merging the mask would "
+                    "resurrect deleted rows — refusing the delete"
+                )
+        return target, meta, logical, live
+
+    target, meta, logical, live = resolve()
+    pcols = list(meta.get("partitionColumns") or [])
+    file_schema = T.StructType(
+        [f for f in logical.fields if f.name not in pcols]
+    )
+
+    def _sig_of(meta_, logical_):
+        return (
+            tuple(meta_.get("partitionColumns") or []),
+            logical_.simpleString(),
+            tuple(
+                sorted(
+                    (k, v)
+                    for k, v in dict(
+                        meta_.get("configuration") or {}
+                    ).items()
+                    if not k.startswith("delta.columnMapping.max")
+                )
+            ),
+        )
+
+    layout_sig = _sig_of(meta, logical)
+    if not live:
+        return target, 0
+
+    abs_of = {
+        rel: os.path.abspath(os.path.join(path, unquote(rel)))
+        for rel in live
+    }
+    rel_of_abs = {v: k for k, v in abs_of.items()}
+
+    def _scan(rels):
+        sc = (
+            spark.read.schema(file_schema)
+            .parquet(*[abs_of[r] for r in rels])
+            .select("*", _norm_fp_col().alias("__fp"))
+        )
+        if pcols:
+            pv_rows = [
+                tuple(
+                    [abs_of[r]]
+                    + [
+                        dict(live[r].get("partitionValues") or {}).get(
+                            c
+                        )
+                        for c in pcols
+                    ]
+                )
+                for r in rels
+            ]
+            pv_schema = ", ".join(
+                ["__fp string"] + [f"__pv_{i} string" for i in range(len(pcols))]
+            )
+            sc = sc.join(
+                F.broadcast(spark.createDataFrame(pv_rows, pv_schema)),
+                "__fp",
+            )
+            for i, c in enumerate(pcols):
+                ptype = next(
+                    f.dataType for f in logical.fields if f.name == c
+                )
+                sc = sc.withColumn(
+                    c, F.col(f"__pv_{i}").cast(ptype)
+                ).drop(f"__pv_{i}")
+        return sc
+
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    counts = (
+        _scan(sorted(live))
+        .groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("__total"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("__matched"),
+        )
+        .filter(F.col("__matched") > 0)
+        .collect()
+    )
+    if not counts:
+        return target, 0
+    full, partial = [], []
+    rows_deleted = 0
+    for r in counts:
+        rel = rel_of_abs[r["__fp"]]
+        rows_deleted += int(r["__matched"])
+        (full if r["__matched"] == r["__total"] else partial).append(
+            rel
+        )
+    touched = full + partial
+
+    # rewrite the partially-matching files: kept rows staged exactly
+    # like an append (hive layout), moved under the table root
+    # BEFORE the commit (invisible until the entry names them;
+    # orphans on terminal failure, vacuum's crash story)
+    adds: list[dict] = []
+    if partial:
+        staging = os.path.join(path, f".delete-{uuid.uuid4().hex}")
+        kept = _scan(sorted(partial)).filter(~hit).drop("__fp")
+        writer = kept.select(
+            *[_qcol(f.name) for f in logical.fields]
+        ).write
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staging)
+        try:
+            staged = []
+            for root, dirs, names in os.walk(staging):
+                dirs[:] = [
+                    d for d in dirs if not d.startswith(("_", "."))
+                ]
+                for n in sorted(names):
+                    if not n.endswith(".parquet") or n.startswith(
+                        ("_", ".")
+                    ):
+                        continue
+                    src = os.path.join(root, n)
+                    nrec = _num_records(src)
+                    if nrec == 0:
+                        continue
+                    staged.append(
+                        (src, os.path.relpath(src, staging), nrec)
+                    )
+            for src, rel, nrec in staged:
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                add = {
+                    "path": _encode_path(rel),
+                    "partitionValues": _staged_partition_values(
+                        rel, pcols
+                    ),
+                    "size": os.path.getsize(dst),
+                    "modificationTime": int(
+                        os.path.getmtime(dst) * 1000
+                    ),
+                    "dataChange": True,
+                }
+                if nrec is not None:
+                    add["stats"] = json.dumps({"numRecords": nrec})
+                adds.append(add)
+        finally:
+            _sh.rmtree(staging, ignore_errors=True)
+
+    def revalidate():
+        """Moved head: re-run every gate, refuse on layout change,
+        and apply Delta's delete-conflict rule — every file this
+        commit removes must still be live (a concurrent commit that
+        removed or rewrote one is a ConcurrentDeleteDelete: the
+        matched counts no longer describe the table)."""
+        nonlocal meta
+        _t, meta, n_logical, n_live = resolve()
+        if _sig_of(meta, n_logical) != layout_sig:
+            raise DeltaProtocolError(
+                "a concurrent commit changed the table layout "
+                "(partitioning, schema or configuration) under this "
+                "delete — re-run it"
+            )
+        gone = [rel for rel in touched if rel not in n_live]
+        if gone:
+            raise DeltaProtocolError(
+                f"concurrent commit removed/rewrote {gone[:3]!r}"
+                f"{'...' if len(gone) > 3 else ''} this delete "
+                "also touches (ConcurrentDeleteDelete) — re-run it"
+            )
+
+    def ict_on(m: dict) -> bool:
+        return str(
+            dict(m.get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps", "false"
+            )
+        ).lower() == "true"
+
+    validated_at = target
+    for _attempt in range(max_retries):
+        head = _latest_log_version(log_dir)
+        if head != validated_at:
+            revalidate()
+            validated_at = head
+        ver = head + 1
+        now_ms = int(time.time() * 1000)
+        ci = {
+            "timestamp": now_ms,
+            "operation": "DELETE",
+            "operationParameters": {"predicate": predicate},
+            "engineInfo": "mergestore-deltalog-delete",
+        }
+        if ict_on(meta):
+            ci["inCommitTimestamp"] = max(
+                now_ms, _prev_commit_ms(log_dir, head) + 1
+            )
+        removes = []
+        for rel in touched:
+            ad = live[rel]
+            rm = {
+                "path": ad["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": ad.get("partitionValues") or {},
+            }
+            if ad.get("size") is not None:
+                rm["size"] = ad["size"]
+            removes.append(rm)
+        lines = (
+            [{"commitInfo": ci}]
+            + [{"remove": r} for r in removes]
+            + [{"add": a} for a in adds]
+        )
+        payload = "\n".join(json.dumps(ln) for ln in lines) + "\n"
+        entry = os.path.join(log_dir, f"{ver:020d}.json")
+        if store.create_exclusive(entry, payload):
+            return ver, rows_deleted
     raise DeltaProtocolError(
         f"lost the commit race {max_retries} times at {log_dir}"
     )

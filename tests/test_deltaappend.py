@@ -526,7 +526,12 @@ def test_append_column_mapped_table(spark, tmp_path, mode):
     assert read_delta(spark, tbl).count() == 4
 
 
-def test_append_mapped_nested_refused(spark, tmp_path):
+def test_append_mapped_nested_missing_id_refused(spark, tmp_path):
+    """Nested schemas under column mapping are WRITABLE (physical
+    renames + field ids are applied recursively) — but only when
+    every nested field carries its delta.columnMapping.id; a table
+    whose nested field lacks one is refused by name, never written
+    with a missing parquet field id."""
     tbl = str(tmp_path / "map_nested")
     os.makedirs(tbl, exist_ok=True)
     schema = {
@@ -573,7 +578,9 @@ def test_append_mapped_nested_refused(spark, tmp_path):
         ],
     )
     df = spark.createDataFrame([((1,),)], "s struct<a: long>")
-    with pytest.raises(DeltaProtocolError, match="NESTED"):
+    with pytest.raises(
+        DeltaProtocolError, match="delta.columnMapping.id"
+    ):
         append_to_delta(df, tbl)
 
 
@@ -700,3 +707,221 @@ def test_append_type_widened_table_accepted(spark, tmp_path):
         spark.createDataFrame([(1, "a")], ["k", "v"]), tbl
     ) == 1
     assert read_delta(spark, tbl).count() == 1
+
+
+def _mk_mapped_nested(tmp_path, mode, name, nn=False):
+    """Stock-style column-mapped table with a NESTED schema:
+    logical ``k long, s struct<a long, c struct<d long>>,
+    tags array<struct<t string>>`` — physical names + ids at every
+    level, the way delta-spark records them. ``nn=True`` declares
+    s and s.a non-nullable (an all-non-nullable ancestor chain the
+    staged-NULL gate can enforce from footer stats)."""
+    tbl = str(tmp_path / name)
+    os.makedirs(tbl, exist_ok=True)
+
+    def f(n, t, i, pn, nullable=True):
+        return {
+            "name": n,
+            "type": t,
+            "nullable": nullable,
+            "metadata": {
+                "delta.columnMapping.id": i,
+                "delta.columnMapping.physicalName": pn,
+            },
+        }
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            f("k", "long", 1, "col-k1"),
+            f(
+                "s",
+                {
+                    "type": "struct",
+                    "fields": [
+                        f("a", "long", 3, "col-a3", nullable=not nn),
+                        f(
+                            "c",
+                            {
+                                "type": "struct",
+                                "fields": [
+                                    f("d", "long", 5, "col-d5")
+                                ],
+                            },
+                            4,
+                            "col-c4",
+                        ),
+                    ],
+                },
+                2,
+                "col-s2",
+                nullable=not nn,
+            ),
+            f(
+                "tags",
+                {
+                    "type": "array",
+                    "elementType": {
+                        "type": "struct",
+                        "fields": [f("t", "string", 7, "col-t7")],
+                    },
+                    "containsNull": True,
+                },
+                6,
+                "col-tags6",
+            ),
+        ],
+    }
+    _log_write(
+        tbl,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "mn1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": mode,
+                        "delta.columnMapping.maxColumnId": "7",
+                    },
+                    "createdTime": 0,
+                }
+            },
+        ],
+    )
+    return tbl
+
+
+_NESTED_DDL = (
+    "k long, s struct<a: long, c: struct<d: long>>, "
+    "tags array<struct<t: string>>"
+)
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_append_mapped_nested_round_trip(spark, tmp_path, mode):
+    """Nested schemas under column mapping: the staged parquet
+    spells PHYSICAL names and parquet field ids at every nesting
+    level (struct members, structs inside arrays), and the mapped
+    reader round-trips the logical values."""
+    import pyarrow.parquet as pq
+
+    tbl = _mk_mapped_nested(tmp_path, mode, f"mapnest_{mode}")
+    df = spark.createDataFrame(
+        [
+            (1, (10, (100,)), [("p",), ("q",)]),
+            (2, (20, None), []),
+            (3, None, None),
+        ],
+        _NESTED_DDL,
+    )
+    assert append_to_delta(df, tbl) == 1
+    adds = [ln["add"] for ln in _entry_lines(tbl, 1)[1:]]
+    pf = pq.ParquetFile(os.path.join(tbl, adds[0]["path"]))
+    sch = pf.schema_arrow
+
+    def fid(field):
+        return (field.metadata or {}).get(b"PARQUET:field_id")
+
+    by_name = {f.name: f for f in sch}
+    assert set(by_name) == {"col-k1", "col-s2", "col-tags6"}
+    assert fid(by_name["col-k1"]) == b"1"
+    s = by_name["col-s2"]
+    assert fid(s) == b"2"
+    inner = {s.type.field(i).name: s.type.field(i) for i in range(2)}
+    assert set(inner) == {"col-a3", "col-c4"}
+    assert fid(inner["col-a3"]) == b"3"
+    assert fid(inner["col-c4"]) == b"4"
+    d = inner["col-c4"].type.field(0)
+    assert d.name == "col-d5" and fid(d) == b"5"
+    tags = by_name["col-tags6"]
+    assert fid(tags) == b"6"
+    t = tags.type.value_type.field(0)
+    assert t.name == "col-t7" and fid(t) == b"7"
+    got = read_delta(spark, tbl)
+    assert got.schema.simpleString() == (
+        spark.createDataFrame([], _NESTED_DDL).schema.simpleString()
+    )
+    rows = {r.k: r for r in got.collect()}
+    assert rows[1].s.a == 10 and rows[1].s.c.d == 100
+    assert [x.t for x in rows[1].tags] == ["p", "q"]
+    assert rows[2].s.a == 20 and rows[2].s.c is None
+    assert rows[3].s is None and rows[3].tags is None
+    # second append composes
+    assert (
+        append_to_delta(
+            spark.createDataFrame(
+                [(4, (40, (400,)), [("r",)])], _NESTED_DDL
+            ),
+            tbl,
+        )
+        == 2
+    )
+    assert read_delta(spark, tbl).count() == 4
+
+
+def test_append_nested_nonnull_gate(spark, tmp_path):
+    """A NULL aimed at a non-nullable nested leaf under an
+    all-non-nullable ancestor chain is refused from the staged
+    parquet's own footer stats — the refusal names the dotted
+    LOGICAL path; valid data at the same schema commits."""
+    tbl = _mk_mapped_nested(tmp_path, "name", "mapnest_nn", nn=True)
+    bad = spark.createDataFrame(
+        [(1, (None, (100,)), [])], _NESTED_DDL
+    )
+    with pytest.raises(DeltaProtocolError, match="s.a"):
+        append_to_delta(bad, tbl)
+    # a NULL struct s violates the chain too (folded into the leaf
+    # count by parquet definition levels — still a refusal)
+    with pytest.raises(DeltaProtocolError, match="non-nullable"):
+        append_to_delta(
+            spark.createDataFrame([(1, None, [])], _NESTED_DDL), tbl
+        )
+    ok = spark.createDataFrame([(1, (10, None), [])], _NESTED_DDL)
+    assert append_to_delta(ok, tbl) == 1
+    assert read_delta(spark, tbl).count() == 1
+
+
+def test_append_revalidates_nullability_tightening(spark, tmp_path):
+    """A concurrent commit that tightens a column from nullable to
+    non-nullable between staging and the claim forces the re-run
+    error path: the staged-NULL gate validated against the OLD
+    contract, so the layout signature must include per-field
+    nullability (the race would otherwise commit staged NULLs into
+    a now non-nullable column)."""
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    tbl = _mk_foreign(tmp_path, name="nn_race")
+    meta2 = dict(_entry_lines(tbl, 0)[1]["metaData"])
+    sch = json.loads(meta2["schemaString"])
+    sch["fields"] = [
+        dict(fj, nullable=False) if fj["name"] == "v" else fj
+        for fj in sch["fields"]
+    ]
+    meta2["schemaString"] = json.dumps(sch)
+
+    class NullabilityRacer(PosixLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def create_exclusive(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                rival = os.path.join(
+                    os.path.dirname(path), f"{1:020d}.json"
+                )
+                with open(rival, "w") as fh:
+                    fh.write(json.dumps({"metaData": meta2}) + "\n")
+            return super().create_exclusive(path, payload)
+
+    with pytest.raises(DeltaProtocolError, match="table layout"):
+        append_to_delta(
+            spark.createDataFrame([(1, None)], "k long, v string"),
+            tbl,
+            log_store=NullabilityRacer(),
+        )

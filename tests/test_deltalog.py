@@ -2058,3 +2058,29 @@ def test_read_type_widened_table(spark, tmp_path):
         ],
     )
     assert read_delta(spark, tbl).count() == 3
+
+
+def test_user_timestamp_parse_is_named_and_tz_stable():
+    """User-supplied time-travel/change-feed bounds: naive ISO
+    strings and naive datetimes resolve as UTC (deterministic under
+    any host timezone), and a string that is neither ISO nor numeric
+    raises a NAMED error — not float()'s conversion message."""
+    import datetime
+
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        _parse_user_ts,
+    )
+
+    assert _parse_user_ts("1970-01-01T00:00:10+00:00") == 10.0
+    assert _parse_user_ts("1970-01-01T00:00:10") == 10.0  # naive=UTC
+    assert (
+        _parse_user_ts(datetime.datetime(1970, 1, 1, 0, 0, 10))
+        == 10.0
+    )
+    assert _parse_user_ts("12.5") == 12.5
+    assert _parse_user_ts(42) == 42.0
+    for bad in ("2026-13-01", "2026/01/01", "not-a-time"):
+        with pytest.raises(
+            DeltaProtocolError, match=bad.replace("/", ".")
+        ):
+            _parse_user_ts(bad)
