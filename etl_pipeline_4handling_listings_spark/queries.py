@@ -12867,53 +12867,100 @@ def text_freq_spectrum(spark, sf_dir):
     """,
     doc="Spearman rank correlation with ties-correct AVERAGE ranks "
     "(quantity vs price per return flag). Scale design (the "
-    "stats_mannwhitney_u histogram pattern): ranks are NEVER "
-    "assigned to the raw row stream — the scan collapses to an "
-    "exact joint (flag, quantity, price) count histogram first "
-    "(map-side-combinable), and both doubled rank columns come "
-    "from RANGE-frame cumulative-count windows DIRECTLY on that "
-    "histogram (2*le - c + 1: peers included by the range frame, "
-    "tie mass from the per-value partition — no marginal join "
-    "back), so the only sorts are two passes over the frame "
-    "bounded by the VALUE GRID (quantity x part-price combos), "
-    "not the row count, sharing one flag exchange. Doubled avg "
-    "ranks keep every rank an exact integer (Pearson is "
-    "scale-invariant, corr(2rx,2ry) = corr(rx,ry)); the five "
-    "moments accumulate in DECIMAL(38,0) (HUGEINT on the oracle "
-    "side) because sum(cnt*rx2^2) grows like 4n^3 and exceeds "
-    "BIGINT near n~1.9M rows per flag — exact to n~1e12, and "
-    "partial-agg order cannot move integer sums. The only float "
-    "is the final Pearson expression, mirrored op-for-op and "
-    "quantized at 1e-6.",
+    "stats_mannwhitney_u histogram pattern, TWO-LEVEL): ranks are "
+    "NEVER assigned to the raw row stream — the scan collapses to "
+    "an exact joint (flag, quantity, price) count histogram first "
+    "(map-side-combinable), and the cumulative counts behind both "
+    "doubled rank columns run as a two-level prefix sum (the "
+    "operators/prefix.py keyed_prefix_sum shape): per-(flag, "
+    "currency-unit-bucket) mass totals with an exclusive running "
+    "sum over a frame bounded by the axis DOMAIN (~50 quantity / "
+    "~1e5 price units — fixed by the business range, not by grid "
+    "density or row count), broadcast back, then a within-bucket "
+    "RANGE-frame cumulative whose partitions hold at most the "
+    "distinct cents of one unit. 2*le - c + 1 with le = offset + "
+    "within-bucket cumulative (floor() is monotone, so the split "
+    "is exact), c = tie mass from the per-value partition; no "
+    "task ever sorts a whole per-flag grid, however dense the "
+    "part catalog makes it. Doubled avg ranks keep every rank an "
+    "exact integer (Pearson is scale-invariant, corr(2rx,2ry) = "
+    "corr(rx,ry)); the five moments accumulate in DECIMAL(38,0) "
+    "(HUGEINT on the oracle side) because sum(cnt*rx2^2) grows "
+    "like 4n^3 and exceeds BIGINT near n~1.9M rows per flag — "
+    "exact to n~1e12, and partial-agg order cannot move integer "
+    "sums. The only float is the final Pearson expression, "
+    "mirrored op-for-op and quantized at 1e-6.",
 )
 def stats_spearman_corr(spark, sf_dir):
+    from etl_pipeline_4handling_listings_spark.operators.sampling import (
+        persist_slot,
+    )
+
     li = tbl(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_quantity").alias("qv"),
         F.col("l_extendedprice").alias("pv"),
     )
-    joint = li.groupBy("flag", "qv", "pv").agg(
-        F.count("*").alias("cnt")
+    # exact joint histogram, tagged with integer UNIT buckets on
+    # both value axes (floor of the decimal) — consumed three times
+    # (two offset aggregates + the ranked pass), so one persist slot
+    joint = persist_slot(
+        "stats_spearman_corr",
+        li.groupBy("flag", "qv", "pv")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("qb", F.floor("qv").cast("long"))
+        .withColumn("pb", F.floor("pv").cast("long")),
     )
-    # doubled avg rank 2*cb + c + 1 == 2*le - c + 1, where le = the
-    # RANGE-frame cumulative count (peers included, so the window
-    # needs no marginal-histogram join back) and c = the tie mass —
-    # both windows share the flag partitioning (one exchange, two
-    # sorts of the COMPRESSED joint frame)
-    def rank2(col: str) -> Column:
-        le = F.sum("cnt").over(
+
+    # two-level cumulative counts (the keyed_prefix_sum shape,
+    # operators/prefix.py): level 1 = per-(flag, unit-bucket) mass
+    # totals with an EXCLUSIVE running sum over the tiny bucket
+    # frame (bounded by the DOMAIN range of the axis — ~50 quantity
+    # units / ~1e5 price units — not by grid density or row count);
+    # level 2 = a RANGE-frame cumulative within each bucket, where
+    # a partition holds at most the distinct cent values of one
+    # currency unit (<= 100 rows). No task ever sorts a whole
+    # per-flag grid, however dense the catalog makes it.
+    def bucket_offsets(bcol: str, out: str) -> DataFrame:
+        per = joint.groupBy("flag", bcol).agg(
+            F.sum("cnt").alias("_bw")
+        )
+        wb = (
             Window.partitionBy("flag")
-            .orderBy(col)
+            .orderBy(bcol)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per.select(
+            "flag",
+            bcol,
+            F.coalesce(F.sum("_bw").over(wb), F.lit(0)).alias(out),
+        )
+
+    tagged = joint.join(
+        F.broadcast(bucket_offsets("qb", "_offq")), ["flag", "qb"]
+    ).join(
+        F.broadcast(bucket_offsets("pb", "_offp")), ["flag", "pb"]
+    )
+
+    # doubled avg rank 2*cb + c + 1 == 2*le - c + 1, where le = the
+    # bucket offset + the within-bucket RANGE-frame cumulative
+    # (peers included — floor() is monotone, so bucket order aligns
+    # with value order and the sum is the global per-flag
+    # cumulative) and c = the tie mass from the per-value partition
+    def rank2(bcol: str, vcol: str, off: str) -> Column:
+        le = F.col(off) + F.sum("cnt").over(
+            Window.partitionBy("flag", bcol)
+            .orderBy(vcol)
             .rangeBetween(Window.unboundedPreceding, 0)
         )
-        c = F.sum("cnt").over(Window.partitionBy("flag", col))
+        c = F.sum("cnt").over(Window.partitionBy("flag", vcol))
         return (2 * le - c + 1).cast("long")
 
-    ranked = joint.select(
+    ranked = tagged.select(
         "flag",
         "cnt",
-        rank2("qv").alias("rx2"),
-        rank2("pv").alias("ry2"),
+        rank2("qb", "qv", "_offq").alias("rx2"),
+        rank2("pb", "pv", "_offp").alias("ry2"),
     )
     cw = F.col("cnt").cast("decimal(38,0)")
     m = ranked.groupBy("flag").agg(

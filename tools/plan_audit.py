@@ -248,14 +248,16 @@ AUDIT = {
     # plan for scalar attachment, so only CartesianProduct is banned
     "graph_degree_assortativity": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
     # r8 additions: spectrum ends in a tiny top-15 TakeOrdered over
-    # the count-of-counts agg; spearman (re-shaped r9) collapses to
-    # a joint value histogram FIRST, so its two rank windows run on
-    # the histogram frame — the plan must show the pre-window
-    # HashAggregate — then one integer-moment reduce; novelty
-    # re-shuffles on the gram key only (distinct -> spread ->
-    # attribution), never all-pairs
+    # the count-of-counts agg; spearman (re-shaped r10, two-level)
+    # collapses to a joint value histogram FIRST, then the bucket
+    # offsets come back via BROADCAST joins (never a shuffle join of
+    # the rank maps, and never a single per-flag sort of the whole
+    # grid — the windows partition by (flag, unit-bucket)); the plan
+    # must show the pre-window HashAggregate, the broadcast, and no
+    # sort-merge join anywhere; novelty re-shuffles on the gram key
+    # only (distinct -> spread -> attribution), never all-pairs
     "text_freq_spectrum": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": []},
-    "stats_spearman_corr": {"expect": ["Window", "HashAggregate"], "forbid": []},
+    "stats_spearman_corr": {"expect": ["Window", "HashAggregate", "BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
     "corpus_ngram_novelty": {"expect": ["HashAggregate"], "forbid": []},
     # r8 batch 2: prefix matrix self-joins on the prefix key (hash
     # join, bounded per-key fan-out); fano is two chained aggs on
