@@ -1,0 +1,319 @@
+"""Foreign-Delta row DELETE (``delete_from_delta``).
+
+The second interop write direction after ``append_to_delta``
+(reference: the curated Delta store a stock deployment owns,
+mls_listings_curated.py:321-368 — the first GDPR delete on a table
+this engine feeds): full-file removes where every row matches,
+kept-row rewrites otherwise, one claimed commit through the same
+LogStore OCC machinery, Delta's ConcurrentDeleteDelete conflict
+rule on a moved head.
+"""
+
+import json
+import os
+
+import pytest
+
+from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+    DeltaProtocolError,
+    append_to_delta,
+    delete_from_delta,
+    read_delta,
+)
+
+from test_deltaappend import _entry_lines, _log_write, _mk_foreign
+
+
+def _seed(spark, tbl, rows, pcols=(), one_file=True):
+    """Append seed rows; ``one_file`` coalesces so a mixed-match
+    predicate exercises the REWRITE path (local[32] would otherwise
+    scatter single-row files where every match is a full remove)."""
+    ddl = "k long, v string" + "".join(f", {c} long" for c in pcols)
+    df = spark.createDataFrame(rows, ddl)
+    if one_file:
+        df = df.coalesce(1)
+    return append_to_delta(df, tbl)
+
+
+def test_delete_full_file_remove_only(spark, tmp_path):
+    """A predicate matching EVERY row of some files turns them into
+    pure remove actions — no rewrite, no new files — and a stock
+    reader sees the survivors."""
+    tbl = _mk_foreign(tmp_path, name="full")
+    # two appends -> two separate file sets
+    _seed(spark, tbl, [(1, "dead"), (2, "dead")])
+    _seed(spark, tbl, [(3, "live"), (4, "live")])
+    n_before = len(
+        [ln for ln in _entry_lines(tbl, 1)[1:] if "add" in ln]
+    )
+    ver, n = delete_from_delta(spark, tbl, "v = 'dead'")
+    assert (ver, n) == (3, 2)
+    lines = _entry_lines(tbl, 3)
+    assert lines[0]["commitInfo"]["operation"] == "DELETE"
+    assert (
+        lines[0]["commitInfo"]["operationParameters"]["predicate"]
+        == "v = 'dead'"
+    )
+    removes = [ln["remove"] for ln in lines[1:] if "remove" in ln]
+    adds = [ln["add"] for ln in lines[1:] if "add" in ln]
+    assert len(removes) == n_before and not adds
+    assert all(
+        r["dataChange"] is True and r["deletionTimestamp"] > 0
+        for r in removes
+    )
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [(3, "live"), (4, "live")]
+
+
+def test_delete_partial_rewrites_kept_rows(spark, tmp_path):
+    """A predicate matching SOME rows of a file rewrites it: the
+    commit pairs the remove with adds holding exactly the kept rows
+    (stats included), and NULL predicates keep their rows (Delta's
+    WHERE rule)."""
+    tbl = _mk_foreign(tmp_path, name="partial")
+    _seed(spark, tbl, [(1, "a"), (2, "b"), (3, None), (4, "a")])
+    ver, n = delete_from_delta(spark, tbl, "v = 'a'")
+    assert n == 2
+    lines = _entry_lines(tbl, ver)
+    removes = [ln["remove"] for ln in lines[1:] if "remove" in ln]
+    adds = [ln["add"] for ln in lines[1:] if "add" in ln]
+    assert removes and adds
+    assert sum(
+        json.loads(a["stats"])["numRecords"] for a in adds
+    ) == 2
+    for a in adds:
+        assert os.path.isfile(os.path.join(tbl, a["path"]))
+    got = sorted(
+        (r.k, r.v)
+        for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(2, "b"), (3, None)]  # NULL row survives
+
+
+def test_delete_partitioned_prunes_and_labels(spark, tmp_path):
+    """Partition columns re-attach from partitionValues for the
+    predicate, untouched partitions keep their files byte-identical,
+    and rewritten files land in the right hive dirs with correct
+    partitionValues."""
+    tbl = _mk_foreign(tmp_path, pcols=("p",), name="part")
+    _seed(
+        spark,
+        tbl,
+        [(1, "a", 10), (2, "b", 10), (3, "c", 20), (4, "d", 20)],
+        pcols=("p",),
+    )
+    before = {
+        a["add"]["path"]: a["add"]
+        for a in _entry_lines(tbl, 1)[1:]
+    }
+    ver, n = delete_from_delta(
+        spark, tbl, "p = 10 AND k = 1"
+    )
+    assert n == 1
+    lines = _entry_lines(tbl, ver)
+    removes = [ln["remove"] for ln in lines[1:] if "remove" in ln]
+    adds = [ln["add"] for ln in lines[1:] if "add" in ln]
+    assert all(
+        r["partitionValues"] == {"p": "10"} for r in removes
+    )
+    assert all(
+        a["partitionValues"] == {"p": "10"}
+        and a["path"].startswith("p=10/")
+        for a in adds
+    )
+    # p=20 files untouched
+    assert all(
+        "p=20" not in r["path"] for r in removes
+    ) and all(
+        os.path.isfile(os.path.join(tbl, p))
+        for p in before
+        if p.startswith("p=20")
+    )
+    got = sorted(
+        (r.k, r.v, r.p) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(2, "b", 10), (3, "c", 20), (4, "d", 20)]
+
+
+def test_delete_no_match_commits_nothing(spark, tmp_path):
+    tbl = _mk_foreign(tmp_path, name="nomatch")
+    _seed(spark, tbl, [(1, "a")])
+    assert delete_from_delta(spark, tbl, "k = 99") == (1, 0)
+    assert not os.path.exists(
+        os.path.join(tbl, "_delta_log", f"{2:020d}.json")
+    )
+    # empty table: nothing to do either
+    empty = _mk_foreign(tmp_path, name="empty")
+    assert delete_from_delta(spark, empty, "k = 1") == (0, 0)
+
+
+def test_delete_refusals_are_named(spark, tmp_path):
+    df_rows = [(1, "a")]
+    # append-only table
+    ao = _mk_foreign(
+        tmp_path, cfg={"delta.appendOnly": "true"}, name="ao"
+    )
+    _seed(spark, ao, df_rows)
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        delete_from_delta(spark, ao, "k = 1")
+    # live change data feed
+    cdf = _mk_foreign(
+        tmp_path,
+        cfg={"delta.enableChangeDataFeed": "true"},
+        name="cdf",
+    )
+    _seed(spark, cdf, df_rows)
+    with pytest.raises(DeltaProtocolError, match="change data feed"):
+        delete_from_delta(spark, cdf, "k = 1")
+    # column mapping
+    cm = _mk_foreign(
+        tmp_path,
+        cfg={"delta.columnMapping.mode": "name"},
+        name="cm",
+    )
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        delete_from_delta(spark, cm, "k = 1")
+    # unsupported writer feature
+    rt = _mk_foreign(
+        tmp_path,
+        protocol={
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking"],
+        },
+        name="rt",
+    )
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        delete_from_delta(spark, rt, "k = 1")
+
+
+def test_delete_refuses_live_deletion_vector(spark, tmp_path):
+    """A live DV on any file is a named refusal: rewriting the file
+    while ignoring the mask would RESURRECT its deleted rows."""
+    tbl = _mk_foreign(tmp_path, name="dv")
+    _seed(spark, tbl, [(1, "a")])
+    lines = _entry_lines(tbl, 1)
+    add = next(ln["add"] for ln in lines[1:] if "add" in ln)
+    add = dict(
+        add,
+        deletionVector={
+            "storageType": "u",
+            "pathOrInlineDv": "ab" * 10,
+            "offset": 1,
+            "sizeInBytes": 36,
+            "cardinality": 1,
+        },
+    )
+    _log_write(
+        tbl,
+        2,
+        [{"remove": {"path": add["path"], "dataChange": False}},
+         {"add": add}],
+    )
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        delete_from_delta(spark, tbl, "k = 1")
+
+
+def test_delete_concurrent_delete_conflict(spark, tmp_path):
+    """A racing commit that removes a file this delete also touches
+    is Delta's ConcurrentDeleteDelete: named error, never a commit
+    built from stale matched counts."""
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    tbl = _mk_foreign(tmp_path, name="race")
+    _seed(spark, tbl, [(1, "a"), (2, "b")])
+    victim = next(
+        ln["add"]["path"]
+        for ln in _entry_lines(tbl, 1)[1:]
+        if "add" in ln
+    )
+
+    class Racer(PosixLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def create_exclusive(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                rival = os.path.join(
+                    os.path.dirname(path), f"{2:020d}.json"
+                )
+                with open(rival, "w") as fh:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "remove": {
+                                    "path": victim,
+                                    "dataChange": True,
+                                }
+                            }
+                        )
+                        + "\n"
+                    )
+            return super().create_exclusive(path, payload)
+
+    with pytest.raises(
+        DeltaProtocolError, match="ConcurrentDeleteDelete"
+    ):
+        delete_from_delta(spark, tbl, "k >= 1", log_store=Racer())
+
+
+def test_delete_concurrent_append_is_fine(spark, tmp_path):
+    """A racing blind APPEND does not conflict (WriteSerializable):
+    the delete retries, commits above it, and the appended rows —
+    unseen by this predicate — survive."""
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    tbl = _mk_foreign(tmp_path, name="aprace")
+    _seed(spark, tbl, [(1, "a"), (2, "b")])
+
+    class Racer(PosixLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def create_exclusive(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                append_to_delta(
+                    spark.createDataFrame(
+                        [(9, "a")], "k long, v string"
+                    ),
+                    tbl,
+                )
+            return super().create_exclusive(path, payload)
+
+    ver, n = delete_from_delta(
+        spark, tbl, "k = 1", log_store=Racer()
+    )
+    assert (ver, n) == (3, 1)
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [(2, "b"), (9, "a")]
+
+
+def test_delete_ict_monotonic(spark, tmp_path):
+    tbl = _mk_foreign(
+        tmp_path,
+        cfg={"delta.enableInCommitTimestamps": "true"},
+        name="ict",
+    )
+    _seed(spark, tbl, [(1, "a"), (2, "b")])
+    prev = _entry_lines(tbl, 1)[0]["commitInfo"]["inCommitTimestamp"]
+    ver, _ = delete_from_delta(spark, tbl, "k = 1")
+    ci = _entry_lines(tbl, ver)[0]["commitInfo"]
+    assert ci["inCommitTimestamp"] > prev
+    assert list(_entry_lines(tbl, ver)[0]) == ["commitInfo"]
+
+
+def test_delete_then_time_travel(spark, tmp_path):
+    """The pre-delete snapshot stays readable at its version — the
+    delete is one more commit, not a mutation."""
+    tbl = _mk_foreign(tmp_path, name="tt")
+    _seed(spark, tbl, [(1, "a"), (2, "b")])
+    delete_from_delta(spark, tbl, "k = 1")
+    assert read_delta(spark, tbl).count() == 1
+    old = read_delta(spark, tbl, version=1)
+    assert sorted(r.k for r in old.collect()) == [1, 2]
