@@ -778,3 +778,102 @@ def test_lateness_profile_sink_and_watermark_sizing(spark, tmp_path):
     assert suggest_watermark_us(prof2, coverage=0.80) == 1_000_000
     # all-in-order profile sizes to a zero-delay watermark
     assert suggest_watermark_us(prof, coverage=0.80) == 0
+
+
+def test_lateness_profile_restart_matches_batch_twin(spark, tmp_path):
+    """Restart recovery x batch-twin equality: a live lateness
+    profile built ONE ROW PER MICRO-BATCH (so the pre-batch
+    high-watermark is exactly the per-arrival running max), with a
+    mid-stream restart — fresh sink instance, checkpoint-style
+    replay of the last committed batch — ends with band counts
+    EQUAL to the batch twin's keyed_prefix_max math on the same
+    arrival sequence (the kernel behind events_watermark_fit /
+    events_lateness_profile). This is the strongest cross-check
+    available without a driver streaming gate: the live path's
+    carried state (high-watermark + counters) survives the restart
+    bit-for-bit or the equality breaks."""
+    import os
+
+    from etl_pipeline_4handling_listings_spark.operators.prefix import (
+        keyed_prefix_max,
+    )
+    from etl_pipeline_4handling_listings_spark.streaming import (
+        foreach_batch_lateness_profile,
+        suggest_watermark_us,
+    )
+
+    # deterministic arrival sequence with injected disorder: most
+    # events advance 1s each; every 5th is 0.5s late, every 7th 90s
+    events = []
+    for i in range(24):
+        base = (i + 1) * 1_000_000
+        delay = (
+            90_000_000
+            if i % 7 == 3
+            else (500_000 if i % 5 == 2 else 0)
+        )
+        events.append((i, base - delay))
+
+    path = str(tmp_path / "late_restart")
+    sink = foreach_batch_lateness_profile(path, "ts_us")
+    for i, (_eid, t) in enumerate(events[:12]):
+        sink(spark.createDataFrame([(t,)], "ts_us long"), i)
+    # restart: NEW sink instance (all carried state must come from
+    # the store), and the engine replays the last committed batch
+    sink2 = foreach_batch_lateness_profile(path, "ts_us")
+    sink2(
+        spark.createDataFrame([(events[11][1],)], "ts_us long"), 11
+    )  # replay -> must be a no-op (exactly-once counts)
+    for i, (_eid, t) in enumerate(events[12:], start=12):
+        sink2(spark.createDataFrame([(t,)], "ts_us long"), i)
+    prof = spark.read.parquet(
+        os.path.join(path, f"v{len(events) - 1}")
+    )
+    # the live profile materializes every band (zero counts
+    # included); the batch groupBy only observed ones — compare the
+    # nonzero support
+    live = {
+        r["band"]: r["n_events"]
+        for r in prof.collect()
+        if r["n_events"] > 0
+    }
+
+    # batch twin: per-arrival running max over the same sequence
+    arr = keyed_prefix_max(
+        spark.createDataFrame(events, "event_id long, ev_ts long"),
+        "event_id",
+        "ev_ts",
+        out_col="hw",
+    )
+    late = arr.select(
+        F.when(
+            F.col("hw").isNull() | (F.col("ev_ts") >= F.col("hw")),
+            0,
+        )
+        .otherwise(F.col("hw") - F.col("ev_ts"))
+        .alias("late_us")
+    )
+    band = (
+        F.when(F.col("late_us") == 0, "0_in_order")
+        .when(F.col("late_us") < 1_000_000, "1_lt_1s")
+        .when(F.col("late_us") < 60_000_000, "2_lt_1m")
+        .when(F.col("late_us") < 600_000_000, "3_lt_10m")
+        .when(F.col("late_us") < 3_600_000_000, "4_lt_1h")
+        .otherwise("5_ge_1h")
+    )
+    batch = {
+        r["band"]: r["n"]
+        for r in late.groupBy(band.alias("band"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert live == batch
+    # the high-watermark carried across the restart equals the
+    # batch-side global max (hw never regresses on late data)
+    assert (
+        prof.agg(F.max("hw_us")).collect()[0][0]
+        == max(t for _i, t in events)
+    )
+    # and the sizing decision agrees with the injected disorder:
+    # covering the 90s stragglers needs the 10m bound, 80% doesn't
+    assert suggest_watermark_us(prof, coverage=0.99) == 600_000_000
