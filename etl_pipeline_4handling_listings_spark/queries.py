@@ -13977,6 +13977,183 @@ def sketch_hll_union(spark, sf_dir):
     )
 
 
+# Round-10 additions (appended to the back of _DRIVER_ORDER, never
+# inside the 50-slot certification window; certified in a later
+# rotation). They close the r9 verdict's sketch-layer gap: HLL got
+# union semantics in r9, percentiles did not — KLL is the mergeable
+# quantile twin — and theta brings the set ALGEBRA (intersection /
+# difference) no HLL union can express.
+
+
+@query(
+    "sketch_kll_quantile_union",
+    oracle="""
+    WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+    SELECT CAST(phi AS DOUBLE) AS phi, n, TRUE AS within_eps
+    FROM c, (VALUES (0.25), (0.50), (0.75), (0.90), (0.99)) t(phi)
+    ORDER BY phi
+    """,
+    doc="Mergeable KLL quantile sketch UNION (Apache DataSketches "
+    "via kll_sketch_agg_bigint / kll_merge_agg_bigint / "
+    "kll_sketch_get_quantile_bigint, new in Spark 4.1): one sketch "
+    "per return flag over integer price cents, merged into the "
+    "corpus-wide quantile estimates — the percentile twin of "
+    "sketch_hll_union's distinct story (keep one ~KB sketch per "
+    "source/day; the merge answers 'p99 across any subset' without "
+    "rescanning, which approx_percentile cannot — its GK summary "
+    "is not exposed for reuse). Self-gating oracle, the ANN-recall "
+    "pattern: the EXACT rank of each merged-sketch quantile "
+    "(share of rows at or below it, one conditional-sum pass) must "
+    "sit within 0.02 of the target rank — k=200 guarantees ~1.65% "
+    "rank error at 99% confidence and the observed worst over "
+    "three SFs is 0.004, so the gate is ~5x the noise while still "
+    "failing on any real regression (KLL compaction is "
+    "randomized; the gate must hold for every seed). Fixed-size "
+    "state, map-side combinable, no sort anywhere.",
+)
+def sketch_kll_quantile_union(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    phis = [0.25, 0.50, 0.75, 0.90, 0.99]
+    sks = li.groupBy("flag").agg(
+        F.kll_sketch_agg_bigint("cents", F.lit(200)).alias("sk")
+    )
+    qs = sks.agg(F.kll_merge_agg_bigint("sk").alias("msk")).select(
+        *[
+            F.kll_sketch_get_quantile_bigint(
+                "msk", F.lit(p)
+            ).alias(f"_q{i}")
+            for i, p in enumerate(phis)
+        ]
+    )
+    # exact ranks of the sketch quantiles in ONE pass (one-row
+    # broadcast scalar-subquery idiom; conditional sums, no sort)
+    ranks = li.crossJoin(F.broadcast(qs)).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("cents") <= F.col(f"_q{i}"), 1)
+                .otherwise(0)
+            ).alias(f"_le{i}")
+            for i in range(len(phis))
+        ],
+    )
+    stack = "stack({}, {}) as (phi, _le)".format(
+        len(phis),
+        ", ".join(
+            f"CAST({p!r} AS DOUBLE), _le{i}"
+            for i, p in enumerate(phis)
+        ),
+    )
+    return (
+        ranks.select("n", F.expr(stack))
+        .select(
+            "phi",
+            F.col("n").cast("long").alias("n"),
+            (
+                F.abs(
+                    F.col("_le").cast("double") / F.col("n")
+                    - F.col("phi")
+                )
+                <= 0.02
+            ).alias("within_eps"),
+        )
+        .orderBy("phi")
+    )
+
+
+@query(
+    "sketch_theta_set_ops",
+    oracle="""
+    WITH pk AS (
+        SELECT l_orderkey,
+               MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS hr,
+               MAX(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                   AS hn
+        FROM lineitem
+        WHERE l_returnflag IN ('R', 'N')
+        GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(hr * hn) AS BIGINT) AS exact_inter,
+           CAST(SUM(hr * (1 - hn)) AS BIGINT) AS exact_diff,
+           TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+    FROM pk
+    """,
+    doc="Theta sketch set ALGEBRA (Apache DataSketches via "
+    "theta_sketch_agg / theta_union / theta_intersection / "
+    "theta_difference, new in Spark 4.1): distinct order keys per "
+    "return flag as two sketches, then union, intersection AND "
+    "difference estimates — the set operations an HLL union can "
+    "never answer (how many orders have BOTH returned and kept "
+    "lines; how many only returned). Gated against the exact "
+    "answers from one orderkey-grouped pass (flag-presence bits, "
+    "single shuffle): each estimate within 8% relative + 64 "
+    "absolute of exact — theta's k=4096 default gives ~1.6% RSE "
+    "and the hashing is deterministic, so the gate is ~5x the "
+    "noise (observed <=1.6% at sf0.01). At 100 TB the sketches "
+    "stay fixed-size and map-side combinable; the exact twin "
+    "exists only as this query's oracle gate.",
+)
+def sketch_theta_set_ops(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    rk = li.filter(F.col("l_returnflag") == "R").agg(
+        F.theta_sketch_agg("l_orderkey").alias("rs")
+    )
+    nk = li.filter(F.col("l_returnflag") == "N").agg(
+        F.theta_sketch_agg("l_orderkey").alias("ns")
+    )
+    est = rk.crossJoin(F.broadcast(nk)).select(
+        F.theta_sketch_estimate(F.theta_union("rs", "ns")).alias(
+            "_eu"
+        ),
+        F.theta_sketch_estimate(
+            F.theta_intersection("rs", "ns")
+        ).alias("_ei"),
+        F.theta_sketch_estimate(
+            F.theta_difference("rs", "ns")
+        ).alias("_ed"),
+    )
+    pk = (
+        li.filter(F.col("l_returnflag").isin("R", "N"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                (F.col("l_returnflag") == "R").cast("int")
+            ).alias("hr"),
+            F.max(
+                (F.col("l_returnflag") == "N").cast("int")
+            ).alias("hn"),
+        )
+    )
+    exact = pk.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("hr") * F.col("hn"))
+        .cast("long")
+        .alias("exact_inter"),
+        F.sum(F.col("hr") * (1 - F.col("hn")))
+        .cast("long")
+        .alias("exact_diff"),
+    )
+
+    def ok(est_col: str, exact_col: str) -> Column:
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= F.greatest(
+            0.08 * F.col(exact_col), F.lit(64)
+        )
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_union",
+        "exact_inter",
+        "exact_diff",
+        ok("_eu", "exact_union").alias("union_ok"),
+        ok("_ei", "exact_inter").alias("inter_ok"),
+        ok("_ed", "exact_diff").alias("diff_ok"),
+    )
+
+
 # =====================================================================
 # Driver-certification rotation.
 #
@@ -14253,6 +14430,9 @@ _DRIVER_ORDER = [
     "stats_theilsen_trend",
     "events_seasonal_profile",
     "geo_grid_radius_join",
+    # round-10 additions: behind slot 50 until their own rotation
+    "sketch_kll_quantile_union",
+    "sketch_theta_set_ops",
 ]
 
 def _rotate_registry() -> None:

@@ -258,6 +258,11 @@ AUDIT = {
     # only (distinct -> spread -> attribution), never all-pairs
     "text_freq_spectrum": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": []},
     "stats_spearman_corr": {"expect": ["Window", "HashAggregate", "BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
+    # r10 sketch algebra: one-row sketch frames attach via broadcast
+    # scalar-subquery idiom (BNLJ is the right plan for that); the
+    # data-side work is aggregates only — never a sort-merge join
+    "sketch_kll_quantile_union": {"expect": ["Aggregate", "BroadcastNestedLoopJoin"], "forbid": ["SortMergeJoin"]},
+    "sketch_theta_set_ops": {"expect": ["Aggregate", "BroadcastNestedLoopJoin"], "forbid": ["SortMergeJoin"]},
     "corpus_ngram_novelty": {"expect": ["HashAggregate"], "forbid": []},
     # r8 batch 2: prefix matrix self-joins on the prefix key (hash
     # join, bounded per-key fan-out); fano is two chained aggs on
