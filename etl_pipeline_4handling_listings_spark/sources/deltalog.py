@@ -1583,7 +1583,9 @@ def _norm_fp_col():
     return F.regexp_replace(F.col("_metadata.file_path"), _FP_NORM, "/")
 
 
-def _apply_dvs(spark, table_path: str, df, dv_descs: list) -> "DataFrame":
+def _apply_dvs(
+    spark, table_path: str, df, dv_descs: list, keep_meta: bool = False
+) -> "DataFrame":
     """Anti-filter deleted rows: decode each descriptor to its row
     indexes on EXECUTORS (mapInPandas over the descriptor frame —
     total deleted-row cardinality is data-scale and never lands on
@@ -1594,14 +1596,24 @@ def _apply_dvs(spark, table_path: str, df, dv_descs: list) -> "DataFrame":
     (common) case."""
     from .dvcodec import load_dv_indexes
 
+    def _opt(d, k):
+        # descriptors arrive as Spark Rows (fixed schema, nulls for
+        # absent fields) OR as raw log dicts, where optional fields
+        # — offset on inline ('i') DVs, sizeInBytes from lax
+        # writers — may be MISSING entirely
+        try:
+            return d[k]
+        except (KeyError, ValueError, IndexError):
+            return None
+
     desc_df = spark.createDataFrame(
         [
             (
                 os.path.abspath(f),
                 d["storageType"],
                 d["pathOrInlineDv"],
-                d["offset"],
-                d["sizeInBytes"],
+                _opt(d, "offset"),
+                _opt(d, "sizeInBytes"),
             )
             for f, d in dv_descs
         ],
@@ -1631,8 +1643,13 @@ def _apply_dvs(spark, table_path: str, df, dv_descs: list) -> "DataFrame":
     doom = desc_df.repartition(
         min(len(dv_descs), 64)
     ).mapInPandas(decode, "__fp string, __ri long")
+    out = df.join(doom, ["__fp", "__ri"], "left_anti")
+    if keep_meta:
+        # delete/rewrite planning needs the (file, row_index) pair
+        # AFTER masking; plain reads project it away
+        return out
     keep = [c for c in df.columns if c not in ("__fp", "__ri")]
-    return df.join(doom, ["__fp", "__ri"], "left_anti").select(*keep)
+    return out.select(*keep)
 
 
 def read_delta(
@@ -3034,24 +3051,16 @@ _SUPPORTED_DELETE_WRITER_FEATURES = {
 def _check_delete_writable(proto: dict, meta: dict) -> None:
     """Refuse BY NAME any table a row-DELETE cannot be written to
     correctly (mirror of _check_append_writable with delete
-    obligations): appendOnly tables, live change-data-feed tables
-    (a non-insert commit must write _change_data per spec),
-    column-mapped tables (the rewrite path does not re-spell
-    physical names yet), and unsupported writer features."""
+    obligations): appendOnly tables, column-mapped tables (the
+    rewrite path does not re-spell physical names yet), and
+    unsupported writer features. Live change-data-feed tables are
+    WRITABLE: the delete materializes its _change_data files, the
+    spec obligation for non-insert commits."""
     cfg = dict(meta.get("configuration") or {})
     if str(cfg.get("delta.appendOnly", "false")).lower() == "true":
         raise DeltaProtocolError(
             "table is append-only (delta.appendOnly=true); removes "
             "with dataChange are forbidden — refusing the delete"
-        )
-    if (
-        str(cfg.get("delta.enableChangeDataFeed", "false")).lower()
-        == "true"
-    ):
-        raise DeltaProtocolError(
-            "table has the change data feed enabled; a DELETE "
-            "commit must write _change_data files per spec, which "
-            "this writer does not — refusing the delete"
         )
     cm = cfg.get("delta.columnMapping.mode", "none")
     if cm not in ("", "none"):
@@ -3100,6 +3109,7 @@ def delete_from_delta(
     predicate: str,
     log_store=None,
     max_retries: int = 50,
+    strategy: str = "auto",
 ) -> tuple[int, int]:
     """DELETE rows matching ``predicate`` (a SQL boolean expression
     over the table's logical columns; NULL never matches, Delta's
@@ -3110,32 +3120,54 @@ def delete_from_delta(
     nothing commits nothing and returns the current version.
 
     Shape: ONE distributed scan of the live files (partition columns
-    re-attached from partitionValues, Delta's layout rule) counts
-    matches per file; files with no match are untouched, files where
-    every row matches become full-file ``remove`` actions (no data
-    read beyond the count), partially-matching files are REWRITTEN —
-    kept rows staged exactly like an append (hive layout, empty-file
-    skip) — and the commit pairs their removes with the new adds.
-    The commit itself goes through the same claim/OCC machinery as
-    append: LogStore create-if-absent on the next version, and on a
-    moved head EVERY gate re-runs plus a conflict check that each
-    file this delete removes is STILL live (a concurrent
-    delete/rewrite of the same file is Delta's
-    ConcurrentDeleteDelete conflict — named error, caller re-runs);
-    concurrent blind APPENDS commit freely and are simply not seen
-    by this predicate (Delta's WriteSerializable default).
+    re-attached from partitionValues, existing deletion vectors
+    APPLIED — counts describe LIVE rows only) counts matches per
+    file; files with no match are untouched, files where every live
+    row matches become full-file ``remove`` actions (no data read
+    beyond the count), and partially-matching files go one of two
+    ways — ``strategy``:
+
+    - ``"rewrite"``: kept rows staged exactly like an append (hive
+      layout, empty-file skip); the commit pairs the removes with
+      the new adds. The job is sized by the partially-matching
+      subset only.
+    - ``"dv"`` (delta-spark's modern shape — no data rewrite): per
+      file, the matched LIVE row indexes union the file's existing
+      mask into a new deletion vector — bitmaps are serialized ON
+      EXECUTORS (``applyInPandas`` per file; the index lists never
+      land on the driver, only ~KB roaring blobs do) and published
+      as spec 'u' DV files; the commit re-adds each file with its
+      new descriptor (stats kept, ``tightBounds`` false). Requires
+      the deletionVectors reader+writer table features (this writer
+      never upgrades protocols).
+    - ``"auto"``: ``dv`` when the table declares the features AND
+      ``delta.enableDeletionVectors=true`` (delta-spark's own
+      trigger), else ``rewrite``.
+
+    Live change-data-feed tables are handled per spec: the deleted
+    rows are materialized under ``_change_data/`` with a
+    ``_change_type='delete'`` column and committed as ``cdc``
+    actions — readers of a commit with cdc actions use them
+    exclusively, so the remove+add pairs never mis-derive.
+
+    The commit goes through the same claim/OCC machinery as append:
+    LogStore create-if-absent on the next version; on a moved head
+    EVERY gate re-runs plus a conflict check that each touched
+    file's add action is UNCHANGED — a concurrent delete/rewrite/
+    DV-update of the same file is Delta's ConcurrentDeleteDelete
+    conflict (named error, caller re-runs: the matched counts and
+    mask unions no longer describe the table) — while concurrent
+    blind APPENDS commit freely and are simply not seen by this
+    predicate (Delta's WriteSerializable default).
 
     Named refusals (never a silent miswrite): appendOnly tables,
-    live change-data-feed tables (spec requires writer _change_data
-    on non-insert commits), column-mapped tables, tables with a live
-    deletion vector on any file (merging masks is not implemented —
-    a rewrite that ignored the DV would RESURRECT deleted rows),
-    and unsupported writer features.
+    column-mapped tables, the dv strategy without the table
+    features, and unsupported writer features.
 
     Reference: the curated pipeline's Delta store is consumed AND
     fed by stock deployments (mls_listings_curated.py:321-368);
-    PROTOCOL.md (public spec) for commit/OCC and the appendOnly /
-    CDF writer obligations.
+    PROTOCOL.md (public spec) for commit/OCC, the appendOnly / CDF
+    writer obligations, and the DV file framing.
     """
     import shutil as _sh
 
@@ -3161,17 +3193,41 @@ def delete_from_delta(
         _check_delete_writable(proto, meta)
         logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
         live = _py_live_adds(actions)
-        for rel, ad in live.items():
-            dv = ad.get("deletionVector")
-            if dv is not None and dv.get("storageType"):
-                raise DeltaProtocolError(
-                    f"file {rel!r} carries a deletion vector; "
-                    "rewriting it without merging the mask would "
-                    "resurrect deleted rows — refusing the delete"
-                )
-        return target, meta, logical, live
+        return target, proto, meta, logical, live
 
-    target, meta, logical, live = resolve()
+    target, proto, meta, logical, live = resolve()
+    cfg = dict(meta.get("configuration") or {})
+    cdf_on = (
+        str(cfg.get("delta.enableChangeDataFeed", "false")).lower()
+        == "true"
+    )
+    feats_r = set(proto.get("readerFeatures") or [])
+    feats_w = set(proto.get("writerFeatures") or [])
+    dv_capable = (
+        int(proto.get("minReaderVersion") or 1) >= 3
+        and "deletionVectors" in feats_r
+        and "deletionVectors" in feats_w
+    )
+    if strategy == "auto":
+        strategy = (
+            "dv"
+            if dv_capable
+            and str(
+                cfg.get("delta.enableDeletionVectors", "false")
+            ).lower()
+            == "true"
+            else "rewrite"
+        )
+    if strategy not in ("dv", "rewrite"):
+        raise ValueError(
+            f"strategy must be 'auto', 'dv' or 'rewrite': {strategy!r}"
+        )
+    if strategy == "dv" and not dv_capable:
+        raise DeltaProtocolError(
+            "the dv delete strategy requires the deletionVectors "
+            "reader+writer table features (this writer does not "
+            "upgrade protocols) — use strategy='rewrite'"
+        )
     pcols = list(meta.get("partitionColumns") or [])
     file_schema = T.StructType(
         [f for f in logical.fields if f.name not in pcols]
@@ -3202,12 +3258,28 @@ def delete_from_delta(
     }
     rel_of_abs = {v: k for k, v in abs_of.items()}
 
+    def _dv_of(rel):
+        d = live[rel].get("deletionVector")
+        return d if d is not None and d.get("storageType") else None
+
     def _scan(rels):
         sc = (
             spark.read.schema(file_schema)
             .parquet(*[abs_of[r] for r in rels])
-            .select("*", _norm_fp_col().alias("__fp"))
+            .select(
+                "*",
+                _norm_fp_col().alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
         )
+        dv_descs = [
+            (abs_of[r], _dv_of(r)) for r in rels if _dv_of(r)
+        ]
+        if dv_descs:
+            # existing masks applied: every count/keep/delete below
+            # sees LIVE rows only (a rewrite or a new DV built from
+            # unmasked rows would resurrect deleted data)
+            sc = _apply_dvs(spark, path, sc, dv_descs, keep_meta=True)
         if pcols:
             pv_rows = [
                 tuple(
@@ -3260,20 +3332,18 @@ def delete_from_delta(
         )
     touched = full + partial
 
-    # rewrite the partially-matching files: kept rows staged exactly
-    # like an append (hive layout), moved under the table root
-    # BEFORE the commit (invisible until the entry names them;
-    # orphans on terminal failure, vacuum's crash story)
-    adds: list[dict] = []
-    if partial:
-        staging = os.path.join(path, f".delete-{uuid.uuid4().hex}")
-        kept = _scan(sorted(partial)).filter(~hit).drop("__fp")
-        writer = kept.select(
-            *[_qcol(f.name) for f in logical.fields]
-        ).write
+    def _stage_and_move(frame, tag, dest_prefix=""):
+        """Write ``frame`` partitioned into a dot-staging dir, move
+        every non-empty part under ``path``/``dest_prefix`` BEFORE
+        the commit (invisible until the entry names them; orphans on
+        terminal failure, vacuum's crash story). Returns
+        [(rel_path_from_table_root, size, numRecords, pv)]."""
+        staging = os.path.join(path, f".{tag}-{uuid.uuid4().hex}")
+        writer = frame.write
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(staging)
+        out = []
         try:
             staged = []
             for root, dirs, names in os.walk(staging):
@@ -3293,41 +3363,157 @@ def delete_from_delta(
                         (src, os.path.relpath(src, staging), nrec)
                     )
             for src, rel, nrec in staged:
-                dst = os.path.join(path, rel)
+                out_rel = (
+                    f"{dest_prefix}/{rel}" if dest_prefix else rel
+                )
+                dst = os.path.join(path, out_rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(src, dst)
-                add = {
-                    "path": _encode_path(rel),
-                    "partitionValues": _staged_partition_values(
-                        rel, pcols
-                    ),
-                    "size": os.path.getsize(dst),
-                    "modificationTime": int(
-                        os.path.getmtime(dst) * 1000
-                    ),
-                    "dataChange": True,
-                }
-                if nrec is not None:
-                    add["stats"] = json.dumps({"numRecords": nrec})
-                adds.append(add)
+                out.append(
+                    (
+                        out_rel,
+                        os.path.getsize(dst),
+                        nrec,
+                        _staged_partition_values(rel, pcols),
+                    )
+                )
         finally:
             _sh.rmtree(staging, ignore_errors=True)
+        return out
+
+    # change data feed: a DELETE commit on a CDF table must carry
+    # its _change_data files (readers of a commit WITH cdc actions
+    # use them exclusively — the remove+add pairs never mis-derive)
+    cdc_actions: list[dict] = []
+    if cdf_on:
+        deleted = (
+            _scan(sorted(touched))
+            .filter(hit)
+            .select(
+                *[_qcol(f.name) for f in logical.fields],
+                F.lit("delete").alias("_change_type"),
+            )
+        )
+        tag = f"delete-{uuid.uuid4().hex}"
+        for rel, size, _nrec, pv in _stage_and_move(
+            deleted, "cdf", dest_prefix=f"{_CHANGE_DATA_DIR}/{tag}"
+        ):
+            cdc_actions.append(
+                {
+                    "path": _encode_path(rel),
+                    "partitionValues": pv,
+                    "size": size,
+                    "dataChange": False,
+                }
+            )
+
+    adds: list[dict] = []
+    if partial and strategy == "dv":
+        # per-file mask union on EXECUTORS: matched LIVE row indexes
+        # + the file's existing DV; only ~KB serialized roaring
+        # blobs reach the driver (metadata scale, like the file
+        # list), never the index lists
+        old_desc = {abs_of[r]: _dv_of(r) for r in partial}
+        table_path = path
+
+        def build(pdf):
+            import pandas as pd
+
+            from etl_pipeline_4handling_listings_spark.sources.dvcodec import (  # noqa: E501
+                load_dv_indexes,
+                serialize_dv,
+            )
+
+            fp = pdf["__fp"].iloc[0]
+            idxs = set(int(i) for i in pdf["__ri"].tolist())
+            d = old_desc.get(fp)
+            if d:
+                idxs.update(
+                    load_dv_indexes(
+                        table_path,
+                        d["storageType"],
+                        d["pathOrInlineDv"],
+                        d.get("offset"),
+                        d.get("sizeInBytes"),
+                    )
+                )
+            ordered = sorted(idxs)
+            return pd.DataFrame(
+                [
+                    {
+                        "fp": fp,
+                        "blob": serialize_dv(ordered),
+                        "card": len(ordered),
+                    }
+                ]
+            )
+
+        blobs = (
+            _scan(sorted(partial))
+            .filter(hit)
+            .select("__fp", "__ri")
+            .groupBy("__fp")
+            .applyInPandas(build, "fp string, blob binary, card long")
+            .collect()
+        )
+        from .dvcodec import write_dv_blob
+
+        for r in blobs:
+            rel = rel_of_abs[r["fp"]]
+            ad = dict(live[rel])
+            ad["deletionVector"] = write_dv_blob(
+                path, bytes(r["blob"]), int(r["card"])
+            )
+            ad["dataChange"] = True
+            st = ad.get("stats")
+            if st:
+                try:
+                    sd = json.loads(st)
+                    sd["tightBounds"] = False
+                    ad["stats"] = json.dumps(sd)
+                except ValueError:
+                    ad.pop("stats", None)
+            adds.append(ad)
+    elif partial:
+        # rewrite the partially-matching files: kept LIVE rows
+        # staged exactly like an append (hive layout)
+        kept = (
+            _scan(sorted(partial))
+            .filter(~hit)
+            .select(*[_qcol(f.name) for f in logical.fields])
+        )
+        for rel, size, nrec, pv in _stage_and_move(kept, "delete"):
+            add = {
+                "path": _encode_path(rel),
+                "partitionValues": pv,
+                "size": size,
+                "modificationTime": int(
+                    os.path.getmtime(os.path.join(path, rel)) * 1000
+                ),
+                "dataChange": True,
+            }
+            if nrec is not None:
+                add["stats"] = json.dumps({"numRecords": nrec})
+            adds.append(add)
 
     def revalidate():
         """Moved head: re-run every gate, refuse on layout change,
-        and apply Delta's delete-conflict rule — every file this
-        commit removes must still be live (a concurrent commit that
-        removed or rewrote one is a ConcurrentDeleteDelete: the
-        matched counts no longer describe the table)."""
+        and apply Delta's delete-conflict rule — every touched
+        file's add action must be UNCHANGED, not merely still-live
+        (a concurrent commit that removed, rewrote or re-DV'd one
+        is a ConcurrentDeleteDelete: the matched counts and mask
+        unions no longer describe the table)."""
         nonlocal meta
-        _t, meta, n_logical, n_live = resolve()
+        _t, _p, meta, n_logical, n_live = resolve()
         if _sig_of(meta, n_logical) != layout_sig:
             raise DeltaProtocolError(
                 "a concurrent commit changed the table layout "
                 "(partitioning, schema or configuration) under this "
                 "delete — re-run it"
             )
-        gone = [rel for rel in touched if rel not in n_live]
+        gone = [
+            rel for rel in touched if n_live.get(rel) != live[rel]
+        ]
         if gone:
             raise DeltaProtocolError(
                 f"concurrent commit removed/rewrote {gone[:3]!r}"
@@ -3372,9 +3558,14 @@ def delete_from_delta(
             }
             if ad.get("size") is not None:
                 rm["size"] = ad["size"]
+            if _dv_of(rel):
+                # the remove names the file VERSION it retires —
+                # including its mask, delta-spark's own shape
+                rm["deletionVector"] = _dv_of(rel)
             removes.append(rm)
         lines = (
             [{"commitInfo": ci}]
+            + [{"cdc": c} for c in cdc_actions]
             + [{"remove": r} for r in removes]
             + [{"add": a} for a in adds]
         )

@@ -233,8 +233,18 @@ def write_dv_file(
     """Write a single-DV file under ``table_path`` in the spec
     layout and return its add.deletionVector descriptor fields
     (storageType 'u')."""
+    return write_dv_blob(
+        table_path, serialize_dv(indexes), len(set(indexes)), prefix
+    )
+
+
+def write_dv_blob(
+    table_path: str, blob: bytes, cardinality: int, prefix: str = ""
+) -> dict:
+    """Write one ALREADY-SERIALIZED bitmap (``serialize_dv`` output,
+    e.g. built on an executor so the index list never lands on the
+    driver) as a spec DV file and return its descriptor."""
     u = _uuid.uuid4()
-    blob = serialize_dv(indexes)
     ddir = os.path.join(table_path, prefix) if prefix else table_path
     os.makedirs(ddir, exist_ok=True)
     fpath = os.path.join(ddir, f"deletion_vector_{u}.bin")
@@ -249,7 +259,7 @@ def write_dv_file(
         "pathOrInlineDv": prefix + z85_encode(u.bytes),
         "offset": offset,
         "sizeInBytes": len(blob),
-        "cardinality": len(set(indexes)),
+        "cardinality": cardinality,
     }
 
 

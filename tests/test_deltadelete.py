@@ -156,15 +156,6 @@ def test_delete_refusals_are_named(spark, tmp_path):
     _seed(spark, ao, df_rows)
     with pytest.raises(DeltaProtocolError, match="append-only"):
         delete_from_delta(spark, ao, "k = 1")
-    # live change data feed
-    cdf = _mk_foreign(
-        tmp_path,
-        cfg={"delta.enableChangeDataFeed": "true"},
-        name="cdf",
-    )
-    _seed(spark, cdf, df_rows)
-    with pytest.raises(DeltaProtocolError, match="change data feed"):
-        delete_from_delta(spark, cdf, "k = 1")
     # column mapping
     cm = _mk_foreign(
         tmp_path,
@@ -187,31 +178,164 @@ def test_delete_refusals_are_named(spark, tmp_path):
         delete_from_delta(spark, rt, "k = 1")
 
 
-def test_delete_refuses_live_deletion_vector(spark, tmp_path):
-    """A live DV on any file is a named refusal: rewriting the file
-    while ignoring the mask would RESURRECT its deleted rows."""
-    tbl = _mk_foreign(tmp_path, name="dv")
-    _seed(spark, tbl, [(1, "a")])
-    lines = _entry_lines(tbl, 1)
-    add = next(ln["add"] for ln in lines[1:] if "add" in ln)
-    add = dict(
-        add,
-        deletionVector={
-            "storageType": "u",
-            "pathOrInlineDv": "ab" * 10,
-            "offset": 1,
-            "sizeInBytes": 36,
-            "cardinality": 1,
-        },
+def _mask_row(spark, tbl, version, k_value):
+    """Simulate a stock DV delete of the row where k == k_value:
+    remove+re-add the file carrying it with an inline DV descriptor
+    masking that row's physical index."""
+    from etl_pipeline_4handling_listings_spark.sources.dvcodec import (
+        inline_dv_descriptor,
     )
+
+    lines = _entry_lines(tbl, version)
+    target_add = None
+    idx = None
+    for ln in lines[1:]:
+        if "add" not in ln:
+            continue
+        f = os.path.join(tbl, ln["add"]["path"])
+        # physical order == read order for a single-file scan
+        rows = [
+            r.k for r in spark.read.parquet(f).select("k").collect()
+        ]
+        if k_value in rows:
+            target_add = ln["add"]
+            idx = rows.index(k_value)
+            break
+    assert target_add is not None
+    dv = inline_dv_descriptor([idx])
+    new_add = dict(target_add, deletionVector=dv, dataChange=False)
     _log_write(
         tbl,
-        2,
-        [{"remove": {"path": add["path"], "dataChange": False}},
-         {"add": add}],
+        version + 1,
+        [
+            {
+                "remove": {
+                    "path": target_add["path"],
+                    "dataChange": False,
+                }
+            },
+            {"add": new_add},
+        ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletion vector"):
-        delete_from_delta(spark, tbl, "k = 1")
+
+
+def test_delete_applies_existing_deletion_vectors(spark, tmp_path):
+    """A live DV on a touched file is APPLIED, not refused: the
+    masked row is invisible to the predicate, is never counted, and
+    a rewrite never resurrects it."""
+    tbl = _mk_foreign(tmp_path, name="dv")
+    _seed(spark, tbl, [(1, "a"), (2, "b"), (3, "c")])
+    _mask_row(spark, tbl, 1, 2)  # stock-style DV delete of k=2
+    assert sorted(
+        r.k for r in read_delta(spark, tbl).collect()
+    ) == [1, 3]
+    ver, n = delete_from_delta(
+        spark, tbl, "k = 1", strategy="rewrite"
+    )
+    assert n == 1
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [(3, "c")]  # k=2 stays deleted, k=1 removed
+    # a predicate matching ONLY the masked row is a no-op
+    assert delete_from_delta(spark, tbl, "k = 2") == (ver, 0)
+
+
+def test_delete_dv_strategy_round_trip(spark, tmp_path):
+    """strategy='dv' (delta-spark's modern shape): no data rewrite —
+    the file is re-added with a deletion vector masking the matched
+    rows; a second dv delete UNIONS the mask; a delete that empties
+    the file's live set becomes a plain remove; the strategy is a
+    named refusal without the table features."""
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+    tbl = _mk_foreign(tmp_path, protocol=proto, name="dvw")
+    _seed(spark, tbl, [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    data_path = next(
+        ln["add"]["path"]
+        for ln in _entry_lines(tbl, 1)[1:]
+        if "add" in ln
+    )
+    ver, n = delete_from_delta(spark, tbl, "k = 2", strategy="dv")
+    assert n == 1
+    lines = _entry_lines(tbl, ver)
+    removes = [ln["remove"] for ln in lines[1:] if "remove" in ln]
+    adds = [ln["add"] for ln in lines[1:] if "add" in ln]
+    assert [r["path"] for r in removes] == [data_path]
+    assert [a["path"] for a in adds] == [data_path]  # SAME file
+    dv = adds[0]["deletionVector"]
+    assert dv["storageType"] == "u" and dv["cardinality"] == 1
+    assert json.loads(adds[0]["stats"])["tightBounds"] is False
+    assert json.loads(adds[0]["stats"])["numRecords"] == 4
+    # the DV file exists under the table root
+    from etl_pipeline_4handling_listings_spark.sources.dvcodec import (
+        dv_file_path,
+    )
+
+    assert os.path.isfile(dv_file_path(tbl, dv["pathOrInlineDv"]))
+    assert sorted(
+        r.k for r in read_delta(spark, tbl).collect()
+    ) == [1, 3, 4]
+    # second dv delete UNIONS the mask (cardinality 2), and the
+    # retiring remove names the version's OLD mask
+    ver2, n2 = delete_from_delta(spark, tbl, "k = 4", strategy="dv")
+    assert n2 == 1
+    lines2 = _entry_lines(tbl, ver2)
+    rm2 = next(ln["remove"] for ln in lines2[1:] if "remove" in ln)
+    assert rm2["deletionVector"]["cardinality"] == 1
+    add2 = next(ln["add"] for ln in lines2[1:] if "add" in ln)
+    assert add2["deletionVector"]["cardinality"] == 2
+    assert sorted(
+        r.k for r in read_delta(spark, tbl).collect()
+    ) == [1, 3]
+    # emptying the live set -> plain remove, no re-add
+    ver3, n3 = delete_from_delta(spark, tbl, "k >= 1", strategy="dv")
+    assert n3 == 2
+    lines3 = _entry_lines(tbl, ver3)
+    assert not [ln for ln in lines3[1:] if "add" in ln]
+    assert read_delta(spark, tbl).count() == 0
+    # without the table features the strategy is refused by name
+    plain = _mk_foreign(tmp_path, name="dvplain")
+    _seed(spark, plain, [(1, "a")])
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        delete_from_delta(spark, plain, "k = 1", strategy="dv")
+
+
+def test_delete_cdf_writes_change_data(spark, tmp_path):
+    """On a live-CDF table the delete materializes its _change_data
+    files (cdc actions, _change_type='delete') — and this engine's
+    own change-feed reader consumes them exclusively."""
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        read_delta_changes,
+    )
+
+    tbl = _mk_foreign(
+        tmp_path,
+        cfg={"delta.enableChangeDataFeed": "true"},
+        name="cdfw",
+    )
+    _seed(spark, tbl, [(1, "a"), (2, "b"), (3, "c")])
+    ver, n = delete_from_delta(spark, tbl, "k <= 2")
+    assert n == 2
+    lines = _entry_lines(tbl, ver)
+    cdcs = [ln["cdc"] for ln in lines[1:] if "cdc" in ln]
+    assert cdcs and all(
+        c["path"].startswith("_change_data/") for c in cdcs
+    )
+    assert all(c["dataChange"] is False for c in cdcs)
+    for c in cdcs:
+        assert os.path.isfile(os.path.join(tbl, c["path"]))
+    # the engine's own CDF reader surfaces exactly the two deletes
+    feed = read_delta_changes(
+        spark, tbl, starting_version=ver, ending_version=ver
+    )
+    got = sorted(
+        (r.k, r.v, r._change_type) for r in feed.collect()
+    )
+    assert got == [(1, "a", "delete"), (2, "b", "delete")]
+    assert read_delta(spark, tbl).count() == 1
 
 
 def test_delete_concurrent_delete_conflict(spark, tmp_path):
