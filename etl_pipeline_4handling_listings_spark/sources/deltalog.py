@@ -1652,6 +1652,30 @@ def _apply_dvs(
     return out.select(*keep)
 
 
+def _relax(dt):
+    """``dt`` with every nested field nullable: physical->logical
+    rename casts are positional metadata only, and a logical tree
+    with NOT NULL nested fields would not resolve as a cast target —
+    Spark's file relations surface parquet columns as nullable
+    regardless of the declared schema."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _relax(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_relax(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _relax(dt.keyType),
+            _relax(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -1745,29 +1769,6 @@ def read_delta(
         for lf, pf in zip(logical.fields, schema.fields)
     }
     pcols = [phys_of[c] for c in (meta["partitionColumns"] or [])]
-
-    def _relax(dt):
-        """``dt`` with every nested field nullable: the rename cast
-        below is positional metadata only, and a logical tree with
-        NOT NULL nested fields would not resolve as a cast target —
-        Spark's file relations surface parquet columns as nullable
-        regardless of the declared schema."""
-        if isinstance(dt, T.StructType):
-            return T.StructType(
-                [
-                    T.StructField(f.name, _relax(f.dataType), True)
-                    for f in dt.fields
-                ]
-            )
-        if isinstance(dt, T.ArrayType):
-            return T.ArrayType(_relax(dt.elementType), dt.containsNull)
-        if isinstance(dt, T.MapType):
-            return T.MapType(
-                _relax(dt.keyType),
-                _relax(dt.valueType),
-                dt.valueContainsNull,
-            )
-        return dt
 
     def _logicalize(df):
         if not mapped:
@@ -2419,6 +2420,54 @@ _SUPPORTED_APPEND_WRITER_FEATURES = {
 }
 
 
+def _refuse_live_enforcement(meta: dict, verb: str) -> None:
+    """Refuse BY NAME any LIVE value-enforcement feature this writer
+    would have to honor when it CREATES row values (appends and
+    updates; deletes never mint values): CHECK constraints, column
+    invariants, generated and identity columns. Invariants can sit
+    on NESTED fields too (per-field in the spec) — scan the whole
+    tree, not just the top level."""
+    cfg = dict(meta.get("configuration") or {})
+    if any(k.startswith("delta.constraints.") for k in cfg):
+        raise DeltaProtocolError(
+            "table declares CHECK constraints; this writer does not "
+            f"enforce them — refusing the {verb}"
+        )
+
+    def _scan_live(t, prefix):
+        if not isinstance(t, dict):
+            return
+        tt = t.get("type")
+        if tt == "struct":
+            for fj in t["fields"]:
+                md = fj.get("metadata") or {}
+                qual = prefix + fj["name"]
+                if "delta.invariants" in md:
+                    raise DeltaProtocolError(
+                        f"column {qual!r} declares an invariant; "
+                        "this writer does not enforce invariants"
+                    )
+                if "delta.generationExpression" in md:
+                    raise DeltaProtocolError(
+                        f"column {qual!r} is a generated column; "
+                        "this writer does not enforce generation "
+                        "expressions"
+                    )
+                if any(k.startswith("delta.identity.") for k in md):
+                    raise DeltaProtocolError(
+                        f"column {qual!r} is an identity column; "
+                        "this writer does not assign identity values"
+                    )
+                _scan_live(fj["type"], qual + ".")
+        elif tt == "array":
+            _scan_live(t["elementType"], prefix)
+        elif tt == "map":
+            _scan_live(t["keyType"], prefix)
+            _scan_live(t["valueType"], prefix)
+
+    _scan_live(json.loads(meta["schemaString"]), "")
+
+
 def _check_append_writable(proto: dict, meta: dict) -> None:
     """Refuse BY NAME any table an append cannot be written to
     correctly: unsupported writer features/versions, and live uses
@@ -2464,46 +2513,7 @@ def _check_append_writable(proto: dict, meta: dict) -> None:
                 _walk(t["valueType"], prefix)
 
         _walk(json.loads(meta["schemaString"]), "")
-    if any(k.startswith("delta.constraints.") for k in cfg):
-        raise DeltaProtocolError(
-            "table declares CHECK constraints; this writer does not "
-            "enforce them — refusing the append"
-        )
-    def _scan_live(t, prefix):
-        """Live enforcement features can sit on NESTED fields too
-        (delta.invariants is per-field in the spec) — scan the
-        whole tree, not just the top level."""
-        if not isinstance(t, dict):
-            return
-        tt = t.get("type")
-        if tt == "struct":
-            for fj in t["fields"]:
-                md = fj.get("metadata") or {}
-                qual = prefix + fj["name"]
-                if "delta.invariants" in md:
-                    raise DeltaProtocolError(
-                        f"column {qual!r} declares an invariant; "
-                        "this writer does not enforce invariants"
-                    )
-                if "delta.generationExpression" in md:
-                    raise DeltaProtocolError(
-                        f"column {qual!r} is a generated column; "
-                        "this writer does not enforce generation "
-                        "expressions"
-                    )
-                if any(k.startswith("delta.identity.") for k in md):
-                    raise DeltaProtocolError(
-                        f"column {qual!r} is an identity column; "
-                        "this writer does not assign identity values"
-                    )
-                _scan_live(fj["type"], qual + ".")
-        elif tt == "array":
-            _scan_live(t["elementType"], prefix)
-        elif tt == "map":
-            _scan_live(t["keyType"], prefix)
-            _scan_live(t["valueType"], prefix)
-
-    _scan_live(json.loads(meta["schemaString"]), "")
+    _refuse_live_enforcement(meta, "append")
     mwv = int(proto.get("minWriterVersion") or 1)
     if mwv >= 7:
         feats = set(proto.get("writerFeatures") or [])
@@ -3051,11 +3061,12 @@ _SUPPORTED_DELETE_WRITER_FEATURES = {
 def _check_delete_writable(proto: dict, meta: dict) -> None:
     """Refuse BY NAME any table a row-DELETE cannot be written to
     correctly (mirror of _check_append_writable with delete
-    obligations): appendOnly tables, column-mapped tables (the
-    rewrite path does not re-spell physical names yet), and
-    unsupported writer features. Live change-data-feed tables are
-    WRITABLE: the delete materializes its _change_data files, the
-    spec obligation for non-insert commits."""
+    obligations): appendOnly tables and unsupported writer
+    features. Live change-data-feed tables are WRITABLE (the delete
+    materializes its _change_data files, the spec obligation for
+    non-insert commits), and column-mapped tables are WRITABLE when
+    every named field carries its columnMapping id — reads resolve
+    physical names, rewrites re-spell them."""
     cfg = dict(meta.get("configuration") or {})
     if str(cfg.get("delta.appendOnly", "false")).lower() == "true":
         raise DeltaProtocolError(
@@ -3063,12 +3074,36 @@ def _check_delete_writable(proto: dict, meta: dict) -> None:
             "with dataChange are forbidden — refusing the delete"
         )
     cm = cfg.get("delta.columnMapping.mode", "none")
-    if cm not in ("", "none"):
+    if cm not in ("", "none", "name", "id"):
         raise DeltaProtocolError(
             f"delete on a columnMapping.mode={cm!r} table is not "
-            "supported (the rewrite path does not re-spell "
-            "physical names)"
+            "supported"
         )
+    if cm in ("name", "id"):
+
+        def _walk(t, prefix):
+            if not isinstance(t, dict):
+                return
+            tt = t.get("type")
+            if tt == "struct":
+                for fj in t["fields"]:
+                    md = fj.get("metadata") or {}
+                    qual = prefix + fj["name"]
+                    if md.get("delta.columnMapping.id") is None:
+                        raise DeltaProtocolError(
+                            f"column {qual!r} has no "
+                            "delta.columnMapping.id; a mapped "
+                            "table's rewrites must write parquet "
+                            "field ids"
+                        )
+                    _walk(fj["type"], qual + ".")
+            elif tt == "array":
+                _walk(t["elementType"], prefix)
+            elif tt == "map":
+                _walk(t["keyType"], prefix)
+                _walk(t["valueType"], prefix)
+
+        _walk(json.loads(meta["schemaString"]), "")
     mwv = int(proto.get("minWriterVersion") or 1)
     if mwv >= 7:
         feats = set(proto.get("writerFeatures") or [])
@@ -3103,15 +3138,19 @@ def _py_live_adds(actions: list) -> dict:
     return live
 
 
-def delete_from_delta(
+def _dml_from_delta(
     spark: SparkSession,
     path: str,
     predicate: str,
     log_store=None,
     max_retries: int = 50,
     strategy: str = "auto",
+    set_exprs: dict | None = None,
 ) -> tuple[int, int]:
-    """DELETE rows matching ``predicate`` (a SQL boolean expression
+    """Shared engine behind :func:`delete_from_delta` (``set_exprs``
+    None — matched rows are DROPPED) and :func:`update_from_delta`
+    (``set_exprs`` maps column -> SQL expression — matched rows are
+    TRANSFORMED). DELETE rows matching ``predicate`` (a SQL boolean expression
     over the table's logical columns; NULL never matches, Delta's
     own rule) FROM a foreign Delta table — the second interop write
     direction after :func:`append_to_delta`, for the day a GDPR
@@ -3160,9 +3199,18 @@ def delete_from_delta(
     blind APPENDS commit freely and are simply not seen by this
     predicate (Delta's WriteSerializable default).
 
+    Column-mapped tables (name AND id mode, nested schemas
+    included) are handled end to end: the planning scan reads
+    PHYSICAL column names (field-id resolution in id mode) and
+    renames to logical for the predicate; rewrites and cdc files
+    re-spell physical names + parquet field ids exactly like the
+    append writer; partitionValues and hive dirs key by physical
+    name.
+
     Named refusals (never a silent miswrite): appendOnly tables,
-    column-mapped tables, the dv strategy without the table
-    features, and unsupported writer features.
+    mapped tables whose fields lack columnMapping ids, the dv
+    strategy without the table features, and unsupported writer
+    features.
 
     Reference: the curated pipeline's Delta store is consumed AND
     fed by stock deployments (mls_listings_curated.py:321-368);
@@ -3228,15 +3276,55 @@ def delete_from_delta(
             "reader+writer table features (this writer does not "
             "upgrade protocols) — use strategy='rewrite'"
         )
+    if set_exprs is not None:
+        if not set_exprs:
+            raise ValueError("set_exprs must name at least one column")
+        known = {f.name for f in logical.fields}
+        for c in set_exprs:
+            if c not in known:
+                raise DeltaProtocolError(
+                    f"SET targets unknown column {c!r}"
+                )
+            if c in (meta.get("partitionColumns") or []):
+                raise DeltaProtocolError(
+                    f"SET targets partition column {c!r}; moving "
+                    "rows between partitions is not supported"
+                )
+        # updates MINT row values — live value-enforcement features
+        # (constraints, invariants, generated/identity) must refuse
+        # exactly as appends do; deletes never mint and stay lax
+        _refuse_live_enforcement(meta, "update")
     pcols = list(meta.get("partitionColumns") or [])
-    file_schema = T.StructType(
+    cm, phys_of, fid_of = _mapping_of(meta)
+    mapped = cm in ("name", "id")
+    part_dirs = [phys_of.get(c, c) for c in pcols]
+    data_logical = T.StructType(
         [f for f in logical.fields if f.name not in pcols]
     )
+    # the files spell PHYSICAL column names under mapping; id mode
+    # additionally resolves by parquet field id (same session-level
+    # conf note as read_delta — consulted at execution time)
+    file_schema = (
+        _physical_schema(data_logical, field_ids=(cm == "id"))
+        if mapped
+        else data_logical
+    )
+    if cm == "id":
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.enabled", "true"
+        )
 
     def _sig_of(meta_, logical_):
+        n_cm, _p, _f = _mapping_of(meta_)
+        shape = (
+            _phys_type(logical_).json()
+            if n_cm in ("name", "id")
+            else logical_.simpleString()
+        )
         return (
             tuple(meta_.get("partitionColumns") or []),
-            logical_.simpleString(),
+            n_cm,
+            shape,
             tuple(
                 sorted(
                     (k, v)
@@ -3262,6 +3350,25 @@ def delete_from_delta(
         d = live[rel].get("deletionVector")
         return d if d is not None and d.get("storageType") else None
 
+    def _phys_sel(frame):
+        """Physical spelling for staged rewrites/cdc files under
+        mapping — the append writer's shape: nested renames + field
+        ids ride a struct cast, top level is an alias."""
+        sel = []
+        for f in logical.fields:
+            c = _qcol(f.name)
+            if f.name in phys_of:
+                dfl = frame.schema[f.name]
+                pt = _phys_type(f.dataType, dfl.dataType)
+                if pt != dfl.dataType:
+                    c = c.cast(pt)
+                c = c.alias(
+                    phys_of[f.name],
+                    metadata={"parquet.field.id": fid_of[f.name]},
+                )
+            sel.append(c)
+        return sel
+
     def _scan(rels):
         sc = (
             spark.read.schema(file_schema)
@@ -3280,13 +3387,28 @@ def delete_from_delta(
             # sees LIVE rows only (a rewrite or a new DV built from
             # unmasked rows would resurrect deleted data)
             sc = _apply_dvs(spark, path, sc, dv_descs, keep_meta=True)
+        if mapped:
+            # physical -> logical so the user predicate sees the
+            # table's declared column names
+            sc = sc.select(
+                *[
+                    F.col("`" + pf.name.replace("`", "``") + "`")
+                    .cast(_relax(lf.dataType))
+                    .alias(lf.name)
+                    for lf, pf in zip(
+                        data_logical.fields, file_schema.fields
+                    )
+                ],
+                "__fp",
+                "__ri",
+            )
         if pcols:
             pv_rows = [
                 tuple(
                     [abs_of[r]]
                     + [
                         dict(live[r].get("partitionValues") or {}).get(
-                            c
+                            phys_of.get(c, c)
                         )
                         for c in pcols
                     ]
@@ -3330,7 +3452,35 @@ def delete_from_delta(
         (full if r["__matched"] == r["__total"] else partial).append(
             rel
         )
+    if set_exprs is not None:
+        # an update rewrites/masks EVERY matched file: a fully-
+        # matched file still needs its transformed rows somewhere
+        partial = full + partial
+        full = []
     touched = full + partial
+
+    def _with_updates(frame):
+        """``hit`` rows transformed per ``set_exprs`` (each value
+        cast to the column's declared type, delta-spark's
+        implicit-cast rule; nullability relaxed so the cast always
+        resolves), all other rows unchanged — logical spelling,
+        (file, row_index) carried through."""
+        cols = []
+        for f in logical.fields:
+            if set_exprs is not None and f.name in set_exprs:
+                cols.append(
+                    F.when(
+                        hit,
+                        F.expr(set_exprs[f.name]).cast(
+                            _relax(f.dataType)
+                        ),
+                    )
+                    .otherwise(_qcol(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(_qcol(f.name))
+        return frame.select(*cols, "__fp", "__ri")
 
     def _stage_and_move(frame, tag, dest_prefix=""):
         """Write ``frame`` partitioned into a dot-staging dir, move
@@ -3341,7 +3491,7 @@ def delete_from_delta(
         staging = os.path.join(path, f".{tag}-{uuid.uuid4().hex}")
         writer = frame.write
         if pcols:
-            writer = writer.partitionBy(*pcols)
+            writer = writer.partitionBy(*part_dirs)
         writer.parquet(staging)
         out = []
         try:
@@ -3374,7 +3524,7 @@ def delete_from_delta(
                         out_rel,
                         os.path.getsize(dst),
                         nrec,
-                        _staged_partition_values(rel, pcols),
+                        _staged_partition_values(rel, part_dirs),
                     )
                 )
         finally:
@@ -3386,17 +3536,26 @@ def delete_from_delta(
     # use them exclusively — the remove+add pairs never mis-derive)
     cdc_actions: list[dict] = []
     if cdf_on:
-        deleted = (
-            _scan(sorted(touched))
-            .filter(hit)
-            .select(
-                *[_qcol(f.name) for f in logical.fields],
+        base = _scan(sorted(touched)).filter(hit)
+        if set_exprs is None:
+            cdc_frame = base.select(
+                *_phys_sel(base),
                 F.lit("delete").alias("_change_type"),
             )
-        )
+        else:
+            post_t = _with_updates(base)
+            cdc_frame = base.select(
+                *_phys_sel(base),
+                F.lit("update_preimage").alias("_change_type"),
+            ).unionByName(
+                post_t.select(
+                    *_phys_sel(post_t),
+                    F.lit("update_postimage").alias("_change_type"),
+                )
+            )
         tag = f"delete-{uuid.uuid4().hex}"
         for rel, size, _nrec, pv in _stage_and_move(
-            deleted, "cdf", dest_prefix=f"{_CHANGE_DATA_DIR}/{tag}"
+            cdc_frame, "cdf", dest_prefix=f"{_CHANGE_DATA_DIR}/{tag}"
         ):
             cdc_actions.append(
                 {
@@ -3408,6 +3567,7 @@ def delete_from_delta(
             )
 
     adds: list[dict] = []
+    staged_new: list = []
     if partial and strategy == "dv":
         # per-file mask union on EXECUTORS: matched LIVE row indexes
         # + the file's existing DV; only ~KB serialized roaring
@@ -3474,27 +3634,61 @@ def delete_from_delta(
                 except ValueError:
                     ad.pop("stats", None)
             adds.append(ad)
+        if set_exprs is not None:
+            # delta-spark's DV update shape: the old file keeps its
+            # unmatched rows behind the new mask, the TRANSFORMED
+            # matched rows land in fresh files
+            upd_frame = _with_updates(
+                _scan(sorted(partial)).filter(hit)
+            )
+            upd = upd_frame.select(*_phys_sel(upd_frame))
+            staged_new = _stage_and_move(upd, "update")
     elif partial:
-        # rewrite the partially-matching files: kept LIVE rows
-        # staged exactly like an append (hive layout)
-        kept = (
-            _scan(sorted(partial))
-            .filter(~hit)
-            .select(*[_qcol(f.name) for f in logical.fields])
+        # rewrite the matched files: kept LIVE rows (deletes) or
+        # the whole file with matched rows transformed (updates),
+        # staged exactly like an append (hive layout, physical
+        # spelling under mapping)
+        src = _scan(sorted(partial))
+        if set_exprs is None:
+            out_frame = src.filter(~hit)
+        else:
+            out_frame = _with_updates(src)
+        out = out_frame.select(*_phys_sel(out_frame))
+        staged_new = _stage_and_move(
+            out, "update" if set_exprs is not None else "delete"
         )
-        for rel, size, nrec, pv in _stage_and_move(kept, "delete"):
-            add = {
-                "path": _encode_path(rel),
-                "partitionValues": pv,
-                "size": size,
-                "modificationTime": int(
-                    os.path.getmtime(os.path.join(path, rel)) * 1000
-                ),
-                "dataChange": True,
-            }
-            if nrec is not None:
-                add["stats"] = json.dumps({"numRecords": nrec})
-            adds.append(add)
+    if set_exprs is not None and staged_new:
+        # updates mint values: the staged files must honor the
+        # table's nullability contract, the same footer-stats gate
+        # appends run (validated before the COMMIT — the files are
+        # invisible until the entry names them; a refusal leaves
+        # vacuumable orphans, Delta's own crash story)
+        nn = _nn_leaf_paths(logical)
+        if nn:
+            for rel, _size, _nrec, _pv in staged_new:
+                bad = _staged_null_columns(
+                    os.path.join(path, rel), set(nn)
+                )
+                if bad:
+                    raise DeltaProtocolError(
+                        f"columns {sorted(nn[c] for c in bad)} are "
+                        "declared non-nullable by the table but the "
+                        "updated data contains NULLs there — "
+                        "refusing the update"
+                    )
+    for rel, size, nrec, pv in staged_new:
+        add = {
+            "path": _encode_path(rel),
+            "partitionValues": pv,
+            "size": size,
+            "modificationTime": int(
+                os.path.getmtime(os.path.join(path, rel)) * 1000
+            ),
+            "dataChange": True,
+        }
+        if nrec is not None:
+            add["stats"] = json.dumps({"numRecords": nrec})
+        adds.append(add)
 
     def revalidate():
         """Moved head: re-run every gate, refuse on layout change,
@@ -3536,11 +3730,12 @@ def delete_from_delta(
             validated_at = head
         ver = head + 1
         now_ms = int(time.time() * 1000)
+        verb = "UPDATE" if set_exprs is not None else "DELETE"
         ci = {
             "timestamp": now_ms,
-            "operation": "DELETE",
+            "operation": verb,
             "operationParameters": {"predicate": predicate},
-            "engineInfo": "mergestore-deltalog-delete",
+            "engineInfo": "mergestore-deltalog-" + verb.lower(),
         }
         if ict_on(meta):
             ci["inCommitTimestamp"] = max(
@@ -3575,4 +3770,69 @@ def delete_from_delta(
             return ver, rows_deleted
     raise DeltaProtocolError(
         f"lost the commit race {max_retries} times at {log_dir}"
+    )
+
+
+def delete_from_delta(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    log_store=None,
+    max_retries: int = 50,
+    strategy: str = "auto",
+) -> tuple[int, int]:
+    """DELETE rows matching ``predicate`` from a foreign Delta
+    table. Full semantics — strategies (rewrite / dv / auto), CDF
+    materialization, column mapping, OCC conflict rules, named
+    refusals — in :func:`_dml_from_delta`, the shared engine."""
+    return _dml_from_delta(
+        spark,
+        path,
+        predicate,
+        log_store=log_store,
+        max_retries=max_retries,
+        strategy=strategy,
+        set_exprs=None,
+    )
+
+
+def update_from_delta(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict,
+    log_store=None,
+    max_retries: int = 50,
+    strategy: str = "auto",
+) -> tuple[int, int]:
+    """UPDATE rows matching ``predicate``: each column named in
+    ``set_exprs`` (column -> SQL expression over the table's logical
+    columns, e.g. ``{"price": "price * 1.1"}``) is recomputed on the
+    matched rows, cast to the column's declared type (delta-spark's
+    implicit-cast rule); every other row is carried unchanged. The
+    third interop write direction (append / delete / update) — GDPR
+    rectification on a stock-owned table. Returns
+    ``(committed_version, rows_updated)``.
+
+    Strategy mirrors :func:`delete_from_delta`: ``rewrite`` rewrites
+    every matched file with the transforms applied; ``dv``
+    (delta-spark's modern UPDATE shape) masks the matched rows in
+    the old files with new deletion vectors and lands the
+    TRANSFORMED rows in fresh files — no unmatched row is ever
+    rewritten. Live-CDF tables get spec ``update_preimage`` /
+    ``update_postimage`` rows under ``_change_data/``. Beyond the
+    delete refusals, updates MINT row values, so live CHECK
+    constraints / invariants / generated / identity columns refuse
+    by name (exactly as appends do), SET may not target partition
+    columns (row moves between partitions are not supported), and
+    the staged files must honor the table's nullability contract
+    (footer-stats gate). Engine: :func:`_dml_from_delta`."""
+    return _dml_from_delta(
+        spark,
+        path,
+        predicate,
+        log_store=log_store,
+        max_retries=max_retries,
+        strategy=strategy,
+        set_exprs=dict(set_exprs),
     )

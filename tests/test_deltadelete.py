@@ -156,13 +156,16 @@ def test_delete_refusals_are_named(spark, tmp_path):
     _seed(spark, ao, df_rows)
     with pytest.raises(DeltaProtocolError, match="append-only"):
         delete_from_delta(spark, ao, "k = 1")
-    # column mapping
+    # column mapping without per-field ids (mapped tables WITH ids
+    # are writable — see test_delete_column_mapped_round_trip)
     cm = _mk_foreign(
         tmp_path,
         cfg={"delta.columnMapping.mode": "name"},
         name="cm",
     )
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+    with pytest.raises(
+        DeltaProtocolError, match="delta.columnMapping.id"
+    ):
         delete_from_delta(spark, cm, "k = 1")
     # unsupported writer feature
     rt = _mk_foreign(
@@ -441,3 +444,48 @@ def test_delete_then_time_travel(spark, tmp_path):
     assert read_delta(spark, tbl).count() == 1
     old = read_delta(spark, tbl, version=1)
     assert sorted(r.k for r in old.collect()) == [1, 2]
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_delete_column_mapped_round_trip(spark, tmp_path, mode):
+    """Deletes on column-mapped tables (partitioned by a mapped
+    column): the predicate speaks LOGICAL names, the planning scan
+    resolves physical ones, rewritten files re-spell physical names
+    + field ids, partitionValues stay physical — and the mapped
+    reader round-trips."""
+    import pyarrow.parquet as pq
+
+    from test_deltaappend import _mk_mapped
+
+    from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+        append_to_delta,
+    )
+
+    tbl = _mk_mapped(tmp_path, mode, f"delmap_{mode}")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "k long, v string"
+    ).coalesce(1)
+    append_to_delta(df, tbl)
+    ver, n = delete_from_delta(spark, tbl, "k = 1 AND v = 'x'")
+    assert n == 1
+    lines = _entry_lines(tbl, ver)
+    removes = [ln["remove"] for ln in lines[1:] if "remove" in ln]
+    adds = [ln["add"] for ln in lines[1:] if "add" in ln]
+    # partial rewrite of the v=x file; v=y untouched
+    assert len(removes) == 1 and len(adds) == 1
+    assert removes[0]["partitionValues"] == {"col-bbb222": "x"}
+    assert adds[0]["partitionValues"] == {"col-bbb222": "x"}
+    assert adds[0]["path"].startswith("col-bbb222=x/")
+    pf = pq.ParquetFile(os.path.join(tbl, adds[0]["path"]))
+    [field] = [f for f in pf.schema_arrow if f.name == "col-aaa111"]
+    assert field.metadata[b"PARQUET:field_id"] == b"1"
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [(2, "x"), (3, "y")]
+    # full-partition delete on the mapped partition column
+    ver2, n2 = delete_from_delta(spark, tbl, "v = 'y'")
+    assert n2 == 1
+    lines2 = _entry_lines(tbl, ver2)
+    assert not [ln for ln in lines2[1:] if "add" in ln]
+    assert sorted(
+        (r.k, r.v) for r in read_delta(spark, tbl).collect()
+    ) == [(2, "x")]
