@@ -1129,18 +1129,52 @@ def _entry_commit_ts(path: str) -> float:
     return os.path.getmtime(path)
 
 
-def _parse_user_ts(timestamp) -> float:
+def _session_tz(spark):
+    """tzinfo of ``spark.sql.session.timeZone`` — delta-spark
+    resolves NAIVE timestamp literals in the session zone, so
+    session-holding callers (read_delta, read_delta_changes) pass
+    this through to keep cross-engine version resolution identical.
+    Unresolvable zone ids fall back to UTC."""
+    import datetime
+    import re as _re
+
+    try:
+        zid = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        return datetime.timezone.utc
+    try:
+        import zoneinfo
+
+        return zoneinfo.ZoneInfo(zid)
+    except Exception:
+        m = _re.fullmatch(
+            r"(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})?", zid or ""
+        )
+        if m:
+            sign = 1 if m.group(1) == "+" else -1
+            return datetime.timezone(
+                sign
+                * datetime.timedelta(
+                    hours=int(m.group(2)),
+                    minutes=int(m.group(3) or 0),
+                )
+            )
+        return datetime.timezone.utc
+
+
+def _parse_user_ts(timestamp, tz=None) -> float:
     """User-supplied timestamp (ISO string, datetime, or epoch
     number/numeric string) -> epoch seconds. Naive ISO strings and
-    naive datetimes are read as UTC — a deterministic rule, so a
-    timestamp bound never shifts with the host timezone (delta-spark
-    resolves via the session timezone; an engine-side helper has no
-    session, and UTC is the one zone every caller can reproduce).
-    A string that is neither ISO-8601 nor numeric raises a named
-    error instead of surfacing float()'s conversion message."""
+    naive datetimes resolve in ``tz`` — session-holding callers pass
+    the Spark session zone (delta-spark's rule, keeping
+    cross-engine version resolution identical); sessionless callers
+    (the streaming source's option parsing) default to UTC, the one
+    zone every process reproduces. A string that is neither
+    ISO-8601 nor numeric raises a named error instead of surfacing
+    float()'s conversion message."""
     import datetime
 
-    utc = datetime.timezone.utc
+    zone = tz or datetime.timezone.utc
     if isinstance(timestamp, str):
         try:
             dt = datetime.datetime.fromisoformat(timestamp)
@@ -1150,20 +1184,20 @@ def _parse_user_ts(timestamp) -> float:
             except ValueError:
                 raise DeltaProtocolError(
                     f"unparseable timestamp {timestamp!r}: expected "
-                    "an ISO-8601 string (naive = UTC) or epoch "
-                    "seconds"
+                    "an ISO-8601 string (naive = session zone, or "
+                    "UTC without a session) or epoch seconds"
                 ) from None
         if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=utc)
+            dt = dt.replace(tzinfo=zone)
         return dt.timestamp()
     if isinstance(timestamp, datetime.datetime):
         if timestamp.tzinfo is None:
-            timestamp = timestamp.replace(tzinfo=utc)
+            timestamp = timestamp.replace(tzinfo=zone)
         return timestamp.timestamp()
     return float(timestamp)
 
 
-def _first_version_at_or_after(log_dir: str, timestamp) -> int:
+def _first_version_at_or_after(log_dir: str, timestamp, tz=None) -> int:
     """Delta's ``startingTimestamp`` rule for change feeds and the
     streaming source: the EARLIEST commit whose authoritative commit
     time (``inCommitTimestamp`` when the writer recorded one, else
@@ -1174,7 +1208,7 @@ def _first_version_at_or_after(log_dir: str, timestamp) -> int:
     entries, _ck = _list_log(log_dir)
     if not entries:
         raise FileNotFoundError(f"no log entries in {log_dir}")
-    ts = _parse_user_ts(timestamp)
+    ts = _parse_user_ts(timestamp, tz)
     for v in sorted(entries):
         if _entry_commit_ts(entries[v]) >= ts:
             return v
@@ -1184,14 +1218,14 @@ def _first_version_at_or_after(log_dir: str, timestamp) -> int:
     )
 
 
-def _last_version_at_or_before(log_dir: str, timestamp) -> int:
+def _last_version_at_or_before(log_dir: str, timestamp, tz=None) -> int:
     """Delta's ``endingTimestamp`` rule: the LATEST commit whose
     authoritative commit time is at or before the timestamp (the
     same rule ``timestampAsOf`` uses, restricted to live entries —
     a change feed must read the commit's actions, so checkpoint-only
     history cannot serve as the bound)."""
     entries, _ck = _list_log(log_dir)
-    ts = _parse_user_ts(timestamp)
+    ts = _parse_user_ts(timestamp, tz)
     best = None
     for v in sorted(entries):
         if _entry_commit_ts(entries[v]) <= ts:
@@ -1209,6 +1243,7 @@ def _resolve_version(
     ckpts: dict[int, list],
     version: int | None,
     timestamp=None,
+    tz=None,
 ) -> int:
     latest = max(
         [*entries.keys(), *ckpts.keys()], default=None
@@ -1218,7 +1253,7 @@ def _resolve_version(
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
-        ts = _parse_user_ts(timestamp)
+        ts = _parse_user_ts(timestamp, tz)
         # Delta's rule: latest entry whose commit time <= ts. With
         # the inCommitTimestamps feature the spec makes commitInfo.
         # inCommitTimestamp (the entry's FIRST action) authoritative
@@ -1250,13 +1285,15 @@ def _resolve_version(
 
 
 def _replay_plan(
-    log_dir: str, version: int | None = None, timestamp=None
+    log_dir: str, version: int | None = None, timestamp=None, tz=None
 ) -> tuple[int, list[str], list[str]]:
     """(resolved version, checkpoint part files, JSON tail paths) —
     the standard Delta resolution: newest checkpoint at or below
     the target, then every JSON entry after it up to the target."""
     entries, ckpts = _list_log(log_dir)
-    target = _resolve_version(log_dir, entries, ckpts, version, timestamp)
+    target = _resolve_version(
+        log_dir, entries, ckpts, version, timestamp, tz
+    )
     base = max((v for v in ckpts if v <= target), default=None)
     tail_from = -1 if base is None else base
     tail = []
@@ -1727,7 +1764,9 @@ def read_delta(
     log_dir = os.path.join(path, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"{path} has no _delta_log")
-    target, ckpt_files, tail = _replay_plan(log_dir, version, timestamp)
+    target, ckpt_files, tail = _replay_plan(
+        log_dir, version, timestamp, tz=_session_tz(spark)
+    )
     actions = _read_actions(spark, ckpt_files, tail)
     proto = _latest_single(actions, "protocol")
     _check_protocol(proto)
@@ -2147,7 +2186,9 @@ def read_delta_changes(
             "pass at most one of ending_version / ending_timestamp"
         )
     if ending_timestamp is not None:
-        end = _last_version_at_or_before(log_dir, ending_timestamp)
+        end = _last_version_at_or_before(
+            log_dir, ending_timestamp, tz=_session_tz(spark)
+        )
     elif ending_version is not None:
         end = int(ending_version)
     else:
@@ -2155,7 +2196,9 @@ def read_delta_changes(
     start = (
         int(starting_version)
         if starting_version is not None
-        else _first_version_at_or_after(log_dir, starting_timestamp)
+        else _first_version_at_or_after(
+            log_dir, starting_timestamp, tz=_session_tz(spark)
+        )
     )
     if start > end:
         raise ValueError(
@@ -2420,6 +2463,106 @@ _SUPPORTED_APPEND_WRITER_FEATURES = {
 }
 
 
+def _ict_on(meta: dict) -> bool:
+    return str(
+        dict(meta.get("configuration") or {}).get(
+            "delta.enableInCommitTimestamps", "false"
+        )
+    ).lower() == "true"
+
+
+def _strip_meta(dt):
+    """``dt`` with all field METADATA dropped but names, types and
+    per-field nullability kept — the unmapped layout-signature tree
+    (comments/user metadata must not refuse an unrelated commit;
+    nullability MUST, the staged-NULL gates validate against it)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_meta(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_meta(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_meta(dt.keyType),
+            _strip_meta(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _layout_sig(meta: dict, logical, include_cfg: bool = False) -> tuple:
+    """Everything about the table layout that staged parquet bytes
+    BAKE IN: partition columns, mapping mode, and the full physical
+    schema tree — names, field ids, types AND per-field nullability
+    at every nesting level (a concurrent nullable -> non-nullable
+    tightening must force a re-run: the staged-NULL gates validated
+    against the OLD contract). Comments/user metadata are excluded
+    (the mapped tree is rebuilt with field-id metadata only, the
+    unmapped tree is stripped) so a concurrent comment-only commit
+    never refuses a valid write. ``include_cfg`` additionally pins
+    the table configuration (minus the mapping id counter) — the
+    DML paths gate on appendOnly/CDF/DV configs, appends do not."""
+    cm, _p, _f = _mapping_of(meta)
+    tree = (
+        _phys_type(logical)
+        if cm in ("name", "id")
+        else _strip_meta(logical)
+    )
+    sig = (
+        tuple(meta.get("partitionColumns") or []),
+        cm,
+        tree.json(),
+    )
+    if include_cfg:
+        sig += (
+            tuple(
+                sorted(
+                    (k, v)
+                    for k, v in dict(
+                        meta.get("configuration") or {}
+                    ).items()
+                    if not k.startswith("delta.columnMapping.max")
+                )
+            ),
+        )
+    return sig
+
+
+def _require_mapping_ids(meta: dict, verb: str) -> None:
+    """Every NAMED field — top-level and nested (struct members,
+    incl. inside arrays/maps) — must carry a columnMapping id on a
+    mapped table: the staging writers spell physical names and
+    parquet field ids at every level, so a field without one cannot
+    be written per spec."""
+
+    def _walk(t, prefix):
+        if not isinstance(t, dict):
+            return
+        tt = t.get("type")
+        if tt == "struct":
+            for fj in t["fields"]:
+                md = fj.get("metadata") or {}
+                qual = prefix + fj["name"]
+                if md.get("delta.columnMapping.id") is None:
+                    raise DeltaProtocolError(
+                        f"column {qual!r} has no "
+                        "delta.columnMapping.id; a mapped table's "
+                        f"{verb}s must write parquet field ids"
+                    )
+                _walk(fj["type"], qual + ".")
+        elif tt == "array":
+            _walk(t["elementType"], prefix)
+        elif tt == "map":
+            _walk(t["keyType"], prefix)
+            _walk(t["valueType"], prefix)
+
+    _walk(json.loads(meta["schemaString"]), "")
+
+
 def _refuse_live_enforcement(meta: dict, verb: str) -> None:
     """Refuse BY NAME any LIVE value-enforcement feature this writer
     would have to honor when it CREATES row values (appends and
@@ -2485,34 +2628,7 @@ def _check_append_writable(proto: dict, meta: dict) -> None:
             "supported"
         )
     if cm in ("name", "id"):
-        # every NAMED field — top-level and nested (struct members,
-        # incl. inside arrays/maps) — must carry a columnMapping id:
-        # the staging writer spells physical names and parquet field
-        # ids at every level, so a field without one cannot be
-        # written per spec
-        def _walk(t, prefix):
-            if not isinstance(t, dict):
-                return
-            tt = t.get("type")
-            if tt == "struct":
-                for fj in t["fields"]:
-                    md = fj.get("metadata") or {}
-                    qual = prefix + fj["name"]
-                    if md.get("delta.columnMapping.id") is None:
-                        raise DeltaProtocolError(
-                            f"column {qual!r} has no "
-                            "delta.columnMapping.id; a mapped "
-                            "table's appends must write parquet "
-                            "field ids"
-                        )
-                    _walk(fj["type"], qual + ".")
-            elif tt == "array":
-                _walk(t["elementType"], prefix)
-            elif tt == "map":
-                _walk(t["keyType"], prefix)
-                _walk(t["valueType"], prefix)
-
-        _walk(json.loads(meta["schemaString"]), "")
+        _require_mapping_ids(meta, "append")
     _refuse_live_enforcement(meta, "append")
     mwv = int(proto.get("minWriterVersion") or 1)
     if mwv >= 7:
@@ -2805,53 +2921,7 @@ def append_to_delta(
             "spark.sql.parquet.fieldId.write.enabled (the "
             "session has it disabled)"
         )
-    def _sig_of(meta_, logical_):
-        """Everything about the table layout the staged parquet
-        bytes BAKE IN: partition columns, mapping mode, and the
-        full physical schema tree — names, field ids, types AND
-        per-field nullability at every nesting level (a concurrent
-        nullable -> non-nullable tightening must force a re-run:
-        the staged-NULL gate below validated against the OLD
-        contract). Comments/user metadata are excluded (the mapped
-        tree is rebuilt with field-id metadata only; the unmapped
-        tree is stripped) so a concurrent comment-only commit does
-        not refuse a perfectly valid append."""
-        n_cm, _p, _f = _mapping_of(meta_)
-
-        def strip(dt):
-            if isinstance(dt, T.StructType):
-                return T.StructType(
-                    [
-                        T.StructField(
-                            f.name, strip(f.dataType), f.nullable
-                        )
-                        for f in dt.fields
-                    ]
-                )
-            if isinstance(dt, T.ArrayType):
-                return T.ArrayType(
-                    strip(dt.elementType), dt.containsNull
-                )
-            if isinstance(dt, T.MapType):
-                return T.MapType(
-                    strip(dt.keyType),
-                    strip(dt.valueType),
-                    dt.valueContainsNull,
-                )
-            return dt
-
-        tree = (
-            _phys_type(logical_)
-            if n_cm in ("name", "id")
-            else strip(logical_)
-        )
-        return (
-            tuple(meta_.get("partitionColumns") or []),
-            n_cm,
-            tree.json(),
-        )
-
-    layout_sig = _sig_of(meta, logical)
+    layout_sig = _layout_sig(meta, logical)
 
     def revalidate():
         """Re-run EVERY gate against the current head and refuse
@@ -2864,7 +2934,7 @@ def append_to_delta(
         ict_on fresh)."""
         nonlocal meta
         _t, meta, n_logical = resolve()
-        if _sig_of(meta, n_logical) != layout_sig:
+        if _layout_sig(meta, n_logical) != layout_sig:
             raise DeltaProtocolError(
                 "a concurrent commit changed the table layout "
                 "(partitioning, column mapping, physical schema or "
@@ -2970,13 +3040,6 @@ def append_to_delta(
     if not adds:  # empty DataFrame: nothing to commit
         return target
 
-    def ict_on(m: dict) -> bool:
-        return str(
-            dict(m.get("configuration") or {}).get(
-                "delta.enableInCommitTimestamps", "false"
-            )
-        ).lower() == "true"
-
     validated_at = target
     for _attempt in range(max_retries):
         head = _latest_log_version(log_dir)
@@ -2993,7 +3056,7 @@ def append_to_delta(
             "operationParameters": {"mode": "Append"},
             "engineInfo": "mergestore-deltalog-append",
         }
-        if ict_on(meta):
+        if _ict_on(meta):
             ci["inCommitTimestamp"] = max(
                 now_ms, _prev_commit_ms(log_dir, head) + 1
             )
@@ -3030,16 +3093,16 @@ def _prev_commit_ms(log_dir: str, head: int) -> int:
             return 0
 
 
-# Writer features a row-DELETE can satisfy. A delete creates no new
-# rows, so row-shape enforcement features (invariants / CHECK
+# Writer features the row-DML paths can satisfy. A delete creates
+# no new rows, so value-enforcement features (invariants / CHECK
 # constraints / generated / identity) stay trivially satisfied by
-# the surviving rows and need no live-use refusal — unlike append.
-# Presence-conditional refusals live in _check_delete_writable:
-# delta.appendOnly=true forbids dataChange removes outright, a LIVE
-# changeDataFeed table requires writer-produced _change_data this
-# writer does not emit, and columnMapping mode name/id is refused on
-# the delete path (the rewrite would have to re-spell physical
-# names; append grew that machinery, delete has not yet).
+# the surviving rows and need no live-use refusal; UPDATES mint
+# values, so the _dml engine additionally runs
+# _refuse_live_enforcement for them. delta.appendOnly=true forbids
+# dataChange removes outright (_check_delete_writable). LIVE
+# changeDataFeed tables ARE writable — the engine materializes the
+# spec _change_data files — and columnMapping (name/id) is handled
+# end to end: reads resolve physical names, rewrites re-spell them.
 _SUPPORTED_DELETE_WRITER_FEATURES = {
     "appendOnly",
     "invariants",
@@ -3080,30 +3143,7 @@ def _check_delete_writable(proto: dict, meta: dict) -> None:
             "supported"
         )
     if cm in ("name", "id"):
-
-        def _walk(t, prefix):
-            if not isinstance(t, dict):
-                return
-            tt = t.get("type")
-            if tt == "struct":
-                for fj in t["fields"]:
-                    md = fj.get("metadata") or {}
-                    qual = prefix + fj["name"]
-                    if md.get("delta.columnMapping.id") is None:
-                        raise DeltaProtocolError(
-                            f"column {qual!r} has no "
-                            "delta.columnMapping.id; a mapped "
-                            "table's rewrites must write parquet "
-                            "field ids"
-                        )
-                    _walk(fj["type"], qual + ".")
-            elif tt == "array":
-                _walk(t["elementType"], prefix)
-            elif tt == "map":
-                _walk(t["keyType"], prefix)
-                _walk(t["valueType"], prefix)
-
-        _walk(json.loads(meta["schemaString"]), "")
+        _require_mapping_ids(meta, "rewrite")
     mwv = int(proto.get("minWriterVersion") or 1)
     if mwv >= 7:
         feats = set(proto.get("writerFeatures") or [])
@@ -3114,6 +3154,39 @@ def _check_delete_writable(proto: dict, meta: dict) -> None:
                 f"{sorted(unsupported)} this engine does not "
                 "implement for deletes"
             )
+
+
+def _canon_add(ad) -> tuple | None:
+    """Canonical identity of an add action for the DML conflict
+    check, robust across replay SOURCES: a JSON log tail yields
+    compact dicts (absent keys omitted), a pyarrow checkpoint row
+    yields every schema field with None fill (tags, baseRowId, a
+    null deletionVector struct, ...). Raw dict equality would flag
+    EVERY touched file as rewritten the moment a stock client's
+    routine checkpoint lands mid-DML — a spurious
+    ConcurrentDeleteDelete. Compare only the fields that identify
+    the file VERSION: path, size, modificationTime, partition
+    labels, and the (None-stripped) deletion-vector descriptor."""
+    if ad is None:
+        return None
+    dv = ad.get("deletionVector")
+    if dv is not None and not dv.get("storageType"):
+        dv = None
+    return (
+        ad.get("path"),
+        ad.get("size"),
+        ad.get("modificationTime"),
+        tuple(sorted((ad.get("partitionValues") or {}).items())),
+        None
+        if dv is None
+        else (
+            dv.get("storageType"),
+            dv.get("pathOrInlineDv"),
+            dv.get("offset"),
+            dv.get("sizeInBytes"),
+            dv.get("cardinality"),
+        ),
+    )
 
 
 def _py_live_adds(actions: list) -> dict:
@@ -3239,6 +3312,13 @@ def _dml_from_delta(
         proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
         _py_check_protocol(proto)
         _check_delete_writable(proto, meta)
+        if set_exprs is not None:
+            # updates MINT row values — live value-enforcement
+            # features refuse exactly as appends do, and the gate
+            # re-runs on every revalidate (a concurrent commit can
+            # ADD an invariant/generated/identity column mid-flight;
+            # deletes never mint and stay lax)
+            _refuse_live_enforcement(meta, "update")
         logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
         live = _py_live_adds(actions)
         return target, proto, meta, logical, live
@@ -3290,10 +3370,6 @@ def _dml_from_delta(
                     f"SET targets partition column {c!r}; moving "
                     "rows between partitions is not supported"
                 )
-        # updates MINT row values — live value-enforcement features
-        # (constraints, invariants, generated/identity) must refuse
-        # exactly as appends do; deletes never mint and stay lax
-        _refuse_live_enforcement(meta, "update")
     pcols = list(meta.get("partitionColumns") or [])
     cm, phys_of, fid_of = _mapping_of(meta)
     mapped = cm in ("name", "id")
@@ -3314,29 +3390,7 @@ def _dml_from_delta(
             "spark.sql.parquet.fieldId.read.enabled", "true"
         )
 
-    def _sig_of(meta_, logical_):
-        n_cm, _p, _f = _mapping_of(meta_)
-        shape = (
-            _phys_type(logical_).json()
-            if n_cm in ("name", "id")
-            else logical_.simpleString()
-        )
-        return (
-            tuple(meta_.get("partitionColumns") or []),
-            n_cm,
-            shape,
-            tuple(
-                sorted(
-                    (k, v)
-                    for k, v in dict(
-                        meta_.get("configuration") or {}
-                    ).items()
-                    if not k.startswith("delta.columnMapping.max")
-                )
-            ),
-        )
-
-    layout_sig = _sig_of(meta, logical)
+    layout_sig = _layout_sig(meta, logical, include_cfg=True)
     if not live:
         return target, 0
 
@@ -3531,12 +3585,49 @@ def _dml_from_delta(
             _sh.rmtree(staging, ignore_errors=True)
         return out
 
+    # one materialization of the touched files for every downstream
+    # job (cdc, DV masks, transformed/kept rows): the scan re-runs
+    # parquet I/O and the mapInPandas DV decode on each consumption,
+    # so persist when more than one job will read it
+    n_consumers = (
+        (2 if set_exprs is not None else 1) * (1 if cdf_on else 0)
+        + (
+            0
+            if not partial
+            else (
+                (2 if set_exprs is not None else 1)
+                if strategy == "dv"
+                else 1
+            )
+        )
+    )
+    touched_scan = _scan(sorted(touched))
+    if n_consumers > 1:
+        from pyspark import StorageLevel
+
+        touched_scan = touched_scan.persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+    def _restrict(frame, rels):
+        """``frame`` limited to the files in ``rels`` (no-op when
+        that is the whole touched set — always true for updates)."""
+        if len(rels) == len(touched):
+            return frame
+        paths = [abs_of[r] for r in rels]
+        if len(paths) <= 200:
+            return frame.filter(F.col("__fp").isin(paths))
+        pdf = spark.createDataFrame(
+            [(x,) for x in paths], "__fp string"
+        )
+        return frame.join(F.broadcast(pdf), "__fp", "left_semi")
+
     # change data feed: a DELETE commit on a CDF table must carry
     # its _change_data files (readers of a commit WITH cdc actions
     # use them exclusively — the remove+add pairs never mis-derive)
     cdc_actions: list[dict] = []
     if cdf_on:
-        base = _scan(sorted(touched)).filter(hit)
+        base = touched_scan.filter(hit)
         if set_exprs is None:
             cdc_frame = base.select(
                 *_phys_sel(base),
@@ -3609,7 +3700,7 @@ def _dml_from_delta(
             )
 
         blobs = (
-            _scan(sorted(partial))
+            _restrict(touched_scan, partial)
             .filter(hit)
             .select("__fp", "__ri")
             .groupBy("__fp")
@@ -3639,7 +3730,7 @@ def _dml_from_delta(
             # unmatched rows behind the new mask, the TRANSFORMED
             # matched rows land in fresh files
             upd_frame = _with_updates(
-                _scan(sorted(partial)).filter(hit)
+                _restrict(touched_scan, partial).filter(hit)
             )
             upd = upd_frame.select(*_phys_sel(upd_frame))
             staged_new = _stage_and_move(upd, "update")
@@ -3648,7 +3739,7 @@ def _dml_from_delta(
         # the whole file with matched rows transformed (updates),
         # staged exactly like an append (hive layout, physical
         # spelling under mapping)
-        src = _scan(sorted(partial))
+        src = _restrict(touched_scan, partial)
         if set_exprs is None:
             out_frame = src.filter(~hit)
         else:
@@ -3689,6 +3780,8 @@ def _dml_from_delta(
         if nrec is not None:
             add["stats"] = json.dumps({"numRecords": nrec})
         adds.append(add)
+    if n_consumers > 1:
+        touched_scan.unpersist()
 
     def revalidate():
         """Moved head: re-run every gate, refuse on layout change,
@@ -3699,14 +3792,16 @@ def _dml_from_delta(
         unions no longer describe the table)."""
         nonlocal meta
         _t, _p, meta, n_logical, n_live = resolve()
-        if _sig_of(meta, n_logical) != layout_sig:
+        if _layout_sig(meta, n_logical, include_cfg=True) != layout_sig:
             raise DeltaProtocolError(
                 "a concurrent commit changed the table layout "
                 "(partitioning, schema or configuration) under this "
                 "delete — re-run it"
             )
         gone = [
-            rel for rel in touched if n_live.get(rel) != live[rel]
+            rel
+            for rel in touched
+            if _canon_add(n_live.get(rel)) != _canon_add(live[rel])
         ]
         if gone:
             raise DeltaProtocolError(
@@ -3714,13 +3809,6 @@ def _dml_from_delta(
                 f"{'...' if len(gone) > 3 else ''} this delete "
                 "also touches (ConcurrentDeleteDelete) — re-run it"
             )
-
-    def ict_on(m: dict) -> bool:
-        return str(
-            dict(m.get("configuration") or {}).get(
-                "delta.enableInCommitTimestamps", "false"
-            )
-        ).lower() == "true"
 
     validated_at = target
     for _attempt in range(max_retries):
@@ -3737,7 +3825,7 @@ def _dml_from_delta(
             "operationParameters": {"predicate": predicate},
             "engineInfo": "mergestore-deltalog-" + verb.lower(),
         }
-        if ict_on(meta):
+        if _ict_on(meta):
             ci["inCommitTimestamp"] = max(
                 now_ms, _prev_commit_ms(log_dir, head) + 1
             )

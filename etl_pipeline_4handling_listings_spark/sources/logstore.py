@@ -89,6 +89,30 @@ class PosixLogStore(LogStore):
             os.link(tmp, path)
         except FileExistsError:
             return False
+        except OSError:
+            # two legitimate cases behind a generic OSError:
+            # (1) the classic NFS ghost — the server applied the
+            # link but the reply was lost and the retry reported
+            # failure; st_nlink == 2 on the tmp proves our content
+            # IS at the name, i.e. we won;
+            # (2) the filesystem has no hard links (SMB/FAT/some
+            # FUSE) — fall back to the exclusive-create claim,
+            # which keeps create-if-absent semantics but loses
+            # atomic-content publication (the best available there)
+            try:
+                if os.stat(tmp).st_nlink == 2:
+                    return True
+            except OSError:
+                pass
+            try:
+                fd = os.open(
+                    path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as fb:
+                fb.write(payload)
+            return True
         finally:
             os.remove(tmp)
         return True

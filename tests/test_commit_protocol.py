@@ -523,3 +523,36 @@ def test_create_exclusive_claims_with_complete_content(tmp_path):
     # a later claim on the same name loses and changes nothing
     assert ls.create_exclusive(path, "late") is False
     assert open(path).read() == payloads[winners[0]]
+
+
+def test_create_exclusive_falls_back_without_hardlinks(
+    tmp_path, monkeypatch
+):
+    """Filesystems without hard links (SMB/FAT/some FUSE): os.link
+    raising a generic OSError falls back to the exclusive-create
+    claim — create-if-absent semantics preserved, payload intact,
+    no tmp residue; a lost claim still returns False."""
+    import errno
+
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    real_link = os.link
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(os, "link", no_link)
+    try:
+        ls = PosixLogStore()
+        d = tmp_path / "claims"
+        d.mkdir()
+        path = str(d / "00000000000000000003.json")
+        assert ls.create_exclusive(path, "payload-one") is True
+        assert open(path).read() == "payload-one"
+        assert ls.create_exclusive(path, "payload-two") is False
+        assert open(path).read() == "payload-one"
+        assert sorted(os.listdir(d)) == [os.path.basename(path)]
+    finally:
+        monkeypatch.setattr(os, "link", real_link)

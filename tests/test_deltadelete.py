@@ -489,3 +489,150 @@ def test_delete_column_mapped_round_trip(spark, tmp_path, mode):
     assert sorted(
         (r.k, r.v) for r in read_delta(spark, tbl).collect()
     ) == [(2, "x")]
+
+
+def test_delete_survives_concurrent_checkpoint(spark, tmp_path):
+    """A stock client's routine CHECKPOINT landing mid-delete is NOT
+    a conflict: the revalidated live set replays through the
+    checkpoint, whose pyarrow rows pad every absent field with None
+    — the conflict check must compare the canonical file identity,
+    not raw dicts, or every touched file looks rewritten."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+    from test_deltaappend import _schema_string
+
+    tbl = _mk_foreign(tmp_path, name="ckrace")
+    _seed(spark, tbl, [(1, "a"), (2, "b")])
+    add1 = next(
+        ln["add"] for ln in _entry_lines(tbl, 1)[1:] if "add" in ln
+    )
+    log_dir = os.path.join(tbl, "_delta_log")
+
+    def write_checkpoint(version):
+        map_t = pa.map_(pa.string(), pa.string())
+        dv_t = pa.struct(
+            [
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ]
+        )
+        add_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", map_t),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("tags", map_t),
+                ("deletionVector", dv_t),
+                ("stats", pa.string()),
+            ]
+        )
+        meta_t = pa.struct(
+            [
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", map_t),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        proto_t = pa.struct(
+            [
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+            ]
+        )
+        # the checkpoint pads add1 with tags=None, deletionVector=
+        # None, stats as recorded — exactly the None-fill shape
+        table = pa.table(
+            {
+                "protocol": pa.array(
+                    [
+                        {"minReaderVersion": 1, "minWriterVersion": 2},
+                        None,
+                    ],
+                    type=proto_t,
+                ),
+                "metaData": pa.array(
+                    [
+                        None,
+                        {
+                            "id": "foreign-1",
+                            "format": {"provider": "parquet"},
+                            "schemaString": _schema_string(
+                                ("k", "long"), ("v", "string")
+                            ),
+                            "partitionColumns": [],
+                            "configuration": [],
+                            "createdTime": 0,
+                        },
+                    ],
+                    type=meta_t,
+                ),
+                "add": pa.array(
+                    [
+                        {
+                            "path": add1["path"],
+                            "partitionValues": [],
+                            "size": add1["size"],
+                            "modificationTime": add1[
+                                "modificationTime"
+                            ],
+                            "dataChange": True,
+                            "tags": None,
+                            "deletionVector": None,
+                            "stats": add1.get("stats"),
+                        },
+                        None,
+                    ],
+                    type=add_t,
+                ),
+            }
+        )
+        pq.write_table(
+            table,
+            os.path.join(
+                log_dir, f"{version:020d}.checkpoint.parquet"
+            ),
+        )
+        with open(
+            os.path.join(log_dir, "_last_checkpoint"), "w"
+        ) as f:
+            json.dump({"version": version, "size": 2}, f)
+
+    class CheckpointRacer(PosixLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def create_exclusive(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                # a no-data rival commit, then its checkpoint
+                rival = os.path.join(
+                    os.path.dirname(path), f"{2:020d}.json"
+                )
+                with open(rival, "w") as fh:
+                    fh.write(
+                        json.dumps(
+                            {"commitInfo": {"operation": "OPTIMIZE"}}
+                        )
+                        + "\n"
+                    )
+                write_checkpoint(2)
+            return super().create_exclusive(path, payload)
+
+    ver, n = delete_from_delta(
+        spark, tbl, "k = 1", log_store=CheckpointRacer()
+    )
+    assert (ver, n) == (3, 1)
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [(2, "b")]

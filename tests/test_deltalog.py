@@ -2084,3 +2084,69 @@ def test_user_timestamp_parse_is_named_and_tz_stable():
             DeltaProtocolError, match=bad.replace("/", ".")
         ):
             _parse_user_ts(bad)
+
+
+def test_naive_timestamp_resolves_in_session_zone(spark, tmp_path):
+    """timestampAsOf / change-feed bounds with a NAIVE string follow
+    delta-spark's rule: resolution in the SESSION timezone, so both
+    engines pick the same version for the same literal. With the
+    session at America/New_York (UTC-5 in January), a wall-clock
+    string 5 hours below a commit's UTC instant still selects it."""
+    f1 = _write_parquet_file(
+        spark, tmp_path, [(1,)], ["k"], "z0.parquet"
+    )
+    f2 = _write_parquet_file(
+        spark, tmp_path, [(2,)], ["k"], "z1.parquet"
+    )
+    tbl = str(tmp_path / "tbl")
+    # two commits with pinned inCommitTimestamps (epoch ms):
+    # v0 at 2021-01-01T12:00:00Z, v1 at 2021-01-02T12:00:00Z
+    t0 = 1609502400000
+    t1 = t0 + 86_400_000
+    _log_write(
+        tbl,
+        0,
+        [
+            {"commitInfo": {"inCommitTimestamp": t0}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "tz1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _schema_string(("k", "long")),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.enableInCommitTimestamps": "true"
+                    },
+                    "createdTime": 0,
+                }
+            },
+            {"add": {"path": "z0.parquet", "partitionValues": {}, "size": os.path.getsize(f1), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    _log_write(
+        tbl,
+        1,
+        [
+            {"commitInfo": {"inCommitTimestamp": t1}},
+            {"add": {"path": "z1.parquet", "partitionValues": {}, "size": os.path.getsize(f2), "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/New_York"
+        )
+        # 08:00 New York = 13:00 UTC on Jan 1 -> at-or-before v0
+        got = read_delta(spark, tbl, timestamp="2021-01-01T08:00:00")
+        assert sorted(r.k for r in got.collect()) == [1]
+        # same literal under UTC would be 08:00Z, BEFORE v0's 12:00Z
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        from etl_pipeline_4handling_listings_spark.sources.deltalog import (
+            DeltaProtocolError as _DPE,
+        )
+
+        with pytest.raises(_DPE, match="no commit at or before"):
+            read_delta(spark, tbl, timestamp="2021-01-01T08:00:00")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -234,3 +234,84 @@ def test_update_column_mapped(spark, tmp_path, mode):
         (r.k, r.v) for r in read_delta(spark, tbl).collect()
     )
     assert got == [(1, "x"), (3, "y"), (20, "x")]
+
+
+def test_update_revalidates_concurrent_tightening(spark, tmp_path):
+    """Two races an UPDATE must catch at the claim (its gates ran
+    against the OLD metadata): a nullable -> non-nullable tightening
+    (the staged-NULL gate no longer covers the staged files) and a
+    concurrently ADDED invariant (updates mint values, so live
+    enforcement re-runs on every revalidate)."""
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    def racer_for(tbl, mutate):
+        meta2 = dict(_entry_lines(tbl, 0)[1]["metaData"])
+        sch = json.loads(meta2["schemaString"])
+        mutate(sch, meta2)
+        meta2["schemaString"] = json.dumps(sch)
+
+        class Racer(PosixLogStore):
+            def __init__(self):
+                self.raced = False
+
+            def create_exclusive(self, path, payload):
+                if not self.raced:
+                    self.raced = True
+                    rival = os.path.join(
+                        os.path.dirname(path), f"{2:020d}.json"
+                    )
+                    with open(rival, "w") as fh:
+                        fh.write(
+                            json.dumps({"metaData": meta2}) + "\n"
+                        )
+                return super().create_exclusive(path, payload)
+
+        return Racer()
+
+    # (1) nullability tightening on an UNMAPPED table -> re-run path
+    t1 = _mk_foreign(tmp_path, name="updnrace")
+    _seed(spark, t1, [(1, "a"), (2, "b")])
+
+    def tighten(sch, _m):
+        sch["fields"] = [
+            dict(fj, nullable=False) if fj["name"] == "v" else fj
+            for fj in sch["fields"]
+        ]
+
+    with pytest.raises(DeltaProtocolError, match="table layout"):
+        update_from_delta(
+            spark,
+            t1,
+            "k = 1",
+            {"v": "CAST(NULL AS STRING)"},
+            log_store=racer_for(t1, tighten),
+        )
+
+    # (2) invariant added mid-flight -> named enforcement refusal
+    t2 = _mk_foreign(tmp_path, name="updirace")
+    _seed(spark, t2, [(1, "a"), (2, "b")])
+
+    def add_invariant(sch, _m):
+        sch["fields"] = [
+            dict(
+                fj,
+                metadata={
+                    "delta.invariants":
+                        '{"expression":{"expression":"k > 0"}}'
+                },
+            )
+            if fj["name"] == "k"
+            else fj
+            for fj in sch["fields"]
+        ]
+
+    with pytest.raises(DeltaProtocolError, match="invariant"):
+        update_from_delta(
+            spark,
+            t2,
+            "k = 1",
+            {"v": "'x'"},
+            log_store=racer_for(t2, add_invariant),
+        )
