@@ -3506,11 +3506,16 @@ def _dml_from_delta(
         (full if r["__matched"] == r["__total"] else partial).append(
             rel
         )
-    if set_exprs is not None:
-        # an update rewrites/masks EVERY matched file: a fully-
-        # matched file still needs its transformed rows somewhere
+    if set_exprs is not None and strategy != "dv":
+        # a rewrite-strategy update rewrites EVERY matched file: a
+        # fully-matched file still needs its transformed rows in
+        # the rewritten output
         partial = full + partial
         full = []
+    # under the dv strategy a fully-matched file stays a PURE
+    # remove (masking every live row would leave a zero-live file
+    # in the log); for updates its transformed rows are staged from
+    # the touched scan below, which covers full files too
     touched = full + partial
 
     def _with_updates(frame):
@@ -3659,7 +3664,7 @@ def _dml_from_delta(
 
     adds: list[dict] = []
     staged_new: list = []
-    if partial and strategy == "dv":
+    if strategy == "dv" and (partial or set_exprs is not None):
         # per-file mask union on EXECUTORS: matched LIVE row indexes
         # + the file's existing DV; only ~KB serialized roaring
         # blobs reach the driver (metadata scale, like the file
@@ -3700,12 +3705,18 @@ def _dml_from_delta(
             )
 
         blobs = (
-            _restrict(touched_scan, partial)
-            .filter(hit)
-            .select("__fp", "__ri")
-            .groupBy("__fp")
-            .applyInPandas(build, "fp string, blob binary, card long")
-            .collect()
+            (
+                _restrict(touched_scan, partial)
+                .filter(hit)
+                .select("__fp", "__ri")
+                .groupBy("__fp")
+                .applyInPandas(
+                    build, "fp string, blob binary, card long"
+                )
+                .collect()
+            )
+            if partial
+            else []
         )
         from .dvcodec import write_dv_blob
 
@@ -3728,10 +3739,10 @@ def _dml_from_delta(
         if set_exprs is not None:
             # delta-spark's DV update shape: the old file keeps its
             # unmatched rows behind the new mask, the TRANSFORMED
-            # matched rows land in fresh files
-            upd_frame = _with_updates(
-                _restrict(touched_scan, partial).filter(hit)
-            )
+            # matched rows land in fresh files — sourced from ALL
+            # touched files (fully-matched ones are pure removes,
+            # their rows live on only through this staging)
+            upd_frame = _with_updates(touched_scan.filter(hit))
             upd = upd_frame.select(*_phys_sel(upd_frame))
             staged_new = _stage_and_move(upd, "update")
     elif partial:

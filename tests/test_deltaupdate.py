@@ -315,3 +315,36 @@ def test_update_revalidates_concurrent_tightening(spark, tmp_path):
             {"v": "'x'"},
             log_store=racer_for(t2, add_invariant),
         )
+
+
+def test_update_dv_full_match_demotes_to_remove(spark, tmp_path):
+    """A dv-strategy UPDATE whose predicate matches EVERY live row
+    of a file demotes that file to a pure remove (masking all rows
+    would leave a zero-live file in the log); the transformed rows
+    land in fresh files."""
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+    tbl = _mk_foreign(tmp_path, protocol=proto, name="upddvfull")
+    _seed(spark, tbl, [(1, "a"), (2, "b")])
+    data_path = next(
+        ln["add"]["path"]
+        for ln in _entry_lines(tbl, 1)[1:]
+        if "add" in ln
+    )
+    ver, n = update_from_delta(
+        spark, tbl, "k >= 1", {"v": "upper(v)"}, strategy="dv"
+    )
+    assert n == 2
+    lines = _entry_lines(tbl, ver)
+    removes = [ln["remove"] for ln in lines[1:] if "remove" in ln]
+    adds = [ln["add"] for ln in lines[1:] if "add" in ln]
+    assert [r["path"] for r in removes] == [data_path]
+    # no masked re-add of the old file; only fresh transformed data
+    assert all(a["path"] != data_path for a in adds)
+    assert all("deletionVector" not in a for a in adds)
+    got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
+    assert got == [(1, "A"), (2, "B")]
