@@ -3211,6 +3211,204 @@ def _py_live_adds(actions: list) -> dict:
     return live
 
 
+class _TableCtx:
+    """Shared planning/staging machinery for the foreign-Delta row
+    DML verbs (delete / update / merge): physical-schema scanning
+    with existing deletion vectors APPLIED and partition columns
+    re-attached, physical spelling for staged files under column
+    mapping, and the stage-then-move protocol. One snapshot of a
+    resolved (meta, live) view — conflict revalidation re-resolves,
+    it never mutates the snapshot the staged bytes were planned
+    against."""
+
+    def __init__(self, spark, path, meta, logical, live):
+        self.spark, self.path = spark, path
+        self.meta, self.logical, self.live = meta, logical, live
+        self.pcols = list(meta.get("partitionColumns") or [])
+        self.cm, self.phys_of, self.fid_of = _mapping_of(meta)
+        self.mapped = self.cm in ("name", "id")
+        self.part_dirs = [
+            self.phys_of.get(c, c) for c in self.pcols
+        ]
+        self.data_logical = T.StructType(
+            [f for f in logical.fields if f.name not in self.pcols]
+        )
+        # the files spell PHYSICAL column names under mapping; id
+        # mode additionally resolves by parquet field id (same
+        # session-level conf note as read_delta — consulted at
+        # execution time)
+        self.file_schema = (
+            _physical_schema(
+                self.data_logical, field_ids=(self.cm == "id")
+            )
+            if self.mapped
+            else self.data_logical
+        )
+        if self.cm == "id":
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+        self.abs_of = {
+            rel: os.path.abspath(os.path.join(path, unquote(rel)))
+            for rel in live
+        }
+        self.rel_of_abs = {v: k for k, v in self.abs_of.items()}
+
+    def dv_of(self, rel):
+        d = self.live[rel].get("deletionVector")
+        return d if d is not None and d.get("storageType") else None
+
+    def phys_sel(self, frame):
+        """Physical spelling for staged rewrites/cdc files under
+        mapping — the append writer's shape: nested renames + field
+        ids ride a struct cast, top level is an alias."""
+        sel = []
+        for f in self.logical.fields:
+            c = _qcol(f.name)
+            if f.name in self.phys_of:
+                dfl = frame.schema[f.name]
+                pt = _phys_type(f.dataType, dfl.dataType)
+                if pt != dfl.dataType:
+                    c = c.cast(pt)
+                c = c.alias(
+                    self.phys_of[f.name],
+                    metadata={
+                        "parquet.field.id": self.fid_of[f.name]
+                    },
+                )
+            sel.append(c)
+        return sel
+
+    def scan(self, rels):
+        """LIVE rows of ``rels`` under LOGICAL column names, with
+        ``__fp``/``__ri`` (file, physical row index) carried."""
+        sc = (
+            self.spark.read.schema(self.file_schema)
+            .parquet(*[self.abs_of[r] for r in rels])
+            .select(
+                "*",
+                _norm_fp_col().alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        )
+        dv_descs = [
+            (self.abs_of[r], self.dv_of(r))
+            for r in rels
+            if self.dv_of(r)
+        ]
+        if dv_descs:
+            # existing masks applied: every count/keep/transform
+            # downstream sees LIVE rows only (a rewrite or a new DV
+            # built from unmasked rows would resurrect deleted data)
+            sc = _apply_dvs(
+                self.spark, self.path, sc, dv_descs, keep_meta=True
+            )
+        if self.mapped:
+            # physical -> logical so user predicates/joins see the
+            # table's declared column names
+            sc = sc.select(
+                *[
+                    F.col("`" + pf.name.replace("`", "``") + "`")
+                    .cast(_relax(lf.dataType))
+                    .alias(lf.name)
+                    for lf, pf in zip(
+                        self.data_logical.fields,
+                        self.file_schema.fields,
+                    )
+                ],
+                "__fp",
+                "__ri",
+            )
+        if self.pcols:
+            pv_rows = [
+                tuple(
+                    [self.abs_of[r]]
+                    + [
+                        dict(
+                            self.live[r].get("partitionValues") or {}
+                        ).get(self.phys_of.get(c, c))
+                        for c in self.pcols
+                    ]
+                )
+                for r in rels
+            ]
+            pv_schema = ", ".join(
+                ["__fp string"]
+                + [f"__pv_{i} string" for i in range(len(self.pcols))]
+            )
+            sc = sc.join(
+                F.broadcast(
+                    self.spark.createDataFrame(pv_rows, pv_schema)
+                ),
+                "__fp",
+            )
+            for i, c in enumerate(self.pcols):
+                ptype = next(
+                    f.dataType
+                    for f in self.logical.fields
+                    if f.name == c
+                )
+                sc = sc.withColumn(
+                    c, F.col(f"__pv_{i}").cast(ptype)
+                ).drop(f"__pv_{i}")
+        return sc
+
+    def stage_and_move(self, frame, tag, dest_prefix=""):
+        """Write ``frame`` partitioned into a dot-staging dir, move
+        every non-empty part under the table root (under
+        ``dest_prefix`` if given) BEFORE the commit (invisible until
+        the entry names them; orphans on terminal failure, vacuum's
+        crash story). Returns
+        [(rel_path_from_table_root, size, numRecords, pv)]."""
+        import shutil as _sh
+
+        path = self.path
+        staging = os.path.join(path, f".{tag}-{uuid.uuid4().hex}")
+        writer = frame.write
+        if self.pcols:
+            writer = writer.partitionBy(*self.part_dirs)
+        writer.parquet(staging)
+        out = []
+        try:
+            staged = []
+            for root, dirs, names in os.walk(staging):
+                dirs[:] = [
+                    d for d in dirs if not d.startswith(("_", "."))
+                ]
+                for n in sorted(names):
+                    if not n.endswith(".parquet") or n.startswith(
+                        ("_", ".")
+                    ):
+                        continue
+                    src = os.path.join(root, n)
+                    nrec = _num_records(src)
+                    if nrec == 0:
+                        continue
+                    staged.append(
+                        (src, os.path.relpath(src, staging), nrec)
+                    )
+            for src, rel, nrec in staged:
+                out_rel = (
+                    f"{dest_prefix}/{rel}" if dest_prefix else rel
+                )
+                dst = os.path.join(path, out_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                out.append(
+                    (
+                        out_rel,
+                        os.path.getsize(dst),
+                        nrec,
+                        _staged_partition_values(
+                            rel, self.part_dirs
+                        ),
+                    )
+                )
+        finally:
+            _sh.rmtree(staging, ignore_errors=True)
+        return out
+
+
 def _dml_from_delta(
     spark: SparkSession,
     path: str,
@@ -3290,8 +3488,6 @@ def _dml_from_delta(
     PROTOCOL.md (public spec) for commit/OCC, the appendOnly / CDF
     writer obligations, and the DV file framing.
     """
-    import shutil as _sh
-
     from .logstore import PosixLogStore
 
     store = log_store or PosixLogStore()
@@ -3370,120 +3566,17 @@ def _dml_from_delta(
                     f"SET targets partition column {c!r}; moving "
                     "rows between partitions is not supported"
                 )
-    pcols = list(meta.get("partitionColumns") or [])
-    cm, phys_of, fid_of = _mapping_of(meta)
-    mapped = cm in ("name", "id")
-    part_dirs = [phys_of.get(c, c) for c in pcols]
-    data_logical = T.StructType(
-        [f for f in logical.fields if f.name not in pcols]
-    )
-    # the files spell PHYSICAL column names under mapping; id mode
-    # additionally resolves by parquet field id (same session-level
-    # conf note as read_delta — consulted at execution time)
-    file_schema = (
-        _physical_schema(data_logical, field_ids=(cm == "id"))
-        if mapped
-        else data_logical
-    )
-    if cm == "id":
-        spark.conf.set(
-            "spark.sql.parquet.fieldId.read.enabled", "true"
-        )
-
     layout_sig = _layout_sig(meta, logical, include_cfg=True)
     if not live:
         return target, 0
 
-    abs_of = {
-        rel: os.path.abspath(os.path.join(path, unquote(rel)))
-        for rel in live
-    }
-    rel_of_abs = {v: k for k, v in abs_of.items()}
-
-    def _dv_of(rel):
-        d = live[rel].get("deletionVector")
-        return d if d is not None and d.get("storageType") else None
-
-    def _phys_sel(frame):
-        """Physical spelling for staged rewrites/cdc files under
-        mapping — the append writer's shape: nested renames + field
-        ids ride a struct cast, top level is an alias."""
-        sel = []
-        for f in logical.fields:
-            c = _qcol(f.name)
-            if f.name in phys_of:
-                dfl = frame.schema[f.name]
-                pt = _phys_type(f.dataType, dfl.dataType)
-                if pt != dfl.dataType:
-                    c = c.cast(pt)
-                c = c.alias(
-                    phys_of[f.name],
-                    metadata={"parquet.field.id": fid_of[f.name]},
-                )
-            sel.append(c)
-        return sel
-
-    def _scan(rels):
-        sc = (
-            spark.read.schema(file_schema)
-            .parquet(*[abs_of[r] for r in rels])
-            .select(
-                "*",
-                _norm_fp_col().alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
-        )
-        dv_descs = [
-            (abs_of[r], _dv_of(r)) for r in rels if _dv_of(r)
-        ]
-        if dv_descs:
-            # existing masks applied: every count/keep/delete below
-            # sees LIVE rows only (a rewrite or a new DV built from
-            # unmasked rows would resurrect deleted data)
-            sc = _apply_dvs(spark, path, sc, dv_descs, keep_meta=True)
-        if mapped:
-            # physical -> logical so the user predicate sees the
-            # table's declared column names
-            sc = sc.select(
-                *[
-                    F.col("`" + pf.name.replace("`", "``") + "`")
-                    .cast(_relax(lf.dataType))
-                    .alias(lf.name)
-                    for lf, pf in zip(
-                        data_logical.fields, file_schema.fields
-                    )
-                ],
-                "__fp",
-                "__ri",
-            )
-        if pcols:
-            pv_rows = [
-                tuple(
-                    [abs_of[r]]
-                    + [
-                        dict(live[r].get("partitionValues") or {}).get(
-                            phys_of.get(c, c)
-                        )
-                        for c in pcols
-                    ]
-                )
-                for r in rels
-            ]
-            pv_schema = ", ".join(
-                ["__fp string"] + [f"__pv_{i} string" for i in range(len(pcols))]
-            )
-            sc = sc.join(
-                F.broadcast(spark.createDataFrame(pv_rows, pv_schema)),
-                "__fp",
-            )
-            for i, c in enumerate(pcols):
-                ptype = next(
-                    f.dataType for f in logical.fields if f.name == c
-                )
-                sc = sc.withColumn(
-                    c, F.col(f"__pv_{i}").cast(ptype)
-                ).drop(f"__pv_{i}")
-        return sc
+    # shared planning/staging machinery (physical file schema,
+    # DV-applied scan with partition columns re-attached, physical
+    # spelling for staged files, stage-then-move) — one snapshot
+    ctx = _TableCtx(spark, path, meta, logical, live)
+    abs_of, rel_of_abs = ctx.abs_of, ctx.rel_of_abs
+    _dv_of, _phys_sel = ctx.dv_of, ctx.phys_sel
+    _scan, _stage_and_move = ctx.scan, ctx.stage_and_move
 
     hit = F.coalesce(F.expr(predicate), F.lit(False))
     counts = (
@@ -3540,55 +3633,6 @@ def _dml_from_delta(
             else:
                 cols.append(_qcol(f.name))
         return frame.select(*cols, "__fp", "__ri")
-
-    def _stage_and_move(frame, tag, dest_prefix=""):
-        """Write ``frame`` partitioned into a dot-staging dir, move
-        every non-empty part under ``path``/``dest_prefix`` BEFORE
-        the commit (invisible until the entry names them; orphans on
-        terminal failure, vacuum's crash story). Returns
-        [(rel_path_from_table_root, size, numRecords, pv)]."""
-        staging = os.path.join(path, f".{tag}-{uuid.uuid4().hex}")
-        writer = frame.write
-        if pcols:
-            writer = writer.partitionBy(*part_dirs)
-        writer.parquet(staging)
-        out = []
-        try:
-            staged = []
-            for root, dirs, names in os.walk(staging):
-                dirs[:] = [
-                    d for d in dirs if not d.startswith(("_", "."))
-                ]
-                for n in sorted(names):
-                    if not n.endswith(".parquet") or n.startswith(
-                        ("_", ".")
-                    ):
-                        continue
-                    src = os.path.join(root, n)
-                    nrec = _num_records(src)
-                    if nrec == 0:
-                        continue
-                    staged.append(
-                        (src, os.path.relpath(src, staging), nrec)
-                    )
-            for src, rel, nrec in staged:
-                out_rel = (
-                    f"{dest_prefix}/{rel}" if dest_prefix else rel
-                )
-                dst = os.path.join(path, out_rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(src, dst)
-                out.append(
-                    (
-                        out_rel,
-                        os.path.getsize(dst),
-                        nrec,
-                        _staged_partition_values(rel, part_dirs),
-                    )
-                )
-        finally:
-            _sh.rmtree(staging, ignore_errors=True)
-        return out
 
     # one materialization of the touched files for every downstream
     # job (cdc, DV masks, transformed/kept rows): the scan re-runs
