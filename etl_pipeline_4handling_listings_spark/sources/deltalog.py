@@ -3979,3 +3979,587 @@ def update_from_delta(
         strategy=strategy,
         set_exprs=dict(set_exprs),
     )
+
+
+def merge_into_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    condition: str,
+    when_matched_update: dict | None = None,
+    update_condition: str | None = None,
+    when_matched_delete: bool = False,
+    delete_condition: str | None = None,
+    when_not_matched_insert: dict | bool = False,
+    insert_condition: str | None = None,
+    log_store=None,
+    max_retries: int = 50,
+) -> tuple[int, dict]:
+    """MERGE ``source`` INTO a foreign Delta table — the verb that
+    completes the interop DML square (append / delete / update /
+    merge): the reference's three curated-pipeline MERGEs run
+    against a STOCK-owned table through this engine's claim
+    protocol. Returns ``(committed_version, {"updated": u,
+    "deleted": d, "inserted": i})``; a merge where no clause applies
+    to any row commits nothing.
+
+    ``condition`` is a SQL boolean over the ``target`` and
+    ``source`` aliases (``"target.id = source.id"``). Clauses, in
+    Delta's evaluation order for a matched pair — update first,
+    then delete, else the row is kept:
+
+    - ``when_matched_update``: column -> SQL expression (both
+      aliases visible, e.g. ``{"price": "source.price"}``), values
+      cast to the column's declared type; ``update_condition``
+      optionally gates it (the reference's changed-columns-only
+      guard, M3). SET may not target partition columns.
+    - ``when_matched_delete``: drop the matched target row,
+      optionally gated by ``delete_condition`` (M2's delete
+      clause).
+    - ``when_not_matched_insert``: ``True`` inserts BY NAME
+      (same-named source columns copied, absent target columns
+      NULL; a source column the table lacks refuses by name —
+      this writer never evolves schemas), or column -> SQL
+      expression over ``source`` (unnamed columns NULL);
+      ``insert_condition`` optionally gates it.
+
+    Shape — delta-spark's own two-pass merge, re-expressed on
+    DataFrames: pass 1 inner-joins the live table scan (existing
+    deletion vectors APPLIED, partition columns re-attached) to the
+    source on ``condition`` and aggregates per file — the
+    multiple-source-rows cardinality gate (Delta's named MERGE
+    error) and the touched-file sets ride one shuffle. Only files
+    where some clause APPLIES (conditions included) are rewritten —
+    a changed-only guard that matches nothing rewrites nothing —
+    while every file with a bare match joins pass 2 so its rows
+    suppress false inserts. Pass 2 full-outer-joins the touched
+    scan to the source, assigns each row a fate (update / delete /
+    keep / insert), and stages rewritten + inserted rows exactly
+    like an append (hive layout, physical spelling + parquet field
+    ids under column mapping, nullability footer gate incl. the
+    hive null-dir check for inserted partition values). The insert
+    side of the join is the usual shuffle-or-broadcast equi-join
+    Catalyst picks; nothing driver-side ever holds row data — only
+    per-file counts.
+
+    Live change-data-feed tables materialize the spec's MERGE rows
+    under ``_change_data/``: ``update_preimage`` /
+    ``update_postimage`` / ``delete`` / ``insert``.
+
+    Concurrency: a MERGE reads the WHOLE table (its insert
+    decisions depend on every live row), so the OCC revalidation is
+    stricter than delete/update's touched-only rule — on a moved
+    head the commit refuses if the live file set changed AT ALL
+    (Delta's ConcurrentAppend / ConcurrentDeleteRead semantics for
+    merges) or the layout signature moved; concurrent
+    checkpoint/metadata-only commits pass. Strategy is rewrite-only
+    (delta-spark's classic MERGE shape; DV-writing merges are a
+    non-goal here).
+
+    Named refusals: appendOnly tables when a matched clause could
+    remove rows, live CHECK constraints / invariants / generated /
+    identity columns (a merge mints values), mapped tables without
+    per-field mapping ids, unsupported writer features, SET on a
+    partition column, and source columns unknown to the table under
+    ``when_not_matched_insert=True``.
+
+    Reference: mls_listings_curated.py:328-353 (M1 upsert),
+    mls_listings_hist_curated.py:183-210 (M2 update+delete+insert),
+    mls_listings_curated_propid_backfill.py:193-219 (M3
+    changed-only guard); PROTOCOL.md (public spec) for commit/OCC
+    and CDF obligations.
+    """
+    from .logstore import PosixLogStore
+
+    has_update = when_matched_update is not None
+    has_delete = bool(when_matched_delete)
+    if isinstance(when_not_matched_insert, dict) and not (
+        when_not_matched_insert
+    ):
+        raise ValueError(
+            "when_not_matched_insert mapping must name at least "
+            "one column (or pass True for insert-by-name)"
+        )
+    has_insert = when_not_matched_insert is True or isinstance(
+        when_not_matched_insert, dict
+    )
+    if not (has_update or has_delete or has_insert):
+        raise ValueError(
+            "merge needs at least one clause: when_matched_update, "
+            "when_matched_delete or when_not_matched_insert"
+        )
+    if has_update and not when_matched_update:
+        raise ValueError(
+            "when_matched_update must name at least one column"
+        )
+    store = log_store or PosixLogStore()
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+
+    def resolve():
+        target, actions = _py_actions(log_dir)
+        meta = proto = None
+        for _v, a in actions:
+            if a.get("metaData") is not None:
+                meta = a["metaData"]
+            elif a.get("protocol") is not None:
+                proto = a["protocol"]
+        if meta is None:
+            raise DeltaProtocolError("log has no metaData action")
+        proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+        _py_check_protocol(proto)
+        if has_update or has_delete:
+            # matched clauses can remove/rewrite rows: the delete
+            # obligations (appendOnly refusal, delete feature
+            # allowlist) apply, PLUS value minting (updates/inserts)
+            _check_delete_writable(proto, meta)
+            _refuse_live_enforcement(meta, "merge")
+        else:
+            # insert-only merge is an append with a match guard —
+            # appendOnly tables are fine
+            _check_append_writable(proto, meta)
+        logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        live = _py_live_adds(actions)
+        return target, proto, meta, logical, live
+
+    target, proto, meta, logical, live = resolve()
+    pcols = list(meta.get("partitionColumns") or [])
+    known = {f.name for f in logical.fields}
+    if has_update:
+        for c in when_matched_update:
+            if c not in known:
+                raise DeltaProtocolError(
+                    f"SET targets unknown column {c!r}"
+                )
+            if c in pcols:
+                raise DeltaProtocolError(
+                    f"SET targets partition column {c!r}; moving "
+                    "rows between partitions is not supported"
+                )
+    if isinstance(when_not_matched_insert, dict):
+        for c in when_not_matched_insert:
+            if c not in known:
+                raise DeltaProtocolError(
+                    f"INSERT targets unknown column {c!r}"
+                )
+    elif when_not_matched_insert is True:
+        extra = [c for c in source.columns if c not in known]
+        if extra:
+            raise DeltaProtocolError(
+                f"source columns {sorted(extra)} do not exist on "
+                "the table; this writer does not evolve schemas — "
+                "drop them or use an explicit insert mapping"
+            )
+    layout_sig = _layout_sig(meta, logical, include_cfg=True)
+    cfg = dict(meta.get("configuration") or {})
+    cdf_on = (
+        str(cfg.get("delta.enableChangeDataFeed", "false")).lower()
+        == "true"
+    )
+    ctx = _TableCtx(spark, path, meta, logical, live)
+
+    def tcol(n):
+        return F.col("target.`" + n.replace("`", "``") + "`")
+
+    def scol(n):
+        return F.col("source.`" + n.replace("`", "``") + "`")
+
+    def gate(cond_str):
+        """A clause condition as a never-NULL boolean (Delta's
+        WHERE rule: NULL never fires a clause)."""
+        if cond_str is None:
+            return F.lit(True)
+        return F.coalesce(F.expr(cond_str), F.lit(False))
+
+    src = source
+    if "__sp" not in src.columns:
+        src = src.withColumn("__sp", F.lit(True))
+
+    # ---- pass 1: touched files + the cardinality gate ------------
+    # (skipped when no matched clause exists — inserts alone never
+    # rewrite a file, and multi-match is then harmless)
+    touched_any: list[str] = []
+    touched_apply: list[str] = []
+    if (has_update or has_delete) and live:
+        upd_fire = gate(update_condition) if has_update else F.lit(False)
+        del_fire = (
+            (~upd_fire if has_update else F.lit(True))
+            & gate(delete_condition)
+            if has_delete
+            else F.lit(False)
+        )
+        applies = upd_fire | del_fire
+        stats = (
+            ctx.scan(sorted(live))
+            .alias("target")
+            .join(src.alias("source"), F.expr(condition), "inner")
+            .groupBy("__fp", "__ri")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.max(F.when(applies, 1).otherwise(0)).alias("__ap"),
+            )
+            .groupBy("__fp")
+            .agg(
+                F.max("__c").alias("__dup"),
+                F.sum("__ap").alias("__apply"),
+            )
+            .collect()
+        )
+        dup = [r for r in stats if r["__dup"] > 1]
+        if dup:
+            raise DeltaProtocolError(
+                "MERGE cannot resolve: multiple source rows match "
+                "the same target row under the matched clauses "
+                f"(e.g. in {ctx.rel_of_abs[dup[0]['__fp']]!r}) — "
+                "deduplicate the source on the merge keys"
+            )
+        touched_any = sorted(
+            ctx.rel_of_abs[r["__fp"]] for r in stats
+        )
+        touched_apply = sorted(
+            ctx.rel_of_abs[r["__fp"]]
+            for r in stats
+            if r["__apply"] > 0
+        )
+
+    # ---- pass 2: fates --------------------------------------------
+    def upd_val(f):
+        if has_update and f.name in when_matched_update:
+            return F.expr(when_matched_update[f.name]).cast(
+                _relax(f.dataType)
+            )
+        return tcol(f.name)
+
+    def ins_val(f):
+        null = F.lit(None).cast(_relax(f.dataType))
+        if when_not_matched_insert is True:
+            if f.name in source.columns:
+                return scol(f.name).cast(_relax(f.dataType))
+            return null
+        if (
+            isinstance(when_not_matched_insert, dict)
+            and f.name in when_not_matched_insert
+        ):
+            return F.expr(when_not_matched_insert[f.name]).cast(
+                _relax(f.dataType)
+            )
+        return null
+
+    null_pre = F.lit(None).cast(
+        T.StructType(
+            [
+                T.StructField(f.name, _relax(f.dataType), True)
+                for f in logical.fields
+            ]
+        )
+    )
+    if touched_any:
+        # rewrite side joins every file with a bare match (their
+        # rows must suppress false inserts) but only apply-files
+        # are staged; insert rows fall out of the same full outer
+        joined = (
+            ctx.scan(touched_any)
+            .alias("target")
+            .join(src.alias("source"), F.expr(condition), "full_outer")
+        )
+        on_target = F.col("__ri").isNotNull()
+        on_source = F.col("__sp").isNotNull()
+        matched = on_target & on_source
+        upd_hit = (
+            matched & gate(update_condition)
+            if has_update
+            else F.lit(False)
+        )
+        del_hit = (
+            matched & ~upd_hit & gate(delete_condition)
+            if has_delete
+            else F.lit(False)
+        )
+        ins_hit = (
+            ~on_target & on_source & gate(insert_condition)
+            if has_insert
+            else F.lit(False)
+        )
+        fate = (
+            F.when(upd_hit, F.lit("u"))
+            .when(del_hit, F.lit("d"))
+            .when(on_target, F.lit("k"))
+            .when(ins_hit, F.lit("i"))
+            .otherwise(F.lit("x"))
+        )
+        out_cols = [
+            F.when(upd_hit, upd_val(f))
+            .when(on_target, tcol(f.name))
+            .otherwise(ins_val(f))
+            .alias(f.name)
+            for f in logical.fields
+        ]
+        fated = joined.select(
+            fate.alias("__fate"),
+            F.col("__fp"),
+            F.struct(
+                *[tcol(f.name).alias(f.name) for f in logical.fields]
+            ).alias("__pre"),
+            F.struct(*out_cols).alias("__out"),
+        ).filter(F.col("__fate") != "x")
+    else:
+        # no file is touched: matched clauses (if any) matched
+        # nothing — only inserts remain. Source rows that match a
+        # live row anywhere must NOT insert: anti-join on the same
+        # condition (Catalyst broadcasts/shuffles as usual).
+        if not has_insert:
+            return target, {"updated": 0, "deleted": 0, "inserted": 0}
+        ins_src = src.alias("source")
+        if live:
+            ins_src = ins_src.join(
+                ctx.scan(sorted(live)).alias("target"),
+                F.expr(condition),
+                "left_anti",
+            ).alias("source")
+        fated = (
+            ins_src.filter(gate(insert_condition))
+            .select(
+                F.lit("i").alias("__fate"),
+                F.lit(None).cast("string").alias("__fp"),
+                null_pre.alias("__pre"),
+                F.struct(
+                    *[
+                        ins_val(f).alias(f.name)
+                        for f in logical.fields
+                    ]
+                ).alias("__out"),
+            )
+        )
+
+    # single materialization consumed by counts, staging and CDF
+    fated2 = fated
+    from pyspark import StorageLevel
+
+    fated2 = fated2.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        fate_counts = {
+            r["__fate"]: r["n"]
+            for r in fated2.groupBy("__fate")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_upd = int(fate_counts.get("u", 0))
+        n_del = int(fate_counts.get("d", 0))
+        n_ins = int(fate_counts.get("i", 0))
+        counts = {
+            "updated": n_upd,
+            "deleted": n_del,
+            "inserted": n_ins,
+        }
+        if n_upd == 0 and n_del == 0 and n_ins == 0:
+            return target, counts
+
+        # rows that land in staged files: updates + inserts always;
+        # keeps only from files being rewritten anyway
+        if touched_apply:
+            if len(touched_apply) == len(touched_any):
+                keep_ok = F.lit(True)
+            else:
+                apply_fps = [ctx.abs_of[r] for r in touched_apply]
+                keep_ok = F.col("__fp").isin(apply_fps)
+        else:
+            keep_ok = F.lit(False)
+        stage_rows = fated2.filter(
+            F.col("__fate").isin("u", "i")
+            | ((F.col("__fate") == "k") & keep_ok)
+        ).select("__out.*")
+        out_frame = stage_rows.select(*ctx.phys_sel(stage_rows))
+        staged_new = ctx.stage_and_move(out_frame, "merge")
+
+        # the staged bytes must honor the nullability contract —
+        # merge mints values (footer gate + hive null-dir check for
+        # inserted partition values), validated BEFORE the commit
+        nn = _nn_leaf_paths(logical)
+        if nn:
+            for rel, _size, _nrec, _pv in staged_new:
+                bad = _staged_null_columns(
+                    os.path.join(path, rel), set(nn)
+                )
+                for seg in rel.split("/")[:-1]:
+                    if "=" in seg:
+                        c, raw = seg.split("=", 1)
+                        if c in nn and raw == DEFAULT_PARTITION:
+                            bad.append(c)
+                if bad:
+                    raise DeltaProtocolError(
+                        f"columns {sorted(nn[c] for c in bad)} are "
+                        "declared non-nullable by the table but the "
+                        "merged data contains NULLs there — "
+                        "refusing the merge"
+                    )
+
+        cdc_actions: list[dict] = []
+        if cdf_on:
+            pre = fated2.select("__fate", "__pre.*")
+            post = fated2.select("__fate", "__out.*")
+            parts = [
+                pre.filter(F.col("__fate") == "u")
+                .drop("__fate")
+                .withColumn("_ct", F.lit("update_preimage")),
+                post.filter(F.col("__fate") == "u")
+                .drop("__fate")
+                .withColumn("_ct", F.lit("update_postimage")),
+                pre.filter(F.col("__fate") == "d")
+                .drop("__fate")
+                .withColumn("_ct", F.lit("delete")),
+                post.filter(F.col("__fate") == "i")
+                .drop("__fate")
+                .withColumn("_ct", F.lit("insert")),
+            ]
+            cdc_frame = parts[0]
+            for p in parts[1:]:
+                cdc_frame = cdc_frame.unionByName(p)
+            cdc_out = cdc_frame.select(
+                *ctx.phys_sel(cdc_frame),
+                F.col("_ct").alias("_change_type"),
+            )
+            tag = f"merge-{uuid.uuid4().hex}"
+            for rel, size, _nrec, pv in ctx.stage_and_move(
+                cdc_out, "cdf", dest_prefix=f"{_CHANGE_DATA_DIR}/{tag}"
+            ):
+                cdc_actions.append(
+                    {
+                        "path": _encode_path(rel),
+                        "partitionValues": pv,
+                        "size": size,
+                        "dataChange": False,
+                    }
+                )
+    finally:
+        fated2.unpersist()
+
+    adds: list[dict] = []
+    for rel, size, nrec, pv in staged_new:
+        add = {
+            "path": _encode_path(rel),
+            "partitionValues": pv,
+            "size": size,
+            "modificationTime": int(
+                os.path.getmtime(os.path.join(path, rel)) * 1000
+            ),
+            "dataChange": True,
+        }
+        if nrec is not None:
+            add["stats"] = json.dumps({"numRecords": nrec})
+        adds.append(add)
+
+    def revalidate():
+        """Moved head: a merge READ the whole table, so any change
+        to the live file set invalidates both its match results and
+        its insert decisions — Delta's ConcurrentAppend /
+        ConcurrentDeleteRead rules for merges. Metadata-only
+        commits (checkpoints, empty commitInfo) pass; layout
+        changes refuse."""
+        nonlocal meta
+        _t, _p, meta, n_logical, n_live = resolve()
+        if _layout_sig(meta, n_logical, include_cfg=True) != layout_sig:
+            raise DeltaProtocolError(
+                "a concurrent commit changed the table layout "
+                "(partitioning, schema or configuration) under "
+                "this merge — re-run it"
+            )
+        added = sorted(set(n_live) - set(live))
+        if added:
+            raise DeltaProtocolError(
+                f"concurrent commit added files {added[:3]!r}"
+                f"{'...' if len(added) > 3 else ''} this merge did "
+                "not read (ConcurrentAppend) — re-run it"
+            )
+        changed = sorted(
+            rel
+            for rel in live
+            if _canon_add(n_live.get(rel)) != _canon_add(live[rel])
+        )
+        if changed:
+            raise DeltaProtocolError(
+                f"concurrent commit removed/rewrote {changed[:3]!r}"
+                f"{'...' if len(changed) > 3 else ''} this merge "
+                "read (ConcurrentDeleteRead) — re-run it"
+            )
+
+    validated_at = target
+    for _attempt in range(max_retries):
+        head = _latest_log_version(log_dir)
+        if head != validated_at:
+            revalidate()
+            validated_at = head
+        ver = head + 1
+        now_ms = int(time.time() * 1000)
+        ci = {
+            "timestamp": now_ms,
+            "operation": "MERGE",
+            "operationParameters": {
+                "predicate": condition,
+                "matchedPredicates": json.dumps(
+                    (
+                        [
+                            {
+                                "predicate": update_condition,
+                                "actionType": "update",
+                            }
+                        ]
+                        if has_update
+                        else []
+                    )
+                    + (
+                        [
+                            {
+                                "predicate": delete_condition,
+                                "actionType": "delete",
+                            }
+                        ]
+                        if has_delete
+                        else []
+                    )
+                ),
+                "notMatchedPredicates": json.dumps(
+                    [
+                        {
+                            "predicate": insert_condition,
+                            "actionType": "insert",
+                        }
+                    ]
+                    if has_insert
+                    else []
+                ),
+            },
+            "engineInfo": "mergestore-deltalog-merge",
+        }
+        if _ict_on(meta):
+            ci["inCommitTimestamp"] = max(
+                now_ms, _prev_commit_ms(log_dir, head) + 1
+            )
+        removes = []
+        for rel in touched_apply:
+            ad = live[rel]
+            rm = {
+                "path": ad["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": ad.get("partitionValues") or {},
+            }
+            if ad.get("size") is not None:
+                rm["size"] = ad["size"]
+            if ctx.dv_of(rel):
+                rm["deletionVector"] = ctx.dv_of(rel)
+            removes.append(rm)
+        lines = (
+            [{"commitInfo": ci}]
+            + [{"cdc": c} for c in cdc_actions]
+            + [{"remove": r} for r in removes]
+            + [{"add": a} for a in adds]
+        )
+        payload = "\n".join(json.dumps(ln) for ln in lines) + "\n"
+        entry = os.path.join(log_dir, f"{ver:020d}.json")
+        if store.create_exclusive(entry, payload):
+            return ver, counts
+    raise DeltaProtocolError(
+        f"lost the commit race {max_retries} times at {log_dir}"
+    )
