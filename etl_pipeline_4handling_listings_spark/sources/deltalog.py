@@ -3040,15 +3040,7 @@ def append_to_delta(
     if not adds:  # empty DataFrame: nothing to commit
         return target
 
-    validated_at = target
-    for _attempt in range(max_retries):
-        head = _latest_log_version(log_dir)
-        if head != validated_at:
-            # the head moved past the last validation — during
-            # staging, or because the previous claim was lost
-            revalidate()
-            validated_at = head
-        ver = head + 1
+    def make_payload(ver, head):
         now_ms = int(time.time() * 1000)
         ci = {
             "timestamp": now_ms,
@@ -3061,12 +3053,10 @@ def append_to_delta(
                 now_ms, _prev_commit_ms(log_dir, head) + 1
             )
         lines = [{"commitInfo": ci}] + [{"add": a} for a in adds]
-        payload = "\n".join(json.dumps(ln) for ln in lines) + "\n"
-        entry = os.path.join(log_dir, f"{ver:020d}.json")
-        if store.create_exclusive(entry, payload):
-            return ver
-    raise DeltaProtocolError(
-        f"lost the commit race {max_retries} times at {log_dir}"
+        return "\n".join(json.dumps(ln) for ln in lines) + "\n"
+
+    return _claim_commit(
+        store, log_dir, target, revalidate, make_payload, max_retries
     )
 
 
@@ -3209,6 +3199,83 @@ def _py_live_adds(actions: list) -> dict:
             if ad is not None and ad.get("path"):
                 live[ad["path"]] = ad
     return live
+
+
+def _adds_for_staged(path: str, staged_new: list) -> list[dict]:
+    """``add`` actions for stage-and-move results — one shape for
+    every staging writer (rewrites, updates, merges)."""
+    adds: list[dict] = []
+    for rel, size, nrec, pv in staged_new:
+        add = {
+            "path": _encode_path(rel),
+            "partitionValues": pv,
+            "size": size,
+            "modificationTime": int(
+                os.path.getmtime(os.path.join(path, rel)) * 1000
+            ),
+            "dataChange": True,
+        }
+        if nrec is not None:
+            add["stats"] = json.dumps({"numRecords": nrec})
+        adds.append(add)
+    return adds
+
+
+def _assert_staged_nonnull(
+    path: str, staged_new: list, logical, verb: str
+) -> None:
+    """Minted values must honor the table's nullability contract:
+    footer null_count gate over the staged parquet itself (the
+    exact bytes being committed), plus the hive null-dir check for
+    partition values (a NULL there surfaces as the DEFAULT dir
+    name, not in any footer). Validated BEFORE the commit — the
+    files are invisible until the entry names them; a refusal
+    leaves vacuumable orphans, Delta's own crash story."""
+    nn = _nn_leaf_paths(logical)
+    if not nn:
+        return
+    for rel, _size, _nrec, _pv in staged_new:
+        bad = _staged_null_columns(os.path.join(path, rel), set(nn))
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                c, raw = seg.split("=", 1)
+                if c in nn and raw == DEFAULT_PARTITION:
+                    bad.append(c)
+        if bad:
+            raise DeltaProtocolError(
+                f"columns {sorted(nn[c] for c in bad)} are declared "
+                "non-nullable by the table but the staged data "
+                f"contains NULLs there — refusing the {verb}"
+            )
+
+
+def _claim_commit(
+    store,
+    log_dir: str,
+    validated_at: int,
+    revalidate,
+    make_payload,
+    max_retries: int,
+) -> int:
+    """The claim/OCC loop every foreign-Delta writer shares: take
+    the current head, re-run the caller's gates if it moved past
+    the last validation, build the entry payload for the next
+    version, and claim it with the LogStore's create-if-absent
+    primitive. ``make_payload(ver, head)`` returns the full
+    newline-joined JSON body (it reads the caller's current
+    ``meta`` for the ict rule — ``revalidate`` keeps it fresh)."""
+    for _attempt in range(max_retries):
+        head = _latest_log_version(log_dir)
+        if head != validated_at:
+            revalidate()
+            validated_at = head
+        ver = head + 1
+        entry = os.path.join(log_dir, f"{ver:020d}.json")
+        if store.create_exclusive(entry, make_payload(ver, head)):
+            return ver
+    raise DeltaProtocolError(
+        f"lost the commit race {max_retries} times at {log_dir}"
+    )
 
 
 class _TableCtx:
@@ -3804,37 +3871,10 @@ def _dml_from_delta(
             out, "update" if set_exprs is not None else "delete"
         )
     if set_exprs is not None and staged_new:
-        # updates mint values: the staged files must honor the
-        # table's nullability contract, the same footer-stats gate
-        # appends run (validated before the COMMIT — the files are
-        # invisible until the entry names them; a refusal leaves
-        # vacuumable orphans, Delta's own crash story)
-        nn = _nn_leaf_paths(logical)
-        if nn:
-            for rel, _size, _nrec, _pv in staged_new:
-                bad = _staged_null_columns(
-                    os.path.join(path, rel), set(nn)
-                )
-                if bad:
-                    raise DeltaProtocolError(
-                        f"columns {sorted(nn[c] for c in bad)} are "
-                        "declared non-nullable by the table but the "
-                        "updated data contains NULLs there — "
-                        "refusing the update"
-                    )
-    for rel, size, nrec, pv in staged_new:
-        add = {
-            "path": _encode_path(rel),
-            "partitionValues": pv,
-            "size": size,
-            "modificationTime": int(
-                os.path.getmtime(os.path.join(path, rel)) * 1000
-            ),
-            "dataChange": True,
-        }
-        if nrec is not None:
-            add["stats"] = json.dumps({"numRecords": nrec})
-        adds.append(add)
+        # updates mint values: the same footer-stats nullability
+        # gate appends run, over the exact staged bytes
+        _assert_staged_nonnull(path, staged_new, logical, "update")
+    adds.extend(_adds_for_staged(path, staged_new))
     if n_consumers > 1:
         touched_scan.unpersist()
 
@@ -3865,13 +3905,7 @@ def _dml_from_delta(
                 "also touches (ConcurrentDeleteDelete) — re-run it"
             )
 
-    validated_at = target
-    for _attempt in range(max_retries):
-        head = _latest_log_version(log_dir)
-        if head != validated_at:
-            revalidate()
-            validated_at = head
-        ver = head + 1
+    def make_payload(ver, head):
         now_ms = int(time.time() * 1000)
         verb = "UPDATE" if set_exprs is not None else "DELETE"
         ci = {
@@ -3907,13 +3941,12 @@ def _dml_from_delta(
             + [{"remove": r} for r in removes]
             + [{"add": a} for a in adds]
         )
-        payload = "\n".join(json.dumps(ln) for ln in lines) + "\n"
-        entry = os.path.join(log_dir, f"{ver:020d}.json")
-        if store.create_exclusive(entry, payload):
-            return ver, rows_deleted
-    raise DeltaProtocolError(
-        f"lost the commit race {max_retries} times at {log_dir}"
+        return "\n".join(json.dumps(ln) for ln in lines) + "\n"
+
+    ver = _claim_commit(
+        store, log_dir, target, revalidate, make_payload, max_retries
     )
+    return ver, rows_deleted
 
 
 def delete_from_delta(
@@ -4073,6 +4106,20 @@ def merge_into_delta(
 
     has_update = when_matched_update is not None
     has_delete = bool(when_matched_delete)
+    if not isinstance(when_matched_delete, bool):
+        raise ValueError(
+            "when_matched_delete must be a bool; put the clause "
+            "condition in delete_condition"
+        )
+    if (
+        when_not_matched_insert is not True
+        and when_not_matched_insert is not False
+        and not isinstance(when_not_matched_insert, dict)
+    ):
+        raise ValueError(
+            "when_not_matched_insert must be True (insert-by-name),"
+            " False, or a column -> SQL-expression mapping"
+        )
     if isinstance(when_not_matched_insert, dict) and not (
         when_not_matched_insert
     ):
@@ -4091,6 +4138,24 @@ def merge_into_delta(
     if has_update and not when_matched_update:
         raise ValueError(
             "when_matched_update must name at least one column"
+        )
+    # a condition without its clause would be silently dead — the
+    # caller forgot the clause flag, never what they meant
+    for cond_val, flag, what in (
+        (update_condition, has_update, "update_condition"),
+        (delete_condition, has_delete, "delete_condition"),
+        (insert_condition, has_insert, "insert_condition"),
+    ):
+        if cond_val is not None and not flag:
+            raise ValueError(
+                f"{what} was given but its clause is absent — "
+                "enable the matching when_* argument"
+            )
+    reserved = {"__fp", "__ri", "__sp"} & set(source.columns)
+    if reserved:
+        raise ValueError(
+            f"source columns {sorted(reserved)} collide with "
+            "merge-internal names — rename them first"
         )
     store = log_store or PosixLogStore()
     log_dir = os.path.join(path, _LOG_DIR)
@@ -4172,15 +4237,14 @@ def merge_into_delta(
             return F.lit(True)
         return F.coalesce(F.expr(cond_str), F.lit(False))
 
-    src = source
-    if "__sp" not in src.columns:
-        src = src.withColumn("__sp", F.lit(True))
+    src = source.withColumn("__sp", F.lit(True))
 
     # ---- pass 1: touched files + the cardinality gate ------------
     # (skipped when no matched clause exists — inserts alone never
     # rewrite a file, and multi-match is then harmless)
     touched_any: list[str] = []
     touched_apply: list[str] = []
+    need_dedup = False
     if (has_update or has_delete) and live:
         upd_fire = gate(update_condition) if has_update else F.lit(False)
         del_fire = (
@@ -4207,13 +4271,20 @@ def merge_into_delta(
             .collect()
         )
         dup = [r for r in stats if r["__dup"] > 1]
-        if dup:
+        # delta-spark's carve-out: when the ONLY matched clause is
+        # an unconditional DELETE, deleting the same row via many
+        # matches is idempotent — allowed (pass 2 dedups the fates)
+        dup_ok = (
+            has_delete and not has_update and delete_condition is None
+        )
+        if dup and not dup_ok:
             raise DeltaProtocolError(
                 "MERGE cannot resolve: multiple source rows match "
                 "the same target row under the matched clauses "
                 f"(e.g. in {ctx.rel_of_abs[dup[0]['__fp']]!r}) — "
                 "deduplicate the source on the merge keys"
             )
+        need_dedup = bool(dup)
         touched_any = sorted(
             ctx.rel_of_abs[r["__fp"]] for r in stats
         )
@@ -4298,11 +4369,22 @@ def merge_into_delta(
         fated = joined.select(
             fate.alias("__fate"),
             F.col("__fp"),
+            F.col("__ri"),
             F.struct(
                 *[tcol(f.name).alias(f.name) for f in logical.fields]
             ).alias("__pre"),
             F.struct(*out_cols).alias("__out"),
         ).filter(F.col("__fate") != "x")
+        if need_dedup:
+            # duplicate matches under the unconditional-delete
+            # carve-out: every match of one target row yields the
+            # SAME fate and pre-image — keep one per (file, row)
+            # so counts, staging and CDF rows never double
+            fated = fated.filter(F.col("__fate") == "i").unionByName(
+                fated.filter(F.col("__fate") != "i").dropDuplicates(
+                    ["__fp", "__ri"]
+                )
+            )
     else:
         # no file is touched: matched clauses (if any) matched
         # nothing — only inserts remain. Source rows that match a
@@ -4372,27 +4454,9 @@ def merge_into_delta(
         out_frame = stage_rows.select(*ctx.phys_sel(stage_rows))
         staged_new = ctx.stage_and_move(out_frame, "merge")
 
-        # the staged bytes must honor the nullability contract —
-        # merge mints values (footer gate + hive null-dir check for
-        # inserted partition values), validated BEFORE the commit
-        nn = _nn_leaf_paths(logical)
-        if nn:
-            for rel, _size, _nrec, _pv in staged_new:
-                bad = _staged_null_columns(
-                    os.path.join(path, rel), set(nn)
-                )
-                for seg in rel.split("/")[:-1]:
-                    if "=" in seg:
-                        c, raw = seg.split("=", 1)
-                        if c in nn and raw == DEFAULT_PARTITION:
-                            bad.append(c)
-                if bad:
-                    raise DeltaProtocolError(
-                        f"columns {sorted(nn[c] for c in bad)} are "
-                        "declared non-nullable by the table but the "
-                        "merged data contains NULLs there — "
-                        "refusing the merge"
-                    )
+        # merge mints values: footer nullability gate + hive
+        # null-dir check for inserted partition values
+        _assert_staged_nonnull(path, staged_new, logical, "merge")
 
         cdc_actions: list[dict] = []
         if cdf_on:
@@ -4434,20 +4498,7 @@ def merge_into_delta(
     finally:
         fated2.unpersist()
 
-    adds: list[dict] = []
-    for rel, size, nrec, pv in staged_new:
-        add = {
-            "path": _encode_path(rel),
-            "partitionValues": pv,
-            "size": size,
-            "modificationTime": int(
-                os.path.getmtime(os.path.join(path, rel)) * 1000
-            ),
-            "dataChange": True,
-        }
-        if nrec is not None:
-            add["stats"] = json.dumps({"numRecords": nrec})
-        adds.append(add)
+    adds = _adds_for_staged(path, staged_new)
 
     def revalidate():
         """Moved head: a merge READ the whole table, so any change
@@ -4483,13 +4534,7 @@ def merge_into_delta(
                 "read (ConcurrentDeleteRead) — re-run it"
             )
 
-    validated_at = target
-    for _attempt in range(max_retries):
-        head = _latest_log_version(log_dir)
-        if head != validated_at:
-            revalidate()
-            validated_at = head
-        ver = head + 1
+    def make_payload(ver, head):
         now_ms = int(time.time() * 1000)
         ci = {
             "timestamp": now_ms,
@@ -4556,10 +4601,9 @@ def merge_into_delta(
             + [{"remove": r} for r in removes]
             + [{"add": a} for a in adds]
         )
-        payload = "\n".join(json.dumps(ln) for ln in lines) + "\n"
-        entry = os.path.join(log_dir, f"{ver:020d}.json")
-        if store.create_exclusive(entry, payload):
-            return ver, counts
-    raise DeltaProtocolError(
-        f"lost the commit race {max_retries} times at {log_dir}"
+        return "\n".join(json.dumps(ln) for ln in lines) + "\n"
+
+    ver = _claim_commit(
+        store, log_dir, target, revalidate, make_payload, max_retries
     )
+    return ver, counts

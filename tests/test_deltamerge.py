@@ -593,6 +593,109 @@ def test_merge_argument_refusals(spark, tmp_path):
         )
 
 
+def test_merge_refuses_misshapen_arguments(spark, tmp_path):
+    """Orphaned clause conditions, wrong-typed clause flags and
+    reserved source column names refuse loudly instead of silently
+    dropping a clause or corrupting fates."""
+    tbl = _mk_foreign(tmp_path, name="mshape")
+    _seed(spark, tbl, [(1, "a")])
+    src = _src(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="delete_condition"):
+        merge_into_delta(
+            spark,
+            tbl,
+            src,
+            "target.k = source.k",
+            when_matched_update={"v": "source.v"},
+            delete_condition="source.v IS NULL",  # flag forgotten
+        )
+    with pytest.raises(ValueError, match="insert_condition"):
+        merge_into_delta(
+            spark,
+            tbl,
+            src,
+            "target.k = source.k",
+            when_matched_update={"v": "source.v"},
+            insert_condition="source.k > 0",
+        )
+    with pytest.raises(ValueError, match="must be a bool"):
+        merge_into_delta(
+            spark,
+            tbl,
+            src,
+            "target.k = source.k",
+            when_matched_delete="source.v IS NULL",
+        )
+    with pytest.raises(ValueError, match="insert-by-name"):
+        merge_into_delta(
+            spark,
+            tbl,
+            src,
+            "target.k = source.k",
+            when_not_matched_insert=["k", "v"],
+        )
+    with pytest.raises(ValueError, match="__sp"):
+        merge_into_delta(
+            spark,
+            tbl,
+            spark.createDataFrame(
+                [(1, True)], "k long, __sp boolean"
+            ),
+            "target.k = source.k",
+            when_matched_delete=True,
+        )
+
+
+def test_merge_dup_match_delete_carveout(spark, tmp_path):
+    """delta-spark's carve-out: multiple source rows matching one
+    target row are ALLOWED when the only matched clause is an
+    unconditional DELETE (idempotent) — counted once, one CDF
+    delete row — but a delete_condition re-arms the refusal."""
+    tbl = _mk_foreign(
+        tmp_path,
+        cfg={"delta.enableChangeDataFeed": "true"},
+        name="mdupdel",
+    )
+    _seed(spark, tbl, [(1, "a"), (2, "b")])
+    dup_src = _src(
+        spark, [(1, "x"), (1, "y"), (3, "c"), (3, "c")]
+    )
+    ver, counts = merge_into_delta(
+        spark,
+        tbl,
+        dup_src,
+        "target.k = source.k",
+        when_matched_delete=True,
+        when_not_matched_insert=True,
+    )
+    # the matched row deletes ONCE; every not-matched source row
+    # inserts, duplicates included (Delta's rule)
+    assert counts == {"updated": 0, "deleted": 1, "inserted": 2}
+    got = sorted(
+        (r.k, r.v) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(2, "b"), (3, "c"), (3, "c")]
+    ch = read_delta_changes(
+        spark, tbl, starting_version=ver, ending_version=ver
+    )
+    dels = [
+        r for r in ch.collect() if r["_change_type"] == "delete"
+    ]
+    assert len(dels) == 1 and dels[0]["k"] == 1
+    # a delete CONDITION makes which-match-fires ambiguous again
+    with pytest.raises(
+        DeltaProtocolError, match="multiple source rows"
+    ):
+        merge_into_delta(
+            spark,
+            tbl,
+            _src(spark, [(2, "x"), (2, "y")]),
+            "target.k = source.k",
+            when_matched_delete=True,
+            delete_condition="source.v = 'x'",
+        )
+
+
 def test_merge_empty_source_commits_nothing(spark, tmp_path):
     tbl = _mk_foreign(tmp_path, name="mempty")
     ver0 = _seed(spark, tbl, [(1, "a")])
