@@ -48,6 +48,16 @@ never a silent misparse):
 MERGE raise with a pointer to ``MergeStore.update`` — partial
 assignment is a different operation, not a parse nicety.
 
+Handles in ``tables`` are :class:`MergeStore` objects OR path
+strings naming a foreign (stock-owned) Delta table — the analogue
+of delta-spark's ``delta.`/path``` spelling. With a path handle,
+MERGE / DELETE / UPDATE / INSERT route onto the foreign-DML engine
+(``merge_into_delta`` / ``delete_from_delta`` / ``update_from_delta``
+/ ``append_to_delta``): the reference's verbatim SQL runs against a
+table a stock deployment owns, through the same claim/OCC protocol.
+Store-lifecycle statements (VACUUM, RESTORE, OPTIMIZE, ALTER,
+CLONE, DESCRIBE) stay MergeStore-only and refuse a path by name.
+
 Scale note: this layer only PARSES; every statement lands on the
 same engine paths as the Python API (one-shuffle merge_upsert, DV
 delete/update, OCC commits), so the SQL surface adds zero plan cost.
@@ -72,12 +82,30 @@ def _norm(sql: str) -> str:
     return re.sub(r"\s+", " ", sql.strip().rstrip(";").strip())
 
 
-def _get_table(tables: dict, name: str) -> MergeStore:
+def _get_table(tables: dict, name: str):
+    """The handle for a statement table name: a :class:`MergeStore`,
+    or a PATH STRING naming a foreign (stock-owned) Delta table —
+    the analogue of delta-spark's ``delta.`/path```. MERGE / DELETE
+    / UPDATE / INSERT route onto the foreign-DML engine
+    (``merge_into_delta`` & co.); store-lifecycle statements
+    (VACUUM, RESTORE, OPTIMIZE, ALTER, CLONE, DESCRIBE) stay
+    MergeStore-only and refuse a path by name."""
     if name not in tables:
         raise DMLParseError(
             f"unknown table {name!r}; known: {sorted(tables)}"
         )
     return tables[name]
+
+
+def _get_store(tables: dict, name: str, verb: str) -> MergeStore:
+    handle = _get_table(tables, name)
+    if isinstance(handle, str):
+        raise DMLParseError(
+            f"{verb} targets a foreign Delta path ({handle!r}); "
+            "only MERGE / DELETE / UPDATE / INSERT reach foreign "
+            "tables — lifecycle statements need the owning engine"
+        )
+    return handle
 
 
 def _resolve_source(spark: SparkSession, src: str) -> DataFrame:
@@ -122,21 +150,29 @@ def _unmask_literals(s: str, lits: list) -> str:
     return s
 
 
-def _rewrite_refs(cond: str, dst_names: list, src_names: list) -> str:
-    """Qualify-rewrite a merge clause condition onto the join frame's
-    row structs: ``destination.x`` -> ``_t.x``, ``source.y`` ->
-    ``_s.y``. Literals are masked first (rewriting must never reach
-    inside a string). Unqualified column references are rejected —
-    inside a MERGE both rows are in scope, so a bare name is
-    ambiguous (same rule Delta applies)."""
+def _rewrite_refs(
+    cond: str,
+    dst_names: list,
+    src_names: list,
+    t_tag: str = "_t.",
+    s_tag: str = "_s.",
+) -> str:
+    """Qualify-rewrite a merge clause condition onto the engine's
+    row scopes: ``destination.x`` -> ``_t.x``, ``source.y`` ->
+    ``_s.y`` (MergeStore's join structs) or ``target.x`` /
+    ``source.y`` (the foreign-DML engine's aliases). Literals are
+    masked first (rewriting must never reach inside a string).
+    Unqualified column references are rejected — inside a MERGE
+    both rows are in scope, so a bare name is ambiguous (same rule
+    Delta applies)."""
     out, lits = _mask_literals(cond)
     for alias in dst_names:
         out = re.sub(
-            rf"\b{re.escape(alias)}\s*\.", "_t.", out, flags=re.I
+            rf"\b{re.escape(alias)}\s*\.", t_tag, out, flags=re.I
         )
     for alias in src_names:
         out = re.sub(
-            rf"\b{re.escape(alias)}\s*\.", "_s.", out, flags=re.I
+            rf"\b{re.escape(alias)}\s*\.", s_tag, out, flags=re.I
         )
     return _unmask_literals(out, lits)
 
@@ -206,6 +242,13 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
             "<view|(subquery)> ON <cond> WHEN [NOT] MATCHED ..."
         )
     store = _get_table(tables, m.group("dst"))
+    is_foreign = isinstance(store, str)
+    t_tag, s_tag = (
+        ("target.", "source.") if is_foreign else ("_t.", "_s.")
+    )
+    ok_quals = (
+        ("target", "source") if is_foreign else ("_t", "_s")
+    )
     dst_names = [m.group("dst")] + (
         [m.group("dsta")] if m.group("dsta") else []
     )
@@ -219,18 +262,26 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
         )
     source = _resolve_source(spark, _unmask_literals(src_txt, lits))
 
-    keys = _parse_on_keys(m.group("on"), dst_names, src_names)
-    if store.keys and sorted(k.lower() for k in keys) != sorted(
-        k.lower() for k in store.keys
-    ):
-        raise DMLParseError(
-            f"ON keys {sorted(keys)} != store keys "
-            f"{sorted(store.keys)} — a merge on other columns is "
-            "not this table's keyed upsert"
-        )
+    if is_foreign:
+        # the foreign engine takes the ON condition verbatim (its
+        # planner extracts the equi-keys); qualifiers rewrite onto
+        # its target/source aliases and validate the same way
+        pass
+    else:
+        keys = _parse_on_keys(m.group("on"), dst_names, src_names)
+        if store.keys and sorted(k.lower() for k in keys) != sorted(
+            k.lower() for k in store.keys
+        ):
+            raise DMLParseError(
+                f"ON keys {sorted(keys)} != store keys "
+                f"{sorted(store.keys)} — a merge on other columns is "
+                "not this table's keyed upsert"
+            )
 
     def rewrite_validate(txt: str) -> str:
-        rewritten = _rewrite_refs(txt, dst_names, src_names)
+        rewritten = _rewrite_refs(
+            txt, dst_names, src_names, t_tag, s_tag
+        )
         # validate qualifiers on the MASKED text: dots inside string
         # literals ('closed.by.agent') are values, not references
         masked, _lits = _mask_literals(rewritten)
@@ -238,7 +289,7 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
         bad = {
             w
             for w in leftover
-            if w not in ("_t", "_s") and not w.isdigit()
+            if w not in ok_quals and not w.isdigit()
         }
         if bad:
             raise DMLParseError(
@@ -317,6 +368,47 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
     if not (update_parts or delete_parts or insert_parts):
         raise DMLParseError("MERGE has no WHEN clauses")
 
+    if is_foreign:
+        from .deltalog import merge_into_delta
+
+        def text_or_none(parts: list[str]):
+            # ["true"] = unconditional clause -> engine default;
+            # effective conditions are mutually exclusive by
+            # construction, so OR order is immaterial
+            if not parts or parts == ["true"]:
+                return None
+            return " or ".join(parts)
+
+        kwargs: dict = {}
+        if update_parts:
+            # SET * expands from the SOURCE columns by name
+            # (Delta's star rule); the engine refuses unknown or
+            # partition-column targets by name
+            kwargs["when_matched_update"] = {
+                c: "source.`" + c.replace("`", "``") + "`"
+                for c in source.columns
+            }
+            uc = text_or_none(update_parts)
+            if uc is not None:
+                kwargs["update_condition"] = uc
+        if delete_parts:
+            kwargs["when_matched_delete"] = True
+            dc = text_or_none(delete_parts)
+            if dc is not None:
+                kwargs["delete_condition"] = dc
+        if insert_parts:
+            kwargs["when_not_matched_insert"] = True
+            ic = text_or_none(insert_parts)
+            if ic is not None:
+                kwargs["insert_condition"] = ic
+        return merge_into_delta(
+            spark,
+            store,
+            source,
+            rewrite_validate(_unmask_literals(m.group("on"), lits)),
+            **kwargs,
+        )
+
     def combined(parts: list[str]):
         """Effective conditions are mutually exclusive by
         construction, so OR order is immaterial; an absent side
@@ -371,6 +463,12 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
     if m:
         store = _get_table(tables, m.group(1))
         cond = unmask(m.group(2))
+        if isinstance(store, str):
+            from .deltalog import delete_from_delta
+
+            return delete_from_delta(
+                spark, store, cond if cond else "true"
+            )
         return store.delete(cond if cond else F.lit(True))
 
     m = re.match(r"^update (\w+) set (.*?)(?: where (.*))?$", stmt, re.I)
@@ -383,17 +481,31 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
                 raise DMLParseError(f"bad SET item {unmask(part)!r}")
             assigns[am.group(1)] = unmask(am.group(2))
         cond = unmask(m.group(3)) if m.group(3) else "true"
+        if isinstance(store, str):
+            from .deltalog import update_from_delta
+
+            return update_from_delta(spark, store, cond, assigns)
         return store.update(cond, assigns)
 
     m = re.match(r"^insert into (\w+) table (\w+)$", stmt, re.I)
     if m:
         store = _get_table(tables, m.group(1))
-        return store.append(spark.table(m.group(2)))
+        frame = spark.table(m.group(2))
+        if isinstance(store, str):
+            from .deltalog import append_to_delta
+
+            return append_to_delta(frame, store)
+        return store.append(frame)
 
     m = re.match(r"^insert into (\w+) (select .*)$", stmt, re.I)
     if m:
         store = _get_table(tables, m.group(1))
-        return store.append(spark.sql(unmask(m.group(2))))
+        frame = spark.sql(unmask(m.group(2)))
+        if isinstance(store, str):
+            from .deltalog import append_to_delta
+
+            return append_to_delta(frame, store)
+        return store.append(frame)
 
     m = re.match(
         r"^vacuum (\w+)(?: retain (\d+) versions)?( dry run)?$",
@@ -401,7 +513,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         re.I,
     )
     if m:
-        store = _get_table(tables, m.group(1))
+        store = _get_store(tables, m.group(1), "VACUUM")
         keep = int(m.group(2)) if m.group(2) else 2
         return store.vacuum(keep=keep, dry_run=bool(m.group(3)))
 
@@ -409,22 +521,22 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         r"^restore table (\w+) to version as of (\d+)$", stmt, re.I
     )
     if m:
-        store = _get_table(tables, m.group(1))
+        store = _get_store(tables, m.group(1), "RESTORE")
         return store.restore(f"v{int(m.group(2)):05d}")
 
     m = re.match(r"^describe history (\w+)$", stmt, re.I)
     if m:
-        return _get_table(tables, m.group(1)).history()
+        return _get_store(tables, m.group(1), "DESCRIBE HISTORY").history()
 
     m = re.match(r"^describe detail (\w+)$", stmt, re.I)
     if m:
-        return _get_table(tables, m.group(1)).detail()
+        return _get_store(tables, m.group(1), "DESCRIBE DETAIL").detail()
 
     m = re.match(
         r"^optimize (\w+)(?: zorder by \(?([\w, ]+)\)?)?$", stmt, re.I
     )
     if m:
-        store = _get_table(tables, m.group(1))
+        store = _get_store(tables, m.group(1), "OPTIMIZE")
         zcols = (
             [c.strip() for c in m.group(2).split(",")]
             if m.group(2)
@@ -436,13 +548,13 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         r"^restore table (\w+) to timestamp as of (.+)$", stmt, re.I
     )
     if m:
-        store = _get_table(tables, m.group(1))
+        store = _get_store(tables, m.group(1), "RESTORE")
         ts = unmask(m.group(2)).strip().strip("'\"")
         return store.restore(store.version_as_of(ts))
 
     m = re.match(r"^reorg table (\w+) apply \(\s*purge\s*\)$", stmt, re.I)
     if m:
-        return _get_table(tables, m.group(1)).optimize(purge=True)
+        return _get_store(tables, m.group(1), "REORG").optimize(purge=True)
 
     m = re.match(
         r"^alter table (\w+) add constraint (\w+) check \((.+)\)$",
@@ -450,7 +562,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         re.I,
     )
     if m:
-        store = _get_table(tables, m.group(1))
+        store = _get_store(tables, m.group(1), "ALTER TABLE")
         store.add_constraint(m.group(2), unmask(m.group(3)))
         return None
 
@@ -458,7 +570,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         r"^alter table (\w+) drop constraint (\w+)$", stmt, re.I
     )
     if m:
-        _get_table(tables, m.group(1)).drop_constraint(m.group(2))
+        _get_store(tables, m.group(1), "ALTER TABLE").drop_constraint(m.group(2))
         return None
 
     m = re.match(
@@ -467,7 +579,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         re.I,
     )
     if m:
-        store = _get_table(tables, m.group(1))
+        store = _get_store(tables, m.group(1), "ALTER TABLE")
         cols = (
             [c.strip() for c in m.group(2).split(",")]
             if m.group(2)
@@ -478,13 +590,13 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
 
     m = re.match(r"^alter table (\w+) drop column (\w+)$", stmt, re.I)
     if m:
-        return _get_table(tables, m.group(1)).drop_column(m.group(2))
+        return _get_store(tables, m.group(1), "ALTER TABLE").drop_column(m.group(2))
 
     m = re.match(
         r"^alter table (\w+) rename column (\w+) to (\w+)$", stmt, re.I
     )
     if m:
-        return _get_table(tables, m.group(1)).rename_column(
+        return _get_store(tables, m.group(1), "ALTER TABLE").rename_column(
             m.group(2), m.group(3)
         )
 
@@ -492,7 +604,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         r"^alter table (\w+) add columns? \((.+)\)$", stmt, re.I
     )
     if m:
-        store = _get_table(tables, m.group(1))
+        store = _get_store(tables, m.group(1), "ALTER TABLE")
         cols: dict[str, str] = {}
         for part in _split_top_level(m.group(2)):
             cm = re.match(r"^\s*(\w+)\s+([\w()<>, ]+?)\s*$", part)
@@ -506,8 +618,8 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
 
     m = re.match(r"^create table (\w+) clone (\w+)$", stmt, re.I)
     if m:
-        target = _get_table(tables, m.group(1))
-        source = _get_table(tables, m.group(2))
+        target = _get_store(tables, m.group(1), "CLONE")
+        source = _get_store(tables, m.group(2), "CLONE")
         # the target handle names the clone's path (the analogue of
         # the new table's location in Delta's CREATE ... CLONE)
         source.clone(target.path)
