@@ -3623,15 +3623,15 @@ def _dml_from_delta(
         if not set_exprs:
             raise ValueError("set_exprs must name at least one column")
         known = {f.name for f in logical.fields}
+        # SET may target partition columns: both strategies stage
+        # the TRANSFORMED rows through the hive-layout writer, so
+        # they land under the dirs their NEW values name while the
+        # old file is removed (rewrite) or masked (dv) — rows move
+        # partitions exactly like delta-spark's UPDATE
         for c in set_exprs:
             if c not in known:
                 raise DeltaProtocolError(
                     f"SET targets unknown column {c!r}"
-                )
-            if c in (meta.get("partitionColumns") or []):
-                raise DeltaProtocolError(
-                    f"SET targets partition column {c!r}; moving "
-                    "rows between partitions is not supported"
                 )
     layout_sig = _layout_sig(meta, logical, include_cfg=True)
     if not live:
@@ -3999,9 +3999,11 @@ def update_from_delta(
     ``update_postimage`` rows under ``_change_data/``. Beyond the
     delete refusals, updates MINT row values, so live CHECK
     constraints / invariants / generated / identity columns refuse
-    by name (exactly as appends do), SET may not target partition
-    columns (row moves between partitions are not supported), and
-    the staged files must honor the table's nullability contract
+    by name (exactly as appends do), SET may target partition
+    columns — the transformed rows stage through the hive-layout
+    writer and land under the dirs their NEW values name, so rows
+    move partitions like delta-spark's UPDATE — and the staged
+    files must honor the table's nullability contract
     (footer-stats gate). Engine: :func:`_dml_from_delta`."""
     return _dml_from_delta(
         spark,
@@ -4043,9 +4045,15 @@ def merge_into_delta(
 
     - ``when_matched_update``: column -> SQL expression (both
       aliases visible, e.g. ``{"price": "source.price"}``), values
-      cast to the column's declared type; ``update_condition``
-      optionally gates it (the reference's changed-columns-only
-      guard, M3). SET may not target partition columns.
+      cast to the column's declared type; or ``True`` for ``UPDATE
+      SET *`` — Delta's star rule: every TABLE column taken from
+      the same-named source column (extra source columns unused, a
+      missing one refuses by name). ``update_condition`` optionally
+      gates the clause (the reference's changed-columns-only guard,
+      M3). SET may target partition columns: matched files are
+      rewritten anyway and staged rows land under the hive dirs
+      their NEW values name — rows move partitions like
+      delta-spark's.
     - ``when_matched_delete``: drop the matched target row,
       optionally gated by ``delete_condition`` (M2's delete
       clause).
@@ -4054,7 +4062,8 @@ def merge_into_delta(
       NULL; a source column the table lacks refuses by name —
       this writer never evolves schemas), or column -> SQL
       expression over ``source`` (unnamed columns NULL);
-      ``insert_condition`` optionally gates it.
+      ``insert_condition`` optionally gates it and sees ONLY the
+      source row (target references refuse by name, Delta's rule).
 
     Shape — delta-spark's own two-pass merge, re-expressed on
     DataFrames: pass 1 inner-joins the live table scan (existing
@@ -4092,9 +4101,9 @@ def merge_into_delta(
     Named refusals: appendOnly tables when a matched clause could
     remove rows, live CHECK constraints / invariants / generated /
     identity columns (a merge mints values), mapped tables without
-    per-field mapping ids, unsupported writer features, SET on a
-    partition column, and source columns unknown to the table under
-    ``when_not_matched_insert=True``.
+    per-field mapping ids, unsupported writer features, target
+    references inside ``insert_condition``, and source columns
+    unknown to the table under ``when_not_matched_insert=True``.
 
     Reference: mls_listings_curated.py:328-353 (M1 upsert),
     mls_listings_hist_curated.py:183-210 (M2 update+delete+insert),
@@ -4104,6 +4113,8 @@ def merge_into_delta(
     """
     from .logstore import PosixLogStore
 
+    if when_matched_update is False:
+        when_matched_update = None
     has_update = when_matched_update is not None
     has_delete = bool(when_matched_delete)
     if not isinstance(when_matched_delete, bool):
@@ -4135,9 +4146,24 @@ def merge_into_delta(
             "merge needs at least one clause: when_matched_update, "
             "when_matched_delete or when_not_matched_insert"
         )
-    if has_update and not when_matched_update:
+    if has_update and when_matched_update is not True and not (
+        when_matched_update
+    ):
         raise ValueError(
-            "when_matched_update must name at least one column"
+            "when_matched_update must name at least one column "
+            "(or pass True for UPDATE SET * semantics)"
+        )
+    if insert_condition is not None and re.search(
+        r"\btarget\s*\.",
+        re.sub(r"'(?:[^']|'')*'", "", insert_condition),
+    ):
+        # Delta's rule: a NOT MATCHED condition sees only the
+        # source row (there IS no target row); refusing by name
+        # beats an unresolvable-reference error from one of the
+        # two physical plans
+        raise DeltaProtocolError(
+            "insert_condition references target columns; a NOT "
+            "MATCHED condition sees only the source row"
         )
     # a condition without its clause would be silently dead — the
     # caller forgot the clause flag, never what they meant
@@ -4191,16 +4217,34 @@ def merge_into_delta(
     target, proto, meta, logical, live = resolve()
     pcols = list(meta.get("partitionColumns") or [])
     known = {f.name for f in logical.fields}
+    if when_matched_update is True:
+        # UPDATE SET * — Delta's star rule: expand over the TABLE's
+        # columns, each taken from the same-named source column;
+        # extra source columns are simply unused, a missing one
+        # refuses by name (Delta's unresolved-reference error)
+        missing = [
+            f.name
+            for f in logical.fields
+            if f.name not in source.columns
+        ]
+        if missing:
+            raise DeltaProtocolError(
+                "UPDATE SET * requires the source to provide every "
+                f"table column; missing {sorted(missing)}"
+            )
+        when_matched_update = {
+            f.name: "source.`" + f.name.replace("`", "``") + "`"
+            for f in logical.fields
+        }
     if has_update:
+        # SET may target partition columns: matched files are
+        # rewritten anyway, and the staged rows land under the hive
+        # dirs their NEW values name — rows move partitions exactly
+        # like delta-spark's UPDATE/MERGE
         for c in when_matched_update:
             if c not in known:
                 raise DeltaProtocolError(
                     f"SET targets unknown column {c!r}"
-                )
-            if c in pcols:
-                raise DeltaProtocolError(
-                    f"SET targets partition column {c!r}; moving "
-                    "rows between partitions is not supported"
                 )
     if isinstance(when_not_matched_insert, dict):
         for c in when_not_matched_insert:

@@ -166,14 +166,18 @@ def _rewrite_refs(
     both rows are in scope, so a bare name is ambiguous (same rule
     Delta applies)."""
     out, lits = _mask_literals(cond)
+    # two-phase via sentinels: a produced tag must never be caught
+    # by a LATER alias pass (a source aliased literally "target"
+    # would otherwise re-rewrite already-rewritten destination refs)
     for alias in dst_names:
         out = re.sub(
-            rf"\b{re.escape(alias)}\s*\.", t_tag, out, flags=re.I
+            rf"\b{re.escape(alias)}\s*\.", "\x01.", out, flags=re.I
         )
     for alias in src_names:
         out = re.sub(
-            rf"\b{re.escape(alias)}\s*\.", s_tag, out, flags=re.I
+            rf"\b{re.escape(alias)}\s*\.", "\x02.", out, flags=re.I
         )
+    out = out.replace("\x01.", t_tag).replace("\x02.", s_tag)
     return _unmask_literals(out, lits)
 
 
@@ -381,13 +385,10 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
 
         kwargs: dict = {}
         if update_parts:
-            # SET * expands from the SOURCE columns by name
-            # (Delta's star rule); the engine refuses unknown or
-            # partition-column targets by name
-            kwargs["when_matched_update"] = {
-                c: "source.`" + c.replace("`", "``") + "`"
-                for c in source.columns
-            }
+            # UPDATE SET * — the ENGINE expands over the table's
+            # columns (Delta's star rule: extra source columns are
+            # unused, a missing one refuses by name)
+            kwargs["when_matched_update"] = True
             uc = text_or_none(update_parts)
             if uc is not None:
                 kwargs["update_condition"] = uc
@@ -442,10 +443,13 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
     """Execute one DML/utility statement against MergeStore tables.
 
     ``tables`` maps statement table names to :class:`MergeStore`
-    handles (the analogue of registering a Delta path as a name).
-    Returns what the operation returns: the committed version string
-    for MERGE/DELETE/UPDATE/INSERT (or ``None`` no-ops), the doomed
-    version list for VACUUM, and a DataFrame for DESCRIBE HISTORY.
+    handles, or to PATH STRINGS naming foreign (stock-owned) Delta
+    tables. Returns what the operation returns — MergeStore: the
+    committed version string for MERGE/DELETE/UPDATE/INSERT (or
+    ``None`` no-ops), the doomed version list for VACUUM, a
+    DataFrame for DESCRIBE HISTORY; foreign path: the engine's own
+    shape — ``(version, counts_dict)`` for MERGE, ``(version,
+    n_rows)`` for DELETE/UPDATE, the version int for INSERT.
     """
     # parse on literal-MASKED text throughout: a WHERE/WHEN keyword
     # or alias-dot inside a string value must never steer the parse

@@ -249,7 +249,7 @@ def test_merge_cardinality_refusal(spark, tmp_path):
 def test_merge_partitioned_inserts_new_partitions(spark, tmp_path):
     """Inserted rows land under hive dirs for partitions the table
     never had; updates stay in place; untouched partitions keep
-    their files; SET on a partition column refuses."""
+    their files; SET on a partition column MOVES the row."""
     tbl = _mk_foreign(tmp_path, pcols=("p",), name="mpart")
     _seed(
         spark,
@@ -285,14 +285,24 @@ def test_merge_partitioned_inserts_new_partitions(spark, tmp_path):
         (r.k, r.v, r.p) for r in read_delta(spark, tbl).collect()
     )
     assert got == [(1, "A", 10), (2, "b", 20), (5, "e", 30)]
-    with pytest.raises(DeltaProtocolError, match="partition column"):
-        merge_into_delta(
-            spark,
-            tbl,
-            _src(spark, [(1, "x", 99)], "k long, v string, p long"),
-            "target.k = source.k",
-            when_matched_update={"p": "source.p"},
-        )
+    ver2, counts2 = merge_into_delta(
+        spark,
+        tbl,
+        _src(spark, [(1, "x", 99)], "k long, v string, p long"),
+        "target.k = source.k",
+        when_matched_update={"p": "source.p"},
+    )
+    assert counts2 == {"updated": 1, "deleted": 0, "inserted": 0}
+    adds2 = [
+        ln["add"]
+        for ln in _entry_lines(tbl, ver2)[1:]
+        if "add" in ln
+    ]
+    assert "99" in [a["partitionValues"]["p"] for a in adds2]
+    got = sorted(
+        (r.k, r.v, r.p) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, "A", 99), (2, "b", 20), (5, "e", 30)]
 
 
 def test_merge_cdf_change_rows(spark, tmp_path):
@@ -590,6 +600,27 @@ def test_merge_argument_refusals(spark, tmp_path):
             src,
             "target.k = source.k",
             when_not_matched_insert={"nope": "1"},
+        )
+    # a NOT MATCHED condition sees only the source row
+    with pytest.raises(
+        DeltaProtocolError, match="only the source row"
+    ):
+        merge_into_delta(
+            spark,
+            tbl,
+            src,
+            "target.k = source.k",
+            when_not_matched_insert=True,
+            insert_condition="target.v IS NULL",
+        )
+    # UPDATE SET * requires full source coverage of table columns
+    with pytest.raises(DeltaProtocolError, match="missing"):
+        merge_into_delta(
+            spark,
+            tbl,
+            spark.createDataFrame([(1,)], "k long"),
+            "target.k = source.k",
+            when_matched_update=True,
         )
 
 

@@ -132,15 +132,47 @@ def test_update_cdf_pre_and_postimage(spark, tmp_path):
     ]
 
 
+def test_update_moves_rows_between_partitions(spark, tmp_path):
+    """SET on a partition column moves the row: the rewritten file
+    lands under the hive dir the NEW value names (delta-spark's
+    UPDATE semantics), the old partition's file is removed, and the
+    untouched partition stays untouched."""
+    tbl = _mk_foreign(tmp_path, pcols=("p",), name="updmove")
+    _seed(
+        spark,
+        tbl,
+        [(1, "a", 10), (2, "b", 10), (3, "c", 20)],
+        pcols=("p",),
+    )
+    ver, n = update_from_delta(
+        spark, tbl, "k = 1", {"p": "p + 90"}
+    )
+    assert n == 1
+    lines = _entry_lines(tbl, ver)
+    adds = [ln["add"] for ln in lines[1:] if "add" in ln]
+    removes = [ln["remove"] for ln in lines[1:] if "remove" in ln]
+    # only the p=10 file is touched; its survivors rewrite in
+    # place and the moved row lands under p=100
+    assert sorted(a["partitionValues"]["p"] for a in adds) == [
+        "10",
+        "100",
+    ]
+    assert [r["partitionValues"]["p"] for r in removes] == ["10"]
+    assert all(
+        a["path"].startswith(f"p={a['partitionValues']['p']}/")
+        for a in adds
+    )
+    got = sorted(
+        (r.k, r.v, r.p) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, "a", 100), (2, "b", 10), (3, "c", 20)]
+
+
 def test_update_refusals_are_named(spark, tmp_path):
     tbl = _mk_foreign(tmp_path, pcols=("p",), name="updref")
     _seed(spark, tbl, [(1, "a", 10)], pcols=("p",))
     with pytest.raises(DeltaProtocolError, match="unknown column"):
         update_from_delta(spark, tbl, "k = 1", {"nope": "1"})
-    with pytest.raises(
-        DeltaProtocolError, match="partition column"
-    ):
-        update_from_delta(spark, tbl, "k = 1", {"p": "p + 1"})
     with pytest.raises(ValueError, match="at least one"):
         update_from_delta(spark, tbl, "k = 1", {})
     # updates MINT values: live CHECK constraints refuse (deletes

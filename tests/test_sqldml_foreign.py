@@ -131,6 +131,90 @@ def test_foreign_delete_update_insert(spark, tmp_path):
     assert lines[0]["commitInfo"]["operation"] == "WRITE"
 
 
+def test_foreign_merge_m1_on_partitioned_table(spark, tmp_path):
+    """The reference's verbatim M1 against a PARTITIONED foreign
+    table: SET * covers the partition column (the source must
+    provide every table column) and a changed partition value
+    MOVES the row — delta-spark's semantics."""
+    tbl = _mk_foreign(tmp_path, pcols=("p",), name="fsqlp")
+    _seed(
+        spark,
+        tbl,
+        [(1, "a", 10), (2, "b", 20)],
+        pcols=("p",),
+    )
+    spark.createDataFrame(
+        [(1, "A", 30), (5, "e", 30)], "k long, v string, p long"
+    ).createOrReplaceTempView("src_mp")
+    ver, counts = run_dml(
+        spark,
+        """
+        merge into destination using src_mp as source
+        on destination.k = source.k
+        when matched then update set *
+        when not matched then insert *
+        """,
+        tables={"destination": tbl},
+    )
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = sorted(
+        (r.k, r.v, r.p) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, "A", 30), (2, "b", 20), (5, "e", 30)]
+
+
+def test_foreign_merge_source_aliased_target(spark, tmp_path):
+    """A source aliased literally 'target' must not corrupt the
+    rewritten ON condition (two-phase sentinel rewrite)."""
+    tbl = _mk_foreign(tmp_path, name="fsqla")
+    _seed(spark, tbl, [(1, "a"), (2, "b")])
+    spark.createDataFrame(
+        [(1, "HIT")], "k long, v string"
+    ).createOrReplaceTempView("src_alias")
+    ver, counts = run_dml(
+        spark,
+        """
+        merge into t using src_alias as target
+        on t.k = target.k
+        when matched then update set *
+        """,
+        tables={"t": tbl},
+    )
+    # exactly ONE row matches; a corrupted always-true ON would
+    # have updated both
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 0}
+    got = sorted(
+        (r.k, r.v) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, "HIT"), (2, "b")]
+
+
+def test_foreign_merge_star_ignores_helper_source_columns(
+    spark, tmp_path
+):
+    """A source helper column used only in a clause condition does
+    not break SET * (the engine expands over TABLE columns)."""
+    tbl = _mk_foreign(tmp_path, name="fsqlh")
+    _seed(spark, tbl, [(1, "a"), (2, "b")])
+    spark.createDataFrame(
+        [(1, "one", True), (2, "two", False)],
+        "k long, v string, keep boolean",
+    ).createOrReplaceTempView("src_help")
+    ver, counts = run_dml(
+        spark,
+        """
+        merge into t using src_help as s on t.k = s.k
+        when matched and s.keep then update set *
+        """,
+        tables={"t": tbl},
+    )
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 0}
+    got = sorted(
+        (r.k, r.v) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, "one"), (2, "b")]
+
+
 def test_foreign_lifecycle_statements_refuse(spark, tmp_path):
     tbl = _mk_foreign(tmp_path, name="fsql5")
     for stmt in (
