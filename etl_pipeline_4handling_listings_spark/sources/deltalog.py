@@ -4027,6 +4027,10 @@ def merge_into_delta(
     delete_condition: str | None = None,
     when_not_matched_insert: dict | bool = False,
     insert_condition: str | None = None,
+    when_not_matched_by_source_update: dict | None = None,
+    by_source_update_condition: str | None = None,
+    when_not_matched_by_source_delete: bool = False,
+    by_source_delete_condition: str | None = None,
     log_store=None,
     max_retries: int = 50,
 ) -> tuple[int, dict]:
@@ -4064,6 +4068,12 @@ def merge_into_delta(
       expression over ``source`` (unnamed columns NULL);
       ``insert_condition`` optionally gates it and sees ONLY the
       source row (target references refuse by name, Delta's rule).
+    - ``when_not_matched_by_source_update`` /
+      ``when_not_matched_by_source_delete`` (delta-spark 2.3's
+      third clause side — the sync-table-to-source idiom): target
+      rows with NO matching source row are transformed or dropped,
+      update evaluated before delete; their conditions see ONLY
+      the target row (source references refuse by name).
 
     Shape — delta-spark's own two-pass merge, re-expressed on
     DataFrames: pass 1 inner-joins the live table scan (existing
@@ -4098,11 +4108,12 @@ def merge_into_delta(
     (delta-spark's classic MERGE shape; DV-writing merges are a
     non-goal here).
 
-    Named refusals: appendOnly tables when a matched clause could
-    remove rows, live CHECK constraints / invariants / generated /
-    identity columns (a merge mints values), mapped tables without
-    per-field mapping ids, unsupported writer features, target
-    references inside ``insert_condition``, and source columns
+    Named refusals: appendOnly tables when a matched or by-source
+    clause could remove rows, live CHECK constraints / invariants /
+    generated / identity columns (a merge mints values), mapped
+    tables without per-field mapping ids, unsupported writer
+    features, target references inside ``insert_condition``, source
+    references inside by-source conditions, and source columns
     unknown to the table under ``when_not_matched_insert=True``.
 
     Reference: mls_listings_curated.py:328-353 (M1 upsert),
@@ -4141,10 +4152,49 @@ def merge_into_delta(
     has_insert = when_not_matched_insert is True or isinstance(
         when_not_matched_insert, dict
     )
-    if not (has_update or has_delete or has_insert):
+    if when_not_matched_by_source_update is False:
+        when_not_matched_by_source_update = None
+    has_bs_update = when_not_matched_by_source_update is not None
+    if not isinstance(when_not_matched_by_source_delete, bool):
+        raise ValueError(
+            "when_not_matched_by_source_delete must be a bool; put "
+            "the clause condition in by_source_delete_condition"
+        )
+    has_bs_delete = bool(when_not_matched_by_source_delete)
+    if has_bs_update and not when_not_matched_by_source_update:
+        raise ValueError(
+            "when_not_matched_by_source_update must name at least "
+            "one column"
+        )
+    if has_bs_update and when_not_matched_by_source_update is True:
+        raise ValueError(
+            "when_not_matched_by_source_update has no SET * form — "
+            "there is no source row to take values from; name the "
+            "columns explicitly"
+        )
+    for cond_val, what in (
+        (by_source_update_condition, "by_source_update_condition"),
+        (by_source_delete_condition, "by_source_delete_condition"),
+    ):
+        if cond_val is not None and re.search(
+            r"\bsource\s*\.",
+            re.sub(r"'(?:[^']|'')*'", "", cond_val),
+        ):
+            raise DeltaProtocolError(
+                f"{what} references source columns; a NOT MATCHED "
+                "BY SOURCE condition sees only the target row"
+            )
+    if not (
+        has_update
+        or has_delete
+        or has_insert
+        or has_bs_update
+        or has_bs_delete
+    ):
         raise ValueError(
             "merge needs at least one clause: when_matched_update, "
-            "when_matched_delete or when_not_matched_insert"
+            "when_matched_delete, when_not_matched_insert or a "
+            "when_not_matched_by_source_* clause"
         )
     if has_update and when_matched_update is not True and not (
         when_matched_update
@@ -4171,6 +4221,16 @@ def merge_into_delta(
         (update_condition, has_update, "update_condition"),
         (delete_condition, has_delete, "delete_condition"),
         (insert_condition, has_insert, "insert_condition"),
+        (
+            by_source_update_condition,
+            has_bs_update,
+            "by_source_update_condition",
+        ),
+        (
+            by_source_delete_condition,
+            has_bs_delete,
+            "by_source_delete_condition",
+        ),
     ):
         if cond_val is not None and not flag:
             raise ValueError(
@@ -4200,10 +4260,10 @@ def merge_into_delta(
             raise DeltaProtocolError("log has no metaData action")
         proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
         _py_check_protocol(proto)
-        if has_update or has_delete:
-            # matched clauses can remove/rewrite rows: the delete
-            # obligations (appendOnly refusal, delete feature
-            # allowlist) apply, PLUS value minting (updates/inserts)
+        if has_update or has_delete or has_bs_update or has_bs_delete:
+            # matched/by-source clauses can remove/rewrite rows:
+            # the delete obligations (appendOnly refusal, delete
+            # feature allowlist) apply, PLUS value minting
             _check_delete_writable(proto, meta)
             _refuse_live_enforcement(meta, "merge")
         else:
@@ -4246,6 +4306,12 @@ def merge_into_delta(
                 raise DeltaProtocolError(
                     f"SET targets unknown column {c!r}"
                 )
+    if has_bs_update:
+        for c in when_not_matched_by_source_update:
+            if c not in known:
+                raise DeltaProtocolError(
+                    f"SET targets unknown column {c!r}"
+                )
     if isinstance(when_not_matched_insert, dict):
         for c in when_not_matched_insert:
             if c not in known:
@@ -4284,12 +4350,13 @@ def merge_into_delta(
     src = source.withColumn("__sp", F.lit(True))
 
     # ---- pass 1: touched files + the cardinality gate ------------
-    # (skipped when no matched clause exists — inserts alone never
-    # rewrite a file, and multi-match is then harmless)
+    # (skipped when no matched/by-source clause exists — inserts
+    # alone never rewrite a file, and multi-match is then harmless)
     touched_any: list[str] = []
     touched_apply: list[str] = []
     need_dedup = False
-    if (has_update or has_delete) and live:
+    has_bs = has_bs_update or has_bs_delete
+    if (has_update or has_delete or has_bs) and live:
         upd_fire = gate(update_condition) if has_update else F.lit(False)
         del_fire = (
             (~upd_fire if has_update else F.lit(True))
@@ -4298,19 +4365,48 @@ def merge_into_delta(
             else F.lit(False)
         )
         applies = upd_fire | del_fire
+        bs_upd_fire = (
+            gate(by_source_update_condition)
+            if has_bs_update
+            else F.lit(False)
+        )
+        bs_del_fire = (
+            (~bs_upd_fire if has_bs_update else F.lit(True))
+            & gate(by_source_delete_condition)
+            if has_bs_delete
+            else F.lit(False)
+        )
+        bs_applies = bs_upd_fire | bs_del_fire
+        # by-source clauses make unmatched target rows relevant: a
+        # LEFT join sees them (source side NULL, exactly one output
+        # row each) at the same shuffle cost; without by-source
+        # clauses the inner join drops them as before
+        matched_row = F.col("__sp").isNotNull()
         stats = (
             ctx.scan(sorted(live))
             .alias("target")
-            .join(src.alias("source"), F.expr(condition), "inner")
+            .join(
+                src.alias("source"),
+                F.expr(condition),
+                "left" if has_bs else "inner",
+            )
             .groupBy("__fp", "__ri")
             .agg(
-                F.count(F.lit(1)).alias("__c"),
-                F.max(F.when(applies, 1).otherwise(0)).alias("__ap"),
+                F.sum(
+                    F.when(matched_row, 1).otherwise(0)
+                ).alias("__c"),
+                F.max(
+                    F.when(matched_row & applies, 1).otherwise(0)
+                ).alias("__ap"),
+                F.max(
+                    F.when(~matched_row & bs_applies, 1).otherwise(0)
+                ).alias("__apb"),
             )
             .groupBy("__fp")
             .agg(
                 F.max("__c").alias("__dup"),
-                F.sum("__ap").alias("__apply"),
+                F.sum(F.greatest("__ap", "__apb")).alias("__apply"),
+                F.sum(F.least("__c", F.lit(1))).alias("__nmatch"),
             )
             .collect()
         )
@@ -4329,8 +4425,13 @@ def merge_into_delta(
                 "deduplicate the source on the merge keys"
             )
         need_dedup = bool(dup)
+        # pass-2 target side: files being rewritten PLUS files
+        # whose matches must suppress false inserts; a file with
+        # neither stays out entirely
         touched_any = sorted(
-            ctx.rel_of_abs[r["__fp"]] for r in stats
+            ctx.rel_of_abs[r["__fp"]]
+            for r in stats
+            if r["__apply"] > 0 or r["__nmatch"] > 0
         )
         touched_apply = sorted(
             ctx.rel_of_abs[r["__fp"]]
@@ -4391,20 +4492,50 @@ def merge_into_delta(
             if has_delete
             else F.lit(False)
         )
+        unmatched_t = on_target & ~on_source
+        bs_upd_hit = (
+            unmatched_t & gate(by_source_update_condition)
+            if has_bs_update
+            else F.lit(False)
+        )
+        bs_del_hit = (
+            unmatched_t
+            & ~bs_upd_hit
+            & gate(by_source_delete_condition)
+            if has_bs_delete
+            else F.lit(False)
+        )
         ins_hit = (
             ~on_target & on_source & gate(insert_condition)
             if has_insert
             else F.lit(False)
         )
+        # fate "b" = by-source update: counted and CDF'd as an
+        # update, but its SET expressions differ from the matched
+        # clause's, so the output builder needs the distinction
         fate = (
             F.when(upd_hit, F.lit("u"))
             .when(del_hit, F.lit("d"))
+            .when(bs_upd_hit, F.lit("b"))
+            .when(bs_del_hit, F.lit("d"))
             .when(on_target, F.lit("k"))
             .when(ins_hit, F.lit("i"))
             .otherwise(F.lit("x"))
         )
+
+        def bs_upd_val(f):
+            if (
+                has_bs_update
+                and f.name in when_not_matched_by_source_update
+            ):
+                return F.expr(
+                    when_not_matched_by_source_update[f.name]
+                ).cast(_relax(f.dataType))
+            return tcol(f.name)
+
         out_cols = [
             F.when(upd_hit, upd_val(f))
+            .when(bs_upd_hit, bs_upd_val(f))
             .when(on_target, tcol(f.name))
             .otherwise(ins_val(f))
             .alias(f.name)
@@ -4470,7 +4601,9 @@ def merge_into_delta(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        n_upd = int(fate_counts.get("u", 0))
+        n_upd = int(fate_counts.get("u", 0)) + int(
+            fate_counts.get("b", 0)
+        )
         n_del = int(fate_counts.get("d", 0))
         n_ins = int(fate_counts.get("i", 0))
         counts = {
@@ -4492,7 +4625,7 @@ def merge_into_delta(
         else:
             keep_ok = F.lit(False)
         stage_rows = fated2.filter(
-            F.col("__fate").isin("u", "i")
+            F.col("__fate").isin("u", "b", "i")
             | ((F.col("__fate") == "k") & keep_ok)
         ).select("__out.*")
         out_frame = stage_rows.select(*ctx.phys_sel(stage_rows))
@@ -4507,10 +4640,10 @@ def merge_into_delta(
             pre = fated2.select("__fate", "__pre.*")
             post = fated2.select("__fate", "__out.*")
             parts = [
-                pre.filter(F.col("__fate") == "u")
+                pre.filter(F.col("__fate").isin("u", "b"))
                 .drop("__fate")
                 .withColumn("_ct", F.lit("update_preimage")),
-                post.filter(F.col("__fate") == "u")
+                post.filter(F.col("__fate").isin("u", "b"))
                 .drop("__fate")
                 .withColumn("_ct", F.lit("update_postimage")),
                 pre.filter(F.col("__fate") == "d")
@@ -4616,6 +4749,28 @@ def merge_into_delta(
                     ]
                     if has_insert
                     else []
+                ),
+                "notMatchedBySourcePredicates": json.dumps(
+                    (
+                        [
+                            {
+                                "predicate": by_source_update_condition,
+                                "actionType": "update",
+                            }
+                        ]
+                        if has_bs_update
+                        else []
+                    )
+                    + (
+                        [
+                            {
+                                "predicate": by_source_delete_condition,
+                                "actionType": "delete",
+                            }
+                        ]
+                        if has_bs_delete
+                        else []
+                    )
                 ),
             },
             "engineInfo": "mergestore-deltalog-merge",

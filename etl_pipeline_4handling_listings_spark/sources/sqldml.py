@@ -23,7 +23,9 @@ never a silent misparse):
 - ``MERGE INTO <t> USING <view | (subquery)> ON <equi-conjunction>``
   with any mix of ``WHEN MATCHED [AND c] THEN UPDATE SET *``,
   ``WHEN MATCHED [AND c] THEN DELETE``,
-  ``WHEN NOT MATCHED [AND c] THEN INSERT *``. Clause conditions may
+  ``WHEN NOT MATCHED [AND c] THEN INSERT *``, and — on foreign
+  Delta paths — ``WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE``
+  (the sync-to-source idiom). Clause conditions may
   qualify columns with the destination/source names or aliases
   (rewritten onto the merge join's row structs). Clause ORDER is
   honored: a delete-before-update statement suppresses updates on
@@ -188,7 +190,8 @@ _MERGE_RE = re.compile(
     re.I,
 )
 _CLAUSE_RE = re.compile(
-    r" when (?P<not>not )?matched(?: and (?P<cond>.*?))? then "
+    r" when (?P<not>not )?matched(?P<bys> by source)?"
+    r"(?: and (?P<cond>.*?))? then "
     r"(?P<action>update set \*|delete|insert \*"
     r"|update set .+?|insert \(.*?\) values \(.*?\))"
     r"(?= when |$)",
@@ -312,14 +315,35 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
     update_parts: list[str] = []
     delete_parts: list[str] = []
     insert_parts: list[str] = []
+    bs_delete_parts: list[str] = []
     matched_prior: list[str] = []
     notmatched_prior: list[str] = []
+    bys_prior: list[str] = []
     for c in _CLAUSE_RE.finditer(sql):
         action = c.group("action").lower().strip()
         is_not = bool(c.group("not"))
+        is_bys = bool(c.group("bys"))
         cond_txt = c.group("cond")
         if cond_txt is not None:
             cond_txt = _unmask_literals(cond_txt, lits)
+        if is_bys and not is_not:
+            raise DMLParseError(
+                "WHEN MATCHED BY SOURCE is not a merge clause "
+                "(matched rows ARE matched by source)"
+            )
+        if is_bys and not is_foreign:
+            raise DMLParseError(
+                "WHEN NOT MATCHED BY SOURCE clauses run on foreign "
+                "Delta paths only (MergeStore's keyed upsert has no "
+                "by-source side)"
+            )
+        if is_bys and action != "delete":
+            raise DMLParseError(
+                "only WHEN NOT MATCHED BY SOURCE THEN DELETE is "
+                "supported in SQL (a by-source UPDATE has no SET * "
+                "form — no source row to take values from; use "
+                "merge_into_delta's explicit mapping)"
+            )
         if action == "update set *":
             if is_not:
                 raise DMLParseError(
@@ -328,12 +352,16 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
                 )
             prior, parts = matched_prior, update_parts
         elif action == "delete":
-            if is_not:
+            if is_bys:
+                prior, parts = bys_prior, bs_delete_parts
+            elif is_not:
                 raise DMLParseError(
                     "WHEN NOT MATCHED THEN DELETE is not a merge "
-                    "clause (nothing to delete)"
+                    "clause (nothing to delete; did you mean WHEN "
+                    "NOT MATCHED BY SOURCE THEN DELETE?)"
                 )
-            prior, parts = matched_prior, delete_parts
+            else:
+                prior, parts = matched_prior, delete_parts
         elif action == "insert *":
             if not is_not:
                 raise DMLParseError(
@@ -369,7 +397,9 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
         else:
             parts.append(f"({raw})")
         prior.append(raw if raw is not None else "true")
-    if not (update_parts or delete_parts or insert_parts):
+    if not (
+        update_parts or delete_parts or insert_parts or bs_delete_parts
+    ):
         raise DMLParseError("MERGE has no WHEN clauses")
 
     if is_foreign:
@@ -402,6 +432,11 @@ def _merge(spark: SparkSession, sql: str, tables: dict, lits: list):
             ic = text_or_none(insert_parts)
             if ic is not None:
                 kwargs["insert_condition"] = ic
+        if bs_delete_parts:
+            kwargs["when_not_matched_by_source_delete"] = True
+            bc = text_or_none(bs_delete_parts)
+            if bc is not None:
+                kwargs["by_source_delete_condition"] = bc
         return merge_into_delta(
             spark,
             store,

@@ -758,6 +758,123 @@ def test_merge_empty_source_commits_nothing(spark, tmp_path):
     assert got == [(1, "a"), (2, "b")]
 
 
+def test_merge_not_matched_by_source(spark, tmp_path):
+    """delta-spark 2.3's third clause side: target rows with no
+    source match update (clause order: update before delete) or
+    delete — the sync-table-to-source idiom — composing with the
+    matched and insert sides; CDF carries all the change types."""
+    tbl = _mk_foreign(
+        tmp_path,
+        cfg={"delta.enableChangeDataFeed": "true"},
+        name="mbs",
+    )
+    _seed(spark, tbl, [(1, "a"), (2, "b"), (3, "c")])
+    ver, counts = merge_into_delta(
+        spark,
+        tbl,
+        _src(spark, [(1, "A"), (9, "i")]),
+        "target.k = source.k",
+        when_matched_update={"v": "source.v"},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_update={
+            "v": "concat(target.v, '_stale')"
+        },
+        by_source_update_condition="target.k = 2",
+        when_not_matched_by_source_delete=True,
+    )
+    assert counts == {"updated": 2, "deleted": 1, "inserted": 1}
+    got = sorted(
+        (r.k, r.v) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, "A"), (2, "b_stale"), (9, "i")]
+    ch = read_delta_changes(
+        spark, tbl, starting_version=ver, ending_version=ver
+    )
+    types = sorted(
+        (r["k"], r["_change_type"]) for r in ch.collect()
+    )
+    assert types == [
+        (1, "update_postimage"),
+        (1, "update_preimage"),
+        (2, "update_postimage"),
+        (2, "update_preimage"),
+        (3, "delete"),
+        (9, "insert"),
+    ]
+    ops = _entry_lines(tbl, ver)[0]["commitInfo"][
+        "operationParameters"
+    ]
+    assert "update" in ops["notMatchedBySourcePredicates"]
+    assert "delete" in ops["notMatchedBySourcePredicates"]
+
+
+def test_merge_by_source_delete_only_sync(spark, tmp_path):
+    """Delete-only sync: rows absent from the source drop, files
+    where EVERY row still matches are not rewritten (apply
+    pruning works on the by-source side too)."""
+    tbl = _mk_foreign(tmp_path, name="mbs2")
+    _seed(spark, tbl, [(1, "a"), (2, "b")])  # file 1
+    _seed(spark, tbl, [(3, "c"), (4, "d")])  # file 2
+    # source covers ALL of file 1 but only k=3 of file 2
+    ver, counts = merge_into_delta(
+        spark,
+        tbl,
+        _src(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        "target.k = source.k",
+        when_not_matched_by_source_delete=True,
+    )
+    assert counts == {"updated": 0, "deleted": 1, "inserted": 0}
+    lines = _entry_lines(tbl, ver)
+    removes = [ln["remove"] for ln in lines[1:] if "remove" in ln]
+    file2 = next(
+        ln["add"]["path"]
+        for ln in _entry_lines(tbl, 2)[1:]
+        if "add" in ln
+    )
+    # only file 2 (holding the unmatched k=4) is rewritten
+    assert [r["path"] for r in removes] == [file2]
+    got = sorted(
+        (r.k, r.v) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_by_source_refusals(spark, tmp_path):
+    tbl = _mk_foreign(tmp_path, name="mbsr")
+    _seed(spark, tbl, [(1, "a")])
+    src = _src(spark, [(1, "x")])
+    with pytest.raises(
+        DeltaProtocolError, match="only the target row"
+    ):
+        merge_into_delta(
+            spark,
+            tbl,
+            src,
+            "target.k = source.k",
+            when_not_matched_by_source_delete=True,
+            by_source_delete_condition="source.v IS NULL",
+        )
+    with pytest.raises(ValueError, match="no SET \\* form"):
+        merge_into_delta(
+            spark,
+            tbl,
+            src,
+            "target.k = source.k",
+            when_not_matched_by_source_update=True,
+        )
+    with pytest.raises(
+        ValueError, match="by_source_delete_condition"
+    ):
+        merge_into_delta(
+            spark,
+            tbl,
+            src,
+            "target.k = source.k",
+            when_matched_update={"v": "source.v"},
+            by_source_delete_condition="target.k > 0",
+        )
+
+
 def test_merge_ict_monotonic(spark, tmp_path):
     tbl = _mk_foreign(
         tmp_path,

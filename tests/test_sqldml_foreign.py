@@ -215,6 +215,61 @@ def test_foreign_merge_star_ignores_helper_source_columns(
     assert got == [(1, "one"), (2, "b")]
 
 
+def test_foreign_merge_not_matched_by_source_delete(
+    spark, tmp_path
+):
+    """The sync-to-source statement: WHEN NOT MATCHED BY SOURCE
+    THEN DELETE drops target rows absent from the source."""
+    tbl = _mk_foreign(tmp_path, name="fsqlb")
+    _seed(spark, tbl, [(1, "a"), (2, "b"), (3, "c")])
+    spark.createDataFrame(
+        [(1, "A"), (5, "e")], "k long, v string"
+    ).createOrReplaceTempView("src_sync")
+    ver, counts = run_dml(
+        spark,
+        """
+        merge into t using src_sync as s on t.k = s.k
+        when matched then update set *
+        when not matched then insert *
+        when not matched by source and t.k > 2 then delete
+        """,
+        tables={"t": tbl},
+    )
+    assert counts == {"updated": 1, "deleted": 1, "inserted": 1}
+    got = sorted(
+        (r.k, r.v) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, "A"), (2, "b"), (5, "e")]
+    # the by-source side refuses on a MergeStore handle and for
+    # non-delete actions
+    with pytest.raises(DMLParseError, match="foreign Delta paths"):
+        from etl_pipeline_4handling_listings_spark.sources.store import (  # noqa: E501
+            MergeStore,
+        )
+
+        run_dml(
+            spark,
+            """
+            merge into t using src_sync as s on t.k = s.k
+            when not matched by source then delete
+            """,
+            tables={
+                "t": MergeStore(
+                    spark, str(tmp_path / "ms"), keys=["k"]
+                )
+            },
+        )
+    with pytest.raises(DMLParseError, match="THEN DELETE"):
+        run_dml(
+            spark,
+            """
+            merge into t using src_sync as s on t.k = s.k
+            when not matched by source then update set *
+            """,
+            tables={"t": tbl},
+        )
+
+
 def test_foreign_lifecycle_statements_refuse(spark, tmp_path):
     tbl = _mk_foreign(tmp_path, name="fsql5")
     for stmt in (
