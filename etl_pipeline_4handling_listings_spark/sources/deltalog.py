@@ -4806,3 +4806,224 @@ def merge_into_delta(
         store, log_dir, target, revalidate, make_payload, max_retries
     )
     return ver, counts
+
+
+def restore_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp=None,
+    log_store=None,
+    max_retries: int = 50,
+) -> tuple[int, dict]:
+    """RESTORE a foreign Delta table to an earlier state — Delta's
+    ``RESTORE TABLE t TO VERSION|TIMESTAMP AS OF`` as one claimed
+    commit: files live at the target version but not at the head
+    are re-ADDED (including their deletion-vector state at that
+    version — a file whose mask moved restores the OLD descriptor),
+    files live at the head but absent at the target version are
+    REMOVED, and a changed table metadata (schema / partitioning /
+    configuration) is restored alongside, delta-spark's own
+    RestoreTableCommand shape. Returns ``(committed_version,
+    {"restored_version": v, "files_added": n, "files_removed": m})``;
+    restoring to a state identical to the head commits nothing.
+
+    Timestamps resolve by Delta's ``timestampAsOf`` rule (latest
+    commit at or before, ``inCommitTimestamp``-aware, session
+    timezone for naive literals). Re-added files are verified to
+    still EXIST before the commit — a file a vacuum already
+    reclaimed refuses by name (delta-spark's missing-file error),
+    never a commit referencing dead paths.
+
+    Concurrency: the restore's add/remove diff was computed against
+    one head snapshot, so the OCC revalidation refuses if the live
+    file set changed AT ALL under it (the diff no longer describes
+    the transition), while checkpoint/metadata-only commits pass.
+    Protocol actions are never written — the head protocol already
+    covers every feature the restored state needs (protocols only
+    ever upgrade).
+
+    Named refusals: appendOnly tables when the restore must remove
+    files, unsupported writer features, vacuumed data files, and a
+    target version beyond the head.
+
+    Reference: the reference pipeline's rollback runbook re-points
+    curated consumers at a prior store snapshot
+    (mls_listings_curated.py:321-368 operational notes);
+    PROTOCOL.md (public spec) for commit/OCC.
+    """
+    from .logstore import PosixLogStore
+
+    store = log_store or PosixLogStore()
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+    if (version is None) == (timestamp is None):
+        raise ValueError("pass exactly one of version / timestamp")
+
+    # resolve the target version (timestampAsOf rule, ict-aware)
+    rv, _ck, _tail = _replay_plan(
+        log_dir, version, timestamp, tz=_session_tz(spark)
+    )
+    _tv, actions_v = _py_actions(log_dir, version=rv)
+    live_v = _py_live_adds(actions_v)
+    meta_v = None
+    for _v, a in actions_v:
+        if a.get("metaData") is not None:
+            meta_v = a["metaData"]
+    if meta_v is None:
+        raise DeltaProtocolError(
+            f"version {rv} has no metaData action"
+        )
+
+    def resolve():
+        target, actions = _py_actions(log_dir)
+        meta = proto = None
+        for _v, a in actions:
+            if a.get("metaData") is not None:
+                meta = a["metaData"]
+            elif a.get("protocol") is not None:
+                proto = a["protocol"]
+        if meta is None:
+            raise DeltaProtocolError("log has no metaData action")
+        proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+        _py_check_protocol(proto)
+        live = _py_live_adds(actions)
+        return target, proto, meta, live
+
+    target, proto, meta, live_head = resolve()
+    if rv > target:
+        raise DeltaProtocolError(
+            f"cannot restore to version {rv}: beyond the head "
+            f"({target})"
+        )
+
+    def plan(live_now: dict):
+        to_add = [
+            ad
+            for rel, ad in sorted(live_v.items())
+            if _canon_add(live_now.get(rel)) != _canon_add(ad)
+        ]
+        to_remove = [
+            ad
+            for rel, ad in sorted(live_now.items())
+            if rel not in live_v
+        ]
+        return to_add, to_remove
+
+    to_add, to_remove = plan(live_head)
+
+    def meta_changed(m_now):
+        keys = (
+            "id",
+            "schemaString",
+            "partitionColumns",
+            "configuration",
+            "format",
+        )
+        return any(
+            (m_now.get(k) or None) != (meta_v.get(k) or None)
+            for k in keys
+        )
+
+    if not to_add and not to_remove and not meta_changed(meta):
+        return target, {
+            "restored_version": rv,
+            "files_added": 0,
+            "files_removed": 0,
+        }
+    if to_remove:
+        # removes with dataChange: the delete writer obligations
+        _check_delete_writable(proto, meta)
+    else:
+        mwv = int(proto.get("minWriterVersion") or 1)
+        if mwv >= 7:
+            feats = set(proto.get("writerFeatures") or [])
+            unsupported = feats - _SUPPORTED_DELETE_WRITER_FEATURES
+            if unsupported:
+                raise DeltaProtocolError(
+                    "table requires writer features "
+                    f"{sorted(unsupported)} this engine does not "
+                    "implement"
+                )
+    missing = [
+        ad["path"]
+        for ad in to_add
+        if not os.path.isfile(
+            os.path.join(path, unquote(ad["path"]))
+        )
+    ]
+    if missing:
+        raise DeltaProtocolError(
+            f"cannot restore to version {rv}: data files "
+            f"{missing[:3]!r}{'...' if len(missing) > 3 else ''} "
+            "were already vacuumed"
+        )
+
+    def revalidate():
+        """Moved head: the add/remove diff was computed against one
+        snapshot — ANY change to the live file set means it no
+        longer describes the transition; refuse and let the caller
+        re-run (metadata-only commits pass and simply re-plan)."""
+        nonlocal meta, to_add, to_remove
+        _t, _p, meta, live_now = resolve()
+        n_add, n_remove = plan(live_now)
+        if {_canon_add(a) for a in n_add} != {
+            _canon_add(a) for a in to_add
+        } or {_canon_add(r) for r in n_remove} != {
+            _canon_add(r) for r in to_remove
+        }:
+            raise DeltaProtocolError(
+                "a concurrent commit changed the table under this "
+                "restore; the computed diff is stale — re-run it"
+            )
+        to_add, to_remove = n_add, n_remove
+
+    def make_payload(ver, head):
+        now_ms = int(time.time() * 1000)
+        ci = {
+            "timestamp": now_ms,
+            "operation": "RESTORE",
+            "operationParameters": {
+                "version": rv,
+                "timestamp": None
+                if timestamp is None
+                else str(timestamp),
+            },
+            "engineInfo": "mergestore-deltalog-restore",
+        }
+        if _ict_on(meta):
+            ci["inCommitTimestamp"] = max(
+                now_ms, _prev_commit_ms(log_dir, head) + 1
+            )
+        lines = [{"commitInfo": ci}]
+        if meta_changed(meta):
+            lines.append({"metaData": meta_v})
+        for ad in to_remove:
+            rm = {
+                "path": ad["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": ad.get("partitionValues") or {},
+            }
+            if ad.get("size") is not None:
+                rm["size"] = ad["size"]
+            dv = ad.get("deletionVector")
+            if dv is not None and dv.get("storageType"):
+                rm["deletionVector"] = dv
+            lines.append({"remove": rm})
+        for ad in to_add:
+            re_add = dict(ad)
+            re_add["dataChange"] = True
+            lines.append({"add": re_add})
+        return "\n".join(json.dumps(ln) for ln in lines) + "\n"
+
+    ver = _claim_commit(
+        store, log_dir, target, revalidate, make_payload, max_retries
+    )
+    return ver, {
+        "restored_version": rv,
+        "files_added": len(to_add),
+        "files_removed": len(to_remove),
+    }

@@ -53,12 +53,13 @@ assignment is a different operation, not a parse nicety.
 Handles in ``tables`` are :class:`MergeStore` objects OR path
 strings naming a foreign (stock-owned) Delta table — the analogue
 of delta-spark's ``delta.`/path``` spelling. With a path handle,
-MERGE / DELETE / UPDATE / INSERT route onto the foreign-DML engine
-(``merge_into_delta`` / ``delete_from_delta`` / ``update_from_delta``
-/ ``append_to_delta``): the reference's verbatim SQL runs against a
-table a stock deployment owns, through the same claim/OCC protocol.
-Store-lifecycle statements (VACUUM, RESTORE, OPTIMIZE, ALTER,
-CLONE, DESCRIBE) stay MergeStore-only and refuse a path by name.
+MERGE / DELETE / UPDATE / INSERT / RESTORE route onto the
+foreign-DML engine (``merge_into_delta`` / ``delete_from_delta`` /
+``update_from_delta`` / ``append_to_delta`` / ``restore_delta``):
+the reference's verbatim SQL runs against a table a stock
+deployment owns, through the same claim/OCC protocol. The other
+lifecycle statements (VACUUM, OPTIMIZE, ALTER, CLONE, DESCRIBE)
+stay MergeStore-only and refuse a path by name.
 
 Scale note: this layer only PARSES; every statement lands on the
 same engine paths as the Python API (one-shuffle merge_upsert, DV
@@ -88,10 +89,10 @@ def _get_table(tables: dict, name: str):
     """The handle for a statement table name: a :class:`MergeStore`,
     or a PATH STRING naming a foreign (stock-owned) Delta table —
     the analogue of delta-spark's ``delta.`/path```. MERGE / DELETE
-    / UPDATE / INSERT route onto the foreign-DML engine
-    (``merge_into_delta`` & co.); store-lifecycle statements
-    (VACUUM, RESTORE, OPTIMIZE, ALTER, CLONE, DESCRIBE) stay
-    MergeStore-only and refuse a path by name."""
+    / UPDATE / INSERT / RESTORE route onto the foreign-DML engine
+    (``merge_into_delta`` & co.); the other lifecycle statements
+    (VACUUM, OPTIMIZE, ALTER, CLONE, DESCRIBE) stay MergeStore-only
+    and refuse a path by name."""
     if name not in tables:
         raise DMLParseError(
             f"unknown table {name!r}; known: {sorted(tables)}"
@@ -560,7 +561,13 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         r"^restore table (\w+) to version as of (\d+)$", stmt, re.I
     )
     if m:
-        store = _get_store(tables, m.group(1), "RESTORE")
+        store = _get_table(tables, m.group(1))
+        if isinstance(store, str):
+            from .deltalog import restore_delta
+
+            return restore_delta(
+                spark, store, version=int(m.group(2))
+            )
         return store.restore(f"v{int(m.group(2)):05d}")
 
     m = re.match(r"^describe history (\w+)$", stmt, re.I)
@@ -587,8 +594,12 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         r"^restore table (\w+) to timestamp as of (.+)$", stmt, re.I
     )
     if m:
-        store = _get_store(tables, m.group(1), "RESTORE")
+        store = _get_table(tables, m.group(1))
         ts = unmask(m.group(2)).strip().strip("'\"")
+        if isinstance(store, str):
+            from .deltalog import restore_delta
+
+            return restore_delta(spark, store, timestamp=ts)
         return store.restore(store.version_as_of(ts))
 
     m = re.match(r"^reorg table (\w+) apply \(\s*purge\s*\)$", stmt, re.I)

@@ -274,7 +274,6 @@ def test_foreign_lifecycle_statements_refuse(spark, tmp_path):
     tbl = _mk_foreign(tmp_path, name="fsql5")
     for stmt in (
         "vacuum t",
-        "restore table t to version as of 0",
         "describe history t",
         "optimize t",
         "alter table t drop column v",
