@@ -3179,6 +3179,24 @@ def _canon_add(ad) -> tuple | None:
     )
 
 
+def _clean_dv(dv: dict) -> dict:
+    """A deletion-vector descriptor rebuilt to its spec fields —
+    checkpoint-shaped replay dicts carry None-filled extras that
+    must not re-serialize into a commit."""
+    return {
+        k: dv[k]
+        for k in (
+            "storageType",
+            "pathOrInlineDv",
+            "offset",
+            "sizeInBytes",
+            "cardinality",
+            "maxRowIndex",
+        )
+        if dv.get(k) is not None
+    }
+
+
 def _py_live_adds(actions: list) -> dict:
     """Live file set from a driver-side action replay: rel path ->
     latest add action. Replay rule: within one commit, removes apply
@@ -4861,10 +4879,15 @@ def restore_delta(
     if (version is None) == (timestamp is None):
         raise ValueError("pass exactly one of version / timestamp")
 
-    # resolve the target version (timestampAsOf rule, ict-aware)
-    rv, _ck, _tail = _replay_plan(
-        log_dir, version, timestamp, tz=_session_tz(spark)
-    )
+    # resolve the target version (timestampAsOf rule, ict-aware);
+    # an explicit version skips the extra log listing — the replay
+    # below validates the bound with the same named error
+    if timestamp is not None:
+        rv, _ck, _tail = _replay_plan(
+            log_dir, None, timestamp, tz=_session_tz(spark)
+        )
+    else:
+        rv = int(version)
     _tv, actions_v = _py_actions(log_dir, version=rv)
     live_v = _py_live_adds(actions_v)
     meta_v = None
@@ -4892,11 +4915,6 @@ def restore_delta(
         return target, proto, meta, live
 
     target, proto, meta, live_head = resolve()
-    if rv > target:
-        raise DeltaProtocolError(
-            f"cannot restore to version {rv}: beyond the head "
-            f"({target})"
-        )
 
     def plan(live_now: dict):
         to_add = [
@@ -4913,18 +4931,35 @@ def restore_delta(
 
     to_add, to_remove = plan(live_head)
 
+    def canon_meta(m):
+        """Replay-source-neutral view of a metaData action: a
+        parquet checkpoint yields pair-list maps and None-filled
+        fields where the JSON tail yields dicts and absent keys —
+        raw comparison would see phantom drift, and raw
+        re-serialization would write non-spec JSON (a pair-list
+        ``format.options``) a stock reader refuses."""
+        fmt = dict(m.get("format") or {})
+        opts = fmt.get("options")
+        if isinstance(opts, list):
+            opts = dict(opts)
+        return {
+            "id": m.get("id"),
+            "name": m.get("name"),
+            "description": m.get("description"),
+            "format": {
+                "provider": fmt.get("provider") or "parquet",
+                "options": dict(opts or {}),
+            },
+            "schemaString": m.get("schemaString"),
+            "partitionColumns": list(m.get("partitionColumns") or []),
+            "configuration": dict(m.get("configuration") or {}),
+            "createdTime": m.get("createdTime"),
+        }
+
     def meta_changed(m_now):
-        keys = (
-            "id",
-            "schemaString",
-            "partitionColumns",
-            "configuration",
-            "format",
-        )
-        return any(
-            (m_now.get(k) or None) != (meta_v.get(k) or None)
-            for k in keys
-        )
+        a, b = canon_meta(m_now), canon_meta(meta_v)
+        a.pop("createdTime"), b.pop("createdTime")
+        return a != b
 
     if not to_add and not to_remove and not meta_changed(meta):
         return target, {
@@ -4932,20 +4967,50 @@ def restore_delta(
             "files_added": 0,
             "files_removed": 0,
         }
-    if to_remove:
-        # removes with dataChange: the delete writer obligations
-        _check_delete_writable(proto, meta)
-    else:
-        mwv = int(proto.get("minWriterVersion") or 1)
-        if mwv >= 7:
-            feats = set(proto.get("writerFeatures") or [])
-            unsupported = feats - _SUPPORTED_DELETE_WRITER_FEATURES
-            if unsupported:
-                raise DeltaProtocolError(
-                    "table requires writer features "
-                    f"{sorted(unsupported)} this engine does not "
-                    "implement"
+    cdf_on = (
+        str(
+            dict(meta.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", "false"
+            )
+        ).lower()
+        == "true"
+    )
+    if cdf_on and any(
+        (ad.get("deletionVector") or {}).get("storageType")
+        for ad in to_add
+    ):
+        # a cdc-less commit re-ADDING a DV-carrying file is one no
+        # CDF reader can derive change rows from (this engine's own
+        # reader refuses it by name) — refuse up front rather than
+        # break the table's change feed
+        raise DeltaProtocolError(
+            "restore would re-add deletion-vector files on a "
+            "live-CDF table; the change feed cannot represent that "
+            "transition — disable delta.enableChangeDataFeed or "
+            "restore to a DV-free version"
+        )
+
+    def gates(p, m):
+        """The write obligations, re-run on every revalidation — a
+        concurrent ALTER can flip appendOnly or add writer features
+        mid-flight, exactly like the sibling DML verbs."""
+        if to_remove:
+            _check_delete_writable(p, m)
+        else:
+            mwv = int(p.get("minWriterVersion") or 1)
+            if mwv >= 7:
+                feats = set(p.get("writerFeatures") or [])
+                unsupported = (
+                    feats - _SUPPORTED_DELETE_WRITER_FEATURES
                 )
+                if unsupported:
+                    raise DeltaProtocolError(
+                        "table requires writer features "
+                        f"{sorted(unsupported)} this engine does "
+                        "not implement"
+                    )
+
+    gates(proto, meta)
     missing = [
         ad["path"]
         for ad in to_add
@@ -4978,6 +5043,7 @@ def restore_delta(
                 "restore; the computed diff is stale — re-run it"
             )
         to_add, to_remove = n_add, n_remove
+        gates(_p, meta)
 
     def make_payload(ver, head):
         now_ms = int(time.time() * 1000)
@@ -4992,30 +5058,56 @@ def restore_delta(
             },
             "engineInfo": "mergestore-deltalog-restore",
         }
-        if _ict_on(meta):
+        writes_meta = meta_changed(meta)
+        # the ict obligation follows the POST-commit metadata: a
+        # restore that re-disables the property must not write a
+        # spurious field, one whose head enables it must
+        if _ict_on(meta_v if writes_meta else meta):
             ci["inCommitTimestamp"] = max(
                 now_ms, _prev_commit_ms(log_dir, head) + 1
             )
         lines = [{"commitInfo": ci}]
-        if meta_changed(meta):
-            lines.append({"metaData": meta_v})
+        if writes_meta:
+            lines.append({"metaData": canon_meta(meta_v)})
         for ad in to_remove:
             rm = {
                 "path": ad["path"],
                 "deletionTimestamp": now_ms,
                 "dataChange": True,
                 "extendedFileMetadata": True,
-                "partitionValues": ad.get("partitionValues") or {},
+                "partitionValues": dict(
+                    ad.get("partitionValues") or {}
+                ),
             }
             if ad.get("size") is not None:
-                rm["size"] = ad["size"]
+                rm["size"] = int(ad["size"])
             dv = ad.get("deletionVector")
             if dv is not None and dv.get("storageType"):
-                rm["deletionVector"] = dv
+                rm["deletionVector"] = _clean_dv(dv)
             lines.append({"remove": rm})
         for ad in to_add:
-            re_add = dict(ad)
-            re_add["dataChange"] = True
+            # rebuilt field-by-field: a checkpoint-shaped replay
+            # dict carries null-filled foreign fields and parsed
+            # stats structs (datetimes!) json.dumps cannot take and
+            # the spec does not want
+            re_add = {
+                "path": ad["path"],
+                "partitionValues": dict(
+                    ad.get("partitionValues") or {}
+                ),
+                "dataChange": True,
+            }
+            if ad.get("size") is not None:
+                re_add["size"] = int(ad["size"])
+            if ad.get("modificationTime") is not None:
+                re_add["modificationTime"] = int(
+                    ad["modificationTime"]
+                )
+            if isinstance(ad.get("stats"), str) and ad["stats"]:
+                re_add["stats"] = ad["stats"]
+            dv = ad.get("deletionVector")
+            if dv is not None and dv.get("storageType"):
+                re_add["deletionVector"] = _clean_dv(dv)
             lines.append({"add": re_add})
         return "\n".join(json.dumps(ln) for ln in lines) + "\n"
 

@@ -113,6 +113,200 @@ def test_restore_restores_metadata(spark, tmp_path):
     assert read_delta(spark, tbl).columns == ["k", "v"]
 
 
+def test_restore_through_checkpoint_shaped_replay(spark, tmp_path):
+    """A target version resolved THROUGH a stock checkpoint yields
+    None-padded pyarrow dicts; the re-added action must be rebuilt
+    to its spec fields (no tags:null leakage, dict partitionValues)
+    and the metadata comparison must not see phantom drift."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from test_deltaappend import _schema_string
+
+    tbl = _mk_foreign(tmp_path, name="rstck")
+    _seed(spark, tbl, [(1, "a"), (2, "b")])  # v1
+    add1 = next(
+        ln["add"] for ln in _entry_lines(tbl, 1)[1:] if "add" in ln
+    )
+    log_dir = os.path.join(tbl, "_delta_log")
+    map_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", map_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("tags", map_t),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_t),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ]
+    )
+    table = pa.table(
+        {
+            "protocol": pa.array(
+                [
+                    {"minReaderVersion": 1, "minWriterVersion": 2},
+                    None,
+                ],
+                type=proto_t,
+            ),
+            "metaData": pa.array(
+                [
+                    None,
+                    {
+                        "id": "foreign-1",
+                        "format": {"provider": "parquet"},
+                        "schemaString": _schema_string(
+                            ("k", "long"), ("v", "string")
+                        ),
+                        "partitionColumns": [],
+                        "configuration": [],
+                        "createdTime": 0,
+                    },
+                ],
+                type=meta_t,
+            ),
+            "add": pa.array(
+                [
+                    {
+                        "path": add1["path"],
+                        "partitionValues": [],
+                        "size": add1["size"],
+                        "modificationTime": add1["modificationTime"],
+                        "dataChange": True,
+                        "tags": None,
+                        "stats": add1.get("stats"),
+                    },
+                    None,
+                ],
+                type=add_t,
+            ),
+        }
+    )
+    pq.write_table(
+        table, os.path.join(log_dir, f"{1:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 2}, f)
+    delete_from_delta(spark, tbl, "k >= 1")  # v2: pure remove
+    assert read_delta(spark, tbl).count() == 0
+    ver, info = restore_delta(spark, tbl, version=1)
+    assert info["files_added"] == 1
+    lines = _entry_lines(tbl, ver)
+    re_add = next(ln["add"] for ln in lines[1:] if "add" in ln)
+    # spec fields only — no None-filled checkpoint padding
+    assert "tags" not in re_add
+    assert re_add["partitionValues"] == {}
+    # no phantom-drift metaData action (both states are identical)
+    assert not [ln for ln in lines[1:] if "metaData" in ln]
+    assert sorted(
+        (r.k, r.v) for r in read_delta(spark, tbl).collect()
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_restore_gates_rerun_on_concurrent_appendonly(
+    spark, tmp_path
+):
+    """A concurrent metadata-only ALTER flipping appendOnly=true
+    keeps the diff identical but must still refuse the removes —
+    the gates re-run on every revalidation."""
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    tbl = _mk_foreign(tmp_path, name="rstgate")
+    _seed(spark, tbl, [(1, "a")])  # v1
+    _seed(spark, tbl, [(2, "b")])  # v2
+    meta = [
+        ln["metaData"]
+        for ln in _entry_lines(tbl, 0)
+        if "metaData" in ln
+    ][0]
+    altered = dict(meta)
+    altered["configuration"] = {"delta.appendOnly": "true"}
+
+    class Racer(PosixLogStore):
+        def __init__(self):
+            self.raced = False
+
+        def create_exclusive(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                _log_write(tbl, 3, [{"metaData": altered}])
+            return super().create_exclusive(path, payload)
+
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        restore_delta(spark, tbl, version=1, log_store=Racer())
+
+
+def test_restore_cdf_dv_readd_refuses(spark, tmp_path):
+    """Re-adding a DV-carrying file on a live-CDF table would
+    write a commit no change-feed reader can derive rows from —
+    named refusal up front."""
+    tbl = _mk_foreign(
+        tmp_path,
+        cfg={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+        protocol={
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "changeDataFeed"],
+        },
+        name="rstcdfdv",
+    )
+    _seed(spark, tbl, [(1, "a"), (2, "b"), (3, "c")])  # v1
+    delete_from_delta(spark, tbl, "k = 1", strategy="dv")  # v2: DV1
+    delete_from_delta(spark, tbl, "k = 2", strategy="dv")  # v3: DV2
+    with pytest.raises(DeltaProtocolError, match="change feed"):
+        restore_delta(spark, tbl, version=2)
+    # restoring to the DV-free v1 is fine
+    ver, info = restore_delta(spark, tbl, version=1)
+    assert sorted(
+        r.k for r in read_delta(spark, tbl).collect()
+    ) == [1, 2, 3]
+
+
+def test_restore_restores_description(spark, tmp_path):
+    """name/description changes are part of the restored metadata
+    (delta-spark restores the full target snapshot metadata)."""
+    tbl = _mk_foreign(tmp_path, name="rstdesc")
+    _seed(spark, tbl, [(1, "a")])  # v1
+    meta = [
+        ln["metaData"]
+        for ln in _entry_lines(tbl, 0)
+        if "metaData" in ln
+    ][0]
+    described = dict(meta, description="added later")
+    _log_write(tbl, 2, [{"metaData": described}])
+    ver, info = restore_delta(spark, tbl, version=1)
+    metas = [
+        ln["metaData"]
+        for ln in _entry_lines(tbl, ver)[1:]
+        if "metaData" in ln
+    ]
+    assert len(metas) == 1
+    assert metas[0].get("description") is None
+
+
 def test_restore_refuses_vacuumed_files(spark, tmp_path):
     tbl = _mk_foreign(tmp_path, name="rstvac")
     _seed(spark, tbl, [(1, "a")])  # v1
