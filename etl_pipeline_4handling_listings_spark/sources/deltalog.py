@@ -5119,3 +5119,169 @@ def restore_delta(
         "files_added": len(to_add),
         "files_removed": len(to_remove),
     }
+
+
+def _parse_retention_interval(text: str) -> float:
+    """``delta.deletedFileRetentionDuration`` ("interval 7 days",
+    "interval 168 hours", "interval 1 week") in HOURS. Unknown
+    shapes refuse by name — a misparse here widens a deletion
+    window."""
+    m = re.match(
+        r"^\s*interval\s+(\d+)\s+(hour|day|week|minute)s?\s*$",
+        str(text),
+        re.I,
+    )
+    if not m:
+        raise DeltaProtocolError(
+            f"cannot parse retention interval {text!r}"
+        )
+    n = int(m.group(1))
+    unit = m.group(2).lower()
+    return n * {"minute": 1 / 60, "hour": 1, "day": 24, "week": 168}[
+        unit
+    ]
+
+
+def vacuum_delta(
+    spark: SparkSession,
+    path: str,
+    retention_hours: float | None = None,
+    dry_run: bool = False,
+    enforce_retention: bool = True,
+) -> dict:
+    """VACUUM a foreign Delta table: physically delete data files
+    under the table directory that the CURRENT snapshot does not
+    reference and whose modification time is older than the
+    retention window — delta-spark's listing-based rule, not a
+    tombstone walk (orphans from crashed writers are reclaimed
+    too). Returns ``{"files_deleted": n, "bytes_deleted": b,
+    "files": [...]}`` (paths always listed under ``dry_run``).
+
+    Protected, besides every live data file: the deletion-vector
+    sidecars live descriptors reference (``dv_file_path``
+    resolution), ``_delta_log`` and every other ``_``/``.``-prefixed
+    directory or file EXCEPT ``_change_data`` — change-data files
+    age out by the same mtime rule (delta's documented behavior:
+    CDF reads of ranges older than the retention fail after a
+    vacuum; recent commits' cdc files survive on mtime).
+
+    Retention defaults to the table's
+    ``delta.deletedFileRetentionDuration`` (spec default one week);
+    an explicit ``retention_hours`` BELOW that refuses unless
+    ``enforce_retention=False`` (delta's retentionDurationCheck —
+    the guard against breaking in-flight readers and time travel).
+    A retention of 0 with the check disabled reclaims everything
+    unreferenced, the crash-cleanup story for orphaned staging
+    output.
+
+    No commit is written (VACUUM changes no table state; the
+    optional START/END info commits newer delta-spark versions log
+    are not emitted). Concurrency: only files invisible to every
+    snapshot at-or-after the cutoff are touched, so concurrent
+    readers within retention and concurrent writers (whose staged
+    files are younger than any sane cutoff) are unaffected — the
+    same safety argument delta-spark's VACUUM makes.
+
+    Reference: the curated store's retention runbook
+    (mls_listings_curated.py operational notes); PROTOCOL.md for
+    the file-layout obligations.
+    """
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+    _t, actions = _py_actions(log_dir)
+    meta = proto = None
+    for _v, a in actions:
+        if a.get("metaData") is not None:
+            meta = a["metaData"]
+        elif a.get("protocol") is not None:
+            proto = a["protocol"]
+    if meta is None:
+        raise DeltaProtocolError("log has no metaData action")
+    _py_check_protocol(
+        proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    cfg = dict(meta.get("configuration") or {})
+    configured_h = _parse_retention_interval(
+        cfg.get("delta.deletedFileRetentionDuration", "interval 1 week")
+    )
+    if retention_hours is None:
+        retention_hours = configured_h
+    elif retention_hours < configured_h and enforce_retention:
+        raise DeltaProtocolError(
+            f"retention {retention_hours}h is below the table's "
+            f"deletedFileRetentionDuration ({configured_h}h); "
+            "readers and time travel inside that window would "
+            "break — pass enforce_retention=False to override"
+        )
+    cutoff = time.time() - retention_hours * 3600.0
+
+    from .dvcodec import dv_file_path
+
+    live = _py_live_adds(actions)
+    protected: set[str] = set()
+    for rel, ad in live.items():
+        protected.add(
+            os.path.abspath(os.path.join(path, unquote(rel)))
+        )
+        dv = ad.get("deletionVector")
+        if dv is not None and dv.get("storageType") == "u":
+            protected.add(
+                os.path.abspath(
+                    dv_file_path(path, dv["pathOrInlineDv"])
+                )
+            )
+
+    deleted: list[str] = []
+    bytes_deleted = 0
+    root = os.path.abspath(path)
+    for dirpath, dirnames, filenames in os.walk(root):
+        # protect _delta_log and every other hidden tree at the
+        # descent point; _change_data is the one vacuumable
+        # exception (its files age out like data files)
+        dirnames[:] = [
+            d
+            for d in dirnames
+            if not (
+                (d.startswith("_") or d.startswith("."))
+                and d != _CHANGE_DATA_DIR
+            )
+        ]
+        for name in filenames:
+            if name.startswith("_") or name.startswith("."):
+                continue
+            full = os.path.abspath(os.path.join(dirpath, name))
+            if full in protected:
+                continue
+            try:
+                st = os.stat(full)
+            except FileNotFoundError:
+                continue
+            if st.st_mtime >= cutoff:
+                continue
+            deleted.append(os.path.relpath(full, root))
+            bytes_deleted += st.st_size
+            if not dry_run:
+                os.remove(full)
+    if not dry_run:
+        # prune now-empty partition/cdc dirs (cosmetic, spec-legal)
+        for dirpath, dirnames, filenames in os.walk(
+            root, topdown=False
+        ):
+            if dirpath == root:
+                continue
+            base = os.path.basename(dirpath)
+            if base == _LOG_DIR or base.startswith("."):
+                continue
+            try:
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+            except OSError:
+                pass
+    return {
+        "files_deleted": len(deleted),
+        "bytes_deleted": bytes_deleted,
+        "files": sorted(deleted),
+        "retention_hours": retention_hours,
+        "dry_run": dry_run,
+    }

@@ -53,13 +53,14 @@ assignment is a different operation, not a parse nicety.
 Handles in ``tables`` are :class:`MergeStore` objects OR path
 strings naming a foreign (stock-owned) Delta table — the analogue
 of delta-spark's ``delta.`/path``` spelling. With a path handle,
-MERGE / DELETE / UPDATE / INSERT / RESTORE route onto the
+MERGE / DELETE / UPDATE / INSERT / RESTORE / VACUUM route onto the
 foreign-DML engine (``merge_into_delta`` / ``delete_from_delta`` /
-``update_from_delta`` / ``append_to_delta`` / ``restore_delta``):
-the reference's verbatim SQL runs against a table a stock
-deployment owns, through the same claim/OCC protocol. The other
-lifecycle statements (VACUUM, OPTIMIZE, ALTER, CLONE, DESCRIBE)
-stay MergeStore-only and refuse a path by name.
+``update_from_delta`` / ``append_to_delta`` / ``restore_delta`` /
+``vacuum_delta``; VACUUM retains by HOURS, delta's own form): the
+reference's verbatim SQL runs against a table a stock deployment
+owns, through the same claim/OCC protocol. The other lifecycle
+statements (OPTIMIZE, ALTER, CLONE, DESCRIBE) stay MergeStore-only
+and refuse a path by name.
 
 Scale note: this layer only PARSES; every statement lands on the
 same engine paths as the Python API (one-shuffle merge_upsert, DV
@@ -89,10 +90,10 @@ def _get_table(tables: dict, name: str):
     """The handle for a statement table name: a :class:`MergeStore`,
     or a PATH STRING naming a foreign (stock-owned) Delta table —
     the analogue of delta-spark's ``delta.`/path```. MERGE / DELETE
-    / UPDATE / INSERT / RESTORE route onto the foreign-DML engine
-    (``merge_into_delta`` & co.); the other lifecycle statements
-    (VACUUM, OPTIMIZE, ALTER, CLONE, DESCRIBE) stay MergeStore-only
-    and refuse a path by name."""
+    / UPDATE / INSERT / RESTORE / VACUUM route onto the foreign-DML
+    engine (``merge_into_delta`` & co.); the other lifecycle
+    statements (OPTIMIZE, ALTER, CLONE, DESCRIBE) stay
+    MergeStore-only and refuse a path by name."""
     if name not in tables:
         raise DMLParseError(
             f"unknown table {name!r}; known: {sorted(tables)}"
@@ -548,14 +549,38 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         return store.append(frame)
 
     m = re.match(
-        r"^vacuum (\w+)(?: retain (\d+) versions)?( dry run)?$",
+        r"^vacuum (\w+)(?: retain (\d+) (versions|hours))?"
+        r"( dry run)?$",
         stmt,
         re.I,
     )
     if m:
-        store = _get_store(tables, m.group(1), "VACUUM")
+        store = _get_table(tables, m.group(1))
+        unit = (m.group(3) or "").lower()
+        if isinstance(store, str):
+            # Delta's own VACUUM form: RETAIN N HOURS
+            if unit == "versions":
+                raise DMLParseError(
+                    "foreign Delta VACUUM retains by HOURS "
+                    "(delta's form), not versions"
+                )
+            from .deltalog import vacuum_delta
+
+            return vacuum_delta(
+                spark,
+                store,
+                retention_hours=(
+                    float(m.group(2)) if m.group(2) else None
+                ),
+                dry_run=bool(m.group(4)),
+            )
+        if unit == "hours":
+            raise DMLParseError(
+                "MergeStore VACUUM retains by VERSIONS; RETAIN N "
+                "HOURS is the foreign-Delta form"
+            )
         keep = int(m.group(2)) if m.group(2) else 2
-        return store.vacuum(keep=keep, dry_run=bool(m.group(3)))
+        return store.vacuum(keep=keep, dry_run=bool(m.group(4)))
 
     m = re.match(
         r"^restore table (\w+) to version as of (\d+)$", stmt, re.I

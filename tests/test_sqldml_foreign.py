@@ -273,7 +273,6 @@ def test_foreign_merge_not_matched_by_source_delete(
 def test_foreign_lifecycle_statements_refuse(spark, tmp_path):
     tbl = _mk_foreign(tmp_path, name="fsql5")
     for stmt in (
-        "vacuum t",
         "describe history t",
         "optimize t",
         "alter table t drop column v",
