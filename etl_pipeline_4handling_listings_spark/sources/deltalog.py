@@ -5285,3 +5285,218 @@ def vacuum_delta(
         "retention_hours": retention_hours,
         "dry_run": dry_run,
     }
+
+
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    min_file_size_bytes: int = 256 * 1024 * 1024,
+    purge: bool = False,
+    log_store=None,
+    max_retries: int = 50,
+) -> tuple[int, dict]:
+    """OPTIMIZE a foreign Delta table: compact each partition's
+    small files (below ``min_file_size_bytes``) into consolidated
+    ones, and with ``purge`` (Delta's ``REORG TABLE ... APPLY
+    (PURGE)``) also rewrite deletion-vector-masked files so the
+    masks disappear physically. One claimed commit pairs the
+    removes with the consolidated adds, all ``dataChange=false`` —
+    the logical row content is UNCHANGED (masked rows were already
+    invisible), so change-feed readers skip the commit and, per
+    spec, appendOnly tables accept it (that flag forbids only
+    dataChange removes). Returns ``(committed_version,
+    {"files_removed": n, "files_added": m, "partitions": k})``;
+    nothing to compact commits nothing.
+
+    Selection per partition: at least TWO sub-threshold files (a
+    lone small file gains nothing), or under ``purge`` any
+    DV-carrying file regardless of size. The consolidated scan
+    APPLIES existing deletion vectors (ctx machinery — surviving
+    rows only; the new files carry no mask) and re-spells physical
+    names + parquet field ids under column mapping. Output files:
+    one shuffle keyed by the partition columns, sized to one task
+    per touched partition (unpartitioned tables consolidate to a
+    single file) — compaction output is the TARGET-size regime by
+    construction, not a tuning knob this engine re-implements.
+
+    ZORDER clustering is a named non-goal (refused in the SQL
+    layer); delta-spark's own OPTIMIZE without ZORDER is exactly
+    this bin-compaction.
+
+    Concurrency: a moved head re-runs the gates and refuses if any
+    COMPACTED file's add action changed (a concurrent
+    delete/update/DV write of one invalidates the consolidated
+    bytes — Delta's ConcurrentDeleteDelete for compaction), while
+    concurrent blind appends commit freely: their new files simply
+    stay un-compacted until the next run.
+
+    Reference: the curated store's optimize()/REORG surface
+    (sources/store.py) mirrored onto stock-owned tables;
+    PROTOCOL.md for commit/OCC and the appendOnly obligation.
+    """
+    from .logstore import PosixLogStore
+
+    store = log_store or PosixLogStore()
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+
+    def resolve():
+        target, actions = _py_actions(log_dir)
+        meta = proto = None
+        for _v, a in actions:
+            if a.get("metaData") is not None:
+                meta = a["metaData"]
+            elif a.get("protocol") is not None:
+                proto = a["protocol"]
+        if meta is None:
+            raise DeltaProtocolError("log has no metaData action")
+        proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+        _py_check_protocol(proto)
+        # no rows are minted or logically removed: the write gates
+        # are the feature allowlist only (appendOnly ACCEPTS
+        # dataChange=false removes per spec)
+        mwv = int(proto.get("minWriterVersion") or 1)
+        if mwv >= 7:
+            feats = set(proto.get("writerFeatures") or [])
+            unsupported = feats - _SUPPORTED_DELETE_WRITER_FEATURES
+            if unsupported:
+                raise DeltaProtocolError(
+                    "table requires writer features "
+                    f"{sorted(unsupported)} this engine does not "
+                    "implement"
+                )
+        cm = dict(meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if cm in ("name", "id"):
+            _require_mapping_ids(meta, "rewrite")
+        logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        live = _py_live_adds(actions)
+        return target, proto, meta, logical, live
+
+    target, proto, meta, logical, live = resolve()
+    layout_sig = _layout_sig(meta, logical, include_cfg=True)
+    if not live:
+        return target, {
+            "files_removed": 0,
+            "files_added": 0,
+            "partitions": 0,
+        }
+    ctx = _TableCtx(spark, path, meta, logical, live)
+
+    def dv_of(rel):
+        return ctx.dv_of(rel)
+
+    groups: dict[tuple, list[str]] = {}
+    for rel, ad in live.items():
+        key = tuple(
+            sorted((ad.get("partitionValues") or {}).items())
+        )
+        groups.setdefault(key, []).append(rel)
+    selected: list[str] = []
+    n_parts = 0
+    for key, rels in sorted(groups.items()):
+        small = [
+            r
+            for r in rels
+            if (live[r].get("size") or 0) < min_file_size_bytes
+        ]
+        dvd = [r for r in rels if dv_of(r)] if purge else []
+        pick = sorted(set(small if len(small) >= 2 else []) | set(dvd))
+        if pick:
+            n_parts += 1
+            selected.extend(pick)
+    selected.sort()
+    if not selected:
+        return target, {
+            "files_removed": 0,
+            "files_added": 0,
+            "partitions": 0,
+        }
+
+    src = ctx.scan(selected)
+    out = src.select(*ctx.phys_sel(src))
+    if ctx.part_dirs:
+        # one task per touched partition: each hive dir gets one
+        # consolidated file (hash collisions merge tasks, never
+        # split a dir)
+        out = out.repartition(
+            max(n_parts, 1),
+            *[_qcol(c) for c in ctx.part_dirs],
+        )
+    else:
+        out = out.repartition(1)
+    staged_new = ctx.stage_and_move(out, "optimize")
+    adds = _adds_for_staged(path, staged_new)
+    for a in adds:
+        a["dataChange"] = False
+
+    def revalidate():
+        """Moved head: re-run gates; refuse if any compacted file's
+        add action changed (the consolidated bytes no longer
+        replace it) — concurrent appends pass untouched."""
+        nonlocal meta, live
+        _t, _p, meta, n_logical, n_live = resolve()
+        if _layout_sig(meta, n_logical, include_cfg=True) != layout_sig:
+            raise DeltaProtocolError(
+                "a concurrent commit changed the table layout under "
+                "this optimize — re-run it"
+            )
+        gone = [
+            rel
+            for rel in selected
+            if _canon_add(n_live.get(rel)) != _canon_add(live[rel])
+        ]
+        if gone:
+            raise DeltaProtocolError(
+                f"concurrent commit removed/rewrote {gone[:3]!r}"
+                f"{'...' if len(gone) > 3 else ''} this optimize "
+                "compacts (ConcurrentDeleteDelete) — re-run it"
+            )
+        live = n_live
+
+    def make_payload(ver, head):
+        now_ms = int(time.time() * 1000)
+        ci = {
+            "timestamp": now_ms,
+            "operation": "OPTIMIZE",
+            "operationParameters": {
+                "minFileSize": min_file_size_bytes,
+                "purge": bool(purge),
+            },
+            "engineInfo": "mergestore-deltalog-optimize",
+        }
+        if _ict_on(meta):
+            ci["inCommitTimestamp"] = max(
+                now_ms, _prev_commit_ms(log_dir, head) + 1
+            )
+        lines = [{"commitInfo": ci}]
+        for rel in selected:
+            ad = live[rel]
+            rm = {
+                "path": ad["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+                "extendedFileMetadata": True,
+                "partitionValues": dict(
+                    ad.get("partitionValues") or {}
+                ),
+            }
+            if ad.get("size") is not None:
+                rm["size"] = int(ad["size"])
+            if dv_of(rel):
+                rm["deletionVector"] = _clean_dv(dv_of(rel))
+            lines.append({"remove": rm})
+        for a in adds:
+            lines.append({"add": a})
+        return "\n".join(json.dumps(ln) for ln in lines) + "\n"
+
+    ver = _claim_commit(
+        store, log_dir, target, revalidate, make_payload, max_retries
+    )
+    return ver, {
+        "files_removed": len(selected),
+        "files_added": len(adds),
+        "partitions": n_parts,
+    }

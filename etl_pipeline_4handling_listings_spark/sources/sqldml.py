@@ -607,12 +607,21 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         r"^optimize (\w+)(?: zorder by \(?([\w, ]+)\)?)?$", stmt, re.I
     )
     if m:
-        store = _get_store(tables, m.group(1), "OPTIMIZE")
+        store = _get_table(tables, m.group(1))
         zcols = (
             [c.strip() for c in m.group(2).split(",")]
             if m.group(2)
             else None
         )
+        if isinstance(store, str):
+            if zcols:
+                raise DMLParseError(
+                    "ZORDER clustering is not implemented for "
+                    "foreign Delta paths — plain OPTIMIZE compacts"
+                )
+            from .deltalog import optimize_delta
+
+            return optimize_delta(spark, store)
         return store.optimize(zorder_by=zcols)
 
     m = re.match(
@@ -629,7 +638,16 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
 
     m = re.match(r"^reorg table (\w+) apply \(\s*purge\s*\)$", stmt, re.I)
     if m:
-        return _get_store(tables, m.group(1), "REORG").optimize(purge=True)
+        store = _get_table(tables, m.group(1))
+        if isinstance(store, str):
+            from .deltalog import optimize_delta
+
+            # purge-only: rewrite DV-masked files, no size-based
+            # compaction (min size 0 selects nothing by size)
+            return optimize_delta(
+                spark, store, min_file_size_bytes=0, purge=True
+            )
+        return store.optimize(purge=True)
 
     m = re.match(
         r"^alter table (\w+) add constraint (\w+) check \((.+)\)$",
