@@ -5152,18 +5152,23 @@ def vacuum_delta(
     """VACUUM a foreign Delta table: physically delete data files
     under the table directory that the CURRENT snapshot does not
     reference and whose modification time is older than the
-    retention window — delta-spark's listing-based rule, not a
-    tombstone walk (orphans from crashed writers are reclaimed
-    too). Returns ``{"files_deleted": n, "bytes_deleted": b,
-    "files": [...]}`` (paths always listed under ``dry_run``).
+    retention window — delta-spark's listing-based rule, so orphans
+    from crashed writers are reclaimed too. Returns
+    ``{"files_deleted": n, "bytes_deleted": b, "files": [...]}``
+    (paths always listed under ``dry_run``).
 
-    Protected, besides every live data file: the deletion-vector
-    sidecars live descriptors reference (``dv_file_path``
-    resolution), ``_delta_log`` and every other ``_``/``.``-prefixed
-    directory or file EXCEPT ``_change_data`` — change-data files
-    age out by the same mtime rule (delta's documented behavior:
-    CDF reads of ranges older than the retention fail after a
-    vacuum; recent commits' cdc files survive on mtime).
+    Protected, besides every live data file: files whose remove
+    tombstone's ``deletionTimestamp`` is still inside the retention
+    window (delta's VacuumCommand rule — a just-removed file must
+    survive until readers of the pre-remove snapshot, and CDF reads
+    that reconstruct the delete from its rows, age out; a missing
+    deletionTimestamp counts as 0, immediately reclaimable), the
+    deletion-vector sidecars live or window-recent descriptors
+    reference ('u' via ``dv_file_path``, 'p' by path), and
+    ``_delta_log`` plus every other ``_``/``.``-prefixed directory
+    or file EXCEPT ``_change_data`` — change-data files age out by
+    the same mtime rule (delta's documented behavior: CDF reads of
+    ranges older than the retention fail after a vacuum).
 
     Retention defaults to the table's
     ``delta.deletedFileRetentionDuration`` (spec default one week);
@@ -5220,20 +5225,51 @@ def vacuum_delta(
 
     live = _py_live_adds(actions)
     protected: set[str] = set()
-    for rel, ad in live.items():
-        protected.add(
-            os.path.abspath(os.path.join(path, unquote(rel)))
-        )
-        dv = ad.get("deletionVector")
-        if dv is not None and dv.get("storageType") == "u":
+
+    def protect_dv(dv):
+        st = (dv or {}).get("storageType")
+        if st == "u":
             protected.add(
                 os.path.abspath(
                     dv_file_path(path, dv["pathOrInlineDv"])
                 )
             )
+        elif st == "p":
+            # absolute-path descriptor (spec); tolerate a relative
+            # spelling by protecting both resolutions
+            raw = dv["pathOrInlineDv"]
+            protected.add(os.path.abspath(raw))
+            protected.add(
+                os.path.abspath(os.path.join(path, unquote(raw)))
+            )
+
+    for rel, ad in live.items():
+        protected.add(
+            os.path.abspath(os.path.join(path, unquote(rel)))
+        )
+        protect_dv(ad.get("deletionVector"))
+    # remove tombstones inside the retention window protect their
+    # file VERSION too (delta-spark's VacuumCommand rule): a
+    # just-removed file must stay until readers of the pre-remove
+    # snapshot — and CDF reads that reconstruct the delete from its
+    # rows — age out of the window. A missing deletionTimestamp
+    # counts as 0 (immediately reclaimable), delta's own treatment.
+    cutoff_ms = cutoff * 1000.0
+    for _v, a in actions:
+        rm = a.get("remove")
+        if rm is None or not rm.get("path"):
+            continue
+        if float(rm.get("deletionTimestamp") or 0) >= cutoff_ms:
+            protected.add(
+                os.path.abspath(
+                    os.path.join(path, unquote(rm["path"]))
+                )
+            )
+            protect_dv(rm.get("deletionVector"))
 
     deleted: list[str] = []
     bytes_deleted = 0
+    visited_dirs: list[str] = []
     root = os.path.abspath(path)
     for dirpath, dirnames, filenames in os.walk(root):
         # protect _delta_log and every other hidden tree at the
@@ -5247,6 +5283,8 @@ def vacuum_delta(
                 and d != _CHANGE_DATA_DIR
             )
         ]
+        if dirpath != root:
+            visited_dirs.append(dirpath)
         for name in filenames:
             if name.startswith("_") or name.startswith("."):
                 continue
@@ -5262,17 +5300,21 @@ def vacuum_delta(
             deleted.append(os.path.relpath(full, root))
             bytes_deleted += st.st_size
             if not dry_run:
-                os.remove(full)
+                try:
+                    os.remove(full)
+                except FileNotFoundError:
+                    # a racing vacuum got there first — the file is
+                    # gone either way, keep sweeping
+                    pass
     if not dry_run:
-        # prune now-empty partition/cdc dirs (cosmetic, spec-legal)
-        for dirpath, dirnames, filenames in os.walk(
-            root, topdown=False
+        # prune now-empty partition/cdc dirs — ONLY dirs the
+        # (hidden-pruned) deletion walk itself visited, so a
+        # concurrent writer's dot-staging tree (with its transient
+        # _temporary/ internals) and _delta_log/_sidecars are never
+        # touched; deepest first
+        for dirpath in sorted(
+            visited_dirs, key=lambda p: p.count(os.sep), reverse=True
         ):
-            if dirpath == root:
-                continue
-            base = os.path.basename(dirpath)
-            if base == _LOG_DIR or base.startswith("."):
-                continue
             try:
                 if not os.listdir(dirpath):
                     os.rmdir(dirpath)

@@ -33,6 +33,28 @@ def _age(p, hours=200):
     os.utime(p, (t, t))
 
 
+def _age_tombstones(tbl, version, hours=200):
+    """Backdate every remove action's deletionTimestamp in one log
+    entry — a fresh tombstone protects its file for the retention
+    window (delta's rule), so reclamation tests must age BOTH the
+    file and the tombstone."""
+    import json as _json
+
+    p = os.path.join(tbl, "_delta_log", f"{version:020d}.json")
+    ts = int((time.time() - hours * 3600) * 1000)
+    out = []
+    with open(p) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            a = _json.loads(line)
+            if "remove" in a:
+                a["remove"]["deletionTimestamp"] = ts
+            out.append(_json.dumps(a))
+    with open(p, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+
+
 def test_vacuum_reclaims_dead_files_protects_live(spark, tmp_path):
     """A delete's rewritten-away file ages out and is reclaimed;
     the live rewrite, the log, and young dead files survive; a
@@ -55,6 +77,13 @@ def test_vacuum_reclaims_dead_files_protects_live(spark, tmp_path):
     out = vacuum_delta(spark, tbl, dry_run=True)
     assert out["files_deleted"] == 0
     _age(os.path.join(tbl, dead))
+    # an OLD file with a FRESH tombstone stays protected too —
+    # readers of the pre-delete snapshot and CDF reconstruction
+    # need it until the tombstone ages out (delta's rule)
+    assert vacuum_delta(spark, tbl, dry_run=True)[
+        "files_deleted"
+    ] == 0
+    _age_tombstones(tbl, 2)
     # dry run lists it but deletes nothing
     out = vacuum_delta(spark, tbl, dry_run=True)
     assert out["files"] == [dead]
@@ -105,6 +134,7 @@ def test_vacuum_retention_gate_and_override(spark, tmp_path):
         if "add" in ln
     )
     _age(os.path.join(tbl2, dead2), hours=2)
+    _age_tombstones(tbl2, 2, hours=2)
     out = vacuum_delta(spark, tbl2)  # default = configured 1h
     assert out["files_deleted"] == 1
 
