@@ -5333,6 +5333,7 @@ def optimize_delta(
     spark: SparkSession,
     path: str,
     min_file_size_bytes: int = 256 * 1024 * 1024,
+    target_file_size_bytes: int = 1024 * 1024 * 1024,
     purge: bool = False,
     log_store=None,
     max_retries: int = 50,
@@ -5352,14 +5353,16 @@ def optimize_delta(
 
     Selection per partition: at least TWO sub-threshold files (a
     lone small file gains nothing), or under ``purge`` any
-    DV-carrying file regardless of size. The consolidated scan
-    APPLIES existing deletion vectors (ctx machinery — surviving
+    DV-carrying file regardless of size. Selected files pack
+    greedily into BINS of up to ``target_file_size_bytes`` input
+    bytes (delta-spark's binned OPTIMIZE shape — bins never span
+    partitions), and the consolidation shuffle keys by the bin id
+    via a broadcast file->bin map: one task ≈ one bin ≈ one output
+    file, so a 20x200MB partition becomes four ~1GB files, never
+    one 4GB straggler, and unpartitioned tables scale the same
+    way. The scan APPLIES existing deletion vectors (surviving
     rows only; the new files carry no mask) and re-spells physical
-    names + parquet field ids under column mapping. Output files:
-    one shuffle keyed by the partition columns, sized to one task
-    per touched partition (unpartitioned tables consolidate to a
-    single file) — compaction output is the TARGET-size regime by
-    construction, not a tuning knob this engine re-implements.
+    names + parquet field ids under column mapping.
 
     ZORDER clustering is a named non-goal (refused in the SQL
     layer); delta-spark's own OPTIMIZE without ZORDER is exactly
@@ -5411,6 +5414,14 @@ def optimize_delta(
         cm = dict(meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
+        if cm not in ("", "none", "name", "id"):
+            # an unrecognized mode means the files' column spelling
+            # is unknown — scanning by logical names would stage
+            # all-NULL data; refuse like every other rewrite verb
+            raise DeltaProtocolError(
+                f"optimize on a columnMapping.mode={cm!r} table is "
+                "not supported"
+            )
         if cm in ("name", "id"):
             _require_mapping_ids(meta, "rewrite")
         logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -5426,9 +5437,7 @@ def optimize_delta(
             "partitions": 0,
         }
     ctx = _TableCtx(spark, path, meta, logical, live)
-
-    def dv_of(rel):
-        return ctx.dv_of(rel)
+    dv_of = ctx.dv_of
 
     groups: dict[tuple, list[str]] = {}
     for rel, ad in live.items():
@@ -5436,9 +5445,15 @@ def optimize_delta(
             sorted((ad.get("partitionValues") or {}).items())
         )
         groups.setdefault(key, []).append(rel)
+    # greedy size-binning per partition (bins never span one):
+    # one bin -> one shuffle task -> one ~target-size output file.
+    # repr-keyed group order stays deterministic when partition
+    # values mix None (the hive null dir) with strings.
     selected: list[str] = []
+    bin_of: dict[str, int] = {}  # abs file path -> global bin id
+    n_bins = 0
     n_parts = 0
-    for key, rels in sorted(groups.items()):
+    for _key, rels in sorted(groups.items(), key=repr):
         small = [
             r
             for r in rels
@@ -5446,9 +5461,19 @@ def optimize_delta(
         ]
         dvd = [r for r in rels if dv_of(r)] if purge else []
         pick = sorted(set(small if len(small) >= 2 else []) | set(dvd))
-        if pick:
-            n_parts += 1
-            selected.extend(pick)
+        if not pick:
+            continue
+        n_parts += 1
+        selected.extend(pick)
+        cur = 0
+        for r in pick:
+            sz = int(live[r].get("size") or 0)
+            if cur and cur + sz > target_file_size_bytes:
+                n_bins += 1
+                cur = 0
+            bin_of[ctx.abs_of[r]] = n_bins
+            cur += sz
+        n_bins += 1
     selected.sort()
     if not selected:
         return target, {
@@ -5457,18 +5482,19 @@ def optimize_delta(
             "partitions": 0,
         }
 
-    src = ctx.scan(selected)
-    out = src.select(*ctx.phys_sel(src))
-    if ctx.part_dirs:
-        # one task per touched partition: each hive dir gets one
-        # consolidated file (hash collisions merge tasks, never
-        # split a dir)
-        out = out.repartition(
-            max(n_parts, 1),
-            *[_qcol(c) for c in ctx.part_dirs],
-        )
-    else:
-        out = out.repartition(1)
+    src = ctx.scan(selected).join(
+        F.broadcast(
+            spark.createDataFrame(
+                list(bin_of.items()), "__fp string, __bin int"
+            )
+        ),
+        "__fp",
+    )
+    # range partitioning gives each distinct bin id its own task
+    # (hash would collide small bin counts into one writer); the
+    # explicit count keeps AQE from re-coalescing the bins
+    rep = src.repartitionByRange(n_bins, F.col("__bin"))
+    out = rep.select(*ctx.phys_sel(rep))
     staged_new = ctx.stage_and_move(out, "optimize")
     adds = _adds_for_staged(path, staged_new)
     for a in adds:

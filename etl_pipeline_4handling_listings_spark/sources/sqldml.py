@@ -53,14 +53,15 @@ assignment is a different operation, not a parse nicety.
 Handles in ``tables`` are :class:`MergeStore` objects OR path
 strings naming a foreign (stock-owned) Delta table — the analogue
 of delta-spark's ``delta.`/path``` spelling. With a path handle,
-MERGE / DELETE / UPDATE / INSERT / RESTORE / VACUUM route onto the
-foreign-DML engine (``merge_into_delta`` / ``delete_from_delta`` /
-``update_from_delta`` / ``append_to_delta`` / ``restore_delta`` /
-``vacuum_delta``; VACUUM retains by HOURS, delta's own form): the
+MERGE / DELETE / UPDATE / INSERT / RESTORE / VACUUM / OPTIMIZE /
+REORG route onto the foreign-DML engine (``merge_into_delta`` /
+``delete_from_delta`` / ``update_from_delta`` / ``append_to_delta``
+/ ``restore_delta`` / ``vacuum_delta`` / ``optimize_delta``; VACUUM
+retains by HOURS, delta's own form; ZORDER refuses by name): the
 reference's verbatim SQL runs against a table a stock deployment
-owns, through the same claim/OCC protocol. The other lifecycle
-statements (OPTIMIZE, ALTER, CLONE, DESCRIBE) stay MergeStore-only
-and refuse a path by name.
+owns, through the same claim/OCC protocol. The remaining lifecycle
+statements (ALTER, CLONE, DESCRIBE) stay MergeStore-only and
+refuse a path by name.
 
 Scale note: this layer only PARSES; every statement lands on the
 same engine paths as the Python API (one-shuffle merge_upsert, DV
@@ -90,10 +91,11 @@ def _get_table(tables: dict, name: str):
     """The handle for a statement table name: a :class:`MergeStore`,
     or a PATH STRING naming a foreign (stock-owned) Delta table —
     the analogue of delta-spark's ``delta.`/path```. MERGE / DELETE
-    / UPDATE / INSERT / RESTORE / VACUUM route onto the foreign-DML
-    engine (``merge_into_delta`` & co.); the other lifecycle
-    statements (OPTIMIZE, ALTER, CLONE, DESCRIBE) stay
-    MergeStore-only and refuse a path by name."""
+    / UPDATE / INSERT / RESTORE / VACUUM / OPTIMIZE / REORG route
+    onto the foreign-DML engine (``merge_into_delta`` & co.;
+    ZORDER refuses); the remaining lifecycle statements (ALTER,
+    CLONE, DESCRIBE) stay MergeStore-only and refuse a path by
+    name."""
     if name not in tables:
         raise DMLParseError(
             f"unknown table {name!r}; known: {sorted(tables)}"

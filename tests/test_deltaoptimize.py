@@ -113,6 +113,47 @@ def test_optimize_partitioned_per_partition(spark, tmp_path):
     assert got == [(1, "a", 10), (2, "b", 10), (3, "c", 20)]
 
 
+def test_optimize_bins_by_target_size(spark, tmp_path):
+    """Input bytes above the target split into multiple bins —
+    one output file per bin, never one giant consolidation."""
+    tbl = _mk_foreign(tmp_path, name="optbin")
+    sizes = []
+    for k in range(4):
+        _seed(spark, tbl, [(k, f"v{k}")])
+    live = _live_paths(tbl)
+    sizes = [a["size"] for a in live.values()]
+    # target fits roughly two input files per bin -> 2 bins
+    target = int(sum(sizes) / 2 + max(sizes))
+    ver, info = optimize_delta(
+        spark, tbl, target_file_size_bytes=target
+    )
+    assert info["files_removed"] == 4
+    assert info["files_added"] == 2
+    got = sorted(r.k for r in read_delta(spark, tbl).collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_optimize_null_partition_values(spark, tmp_path):
+    """A NULL partition value (hive default dir) must not break
+    group ordering; both the null and non-null partitions
+    compact."""
+    tbl = _mk_foreign(tmp_path, pcols=("p",), name="optnull")
+    for row in [
+        (1, "a", None),
+        (2, "b", None),
+        (3, "c", 10),
+        (4, "d", 10),
+    ]:
+        _seed(spark, tbl, [row], pcols=("p",), one_file=False)
+    ver, info = optimize_delta(spark, tbl)
+    assert info["files_removed"] == 4
+    assert info["partitions"] == 2
+    got = sorted(
+        (r.k, r.p) for r in read_delta(spark, tbl).collect()
+    )
+    assert got == [(1, None), (2, None), (3, 10), (4, 10)]
+
+
 def test_optimize_purge_rewrites_dv_masks(spark, tmp_path):
     """REORG PURGE: a DV-masked file rewrites to its surviving
     rows, the new file carries no mask, the change feed skips the
