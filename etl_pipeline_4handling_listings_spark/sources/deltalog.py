@@ -5568,3 +5568,107 @@ def optimize_delta(
         "files_added": len(adds),
         "partitions": n_parts,
     }
+
+
+def describe_delta_history(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """``DESCRIBE HISTORY`` for a foreign Delta table: one row per
+    LIVE log entry (newest first) with the commitInfo fields a
+    stock client records — version, the authoritative timestamp
+    (``inCommitTimestamp`` when present, else the entry mtime),
+    operation, operationParameters (stringified values, delta's
+    own display shape) and engineInfo. Entries already compacted
+    away into a checkpoint have no commitInfo to show and are
+    simply absent, exactly like delta-spark after metadata
+    cleanup. Metadata-scale: one driver-side pass over the log
+    tail; no data file is touched."""
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+    entries, _cks = _list_log(log_dir)
+    rows = []
+    for v in sorted(entries, reverse=True):
+        ci = {}
+        with open(entries[v]) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("commitInfo") is not None:
+                    ci = a["commitInfo"]
+                    break
+        ts_ms = ci.get("inCommitTimestamp")
+        if ts_ms is None:
+            ts_ms = int(_entry_commit_ts(entries[v]) * 1000)
+        params = {
+            k: (val if isinstance(val, str) else json.dumps(val))
+            for k, val in (
+                ci.get("operationParameters") or {}
+            ).items()
+            if val is not None
+        }
+        rows.append(
+            (
+                v,
+                int(ts_ms),
+                ci.get("operation"),
+                params,
+                ci.get("engineInfo"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp long, operation string, "
+        "operationParameters map<string,string>, engineInfo string",
+    )
+
+
+def describe_delta_detail(spark: SparkSession, path: str) -> DataFrame:
+    """``DESCRIBE DETAIL`` for a foreign Delta table: one row —
+    format, table id/name/description, location, createdAt,
+    partition columns, live file count and total bytes, table
+    properties, and the protocol (versions + feature lists).
+    Metadata-scale driver-side replay; no data file is touched."""
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path} has no _delta_log")
+    _t, actions = _py_actions(log_dir)
+    meta = proto = None
+    for _v, a in actions:
+        if a.get("metaData") is not None:
+            meta = a["metaData"]
+        elif a.get("protocol") is not None:
+            proto = a["protocol"]
+    if meta is None:
+        raise DeltaProtocolError("log has no metaData action")
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    live = _py_live_adds(actions)
+    row = (
+        (meta.get("format") or {}).get("provider") or "parquet",
+        meta.get("id"),
+        meta.get("name"),
+        meta.get("description"),
+        os.path.abspath(path),
+        int(meta["createdTime"])
+        if meta.get("createdTime") is not None
+        else None,
+        list(meta.get("partitionColumns") or []),
+        len(live),
+        sum(int(ad.get("size") or 0) for ad in live.values()),
+        dict(meta.get("configuration") or {}),
+        int(proto.get("minReaderVersion") or 1),
+        int(proto.get("minWriterVersion") or 2),
+        sorted(proto.get("readerFeatures") or []),
+        sorted(proto.get("writerFeatures") or []),
+    )
+    return spark.createDataFrame(
+        [row],
+        "format string, id string, name string, "
+        "description string, location string, createdAt long, "
+        "partitionColumns array<string>, numFiles long, "
+        "sizeInBytes long, properties map<string,string>, "
+        "minReaderVersion int, minWriterVersion int, "
+        "readerFeatures array<string>, writerFeatures array<string>",
+    )

@@ -54,14 +54,15 @@ Handles in ``tables`` are :class:`MergeStore` objects OR path
 strings naming a foreign (stock-owned) Delta table — the analogue
 of delta-spark's ``delta.`/path``` spelling. With a path handle,
 MERGE / DELETE / UPDATE / INSERT / RESTORE / VACUUM / OPTIMIZE /
-REORG route onto the foreign-DML engine (``merge_into_delta`` /
-``delete_from_delta`` / ``update_from_delta`` / ``append_to_delta``
-/ ``restore_delta`` / ``vacuum_delta`` / ``optimize_delta``; VACUUM
-retains by HOURS, delta's own form; ZORDER refuses by name): the
-reference's verbatim SQL runs against a table a stock deployment
-owns, through the same claim/OCC protocol. The remaining lifecycle
-statements (ALTER, CLONE, DESCRIBE) stay MergeStore-only and
-refuse a path by name.
+REORG / DESCRIBE HISTORY / DESCRIBE DETAIL route onto the
+foreign-DML engine (``merge_into_delta`` / ``delete_from_delta`` /
+``update_from_delta`` / ``append_to_delta`` / ``restore_delta`` /
+``vacuum_delta`` / ``optimize_delta`` / ``describe_delta_*``;
+VACUUM retains by HOURS, delta's own form; ZORDER refuses by
+name): the reference's verbatim SQL runs against a table a stock
+deployment owns, through the same claim/OCC protocol. The
+schema-changing lifecycle statements (ALTER, CLONE) stay
+MergeStore-only and refuse a path by name.
 
 Scale note: this layer only PARSES; every statement lands on the
 same engine paths as the Python API (one-shuffle merge_upsert, DV
@@ -91,11 +92,11 @@ def _get_table(tables: dict, name: str):
     """The handle for a statement table name: a :class:`MergeStore`,
     or a PATH STRING naming a foreign (stock-owned) Delta table —
     the analogue of delta-spark's ``delta.`/path```. MERGE / DELETE
-    / UPDATE / INSERT / RESTORE / VACUUM / OPTIMIZE / REORG route
-    onto the foreign-DML engine (``merge_into_delta`` & co.;
-    ZORDER refuses); the remaining lifecycle statements (ALTER,
-    CLONE, DESCRIBE) stay MergeStore-only and refuse a path by
-    name."""
+    / UPDATE / INSERT / RESTORE / VACUUM / OPTIMIZE / REORG /
+    DESCRIBE route onto the foreign-DML engine
+    (``merge_into_delta`` & co.; ZORDER refuses); schema-changing
+    lifecycle statements (ALTER, CLONE) stay MergeStore-only and
+    refuse a path by name."""
     if name not in tables:
         raise DMLParseError(
             f"unknown table {name!r}; known: {sorted(tables)}"
@@ -599,11 +600,21 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
 
     m = re.match(r"^describe history (\w+)$", stmt, re.I)
     if m:
-        return _get_store(tables, m.group(1), "DESCRIBE HISTORY").history()
+        handle = _get_table(tables, m.group(1))
+        if isinstance(handle, str):
+            from .deltalog import describe_delta_history
+
+            return describe_delta_history(spark, handle)
+        return handle.history()
 
     m = re.match(r"^describe detail (\w+)$", stmt, re.I)
     if m:
-        return _get_store(tables, m.group(1), "DESCRIBE DETAIL").detail()
+        handle = _get_table(tables, m.group(1))
+        if isinstance(handle, str):
+            from .deltalog import describe_delta_detail
+
+            return describe_delta_detail(spark, handle)
+        return handle.detail()
 
     m = re.match(
         r"^optimize (\w+)(?: zorder by \(?([\w, ]+)\)?)?$", stmt, re.I

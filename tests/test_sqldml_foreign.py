@@ -273,14 +273,33 @@ def test_foreign_merge_not_matched_by_source_delete(
 def test_foreign_lifecycle_statements_refuse(spark, tmp_path):
     tbl = _mk_foreign(tmp_path, name="fsql5")
     for stmt in (
-        "describe history t",
         "optimize t zorder by (k)",
         "alter table t drop column v",
+        "create table t2 clone t",
     ):
         with pytest.raises(
             DMLParseError, match="foreign Delta|ZORDER"
         ):
-            run_dml(spark, stmt, tables={"t": tbl})
+            run_dml(spark, stmt, tables={"t": tbl, "t2": tbl})
+
+
+def test_foreign_describe_history_and_detail(spark, tmp_path):
+    tbl = _mk_foreign(tmp_path, name="fsqld")
+    _seed(spark, tbl, [(1, "a"), (2, "b")])
+    run_dml(spark, "delete from t where k = 1", tables={"t": tbl})
+    hist = run_dml(spark, "describe history t", tables={"t": tbl})
+    rows = hist.collect()
+    assert [r.version for r in rows] == [2, 1, 0]
+    assert rows[0].operation == "DELETE"
+    assert rows[0].operationParameters["predicate"] == "k = 1"
+    assert rows[1].operation == "WRITE"
+    det = run_dml(
+        spark, "describe detail t", tables={"t": tbl}
+    ).collect()[0]
+    assert det.format == "parquet"
+    assert det.numFiles == 1 and det.sizeInBytes > 0
+    assert det.partitionColumns == []
+    assert det.minReaderVersion == 1
 
 
 def test_foreign_merge_engine_refusals_surface(spark, tmp_path):
