@@ -1862,6 +1862,11 @@ def read_delta(
     # declared schema
     def hive_ok(r) -> bool:
         rel = unquote(r["p"])
+        if os.path.isabs(rel) or "://" in rel:
+            # a shallow clone's absolute-path adds live OUTSIDE the
+            # table root — basePath cannot cover them; the
+            # lit-tagged fallback can
+            return False
         pv = dict(r["pv"] or {})
         segs = dict(
             s.split("=", 1) for s in rel.split("/")[:-1] if "=" in s
@@ -5672,3 +5677,143 @@ def describe_delta_detail(spark: SparkSession, path: str) -> DataFrame:
         "minReaderVersion int, minWriterVersion int, "
         "readerFeatures array<string>, writerFeatures array<string>",
     )
+
+
+def clone_delta(
+    spark: SparkSession, src_path: str, dst_path: str
+) -> tuple[int, dict]:
+    """SHALLOW CLONE a foreign Delta table: create a NEW table at
+    ``dst_path`` whose version-0 commit references the source's
+    live data files by ABSOLUTE path (Delta's shallow-clone shape —
+    zero data copied, the clone materializes lazily as it is
+    rewritten). The clone gets the source's schema, partitioning,
+    configuration and protocol verbatim, a fresh table id, and
+    deletion-vector descriptors converted to their absolute 'p'
+    form (a 'u' descriptor is relative to the SOURCE root and would
+    dangle under the clone). Returns ``(0, {"files": n,
+    "source_version": v})``.
+
+    The clone is an independent table from the first commit: DML
+    against it stages rewrites under ITS root and removes reference
+    the absolute source paths its log carries, while appends to the
+    SOURCE never appear in the clone (snapshot isolation by
+    construction). VACUUMing the SOURCE can reclaim files the
+    clone still references — the same documented hazard
+    delta-spark's shallow clones have.
+
+    Refusals: an existing ``_delta_log`` at the destination (this
+    is CREATE, not REPLACE), and unsupported source protocols.
+
+    Reference: the curated store's CREATE TABLE ... CLONE surface
+    (sources/store.py clone()); the Delta shallow-clone layout per
+    PROTOCOL.md's absolute-path add rule.
+    """
+    src_log = os.path.join(src_path, _LOG_DIR)
+    if not os.path.isdir(src_log):
+        raise FileNotFoundError(f"{src_path} has no _delta_log")
+    dst_log = os.path.join(dst_path, _LOG_DIR)
+    if os.path.isdir(dst_log) and os.listdir(dst_log):
+        raise DeltaProtocolError(
+            f"{dst_path} already has a _delta_log; CLONE creates a "
+            "new table (REPLACE is not supported)"
+        )
+    sv, actions = _py_actions(src_log)
+    meta = proto = None
+    for _v, a in actions:
+        if a.get("metaData") is not None:
+            meta = a["metaData"]
+        elif a.get("protocol") is not None:
+            proto = a["protocol"]
+    if meta is None:
+        raise DeltaProtocolError("source log has no metaData action")
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    _py_check_protocol(proto)
+    live = _py_live_adds(actions)
+
+    from .dvcodec import dv_file_path
+
+    now_ms = int(time.time() * 1000)
+    new_meta = {
+        "id": str(uuid.uuid4()),
+        "format": {
+            "provider": (meta.get("format") or {}).get("provider")
+            or "parquet",
+            "options": {},
+        },
+        "schemaString": meta["schemaString"],
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": dict(meta.get("configuration") or {}),
+        "createdTime": now_ms,
+    }
+    clean_proto = {
+        "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+        "minWriterVersion": int(proto.get("minWriterVersion") or 2),
+    }
+    if proto.get("readerFeatures"):
+        clean_proto["readerFeatures"] = sorted(proto["readerFeatures"])
+    if proto.get("writerFeatures"):
+        clean_proto["writerFeatures"] = sorted(proto["writerFeatures"])
+    ci = {
+        "timestamp": now_ms,
+        "operation": "CLONE",
+        "operationParameters": {
+            "source": os.path.abspath(src_path),
+            "sourceVersion": sv,
+        },
+        "engineInfo": "mergestore-deltalog-clone",
+    }
+    if _ict_on(new_meta):
+        ci["inCommitTimestamp"] = now_ms
+    lines = [
+        {"commitInfo": ci},
+        {"protocol": clean_proto},
+        {"metaData": new_meta},
+    ]
+    n = 0
+    for rel in sorted(live):
+        ad = live[rel]
+        abs_file = os.path.abspath(
+            os.path.join(src_path, unquote(rel))
+        )
+        add = {
+            # absolute path, '/'-safe encoding — Delta's
+            # shallow-clone add form
+            "path": _encode_path(abs_file),
+            "partitionValues": dict(ad.get("partitionValues") or {}),
+            "dataChange": True,
+        }
+        if ad.get("size") is not None:
+            add["size"] = int(ad["size"])
+        if ad.get("modificationTime") is not None:
+            add["modificationTime"] = int(ad["modificationTime"])
+        if isinstance(ad.get("stats"), str) and ad["stats"]:
+            add["stats"] = ad["stats"]
+        dv = ad.get("deletionVector")
+        if dv is not None and dv.get("storageType"):
+            cd = _clean_dv(dv)
+            if cd["storageType"] == "u":
+                # re-anchor: 'u' resolves against the table root,
+                # which is now the CLONE's — convert to absolute
+                # offset/size/cardinality carry over — 'p' is the
+                # same on-disk framing, only the path spelling moves
+                cd = dict(
+                    cd,
+                    storageType="p",
+                    pathOrInlineDv=os.path.abspath(
+                        dv_file_path(src_path, cd["pathOrInlineDv"])
+                    ),
+                )
+            add["deletionVector"] = cd
+        lines.append({"add": add})
+        n += 1
+    os.makedirs(dst_log, exist_ok=True)
+    from .logstore import PosixLogStore
+
+    entry = os.path.join(dst_log, f"{0:020d}.json")
+    payload = "\n".join(json.dumps(ln) for ln in lines) + "\n"
+    if not PosixLogStore().create_exclusive(entry, payload):
+        raise DeltaProtocolError(
+            f"{dst_path} gained a version 0 concurrently — CLONE "
+            "creates a new table"
+        )
+    return 0, {"files": n, "source_version": sv}

@@ -724,8 +724,18 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
 
     m = re.match(r"^create table (\w+) clone (\w+)$", stmt, re.I)
     if m:
-        target = _get_store(tables, m.group(1), "CLONE")
-        source = _get_store(tables, m.group(2), "CLONE")
+        target = _get_table(tables, m.group(1))
+        source = _get_table(tables, m.group(2))
+        if isinstance(source, str) != isinstance(target, str):
+            raise DMLParseError(
+                "CLONE source and target handles must be the same "
+                "kind (both MergeStore, or both foreign Delta "
+                "paths)"
+            )
+        if isinstance(source, str):
+            from .deltalog import clone_delta
+
+            return clone_delta(spark, source, target)
         # the target handle names the clone's path (the analogue of
         # the new table's location in Delta's CREATE ... CLONE)
         source.clone(target.path)
