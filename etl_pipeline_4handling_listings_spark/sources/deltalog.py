@@ -1863,9 +1863,10 @@ def read_delta(
     def hive_ok(r) -> bool:
         rel = unquote(r["p"])
         if os.path.isabs(rel) or "://" in rel:
-            # a shallow clone's absolute-path adds live OUTSIDE the
-            # table root — basePath cannot cover them; the
-            # lit-tagged fallback can
+            # a shallow clone's absolute-POSIX adds live outside
+            # the table root — basePath cannot cover them; the
+            # lit-tagged fallback handles those (scheme-qualified
+            # URIs remain out of scope for this local engine)
             return False
         pv = dict(r["pv"] or {})
         segs = dict(
@@ -5728,11 +5729,31 @@ def clone_delta(
         raise DeltaProtocolError("source log has no metaData action")
     proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
     _py_check_protocol(proto)
+    # the clone COMMITS under the source's protocol: writer
+    # features whose obligations this writer cannot satisfy (row
+    # tracking baselines, domain metadata — neither is copied)
+    # refuse by name, like every other committing verb
+    if int(proto.get("minWriterVersion") or 1) >= 7:
+        unsupported = set(
+            proto.get("writerFeatures") or []
+        ) - _SUPPORTED_DELETE_WRITER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                "source table requires writer features "
+                f"{sorted(unsupported)} this engine cannot carry "
+                "into a clone"
+            )
     live = _py_live_adds(actions)
 
     from .dvcodec import dv_file_path
 
     now_ms = int(time.time() * 1000)
+    cfg = dict(meta.get("configuration") or {})
+    # ICT enablement provenance names SOURCE versions that do not
+    # exist in the clone's log; a clone with ICT active from v0
+    # needs no provenance keys (delta re-derives them on CLONE)
+    cfg.pop("delta.inCommitTimestampEnablementVersion", None)
+    cfg.pop("delta.inCommitTimestampEnablementTimestamp", None)
     new_meta = {
         "id": str(uuid.uuid4()),
         "format": {
@@ -5742,7 +5763,7 @@ def clone_delta(
         },
         "schemaString": meta["schemaString"],
         "partitionColumns": list(meta.get("partitionColumns") or []),
-        "configuration": dict(meta.get("configuration") or {}),
+        "configuration": cfg,
         "createdTime": now_ms,
     }
     clean_proto = {
@@ -5757,8 +5778,10 @@ def clone_delta(
         "timestamp": now_ms,
         "operation": "CLONE",
         "operationParameters": {
+            # string values only: stock CommitInfo deserializes
+            # operationParameters as Map[String,String]
             "source": os.path.abspath(src_path),
-            "sourceVersion": sv,
+            "sourceVersion": str(sv),
         },
         "engineInfo": "mergestore-deltalog-clone",
     }
@@ -5772,13 +5795,20 @@ def clone_delta(
     n = 0
     for rel in sorted(live):
         ad = live[rel]
-        abs_file = os.path.abspath(
-            os.path.join(src_path, unquote(rel))
-        )
+        raw = unquote(rel)
+        if "://" in raw or os.path.isabs(raw):
+            # already root-independent (a clone of a clone, or a
+            # URI-addressed source): carry the ORIGINAL spelling
+            # verbatim — joining it against the source root would
+            # mangle it
+            path_field = ad["path"]
+        else:
+            path_field = _encode_path(
+                os.path.abspath(os.path.join(src_path, raw))
+            )
         add = {
-            # absolute path, '/'-safe encoding — Delta's
-            # shallow-clone add form
-            "path": _encode_path(abs_file),
+            # absolute path — Delta's shallow-clone add form
+            "path": path_field,
             "partitionValues": dict(ad.get("partitionValues") or {}),
             "dataChange": True,
         }

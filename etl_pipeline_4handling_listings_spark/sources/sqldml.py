@@ -54,15 +54,15 @@ Handles in ``tables`` are :class:`MergeStore` objects OR path
 strings naming a foreign (stock-owned) Delta table — the analogue
 of delta-spark's ``delta.`/path``` spelling. With a path handle,
 MERGE / DELETE / UPDATE / INSERT / RESTORE / VACUUM / OPTIMIZE /
-REORG / DESCRIBE HISTORY / DESCRIBE DETAIL route onto the
-foreign-DML engine (``merge_into_delta`` / ``delete_from_delta`` /
+REORG / DESCRIBE HISTORY / DESCRIBE DETAIL / CREATE TABLE ...
+CLONE (both handles paths) route onto the foreign-DML engine
+(``merge_into_delta`` / ``delete_from_delta`` /
 ``update_from_delta`` / ``append_to_delta`` / ``restore_delta`` /
-``vacuum_delta`` / ``optimize_delta`` / ``describe_delta_*``;
-VACUUM retains by HOURS, delta's own form; ZORDER refuses by
-name): the reference's verbatim SQL runs against a table a stock
-deployment owns, through the same claim/OCC protocol. The
-schema-changing lifecycle statements (ALTER, CLONE) stay
-MergeStore-only and refuse a path by name.
+``vacuum_delta`` / ``optimize_delta`` / ``describe_delta_*`` /
+``clone_delta``; VACUUM retains by HOURS, delta's own form; ZORDER
+refuses by name): the reference's verbatim SQL runs against a
+table a stock deployment owns, through the same claim/OCC
+protocol. ALTER stays MergeStore-only and refuses a path by name.
 
 Scale note: this layer only PARSES; every statement lands on the
 same engine paths as the Python API (one-shuffle merge_upsert, DV
@@ -93,10 +93,10 @@ def _get_table(tables: dict, name: str):
     or a PATH STRING naming a foreign (stock-owned) Delta table —
     the analogue of delta-spark's ``delta.`/path```. MERGE / DELETE
     / UPDATE / INSERT / RESTORE / VACUUM / OPTIMIZE / REORG /
-    DESCRIBE route onto the foreign-DML engine
-    (``merge_into_delta`` & co.; ZORDER refuses); schema-changing
-    lifecycle statements (ALTER, CLONE) stay MergeStore-only and
-    refuse a path by name."""
+    DESCRIBE / CLONE (both handles paths) route onto the
+    foreign-DML engine (``merge_into_delta`` & co.; ZORDER
+    refuses); ALTER stays MergeStore-only and refuses a path by
+    name."""
     if name not in tables:
         raise DMLParseError(
             f"unknown table {name!r}; known: {sorted(tables)}"

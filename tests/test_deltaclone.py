@@ -116,6 +116,51 @@ def test_clone_reanchors_deletion_vectors(spark, tmp_path):
     ) == [1, 3]
 
 
+def test_clone_of_clone_carries_absolute_paths_verbatim(
+    spark, tmp_path
+):
+    """Re-cloning a clone must carry already-absolute add paths
+    verbatim (joining them against the new source root would
+    mangle them)."""
+    src = _mk_foreign(tmp_path, name="clcl")
+    _seed(spark, src, [(1, "a"), (2, "b")])
+    mid = str(tmp_path / "clclmid")
+    clone_delta(spark, src, mid)
+    dst = str(tmp_path / "clcldst")
+    clone_delta(spark, mid, dst)
+    adds_mid = [
+        ln["add"]["path"]
+        for ln in _entry_lines(mid, 0)[1:]
+        if "add" in ln
+    ]
+    adds_dst = [
+        ln["add"]["path"]
+        for ln in _entry_lines(dst, 0)[1:]
+        if "add" in ln
+    ]
+    assert adds_dst == adds_mid
+    assert sorted(
+        r.k for r in read_delta(spark, dst).collect()
+    ) == [1, 2]
+
+
+def test_clone_refuses_unsupported_writer_features(
+    spark, tmp_path
+):
+    src = _mk_foreign(
+        tmp_path,
+        protocol={
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "rowTracking"],
+        },
+        name="clrt",
+    )
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        clone_delta(spark, src, str(tmp_path / "clrtdst"))
+
+
 def test_clone_refusals_and_sql(spark, tmp_path):
     src = _mk_foreign(tmp_path, name="clsql")
     _seed(spark, src, [(1, "a")])
