@@ -14196,59 +14196,20 @@ def sketch_theta_set_ops(spark, sf_dir):
 # = the 47 STALEST-certified greens (r02/r03-era observations) per
 # rotate_registry.py's age ordering. A green r8 makes the full
 # 217-query registry driver-certified with zero backlog.
+#
+# Round-11 window (rotated at round start; r10 was 50/50 green —
+# seventh consecutive fully-green window, certifying the 3 r9
+# additions): slots 1-2 = the 2 queries added after the r10 driver
+# run (sketch_kll_quantile_union, sketch_theta_set_ops — both
+# judge-verified in the r10 session's independent 233-query sweep),
+# slots 3-50 = the 48 STALEST-certified greens per
+# rotate_registry.py's age ordering. A green r11 makes the full
+# 233-query registry driver-certified with zero backlog.
 # =====================================================================
 
 _DRIVER_ORDER = [
-    "sketch_ntile_balance",
-    "events_watermark_fit",
-    "sketch_hll_union",
-    "stats_cuped_adjust",
-    "graph_kcore",
-    "hier_subtree_rollup",
-    "events_rfm_segments",
-    "text_vocab_coverage",
-    "stats_mannwhitney_u",
-    "events_cusum_shift",
-    "attribution_last_touch",
-    "privacy_k_anonymity",
-    "survival_km_curve",
-    "mm_audio_pcm_rms",
-    "stats_ks_test",
-    "basket_assoc_rules",
-    "stats_benford_digits",
-    "dq_constraint_report",
-    "stats_psi_drift",
-    "abc_classification",
-    "embedding_int8_quantization",
-    "events_ewma_smooth",
-    "events_top_paths",
-    "pareto_frontier_parts",
-    "market_concentration_hhi",
-    "events_cohort_ltv",
-    "forecast_backtest_smape",
-    "graph_link_prediction",
-    "events_concurrent_sessions",
-    "privacy_l_diversity",
-    "fraud_duplicate_payments",
-    "events_bot_heuristics",
-    "revenue_bridge_decomposition",
-    "dq_reconciliation",
-    "events_lateness_profile",
-    "price_elasticity_by_brand",
-    "events_weekly_active_mix",
-    "fairshare_waterfill",
-    "events_power_users_gini",
-    "orders_backlog_aging",
-    "events_dau_wau_stickiness",
-    "events_behavior_entropy",
-    "discount_effectiveness",
-    "segment_migration_matrix",
-    "attribution_linear_multi_touch",
-    "scalar_cleaning_suite",
-    "s1_scan_filter",
-    "s2_union_scan",
-    "p1_prefix_rename",
-    "p6_isin_filter",
+    "sketch_kll_quantile_union",
+    "sketch_theta_set_ops",
     "v_validation_flags",
     "p7_reject_split",
     "j1_broadcast_dim_join",
@@ -14430,10 +14391,58 @@ _DRIVER_ORDER = [
     "stats_theilsen_trend",
     "events_seasonal_profile",
     "geo_grid_radius_join",
-    # round-10 additions: behind slot 50 until their own rotation
-    "sketch_kll_quantile_union",
-    "sketch_theta_set_ops",
+    "sketch_ntile_balance",
+    "events_watermark_fit",
+    "sketch_hll_union",
+    "stats_cuped_adjust",
+    "graph_kcore",
+    "hier_subtree_rollup",
+    "events_rfm_segments",
+    "text_vocab_coverage",
+    "stats_mannwhitney_u",
+    "events_cusum_shift",
+    "attribution_last_touch",
+    "privacy_k_anonymity",
+    "survival_km_curve",
+    "mm_audio_pcm_rms",
+    "stats_ks_test",
+    "basket_assoc_rules",
+    "stats_benford_digits",
+    "dq_constraint_report",
+    "stats_psi_drift",
+    "abc_classification",
+    "embedding_int8_quantization",
+    "events_ewma_smooth",
+    "events_top_paths",
+    "pareto_frontier_parts",
+    "market_concentration_hhi",
+    "events_cohort_ltv",
+    "forecast_backtest_smape",
+    "graph_link_prediction",
+    "events_concurrent_sessions",
+    "privacy_l_diversity",
+    "fraud_duplicate_payments",
+    "events_bot_heuristics",
+    "revenue_bridge_decomposition",
+    "dq_reconciliation",
+    "events_lateness_profile",
+    "price_elasticity_by_brand",
+    "events_weekly_active_mix",
+    "fairshare_waterfill",
+    "events_power_users_gini",
+    "orders_backlog_aging",
+    "events_dau_wau_stickiness",
+    "events_behavior_entropy",
+    "discount_effectiveness",
+    "segment_migration_matrix",
+    "attribution_linear_multi_touch",
+    "scalar_cleaning_suite",
+    "s1_scan_filter",
+    "s2_union_scan",
+    "p1_prefix_rename",
+    "p6_isin_filter",
 ]
+
 
 def _rotate_registry() -> None:
     assert sorted(_DRIVER_ORDER) == sorted(REGISTRY), (

@@ -222,10 +222,10 @@ def test_money_sums_partition_invariant(spark_sess):
 def test_driver_order_hygiene():
     """_DRIVER_ORDER is the driver-certification contract: it must
     cover the registry exactly (no dups, no strays) and keep the
-    round-10 rotation's certification window intact: slots 1-3 are
-    the 3 queries registered after the r9 driver run (the only
-    never-certified names — a green r10 makes the whole registry
-    driver-certified), slots 4-50 re-observe already-certified
+    round-11 rotation's certification window intact: slots 1-2 are
+    the 2 queries registered after the r10 driver run (the only
+    never-certified names — a green r11 makes the whole registry
+    driver-certified), slots 3-50 re-observe already-certified
     names, and any later registry additions (no ledger rows at all)
     sit BEHIND slot 50 so they never displace certification slots."""
     import glob
@@ -246,7 +246,15 @@ def test_driver_order_hygiene():
     certified = set()
     observed = set()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for ledger in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json"))):
+    # two-digit round numbers sort lexically only because r01-r09 are
+    # zero-padded; keep the numeric sort explicit so r10+ is reached
+    ledgers = sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
+        key=lambda p: int(
+            "".join(c for c in os.path.basename(p) if c.isdigit())
+        ),
+    )
+    for ledger in ledgers:
         with open(ledger) as f:
             for name, row in json.load(f).items():
                 observed.add(name)
@@ -255,21 +263,20 @@ def test_driver_order_hygiene():
                     for k in ("rows_match", "schema_match", "hash_match")
                 ):
                     certified.add(name)
-    # slots 1-3: exactly the post-r9 additions (pinned — this IS the
-    # committed schedule the r9 verdict prescribed)
-    r9_additions = {
-        "sketch_ntile_balance", "events_watermark_fit",
-        "sketch_hll_union",
+    # slots 1-2: exactly the post-r10 additions (pinned — this IS the
+    # committed schedule the r10 verdict prescribed)
+    r10_additions = {
+        "sketch_kll_quantile_union", "sketch_theta_set_ops",
     }
-    assert set(_DRIVER_ORDER[:3]) == r9_additions
-    assert not (r9_additions & certified), "backlog name already green?"
-    # slots 4-50: re-observation of certified names only
-    for name in _DRIVER_ORDER[3:50]:
+    assert set(_DRIVER_ORDER[:2]) == r10_additions
+    assert not (r10_additions & certified), "backlog name already green?"
+    # slots 3-50: re-observation of certified names only
+    for name in _DRIVER_ORDER[2:50]:
         assert name in certified, (
             f"uncertified name {name!r} in the re-observation slots"
         )
     # later additions (never in any ledger) stay behind slot 50
-    fresh = set(REGISTRY) - observed - r9_additions
+    fresh = set(REGISTRY) - observed - r10_additions
     ahead = fresh & set(_DRIVER_ORDER[:50])
     assert not ahead, f"fresh queries inside the window: {ahead}"
 
