@@ -3857,19 +3857,33 @@ def _dml_from_delta(
 
         for r in blobs:
             rel = rel_of_abs[r["fp"]]
-            ad = dict(live[rel])
+            # rebuilt from spec fields only (the restore_delta re_add
+            # shape): a checkpoint-shaped replay dict carries parsed
+            # stats structs (datetimes json.dumps cannot take) and
+            # null-filled foreign fields the spec does not want
+            src_ad = live[rel]
+            ad = {
+                "path": src_ad["path"],
+                "partitionValues": dict(
+                    src_ad.get("partitionValues") or {}
+                ),
+                "dataChange": True,
+            }
+            if src_ad.get("size") is not None:
+                ad["size"] = int(src_ad["size"])
+            if src_ad.get("modificationTime") is not None:
+                ad["modificationTime"] = int(src_ad["modificationTime"])
             ad["deletionVector"] = write_dv_blob(
                 path, bytes(r["blob"]), int(r["card"])
             )
-            ad["dataChange"] = True
-            st = ad.get("stats")
-            if st:
+            st = src_ad.get("stats")
+            if isinstance(st, str) and st:
                 try:
                     sd = json.loads(st)
                     sd["tightBounds"] = False
                     ad["stats"] = json.dumps(sd)
                 except ValueError:
-                    ad.pop("stats", None)
+                    pass
             adds.append(ad)
         if set_exprs is not None:
             # delta-spark's DV update shape: the old file keeps its
@@ -3956,8 +3970,9 @@ def _dml_from_delta(
                 rm["size"] = ad["size"]
             if _dv_of(rel):
                 # the remove names the file VERSION it retires —
-                # including its mask, delta-spark's own shape
-                rm["deletionVector"] = _dv_of(rel)
+                # including its mask, delta-spark's own shape;
+                # _clean_dv strips checkpoint-replay None extras
+                rm["deletionVector"] = _clean_dv(_dv_of(rel))
             removes.append(rm)
         lines = (
             [{"commitInfo": ci}]
@@ -4201,7 +4216,7 @@ def merge_into_delta(
         (by_source_delete_condition, "by_source_delete_condition"),
     ):
         if cond_val is not None and re.search(
-            r"\bsource\s*\.",
+            r"(?:\b|`)source`?\s*\.",
             re.sub(r"'(?:[^']|'')*'", "", cond_val),
         ):
             raise DeltaProtocolError(
@@ -4228,7 +4243,7 @@ def merge_into_delta(
             "(or pass True for UPDATE SET * semantics)"
         )
     if insert_condition is not None and re.search(
-        r"\btarget\s*\.",
+        r"(?:\b|`)target`?\s*\.",
         re.sub(r"'(?:[^']|'')*'", "", insert_condition),
     ):
         # Delta's rule: a NOT MATCHED condition sees only the
@@ -4816,7 +4831,7 @@ def merge_into_delta(
             if ad.get("size") is not None:
                 rm["size"] = ad["size"]
             if ctx.dv_of(rel):
-                rm["deletionVector"] = ctx.dv_of(rel)
+                rm["deletionVector"] = _clean_dv(ctx.dv_of(rel))
             removes.append(rm)
         lines = (
             [{"commitInfo": ci}]

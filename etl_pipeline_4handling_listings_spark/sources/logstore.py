@@ -41,6 +41,37 @@ import shutil
 import uuid
 
 
+#: dot-named staging files left by a writer that died between the
+#: tmp write and its os.link are invisible to Delta listings AND to
+#: vacuum (which skips hidden/underscore trees), so nothing ever
+#: reclaims them. Age gate: anything older than this is provably not
+#: a claim in flight (the write-then-link window is milliseconds).
+_TMP_SWEEP_AGE_SEC = 300.0
+
+
+def _sweep_stale_tmps(d: str, max_age: float = _TMP_SWEEP_AGE_SEC) -> None:
+    """Best-effort reclaim of crashed writers' ``.{name}.{hex}.tmp``
+    staging files in a log directory. Racing sweepers / a racing
+    writer are safe: unlink of a tmp whose link already published
+    only removes the extra name, and ENOENT losses are ignored."""
+    import time
+
+    try:
+        cutoff = time.time() - max_age
+        with os.scandir(d) as it:
+            for ent in it:
+                n = ent.name
+                if not (n.startswith(".") and n.endswith(".tmp")):
+                    continue
+                try:
+                    if ent.stat().st_mtime < cutoff:
+                        os.unlink(ent.path)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+
+
 class LogStore:
     """Interface; see module docstring for the contract."""
 
@@ -80,6 +111,7 @@ class PosixLogStore(LogStore):
         # ignores; os.link fails atomically when the name exists,
         # preserving the create-if-absent claim semantics.
         d, base = os.path.split(path)
+        _sweep_stale_tmps(d)
         tmp = os.path.join(d, f".{base}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(payload)

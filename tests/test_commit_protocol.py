@@ -556,3 +556,38 @@ def test_create_exclusive_falls_back_without_hardlinks(
         assert sorted(os.listdir(d)) == [os.path.basename(path)]
     finally:
         monkeypatch.setattr(os, "link", real_link)
+
+
+def test_create_exclusive_sweeps_stale_tmps(tmp_path):
+    """Crashed-writer staging files (dot-named .tmp, invisible to
+    Delta listings AND vacuum) are reclaimed opportunistically on
+    the next create_exclusive; fresh tmps and real entries are
+    untouched."""
+    import time
+
+    from etl_pipeline_4handling_listings_spark.sources.logstore import (
+        PosixLogStore,
+    )
+
+    d = str(tmp_path / "_delta_log")
+    os.makedirs(d)
+    stale = os.path.join(d, ".00000000000000000001.json.dead.tmp")
+    with open(stale, "w") as f:
+        f.write("{}")
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    fresh = os.path.join(d, ".00000000000000000002.json.live.tmp")
+    with open(fresh, "w") as f:
+        f.write("{}")
+    entry = os.path.join(d, "00000000000000000000.json")
+    with open(entry, "w") as f:
+        f.write("{}\n")
+    os.utime(entry, (old, old))
+
+    target = os.path.join(d, "00000000000000000001.json")
+    assert PosixLogStore().create_exclusive(target, '{"x": 1}\n')
+    assert not os.path.exists(stale)  # reclaimed
+    assert os.path.exists(fresh)  # in-flight claim untouched
+    assert os.path.exists(entry)  # real entries never swept
+    with open(target) as f:
+        assert f.read() == '{"x": 1}\n'

@@ -636,3 +636,169 @@ def test_delete_survives_concurrent_checkpoint(spark, tmp_path):
     assert (ver, n) == (3, 1)
     got = sorted((r.k, r.v) for r in read_delta(spark, tbl).collect())
     assert got == [(2, "b")]
+
+
+def test_delete_dv_readds_spec_fields_from_checkpoint_replay(
+    spark, tmp_path
+):
+    """A DV-strategy delete whose live adds were replayed from a
+    stock parquet CHECKPOINT must commit spec-shaped actions: the
+    checkpoint row pads the add with ``tags=None``, a
+    ``stats_parsed`` struct whose timestamp stats arrive as
+    datetime objects (json.dumps cannot take them), and a
+    None-filled ``maxRowIndex`` on the DV descriptor. The re-add is
+    rebuilt field-by-field and the retiring remove's descriptor is
+    cleaned — no foreign keys, no null-filled extras, stock
+    round-trip intact."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from test_deltaappend import _schema_string
+
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+    tbl = _mk_foreign(tmp_path, protocol=proto, name="ckstats")
+    _seed(spark, tbl, [(1, "a"), (2, "b"), (3, "c")])
+    # first dv delete mints a real mask on the file
+    ver1, _ = delete_from_delta(spark, tbl, "k = 2", strategy="dv")
+    add1 = next(
+        ln["add"] for ln in _entry_lines(tbl, ver1)[1:] if "add" in ln
+    )
+    log_dir = os.path.join(tbl, "_delta_log")
+
+    map_t = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+            ("maxRowIndex", pa.int64()),  # None-filled extra
+        ]
+    )
+    stats_parsed_t = pa.struct(
+        [
+            ("numRecords", pa.int64()),
+            ("minValues", pa.struct([("ts", pa.timestamp("us"))])),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", map_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("tags", map_t),
+            ("deletionVector", dv_t),
+            ("stats", pa.string()),
+            ("stats_parsed", stats_parsed_t),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_t),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    dv1 = add1["deletionVector"]
+    table = pa.table(
+        {
+            "protocol": pa.array([proto, None], type=proto_t),
+            "metaData": pa.array(
+                [
+                    None,
+                    {
+                        "id": "foreign-1",
+                        "format": {"provider": "parquet"},
+                        "schemaString": _schema_string(
+                            ("k", "long"), ("v", "string")
+                        ),
+                        "partitionColumns": [],
+                        "configuration": [],
+                        "createdTime": 0,
+                    },
+                ],
+                type=meta_t,
+            ),
+            "add": pa.array(
+                [
+                    {
+                        "path": add1["path"],
+                        "partitionValues": [],
+                        "size": add1["size"],
+                        "modificationTime": add1["modificationTime"],
+                        "dataChange": True,
+                        "tags": None,
+                        "deletionVector": {
+                            "storageType": dv1["storageType"],
+                            "pathOrInlineDv": dv1["pathOrInlineDv"],
+                            "offset": dv1.get("offset"),
+                            "sizeInBytes": dv1["sizeInBytes"],
+                            "cardinality": dv1["cardinality"],
+                            "maxRowIndex": None,
+                        },
+                        "stats": add1.get("stats"),
+                        "stats_parsed": {
+                            "numRecords": 3,
+                            "minValues": {
+                                "ts": datetime.datetime(2024, 1, 1)
+                            },
+                        },
+                    },
+                    None,
+                ],
+                type=add_t,
+            ),
+        }
+    )
+    pq.write_table(
+        table,
+        os.path.join(log_dir, f"{ver1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": ver1, "size": 3}, f)
+
+    # second dv delete replays the live set THROUGH the checkpoint
+    ver2, n2 = delete_from_delta(spark, tbl, "k = 3", strategy="dv")
+    assert n2 == 1
+    lines = _entry_lines(tbl, ver2)
+    add2 = next(ln["add"] for ln in lines[1:] if "add" in ln)
+    rm2 = next(ln["remove"] for ln in lines[1:] if "remove" in ln)
+    # re-add: spec fields only, no checkpoint-replay leakage
+    assert "stats_parsed" not in add2 and "tags" not in add2
+    assert set(add2) <= {
+        "path",
+        "partitionValues",
+        "size",
+        "modificationTime",
+        "dataChange",
+        "stats",
+        "deletionVector",
+    }
+    assert json.loads(add2["stats"])["tightBounds"] is False
+    assert add2["deletionVector"]["cardinality"] == 2
+    # both descriptors cleaned: no null-filled extras re-serialized
+    for desc in (add2["deletionVector"], rm2["deletionVector"]):
+        assert all(v is not None for v in desc.values())
+    assert "maxRowIndex" not in rm2["deletionVector"]
+    assert sorted(r.k for r in read_delta(spark, tbl).collect()) == [1]

@@ -897,3 +897,34 @@ def test_merge_ict_monotonic(spark, tmp_path):
         _entry_lines(tbl, ver - 1)[0]["commitInfo"]["timestamp"],
     )
     assert ict > prev
+
+
+def test_merge_refuses_backticked_alias_conditions(spark, tmp_path):
+    """A backtick-quoted qualifier (`target`.v / `source`.k) in a
+    clause condition hits the same named refusal as the unquoted
+    spelling — not a raw Spark unresolved-reference error."""
+    tbl = _mk_foreign(tmp_path, name="btick")
+    _seed(spark, tbl, [(1, "a")])
+    src = _src(spark, [(2, "x")])
+    with pytest.raises(
+        DeltaProtocolError, match="only the source row"
+    ):
+        merge_into_delta(
+            spark,
+            tbl,
+            src,
+            "target.k = source.k",
+            when_not_matched_insert=True,
+            insert_condition="`target`.v IS NULL",
+        )
+    with pytest.raises(
+        DeltaProtocolError, match="only the target row"
+    ):
+        merge_into_delta(
+            spark,
+            tbl,
+            src,
+            "target.k = source.k",
+            when_not_matched_by_source_delete=True,
+            by_source_delete_condition="`source`.k > 0",
+        )
