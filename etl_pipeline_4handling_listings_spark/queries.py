@@ -10728,13 +10728,16 @@ def graph_link_prediction(spark, sf_dir, max_middle_degree: int = 1000):
     # neighbor pairs MAP-side; max_cell doubles as the middle-degree
     # celebrity guard. deg stays uncapped: reported deg_u/deg_v are
     # exact regardless of which middles were dropped.
+    # adj holds BOTH directions, so the per-middle neighbor list IS
+    # the adjacency list of w — degree falls out as size(us). The
+    # frame feeds THREE consumers (member_pairs, deg-as-u, deg-as-v)
+    # and alias divergence defeats ReusedExchange (the executed r10
+    # plan ran the 2|E| collect_list aggregate three times), so
+    # freeze it once: O(|adj|) storage, the same bound as the cached
+    # edge frame it derives from.
     adj_grp = adj.groupBy("w").agg(
         F.array_sort(F.collect_list("a")).alias("us")
-    )
-    # adj holds BOTH directions, so the per-middle neighbor list IS
-    # the adjacency list of w — degree falls out as size(us), and
-    # both consumers share ONE shuffle of the 2|E| stream
-    # (ReusedExchange) instead of deg running its own groupBy.
+    ).localCheckpoint(eager=True)
     deg = adj_grp.select(
         F.col("w").alias("node"),
         F.size("us").cast("long").alias("d"),
@@ -12892,85 +12895,94 @@ def text_freq_spectrum(spark, sf_dir):
     "mirrored op-for-op and quantized at 1e-6.",
 )
 def stats_spearman_corr(spark, sf_dir):
-    from etl_pipeline_4handling_listings_spark.operators.sampling import (
-        persist_slot,
-    )
-
     li = tbl(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_quantity").alias("qv"),
         F.col("l_extendedprice").alias("pv"),
     )
-    # exact joint histogram, tagged with integer UNIT buckets on
-    # both value axes (floor of the decimal) — consumed three times
-    # (two offset aggregates + the ranked pass), so one persist slot
-    joint = persist_slot(
-        "stats_spearman_corr",
-        li.groupBy("flag", "qv", "pv")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("qb", F.floor("qv").cast("long"))
-        .withColumn("pb", F.floor("pv").cast("long")),
-    )
 
-    # two-level cumulative counts (the keyed_prefix_sum shape,
-    # operators/prefix.py): level 1 = per-(flag, unit-bucket) mass
-    # totals with an EXCLUSIVE running sum over the tiny bucket
-    # frame (bounded by the DOMAIN range of the axis — ~50 quantity
-    # units / ~1e5 price units — not by grid density or row count);
-    # level 2 = a RANGE-frame cumulative within each bucket, where
-    # a partition holds at most the distinct cent values of one
-    # currency unit (<= 100 rows). No task ever sorts a whole
-    # per-flag grid, however dense the catalog makes it.
-    def bucket_offsets(bcol: str, out: str) -> DataFrame:
-        per = joint.groupBy("flag", bcol).agg(
-            F.sum("cnt").alias("_bw")
-        )
+    # Averaged ranks depend only on the per-axis MARGINAL histogram,
+    # so the ranked moments never need the joint (flag, qv, pv) grid
+    # materialized or window-sorted (the r10 shape sorted the full
+    # joint stream through FOUR chained window exchanges). The one
+    # cross moment sxy = sum cnt*rx2*ry2 factors as: attach the
+    # quantity rank rx2 map-side (its marginal is DOMAIN-bounded —
+    # ~50 units x cent grid — and broadcasts at any scale), then a
+    # single map-side-combinable aggregate onto the price marginal
+    # carries sum(rx2) along. Windows only ever run over marginal
+    # frames: two-level as before (per-(flag, unit-bucket) offsets +
+    # a <=100-row within-bucket cumulative), so no task sorts a
+    # whole per-flag axis, however dense the catalog makes it.
+    def with_rank2(per, vcol, bcol, wcol):
+        """Append doubled average rank rk2 = 2*le - c + 1 to a
+        per-(flag, value) marginal histogram ``per`` with tie mass
+        ``wcol``; le = bucket offset + within-bucket inclusive
+        cumulative (each value appears ONCE here, so the ROWS
+        cumulative IS the RANGE one)."""
+        offs = per.groupBy("flag", bcol).agg(F.sum(wcol).alias("_bw"))
         wb = (
             Window.partitionBy("flag")
             .orderBy(bcol)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        return per.select(
+        offs = offs.select(
             "flag",
             bcol,
-            F.coalesce(F.sum("_bw").over(wb), F.lit(0)).alias(out),
+            F.coalesce(F.sum("_bw").over(wb), F.lit(0)).alias("_off"),
         )
-
-    tagged = joint.join(
-        F.broadcast(bucket_offsets("qb", "_offq")), ["flag", "qb"]
-    ).join(
-        F.broadcast(bucket_offsets("pb", "_offp")), ["flag", "pb"]
-    )
-
-    # doubled avg rank 2*cb + c + 1 == 2*le - c + 1, where le = the
-    # bucket offset + the within-bucket RANGE-frame cumulative
-    # (peers included — floor() is monotone, so bucket order aligns
-    # with value order and the sum is the global per-flag
-    # cumulative) and c = the tie mass from the per-value partition
-    def rank2(bcol: str, vcol: str, off: str) -> Column:
-        le = F.col(off) + F.sum("cnt").over(
+        wv = (
             Window.partitionBy("flag", bcol)
             .orderBy(vcol)
-            .rangeBetween(Window.unboundedPreceding, 0)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        c = F.sum("cnt").over(Window.partitionBy("flag", vcol))
-        return (2 * le - c + 1).cast("long")
+        le = F.col("_off") + F.sum(wcol).over(wv)
+        return per.join(F.broadcast(offs), ["flag", bcol]).withColumn(
+            "rk2", (2 * le - F.col(wcol) + 1).cast("long")
+        )
 
-    ranked = tagged.select(
-        "flag",
-        "cnt",
-        rank2("qb", "qv", "_offq").alias("rx2"),
-        rank2("pb", "pv", "_offp").alias("ry2"),
+    qmarg = li.groupBy("flag", "qv").agg(F.count("*").alias("cq"))
+    # the quantity-rank frame is DOMAIN-bounded (units x cent grid);
+    # freeze it once — it feeds three consumers (mq, the broadcast
+    # attach, and its own offset build) and without the checkpoint
+    # each re-runs the full marginal aggregate over the raw stream
+    qrank = with_rank2(
+        qmarg.withColumn("qb", F.floor("qv").cast("long")), "qv", "qb", "cq"
+    ).localCheckpoint(eager=True)
+    mq = qrank.groupBy("flag").agg(
+        F.sum("cq").cast("long").alias("n"),
+        F.sum(F.col("cq").cast("decimal(38,0)") * F.col("rk2")).alias("sx"),
+        F.sum(
+            F.col("cq").cast("decimal(38,0)")
+            * F.col("rk2")
+            * F.col("rk2")
+        ).alias("sxx"),
     )
-    cw = F.col("cnt").cast("decimal(38,0)")
-    m = ranked.groupBy("flag").agg(
-        F.sum("cnt").cast("long").alias("n"),
-        F.sum(cw * F.col("rx2")).alias("sx"),
-        F.sum(cw * F.col("ry2")).alias("sy"),
-        F.sum(cw * F.col("rx2") * F.col("ry2")).alias("sxy"),
-        F.sum(cw * F.col("rx2") * F.col("rx2")).alias("sxx"),
-        F.sum(cw * F.col("ry2") * F.col("ry2")).alias("syy"),
+
+    # price marginal with the quantity rank carried along map-side
+    pmarg = (
+        li.join(
+            F.broadcast(qrank.select("flag", "qv", F.col("rk2").alias("rx2"))),
+            ["flag", "qv"],
+        )
+        .groupBy("flag", "pv")
+        .agg(
+            F.count("*").alias("cp"),
+            F.sum(F.col("rx2").cast("decimal(38,0)")).alias("sxp"),
+        )
     )
+    prank = with_rank2(
+        pmarg.withColumn("pb", F.floor("pv").cast("long")), "pv", "pb", "cp"
+    )
+    mp = prank.groupBy("flag").agg(
+        F.sum(F.col("cp").cast("decimal(38,0)") * F.col("rk2")).alias("sy"),
+        F.sum(
+            F.col("cp").cast("decimal(38,0)")
+            * F.col("rk2")
+            * F.col("rk2")
+        ).alias("syy"),
+        F.sum(F.col("sxp") * F.col("rk2")).alias("sxy"),
+    )
+    m = mq.join(F.broadcast(mp), "flag")
     num = F.col("n").cast("double") * F.col("sxy").cast(
         "double"
     ) - F.col("sx").cast("double") * F.col("sy").cast("double")

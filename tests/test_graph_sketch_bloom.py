@@ -183,19 +183,22 @@ def test_link_prediction_middle_degree_cap(spark, sf_dir):
 
 
 def test_link_prediction_shares_adjacency_shuffle(spark, sf_dir):
-    """Plan-shape pin: degrees are derived from the per-vertex
-    neighbor lists (size(us)), so the degree subtree and the wedge
-    expansion share ONE shuffle of the 2|E| adjacency stream via
-    ReusedExchange — deg running its own groupBy would shuffle the
-    full edge stream twice."""
+    """Plan-shape pin: the per-vertex neighbor-list aggregate
+    (collect_list over the 2|E| adjacency stream) is frozen ONCE via
+    localCheckpoint and every consumer (member_pairs, deg-as-u,
+    deg-as-v) scans the materialized frame — alias divergence
+    defeated ReusedExchange and the executed r10 plan ran the
+    aggregate three times. The consumer plan must therefore contain
+    NO collect_list at all and scan the checkpointed RDD."""
     from etl_pipeline_4handling_listings_spark.queries import (
         graph_link_prediction,
     )
 
     df = graph_link_prediction(spark, sf_dir)
-    df.collect()  # AQE finalizes exchange reuse only at execution
+    df.collect()  # AQE finalizes the plan only at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, plan[:2000]
+    assert "collect_list" not in plan, plan[:2000]
+    assert "ExistingRDD" in plan, plan[:2000]
 
 
 def test_member_pairs_spreads_before_explode(spark):
