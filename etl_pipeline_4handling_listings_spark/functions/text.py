@@ -114,6 +114,26 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     )
 
 
+def word_shingles_py(text: str | None, n: int = 3) -> set:
+    """Python twin of :func:`word_shingles` for Arrow batch kernels.
+
+    Identical output on ASCII text: ``re.ASCII`` pins ``\\s`` to the
+    same ASCII class Java regex uses by default, ``lower``/``strip``
+    coincide on ASCII, and the short-document edge (fewer than ``n``
+    tokens -> ONE shingle of whatever tokens exist) replays
+    ``greatest(size - (n-1), 1)``. The Catalyst version's
+    ``transform``/``slice``/``concat_ws`` chain is CodegenFallback
+    (interpreted per element) — batch kernels built on this twin cut
+    the shingling cost ~10x (guide §4.2)."""
+    import re
+
+    if text is None:
+        return set()
+    toks = re.split(r"\s+", text.strip().lower(), flags=re.ASCII)
+    cnt = max(len(toks) - (n - 1), 1)
+    return {" ".join(toks[i : i + n]) for i in range(cnt)}
+
+
 # PII patterns chosen for regex-dialect portability: the same
 # pattern string compiles identically under Java regex (Spark) and
 # RE2 (DuckDB/Go) — no lookaround, no backreferences.

@@ -22,6 +22,75 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------
+# Bit-exact NumPy twins of the Catalyst sequential folds.
+#
+# Catalyst higher-order functions (aggregate / zip_with / transform)
+# are CodegenFallback: every element evaluation walks an interpreted
+# expression tree, which made the ANN operators' linear algebra the
+# dominant cost (guide §4.2 — hand batches to vectorized native code).
+# These helpers vectorize ACROSS ROWS while looping over the dimension
+# axis IN ORDER, so every row's accumulation performs the identical
+# IEEE-754 double ops in the identical order as the Catalyst fold
+# ``aggregate(zip_with(a, b, (x, y) -> x*y), 0.0, (acc, x) -> acc+x)``
+# — results are bit-identical, and the knife-edge recall gates /
+# exact-score equality tests cannot move.
+# ---------------------------------------------------------------------
+
+
+def _np_mat(col) -> "np.ndarray":  # noqa: F821 (lazy numpy import)
+    """pandas Series of equal-length float sequences -> (n, d) f64."""
+    import numpy as np
+
+    return np.stack(col.to_numpy()).astype(np.float64, copy=False)
+
+
+def _seq_dot_np(A, w):
+    """Row-wise sequential-fold dot(A[i], w): acc starts at 0.0 and
+    adds products in dimension order — the Catalyst ``dot`` twin."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc += A[:, j] * w[j]
+    return acc
+
+
+def _seq_sq_norm_np(A):
+    """Row-wise sequential-fold dot(A[i], A[i])."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc += A[:, j] * A[:, j]
+    return acc
+
+
+def _seq_sq_dist_np(A, c):
+    """Row-wise sequential-fold sum((A[i][j]-c[j])^2) — the twin of
+    ``aggregate(zip_with(v, c, (a,b) -> (a-b)*(a-b)), 0.0, +)``."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        d = A[:, j] - c[j]
+        acc += d * d
+    return acc
+
+
+def _assign_cells_np(A, centroids):
+    """Nearest-centroid id per row, ties to the LOWEST cell id —
+    identical to ``array_sort`` over struct(dist, cell) ascending
+    (np.argmin returns the first minimum)."""
+    import numpy as np
+
+    D = np.empty((A.shape[0], centroids.shape[0]), dtype=np.float64)
+    for ci in range(centroids.shape[0]):
+        D[:, ci] = _seq_sq_dist_np(A, centroids[ci])
+    return np.argmin(D, axis=1)
 
 
 def _as_double(vec: Column) -> Column:
@@ -130,43 +199,121 @@ def rp_lsh_topk(
     planes+1 probes — still exponentially cheaper than a cross join.
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
-    from pyspark.sql import Window
+    import math
+
+    import numpy as np
 
     hp = random_hyperplanes(dim, planes, seed)
+    P = np.array(hp, dtype=np.float64)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_v"),
-    ).withColumn("_bucket", rp_bucket(F.col("_v"), hp))
-    q = queries.select(
+    )
+
+    # query side: tiny by the operator's broadcast contract — compute
+    # home + multi-probe buckets on the driver with the bit-exact twin
+    # of rp_bucket (sign of the sequential-fold plane dot)
+    qinfo = []
+    for r in queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("_q"),
-    ).withColumn("_home", rp_bucket(F.col("_q"), hp))
-    probe_buckets = [F.col("_home")]
-    if probe_radius >= 1:
-        probe_buckets += [
-            F.col("_home").bitwiseXOR(F.lit(1 << i).cast("long"))
-            for i in range(planes)
+    ).collect():
+        qv = np.asarray(list(r["_q"]), dtype=np.float64)
+        home = 0
+        for i in range(planes):
+            bit = 1 if float(_seq_dot_np(qv[None, :], P[i])[0]) >= 0.0 else 0
+            home |= bit << i
+        probes = {home}
+        if probe_radius >= 1:
+            probes |= {home ^ (1 << i) for i in range(planes)}
+        if probe_radius >= 2:
+            probes |= {
+                home ^ ((1 << i) | (1 << j))
+                for i in range(planes)
+                for j in range(i + 1, planes)
+            }
+        qnorm = math.sqrt(float(_seq_sq_norm_np(qv[None, :])[0]))
+        qinfo.append((r["query_id"], qv, np.array(sorted(probes)), qnorm))
+
+    def bucketer(A):
+        bucket = np.zeros(A.shape[0], dtype=np.int64)
+        for i in range(planes):
+            bucket |= (_seq_dot_np(A, P[i]) >= 0.0).astype(np.int64) << i
+        return bucket
+
+    return _score_probed_topk(v, qinfo, bucketer, k, queries, query_id_col)
+
+
+def _score_probed_topk(
+    v: DataFrame,
+    qinfo: list,
+    bucketer,
+    k: int,
+    queries: DataFrame,
+    query_id_col: str,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Fused candidate-generation + scoring kernel (Arrow batches).
+
+    Per batch: key every corpus row (``bucketer`` over the vectors,
+    or a precomputed ``cell_col``), match each query's probe-key set,
+    compute bit-exact cosines (sequential-fold twins), and emit only
+    the per-batch top-k per query — the global rank window then sees
+    ~n_batches x |Q| x k rows instead of the full candidate stream
+    (the window previously funneled every candidate of a query into
+    one task). Per-batch top-k of a deterministic total order
+    composes exactly: the global top-k rows and ranks are identical
+    to ranking the full stream.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qid_type = queries.schema[query_id_col].dataType
+    nid_type = v.schema["neighbor_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type),
+            T.StructField("neighbor_id", nid_type),
+            T.StructField("cosine_sim", T.DoubleType()),
         ]
-    if probe_radius >= 2:
-        probe_buckets += [
-            F.col("_home").bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
-            for i in range(planes)
-            for j in range(i + 1, planes)
-        ]
-    q = q.select(
-        "query_id",
-        "_q",
-        F.explode(F.array(*probe_buckets)).alias("_bucket"),
     )
-    scored = (
-        v.join(F.broadcast(q), "_bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("_q"), F.col("_v")).alias("cosine_sim"),
-        )
-    )
+    cols = ["neighbor_id", "_v"] + ([cell_col] if cell_col else [])
+    src = v.select(*cols)
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = _np_mat(pdf["_v"])
+            ids = pdf["neighbor_id"]
+            keys = (
+                pdf[cell_col].to_numpy() if cell_col else bucketer(A)
+            )
+            vnorm = np.sqrt(_seq_sq_norm_np(A))
+            for qid, qv, probe_arr, qnorm in qinfo:
+                mask = np.isin(keys, probe_arr)
+                mask &= (ids != qid).to_numpy()
+                if not mask.any():
+                    continue
+                num = _seq_dot_np(A[mask], qv)
+                cos = num / (qnorm * vnorm[mask])
+                sub = pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[mask].to_numpy(),
+                        "cosine_sim": cos,
+                    }
+                )
+                if len(sub) > k:
+                    sub = sub.sort_values(
+                        ["cosine_sim", "neighbor_id"],
+                        ascending=[False, True],
+                        kind="mergesort",
+                    ).head(k)
+                yield sub
+
+    scored = src.mapInPandas(run, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -211,49 +358,16 @@ def ivf_topk(
 
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
-    from pyspark.sql import Window
+    import math
+
+    import numpy as np
 
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_v"),
     )
-    spark = vectors.sparkSession
 
-    def _cents_frame(centroids: list) -> DataFrame:
-        """One broadcastable row: array<struct<cell,vec>> sorted by
-        cell. Centroids travel as a VALUE, not as unrolled literal
-        expressions — n_centroids x dim literals make Catalyst
-        analysis/codegen the dominant cost (measured ~2 s of the
-        3 s ann_ivf wall at 16 x 64) and would grow without bound
-        with the centroid count."""
-        cent_df = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "cell int, vec array<double>",
-        )
-        return cent_df.agg(
-            F.sort_array(F.collect_list(F.struct("cell", "vec"))).alias(
-                "_cents"
-            )
-        )
-
-    def _cell_dists(vec: Column) -> Column:
-        # per-row distances to every centroid from the carried array
-        return F.array_sort(
-            F.transform(
-                F.col("_cents"),
-                lambda s: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec, s.vec, lambda a, b: (a - b) * (a - b)
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    s.cell.alias("cell"),
-                ),
-            )
-        )
-
+    cell_col = None
     if quantizer == "sample":
         pri = F.conv(
             F.substring(
@@ -270,14 +384,10 @@ def ivf_topk(
             .limit(n_centroids)
             .collect()
         )
-        centroids = [list(row["_v"]) for row in picked]
-        assigned = (
-            v.crossJoin(F.broadcast(_cents_frame(centroids)))
-            .withColumn(
-                "_cell", F.element_at(_cell_dists(F.col("_v")), 1).cell
-            )
-            .drop("_cents")
+        centroids = np.array(
+            [list(row["_v"]) for row in picked], dtype=np.float64
         )
+        assigned = v  # cells fall out of the scoring kernel's pass
     else:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -299,35 +409,35 @@ def ivf_topk(
         assigned = model.transform(feat).withColumnRenamed(
             "prediction", "_cell"
         ).drop("_feat")
-        centroids = [c.tolist() for c in model.clusterCenters()]
+        centroids = np.array(
+            [c.tolist() for c in model.clusterCenters()], dtype=np.float64
+        )
+        cell_col = "_cell"
 
-    q = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            _as_double(F.col(query_vec_col)).alias("_q"),
+    # query side: tiny by the broadcast contract — probe cells on the
+    # driver via the bit-exact distance twin; tie order (d, cell)
+    # matches the old array_sort(struct(d, cell)) slice
+    qinfo = []
+    for r in queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("_q"),
+    ).collect():
+        qv = np.asarray(list(r["_q"]), dtype=np.float64)
+        d = np.array(
+            [
+                float(_seq_sq_dist_np(qv[None, :], c)[0])
+                for c in centroids
+            ]
         )
-        .crossJoin(F.broadcast(_cents_frame(centroids)))
-        .withColumn(
-            "_cell",
-            F.explode(
-                F.slice(_cell_dists(F.col("_q")), 1, n_probe).cell
-            ),
-        )
-        .drop("_cents")
-    )
-    scored = (
-        assigned.join(F.broadcast(q), "_cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("_q"), F.col("_v")).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.select("*", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= k)
+        order = np.lexsort((np.arange(len(centroids)), d))
+        probes = np.sort(order[:n_probe])
+        qnorm = math.sqrt(float(_seq_sq_norm_np(qv[None, :])[0]))
+        qinfo.append((r["query_id"], qv, probes, qnorm))
+
+    def bucketer(A):
+        return _assign_cells_np(A, centroids)
+
+    return _score_probed_topk(
+        assigned, qinfo, bucketer, k, queries, query_id_col,
+        cell_col=cell_col,
     )

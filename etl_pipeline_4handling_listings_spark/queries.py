@@ -5822,28 +5822,57 @@ def events_ohlc_bars(spark, sf_dir):
     "(never pairs docs).",
 )
 def dedup_decontaminate(spark, sf_dir):
-    from etl_pipeline_4handling_listings_spark.functions.text import word_shingles
-
-    d = tbl_wide(spark, sf_dir, "documents").select(
-        "doc_id", word_shingles("text", 3).alias("shingles")
+    from etl_pipeline_4handling_listings_spark.functions.text import (
+        word_shingles_py,
     )
-    # eval side reads a PLAIN scan: a filter above tbl_wide's
-    # round-robin repartition would shuffle (and shingle) the whole
-    # table to keep ~20 docs (same fix as ann_rp_lsh's query side)
-    eval_sh = (
+
+    # eval side: ~20 docs by construction — shingle on the DRIVER and
+    # close the tiny distinct-shingle set straight into the kernel
+    # (the same broadcast-scale contract the old BroadcastHashJoin
+    # relied on; eval/benchmark suites are small by definition).
+    eval_set = set()
+    for r in (
         tbl(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 20)
-        .select(word_shingles("text", 3).alias("shingles"))
-        .select(F.explode("shingles").alias("s"))
-        .distinct()
+        .select("text")
+        .collect()
+    ):
+        eval_set |= word_shingles_py(r["text"], 3)
+
+    # train side: ONE Arrow batch kernel tokenizes, shingles, and
+    # intersects against the closed-over eval set — per doc the
+    # n_shared count leaves Python, never the shingle stream. The
+    # old shape paid the interpreted transform/concat_ws shingle
+    # build plus an explode of every (doc, shingle) row into the
+    # join (guide §4.2 / §8: decide with small rows; only counts
+    # cross the boundary). Bit-exact: counts are integers and the
+    # Python shingler is the ASCII-identical twin.
+    src = (
+        tbl_wide(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= 20)
+        .select("doc_id", "text")
     )
-    train_sh = d.filter(F.col("doc_id") >= 20).select(
-        "doc_id", F.explode("shingles").alias("s")
+    out_schema = T.StructType(
+        [src.schema["doc_id"], T.StructField("n_shared", T.LongType())]
     )
+
+    def count_shared(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, counts = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                c = len(word_shingles_py(text, 3) & eval_set)
+                if c > 0:
+                    ids.append(did)
+                    counts.append(c)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "n_shared": counts})
+
     return (
-        train_sh.join(F.broadcast(eval_sh), "s")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+        src.mapInPandas(count_shared, out_schema)
         .filter(F.col("n_shared") >= 3)
         .orderBy("doc_id")
     )

@@ -106,7 +106,9 @@ AUDIT = {
     # Python boundaries must be Arrow-vectorized, never row-at-a-time
     "udf_pandas_scalar": {"expect": ["ArrowEvalPython"], "forbid": ["Join"]},
     "udf_grouped_ols": {"expect": ["FlatMapGroupsInPandas"], "forbid": []},
-    "dedup_decontaminate": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
+    # r11: eval set is closed into the Arrow kernel — no join at all;
+    # only per-doc counts cross the Python boundary
+    "dedup_decontaminate": {"expect": ["MapInPandas"], "forbid": ["Join"]},
     "text_unigram_logprob": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
     # repetition signals: explode + two-level agg, join keyed on doc_id
     "text_repetition_signals": {"expect": ["Generate", "HashAggregate"], "forbid": []},
