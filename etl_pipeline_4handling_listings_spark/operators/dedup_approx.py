@@ -194,20 +194,26 @@ def simhash_signatures(
     exploded = df.select(F.col(id_col), F.explode(tokens).alias("_tok"))
     tok = F.col("_tok")
     h = token_hash(tok) if token_hash is not None else F.xxhash64(tok, F.lit(seed))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_c{b}")
+    # Project the token hash ONCE, then build the per-bit vote sums
+    # and the fingerprint fold as SQL text: constructing these
+    # ``bits``-wide trees through the Column API costs ~1000 py4j
+    # round-trips (~2.4 s of pure driver-side DataFrame BUILD time
+    # per invocation, measured at bits=60 — dwarfing the 0.8 s the
+    # query spends executing); one parsed expr string per bit is
+    # value-identical (same shifts, same votes, same sign rule).
+    hashed = exploded.select(F.col(id_col), h.alias("_h"))
+    terms = " + ".join(
+        # per-bit vote sum and sign fold in ONE aggregate expression:
+        # bit 63 as two's-complement long; -(1<<63) has no direct
+        # literal form (unary minus over 1<<63 overflows the parser)
+        f"if(sum(if((shiftright(_h, {b}) & 1) = 1, 1, -1)) > 0, "
+        + (f"{1 << b}L" if b < 63 else "-9223372036854775807L - 1L")
+        + ", 0L)"
         for b in range(bits)
-    ]
-    counters = exploded.groupBy(id_col).agg(*aggs)
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        val = (1 << b) if b < 63 else -(1 << 63)
-        fp = fp + F.when(
-            F.col(f"_c{b}") > 0, F.lit(val).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return counters.select(F.col(id_col), fp.alias(out_col))
+    )
+    return hashed.groupBy(id_col).agg(
+        F.expr(f"cast(({terms}) as bigint)").alias(out_col)
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

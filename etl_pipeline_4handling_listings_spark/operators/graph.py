@@ -254,6 +254,10 @@ def pagerank_converged(
     dirs_d = (
         dirs.join(deg.withColumnRenamed("node", "src"), "src")
         .select("src", "dst", "d")
+        # partition + sort on src before freezing: every round's join
+        # then exchanges/sorts only the rank side (see graph_pagerank)
+        .repartition("src")
+        .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
     n = dirs_d.select("src").distinct().count()

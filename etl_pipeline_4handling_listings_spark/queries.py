@@ -8830,9 +8830,16 @@ def graph_pagerank(spark, sf_dir):
     # step is exactly one join (edges x rank on src) + one partial
     # agg on dst — the pr frame stays (node, pr) and never re-joins
     # the degree table; the materialized frame is the loop invariant
+    # pin the loop invariant's layout: hash-partitioned AND sorted on
+    # src BEFORE the checkpoint (LogicalRDD preserves both), so each
+    # of the 6 power-step joins exchanges/sorts ONLY the rank side —
+    # without the pin every round re-shuffled and re-sorted the 2|E|
+    # edge frame too (the dominant shuffle at scale, 6x removed)
     dirs_d = (
         dirs.join(deg.withColumnRenamed("node", "src"), "src")
         .select("src", "dst", "d")
+        .repartition("src")
+        .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
     n = dirs_d.select("src").distinct().count()
