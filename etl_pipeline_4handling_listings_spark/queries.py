@@ -10778,12 +10778,25 @@ def graph_link_prediction(spark, sf_dir, max_middle_degree: int = 1000):
         F.col("w").alias("node"),
         F.size("us").cast("long").alias("d"),
     )
-    common = (
+    # Fold the existing-edge anti-join INTO the wedge aggregate:
+    # edges ride the same shuffle as the 27M-row wedge stream (2|E|
+    # extra rows — noise) carrying a -2^60 sentinel weight, so an
+    # adjacent pair's sum goes negative (cn < |V| << 2^60) and the
+    # sign filter IS the anti-join. A separate LeftAnti gets pushed
+    # BELOW the aggregate by the optimizer (PushDownLeftSemiAntiJoin)
+    # and probes all 27M raw wedge rows against the edge hash table
+    # instead of the 1.1M aggregated candidates — interleaved 4-run
+    # comparison at sf0.1: 4.87 s MIN with LeftAnti, 2.56 s folded.
+    cand = (
         member_pairs(adj_grp, "us", max_cell=max_middle_degree)
+        .select("u", "v", F.lit(1).cast("long").alias("_w"))
+        .unionByName(
+            edges.select("u", "v", F.lit(-(1 << 60)).cast("long").alias("_w"))
+        )
         .groupBy("u", "v")
-        .agg(F.count("*").cast("long").alias("cn"))
+        .agg(F.sum("_w").alias("cn"))
+        .filter(F.col("cn") > 0)
     )
-    cand = common.join(edges, ["u", "v"], "left_anti")
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
     return (

@@ -205,7 +205,7 @@ AUDIT = {
     "market_concentration_hhi": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": []},
     "events_cohort_ltv": {"expect": ["Window", "BroadcastHashJoin"], "forbid": []},
     "forecast_backtest_smape": {"expect": ["HashAggregate", "Window"], "forbid": ["Join"]},
-    "graph_link_prediction": {"expect": ["TakeOrderedAndProject", "LeftAnti", "Generate"], "forbid": ["CartesianProduct"]},
+    "graph_link_prediction": {"expect": ["TakeOrderedAndProject", "Generate"], "forbid": ["CartesianProduct", "LeftAnti"]},
     # the sweep's running sum must be the two-level scan: every
     # window below it is bucket- or user-partitioned, none global
     "events_concurrent_sessions": {"expect": ["HashAggregate", "Window"], "forbid": []},
