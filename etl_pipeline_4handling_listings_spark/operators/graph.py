@@ -35,7 +35,9 @@ def _degrees(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def orient_edges(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+def orient_edges(
+    edges: DataFrame, src: str = "u", dst: str = "v", deg: DataFrame | None = None
+) -> DataFrame:
     """Degree-orient an undirected edge list.
 
     ``edges`` must hold each undirected edge exactly once (any
@@ -44,8 +46,16 @@ def orient_edges(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     the endpoint with the smaller ``(degree, node)`` pair to the
     larger — a total order, so the output is a DAG with out-degree
     bounded by ~sqrt(2m).
+
+    ``deg``: optional precomputed (node, deg) frame. The u-side and
+    v-side joins below canonicalize differently (the alias renames
+    defeat ReuseExchange), so an unmaterialized degree frame gets its
+    union+aggregate subtree planned — and executed — TWICE per
+    orientation; callers that already hold a materialized degree
+    frame should pass it in.
     """
-    deg = _degrees(edges, src, dst)
+    if deg is None:
+        deg = _degrees(edges, src, dst)
     e = (
         edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
         .join(deg.select(F.col("node").alias("_u"), F.col("deg").alias("du")), "_u")
@@ -62,7 +72,10 @@ def orient_edges(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
 
 
 def node_triangles(
-    edges: DataFrame, src: str = "u", dst: str = "v"
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle counts of an undirected graph — the same
     compact-forward (degree-oriented, map-side intersection) plan
@@ -71,8 +84,29 @@ def node_triangles(
     triangle are absent (join + coalesce at the caller). The
     orientation keeps out-adjacency arrays O(sqrt(2m)) so the
     explode fan-out is exactly 3x the triangle count, never a
-    wedge enumeration."""
-    oriented = orient_edges(edges, src, dst)
+    wedge enumeration.
+
+    ``deg``: optional precomputed (node, deg) frame (see
+    :func:`orient_edges`); callers holding one avoid recomputing the
+    degree aggregate inside the orientation."""
+    if deg is None:
+        deg = _degrees(edges, src, dst).localCheckpoint(eager=True)
+    # materialize the oriented DAG and adjacency ONCE: each feeds two
+    # join consumers whose alias divergence defeats ReuseExchange, so
+    # the lazy plan executed the orientation joins and the
+    # collect_list aggregate twice each (executed-plan evidence at
+    # sf0.1: repeated Union+HashAggregate+Exchange groups). Both
+    # frames are |E|-bounded — the same storage class as the edge
+    # frame itself.
+    oriented = orient_edges(edges, src, dst, deg=deg).select(
+        "a", "b"
+    ).localCheckpoint(eager=True)
+    # adj is NOT checkpointed: its two consumers re-run only the
+    # collect_list aggregate over the materialized oriented frame
+    # (one cheap pass each), while a checkpoint here would hide the
+    # aggregate's runtime size from AQE and demote the two
+    # adjacency joins from broadcast to sort-merge (observed in the
+    # plan audit when tried)
     adj = oriented.groupBy("a").agg(
         F.array_sort(F.collect_list("b")).alias("nbrs")
     )
@@ -123,7 +157,25 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     (27M rows on the dense sf0.1 co-occurrence graph vs the m=138k
     rows actually joined here; measured 7.9 s -> ~1 s).
     """
-    oriented = orient_edges(edges, src, dst)
+    # materialize the degree frame, the oriented DAG and the adjacency
+    # ONCE each: deg feeds the two orientation joins AND node_stats,
+    # oriented feeds the adjacency aggregate AND the probe side, adj
+    # feeds two join builds — and every one of those consumer pairs
+    # canonicalizes differently (alias renames), so ReuseExchange
+    # never fired and the executed plan ran the union+degree aggregate
+    # ~5x and the orientation/adjacency twice each (sf0.1 plan: six
+    # Union+HashAggregate+Exchange groups). All three frames are
+    # |V|/|E|-bounded — the storage class of the edge frame itself.
+    deg = _degrees(edges, src, dst).localCheckpoint(eager=True)
+    oriented = orient_edges(edges, src, dst, deg=deg).select(
+        "a", "b"
+    ).localCheckpoint(eager=True)
+    # adj is NOT checkpointed: its two consumers re-run only the
+    # collect_list aggregate over the materialized oriented frame
+    # (one cheap pass each), while a checkpoint here would hide the
+    # aggregate's runtime size from AQE and demote the two
+    # adjacency joins from broadcast to sort-merge (observed in the
+    # plan audit when tried)
     adj = oriented.groupBy("a").agg(
         F.array_sort(F.collect_list("b")).alias("nbrs")
     )
@@ -138,9 +190,6 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
         .agg(F.sum("t").cast("long").alias("n_triangles"))
         .select(F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
-    # same frame orient_edges builds internally; within this one
-    # lazy plan ReuseExchange serves both from a single shuffle
-    deg = _degrees(edges, src, dst)
     node_stats = deg.agg(
         F.count("*").alias("n_nodes"),
         (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),

@@ -4773,7 +4773,12 @@ def tfidf_top_terms(spark, sf_dir):
     t = _tokens(spark, sf_dir)
     tf = t.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
-    n = t.select(F.countDistinct("doc_id").alias("n_docs"))
+    # distinct docs counted over tf, not the raw token stream: every
+    # doc appears in both (split of empty text still yields one ""
+    # token), tf is the far smaller frame, and its (doc_id, word)
+    # exchange is shared with the scored branch via ReuseExchange
+    # instead of paying a second full-token distinct pass
+    n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_), "word")
         .crossJoin(F.broadcast(n))
@@ -8697,27 +8702,40 @@ def _duck_kcore_round(e_prev: str, e_next: str) -> str:
 def graph_kcore(spark, sf_dir):
     edges = _copresence_edges_cached(spark, sf_dir)
     ne = edges.count()
-    nv = (
+    # the unfiltered degree frame doubles as the distinct-node set:
+    # materialize it once (|V|-bounded — tiny) and count THAT for nv
+    # instead of paying a separate union+distinct pass over 2|E|
+    deg_all = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
-        .distinct()
-        .count()
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
     )
+    nv = deg_all.count()
     k = max(2, (2 * ne + 2 * nv - 1) // (2 * nv)) if nv else 2
     # peeling only removes edges, so a no-op round IS the fixpoint —
     # early-exit then produces the identical edge set (and the same
     # `converged` bit) as the oracle's full 6-round unroll
     cur_count = ne
     converged = False
-    for _ in range(6):
-        deg = (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("d"))
-            .filter(F.col("d") >= k)
-            .select("node")
-        )
+    for _rnd in range(6):
+        if _rnd > 0:
+            # recompute degrees of the surviving edge set; MATERIALIZE
+            # before the two semi joins — the u-side and v-side
+            # broadcasts canonicalize differently (the rename defeats
+            # ReuseExchange), so an unmaterialized deg ran the whole
+            # union+aggregate subtree TWICE per round (executed-plan
+            # evidence: two independent BroadcastExchange->HashAggregate
+            # chains per round at sf0.1)
+            deg_all = (
+                edges.select(F.col("u").alias("node"))
+                .unionAll(edges.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("d"))
+                .localCheckpoint(eager=True)
+            )
+        deg = deg_all.filter(F.col("d") >= k).select("node")
         edges = (
             edges.join(deg.withColumnRenamed("node", "u"), "u", "semi")
             .join(deg.withColumnRenamed("node", "v"), "v", "semi")
@@ -8730,12 +8748,19 @@ def graph_kcore(spark, sf_dir):
             break
         cur_count = nxt
     core_edges = cur_count if converged else edges.count()
-    core_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .distinct()
-        .count()
-    )
+    if converged:
+        # the converged break means the last join removed nothing, so
+        # the final edge set IS deg_all's basis — its node count is a
+        # cheap local count on the materialized frame, no extra
+        # union+distinct pass
+        core_nodes = deg_all.count()
+    else:
+        core_nodes = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .distinct()
+            .count()
+        )
     return spark.createDataFrame(
         [(int(k), int(core_nodes), int(core_edges), bool(converged))],
         "k bigint, core_nodes bigint, core_edges bigint, converged boolean",
@@ -9617,15 +9642,29 @@ def mm_audio_pcm_rms(spark, sf_dir):
         synthesize_pcm16,
     )
 
+    # the item set is FIXED at 200 by the query's filter, so size the
+    # Python fan-out to the data, not the machine: ≥25 items per task
+    # amortizes the per-task Arrow/worker dispatch that dominated at
+    # 32-way (200 rows over 32 tasks = 6 rows each; measured 1.40 s →
+    # 0.73 s at 8-way). Production with real blobs re-derives width
+    # from bytes, not item count.
     d = (
         tbl(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select(F.col("doc_id").alias("item_id"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(min(spark.sparkContext.defaultParallelism, 8))
     )
     pcm = synthesize_pcm16(d, n_samples=320)
-    return audio_frame_rms(pcm, frame_size=64).orderBy(
-        "item_id", "frame_index"
+    # single-partition sort, NOT orderBy: the 1000-row output needs a
+    # global order, but orderBy's range partitioner SAMPLES its child
+    # — re-executing both Python stages a second time (guide §1.4
+    # territory: the sampling job is invisible in the plan). One
+    # shuffle to a single partition + in-task sort is value-identical
+    # including row order at this fixed output size.
+    return (
+        audio_frame_rms(pcm, frame_size=64)
+        .repartition(1)
+        .sortWithinPartitions("item_id", "frame_index")
     )
 
 
@@ -13101,22 +13140,32 @@ def corpus_ngram_novelty(spark, sf_dir):
         # sub-3-token docs contribute no trigrams either way)
         .filter(F.size("ws") >= 3)
     )
-    grams = (
-        d.select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(ws) - 3),"
-                    " i -> concat(ws[i], ' ', ws[i + 1], ' ',"
-                    " ws[i + 2]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
+    exploded = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> concat(ws[i], ' ', ws[i + 1], ' ',"
+                " ws[i + 2]))"
+            )
+        ).alias("g"),
     )
-    spread = grams.groupBy("g").agg(F.count("*").alias("nsrc"))
+    # ONE shuffle on the gram key instead of three: collect_set gives
+    # each gram its distinct source set in a single aggregate (the
+    # partial agg dedupes map-side, so the exchange carries no more
+    # than the old distinct's), and exploding the set back out
+    # replaces BOTH the per-gram spread aggregate and the gram-keyed
+    # attribution join. The set is bounded by the SOURCE cardinality
+    # (a handful), never by document count. n_grams/unique_grams per
+    # source are identical: each (gram, source∈set) pair appears
+    # exactly once, nsrc = set size.
+    per_gram = exploded.groupBy("g").agg(
+        F.collect_set("source").alias("srcs")
+    )
     return (
-        grams.join(spread, "g")
+        per_gram.select(
+            F.size("srcs").alias("nsrc"), F.explode("srcs").alias("source")
+        )
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
@@ -13685,10 +13734,15 @@ def graph_clustering_coefficient(spark, sf_dir):
     )
 
     e = _copresence_edges_cached(spark, sf_dir)
-    deg = _degrees(e, "u", "v").select(
+    # one materialized degree frame serves the reported degrees AND
+    # the orientation inside node_triangles (which otherwise re-runs
+    # the union+degree aggregate twice — alias divergence defeats
+    # ReuseExchange); |V|-bounded
+    deg_raw = _degrees(e, "u", "v").localCheckpoint(eager=True)
+    deg = deg_raw.select(
         "node", F.col("deg").cast("long").alias("degree")
     )
-    tri = node_triangles(e, "u", "v")
+    tri = node_triangles(e, "u", "v", deg=deg_raw)
     coeff = (2 * F.coalesce(F.col("triangles"), F.lit(0))).cast(
         "double"
     ) / (F.col("degree") * (F.col("degree") - 1)).cast("double")

@@ -137,7 +137,7 @@ AUDIT = {
     # per session (_copresence_edges_cached) and this plan consumes
     # the checkpointed edge frame; the Generate shape is asserted by
     # tests/test_graph plan tests on _copresence_edges itself.
-    "graph_triangle_count": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": []},
+    "graph_triangle_count": {"expect": ["HashAggregate", "ObjectHashAggregate"], "forbid": ["CartesianProduct"]},
     # the fixed-size sketch must broadcast into the probe join
     "sketch_countmin_heavy": {"expect": ["BroadcastHashJoin", "Generate"], "forbid": []},
     # merged partial sketches: union + re-sum, probe still broadcast
