@@ -3769,17 +3769,34 @@ def q20_excess_suppliers(spark, sf_dir):
     "finished orders. Unique s_name makes the LIMIT portable.",
 )
 def q21_waiting_supplier(spark, sf_dir):
-    li = tbl(spark, sf_dir, "lineitem")
-    per = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.col("l_shipdate").cast("date")).alias("m_ship")
+    # one orderkey-keyed shuffle instead of three: repartition the
+    # projected lineitem stream by l_orderkey ONCE, aggregate per
+    # (orderkey, suppkey) in place (partitioning by a subset of the
+    # group keys satisfies the aggregate's distribution), and read
+    # order_max / n_supp off a window over the SAME partitioning —
+    # the r10 shape scanned + pre-aggregated lineitem twice and
+    # shuffled the per-frame again for the self-join
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("_sd"),
     )
-    ordagg = per.groupBy(F.col("l_orderkey").alias("o_key")).agg(
-        F.max("m_ship").alias("order_max"), F.count("*").alias("n_supp")
+    per = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_sd").alias("m_ship"))
     )
+    w = Window.partitionBy("l_orderkey")
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = tbl(spark, sf_dir, "supplier")
     return (
-        per.join(ordagg, F.col("o_key") == F.col("l_orderkey"))
+        per.select(
+            "l_orderkey",
+            "l_suppkey",
+            "m_ship",
+            F.max("m_ship").over(w).alias("order_max"),
+            F.count("*").over(w).alias("n_supp"),
+        )
         .filter((F.col("m_ship") == F.col("order_max")) & (F.col("n_supp") >= 2))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -5311,59 +5328,52 @@ def textrank_keywords(spark, sf_dir):
     ).select(
         F.least("p.a", "p.b").alias("wa"), F.greatest("p.a", "p.b").alias("wb")
     )
-    # materialize the adjacent-pair aggregate ONCE: everything below
-    # (degrees, node count, normalized source shares, the power
-    # iteration) derives from this vocab²-bounded frame, and without
-    # the checkpoint the heavy scan+explode+shuffle ran TWICE — once
-    # for the eager n_nodes count, once more when the src checkpoint
-    # materialized (5.8 s -> 3.2 s at sf0.1)
-    und = (
-        pairs.groupBy("wa", "wb")
-        .agg(F.count("*").cast("double").alias("c"))
-        .repartition(1)
-        .localCheckpoint(eager=True)
-    )
-    edges = und.select(
-        F.col("wa").alias("w1"), F.col("wb").alias("w2"), "c"
-    ).unionByName(und.select(F.col("wb").alias("w1"), F.col("wa").alias("w2"), "c"))
-    wdeg = edges.groupBy(F.col("w1").alias("w")).agg(F.sum("c").alias("wd"))
-    n_nodes = float(wdeg.count())
-    damping = 0.85
-    q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
-    pr = wdeg.select("w", q9(F.lit(1.0) / F.lit(n_nodes)).alias("r"))
-    # out-weight attached to the source side once; 10 power steps
-    src = edges.join(wdeg.withColumnRenamed("w", "w1"), "w1").select(
-        "w1", "w2", (F.col("c") / F.col("wd")).alias("share")
-    )
-    # freeze the edge frame AND collapse it to one partition: the
-    # word graph is vocab-bounded (edges ≤ |V|²ish, KBs even for
-    # 1e5-word vocabularies), so the 10 power steps should be 10
-    # one-task stages — at 32 shuffle partitions the iteration pays
-    # ~650 empty-task launches of pure scheduling latency.
-    # Broadcasting the rank side keeps each step's join map-side.
-    src = src.repartition(1).localCheckpoint(eager=True)
-    for _it in range(10):
-        pr = (
-            src.join(F.broadcast(pr.withColumnRenamed("w", "w1")), "w1")
-            .groupBy(F.col("w2").alias("w"))
-            .agg(
-                q9(
-                    F.lit((1 - damping) / n_nodes)
-                    + F.lit(damping) * F.sum(F.col("share") * F.col("r"))
-                ).alias("r")
-            )
-        )
-        if _it + 1 == 5:
-            # truncate the nested-join lineage halfway: analyzer/
-            # optimizer time grows superlinearly with plan depth and
-            # a 10-deep broadcast-join chain pays ~1 s of pure
-            # planning at any data size
-            pr = pr.repartition(1).localCheckpoint(eager=True)
-    return (
-        pr.select(F.col("w").alias("word"), F.col("r").alias("textrank"))
-        .orderBy(F.desc("textrank"), "word")
-        .limit(15)
-    )
+    # the adjacent-pair aggregate is vocab²-bounded (KBs-MBs even for
+    # 1e5-word vocabularies), so the whole damped power iteration
+    # collapses onto ONE partition and runs as ONE Arrow task: the
+    # r10 shape executed 10 broadcast-join stages + 2 localCheckpoint
+    # actions + a count() action over that same single partition —
+    # ~15 jobs of pure scheduling/plan latency for a kernel that
+    # touches at most a few MB. Identical arithmetic, op for op:
+    # integer-valued double counts sum exactly in any order, shares
+    # are the same c/wd divisions, and each iteration applies the
+    # same floor(x*1e9+0.5)/1e9 quantization as the oracle.
+    und = pairs.groupBy("wa", "wb").agg(
+        F.count("*").cast("double").alias("c")
+    ).repartition(1)
+
+    def _power_iterate(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        df = pd.concat(parts) if len(parts) > 1 else parts[0]
+        wa = df["wa"].to_numpy()
+        wb = df["wb"].to_numpy()
+        c = df["c"].to_numpy()
+        # symmetric edge list; every node appears as both source and
+        # target, so distinct sources == the node set
+        w1 = np.concatenate([wa, wb])
+        cc = np.concatenate([c, c])
+        words, inv1 = np.unique(w1, return_inverse=True)
+        inv2 = np.concatenate([inv1[len(wa):], inv1[: len(wa)]])
+        n = float(len(words))
+        wd = np.zeros(len(words))
+        np.add.at(wd, inv1, cc)  # exact: whole-number doubles
+        share = cc / wd[inv1]
+        damping = 0.85
+        base = (1 - damping) / n
+        rank = np.floor(np.full(len(words), 1.0 / n) * 1e9 + 0.5) / 1e9
+        for _ in range(10):
+            acc = np.zeros(len(words))
+            np.add.at(acc, inv2, share * rank[inv1])
+            rank = np.floor((base + damping * acc) * 1e9 + 0.5) / 1e9
+        yield pd.DataFrame({"word": words, "textrank": rank})
+
+    pr = und.mapInPandas(_power_iterate, "word string, textrank double")
+    return pr.orderBy(F.desc("textrank"), "word").limit(15)
 
 
 @query(
@@ -10950,21 +10960,36 @@ def events_concurrent_sessions(spark, sf_dir):
     # before ends at the same microsecond, and pre-aggregating the
     # deltas per key keeps the key set unique BY CONSTRUCTION (the
     # keyed_prefix_sum contract) with no user-id packing — ts*2+1
-    # stays far inside int64 for any real timestamp
+    # stays far inside int64 for any real timestamp. The start/end
+    # rows fan out via explode of a 2-struct array — the r10 Union
+    # of two projections of `spans` re-executed the whole
+    # scan+sessionize subtree per branch (alias divergence defeats
+    # ReuseExchange; the executed plan held FOUR copies of it,
+    # two per keyed_prefix_sum consumer branch)
     raw = spans.select(
-        (F.col("t0") * 2).alias("k"),
-        F.lit(1).alias("delta"),
-        F.lit(1).alias("starts"),
-    ).unionByName(
-        spans.select(
-            (F.col("t1") * 2 + 1).alias("k"),
-            F.lit(-1).alias("delta"),
-            F.lit(0).alias("starts"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("t0") * 2).alias("k"),
+                    F.lit(1).alias("delta"),
+                    F.lit(1).alias("starts"),
+                ),
+                F.struct(
+                    (F.col("t1") * 2 + 1).alias("k"),
+                    F.lit(-1).alias("delta"),
+                    F.lit(0).alias("starts"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.k", "e.delta", "e.starts")
+    # the two-level scan consumes deltas twice (bucket totals +
+    # within-bucket windows); freeze the aggregated frame so the
+    # second consumer reads the materialized rows, not the lineage —
+    # deltas is 2 rows per session, far below the event stream it
+    # replaces recomputing
     deltas = raw.groupBy("k").agg(
         F.sum("delta").alias("delta"), F.sum("starts").alias("starts")
-    )
+    ).localCheckpoint(eager=True)
     run = keyed_prefix_sum(
         deltas, "k", "delta", out_col="conc_excl"
     ).select(
