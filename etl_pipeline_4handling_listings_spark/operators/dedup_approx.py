@@ -50,17 +50,26 @@ def lsh_candidate_pairs(
     candidate pair. P(candidate | jaccard=j) = 1-(1-j^r)^b.
     """
     r = num_hashes // bands
+    # band structs unrolled at plan-build time (bands is a Python
+    # int): a literal array of codegen'd structs, not an interpreted
+    # transform-over-sequence — same (int, string) xxhash64 calls,
+    # identical band hashes
     banded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b, F.concat_ws(",", F.slice(F.col(signature_col), b * r + 1, r))
-                    ).alias("bhash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            F.concat_ws(
+                                ",", F.slice(F.col(signature_col), b * r + 1, r)
+                            ),
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bh"),
     ).select("_id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
@@ -114,8 +123,27 @@ def minhash_dedup_pairs(
         .select(F.col(id_col).alias("_id"), shingles.alias("_shingles"))
         .persist()
     )
-    signed = base.select(
-        "_id", minhash_signature(F.col("_shingles"), num_hashes).alias("_sig")
+    # signature via explode + wide min-aggregate, NOT the
+    # transform/array_min higher-order expressions: Catalyst HOFs are
+    # CodegenFallback, so the nested form walks an interpreted
+    # expression tree per (hash, shingle) element. Exploding once and
+    # evaluating all num_hashes xxhash64 calls as straight-line
+    # codegen'd projections is the same arithmetic on the same (int,
+    # string, int) argument types — bit-identical minima. A document's
+    # shingles sit in one partition (explode never splits a row), so
+    # partial aggregation collapses to exactly one row per doc before
+    # the shuffle — the added doc-keyed exchange carries num_hashes
+    # longs per document.
+    seed = 42
+    ex = base.select("_id", F.explode("_shingles").alias("_s"))
+    sig = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_s"), F.lit(seed))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    signed = sig.select(
+        "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_sig")
     )
     cands = lsh_candidate_pairs(signed, "_id", "_sig", num_hashes, bands)
     a = base.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"))
@@ -299,21 +327,44 @@ def exact_jaccard_pairs(
         F.col(id_col).alias("_id"), shingles.alias("_shingles")
     ).withColumn("_sz", F.size("_shingles"))
     ex = base.select("_id", "_sz", F.explode("_shingles").alias("_sh"))
-    a = ex.select(
-        F.col("_sh"), F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")
+    # group the posting list per shingle and expand ordered pairs
+    # map-side (the member_pairs kernel shape) instead of the a-x-b
+    # self-join: ONE shuffle of the exploded stream instead of two,
+    # and the posting scan+shingle expressions run once instead of
+    # twice (the self-join's alias divergence defeats ReuseExchange).
+    # Pair fan-out per shingle is C(df,2) either way — the join
+    # materialized the same rows in the same hash partition; here the
+    # per-pair partial COUNT collapses map-side before the pair
+    # shuffle. The posting-list buffer is 12 bytes x df per shingle;
+    # the df-degrading-to-|docs| hazard is unchanged from the join
+    # shape (see Scale note above).
+    postings = ex.groupBy("_sh").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_id"), F.col("_sz")))
+        ).alias("_ms")
     )
-    b = ex.select(
-        F.col("_sh"), F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")
+    spread = postings.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
     )
-    inter = (
-        a.join(b, ["_sh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("_inter"),
-            F.first("_sza").alias("_sa"),
-            F.first("_szb").alias("_sb"),
-        )
+    lvl1 = spread.select(
+        F.col("_ms"), F.posexplode("_ms").alias("_i", "_a")
+    )
+    pair_rows = lvl1.select(
+        F.col("_a._id").alias("id_a"),
+        F.col("_a._sz").alias("_sza"),
+        F.explode(F.slice(F.col("_ms"), F.col("_i") + 2, F.size("_ms"))).alias(
+            "_b"
+        ),
+    ).select(
+        "id_a",
+        "_sza",
+        F.col("_b._id").alias("id_b"),
+        F.col("_b._sz").alias("_szb"),
+    )
+    inter = pair_rows.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("_inter"),
+        F.first("_sza").alias("_sa"),
+        F.first("_szb").alias("_sb"),
     )
     jac = F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast(
         "double"

@@ -12473,11 +12473,18 @@ def text_shingle_containment(spark, sf_dir):
     )
 
     d = (
-        tbl(spark, sf_dir, "documents")
+        tbl_wide(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 400)
         .select("doc_id", word_shingles("text", 3).alias("shingles"))
     )
-    ex = d.select("doc_id", F.explode("shingles").alias("s"))
+    # materialize the exploded (doc, shingle) stream ONCE: it feeds
+    # the hot-set aggregate, the keeper sizes, and the pair expansion,
+    # and the r10 self-join plan re-ran the scan+shingle subtree SIX
+    # times (alias divergence defeats ReuseExchange across the a/b
+    # sides and the anti-join build)
+    ex = d.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).localCheckpoint(eager=True)
     # Drop hot shingles by broadcasting the SMALL side: the >50-doc
     # boilerplate set is bounded by corpus_size/50 distinct values by
     # construction, while the <=50 "keepers" complement is nearly the
@@ -12488,14 +12495,19 @@ def text_shingle_containment(spark, sf_dir):
     hot = ex.groupBy("s").count().filter(F.col("count") > 50).select("s")
     kept = ex.join(F.broadcast(hot), "s", "left_anti")
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = kept.select(F.col("doc_id").alias("id_a"), "s")
-    b = kept.select(F.col("doc_id").alias("id_b"), "s")
-    inter = (
-        a.join(b, "s")
+    # group the ≤50-doc posting list per kept shingle and expand the
+    # ordered co-occurrence pairs map-side (the member_pairs shape):
+    # one shuffle of the kept stream instead of the a-x-b self-join's
+    # two, with per-shingle fan-out bounded at 50x49 BY the same >50
+    # cap that is already part of the contract
+    posting = kept.groupBy("s").agg(F.collect_list("doc_id").alias("_ds"))
+    spread = posting.repartition(spark.sparkContext.defaultParallelism)
+    pairs = (
+        spread.select(F.col("_ds"), F.explode("_ds").alias("id_a"))
+        .select("id_a", F.explode("_ds").alias("id_b"))
         .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
     )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
     return (
         inter.join(
             sizes.select(
