@@ -49,14 +49,17 @@ def association_rules(
     """
     # ONE shuffle: collect_set dedups per basket with map-side
     # partials (no separate distinct pass). Pairs, item counts, and
-    # the basket total all derive from this grouped frame inside a
-    # single lazy plan, so Spark's ReuseExchange computes the
-    # shuffle once — no persist, no driver-side count() action.
+    # the basket total all derive from this grouped frame — and
+    # ReuseExchange does NOT unify its three consumers in practice
+    # (alias divergence: the executed plan scanned + re-aggregated
+    # the input FOUR times), so freeze the basket arrays once and
+    # let every consumer read the materialized rows.
     grouped = (
         df.groupBy(basket_col)
         .agg(F.collect_set(F.col(item_col)).alias("_items"))
         .filter(F.size("_items") <= max_basket)
         .select(F.col("_items"))
+        .localCheckpoint(eager=True)
     )
     # pair fan-out via two Generate stages (explode x explode with a
     # value filter) — bounded by basket size squared, zero joins
@@ -71,10 +74,14 @@ def association_rules(
         .orderBy(F.desc("pair_count"), "item_a", "item_b")
         .limit(top_n)
     )
+    # the per-item counts feed BOTH sides of the top-N join (count_a
+    # and count_b) — materialize the item-vocabulary-sized frame so
+    # the explode+aggregate over the baskets runs once, not twice
     item_counts = (
         grouped.select(F.explode("_items").alias(item_col))
         .groupBy(item_col)
         .agg(F.count("*").cast("long").alias("item_count"))
+        .localCheckpoint(eager=True)
     )
     nb = grouped.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
     ca = item_counts.select(

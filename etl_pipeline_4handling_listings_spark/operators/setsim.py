@@ -51,10 +51,18 @@ def prefix_filter_jaccard_pairs(
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_sort(F.array_distinct(tokens)).alias("_toks"),
-    ).withColumn("_sz", F.size("_toks"))
+    # the tokenized doc table feeds the df-count pass, the rank pass,
+    # and both verify sides — ReuseExchange does not unify them
+    # (alias divergence; the executed plan tokenized the corpus SIX
+    # times), so freeze it once
+    base = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(F.array_distinct(tokens)).alias("_toks"),
+        )
+        .withColumn("_sz", F.size("_toks"))
+        .localCheckpoint(eager=True)
+    )
 
     ex = base.select("_id", "_sz", F.explode("_toks").alias("_tok"))
     # canonical global order: ascending document frequency, token as
@@ -73,18 +81,41 @@ def prefix_filter_jaccard_pairs(
         <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(threshold)) + 1
     ).select("_tok", "_id", "_sz")
 
-    a = prefix.select(
-        "_tok", F.col("_id").alias("id_a"), F.col("_sz").alias("_sa")
+    # candidate pairs via per-token posting lists expanded map-side
+    # (the member_pairs kernel) instead of the a-x-b self-join: one
+    # shuffle of the prefix index instead of two, and the
+    # explode+rank subtree runs once instead of twice. Posting lists
+    # here are PREFIX postings — ascending-df order puts only the
+    # rarest tokens in prefixes, so per-token fan-out is small by
+    # construction.
+    postings = prefix.groupBy("_tok").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_id"), F.col("_sz")))
+        ).alias("_ms")
     )
-    b = prefix.select(
-        "_tok", F.col("_id").alias("id_b"), F.col("_sz").alias("_sb")
+    spread = postings.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    pair_rows = (
+        spread.select(F.col("_ms"), F.posexplode("_ms").alias("_i", "_a"))
+        .select(
+            F.col("_a._id").alias("id_a"),
+            F.col("_a._sz").alias("_sa"),
+            F.explode(
+                F.slice(F.col("_ms"), F.col("_i") + 2, F.size("_ms"))
+            ).alias("_b"),
+        )
+        .select(
+            "id_a",
+            "_sa",
+            F.col("_b._id").alias("id_b"),
+            F.col("_b._sz").alias("_sb"),
+        )
     )
     cands = (
-        a.join(b, ["_tok"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
+        pair_rows.filter(
             # size-ratio filter: Jaccard >= t forces t|a| <= |b| <= |a|/t
-            & (F.col("_sb") >= F.col("_sa") * F.lit(threshold))
+            (F.col("_sb") >= F.col("_sa") * F.lit(threshold))
             & (F.col("_sa") >= F.col("_sb") * F.lit(threshold))
         )
         .select("id_a", "id_b")

@@ -3832,10 +3832,23 @@ def q21_waiting_supplier(spark, sf_dir):
 )
 def sketch_hll_distinct(spark, sf_dir):
     o = tbl(spark, sf_dir, "orders")
+    # two-level distinct: countDistinct + approx_count_distinct in ONE
+    # aggregate plans as an Expand + a (priority, custkey)-grouped
+    # first level that allocates a 4 KB rsd=0.02 HLL buffer PER
+    # DISTINCT KEY PAIR (~100k buffers at sf0.1 — measured 1.52 s for
+    # an 0.44 s aggregate). Collapse to the distinct pairs first, then
+    # count + sketch the 5-group frame: HLL registers are max-merged
+    # over hashed values, so duplicates never move them — the sketch
+    # over the distinct set is bit-identical to the sketch over the
+    # multiset. 1.5 s -> 0.6 s isolated.
     return (
-        o.groupBy("o_orderpriority")
+        o.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
         .agg(
-            F.countDistinct("o_custkey").alias("exact_custs"),
+            # count the key column, not *: countDistinct skips NULL
+            # keys, and the distinct frame would carry one NULL row
+            F.count("o_custkey").alias("exact_custs"),
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
         )
         .select(
