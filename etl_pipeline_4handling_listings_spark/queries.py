@@ -6622,9 +6622,13 @@ _DUCK_5GRAMS = r"""
 def dedup_crossdoc_spans(spark, sf_dir):
     from etl_pipeline_4handling_listings_spark.functions.text import word_shingles
 
+    # the exploded 5-gram stream feeds the doc-frequency aggregate AND
+    # the join-back; materialize it once (the shingle expressions are
+    # the dominant CPU and ReuseExchange does not unify the branches)
     g = (
         tbl_wide(spark, sf_dir, "documents")
         .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+        .localCheckpoint(eager=True)
     )
     # NOTE: a window-count formulation (count over partitionBy(g),
     # saving the join-back shuffle) was tried and is 2.3x SLOWER —
@@ -10542,14 +10546,20 @@ def market_concentration_hhi(spark, sf_dir):
             ).cast("long").alias("cents")
         )
     )
-    tot = rev.groupBy("n_name").agg(
-        F.sum("cents").cast("long").alias("tot_c"),
-        F.count("*").cast("long").alias("n_suppliers"),
+    # nation totals via a window over the supplier-level aggregate
+    # (one exchange of the tiny rev frame) instead of aggregate +
+    # self-join, which re-ran the three-table join/aggregate per
+    # branch (the executed plan scanned every input twice)
+    wn = Window.partitionBy("n_name")
+    rev = rev.select(
+        "n_name",
+        "cents",
+        F.sum("cents").over(wn).cast("long").alias("tot_c"),
+        F.count("*").over(wn).cast("long").alias("n_suppliers"),
     )
     share = F.col("cents").cast("double") / F.col("tot_c")
     return (
-        rev.join(tot, "n_name")
-        .groupBy("n_name", "n_suppliers", "tot_c")
+        rev.groupBy("n_name", "n_suppliers", "tot_c")
         .agg(
             r2(F.max("tot_c").cast("double") / 100).alias("market_revenue"),
             r(F.sum(share * share), 6).alias("hhi"),
@@ -13096,7 +13106,13 @@ def stats_spearman_corr(spark, sf_dir):
         ).alias("sxx"),
     )
 
-    # price marginal with the quantity rank carried along map-side
+    # price marginal with the quantity rank carried along map-side —
+    # frozen because its offset build and the rank join consume it
+    # twice, and each re-ran the raw scan + broadcast join + marginal
+    # aggregate (an interleaved A/B also rejected deriving both
+    # marginals from a checkpointed joint (flag, qv, pv) histogram:
+    # lineitem's near-unique prices make the joint as big as the raw
+    # stream, 4.5 s vs 3.7 s at sf0.1)
     pmarg = (
         li.join(
             F.broadcast(qrank.select("flag", "qv", F.col("rk2").alias("rx2"))),
@@ -13107,6 +13123,7 @@ def stats_spearman_corr(spark, sf_dir):
             F.count("*").alias("cp"),
             F.sum(F.col("rx2").cast("decimal(38,0)")).alias("sxp"),
         )
+        .localCheckpoint(eager=True)
     )
     prank = with_rank2(
         pmarg.withColumn("pb", F.floor("pv").cast("long")), "pv", "pb", "cp"
