@@ -50,26 +50,17 @@ def lsh_candidate_pairs(
     candidate pair. P(candidate | jaccard=j) = 1-(1-j^r)^b.
     """
     r = num_hashes // bands
-    # band structs unrolled at plan-build time (bands is a Python
-    # int): a literal array of codegen'd structs, not an interpreted
-    # transform-over-sequence — same (int, string) xxhash64 calls,
-    # identical band hashes
     banded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            F.concat_ws(
-                                ",", F.slice(F.col(signature_col), b * r + 1, r)
-                            ),
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.concat_ws(",", F.slice(F.col(signature_col), b * r + 1, r))
+                    ).alias("bhash"),
+                ),
             )
         ).alias("bh"),
     ).select("_id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
@@ -123,27 +114,19 @@ def minhash_dedup_pairs(
         .select(F.col(id_col).alias("_id"), shingles.alias("_shingles"))
         .persist()
     )
-    # signature via explode + wide min-aggregate, NOT the
-    # transform/array_min higher-order expressions: Catalyst HOFs are
-    # CodegenFallback, so the nested form walks an interpreted
-    # expression tree per (hash, shingle) element. Exploding once and
-    # evaluating all num_hashes xxhash64 calls as straight-line
-    # codegen'd projections is the same arithmetic on the same (int,
-    # string, int) argument types — bit-identical minima. A document's
-    # shingles sit in one partition (explode never splits a row), so
-    # partial aggregation collapses to exactly one row per doc before
-    # the shuffle — the added doc-keyed exchange carries num_hashes
-    # longs per document.
-    seed = 42
-    ex = base.select("_id", F.explode("_shingles").alias("_s"))
-    sig = ex.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("_s"), F.lit(seed))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    signed = sig.select(
-        "_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_sig")
+    # NOTE (r11): a rewrite of this signature as explode + a
+    # 64-column codegen'd min-aggregate (bit-identical minima,
+    # avoiding the CodegenFallback higher-order walk) won a 2.1x
+    # cold-session interleaved A/B — and then REGRESSED ~2x in
+    # bench-faithful warm sessions (full sf0.001 warm pass first:
+    # HOF shape 1.14 s, wide-agg shape 2.26 s on dedup_minhash_lsh;
+    # 1.88 s vs 4.7+ s on dedup_clusters). In a long-lived session
+    # the JIT compiles the interpreted-expression hot loops, while
+    # the huge generated projection stays unprofitable. The driver's
+    # bench is a warm session, so the HOF shape stands — measure in
+    # the context you ship (guide §1).
+    signed = base.select(
+        "_id", minhash_signature(F.col("_shingles"), num_hashes).alias("_sig")
     )
     cands = lsh_candidate_pairs(signed, "_id", "_sig", num_hashes, bands)
     a = base.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"))
