@@ -193,6 +193,14 @@ def main() -> None:
         json.dump(full, f, indent=1)
     print(json.dumps(summary), flush=True)
     print(json.dumps(full), flush=True)
+    # re-print the compact summary as the LAST line: the driver's
+    # log captor keeps a bounded TAIL of stdout, and the long
+    # full-payload line above can push the leading summary line out
+    # of that window (BENCH_r10: parsed null from exactly this).
+    # Whether a captor keeps the head or the tail, one complete
+    # parseable summary line now survives. Additions only — the
+    # timing methodology and the first two lines are unchanged.
+    print(json.dumps(summary), flush=True)
     spark.stop()
 
 

@@ -16,7 +16,7 @@ driver loop and convergence is detected with an exact changed-count
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -68,9 +68,17 @@ def connected_components(
         # localCheckpoint (eager) BOTH materializes the round (like
         # persist+count did) AND truncates plan lineage — without it
         # the logical plan nests one join deeper per round and
-        # analyzer/optimizer time grows quadratically with rounds
+        # analyzer/optimizer time grows quadratically with rounds.
+        # The convergence probe rides the SAME action as an observed
+        # metric: a separate count() paid one extra job per round
+        # (pure scheduling latency — the label frame is tiny next to
+        # the propagation join the checkpoint already ran).
+        obs = Observation()
+        updated = updated.observe(
+            obs, F.count(F.when(F.col("_changed"), 1)).alias("n_changed")
+        )
         updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("_changed")).count()
+        changed = int(obs.get["n_changed"])
         labels.unpersist()
         labels = updated.drop("_changed")
         if changed == 0:

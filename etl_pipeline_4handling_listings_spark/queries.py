@@ -5318,13 +5318,16 @@ def _textrank_oracle(iters: int = 10, d: float = 0.85) -> str:
     oracle=_textrank_oracle(),
     doc="TextRank keyword extraction: damped PageRank (d=0.85, 10 "
     "iterations) over the undirected word co-occurrence graph, "
-    "edge-weighted by adjacent-pair counts. Each iteration is one "
-    "join + one aggregate over the edge list — the canonical "
-    "distributed power iteration (edges partition by source; at "
-    "scale this is vocabulary-sized, not corpus-sized). Ranks are "
-    "floor-quantized to 1e-9 every iteration so the fixpoint "
-    "trajectory is bit-identical on every engine; oracle unrolls "
-    "the same 10 steps as chained CTEs.",
+    "edge-weighted by adjacent-pair counts. The vocabulary-bounded "
+    "pair aggregate is materialized once and SIZE-GATED: small "
+    "graphs run the whole power iteration as one Arrow kernel task "
+    "(ten distributed join stages are pure scheduling latency at "
+    "that size), large ones fall back to the canonical distributed "
+    "iteration — one join + one map-side-combinable aggregate per "
+    "step over the frozen edge list. Both paths floor-quantize "
+    "ranks to 1e-9 every iteration so the fixpoint trajectory is "
+    "bit-identical on every engine and between the two paths; "
+    "oracle unrolls the same 10 steps as chained CTEs.",
 )
 def textrank_keywords(spark, sf_dir):
     d = tbl_wide(spark, sf_dir, "documents").select(
@@ -5341,19 +5344,38 @@ def textrank_keywords(spark, sf_dir):
     ).select(
         F.least("p.a", "p.b").alias("wa"), F.greatest("p.a", "p.b").alias("wb")
     )
-    # the adjacent-pair aggregate is vocab²-bounded (KBs-MBs even for
-    # 1e5-word vocabularies), so the whole damped power iteration
-    # collapses onto ONE partition and runs as ONE Arrow task: the
-    # r10 shape executed 10 broadcast-join stages + 2 localCheckpoint
-    # actions + a count() action over that same single partition —
-    # ~15 jobs of pure scheduling/plan latency for a kernel that
-    # touches at most a few MB. Identical arithmetic, op for op:
-    # integer-valued double counts sum exactly in any order, shares
-    # are the same c/wd divisions, and each iteration applies the
-    # same floor(x*1e9+0.5)/1e9 quantization as the oracle.
+    # freeze the distinct adjacent-pair aggregate once: both rank
+    # paths consume it, and the materialized row count IS the size
+    # gate (a count over the checkpointed RDD — no recompute). The
+    # r11 shape funneled the aggregate through repartition(1)
+    # unconditionally; correct and 4x faster at sf0.1, but with no
+    # gate one Python task must hold the whole graph — at 100 TB a
+    # natural corpus' distinct-pair set is 1e8-1e9 rows and that one
+    # task OOMs. Below the gate the single-task kernel stands
+    # (identical arithmetic, op for op: integer-valued double counts
+    # sum exactly in any order, shares are the same c/wd divisions,
+    # every iteration applies the same floor(x*1e9+0.5)/1e9 grid);
+    # above it the distributed power iteration takes over
+    # (property-tested equal across the gate in
+    # tests/test_properties.py).
     und = pairs.groupBy("wa", "wb").agg(
         F.count("*").cast("double").alias("c")
-    ).repartition(1)
+    ).localCheckpoint(eager=True)
+    import os as _os
+
+    gate = int(_os.environ.get("SPARK_GRAFT_TEXTRANK_GATE", 2_000_000))
+    if und.count() <= gate:
+        pr = _textrank_ranks_kernel(und)
+    else:
+        pr = _textrank_ranks_distributed(und)
+    return pr.orderBy(F.desc("textrank"), "word").limit(15)
+
+
+def _textrank_ranks_kernel(und: DataFrame) -> DataFrame:
+    """Damped power iteration over a SMALL pair-aggregate frame as
+    ONE Arrow task (the whole graph fits a few hundred MB): 10
+    in-memory numpy steps replace ~15 jobs of scheduling/plan
+    latency. Caller gates on the aggregate's size."""
 
     def _power_iterate(pdfs):
         import numpy as np
@@ -5385,8 +5407,58 @@ def textrank_keywords(spark, sf_dir):
             rank = np.floor((base + damping * acc) * 1e9 + 0.5) / 1e9
         yield pd.DataFrame({"word": words, "textrank": rank})
 
-    pr = und.mapInPandas(_power_iterate, "word string, textrank double")
-    return pr.orderBy(F.desc("textrank"), "word").limit(15)
+    # coalesce, not repartition: the frame is already materialized
+    # (checkpointed RDD), so the single-task collapse needs no shuffle
+    return und.coalesce(1).mapInPandas(
+        _power_iterate, "word string, textrank double"
+    )
+
+
+def _textrank_ranks_distributed(und: DataFrame) -> DataFrame:
+    """Damped power iteration at scale: 10 steps of one join + one
+    map-side-combinable aggregate over the symmetric edge list. The
+    share-weighted edge frame is the loop invariant — partitioned,
+    sorted and frozen once (the graph_pagerank pattern) so each step
+    exchanges only the vocabulary-sized rank side. Arithmetic is
+    identical to the kernel path: whole-number double counts, the
+    same c/wd share divisions, the same per-step 1e-9 floor grid."""
+    edges = und.select(
+        F.col("wa").alias("w1"), F.col("wb").alias("w2"), "c"
+    ).unionByName(
+        und.select(F.col("wb").alias("w1"), F.col("wa").alias("w2"), "c")
+    )
+    wdeg = edges.groupBy(F.col("w1").alias("w")).agg(F.sum("c").alias("wd"))
+    n_nodes = float(wdeg.count())
+    damping = 0.85
+
+    def q9(col: Column) -> Column:
+        return F.floor(col * 1e9 + 0.5) / 1e9
+
+    pr = wdeg.select("w", q9(F.lit(1.0) / F.lit(n_nodes)).alias("r"))
+    src = edges.join(wdeg.withColumnRenamed("w", "w1"), "w1").select(
+        "w1", "w2", (F.col("c") / F.col("wd")).alias("share")
+    )
+    src = (
+        src.repartition("w1")
+        .sortWithinPartitions("w1")
+        .localCheckpoint(eager=True)
+    )
+    for _it in range(10):
+        pr = (
+            src.join(pr.withColumnRenamed("w", "w1"), "w1")
+            .groupBy(F.col("w2").alias("w"))
+            .agg(
+                q9(
+                    F.lit((1 - damping) / n_nodes)
+                    + F.lit(damping) * F.sum(F.col("share") * F.col("r"))
+                ).alias("r")
+            )
+        )
+        if _it + 1 == 5:
+            # truncate the nested-join lineage halfway: optimizer
+            # time grows superlinearly with plan depth
+            pr = pr.localCheckpoint(eager=True)
+    return pr.select(F.col("w").alias("word"), F.col("r").alias("textrank"))
 
 
 @query(
@@ -14379,67 +14451,15 @@ def sketch_theta_set_ops(spark, sf_dir):
 # rotate_registry.py's age ordering. A green r8 makes the full
 # 217-query registry driver-certified with zero backlog.
 #
-# Round-11 window (rotated at round start; r10 was 50/50 green —
-# seventh consecutive fully-green window, certifying the 3 r9
-# additions): slots 1-2 = the 2 queries added after the r10 driver
-# run (sketch_kll_quantile_union, sketch_theta_set_ops — both
-# judge-verified in the r10 session's independent 233-query sweep),
-# slots 3-50 = the 48 STALEST-certified greens per
-# rotate_registry.py's age ordering. A green r11 makes the full
-# 233-query registry driver-certified with zero backlog.
+# Round-12 window (rotated at round start; r11 was 50/50 green —
+# eighth consecutive fully-green window, certifying the 2 r10
+# additions and with them the FULL 233-query registry): there is no
+# backlog left, so all 50 slots are pure re-observation — the 50
+# STALEST-certified greens per rotate_registry.py's age ordering
+# (their latest evidence dates to the r10 window or earlier).
 # =====================================================================
 
 _DRIVER_ORDER = [
-    "sketch_kll_quantile_union",
-    "sketch_theta_set_ops",
-    "v_validation_flags",
-    "p7_reject_split",
-    "j1_broadcast_dim_join",
-    "j2_disjunctive_join",
-    "j3_multikey_join",
-    "j5_coalesce_fallback_join",
-    "w1_latest_record",
-    "w1_superseded_records",
-    "w2_partition_minmax",
-    "w6_lead_changed",
-    "w7_group_representative",
-    "o1_priority_topk",
-    "m1_merge_upsert",
-    "m3_merge_changed_only",
-    "x1_enrich_lookup",
-    "scalar_string_suite",
-    "scalar_date_suite",
-    "scalar_numeric_suite",
-    "scalar_json_extract",
-    "a1_distinct",
-    "q1_pricing_summary",
-    "q3_topk_join_agg",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "text_token_count",
-    "text_fingerprint",
-    "text_quality_score",
-    "dedup_exact",
-    "flagship_curated",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "quality_lr_score",
-    "text_shingle_containment",
-    "dedup_keep_best",
-    "graph_pagerank",
-    "privacy_t_closeness",
-    "stats_welch_ttest",
-    "sample_stratified_hash",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "text_langid",
-    "m2_history_merge",
-    "s8_reject_json",
-    "p2_prefix_strip",
-    "a3_distinct_count",
-    "u3_priority_source_rerank",
-    "q5_multi_join_agg",
-    "q6_forecast_revenue",
     "q18_large_orders",
     "dedup_embedding_cosine",
     "events_user_trend",
@@ -14623,6 +14643,56 @@ _DRIVER_ORDER = [
     "s2_union_scan",
     "p1_prefix_rename",
     "p6_isin_filter",
+    "sketch_kll_quantile_union",
+    "sketch_theta_set_ops",
+    "v_validation_flags",
+    "p7_reject_split",
+    "j1_broadcast_dim_join",
+    "j2_disjunctive_join",
+    "j3_multikey_join",
+    "j5_coalesce_fallback_join",
+    "w1_latest_record",
+    "w1_superseded_records",
+    "w2_partition_minmax",
+    "w6_lead_changed",
+    "w7_group_representative",
+    "o1_priority_topk",
+    "m1_merge_upsert",
+    "m3_merge_changed_only",
+    "x1_enrich_lookup",
+    "scalar_string_suite",
+    "scalar_date_suite",
+    "scalar_numeric_suite",
+    "scalar_json_extract",
+    "a1_distinct",
+    "q1_pricing_summary",
+    "q3_topk_join_agg",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "text_token_count",
+    "text_fingerprint",
+    "text_quality_score",
+    "dedup_exact",
+    "flagship_curated",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "quality_lr_score",
+    "text_shingle_containment",
+    "dedup_keep_best",
+    "graph_pagerank",
+    "privacy_t_closeness",
+    "stats_welch_ttest",
+    "sample_stratified_hash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_langid",
+    "m2_history_merge",
+    "s8_reject_json",
+    "p2_prefix_strip",
+    "a3_distinct_count",
+    "u3_priority_source_rerank",
+    "q5_multi_join_agg",
+    "q6_forecast_revenue",
 ]
 
 

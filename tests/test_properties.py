@@ -222,12 +222,13 @@ def test_money_sums_partition_invariant(spark_sess):
 def test_driver_order_hygiene():
     """_DRIVER_ORDER is the driver-certification contract: it must
     cover the registry exactly (no dups, no strays) and keep the
-    round-11 rotation's certification window intact: slots 1-2 are
-    the 2 queries registered after the r10 driver run (the only
-    never-certified names — a green r11 makes the whole registry
-    driver-certified), slots 3-50 re-observe already-certified
-    names, and any later registry additions (no ledger rows at all)
-    sit BEHIND slot 50 so they never displace certification slots."""
+    round-12 rotation's certification window intact: the r11 window
+    went green on the last 2 never-certified names, so the registry
+    is FULLY driver-certified and all 50 slots are re-observation of
+    already-certified names (stalest evidence first, per
+    rotate_registry.py). Any later registry additions (no ledger
+    rows at all) sit BEHIND slot 50 so they never displace
+    certification slots."""
     import glob
     import json
     import os
@@ -263,22 +264,62 @@ def test_driver_order_hygiene():
                     for k in ("rows_match", "schema_match", "hash_match")
                 ):
                     certified.add(name)
-    # slots 1-2: exactly the post-r10 additions (pinned — this IS the
-    # committed schedule the r10 verdict prescribed)
-    r10_additions = {
-        "sketch_kll_quantile_union", "sketch_theta_set_ops",
-    }
-    assert set(_DRIVER_ORDER[:2]) == r10_additions
-    assert not (r10_additions & certified), "backlog name already green?"
-    # slots 3-50: re-observation of certified names only
-    for name in _DRIVER_ORDER[2:50]:
+    # zero backlog after the green r11 window: every window slot is
+    # re-observation of a certified name
+    assert certified >= set(REGISTRY), (
+        "registry no longer fully certified: "
+        f"{set(REGISTRY) - certified}"
+    )
+    for name in _DRIVER_ORDER[:50]:
         assert name in certified, (
             f"uncertified name {name!r} in the re-observation slots"
         )
     # later additions (never in any ledger) stay behind slot 50
-    fresh = set(REGISTRY) - observed - r10_additions
+    fresh = set(REGISTRY) - observed
     ahead = fresh & set(_DRIVER_ORDER[:50])
     assert not ahead, f"fresh queries inside the window: {ahead}"
+
+
+def test_textrank_gate_paths_agree(spark_sess, monkeypatch):
+    """The size-gated TextRank paths — single-task Arrow kernel
+    below the gate, distributed power iteration above it — must
+    produce IDENTICAL quantized ranks for the same pair aggregate
+    (the 1e-9 floor grid at every step makes the fixpoint
+    trajectory engine- and path-independent), and the gate dispatch
+    in the registry query must be result-invariant."""
+    import random
+
+    from etl_pipeline_4handling_listings_spark.queries import (
+        REGISTRY,
+        _textrank_ranks_distributed,
+        _textrank_ranks_kernel,
+    )
+
+    rng = random.Random(42)
+    words = [f"w{i:02d}" for i in range(40)]
+    rows, seen = [], set()
+    while len(rows) < 120:
+        a, b = rng.sample(words, 2)
+        wa, wb = min(a, b), max(a, b)
+        if (wa, wb) in seen:
+            continue
+        seen.add((wa, wb))
+        rows.append((wa, wb, float(rng.randint(1, 5))))
+    und = spark_sess.createDataFrame(
+        rows, "wa string, wb string, c double"
+    ).localCheckpoint(eager=True)
+    k = sorted(map(tuple, _textrank_ranks_kernel(und).collect()))
+    d = sorted(map(tuple, _textrank_ranks_distributed(und).collect()))
+    assert k == d
+    # end-to-end: forcing the gate to 0 pairs flips the registry
+    # query onto the distributed path; the declared result must not
+    # move (this graph spans the gate in both directions)
+    sf = "/root/testdata/sf0.001"
+    fn = REGISTRY["textrank_keywords"].fn
+    base = [tuple(r) for r in fn(spark_sess, sf).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_TEXTRANK_GATE", "0")
+    forced = [tuple(r) for r in fn(spark_sess, sf).collect()]
+    assert forced == base
 
 
 token_sets = st.lists(

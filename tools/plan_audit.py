@@ -87,7 +87,11 @@ AUDIT = {
     "outlier_zscore": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
     "corpus_token_budget": {"expect": ["BroadcastHashJoin"], "forbid": ["SortMergeJoin"]},
     "sample_weighted": {"expect": ["TakeOrderedAndProject"], "forbid": ["Exchange hashpartitioning"]},
-    "textrank_keywords": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    # r12: the pair aggregate is frozen (size gate reads its count),
+    # so its HashAggregate sits behind the checkpoint RDD leaf; at
+    # audit scale the gate picks the single-task Arrow kernel — pin
+    # THAT, and forbid any join sneaking into either rank path
+    "textrank_keywords": {"expect": ["MapInPandas", "TakeOrderedAndProject"], "forbid": ["CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"]},
     "agg_argmax": {"expect": ["HashAggregate"], "forbid": ["Window", "Join"]},
     "agg_unpivot": {"expect": ["Expand"], "forbid": ["Join"]},
     "j_nullsafe_join": {"expect": ["Join"], "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
@@ -128,8 +132,11 @@ AUDIT = {
     # inverted-index shape: two hash aggs over the materialized gram
     # stream; never a pair join. (r11: the explode is frozen once —
     # its Generate sits in the checkpoint job, behind the RDD leaf,
-    # so the consumer plan can no longer show it.)
-    "dedup_crossdoc_spans": {"expect": ["HashAggregate"], "forbid": ["BroadcastNestedLoopJoin"]},
+    # so the consumer plan can no longer show it. r12: with the
+    # Generate pin gone, forbid the shuffle-join families too — only
+    # the broadcast join-back may remain, so a regression that
+    # reintroduces a hash/sort-merge pair join is still caught.)
+    "dedup_crossdoc_spans": {"expect": ["HashAggregate"], "forbid": ["BroadcastNestedLoopJoin", "SortMergeJoin", "ShuffledHashJoin"]},
     # languages-sized agg + broadcast grand total
     "corpus_mix_weights": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
     # degree-oriented wedge join; the only nested-loop joins are the
