@@ -34,36 +34,58 @@ def connected_components(
     ``vertices``: one column ``id_col``; ``edges``: undirected pairs
     (each edge listed once is fine).
     """
-    # symmetric edge list
+    # symmetric edge list — the LOOP INVARIANT: partition (and sort)
+    # it on the join key BEFORE freezing (the graph_pagerank
+    # pattern), so at scale every round's sort-merge join exchanges
+    # and sorts only the label side; locally the label side
+    # broadcasts and the layout is simply the materialized edge
+    # frame each round re-reads
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
-    sym = e.unionByName(
-        e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
-    ).persist()
+    sym = (
+        e.unionByName(
+            e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        .repartition("_dst")
+        .sortWithinPartitions("_dst")
+        .localCheckpoint(eager=True)
+    )
 
     labels = vertices.select(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_label")
     ).persist()
+    label_type = labels.schema["_label"].dataType
 
     changed = -1
     for _ in range(max_iter):
-        # smallest neighbor label per vertex
-        neighbor_min = (
+        # ONE join + ONE aggregate per round: neighbor-candidate
+        # labels union the vertex's own label row (tagged as _old)
+        # and a single min/max aggregate yields the new label, the
+        # previous label, and with them the changed flag — the old
+        # shape's separate left join back onto the label frame (a
+        # third keyed exchange per round) is folded into the same
+        # aggregate. Vertices without neighbors still converge: their
+        # self row is the only input, min == prev.
+        cand = (
             sym.join(labels, sym["_dst"] == labels["_id"])
-            .groupBy("_src")
-            .agg(F.min("_label").alias("_nbr_label"))
+            .select(
+                F.col("_src").alias("_id"),
+                "_label",
+                F.lit(None).cast(label_type).alias("_old"),
+            )
         )
-        updated = labels.join(
-            neighbor_min, labels["_id"] == neighbor_min["_src"], "left"
-        ).select(
-            "_id",
-            F.least(
-                F.col("_label"), F.coalesce("_nbr_label", F.col("_label"))
-            ).alias("_label"),
-            (
-                F.coalesce("_nbr_label", F.col("_label")) < F.col("_label")
-            ).alias("_changed"),
+        merged = cand.unionByName(
+            labels.select("_id", "_label", F.col("_label").alias("_old"))
+        )
+        updated = (
+            merged.groupBy("_id")
+            .agg(
+                F.min("_label").alias("_label"),
+                # exactly one self row per vertex carries non-null _old
+                F.max("_old").alias("_prev"),
+            )
+            .withColumn("_changed", F.col("_label") < F.col("_prev"))
         )
         # localCheckpoint (eager) BOTH materializes the round (like
         # persist+count did) AND truncates plan lineage — without it
@@ -80,10 +102,9 @@ def connected_components(
         updated = updated.localCheckpoint(eager=True)
         changed = int(obs.get["n_changed"])
         labels.unpersist()
-        labels = updated.drop("_changed")
+        labels = updated.select("_id", "_label")
         if changed == 0:
             break
-    sym.unpersist()
     if changed != 0:
         # A component with diameter > max_iter would get silently
         # wrong labels; fail loudly instead of returning them.

@@ -310,44 +310,36 @@ def exact_jaccard_pairs(
         F.col(id_col).alias("_id"), shingles.alias("_shingles")
     ).withColumn("_sz", F.size("_shingles"))
     ex = base.select("_id", "_sz", F.explode("_shingles").alias("_sh"))
-    # group the posting list per shingle and expand ordered pairs
-    # map-side (the member_pairs kernel shape) instead of the a-x-b
-    # self-join: ONE shuffle of the exploded stream instead of two,
-    # and the posting scan+shingle expressions run once instead of
-    # twice (the self-join's alias divergence defeats ReuseExchange).
-    # Pair fan-out per shingle is C(df,2) either way — the join
-    # materialized the same rows in the same hash partition; here the
-    # per-pair partial COUNT collapses map-side before the pair
-    # shuffle. The posting-list buffer is 12 bytes x df per shingle;
-    # the df-degrading-to-|docs| hazard is unchanged from the join
-    # shape (see Scale note above).
-    postings = ex.groupBy("_sh").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("_id"), F.col("_sz")))
-        ).alias("_ms")
+    # a-x-b self-join on the shingle (the r10 shape, REINSTATED in
+    # r12): an r11 rewrite expanded ordered pairs map-side from
+    # per-shingle posting lists — one shuffle of the exploded stream
+    # instead of two, one scan instead of two — but it regressed in
+    # the driver's bench (1.29 -> 1.73 s) and a bench-faithful warm
+    # interleaved A/B (full sf0.001 registry warm pass, 5 runs each)
+    # reproduced it decisively: join MIN 1.204 s / MED 1.282 s vs
+    # posting MIN 1.541 s / MED 1.589 s at sf0.1. The collect_list
+    # buffer build + posexplode/slice re-expansion costs more CPU
+    # than the saved exchange at any scale where C(df,2) pair rows
+    # dominate both shapes — the pair fan-out, not the exploded
+    # stream, is the asymptotic term, and the join streams it
+    # straight out of the hash probe. (This shape also never emits
+    # self-pairs when a document carries duplicate shingles; the
+    # posting expansion did.)
+    a = ex.select(
+        F.col("_sh"), F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")
     )
-    spread = postings.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
+    b = ex.select(
+        F.col("_sh"), F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")
     )
-    lvl1 = spread.select(
-        F.col("_ms"), F.posexplode("_ms").alias("_i", "_a")
-    )
-    pair_rows = lvl1.select(
-        F.col("_a._id").alias("id_a"),
-        F.col("_a._sz").alias("_sza"),
-        F.explode(F.slice(F.col("_ms"), F.col("_i") + 2, F.size("_ms"))).alias(
-            "_b"
-        ),
-    ).select(
-        "id_a",
-        "_sza",
-        F.col("_b._id").alias("id_b"),
-        F.col("_b._sz").alias("_szb"),
-    )
-    inter = pair_rows.groupBy("id_a", "id_b").agg(
-        F.count("*").alias("_inter"),
-        F.first("_sza").alias("_sa"),
-        F.first("_szb").alias("_sb"),
+    inter = (
+        a.join(b, ["_sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("_inter"),
+            F.first("_sza").alias("_sa"),
+            F.first("_szb").alias("_sb"),
+        )
     )
     jac = F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast(
         "double"
