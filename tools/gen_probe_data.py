@@ -7,8 +7,11 @@ on plan shape alone. This tool materializes a K-times larger dataset
 copies of the sf0.1 tables, so the heavy queries get K times the
 real work with the same per-copy density:
 
-- ``lineitem``: keys and prices shifted per copy (the price marginal
-  grows Kx, like a Kx catalog);
+- ``lineitem``: keys shifted per copy; prices shifted by i CENTS so
+  the distinct-price count grows Kx while the unit-bucket DOMAIN
+  stays fixed (the spearman two-level rank design is domain-bounded
+  — growing the domain Kx with the data would probe a different,
+  artificial shape);
 - ``events``: user_id/event_id shifted AND the timestamp shifted by
   K years per copy — (event_type, hour) cells stay per-copy, so the
   co-presence graph is K disjoint copies of the sf0.1 graph (edges,
@@ -73,7 +76,7 @@ def main() -> int:
             (F.col("l_suppkey") + i * SHIFT).alias("l_suppkey"),
             "l_linenumber",
             "l_quantity",
-            (F.col("l_extendedprice") + i * 1_000_000).alias(
+            (F.col("l_extendedprice") + i * 0.01).alias(
                 "l_extendedprice"
             ),
             "l_discount",
