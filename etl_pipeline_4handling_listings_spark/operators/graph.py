@@ -295,10 +295,15 @@ def pagerank_converged(
     ).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
+    # degree frame doubles as the node set (dirs is symmetric) —
+    # freeze it once for the invariant build, n, and the rank init
+    # instead of re-running the 2|E| aggregate per consumer plus a
+    # separate distinct pass (see graph_pagerank)
     deg = (
         dirs.groupBy("src")
         .agg(F.count("*").cast("long").alias("d"))
         .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
     )
     dirs_d = (
         dirs.join(deg.withColumnRenamed("node", "src"), "src")
@@ -309,7 +314,7 @@ def pagerank_converged(
         .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
-    n = dirs_d.select("src").distinct().count()
+    n = deg.count()
     spark = edges.sparkSession
     if n == 0:
         return (
@@ -319,12 +324,7 @@ def pagerank_converged(
         )
     scale = 10**12
     base = (3 * scale) // (20 * n)
-    pr = (
-        dirs_d.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.lit(scale // n).cast("long").alias("pr"))
-        .localCheckpoint(eager=True)
-    )
+    pr = deg.select("node", F.lit(scale // n).cast("long").alias("pr"))
     rounds = 0
     converged = False
     for _it in range(max_rounds):

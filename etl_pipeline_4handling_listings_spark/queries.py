@@ -8947,9 +8947,20 @@ def graph_pagerank(spark, sf_dir):
     dirs = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    deg = dirs.groupBy("src").agg(
-        F.count("*").cast("long").alias("d")
-    ).withColumnRenamed("src", "node")
+    # the degree frame DOUBLES as the distinct-node set (dirs is
+    # symmetric, so every node appears as a source — the graph_kcore
+    # pattern): freeze the |V|-bounded frame once. It feeds the
+    # invariant build, the n count, the rank init, and the final
+    # top-20 join; unfrozen, the 2|E| aggregate executed twice and
+    # the rank init paid a separate full distinct over the invariant
+    # (a third 2|E|-scale exchange), all alias-divergent so
+    # ReuseExchange never fired.
+    deg = (
+        dirs.groupBy("src")
+        .agg(F.count("*").cast("long").alias("d"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
     # attach the source degree to the edge frame ONCE, so each power
     # step is exactly one join (edges x rank on src) + one partial
     # agg on dst — the pr frame stays (node, pr) and never re-joins
@@ -8966,7 +8977,7 @@ def graph_pagerank(spark, sf_dir):
         .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
-    n = dirs_d.select("src").distinct().count()
+    n = deg.count()
     if n == 0:
         return spark.createDataFrame(
             [],
@@ -8974,11 +8985,8 @@ def graph_pagerank(spark, sf_dir):
         )
     scale = 10**12
     base = (3 * scale) // (20 * n)  # (1-d)/N on the integer grid
-    pr = (
-        dirs_d.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.lit(scale // n).cast("long").alias("pr"))
-    )
+    # rank init reads the frozen node set — no distinct pass
+    pr = deg.select("node", F.lit(scale // n).cast("long").alias("pr"))
     for _it in range(6):
         pr = (
             dirs_d.join(pr.withColumnRenamed("node", "src"), "src")
