@@ -3800,19 +3800,31 @@ def _dml_from_delta(
     adds: list[dict] = []
     staged_new: list = []
     if strategy == "dv" and (partial or set_exprs is not None):
-        # per-file mask union on EXECUTORS: matched LIVE row indexes
-        # + the file's existing DV; only ~KB serialized roaring
-        # blobs reach the driver (metadata scale, like the file
-        # list), never the index lists
+        # per-file mask union AND spec DV file write on EXECUTORS:
+        # matched LIVE row indexes + the file's existing DV are
+        # unioned and the packed bitmap lands in its storage file
+        # inside the SAME applyInPandas stage — only ~150-byte spec
+        # DESCRIPTORS reach the driver (metadata scale, like the
+        # file list), never index lists and never blob bytes. A
+        # wide delete touching 100k files no longer funnels 100k
+        # roaring bitmaps through one collect() + a serial
+        # driver-side write loop; writes run with the stage's full
+        # parallelism. (Retried/speculative attempts can orphan an
+        # unreferenced deletion_vector_*.bin — exactly the exposure
+        # a crashed driver-side writer had; VACUUM removes
+        # unreferenced files.)
         old_desc = {abs_of[r]: _dv_of(r) for r in partial}
         table_path = path
 
         def build(pdf):
+            import json as _json
+
             import pandas as pd
 
             from etl_pipeline_4handling_listings_spark.sources.dvcodec import (  # noqa: E501
                 load_dv_indexes,
                 serialize_dv,
+                write_dv_blob,
             )
 
             fp = pdf["__fp"].iloc[0]
@@ -3829,33 +3841,26 @@ def _dml_from_delta(
                     )
                 )
             ordered = sorted(idxs)
+            desc = write_dv_blob(
+                table_path, serialize_dv(ordered), len(ordered)
+            )
             return pd.DataFrame(
-                [
-                    {
-                        "fp": fp,
-                        "blob": serialize_dv(ordered),
-                        "card": len(ordered),
-                    }
-                ]
+                [{"fp": fp, "desc": _json.dumps(desc)}]
             )
 
-        blobs = (
+        descs = (
             (
                 _restrict(touched_scan, partial)
                 .filter(hit)
                 .select("__fp", "__ri")
                 .groupBy("__fp")
-                .applyInPandas(
-                    build, "fp string, blob binary, card long"
-                )
+                .applyInPandas(build, "fp string, desc string")
                 .collect()
             )
             if partial
             else []
         )
-        from .dvcodec import write_dv_blob
-
-        for r in blobs:
+        for r in descs:
             rel = rel_of_abs[r["fp"]]
             # rebuilt from spec fields only (the restore_delta re_add
             # shape): a checkpoint-shaped replay dict carries parsed
@@ -3873,9 +3878,7 @@ def _dml_from_delta(
                 ad["size"] = int(src_ad["size"])
             if src_ad.get("modificationTime") is not None:
                 ad["modificationTime"] = int(src_ad["modificationTime"])
-            ad["deletionVector"] = write_dv_blob(
-                path, bytes(r["blob"]), int(r["card"])
-            )
+            ad["deletionVector"] = json.loads(r["desc"])
             st = src_ad.get("stats")
             if isinstance(st, str) and st:
                 try:

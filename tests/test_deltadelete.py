@@ -802,3 +802,54 @@ def test_delete_dv_readds_spec_fields_from_checkpoint_replay(
         assert all(v is not None for v in desc.values())
     assert "maxRowIndex" not in rm2["deletionVector"]
     assert sorted(r.k for r in read_delta(spark, tbl).collect()) == [1]
+
+
+def test_delete_dv_wide_writes_blobs_executor_side(
+    spark, tmp_path, monkeypatch
+):
+    """A wide dv-strategy delete (every file partially matched) must
+    ship only ~150-byte spec DESCRIPTORS to the driver: the packed
+    DV storage files are written inside the applyInPandas stage.
+    Poisoning the driver-side write/serialize helpers proves no
+    blob bytes (or file writes) funnel through the driver — the
+    executors' Python workers import dvcodec in their own
+    processes, so only a driver-side call can trip the poison. A
+    stock-shaped read round-trips every committed mask."""
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+    tbl = _mk_foreign(tmp_path, protocol=proto, name="dvwide")
+    for i in range(5):
+        _seed(
+            spark,
+            tbl,
+            [(10 * i + 1, "a"), (10 * i + 2, "b"), (10 * i + 3, "c")],
+        )
+
+    from etl_pipeline_4handling_listings_spark.sources import dvcodec
+
+    def _boom(*a, **k):
+        raise AssertionError("DV blob crossed the driver")
+
+    monkeypatch.setattr(dvcodec, "write_dv_blob", _boom)
+    monkeypatch.setattr(dvcodec, "serialize_dv", _boom)
+
+    ver, n = delete_from_delta(spark, tbl, "k % 10 = 2", strategy="dv")
+    assert n == 5
+    lines = _entry_lines(tbl, ver)
+    adds = [ln["add"] for ln in lines[1:] if "add" in ln]
+    assert len(adds) == 5
+    from etl_pipeline_4handling_listings_spark.sources.dvcodec import (
+        dv_file_path,
+    )
+
+    for a in adds:
+        dv = a["deletionVector"]
+        assert dv["storageType"] == "u" and dv["cardinality"] == 1
+        assert os.path.isfile(dv_file_path(tbl, dv["pathOrInlineDv"]))
+    assert sorted(r.k for r in read_delta(spark, tbl).collect()) == sorted(
+        10 * i + j for i in range(5) for j in (1, 3)
+    )
